@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation operators A1–A7 (SURVEY.md §2.4) over the testdata star.
+  *
+  * Scale notes: every groupBy here hash-aggregates with automatic
+  * partial (map-side) + final phases; group cardinalities are bounded
+  * (flags, status, brand, date) so the shuffle carries only partial
+  * states, not rows. countDistinct expands — bounded here by group
+  * count × distinct keys; at 100 TB prefer a2's exact form only on
+  * bounded keys and approx_count_distinct (A3, unit-tested, tolerance)
+  * elsewhere.
+  */
+object Aggregates extends QueryModule {
+
+  /** A1: TPC-H-Q1-shaped pricing summary — partial+final hash agg. */
+  def a1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Q.dsum(col("l_quantity")).as("sum_qty"),
+        Q.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Q.revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        sum(Q.revenueTerm(col("l_extendedprice"), col("l_discount")) *
+            (lit(BigDecimal(1)).cast(Q.Rate) + col("l_tax").cast(Q.Rate)))
+          .cast(DoubleType).as("sum_charge"),
+        Q.davg(col("l_quantity")).as("avg_qty"),
+        Q.davg(col("l_extendedprice")).as("avg_price"),
+        Q.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+
+  val a1Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Q.sql.dsum("l_quantity")} AS sum_qty,
+       |  ${Q.sql.dsum("l_extendedprice")} AS sum_base_price,
+       |  ${Q.sql.revenueSum()} AS sum_disc_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       |  ${Q.sql.davg("l_quantity")} AS avg_qty,
+       |  ${Q.sql.davg("l_extendedprice")} AS avg_price,
+       |  ${Q.sql.davg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** A2: exact COUNT DISTINCT per group (two-phase expand automatic). */
+  def a2CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc)
+
+  val a2Oracle: String =
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
+
+  /** A4: ROLLUP with grouping_id — multi-grain gold rollup. */
+  def a4Rollup(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        Q.dsum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid").asc, col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val a4Oracle: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  ${Q.sql.dsum("o_totalprice")} AS total_price,
+       |  COUNT(*) AS n,
+       |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY gid ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
+       |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** A5: filtered/conditional aggregation — promo revenue share style. */
+  def a5ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Q.t(spark, dir, "lineitem")
+    val part = Q.t(spark, dir, "part").select("p_partkey", "p_type", "p_brand")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          Q.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 4))))
+          .cast(DoubleType).as("promo_revenue"),
+        Q.revenueSum(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
+        count(when(col("l_quantity") >= 25, lit(1))).as("n_bulk_lines"))
+      .orderBy(col("p_brand").asc)
+  }
+
+  val a5Oracle: String =
+    s"""SELECT p_brand,
+       |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+       |       THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+       |       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+       |  ${Q.sql.revenueSum()} AS total_revenue,
+       |  COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY p_brand ASC NULLS FIRST""".stripMargin
+
+  /** A6: array agg — per-order sorted basket of parts. */
+  def a6CollectList(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(collect_list(col("l_partkey"))).as("basket"),
+        sort_array(collect_set(col("l_returnflag"))).as("flags"))
+      .orderBy(col("l_orderkey").asc)
+
+  val a6Oracle: String =
+    """SELECT l_orderkey,
+      |  list_sort(list(l_partkey)) AS basket,
+      |  list_sort(list(DISTINCT l_returnflag)) AS flags
+      |FROM lineitem
+      |WHERE l_orderkey < 100
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey ASC NULLS FIRST""".stripMargin
+
+  /** A7: exact percentiles — l_quantity is integral so linear
+    * interpolation at quartiles is FP-exact in both engines.
+    */
+  def a7Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+        expr("percentile(l_quantity, 0.75)").as("q3_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag").asc)
+
+  val a7Oracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.25) AS q1_qty,
+      |  quantile_cont(l_quantity, 0.75) AS q3_qty,
+      |  MIN(l_quantity) AS min_qty,
+      |  MAX(l_quantity) AS max_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_pricing_summary" -> a1PricingSummary,
+    "a2_count_distinct" -> a2CountDistinct,
+    "a4_rollup" -> a4Rollup,
+    "a5_conditional_agg" -> a5ConditionalAgg,
+    "a6_collect_list" -> a6CollectList,
+    "a7_percentiles" -> a7Percentiles)
+
+  override def oracles: Map[String, String] = Map(
+    "a1_pricing_summary" -> a1Oracle,
+    "a2_count_distinct" -> a2Oracle,
+    "a4_rollup" -> a4Oracle,
+    "a5_conditional_agg" -> a5Oracle,
+    "a6_collect_list" -> a6Oracle,
+    "a7_percentiles" -> a7Oracle)
+}
