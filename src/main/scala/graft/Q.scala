@@ -38,9 +38,22 @@ object Q {
     */
   val Rate: DecimalType = DecimalType(4, 2)
 
-  /** Load one testdata table (TESTDATA.md layout). */
+  /** Load one testdata table (TESTDATA.md layout).
+    *
+    * `events.ts` is INT64 TIMESTAMP(NANOS) in parquet, which Spark's
+    * vectorized reader rejects; we read it as raw nanos (legacy conf)
+    * and surface a TIMESTAMP_NTZ at microsecond precision (the actual
+    * data precision), matching DuckDB's naive-timestamp semantics.
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Exact decimal view of a 2-decimal-digit money double. */
   def money(c: Column): Column = c.cast(Dec)

@@ -13,7 +13,12 @@ object SparkEntry {
   /** All query modules. Order is irrelevant (names must be unique). */
   private val modules: Seq[QueryModule] = Seq(
     Flagship,
-    Aggregates)
+    Projections,
+    Joins,
+    Aggregates,
+    Windows,
+    SortSetOps,
+    Functions)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

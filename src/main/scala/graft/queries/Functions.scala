@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function families F1–F7 (SURVEY.md §2.8). All built-in
+  * `functions._` — fully codegen'd, no UDFs.
+  *
+  * Determinism notes: math stays on exact paths (abs/floor/ceil on
+  * 2-decimal money, sqrt is IEEE-exact, x*x instead of pow); date
+  * functions operate on day-granularity timestamps; hash functions
+  * (md5/sha2) are bit-exact hex in both engines.
+  */
+object Functions extends QueryModule {
+
+  /** F1: string functions over customer names. */
+  def f1String(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("name_lower"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        lpad(col("c_custkey").cast(StringType), 8, "0").as("key_padded"),
+        concat(col("c_mktsegment"), lit("/"), col("c_name")).as("seg_name"),
+        split(col("c_name"), "#").getItem(1).as("name_num"),
+        trim(lit("  pad  ")).as("trimmed"))
+      .orderBy(col("c_custkey").asc)
+
+  val f1Oracle: String =
+    """SELECT c_custkey,
+      |  lower(c_name) AS name_lower,
+      |  upper(c_mktsegment) AS seg_upper,
+      |  substring(c_name, 1, 8) AS name_prefix,
+      |  length(c_name) AS name_len,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+      |  concat(c_mktsegment, '/', c_name) AS seg_name,
+      |  string_split(c_name, '#')[2] AS name_num,
+      |  trim('  pad  ') AS trimmed
+      |FROM customer
+      |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
+
+  /** F2: date/time functions over order dates. */
+  def f2DateTime(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+          .as("days_to_2002"),
+        date_add(col("o_orderdate").cast(DateType), 30).as("due_date"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("epoch_us"))
+      .orderBy(col("o_orderkey").asc)
+
+  val f2Oracle: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS yr,
+      |  month(o_orderdate) AS mo,
+      |  dayofmonth(o_orderdate) AS dom,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |  epoch_us(o_orderdate) AS epoch_us
+      |FROM orders
+      |WHERE o_orderkey < 200
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
+  /** F3: math functions on exact-friendly paths. */
+  def f3Math(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - lit(5000.0)).as("dist_from_5k"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+        round(col("l_discount") * 100.0, 0).as("disc_pct"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+
+  val f3Oracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_extendedprice - 5000.0) AS dist_from_5k,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      |  sqrt(l_quantity) AS qty_sqrt,
+      |  l_quantity * l_quantity AS qty_sq,
+      |  round(l_discount * 100.0, 0) AS disc_pct
+      |FROM lineitem
+      |WHERE l_orderkey < 200
+      |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin
+
+  /** F4: conditional functions — CASE buckets, nullif, greatest/least. */
+  def f4Conditional(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "orders")
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000.0, "low")
+          .when(col("o_totalprice") < 200000.0, "mid")
+          .otherwise("high"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        Q.dsum(greatest(col("o_totalprice"), lit(10000.0))).as("sum_floored"),
+        Q.dsum(least(col("o_totalprice"), lit(300000.0))).as("sum_capped"),
+        count(nullif(col("o_orderstatus"), lit("O"))).as("n_not_open"))
+      .orderBy(col("bucket").asc)
+
+  val f4Oracle: String =
+    s"""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low'
+       |            WHEN o_totalprice < 200000.0 THEN 'mid'
+       |            ELSE 'high' END AS bucket,
+       |  COUNT(*) AS n,
+       |  ${Q.sql.dsum("greatest(o_totalprice, 10000.0)")} AS sum_floored,
+       |  ${Q.sql.dsum("least(o_totalprice, 300000.0)")} AS sum_capped,
+       |  COUNT(NULLIF(o_orderstatus, 'O')) AS n_not_open
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY bucket ASC NULLS FIRST""".stripMargin
+
+  /** F5a: array functions over tokenized documents. */
+  def f5Array(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        array_contains(col("tokens"), "spark").as("mentions_spark"),
+        slice(col("tokens"), 1, 3).as("first3"),
+        sort_array(array_distinct(col("tokens"))).as("vocab"))
+      .orderBy(col("doc_id").asc)
+
+  val f5Oracle: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
+      |  string_split(text, ' ')[1:3] AS first3,
+      |  list_sort(list_distinct(string_split(text, ' '))) AS vocab
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** F5b: explode / generator — token frequency via explode+groupBy. */
+  def f5Explode(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(20)
+
+  val f5ExplodeOracle: String =
+    """SELECT token, COUNT(*) AS tf
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY tf DESC NULLS LAST, token ASC NULLS FIRST
+      |LIMIT 20""".stripMargin
+
+  /** F6: JSON functions — extract typed values from event props. */
+  def f6Json(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy((col("k") % 10).as("k_mod10"))
+      .agg(
+        count(lit(1)).as("n"),
+        Q.dsum(col("value")).as("value_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy(col("k_mod10").asc)
+
+  val f6Oracle: String =
+    s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) % 10 AS k_mod10,
+       |  COUNT(*) AS n,
+       |  ${Q.sql.dsum("value")} AS value_sum,
+       |  MIN(CAST(json_extract_string(props, '$$.k') AS INT)) AS k_min,
+       |  MAX(CAST(json_extract_string(props, '$$.k') AS INT)) AS k_max
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY k_mod10 ASC NULLS FIRST""".stripMargin
+
+  /** F7: hash/fingerprint functions — md5 + sha2-256 hex. */
+  def f7Hash(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast(BinaryType)).as("text_md5"),
+        sha2(col("text").cast(BinaryType), 256).as("text_sha256"))
+      .orderBy(col("doc_id").asc)
+
+  val f7Oracle: String =
+    """SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+      |FROM documents
+      |WHERE doc_id < 50
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_string_funcs" -> f1String,
+    "f2_datetime_funcs" -> f2DateTime,
+    "f3_math_funcs" -> f3Math,
+    "f4_conditional_funcs" -> f4Conditional,
+    "f5_array_funcs" -> f5Array,
+    "f5_explode_tf" -> f5Explode,
+    "f6_json_funcs" -> f6Json,
+    "f7_hash_funcs" -> f7Hash)
+
+  override def oracles: Map[String, String] = Map(
+    "f1_string_funcs" -> f1Oracle,
+    "f2_datetime_funcs" -> f2Oracle,
+    "f3_math_funcs" -> f3Oracle,
+    "f4_conditional_funcs" -> f4Oracle,
+    "f5_array_funcs" -> f5Oracle,
+    "f5_explode_tf" -> f5ExplodeOracle,
+    "f6_json_funcs" -> f6Oracle,
+    "f7_hash_funcs" -> f7Oracle)
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators J1–J7 (SURVEY.md §2.3) over the testdata star.
+  *
+  * Scale notes: fact⋈fact joins (orders⋈lineitem) shuffle on the join
+  * key — both sides hash-partition, AQE handles skew. Dimension joins
+  * (part, nation, region, supplier) are broadcast: explicit hint where
+  * the dim is bounded by schema (region/nation), AQE auto-broadcast
+  * otherwise. The as-of join (J7) is the scalable union+window form:
+  * ONE shuffle on the key, no per-row range probe — this survives
+  * 100 TB where a naive theta-join (J6's shape) would not.
+  */
+object Joins extends QueryModule {
+
+  /** J1: inner equi-join fact⋈fact — shuffle join, partial agg after. */
+  def j1InnerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Q.t(spark, dir, "orders")
+    val l = Q.t(spark, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Q.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("o_orderstatus").asc)
+  }
+
+  val j1Oracle: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_lines, ${Q.sql.revenueSum()} AS revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
+
+  /** J2: broadcast hash join fact⋈dim — no shuffle of the fact side. */
+  def j2BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Q.t(spark, dir, "lineitem")
+    val p = Q.t(spark, dir, "part").select("p_partkey", "p_type")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(
+        Q.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_type").asc)
+  }
+
+  val j2Oracle: String =
+    s"""SELECT p_type, ${Q.sql.revenueSum()} AS revenue, COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_type
+       |ORDER BY p_type ASC NULLS FIRST""".stripMargin
+
+  /** J3: left outer join — dims with no facts survive with zeroed aggs. */
+  def j3LeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val p = Q.t(spark, dir, "part").select("p_partkey", "p_brand")
+    val l = Q.t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 40)
+      .select("l_partkey", "l_orderkey", "l_quantity")
+    p.join(l, p("p_partkey") === l("l_partkey"), "left")
+      .groupBy(col("p_partkey"), col("p_brand"))
+      .agg(
+        count(col("l_orderkey")).as("n_bulk_lines"),
+        coalesce(Q.dsum(col("l_quantity")), lit(0.0)).as("bulk_qty"))
+      .orderBy(col("p_partkey").asc)
+  }
+
+  val j3Oracle: String =
+    s"""SELECT p_partkey, p_brand, COUNT(l_orderkey) AS n_bulk_lines,
+       |  COALESCE(${Q.sql.dsum("l_quantity")}, 0.0) AS bulk_qty
+       |FROM part LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 40) li
+       |  ON p_partkey = l_partkey
+       |GROUP BY p_partkey, p_brand
+       |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin
+
+  /** J4a: left semi join — EXISTS without duplicating the left side. */
+  def j4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Q.t(spark, dir, "customer")
+    val bigOrders = Q.t(spark, dir, "orders").filter(col("o_totalprice") > 300000.0)
+    c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy(col("c_custkey").asc)
+  }
+
+  val j4SemiOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
+
+  /** J4b: left anti join — NOT EXISTS (orphan / DQ check shape). */
+  def j4AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Q.t(spark, dir, "customer")
+    val o = Q.t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy(col("c_custkey").asc)
+  }
+
+  val j4AntiOracle: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
+
+  /** J5: multi-way star join (TPC-H-Q5-shaped) — one fact⋈fact shuffle,
+    * all dims broadcast, local-supplier condition on nationkey.
+    */
+  def j5StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Q.t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Q.t(spark, dir, "nation")
+    val customer = Q.t(spark, dir, "customer")
+    val orders = Q.t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val lineitem = Q.t(spark, dir, "lineitem")
+    val supplier = Q.t(spark, dir, "supplier")
+
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"))
+      .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey") &&
+        customer("c_nationkey") === supplier("s_nationkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Q.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val j5Oracle: String =
+    s"""SELECT n_name, ${Q.sql.revenueSum()} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1999-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** J6: range join — equi key (user) + time-band condition. The equi
+    * key keeps this a hash/SMJ join with a residual range predicate,
+    * not a cartesian product.
+    */
+  def j6RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    purchases
+      .join(clicks, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("clicks_before_purchase"))
+      .orderBy(col("user_id").asc)
+  }
+
+  val j6Oracle: String =
+    """SELECT p.user_id AS user_id, COUNT(*) AS clicks_before_purchase
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |GROUP BY p.user_id
+      |ORDER BY user_id ASC NULLS FIRST""".stripMargin
+
+  /** J7: as-of join (latest click at-or-before each purchase), in the
+    * scalable union+window form: tag both sides, one shuffle+sort per
+    * user, carry the last click ts forward with last(ignoreNulls).
+    * Equivalent to DuckDB ASOF LEFT JOIN. At 100 TB this is the right
+    * plan: no per-row backward probe, single exchange on the key.
+    */
+  def j7AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(spark, dir, "events")
+    val tagged = ev
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("event_type"),
+        when(col("event_type") === "click", col("ts")).as("click_ts_src"))
+    // clicks sort before purchases at equal ts so ts-equal clicks match
+    // (ASOF >= semantics).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_type").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_click_ts", last(col("click_ts_src"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val j7Oracle: String =
+    """SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_inner_join" -> j1InnerJoin,
+    "j2_broadcast_join" -> j2BroadcastJoin,
+    "j3_left_outer" -> j3LeftOuter,
+    "j4_semi_join" -> j4SemiJoin,
+    "j4_anti_join" -> j4AntiJoin,
+    "j5_star_join" -> j5StarJoin,
+    "j6_range_join" -> j6RangeJoin,
+    "j7_asof_join" -> j7AsofJoin)
+
+  override def oracles: Map[String, String] = Map(
+    "j1_inner_join" -> j1Oracle,
+    "j2_broadcast_join" -> j2Oracle,
+    "j3_left_outer" -> j3Oracle,
+    "j4_semi_join" -> j4SemiOracle,
+    "j4_anti_join" -> j4AntiOracle,
+    "j5_star_join" -> j5Oracle,
+    "j6_range_join" -> j6Oracle,
+    "j7_asof_join" -> j7Oracle)
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window operators W1–W4 (SURVEY.md §2.5).
+  *
+  * Scale notes: each window is partitioned on a real key (brand, day,
+  * customer) so state never concentrates on one task; window orderings
+  * are total (unique tie-break column) — required both for determinism
+  * and so range-based frames don't degenerate. Running sums over money
+  * stay in DecimalType inside the frame (exact) and surface as Double.
+  */
+object Windows extends QueryModule {
+
+  /** W1: ranking — top-3 parts by revenue within each brand. */
+  def w1RankTopN(spark: SparkSession, dir: String): DataFrame = {
+    val l = Q.t(spark, dir, "lineitem")
+    val p = Q.t(spark, dir, "part").select("p_partkey", "p_brand")
+    val rev = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(Q.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+    rev.withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("p_brand").asc, col("rn").asc)
+  }
+
+  val w1Oracle: String =
+    s"""WITH rev AS (
+       |  SELECT p_brand, p_partkey, ${Q.sql.revenueSum()} AS revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand, p_partkey)
+       |SELECT * FROM (
+       |  SELECT p_brand, p_partkey, revenue,
+       |    ROW_NUMBER() OVER (PARTITION BY p_brand
+       |      ORDER BY revenue DESC NULLS LAST, p_partkey ASC NULLS FIRST) AS rn,
+       |    RANK() OVER (PARTITION BY p_brand
+       |      ORDER BY revenue DESC NULLS LAST, p_partkey ASC NULLS FIRST) AS rnk
+       |  FROM rev) t
+       |WHERE rn <= 3
+       |ORDER BY p_brand ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+
+  /** W2: lag/lead — day-over-day revenue delta. Daily sums stay decimal
+    * until after the lag so the delta is exact.
+    */
+  def w2LagLead(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Q.t(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("day"))
+      .agg(sum(col("o_totalprice").cast(Q.Dec)).as("rev_dec"))
+    val w = Window.orderBy(col("day").asc)
+    daily
+      .withColumn("prev_rev", lag(col("rev_dec"), 1).over(w))
+      .withColumn("next_rev", lead(col("rev_dec"), 1).over(w))
+      .select(
+        col("day"),
+        col("rev_dec").cast(DoubleType).as("revenue"),
+        col("prev_rev").cast(DoubleType).as("prev_revenue"),
+        (col("rev_dec") - col("prev_rev")).cast(DoubleType).as("delta"),
+        col("next_rev").cast(DoubleType).as("next_revenue"))
+      .orderBy(col("day").asc)
+  }
+
+  val w2Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+      |  FROM orders GROUP BY 1)
+      |SELECT day,
+      |  CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(LAG(rev_dec, 1) OVER (ORDER BY day ASC NULLS FIRST) AS DOUBLE) AS prev_revenue,
+      |  CAST(rev_dec - LAG(rev_dec, 1) OVER (ORDER BY day ASC NULLS FIRST) AS DOUBLE) AS delta,
+      |  CAST(LEAD(rev_dec, 1) OVER (ORDER BY day ASC NULLS FIRST) AS DOUBLE) AS next_revenue
+      |FROM daily
+      |ORDER BY day ASC NULLS FIRST""".stripMargin
+
+  /** W3: frame-spec running + sliding aggregates per customer. */
+  def w3RunningFrames(spark: SparkSession, dir: String): DataFrame = {
+    val o = Q.t(spark, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast(Q.Dec).as("price_dec"))
+    val base = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = base.rowsBetween(-2, Window.currentRow)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("price_dec")).over(running).cast(DoubleType).as("running_spend"),
+        (sum(col("price_dec")).over(sliding).cast(DoubleType) /
+          count(lit(1)).over(sliding)).as("moving_avg_3"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
+  val w3Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_run AS DOUBLE) AS running_spend,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_slide AS DOUBLE)
+      |    / COUNT(*) OVER w_slide AS moving_avg_3
+      |FROM orders
+      |WHERE o_custkey < 50
+      |WINDOW
+      |  w_run AS (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w_slide AS (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+
+  /** W4: ntile / percent_rank / cume_dist — customer value quartiles. */
+  def w4Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Q.t(spark, dir, "customer")
+      .select(
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("value_quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  val w4Oracle: String =
+    """SELECT c_custkey, c_acctbal,
+      |  NTILE(4) OVER w AS value_quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST)
+      |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_rank_topn" -> w1RankTopN,
+    "w2_lag_lead" -> w2LagLead,
+    "w3_running_frames" -> w3RunningFrames,
+    "w4_ntile" -> w4Ntile)
+
+  override def oracles: Map[String, String] = Map(
+    "w1_rank_topn" -> w1Oracle,
+    "w2_lag_lead" -> w2Oracle,
+    "w3_running_frames" -> w3Oracle,
+    "w4_ntile" -> w4Oracle)
+}
