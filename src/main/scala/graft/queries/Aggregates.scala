@@ -69,6 +69,18 @@ object Aggregates extends QueryModule {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
 
+  /** A3: approximate distinct (HyperLogLog++) — the 100-TB-scale path
+    * beside A2's exact form. No DuckDB oracle (approximation differs
+    * by engine); accuracy is asserted by ApproxDistinctSpec (rsd 5%).
+    */
+  def a3ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
+      .orderBy(col("l_returnflag").asc)
+
   /** A4: ROLLUP with grouping_id — multi-grain gold rollup. */
   def a4Rollup(spark: SparkSession, dir: String): DataFrame =
     Q.t(spark, dir, "orders")
@@ -164,6 +176,7 @@ object Aggregates extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_pricing_summary" -> a1PricingSummary,
     "a2_count_distinct" -> a2CountDistinct,
+    "a3_approx_distinct" -> a3ApproxDistinct,
     "a4_rollup" -> a4Rollup,
     "a5_conditional_agg" -> a5ConditionalAgg,
     "a6_collect_list" -> a6CollectList,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions (SURVEY.md §4): the optimizations we rely on
+  * for 100 TB scale must actually appear in the physical plan —
+  * predicate pushdown to parquet, column pruning, broadcast joins,
+  * top-k via TakeOrderedAndProject, partial aggregation.
+  */
+class PlanShapeSpec extends SparkTestBase {
+  quiet()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("flagship: filters are pushed to the parquet scan") {
+    val p = plan("flagship_q3_topk")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+  }
+
+  test("flagship: top-k compiles to TakeOrderedAndProject") {
+    assert(plan("flagship_q3_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("p1: read schema is pruned to selected columns") {
+    val p = plan("p1_project_rename")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_extendedprice"), "unused column not pruned:\n" + p)
+  }
+
+  test("j2: dimension join is broadcast") {
+    assert(plan("j2_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("j5 star: all dimension joins broadcast, no cartesian") {
+    val p = plan("j5_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("a1: aggregation is two-phase (partial + final)") {
+    val p = plan("a1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), "no partial (map-side) aggregation:\n" + p)
+  }
+
+  test("o2: top-k avoids global sort") {
+    assert(plan("o2_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the flagship pipeline") {
+    // codegen spans only appear in the finalized adaptive plan
+    val df = SparkEntry.queries("flagship_q3_topk")(spark, sf)
+    df.collect()
+    // codegen stages print as "*(n) Operator" in the final plan string
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("j4 semi/anti joins plan as semi/anti, not inner+distinct") {
+    assert(plan("j4_semi_join").contains("LeftSemi"))
+    assert(plan("j4_anti_join").contains("LeftAnti"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every declared query executes at sf0.001 and returns a sane result.
+  * (Value-level correctness is enforced end-to-end by the DuckDB oracle
+  * gate — tools/check_oracle.py; these specs guard executability and
+  * per-operator invariants that the oracle can't see.)
+  */
+class QueriesSpec extends SparkTestBase {
+  quiet()
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name executes at sf0.001") {
+      val df = fn(spark, sf)
+      // count() after materialization; queries that can legitimately be
+      // empty at tiny SF still must execute.
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("entry smoke: flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  test("j7 as-of join: every purchase row appears exactly once (left join)") {
+    val purchases = Q.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    val res = SparkEntry.queries("j7_asof_join")(spark, sf)
+    assert(res.count() === purchases)
+    // matched click must never be after the purchase
+    val bad = res.filter(col("last_click_ts") > col("ts")).count()
+    assert(bad === 0)
+  }
+
+  test("w4 ntile: quartiles are balanced within 1") {
+    val res = SparkEntry.queries("w4_ntile")(spark, sf)
+      .groupBy("value_quartile").count().collect()
+    val sizes = res.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+  }
+}
