@@ -1,0 +1,42 @@
+package graft.lake
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pure MERGE resolution logic (L1, SURVEY.md §2.9) — shared by
+  * ManifestTable.merge and the streaming foreachBatch sink (T5).
+  *
+  * Semantics (matched by the reference's CDC feed,
+  * `/root/reference/datasets/orders_2024-06-06-Updated.csv`): keyed
+  * upsert, source wins on match, unmatched source rows insert,
+  * unmatched target rows persist. Limitation (documented): a NULL in a
+  * source non-key column does not overwrite a non-NULL target value —
+  * acceptable for correction feeds, which carry full rows.
+  */
+object Merge {
+
+  /** Full-outer keyed upsert; schemas must match. One shuffle on the
+    * key — at scale both sides hash-partition; no broadcast assumption
+    * (the updates side of a CDC feed can be arbitrarily large).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      s"schema mismatch: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
+    val cols = base.columns.toSeq
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val sourcePresent = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+    base.as("t").join(updates.as("s"), cond, "full_outer")
+      .select(cols.map { c =>
+        if (keys.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+        else when(sourcePresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      }: _*)
+  }
+
+  /** Rows of `updates` that would actually change the table: new keys
+    * plus rows differing in any column from their base counterpart.
+    * Drives the merge no-op fast path (idempotent re-apply) and
+    * touched-partition pruning.
+    */
+  def effectiveChanges(base: DataFrame, updates: DataFrame): DataFrame =
+    updates.exceptAll(base.select(updates.columns.map(col): _*))
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import graft.lake.{ManifestTable, Merge}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse table-format operators (SURVEY.md §2.9) surfaced as
+  * oracle-checked queries. l1 runs the real Merge.upsert resolution;
+  * l3 drives a real ManifestTable through write→merge→time-travel and
+  * reads both versions back. L2/L4/L5 are side-effect-only and are
+  * covered by LakeSpec instead.
+  */
+object Lakehouse extends QueryModule {
+
+  /** Synthetic CDC feed over orders: price corrections on keys
+    * divisible by 97, brand-new orders (key+10M) from keys divisible
+    * by 503 — mirrors the reference's Updated.csv (changes + idempotent
+    * rows), with inserts added to exercise the NOT MATCHED branch.
+    */
+  private def updatesFeed(orders: DataFrame): DataFrame = {
+    val changed = orders
+      .filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = orders
+      .filter(col("o_orderkey") % 503 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("o_orderpriority", lit("0-NEW"))
+    changed.unionByName(inserts)
+  }
+
+  private val updatesFeedSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey % 97 = 0
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, o_custkey, 'N',
+      |       o_totalprice, o_orderdate, '0-NEW'
+      |FROM orders WHERE o_orderkey % 503 = 0""".stripMargin
+
+  /** L1: MERGE INTO semantics through Merge.upsert. */
+  def l1Merge(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Q.t(spark, dir, "orders")
+    Merge.upsert(orders, updatesFeed(orders), Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  val l1Oracle: String =
+    s"""WITH updates AS ($updatesFeedSql)
+       |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+       |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+       |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+       |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+       |FROM orders t FULL OUTER JOIN updates s ON t.o_orderkey = s.o_orderkey
+       |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
+  /** L3: versioned reads — build a manifest table in scratch, commit
+    * v0 (full orders), merge the price-correction feed (v1), then
+    * time-travel both versions and fingerprint them.
+    */
+  def l3TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l3"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+
+    val orders = Q.t(spark, dir, "orders")
+    val mt = new ManifestTable(spark, scratch)
+    mt.write(orders, "overwrite") // v0
+    val changed = orders
+      .filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    mt.merge(changed, Seq("o_orderkey")) // v1
+
+    def fingerprint(v: Int): DataFrame =
+      mt.read(Some(v)).agg(
+        lit(v).as("version"),
+        count(lit(1)).as("n"),
+        Q.dsum(col("o_totalprice")).as("total"))
+        .select("version", "n", "total")
+
+    fingerprint(0).unionByName(fingerprint(1)).orderBy(col("version").asc)
+  }
+
+  val l3Oracle: String =
+    s"""SELECT 0 AS version, COUNT(*) AS n, ${Q.sql.dsum("o_totalprice")} AS total
+       |FROM orders
+       |UNION ALL
+       |SELECT 1, COUNT(*), ${Q.sql.dsum("p")}
+       |FROM (SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+       |                  ELSE o_totalprice END AS p FROM orders)
+       |ORDER BY version ASC NULLS FIRST""".stripMargin
+
+  /** L6: exact dedup — keep the first doc per (lang, source) via
+    * row_number (the scalable keyed form; full-content-hash variant in
+    * the text module).
+    */
+  def l6ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("doc_id").asc)
+    Q.t(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val l6Oracle: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM (SELECT doc_id, lang, source, n_chars,
+      |        ROW_NUMBER() OVER (PARTITION BY lang, source
+      |          ORDER BY doc_id ASC NULLS FIRST) AS rn
+      |      FROM documents)
+      |WHERE rn = 1
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l1_merge" -> l1Merge,
+    "l3_time_travel" -> l3TimeTravel,
+    "l6_exact_dedup" -> l6ExactDedup)
+
+  override def oracles: Map[String, String] = Map(
+    "l1_merge" -> l1Oracle,
+    "l3_time_travel" -> l3Oracle,
+    "l6_exact_dedup" -> l6Oracle)
+}
