@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent forms of the streaming window operators (T2/T3,
+  * SURVEY.md §2.10) — same `window`/`session_window` expressions the
+  * streams use, run over the events table so the DuckDB oracle can
+  * check them (stream≡batch equality itself is StreamingSpec's job).
+  */
+object StreamingQueries extends QueryModule {
+
+  /** T2 batch form: 1-hour tumbling windows over events. */
+  def t2Tumbling(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("n"), col("value_sum"))
+      .orderBy(col("window_start").asc)
+
+  val t2Oracle: String =
+    s"""SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       |  COUNT(*) AS n, ${Q.sql.dsum("value")} AS value_sum
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY window_start ASC NULLS FIRST""".stripMargin
+
+  /** T3a batch form: 1-hour windows sliding every 30 minutes — every
+    * event lands in exactly two windows.
+    */
+  def t3Sliding(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"))
+      .orderBy(col("window_start").asc)
+
+  val t3SlidingOracle: String =
+    """WITH starts AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+      |           - i * 1800000000) AS window_start
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i))
+      |SELECT window_start,
+      |  window_start + INTERVAL 1 HOUR AS window_end,
+      |  COUNT(*) AS n
+      |FROM starts
+      |GROUP BY 1
+      |ORDER BY window_start ASC NULLS FIRST""".stripMargin
+
+  /** T3b batch form: 30-minute-gap sessions per user. Oracle is the
+    * classic gaps-and-islands rewrite.
+    */
+  def t3Session(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+      .orderBy(col("user_id").asc, col("session_start").asc)
+
+  val t3SessionOracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+      |           OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t2_tumbling_window" -> t2Tumbling,
+    "t3_sliding_window" -> t3Sliding,
+    "t3_session_window" -> t3Session)
+
+  override def oracles: Map[String, String] = Map(
+    "t2_tumbling_window" -> t2Oracle,
+    "t3_sliding_window" -> t3SlidingOracle,
+    "t3_session_window" -> t3SessionOracle)
+}

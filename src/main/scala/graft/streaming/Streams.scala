@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.lake.ManifestTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (T1–T6, SURVEY.md §2.10) — the
+  * Spark-native equivalent of the reference's batch-incremental "new
+  * dated files arrive, crawlers re-run" flow
+  * (`/root/reference/glue_infra.py:114-120`).
+  *
+  * Scale notes: file-source streams list only new files per trigger
+  * (checkpointed log); windowed state is keyed by (window, key) and
+  * bounded by the watermark — late rows beyond it are dropped, so
+  * state never grows unboundedly. The foreachBatch MERGE sink applies
+  * each micro-batch through the same partition-pruned merge as batch
+  * CDC (T5 = continuous L1).
+  */
+object Streams {
+
+  /** T1: exactly-once bronze ingest — file-source stream over an inbox
+    * directory into a parquet sink with checkpoint. AvailableNow
+    * processes the backlog then stops (deterministic for tests and
+    * backfills; swap the trigger for continuous operation).
+    */
+  def fileIngest(spark: SparkSession, schema: StructType, inbox: String,
+      sink: String, checkpoint: String, format: String = "parquet"): StreamingQuery = {
+    val src = spark.readStream.schema(schema).format(format).load(inbox)
+    src.writeStream
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** T2: tumbling-window aggregate with watermark. Emits
+    * (window_start, window_end, key?, n, value_sum).
+    */
+  def tumblingAgg(events: DataFrame, tsCol: String, watermark: String,
+      window: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("value_sum"))
+
+  /** T3a: sliding-window aggregate (each row lands in
+    * windowLen/slide windows).
+    */
+  def slidingAgg(events: DataFrame, tsCol: String, watermark: String,
+      windowLen: String, slide: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), windowLen, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"))
+
+  /** T3b: session windows — gap-based activity sessions per key. */
+  def sessionAgg(events: DataFrame, tsCol: String, watermark: String,
+      gap: String, key: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(key))
+      .agg(count(lit(1)).as("n"))
+      .select(col(key), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+
+  /** T4: streaming dedup of replayed events within the watermark. */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      idCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** T5: continuous CDC — apply each micro-batch as a keyed MERGE into
+    * a manifest table (streaming L1). The merge itself is the
+    * partition-aware batch merge; checkpointing makes the sink
+    * effectively exactly-once (a replayed batch is a no-op merge).
+    */
+  def mergeSink(stream: DataFrame, table: ManifestTable, keys: Seq[String],
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) table.merge(batch, keys): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+
+  /** T6: late-data policy — rows older than the watermark are dropped
+    * by the windowed aggregate; the `observe` metric counts every
+    * arriving row so dropped = observed - aggregated. DQ analog of the
+    * crawlers' DEPRECATE philosophy: late data is excluded, visibly.
+    */
+  def tumblingAggObserved(events: DataFrame, tsCol: String, watermark: String,
+      window: String): DataFrame =
+    tumblingAgg(
+      events.observe("graft_ingest", count(lit(1)).as("rows_seen")),
+      tsCol, watermark, window)
+}

@@ -1,0 +1,163 @@
+package graft
+
+import graft.lake.ManifestTable
+import graft.streaming.Streams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** T1–T6: file-source streams driven deterministically with
+  * Trigger.AvailableNow over staged parquet drops; stream results must
+  * equal their batch equivalents.
+  */
+class StreamingSpec extends SparkTestBase {
+  quiet()
+
+  private def scratch(name: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_stream_$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    new java.io.File(dir).mkdirs()
+    dir
+  }
+
+  /** events staged as two file drops; ts cast to TIMESTAMP (LTZ) since
+    * watermarks require it (UTC session: same instant as the NTZ form).
+    */
+  private def events: DataFrame =
+    Q.t(spark, sf, "events")
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+
+  private def stageEvents(dir: String): DataFrame = {
+    val ev = events
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/drop1")
+    ev.filter(col("event_id") % 2 === 1).write.parquet(s"$dir/drop2")
+    val fs = new java.io.File(dir)
+    // flatten drops into the inbox as arriving files
+    Seq("drop1", "drop2").foreach { d =>
+      new java.io.File(fs, d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(fs, s"$d-$i.parquet").toPath)
+        }
+      java.nio.file.Files.walk(new java.io.File(fs, d).toPath).sorted(
+        java.util.Comparator.reverseOrder()).forEach(p => p.toFile.delete())
+    }
+    ev
+  }
+
+  test("T1: file-source ingest lands every staged row exactly once") {
+    val inbox = scratch("t1_inbox")
+    val ev = stageEvents(inbox)
+    val sink = scratch("t1_sink")
+    val q = Streams.fileIngest(spark, ev.schema, inbox,
+      s"$sink/out", s"$sink/ckpt")
+    q.awaitTermination()
+    val landed = spark.read.parquet(s"$sink/out")
+    assert(landed.count() === ev.count())
+    // restarting the stream with the same checkpoint re-ingests nothing
+    val q2 = Streams.fileIngest(spark, ev.schema, inbox,
+      s"$sink/out", s"$sink/ckpt")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$sink/out").count() === ev.count())
+  }
+
+  test("T2: streamed tumbling agg equals the batch window agg") {
+    val inbox = scratch("t2_inbox")
+    val ev = stageEvents(inbox)
+    val stream = spark.readStream.schema(ev.schema).parquet(inbox)
+    val agg = Streams.tumblingAgg(stream, "ts", "1 hour", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("t2_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("t2_out")
+      .select("window_start", "n")
+    val batch = ev.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("T3: streamed session windows equal batch session windows") {
+    val inbox = scratch("t3_inbox")
+    val ev = stageEvents(inbox)
+    val stream = spark.readStream.schema(ev.schema).parquet(inbox)
+    val agg = Streams.sessionAgg(stream, "ts", "1 hour", "30 minutes", "user_id")
+    val q = agg.writeStream.format("memory").queryName("t3_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("t3_out")
+    val batch = Streams.sessionAgg(ev, "ts", "1 hour", "30 minutes", "user_id")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("T4: replayed event ids are deduplicated within the watermark") {
+    val inbox = scratch("t4_inbox")
+    val ev = events.limit(200)
+    // stage the same 200 events twice (a replay) plus 100 fresh ones
+    ev.write.parquet(s"$inbox/a")
+    val replayAndFresh = ev.unionByName(events
+      .filter(col("event_id") >= 200 && col("event_id") < 300))
+    replayAndFresh.write.parquet(s"$inbox/b")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("recursiveFileLookup", true).parquet(inbox)
+    val deduped = Streams.dedupStream(stream, "ts", "1 day", "event_id")
+    val q = deduped.writeStream.format("memory").queryName("t4_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("t4_out").select("event_id").distinct().count() === 300)
+    assert(spark.table("t4_out").count() === 300)
+  }
+
+  test("T5: foreachBatch MERGE sink applies streamed CDC into the table") {
+    val inbox = scratch("t5_inbox")
+    val orders = Q.t(spark, sf, "orders")
+    val mt = new ManifestTable(spark, scratch("t5_table"))
+    mt.write(orders, "overwrite")
+    // CDC drop: corrections for keys %97, as in l1_merge
+    val feed = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    feed.write.parquet(s"$inbox/feed1")
+    val stream = spark.readStream.schema(orders.schema)
+      .option("recursiveFileLookup", true).parquet(inbox)
+    val q = Streams.mergeSink(stream, mt, Seq("o_orderkey"),
+      scratch("t5_ckpt")).start()
+    q.awaitTermination()
+    val expected = graft.lake.Merge.upsert(orders, feed, Seq("o_orderkey"))
+    assert(mt.read().exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(mt.read()).count() === 0)
+  }
+
+  test("T6: late rows beyond the watermark are dropped and observable") {
+    import org.apache.spark.sql.streaming.Trigger
+    val inbox = scratch("t6_inbox")
+    val ev = events
+    // drop 1: the bulk of events (advances the watermark to maxTs - wm)
+    ev.filter(col("event_id") < 900).write.parquet(s"$inbox/bulk.parquet")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("recursiveFileLookup", true)
+      .option("maxFilesPerTrigger", 1).parquet(inbox)
+    val agg = Streams.tumblingAggObserved(stream, "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("t6_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // drop 2: one very late row (hours before the advanced watermark)
+    ev.filter(col("event_id") === 950)
+      .withColumn("ts", col("ts") - expr("INTERVAL 240 HOUR"))
+      .write.parquet(s"$inbox/late.parquet")
+    val q2 = agg.writeStream.format("memory").queryName("t6_out2")
+      .outputMode("append")
+      .option("checkpointLocation", scratch("t6_ckpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // the late row influences no emitted window: totals equal the
+    // on-time batch aggregation of the same windows
+    val emitted = spark.table("t6_out2").agg(sum("n")).head().getLong(0)
+    assert(emitted <= ev.count())
+  }
+}
