@@ -20,7 +20,10 @@ object SparkEntry {
     SortSetOps,
     Functions,
     Lakehouse,
-    StreamingQueries)
+    StreamingQueries,
+    TextAnalysis,
+    Dedup,
+    Similarity)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection primitives (north-star dedup family):
+  * MinHash+LSH banding, SimHash, n-gram Jaccard. All signature math is
+  * built-in higher-order functions over token arrays (codegen'd, no
+  * UDFs); candidate generation is an equi-join on (band, signature) —
+  * the only shuffle, keyed well for 100 TB (no cross join anywhere).
+  */
+object DedupOps {
+
+  /** Distinct word-bigram shingles of a text column. */
+  def shingles(text: Column): Column =
+    array_distinct(TextFunctions.bigrams(text))
+
+  /** MinHash signature: k independent 64-bit hash slots, each the min
+    * over all shingles of xxhash64(seed_i, shingle). k arrays of one
+    * pass each — O(k·|shingles|) per row, no state.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** LSH band keys: split the k-slot signature into bands of
+    * `rowsPerBand`, hash each band to one 64-bit bucket key. Docs
+    * sharing any band key become candidate pairs.
+    */
+  def bandKeys(sig: Column, k: Int, rowsPerBand: Int): Column = {
+    val bands = k / rowsPerBand
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("key"))
+    }: _*)
+  }
+
+  /** Candidate pairs (idA < idB) from LSH banding over a
+    * (id, text) DataFrame. One explode + one self-equi-join on the
+    * band key; duplicates across bands collapsed by distinct.
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol)), k).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(bandKeys(col("sig"), k, rowsPerBand)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact bigram-Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** SimHash-64: sign-aggregated bit counts of token hashes. For each
+    * of 64 bit positions, sum ±1 over tokens by that bit of
+    * xxhash64(token); the sign forms the fingerprint bit. Built as a
+    * sequential fold — one pass over tokens per row.
+    */
+  def simhash64(tokensCol: Column): Column = {
+    // counters[k] accumulates ±1 for bit k of each token's hash; bit k
+    // of a long is character (64-k) of its 64-char two's-complement
+    // bin() string (shift amounts can't be Columns, strings can).
+    val counters = aggregate(
+      tokensCol,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val bits = lpad(bin(xxhash64(t)), 64, "0")
+        zip_with(acc, sequence(lit(64), lit(1), lit(-1)),
+          (c, pos) => c + when(bits.substr(pos, lit(1)) === "1", 1L).otherwise(-1L))
+      })
+    // set bit k where counters[k] > 0; each power appears once so plain
+    // addition assembles the fingerprint (incl. the sign bit).
+    val powers = array((0 until 64).map(i =>
+      lit(if (i == 63) Long.MinValue else 1L << i)): _*)
+    aggregate(
+      zip_with(counters, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact content dedup: first row per fingerprint (L6 content-hash
+    * form). Keyed row_number — one shuffle on the fingerprint.
+    */
+  def dedupByFingerprint(df: DataFrame, fpCol: Column, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(fpCol).orderBy(col(orderCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+}

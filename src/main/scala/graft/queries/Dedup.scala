@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import graft.functions.DedupOps
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (north-star dedup family,
+  * SURVEY.md §2.9 L6 + BASELINE.json). Exact and n-gram-Jaccard forms
+  * are oracle-checked; MinHash/SimHash signatures use Spark's xxhash64
+  * (no DuckDB equivalent) so their queries get the rows-only check and
+  * their quality (recall vs brute force) is asserted in DedupSpec.
+  */
+object Dedup extends QueryModule {
+
+  /** D1: exact content dedup — duplicate the corpus then dedup by
+    * content hash; survivors = one doc per distinct text, keyed by
+    * min doc_id. The replica gets offset ids so survivors are stable.
+    */
+  def d1ExactContent(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(spark, dir, "documents").select("doc_id", "text")
+    val replica = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val doubled = docs.unionByName(replica)
+    DedupOps.dedupByFingerprint(
+      doubled.withColumn("fp", md5(col("text").cast("binary"))),
+      col("fp"), "doc_id")
+      .select("doc_id", "fp")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val d1Oracle: String =
+    """WITH doubled AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents)
+      |SELECT doc_id, fp FROM (
+      |  SELECT doc_id, md5(text) AS fp,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+      |      ORDER BY doc_id ASC NULLS FIRST) AS rn
+      |  FROM doubled)
+      |WHERE rn = 1
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** D2: n-gram Jaccard similarity join — exact pairwise bigram
+    * Jaccard over a bounded slice (brute force is the oracle-able
+    * baseline; LSH below is the scale path).
+    */
+  def d2JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(spark, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("lang"),
+        DedupOps.shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("lang"),
+      col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"),
+      col("lang"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.05)
+      .select("id_a", "id_b", "lang", "jaccard")
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  val d2Oracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      list_zip(string_split(text,' ')[1:len(string_split(text,' '))-1],
+      |               string_split(text,' ')[2:len(string_split(text,' '))]),
+      |      p -> p[1] || ' ' || p[2])) AS s
+      |  FROM documents WHERE doc_id < 60)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.05
+      |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+
+  /** D3: MinHash+LSH near-dup candidates (k=16, 4 bands × 4 rows),
+    * verified by exact Jaccard. Signature hashes are engine-specific →
+    * rows-only check here; recall is asserted in DedupSpec.
+    */
+  def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(spark, dir, "documents")
+    val cands = DedupOps.lshCandidates(docs, "doc_id", "text")
+    val sh = docs.select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .select("id_a", "id_b", "jaccard")
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  /** D4: SimHash fingerprints + near-dup pairs by Hamming distance.
+    * Engine-specific hash → rows-only check; properties in DedupSpec.
+    */
+  def d4Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Q.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        DedupOps.simhash64(TextFunctions.tokens(col("text"))).as("simhash"))
+    fp.orderBy(col("doc_id").asc)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> d1ExactContent,
+    "d2_jaccard_pairs" -> d2JaccardPairs,
+    "d3_minhash_lsh" -> d3MinhashLsh,
+    "d4_simhash" -> d4Simhash)
+
+  override def oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Oracle,
+    "d2_jaccard_pairs" -> d2Oracle)
+}

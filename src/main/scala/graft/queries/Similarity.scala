@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (north-star ANN family).
+  *
+  * Scale notes: the brute-force form bounds the query side (top-k per
+  * probe, broadcast of the probe set) — exact and oracle-able, the
+  * right baseline at any scale where probes ≪ corpus. The LSH form
+  * buckets by random-hyperplane sign signatures: candidate generation
+  * is an equi-join on the bucket key (one shuffle), never a cross
+  * join; recall vs exact is asserted in SimilaritySpec. Vector math is
+  * double-promoted sequential folds — bit-reproducible vs DuckDB's
+  * list_reduce (see VectorOps).
+  */
+object Similarity extends QueryModule {
+
+  /** S1: exact cosine top-3 neighbors for each probe (vec_id < 10).
+    * Probes are broadcast against the corpus; ranking is windowed per
+    * probe. Similarity rounded to 6 digits for cross-engine rank
+    * stability (values are identical fold results; rounding guards the
+    * final formatting only).
+    */
+  def s1BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("q_v"), col("v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("sim"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  val s1Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, q.v), p -> p[1] * p[2])), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(c.v, c.v), p -> p[1] * p[2])), (a, b) -> a + b))), 6) AS sim
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+      |SELECT q_id, rn, neighbor, sim FROM (
+      |  SELECT q_id, neighbor, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC NULLS LAST, neighbor ASC NULLS FIRST) AS rn
+      |  FROM scored)
+      |WHERE rn <= 3
+      |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+
+  /** S2: LSH-bucketed ANN — multi-table random-hyperplane LSH
+    * (8 tables × 4 sign bits, hyperplanes derived deterministically
+    * from xxhash64, data-independent). A vector lands in one bucket
+    * per table; probes compare only against same-(table,bucket)
+    * vectors, candidates deduped across tables. Engine-specific
+    * hashing → rows-only check; recall asserted in LlmOpsSpec.
+    */
+  def s2LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val bucketed = emb.withColumn("tb", explode(LshPlanes.tableBuckets(col("v"))))
+    val probes = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("tb"))
+    val cands = bucketed.join(probes, Seq("tb"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "q_v", "vec_id", "v").distinct()
+    val scored = cands
+      .withColumn("sim", round(VectorOps.cosine(col("q_v"), col("v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("sim"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  /** S3: per-label centroids via the typed Aggregator UDAF (A8/X2).
+    * Float accumulation order varies by partitioning → no oracle;
+    * tolerance-checked in SimilaritySpec. Output is the centroid's
+    * L2 norm + first component, rounded, per label.
+    */
+  def s3Centroids(spark: SparkSession, dir: String): DataFrame = {
+    val cent = VectorOps.centroid(64)
+    Q.t(spark, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(cent(col("embedding")).as("centroid"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"),
+        round(element_at(col("centroid"), 1), 4).as("c0"),
+        round(VectorOps.l2Norm(col("centroid")), 4).as("c_norm"))
+      .orderBy(col("label").asc)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_cosine_topk" -> s1BruteForceTopK,
+    "s2_lsh_ann" -> s2LshAnn,
+    "s3_centroids" -> s3Centroids)
+
+  override def oracles: Map[String, String] = Map(
+    "s1_cosine_topk" -> s1Oracle)
+}
+
+/** Deterministic pseudo-random hyperplanes for multi-table sign-LSH:
+  * plane i, component j has value (xxhash64(i, j) mod 1001)/500 - 1 ∈
+  * [-1, 1]. Data-independent and identical on every executor — no
+  * broadcast of plane state needed. Multiple small tables (union of
+  * candidates) trade candidate volume for recall — one table of many
+  * planes has near-zero recall on near-orthogonal vectors.
+  */
+object LshPlanes {
+  import org.apache.spark.sql.Column
+
+  val nTables = 8
+  val planesPerTable = 4
+
+  private def planeComponent(i: Int, j: Column): Column =
+    (pmod(xxhash64(lit(i), j), lit(1001L)).cast("double") / 500.0) - 1.0
+
+  private def signBit(v: Column, plane: Int): Column = {
+    val dot = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, j) => x * planeComponent(plane, j)),
+      lit(0.0), (acc, x) => acc + x)
+    when(dot > 0, 1).otherwise(0)
+  }
+
+  /** One (table, bucket) struct per table for a vector. */
+  def tableBuckets(v: Column): Column =
+    array((0 until nTables).map { t =>
+      val bucket = (0 until planesPerTable)
+        .map(p => signBit(v, t * planesPerTable + p) * (1 << p))
+        .reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }: _*)
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (F8 + north-star
+  * BASELINE.json: language-ID, quality scoring, token counting,
+  * fingerprinting). All built from codegen-friendly built-ins; ratios
+  * are integer-count / integer-count double divisions (deterministic
+  * IEEE in both engines).
+  *
+  * Scale notes: every query is a narrow projection + per-row map +
+  * bounded-cardinality aggregate — embarrassingly parallel at 100 TB;
+  * the explode in the bigram query fans out ~n_tokens× but aggregates
+  * with partial combine before the shuffle.
+  */
+object TextAnalysis extends QueryModule {
+
+  /** F8a: token counting — whitespace and BPE-ish regex tokenizers. */
+  def txTokenStats(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(bpeTokens(col("text"))).as("n_bpe_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_unique_tokens"),
+        meanTokenLen(col("text")).as("mean_token_len"))
+      .orderBy(col("doc_id").asc)
+
+  val txTokenStatsOracle: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+      |  CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '), w -> len(w))), (a, b) -> a + b) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS mean_token_len
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** F8b: quality scoring — length/punctuation/stopword signals
+    * combined into one deterministic score.
+    */
+  def txQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val sw = stopwordRatio(col("text"))
+    val punct = punctRatio(col("text"))
+    val lenScore = least(length(col("text")).cast("double") / lit(400.0), lit(1.0))
+    Q.t(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        sw.as("stopword_ratio"),
+        punct.as("punct_ratio"),
+        lenScore.as("len_score"),
+        (lit(0.5) * lenScore + lit(0.3) * sw + lit(0.2) * (lit(1.0) - punct))
+          .as("quality"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txQualityScoreOracle: String =
+    """WITH sig AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stopword_ratio,
+      |    CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |      / len(text) AS punct_ratio,
+      |    least(CAST(len(text) AS DOUBLE) / 400.0, 1.0) AS len_score
+      |  FROM documents)
+      |SELECT doc_id, lang, stopword_ratio, punct_ratio, len_score,
+      |  0.5 * len_score + 0.3 * stopword_ratio + 0.2 * (1.0 - punct_ratio) AS quality
+      |FROM sig
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** F8c: language-ID heuristic — marker-set hits per language,
+    * argmax with fixed priority tie-break (CASE order).
+    */
+  def txLangId(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val hits = langs.map(l => l -> markerHits(col("text"), l)).toMap
+    val predicted = langs.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case (l, elseCol) =>
+        val isMax = langs.filterNot(_ == l)
+          .map(o => hits(l) >= hits(o)).reduce(_ && _)
+        when(hits(l) > 0 && isMax, lit(l)).otherwise(elseCol)
+    }
+    Q.t(spark, dir, "documents")
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        predicted.as("predicted_lang"),
+        hits("en").as("en_hits"), hits("de").as("de_hits"))
+      .withColumn("agrees", col("predicted_lang") === col("labeled_lang"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  private def hitsSql(lang: String): String = {
+    val set = langMarkers(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_intersect(list_distinct(string_split(text, ' ')), [$set]))"
+  }
+
+  val txLangIdOracle: String = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val pred = langs.foldRight("'und'") { case (l, els) =>
+      val isMax = langs.filterNot(_ == l)
+        .map(o => s"${hitsSql(l)} >= ${hitsSql(o)}").mkString(" AND ")
+      s"CASE WHEN ${hitsSql(l)} > 0 AND $isMax THEN '$l' ELSE $els END"
+    }
+    s"""SELECT doc_id, lang AS labeled_lang, $pred AS predicted_lang,
+       |  ${hitsSql("en")} AS en_hits, ${hitsSql("de")} AS de_hits,
+       |  $pred = lang AS agrees
+       |FROM documents
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
+
+  /** F8d: top word bigrams corpus-wide (n-gram generator + TF). */
+  def txBigrams(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "documents")
+      .select(explode(bigrams(col("text"))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("bigram").asc)
+      .limit(25)
+
+  val txBigramsOracle: String =
+    """SELECT t[i] || ' ' || t[i+1] AS bigram, COUNT(*) AS tf
+      |FROM (SELECT string_split(text, ' ') AS t FROM documents),
+      |     UNNEST(generate_series(1, len(t)-1)) AS g(i)
+      |GROUP BY 1
+      |ORDER BY tf DESC NULLS LAST, bigram ASC NULLS FIRST
+      |LIMIT 25""".stripMargin
+
+  /** F8e: content fingerprints — md5 is oracle-checked; the native
+    * rolling-hash Expression is engine-specific and covered by
+    * TextFunctionsSpec instead.
+    */
+  def txFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("md5_fp"))
+      .orderBy(col("doc_id").asc)
+
+  val txFingerprintOracle: String =
+    """SELECT doc_id, md5(text) AS md5_fp
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_token_stats" -> txTokenStats,
+    "tx_quality_score" -> txQualityScore,
+    "tx_lang_id" -> txLangId,
+    "tx_bigrams" -> txBigrams,
+    "tx_fingerprint" -> txFingerprint)
+
+  override def oracles: Map[String, String] = Map(
+    "tx_token_stats" -> txTokenStatsOracle,
+    "tx_quality_score" -> txQualityScoreOracle,
+    "tx_lang_id" -> txLangIdOracle,
+    "tx_bigrams" -> txBigramsOracle,
+    "tx_fingerprint" -> txFingerprintOracle)
+}

