@@ -23,7 +23,8 @@ object SparkEntry {
     StreamingQueries,
     TextAnalysis,
     Dedup,
-    Similarity)
+    Similarity,
+    MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-visible slice of the multimodal pipeline: the deterministic
+  * fake corpus + stub decode produce metadata that pure SQL can
+  * replicate (payload = text bytes ⇒ sizes/kinds derivable from
+  * `documents`), so the plumbing runs inside the correctness gate even
+  * though payload bytes themselves aren't compared.
+  */
+object MultimodalQueries extends QueryModule {
+
+  /** MM1: decode + metadata rollup per media kind. */
+  def mm1MetaStats(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Q.t(spark, dir, "documents"))
+    Multimodal.decode(spark, media).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes"),
+        min(col("width")).as("min_w"),
+        max(col("height")).as("max_h"),
+        sum(col("duration_ms")).as("total_ms"))
+      .orderBy(col("kind").asc)
+  }
+
+  // width/height/duration mirror decodeStub: head = fold of first 8
+  // bytes (h*31 + byte), width = 64 + head % 577, height = 64 + len % 359,
+  // duration = len * 20.
+  val mm1Oracle: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+      |    text,
+      |    len(text) AS n  -- documents text is ASCII: chars == bytes
+      |  FROM documents),
+      |decoded AS (
+      |  SELECT media_id, kind, n,
+      |    CAST(64 + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, least(n, 8)),
+      |        i -> CAST(ord(text[i:i]) AS BIGINT))),
+      |      (h, b) -> (h * 31 + b)) % 577) AS INT) AS width,
+      |    CAST(64 + (n % 359) AS INT) AS height,
+      |    n * 20 AS duration_ms
+      |  FROM media)
+      |SELECT kind, COUNT(*) AS n, SUM(n) AS total_bytes,
+      |  MIN(width) AS min_w, MAX(height) AS max_h,
+      |  SUM(duration_ms) AS total_ms
+      |FROM decoded
+      |GROUP BY kind
+      |ORDER BY kind ASC NULLS FIRST""".stripMargin
+
+  /** MM2: frame sampling fan-out — frames per video, oracle-able from
+    * text length (stride 64: ceil(n/64) frames).
+    */
+  def mm2FrameCounts(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Q.t(spark, dir, "documents"))
+    Multimodal.sampleFrames(spark, media).toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(length(col("frame"))).as("max_frame_bytes"))
+      .orderBy(col("media_id").asc)
+  }
+
+  val mm2Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(ceil(len(text) / 64.0) AS BIGINT) AS n_frames,
+      |  CAST(least(len(text), 32) AS INT) AS max_frame_bytes
+      |FROM documents
+      |WHERE doc_id % 3 = 2
+      |ORDER BY media_id ASC NULLS FIRST""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_meta_stats" -> mm1MetaStats,
+    "mm2_frame_counts" -> mm2FrameCounts)
+
+  override def oracles: Map[String, String] = Map(
+    "mm1_meta_stats" -> mm1Oracle,
+    "mm2_frame_counts" -> mm2Oracle)
+}
