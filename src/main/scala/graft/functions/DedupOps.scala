@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Near-duplicate detection primitives (north-star dedup family):
   * MinHash+LSH banding, SimHash, n-gram Jaccard. All signature math is
@@ -16,14 +17,30 @@ object DedupOps {
   def shingles(text: Column): Column =
     array_distinct(TextFunctions.bigrams(text))
 
-  /** MinHash signature: k independent 64-bit hash slots, each the min
-    * over all shingles of xxhash64(seed_i, shingle). k arrays of one
-    * pass each — O(k·|shingles|) per row, no state.
+  /** MinHash signature as a per-row Column: k independent 64-bit hash
+    * slots, each the min over all shingles of xxhash64(seed_i,
+    * shingle). Fine for bounded shingle counts; the aggregation form
+    * below is the scale path (partial-aggregatable, codegen'd).
     */
   def minhashSignature(sh: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(sh, s => xxhash64(lit(i), s)))
     }: _*)
+
+  /** MinHash signatures via explode + hash-aggregate: each shingle is
+    * hashed once per seed inside a partial+final min aggregate — one
+    * shuffle of k longs per doc, no repeated array passes. Returns
+    * (id, sig ARRAY<BIGINT>[k]).
+    */
+  def minhashSignaturesAgg(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val exploded = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol))).as("s"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH band keys: split the k-slot signature into bands of
     * `rowsPerBand`, hash each band to one 64-bit bucket key. Docs
@@ -44,8 +61,7 @@ object DedupOps {
     */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol)), k).as("sig"))
+    val sig = minhashSignaturesAgg(docs, idCol, textCol, k)
     val banded = sig.select(col("id"),
       explode(bandKeys(col("sig"), k, rowsPerBand)).as("bk"))
     val a = banded.select(col("id").as("id_a"), col("bk"))
@@ -65,6 +81,29 @@ object DedupOps {
     * xxhash64(token); the sign forms the fingerprint bit. Built as a
     * sequential fold — one pass over tokens per row.
     */
+  /** SimHash-64 via explode + hash-aggregate (the scale path): each
+    * token hashed once, bits extracted with literal shifts (codegen'd
+    * long math, no strings), 64 ±1 counters as a partial+final
+    * aggregate, fingerprint assembled from counter signs. Returns
+    * (id, simhash BIGINT).
+    */
+  def simhashAgg(docs: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("id"), explode(tokensCol).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val counters = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"c$i")
+    }
+    val fingerprint = (0 until 64).map { i =>
+      when(col(s"c$i") > 0,
+        lit(if (i == 63) Long.MinValue else 1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    exploded.groupBy(col("id"))
+      .agg(counters.head, counters.tail: _*)
+      .select(col("id"), fingerprint.cast(LongType).as("simhash"))
+  }
+
   def simhash64(tokensCol: Column): Column = {
     // counters[k] accumulates ±1 for bit k of each token's hash; bit k
     // of a long is character (64-k) of its 64-char two's-complement

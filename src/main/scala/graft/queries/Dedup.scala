@@ -100,12 +100,11 @@ object Dedup extends QueryModule {
   /** D4: SimHash fingerprints + near-dup pairs by Hamming distance.
     * Engine-specific hash → rows-only check; properties in DedupSpec.
     */
-  def d4Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Q.t(spark, dir, "documents")
-      .select(col("doc_id"),
-        DedupOps.simhash64(TextFunctions.tokens(col("text"))).as("simhash"))
-    fp.orderBy(col("doc_id").asc)
-  }
+  def d4Simhash(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simhashAgg(Q.t(spark, dir, "documents"), "doc_id",
+        TextFunctions.tokens(col("text")))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id").asc)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactContent,

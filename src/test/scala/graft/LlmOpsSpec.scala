@@ -47,12 +47,14 @@ class LlmOpsSpec extends SparkTestBase {
   }
 
   test("simhash: identical docs agree, near-dups are close, random far") {
-    val fp = docs.limit(100).select(col("doc_id"),
+    val sample = docs.limit(100)
+    val fp = sample.select(col("doc_id"),
       DedupOps.simhash64(TextFunctions.tokens(col("text"))).as("h"))
-    // deterministic: recomputation yields identical fingerprints
-    val fp2 = docs.limit(100).select(col("doc_id"),
-      DedupOps.simhash64(TextFunctions.tokens(col("text"))).as("h"))
-    assert(fp.exceptAll(fp2).count() === 0)
+    // the scalable aggregate form must agree with the per-row fold
+    val fpAgg = DedupOps.simhashAgg(sample, "doc_id",
+        TextFunctions.tokens(col("text")))
+      .select(col("id").as("doc_id"), col("simhash").as("h"))
+    assert(fp.exceptAll(fpAgg).count() === 0)
     // mostly distinct on unrelated docs (genuine collisions allowed)
     assert(fp.select("h").distinct().count() >= 95)
 
