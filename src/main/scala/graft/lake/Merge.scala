@@ -20,12 +20,15 @@ object Merge {
     * (the updates side of a CDC feed can be arbitrarily large).
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    require(base.columns.sameElements(updates.columns),
+    // align by NAME: a partitioned table reads back with the partition
+    // column moved to the end, so positional alignment would corrupt
+    require(base.columns.toSet == updates.columns.toSet,
       s"schema mismatch: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
     val cols = base.columns.toSeq
+    val s0 = updates.select(cols.map(col): _*)
     val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val sourcePresent = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
-    base.as("t").join(updates.as("s"), cond, "full_outer")
+    base.as("t").join(s0.as("s"), cond, "full_outer")
       .select(cols.map { c =>
         if (keys.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
         else when(sourcePresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
