@@ -35,7 +35,7 @@ object Functions extends QueryModule {
       |  lower(c_name) AS name_lower,
       |  upper(c_mktsegment) AS seg_upper,
       |  substring(c_name, 1, 8) AS name_prefix,
-      |  length(c_name) AS name_len,
+      |  CAST(length(c_name) AS INT) AS name_len,
       |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
       |  concat(c_mktsegment, '/', c_name) AS seg_name,
       |  string_split(c_name, '#')[2] AS name_num,
@@ -61,11 +61,11 @@ object Functions extends QueryModule {
 
   val f2Oracle: String =
     """SELECT o_orderkey,
-      |  year(o_orderdate) AS yr,
-      |  month(o_orderdate) AS mo,
-      |  dayofmonth(o_orderdate) AS dom,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
       |  strftime(o_orderdate, '%Y-%m') AS ym,
-      |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+      |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
       |  CAST(o_orderdate AS DATE) + 30 AS due_date,
       |  epoch_us(o_orderdate) AS epoch_us
       |FROM orders
@@ -139,7 +139,7 @@ object Functions extends QueryModule {
 
   val f5Oracle: String =
     """SELECT doc_id,
-      |  len(string_split(text, ' ')) AS n_tokens,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       |  list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
       |  string_split(text, ' ')[1:3] AS first3,
       |  list_sort(list_distinct(string_split(text, ' '))) AS vocab

@@ -46,9 +46,9 @@ object MultimodalQueries extends QueryModule {
       |    CAST(64 + (n % 359) AS INT) AS height,
       |    n * 20 AS duration_ms
       |  FROM media)
-      |SELECT kind, COUNT(*) AS n, SUM(n) AS total_bytes,
+      |SELECT kind, COUNT(*) AS n, CAST(SUM(n) AS BIGINT) AS total_bytes,
       |  MIN(width) AS min_w, MAX(height) AS max_h,
-      |  SUM(duration_ms) AS total_ms
+      |  CAST(SUM(duration_ms) AS BIGINT) AS total_ms
       |FROM decoded
       |GROUP BY kind
       |ORDER BY kind ASC NULLS FIRST""".stripMargin

@@ -51,8 +51,8 @@ object Similarity extends QueryModule {
       |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
       |SELECT q_id, rn, neighbor, sim FROM (
       |  SELECT q_id, neighbor, sim,
-      |    ROW_NUMBER() OVER (PARTITION BY q_id
-      |      ORDER BY sim DESC NULLS LAST, neighbor ASC NULLS FIRST) AS rn
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC NULLS LAST, neighbor ASC NULLS FIRST) AS INT) AS rn
       |  FROM scored)
       |WHERE rn <= 3
       |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin

@@ -31,9 +31,9 @@ object TextAnalysis extends QueryModule {
 
   val txTokenStatsOracle: String =
     """SELECT doc_id,
-      |  len(string_split(text, ' ')) AS n_tokens,
-      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
-      |  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens,
       |  CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '), w -> len(w))), (a, b) -> a + b) AS DOUBLE)
       |    / len(string_split(text, ' ')) AS mean_token_len
       |FROM documents
@@ -106,7 +106,8 @@ object TextAnalysis extends QueryModule {
       s"CASE WHEN ${hitsSql(l)} > 0 AND $isMax THEN '$l' ELSE $els END"
     }
     s"""SELECT doc_id, lang AS labeled_lang, $pred AS predicted_lang,
-       |  ${hitsSql("en")} AS en_hits, ${hitsSql("de")} AS de_hits,
+       |  CAST(${hitsSql("en")} AS INT) AS en_hits,
+       |  CAST(${hitsSql("de")} AS INT) AS de_hits,
        |  $pred = lang AS agrees
        |FROM documents
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin

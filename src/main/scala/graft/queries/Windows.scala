@@ -38,10 +38,10 @@ object Windows extends QueryModule {
        |  GROUP BY p_brand, p_partkey)
        |SELECT * FROM (
        |  SELECT p_brand, p_partkey, revenue,
-       |    ROW_NUMBER() OVER (PARTITION BY p_brand
-       |      ORDER BY revenue DESC NULLS LAST, p_partkey ASC NULLS FIRST) AS rn,
-       |    RANK() OVER (PARTITION BY p_brand
-       |      ORDER BY revenue DESC NULLS LAST, p_partkey ASC NULLS FIRST) AS rnk
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+       |      ORDER BY revenue DESC NULLS LAST, p_partkey ASC NULLS FIRST) AS INT) AS rn,
+       |    CAST(RANK() OVER (PARTITION BY p_brand
+       |      ORDER BY revenue DESC NULLS LAST, p_partkey ASC NULLS FIRST) AS INT) AS rnk
        |  FROM rev) t
        |WHERE rn <= 3
        |ORDER BY p_brand ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
@@ -127,7 +127,7 @@ object Windows extends QueryModule {
 
   val w4Oracle: String =
     """SELECT c_custkey, c_acctbal,
-      |  NTILE(4) OVER w AS value_quartile,
+      |  CAST(NTILE(4) OVER w AS INT) AS value_quartile,
       |  PERCENT_RANK() OVER w AS pct_rank,
       |  CUME_DIST() OVER w AS cume
       |FROM customer

@@ -59,6 +59,15 @@ for name in sorted(oracle):
     if list(got.columns) != list(exp.columns):
         failed.append((name, f"COLS spark={list(got.columns)} duck={list(exp.columns)}"))
         continue
+    # duckdb-level dtype parity (the driver may compare schemas strictly)
+    gt = con.sql(f"SELECT * FROM read_parquet('{res}/*.parquet') LIMIT 0")
+    et = con.sql(f"SELECT * FROM ({oracle[name]}) q LIMIT 0")
+    gd = dict(zip(gt.columns, map(str, gt.types)))
+    ed = dict(zip(et.columns, map(str, et.types)))
+    dt = {c: (gd.get(c), ed.get(c)) for c in gd if gd.get(c) != ed.get(c)}
+    if dt:
+        failed.append((name, f"DTYPES {dt}"))
+        continue
     if len(got) != len(exp):
         failed.append((name, f"ROWS spark={len(got)} duck={len(exp)}"))
         continue
