@@ -31,7 +31,7 @@ object Similarity extends QueryModule {
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     val scored = emb.join(broadcast(probes), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(VectorOps.cosine(col("q_v"), col("v")), 6))
+      .withColumn("sim", round(graft.functions.CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -74,7 +74,7 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "q_v", "vec_id", "v").distinct()
     val scored = cands
-      .withColumn("sim", round(VectorOps.cosine(col("q_v"), col("v")), 6))
+      .withColumn("sim", round(graft.functions.CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))

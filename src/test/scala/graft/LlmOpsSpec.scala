@@ -106,6 +106,23 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("native CosineSimilarity expression is bit-exact vs the HOF composition") {
+    import graft.functions.CosineSimilarity
+    val emb = Q.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.crossJoin(emb.select(col("vec_id").as("v2"),
+        col("embedding").as("e2")))
+      .filter(col("vec_id") < 5 && col("v2") =!= col("vec_id"))
+    val both = pairs.select(
+      CosineSimilarity.cosine(spark, col("embedding"), col("e2")).as("native"),
+      graft.functions.VectorOps.cosine(
+        graft.functions.VectorOps.toDouble(col("embedding")),
+        graft.functions.VectorOps.toDouble(col("e2"))).as("hof"))
+    // bit-exact: same promotion, same accumulation order, same formula
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.count() > 2000)
+  }
+
   test("language-ID marker sets are consistent between query and oracle") {
     // the heuristic must at least detect planted English text
     val planted = Seq((1L, "the cat sat of the mat and it is a test")).toDF("doc_id", "text")

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Salting
+import graft.streaming.Stateful
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Scale utilities: salted joins/aggregations equal their plain
+  * counterparts; stateful streaming accumulates across micro-batches.
+  */
+class ScaleOpsSpec extends SparkTestBase {
+  quiet()
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = Q.t(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val part = Q.t(spark, sf, "part").select("p_partkey", "p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = li.join(part, Seq("l_partkey"))
+    val salted = Salting.saltedJoin(li, part, Seq("l_partkey"), factor = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("salt spreads a hot key across partitions") {
+    // all rows share ONE key — worst-case skew
+    val hot = Q.t(spark, sf, "lineitem").withColumn("k", lit(1))
+    val salted = Salting.saltLarge(hot, 8)
+    val spread = salted.groupBy(Salting.SaltCol).count().collect()
+    assert(spread.length === 8)
+    val counts = spread.map(_.getLong(1))
+    assert(counts.max < counts.sum / 2, "salt failed to spread the hot key")
+  }
+
+  test("skew-safe two-phase count equals plain count") {
+    val li = Q.t(spark, sf, "lineitem")
+    val plain = li.groupBy("l_returnflag").count()
+      .withColumnRenamed("count", "n")
+    val safe = Salting.skewSafeCount(li, Seq("l_returnflag"), 8)
+    assert(safe.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(safe).count() === 0)
+  }
+
+  test("flatMapGroupsWithState accumulates user profiles across batches") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_stateful"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    new java.io.File(dir).mkdirs()
+
+    val ev = Q.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+    ev.filter(col("user_id") < 8).write.parquet(s"$dir/b1.parquet")
+    ev.filter(col("user_id") >= 8).write.parquet(s"$dir/b2.parquet")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("recursiveFileLookup", true)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .as[Stateful.Event]
+    val q = Stateful.userProfiles(spark, stream)
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // latest state per user equals the batch aggregation
+    val latest = spark.table("profiles")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_purchases").as("n_purchases"))
+    val expected = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+    assert(latest.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(latest).count() === 0)
+  }
+}
