@@ -42,6 +42,23 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(plain.exceptAll(safe).count() === 0)
   }
 
+  test("O3: sortWithinPartitions orders rows inside each partition without a shuffle") {
+    val o = Q.t(spark, sf, "orders").repartition(4, col("o_custkey"))
+      .sortWithinPartitions(col("o_orderdate"), col("o_orderkey"))
+    // no extra exchange beyond the repartition
+    val exchanges = o.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Exchange"))
+    assert(exchanges === 1)
+    // every partition is internally ordered
+    import org.apache.spark.sql.Row
+    val ok = o.select("o_orderdate", "o_orderkey").rdd
+      .mapPartitions { it =>
+        val rows = it.toSeq.map { case Row(d: java.time.LocalDateTime, k: Long) => (d, k) }
+        Iterator.single(rows == rows.sortBy(r => (r._1.toString, r._2)))
+      }.collect()
+    assert(ok.forall(identity))
+  }
+
   test("flatMapGroupsWithState accumulates user profiles across batches") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_stateful"
     val p = new org.apache.hadoop.fs.Path(dir)
