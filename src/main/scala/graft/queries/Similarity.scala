@@ -83,6 +83,47 @@ object Similarity extends QueryModule {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
+  /** S4: IVF ANN — inverted-file index with a deterministic coarse
+    * quantizer: K seed vectors (every stride-th vec_id) act as list
+    * centroids; every vector joins its nearest seed's list (one
+    * broadcast pass, N×K fused-cosine evals — linear build cost);
+    * probes search only their `nprobe` nearest lists. Rows-only check;
+    * recall vs brute force asserted in LlmOpsSpec.
+    */
+  def s4IvfAnn(spark: SparkSession, dir: String,
+      k: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val seeds = emb.filter(col("vec_id") % 31 === 0).limit(k)
+      .select(col("vec_id").as("list_id"), col("v").as("seed_v"))
+
+    def nearestLists(vecs: DataFrame, n: Int, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("seed_sim").desc, col("list_id").asc)
+      vecs.crossJoin(broadcast(seeds))
+        .withColumn("seed_sim",
+          graft.functions.CosineSimilarity.cosine(spark, col("v"), col("seed_v")))
+        .withColumn("seed_rn", row_number().over(w))
+        .filter(col("seed_rn") <= n)
+        .drop("seed_v", "seed_sim", "seed_rn")
+    }
+
+    val assigned = nearestLists(emb, 1, "vec_id") // inverted lists
+    val probes = nearestLists(emb.filter(col("vec_id") < 10), nprobe, "vec_id")
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("list_id"))
+
+    val scored = assigned.join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(
+        graft.functions.CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("sim"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   /** S3: per-label centroids via the typed Aggregator UDAF (A8/X2).
     * Float accumulation order varies by partitioning → no oracle;
     * tolerance-checked in SimilaritySpec. Output is the centroid's
@@ -103,7 +144,8 @@ object Similarity extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_ann" -> s2LshAnn,
-    "s3_centroids" -> s3Centroids)
+    "s3_centroids" -> s3Centroids,
+    "s4_ivf_ann" -> ((s, d) => s4IvfAnn(s, d)))
 
   override def oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Oracle)

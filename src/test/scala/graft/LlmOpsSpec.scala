@@ -106,6 +106,15 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("IVF ANN recall vs brute force (top-3)") {
+    val exact = Similarity.s1BruteForceTopK(spark, sf)
+      .select(col("q_id"), col("neighbor")).as[(Long, Long)].collect().toSet
+    val ivf = Similarity.s4IvfAnn(spark, sf)
+      .select(col("q_id"), col("neighbor")).as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+  }
+
   test("native CosineSimilarity expression is bit-exact vs the HOF composition") {
     import graft.functions.CosineSimilarity
     val emb = Q.t(spark, sf, "embeddings")
