@@ -64,7 +64,9 @@ object Lakehouse extends QueryModule {
     * time-travel both versions and fingerprint them.
     */
   def l3TimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l3"
+    // pid-unique scratch: Verify and Bench may run as separate
+    // concurrent processes
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l3_${ProcessHandle.current().pid()}"
     val fsPath = new org.apache.hadoop.fs.Path(scratch)
     val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(fsPath, true)

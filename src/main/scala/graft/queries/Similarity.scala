@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryModule}
-import graft.functions.VectorOps
+import graft.functions.{CosineSimilarity, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,7 +31,7 @@ object Similarity extends QueryModule {
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     val scored = emb.join(broadcast(probes), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(graft.functions.CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
+      .withColumn("sim", round(CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -74,7 +74,7 @@ object Similarity extends QueryModule {
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "q_v", "vec_id", "v").distinct()
     val scored = cands
-      .withColumn("sim", round(graft.functions.CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
+      .withColumn("sim", round(CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -102,7 +102,7 @@ object Similarity extends QueryModule {
         .orderBy(col("seed_sim").desc, col("list_id").asc)
       vecs.crossJoin(broadcast(seeds))
         .withColumn("seed_sim",
-          graft.functions.CosineSimilarity.cosine(spark, col("v"), col("seed_v")))
+          CosineSimilarity.cosine(spark, col("v"), col("seed_v")))
         .withColumn("seed_rn", row_number().over(w))
         .filter(col("seed_rn") <= n)
         .drop("seed_v", "seed_sim", "seed_rn")
@@ -115,7 +115,7 @@ object Similarity extends QueryModule {
     val scored = assigned.join(probes, Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(
-        graft.functions.CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
+        CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
