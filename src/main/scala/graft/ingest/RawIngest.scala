@@ -3,7 +3,7 @@ package graft.ingest
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Raw-zone CSV ingestion (S1–S3, SURVEY.md §2.1), Spark-native
   * equivalent of the reference's upload router + Glue crawlers
@@ -78,6 +78,30 @@ object RawIngest {
         .csv(path)
       (df, true)
     } else (readCsvInferred(spark, path), false)
+  }
+
+  /** S1/S2 quarantine path: PERMISSIVE read against a trusted schema;
+    * rows that fail to parse land whole in `_corrupt_record` and are
+    * split out. Returns (good rows, quarantined raw lines). The
+    * quarantine side keeps only the raw line — at scale it's a tiny
+    * side output written beside the bronze table for replay.
+    */
+  def readCsvWithQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", org.apache.spark.sql.types.StringType))
+    val df = spark.read
+      .option("header", true)
+      .option("nullValue", "")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache() // one pass computes both splits
+    val good = df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantined = df.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, quarantined)
   }
 
   /** S3: derive the partition date from the source filename (regex per
