@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.{GraftSession, Q, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Subquery forms + multi-grain grouping via the SQL surface —
+  * exercises Catalyst's RewriteCorrelatedScalarSubquery decorrelation
+  * (SURVEY.md §4) and GROUPING SETS expansion. Written as SQL strings
+  * (Spark SQL is the parser); decimal-routing discipline applies in
+  * both dialects identically.
+  */
+object Subqueries extends QueryModule {
+
+  /** TPC-H-Q17-shaped: lines below 20% of their part's average
+    * quantity — correlated scalar subquery, decorrelated by Catalyst
+    * into a join against a per-part aggregate (one shuffle, no
+    * per-row re-execution).
+    */
+  private val sub1Sql =
+    """SELECT p_brand,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+      |  COUNT(*) AS n_small_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < (
+      |  SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand ASC NULLS FIRST""".stripMargin
+
+  def sub1CorrelatedScalar(spark: SparkSession, dir: String): DataFrame =
+    GraftSession.sql(spark, dir, sub1Sql)
+
+  /** Uncorrelated scalar + IN subquery: orders above the global mean
+    * price from customers in a segment subquery.
+    */
+  private val sub2Sql =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (
+      |    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
+  def sub2ScalarIn(spark: SparkSession, dir: String): DataFrame =
+    GraftSession.sql(spark, dir, sub2Sql)
+
+  /** GROUPING SETS — explicit multi-grain aggregate (A4's general
+    * form beyond ROLLUP).
+    */
+  private val gsSpark =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  def a4GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    GraftSession.sql(spark, dir, gsSpark)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sub1_correlated_scalar" -> sub1CorrelatedScalar,
+    "sub2_scalar_in" -> sub2ScalarIn,
+    "a4_grouping_sets" -> a4GroupingSets)
+
+  // the Spark SQL strings are (deliberately) also valid DuckDB SQL
+  override def oracles: Map[String, String] = Map(
+    "sub1_correlated_scalar" -> sub1Sql,
+    "sub2_scalar_in" -> sub2Sql,
+    "a4_grouping_sets" -> gsSpark)
+}

@@ -57,6 +57,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("sub1: correlated scalar subquery is decorrelated into a join") {
+    val p = plan("sub1_correlated_scalar")
+    // Catalyst rewrites the per-part scalar subquery into an aggregate
+    // joined on the correlation key — never a per-row re-execution
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
   test("j4 semi/anti joins plan as semi/anti, not inner+distinct") {
     assert(plan("j4_semi_join").contains("LeftSemi"))
     assert(plan("j4_anti_join").contains("LeftAnti"))
