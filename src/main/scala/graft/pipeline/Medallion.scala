@@ -3,9 +3,21 @@ package graft.pipeline
 import graft.ingest.RawIngest
 import graft.lake.ManifestTable
 import graft.meta.SchemaRegistry
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Typed silver row for orders — the conformance contract as a case
+  * class (SURVEY.md §1.1: typed Dataset where a fixed schema is the
+  * point). Money is BigDecimal at silver for exact arithmetic.
+  */
+case class SilverOrder(
+    order_num: Int,
+    order_id: Int,
+    user_id: Int,
+    order_timestamp: java.sql.Timestamp,
+    total_amount: BigDecimal,
+    date: java.sql.Date)
 
 /** The reference's end-to-end surface as one pipeline (SURVEY.md §3
   * E1+E2): raw CSVs → bronze (typed append, partition-derived, schema
@@ -62,6 +74,20 @@ class Medallion(spark: SparkSession, lakeRoot: String) {
     val t = silverTable("orders")
     t.write(typed, "overwrite")
     t
+  }
+
+  /** Typed view of silver orders: compile-time field checks for
+    * downstream code (the DataFrame remains the storage form).
+    */
+  def typedOrders(silver: ManifestTable): Dataset[SilverOrder] = {
+    import spark.implicits._
+    silver.read()
+      .select(col("order_num").cast(IntegerType), col("order_id").cast(IntegerType),
+        col("user_id").cast(IntegerType),
+        col("order_timestamp").cast(TimestampType),
+        col("total_amount").cast(DecimalType(10, 2)),
+        col("date").cast(DateType))
+      .as[SilverOrder]
   }
 
   /** Apply a CDC correction feed (same raw schema) into silver. */

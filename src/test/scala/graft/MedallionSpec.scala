@@ -60,6 +60,20 @@ class MedallionSpec extends SparkTestBase {
     assert(dd.agg(sum("n_items")).head().getLong(0) === 6655 + 6754)
   }
 
+  test("typed silver Dataset: case-class conformance + typed ops") {
+    val lake = freshLake("typed")
+    val m = new Medallion(spark, lake)
+    val bronze = m.ingestBronze("orders", s"$fixtures/orders_2024-06-06.csv")
+    val silver = m.conformOrders(bronze)
+    val ds = m.typedOrders(silver)
+    import spark.implicits._
+    // typed transformations with compile-time field access
+    val perUser = ds.groupByKey(_.user_id)
+      .mapGroups((u, rows) => (u, rows.map(_.total_amount).sum))
+    assert(ds.count() === 2248)
+    assert(perUser.count() === ds.map(_.user_id).distinct().count())
+  }
+
   test("S6: catalog registration + crawler-style names + listing") {
     val lake = freshLake("catalog")
     val cat = new Catalog(spark, lake)
