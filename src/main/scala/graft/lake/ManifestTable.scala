@@ -157,8 +157,10 @@ class ManifestTable(spark: SparkSession, root: String,
     }
   }
 
-  /** L5: OPTIMIZE — compact the latest version into ~targetFiles files
-    * per partition (small-file compaction after many daily appends).
+  /** L5: OPTIMIZE — small-file compaction after many appends: rewrite
+    * the latest version through `targetFiles` shuffle partitions
+    * (hash-by-partition-column when partitioned, so each partition
+    * value lands in few files).
     */
   def compact(targetFiles: Int = 1): Int = {
     val df = read()

@@ -1,6 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pure MERGE resolution logic (L1, SURVEY.md §2.9) — shared by
@@ -15,9 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** Full-outer keyed upsert; schemas must match. One shuffle on the
-    * key — at scale both sides hash-partition; no broadcast assumption
-    * (the updates side of a CDC feed can be arbitrarily large).
+  /** Full-outer keyed upsert; schemas must match and `updates` must
+    * carry at most ONE row per key (a feed with several versions of a
+    * key would fan out the join — compact it first with
+    * [[latestPerKey]]). One shuffle on the key — at scale both sides
+    * hash-partition; no broadcast assumption (the updates side of a
+    * CDC feed can be arbitrarily large).
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     // align by NAME: a partitioned table reads back with the partition
@@ -42,4 +46,20 @@ object Merge {
     */
   def effectiveChanges(base: DataFrame, updates: DataFrame): DataFrame =
     updates.exceptAll(base.select(updates.columns.map(col): _*))
+
+  /** CDC feed compaction: keep only the newest row per key, ordered
+    * by `orderCol` (event time / sequence number), ties broken
+    * arbitrarily-but-deterministically by the remaining columns'
+    * hash. Run this before [[upsert]] when a feed may carry several
+    * versions of one key (always true for streaming micro-batches
+    * that buffer more than one change).
+    */
+  def latestPerKey(updates: DataFrame, keys: Seq[String],
+      orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc,
+        xxhash64(struct(updates.columns.map(col): _*)).asc)
+    updates.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1).drop("_graft_rn")
+  }
 }

@@ -63,6 +63,28 @@ class MergePropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("latestPerKey compacts a multi-version feed to one row per key") {
+    val feed = Seq(
+      (1L, 10, "a", 1L), (1L, 20, "b", 3L), (1L, 15, "c", 2L),
+      (2L, 5, "x", 1L),
+      (3L, 7, "y", 2L), (3L, 8, "z", 2L) // tie on order col
+    ).toDF("k", "v", "s", "seq")
+    val compacted = Merge.latestPerKey(feed, Seq("k"), "seq")
+    assert(compacted.count() === 3)
+    val byKey = compacted.as[(Long, Int, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byKey(1L) === ((1L, 20, "b", 3L))) // newest seq wins
+    assert(byKey(2L) === ((2L, 5, "x", 1L)))
+    // tie resolves deterministically: same result on recompute
+    val again = Merge.latestPerKey(feed, Seq("k"), "seq")
+      .as[(Long, Int, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(byKey(3L) === again(3L))
+    // compacted feed merges without fan-out
+    val base = Seq((1L, 0, "base", 0L), (9L, 9, "base", 0L)).toDF("k", "v", "s", "seq")
+    val merged = Merge.upsert(base, compacted, Seq("k"))
+    assert(merged.count() === 4) // keys 1,2,3,9
+  }
+
   test("effectiveChanges is empty iff the feed is already applied") {
     (1 to 5).foreach { i =>
       val b = sample(i + 700)
