@@ -134,15 +134,46 @@ object Windows extends QueryModule {
       |WINDOW w AS (ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST)
       |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
 
+  /** W5: first_value / last_value / nth_value over full-partition
+    * frames — first, latest, and second order per customer.
+    */
+  def w5FirstLastNth(spark: SparkSession, dir: String): DataFrame = {
+    val base = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Q.t(spark, dir, "orders")
+      .filter(col("o_custkey") < 30)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
+  val w5Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+      |  LAST_VALUE(o_totalprice) OVER w AS last_price,
+      |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+      |FROM orders
+      |WHERE o_custkey < 30
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_rank_topn" -> w1RankTopN,
     "w2_lag_lead" -> w2LagLead,
     "w3_running_frames" -> w3RunningFrames,
-    "w4_ntile" -> w4Ntile)
+    "w4_ntile" -> w4Ntile,
+    "w5_first_last_nth" -> w5FirstLastNth)
 
   override def oracles: Map[String, String] = Map(
     "w1_rank_topn" -> w1Oracle,
     "w2_lag_lead" -> w2Oracle,
     "w3_running_frames" -> w3Oracle,
-    "w4_ntile" -> w4Oracle)
+    "w4_ntile" -> w4Oracle,
+    "w5_first_last_nth" -> w5Oracle)
 }

@@ -83,12 +83,19 @@ object Streams {
     * effectively exactly-once (a replayed batch is a no-op merge).
     */
   def mergeSink(stream: DataFrame, table: ManifestTable, keys: Seq[String],
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpoint: String, orderCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) table.merge(batch, keys): Unit
+        if (!batch.isEmpty) {
+          // a micro-batch can buffer several changes per key; compact
+          // to the newest (by orderCol) before the keyed merge
+          val compacted = orderCol
+            .map(c => graft.lake.Merge.latestPerKey(batch, keys, c))
+            .getOrElse(batch)
+          table.merge(compacted, keys): Unit
+        }
       }
       .trigger(Trigger.AvailableNow())
 
