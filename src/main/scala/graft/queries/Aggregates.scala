@@ -173,6 +173,25 @@ object Aggregates extends QueryModule {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin
 
+  /** A9: HAVING — post-aggregation predicate (TPC-H-Q18-flavored:
+    * large-basket orders only).
+    */
+  def a9Having(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(Q.dsum(col("l_quantity")).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("total_qty") > 100.0)
+      .orderBy(col("l_orderkey").asc)
+
+  val a9Oracle: String =
+    s"""SELECT l_orderkey, ${Q.sql.dsum("l_quantity")} AS total_qty,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |GROUP BY l_orderkey
+       |HAVING ${Q.sql.dsum("l_quantity")} > 100.0
+       |ORDER BY l_orderkey ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_pricing_summary" -> a1PricingSummary,
     "a2_count_distinct" -> a2CountDistinct,
@@ -180,7 +199,8 @@ object Aggregates extends QueryModule {
     "a4_rollup" -> a4Rollup,
     "a5_conditional_agg" -> a5ConditionalAgg,
     "a6_collect_list" -> a6CollectList,
-    "a7_percentiles" -> a7Percentiles)
+    "a7_percentiles" -> a7Percentiles,
+    "a9_having" -> a9Having)
 
   override def oracles: Map[String, String] = Map(
     "a1_pricing_summary" -> a1Oracle,
@@ -188,5 +208,6 @@ object Aggregates extends QueryModule {
     "a4_rollup" -> a4Oracle,
     "a5_conditional_agg" -> a5Oracle,
     "a6_collect_list" -> a6Oracle,
-    "a7_percentiles" -> a7Oracle)
+    "a7_percentiles" -> a7Oracle,
+    "a9_having" -> a9Oracle)
 }
