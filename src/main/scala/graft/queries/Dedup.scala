@@ -106,13 +106,50 @@ object Dedup extends QueryModule {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id").asc)
 
+  /** D5: embedding-cosine near-dup pairs — vectors whose cosine
+    * exceeds a threshold are duplicate candidates. Brute force over a
+    * bounded id slice (oracle-able); the LSH/IVF bucketing in the
+    * similarity module is the same computation's scale path.
+    */
+  def d5EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CosineSimilarity, VectorOps}
+    val emb = Q.t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"),
+        col("label"))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("label").as("label_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(CosineSimilarity.cosine(spark, col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= 0.35)
+      .select("id_a", "id_b", "label_a", "cos")
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  private def dotSql(x: String, y: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($x, $y), p -> p[1] * p[2])), (a, b) -> a + b)"
+
+  val d5Oracle: String = {
+    val cos = s"round(${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+       |           FROM embeddings WHERE vec_id < 100)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a,
+       |       $cos AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE $cos >= 0.35
+       |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,
     "d3_minhash_lsh" -> d3MinhashLsh,
-    "d4_simhash" -> d4Simhash)
+    "d4_simhash" -> d4Simhash,
+    "d5_embedding_neardup" -> d5EmbeddingNearDup)
 
   override def oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Oracle,
-    "d2_jaccard_pairs" -> d2Oracle)
+    "d2_jaccard_pairs" -> d2Oracle,
+    "d5_embedding_neardup" -> d5Oracle)
 }
