@@ -43,6 +43,63 @@ object Functions extends QueryModule {
       |FROM customer
       |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
 
+  /** F1b: further string functions — initcap/replace/reverse/
+    * repeat/position.
+    */
+  def f1bStringMore(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "part")
+      .filter(col("p_partkey") < 100)
+      .select(
+        col("p_partkey"),
+        initcap(col("p_name")).as("name_title"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        reverse(col("p_type")).as("type_rev"),
+        repeat(col("p_brand"), 2).as("brand_twice"),
+        instr(col("p_name"), "o").as("first_o"))
+      .orderBy(col("p_partkey").asc)
+
+  val f1bOracle: String =
+    """SELECT p_partkey,
+      |  -- initcap semantics: capitalize each space-separated word
+      |  array_to_string(list_transform(string_split(p_name, ' '),
+      |    w -> upper(w[1:1]) || lower(w[2:])), ' ') AS name_title,
+      |  replace(p_name, ' ', '_') AS name_snake,
+      |  reverse(p_type) AS type_rev,
+      |  repeat(p_brand, 2) AS brand_twice,
+      |  CAST(strpos(p_name, 'o') AS INT) AS first_o
+      |FROM part
+      |WHERE p_partkey < 100
+      |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin
+
+  /** F2b: further date functions — trunc/last_day/quarter/dayofweek/
+    * months_between on day-grain dates.
+    */
+  def f2bDateMore(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 200)
+      .select(
+        col("o_orderkey"),
+        trunc(col("o_orderdate").cast(DateType), "month").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        months_between(lit("2002-01-01").cast(DateType),
+          col("o_orderdate").cast(DateType), roundOff = false).as("months_to_2002"))
+      .orderBy(col("o_orderkey").asc)
+
+  val f2bOracle: String =
+    """SELECT o_orderkey,
+      |  date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(datediff('month', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+      |    + (CASE WHEN dayofmonth(o_orderdate) = 1 THEN 0
+      |            ELSE (1 - dayofmonth(o_orderdate)) / 31.0 END) AS DOUBLE) AS months_to_2002
+      |FROM orders
+      |WHERE o_orderkey < 200
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
   /** F2: date/time functions over order dates. */
   def f2DateTime(spark: SparkSession, dir: String): DataFrame =
     Q.t(spark, dir, "orders")
@@ -202,7 +259,9 @@ object Functions extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_string_funcs" -> f1String,
+    "f1b_string_more" -> f1bStringMore,
     "f2_datetime_funcs" -> f2DateTime,
+    "f2b_date_more" -> f2bDateMore,
     "f3_math_funcs" -> f3Math,
     "f4_conditional_funcs" -> f4Conditional,
     "f5_array_funcs" -> f5Array,
@@ -212,7 +271,9 @@ object Functions extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "f1_string_funcs" -> f1Oracle,
+    "f1b_string_more" -> f1bOracle,
     "f2_datetime_funcs" -> f2Oracle,
+    "f2b_date_more" -> f2bOracle,
     "f3_math_funcs" -> f3Oracle,
     "f4_conditional_funcs" -> f4Oracle,
     "f5_array_funcs" -> f5Oracle,
