@@ -129,20 +129,25 @@ object Aggregates extends QueryModule {
        |GROUP BY p_brand
        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin
 
-  /** A6: array agg — per-order sorted basket of parts. */
+  /** A6: array agg — per-order sorted basket of parts. The arrays are
+    * serialized to CSV strings in the final projection (the driver's
+    * pandas comparator cannot hash array cells); collect_list/collect_set
+    * + sort_array remain the operators under test.
+    */
   def a6CollectList(spark: SparkSession, dir: String): DataFrame =
     Q.t(spark, dir, "lineitem")
       .filter(col("l_orderkey") < 100)
       .groupBy(col("l_orderkey"))
       .agg(
-        sort_array(collect_list(col("l_partkey"))).as("basket"),
-        sort_array(collect_set(col("l_returnflag"))).as("flags"))
+        array_join(sort_array(collect_list(col("l_partkey")))
+          .cast(ArrayType(StringType)), ",").as("basket"),
+        array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("flags"))
       .orderBy(col("l_orderkey").asc)
 
   val a6Oracle: String =
     """SELECT l_orderkey,
-      |  list_sort(list(l_partkey)) AS basket,
-      |  list_sort(list(DISTINCT l_returnflag)) AS flags
+      |  array_to_string(list_sort(list(l_partkey)), ',') AS basket,
+      |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
       |FROM lineitem
       |WHERE l_orderkey < 100
       |GROUP BY l_orderkey

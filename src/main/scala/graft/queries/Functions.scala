@@ -182,7 +182,10 @@ object Functions extends QueryModule {
        |GROUP BY 1
        |ORDER BY bucket ASC NULLS FIRST""".stripMargin
 
-  /** F5a: array functions over tokenized documents. */
+  /** F5a: array functions over tokenized documents. Array outputs are
+    * serialized via array_join (the driver's pandas comparator cannot
+    * hash array cells); slice/array_distinct/sort_array stay under test.
+    */
   def f5Array(spark: SparkSession, dir: String): DataFrame =
     Q.t(spark, dir, "documents")
       .withColumn("tokens", split(col("text"), " "))
@@ -190,16 +193,16 @@ object Functions extends QueryModule {
         col("doc_id"),
         size(col("tokens")).as("n_tokens"),
         array_contains(col("tokens"), "spark").as("mentions_spark"),
-        slice(col("tokens"), 1, 3).as("first3"),
-        sort_array(array_distinct(col("tokens"))).as("vocab"))
+        array_join(slice(col("tokens"), 1, 3), " ").as("first3"),
+        array_join(sort_array(array_distinct(col("tokens"))), " ").as("vocab"))
       .orderBy(col("doc_id").asc)
 
   val f5Oracle: String =
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       |  list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
-      |  string_split(text, ' ')[1:3] AS first3,
-      |  list_sort(list_distinct(string_split(text, ' '))) AS vocab
+      |  array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS vocab
       |FROM documents
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 

@@ -95,7 +95,7 @@ object Projections extends QueryModule {
         col("l_linenumber"),
         col("l_shipdate").cast(DateType).as("ship_date"),
         col("l_quantity").cast(IntegerType).as("qty_int"),
-        col("l_extendedprice").cast(Q.Dec).as("price_dec"),
+        col("l_extendedprice").cast(Q.Dec).cast(DoubleType).as("price_dec"),
         col("l_orderkey").cast(StringType).as("okey_str"))
       .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
 
@@ -103,7 +103,7 @@ object Projections extends QueryModule {
     """SELECT l_orderkey, l_linenumber,
       |  CAST(l_shipdate AS DATE) AS ship_date,
       |  CAST(l_quantity AS INT) AS qty_int,
-      |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
       |  CAST(l_orderkey AS VARCHAR) AS okey_str
       |FROM lineitem
       |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin
