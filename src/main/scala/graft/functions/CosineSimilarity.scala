@@ -17,10 +17,15 @@ import org.apache.spark.sql.types._
   *
   * Bit-compatible with VectorOps.cosine: elements promote to double,
   * dot and norms accumulate sequentially in element order, result is
-  * dot / (sqrt(na) * sqrt(nb)) — asserted equal in LlmOpsSpec.
+  * dot / (sqrt(na) * sqrt(nb)) — asserted equal in LlmOpsSpec. That
+  * parity includes malformed input: mismatched vector lengths yield
+  * NULL (as zip_with's null padding does), never a truncated-prefix
+  * similarity that would look plausible and be wrong.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(t, _) => t
@@ -41,7 +46,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val xf = elemType(left) == FloatType
     val yf = elemType(right) == FloatType
     var dot = 0.0
@@ -71,14 +77,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       def get(arr: String, idx: String, isFloat: Boolean): String =
         if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = ${get(a, i, elemType(left) == FloatType)};
-         |  double $yi = ${get(b, i, elemType(right) == FloatType)};
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = ${get(a, i, elemType(left) == FloatType)};
+         |    double $yi = ${get(b, i, elemType(right) == FloatType)};
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -65,6 +65,26 @@ class ManifestTable(spark: SparkSession, root: String,
     }
   }
 
+  /** Commit wall-clock time of a version (epoch millis) — the manifest
+    * file's modification time, stamped by the atomic rename that
+    * published it.
+    */
+  def commitTimeOf(version: Int): Long =
+    fs.getFileStatus(manifestPath(version)).getModificationTime
+
+  /** Time-travel read by timestamp (the common Delta/Iceberg
+    * `timestampAsOf` interface): the newest version committed at or
+    * before `tsMillis`. Throws if the table's first commit is later.
+    */
+  def readAsOf(tsMillis: Long): DataFrame = {
+    val vs = versions
+    val v = vs.filter(commitTimeOf(_) <= tsMillis).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version at or before $tsMillis (first commit: " +
+          s"${vs.headOption.map(commitTimeOf).getOrElse("none")})"))
+    read(Some(v))
+  }
+
   private def commit(relFiles: Seq[String]): Int = {
     fs.mkdirs(logDir)
     val v = latestVersion.getOrElse(-1) + 1
@@ -126,34 +146,80 @@ class ManifestTable(spark: SparkSession, root: String,
       throw new IllegalStateException("table is not partitioned"))
     val newFiles = writeDataFiles(df.filter(col(c) === value))
     val kept = latestVersion.map(relFilesOf).getOrElse(Seq.empty)
-      .filterNot(_.contains(s"$c=$value/"))
+      .filterNot(f => inPartition(f, c, value))
     commit(kept ++ newFiles)
   }
 
-  /** L1: MERGE INTO — keyed upsert, source-wins, idempotent. When the
-    * table is partitioned only touched partitions are rewritten; all
-    * other files carry forward by reference (no data movement).
-    * Returns the new version, or the current one when the merge is a
-    * no-op (re-applying an already-applied feed commits nothing).
+  /** Hive-style partition directory segment for a value — Spark escapes
+    * special chars (space, ':', '%', …) via `escapePathName` when
+    * writing `col=value/` dirs, so file matching must escape the same
+    * way or non-URL-safe values silently miss their files.
     */
-  def merge(updates: DataFrame, keys: Seq[String]): Int = {
+  private def partSegment(c: String, value: String): String = {
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(value)
+    s"$c=$esc"
+  }
+
+  /** True when relative file path `f` lives in partition `c=value`. Path
+    * segment equality, not substring — `date=2024-06-1` must not match
+    * `date=2024-06-10/`.
+    */
+  private def inPartition(f: String, c: String, value: String): Boolean =
+    f.split("/").contains(partSegment(c, value))
+
+  /** L1: MERGE INTO — keyed upsert, source-wins, idempotent, with
+    * optional delete tombstones (`deleteCol`: boolean column present in
+    * `updates` but not the table; matched keys with it true are
+    * removed). When the table is partitioned only touched partitions
+    * are rewritten; all other files carry forward by reference (no data
+    * movement). A partition is touched if the feed changes rows in it
+    * OR holds the current row of any fed key — so an update that moves
+    * a key to a new partition value rewrites BOTH partitions and leaves
+    * no stale copy behind. Returns the new version, or the current one
+    * when the merge is a no-op (re-applying an already-applied feed
+    * commits nothing).
+    */
+  def merge(updates: DataFrame, keys: Seq[String],
+      deleteCol: Option[String] = None): Int = {
     val base = read()
-    val delta = Merge.effectiveChanges(base, updates)
-    if (delta.isEmpty) return latestVersion.get
+    def resolve(b: DataFrame, u: DataFrame): DataFrame = deleteCol match {
+      case Some(d) => Merge.applyCdc(b, u, keys, d)
+      case None => Merge.upsert(b, u, keys)
+    }
+    val upserts = deleteCol.fold(updates)(d =>
+      updates.filter(!coalesce(col(d), lit(false))).drop(d))
+    val deletes = deleteCol.map(d => updates.filter(coalesce(col(d), lit(false))))
+    val upsertDelta = Merge.effectiveChanges(base, upserts)
+    val deleteHits = deletes.map(_.select(keys.map(col): _*).distinct()
+      .join(base, keys, "left_semi"))
+    val noop = upsertDelta.isEmpty && deleteHits.forall(_.isEmpty)
+    if (noop) return latestVersion.get
     partitionCol match {
       case Some(c) =>
-        val touched = delta.select(col(c).cast("string")).distinct()
+        // touched = partitions the changed rows land in ∪ partitions
+        // currently holding any fed key (covers deletes + partition moves)
+        val feedKeys = updates.select(keys.map(col): _*).distinct()
+        val currentOfFed = base.join(feedKeys, keys, "left_semi")
+        val touched = upsertDelta.select(col(c).cast("string"))
+          .union(currentOfFed.select(col(c).cast("string")))
+          .distinct()
           .collect().map(_.getString(0)).toSet // bounded: distinct partitions
         val touchedBase = base.filter(col(c).cast("string").isin(touched.toSeq: _*))
-        val merged = Merge.upsert(touchedBase, updates
-          .filter(col(c).cast("string").isin(touched.toSeq: _*)), keys)
+        // tombstones bypass the partition filter: they match by KEY and
+        // their own partition-column value may not reflect the base row's
+        val inTouched = col(c).cast("string").isin(touched.toSeq: _*)
+        val touchedUpdates = deleteCol match {
+          case Some(d) => updates.filter(coalesce(col(d), lit(false)) || inTouched)
+          case None => updates.filter(inTouched)
+        }
+        val merged = resolve(touchedBase, touchedUpdates)
         val newFiles = writeDataFiles(merged)
         val kept = relFilesOf(latestVersion.get)
-          .filterNot(f => touched.exists(v => f.contains(s"$c=$v/")))
+          .filterNot(f => touched.exists(v => inPartition(f, c, v)))
         commit(kept ++ newFiles)
       case None =>
-        val merged = Merge.upsert(base, updates, keys)
-        write(merged, "overwrite")
+        write(resolve(base, updates), "overwrite")
     }
   }
 

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Semantics (matched by the reference's CDC feed,
   * `/root/reference/datasets/orders_2024-06-06-Updated.csv`): keyed
-  * upsert, source wins on match, unmatched source rows insert,
-  * unmatched target rows persist. Limitation (documented): a NULL in a
-  * source non-key column does not overwrite a non-NULL target value —
-  * acceptable for correction feeds, which carry full rows.
+  * upsert, source wins on match — a matched source row fully replaces
+  * the target row, NULLs included (standard MERGE "UPDATE SET *";
+  * correction feeds carry full rows, not sparse patches). Unmatched
+  * source rows insert, unmatched target rows persist. Tombstone
+  * deletes (WHEN MATCHED AND s._deleted THEN DELETE) via [[applyCdc]].
   */
 object Merge {
 
@@ -33,6 +34,38 @@ object Merge {
     val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val sourcePresent = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
     base.as("t").join(s0.as("s"), cond, "full_outer")
+      .select(cols.map { c =>
+        if (keys.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+        else when(sourcePresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+      }: _*)
+  }
+
+  /** Default tombstone column name for [[applyCdc]] feeds. */
+  val DeleteCol = "_deleted"
+
+  /** CDC MERGE with delete tombstones — the Delta/Iceberg three-clause
+    * form in ONE full-outer shuffle:
+    *
+    *   WHEN MATCHED AND s.`deleteCol`     THEN DELETE
+    *   WHEN MATCHED                       THEN UPDATE SET *
+    *   WHEN NOT MATCHED AND NOT s.`deleteCol` THEN INSERT *
+    *
+    * `updates` = base schema + a boolean `deleteCol` (NULL = false).
+    * A tombstone for an absent key is a no-op (idempotent re-apply: a
+    * feed applied twice deletes/updates/inserts to the same state).
+    */
+  def applyCdc(base: DataFrame, updates: DataFrame,
+      keys: Seq[String], deleteCol: String = DeleteCol): DataFrame = {
+    require(base.columns.toSet + deleteCol == updates.columns.toSet,
+      s"updates must be base schema + $deleteCol: " +
+        s"${base.columns.toSeq} vs ${updates.columns.toSeq}")
+    val cols = base.columns.toSeq
+    val s0 = updates.select((cols :+ deleteCol).map(col): _*)
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val sourcePresent = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+    val isDelete = coalesce(col(s"s.$deleteCol"), lit(false))
+    base.as("t").join(s0.as("s"), cond, "full_outer")
+      .filter(!(sourcePresent && isDelete)) // drop matched + tombstoned keys
       .select(cols.map { c =>
         if (keys.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
         else when(sourcePresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)

@@ -102,6 +102,27 @@ object Aggregates extends QueryModule {
        |ORDER BY gid ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
        |  o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** A4b: CUBE — all 2^k grouping combinations with grouping_id. */
+  def a4Cube(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        Q.dsum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid").asc, col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val a4CubeOracle: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  ${Q.sql.dsum("o_totalprice")} AS total_price,
+       |  COUNT(*) AS n,
+       |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY gid ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
+       |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** A5: filtered/conditional aggregation — promo revenue share style. */
   def a5ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = Q.t(spark, dir, "lineitem")
@@ -178,6 +199,22 @@ object Aggregates extends QueryModule {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin
 
+  /** A7b: approximate percentiles (GK sketch) — the 100-TB path beside
+    * A7's exact form: mergeable partial sketches, no global sort, error
+    * bounded by `accuracy`. Engine-specific sketch → no DuckDB oracle
+    * (rows-only check); ApproxDistinctSpec asserts tolerance vs exact.
+    */
+  def a7PercentileApprox(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("median_price"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 10000)")
+          .getItem(0).as("q1_price"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 10000)")
+          .getItem(1).as("q3_price"))
+      .orderBy(col("l_returnflag").asc)
+
   /** A9: HAVING — post-aggregation predicate (TPC-H-Q18-flavored:
     * large-basket orders only).
     */
@@ -202,15 +239,18 @@ object Aggregates extends QueryModule {
     "a2_count_distinct" -> a2CountDistinct,
     "a3_approx_distinct" -> a3ApproxDistinct,
     "a4_rollup" -> a4Rollup,
+    "a4_cube" -> a4Cube,
     "a5_conditional_agg" -> a5ConditionalAgg,
     "a6_collect_list" -> a6CollectList,
     "a7_percentiles" -> a7Percentiles,
+    "a7_percentile_approx" -> a7PercentileApprox,
     "a9_having" -> a9Having)
 
   override def oracles: Map[String, String] = Map(
     "a1_pricing_summary" -> a1Oracle,
     "a2_count_distinct" -> a2Oracle,
     "a4_rollup" -> a4Oracle,
+    "a4_cube" -> a4CubeOracle,
     "a5_conditional_agg" -> a5Oracle,
     "a6_collect_list" -> a6Oracle,
     "a7_percentiles" -> a7Oracle,

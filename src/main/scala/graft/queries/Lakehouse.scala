@@ -59,6 +59,39 @@ object Lakehouse extends QueryModule {
        |FROM orders t FULL OUTER JOIN updates s ON t.o_orderkey = s.o_orderkey
        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** L1b: MERGE with delete tombstones through Merge.applyCdc — the
+    * three-clause Delta/Iceberg form (DELETE / UPDATE / INSERT) in one
+    * full-outer shuffle. Tombstoned keys (%101, disjoint from the other
+    * clauses' keys) vanish; corrections and inserts behave as l1.
+    */
+  def l1MergeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Q.t(spark, dir, "orders")
+    val feed = updatesFeed(orders).withColumn("_deleted", lit(false))
+      .unionByName(orders
+        .filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") % 97 =!= 0)
+        .withColumn("_deleted", lit(true)))
+    Merge.applyCdc(orders, feed, Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  val l1MergeDeleteOracle: String =
+    s"""WITH updates AS (
+       |  SELECT *, FALSE AS _deleted FROM ($updatesFeedSql)
+       |  UNION ALL
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |         o_orderdate, o_orderpriority, TRUE
+       |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0)
+       |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+       |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+       |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+       |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+       |FROM orders t FULL OUTER JOIN updates s ON t.o_orderkey = s.o_orderkey
+       |WHERE NOT (s.o_orderkey IS NOT NULL AND s._deleted)
+       |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
   /** L3: versioned reads — build a manifest table in scratch, commit
     * v0 (full orders), merge the price-correction feed (v1), then
     * time-travel both versions and fingerprint them.
@@ -123,11 +156,13 @@ object Lakehouse extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_merge" -> l1Merge,
+    "l1_merge_delete" -> l1MergeDelete,
     "l3_time_travel" -> l3TimeTravel,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
     "l1_merge" -> l1Oracle,
+    "l1_merge_delete" -> l1MergeDeleteOracle,
     "l3_time_travel" -> l3Oracle,
     "l6_exact_dedup" -> l6Oracle)
 }

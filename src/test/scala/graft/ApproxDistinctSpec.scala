@@ -24,4 +24,25 @@ class ApproxDistinctSpec extends SparkTestBase {
     val flags = Q.t(spark, sf, "lineitem").select("l_returnflag").distinct().count()
     assert(res.count() === flags)
   }
+
+  test("A7b: approx_percentile tracks exact percentiles per group") {
+    val approx = SparkEntry.queries("a7_percentile_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Q.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, (p50, p25, p75)) =>
+      val (a50, a25, a75) = approx(flag)
+      // GK sketch with accuracy 10000 → rank error ≤ 1e-4; prices span
+      // ~[900, 105k], so a generous 2% value bound holds with margin
+      assert(math.abs(a50 - p50) / p50 <= 0.02, s"$flag median: $a50 vs $p50")
+      assert(math.abs(a25 - p25) / p25 <= 0.02, s"$flag q1: $a25 vs $p25")
+      assert(math.abs(a75 - p75) / p75 <= 0.02, s"$flag q3: $a75 vs $p75")
+    }
+  }
 }

@@ -105,6 +105,80 @@ class LakeSpec extends SparkTestBase {
     assert(before.exceptAll(mt.read()).count() === 0)
   }
 
+  test("L1: partition-moving update rewrites BOTH partitions, no stale row") {
+    val root = scratch("pmove")
+    val mt = new ManifestTable(spark, root, partitionCol = Some("date"))
+    val twoDays = RawIngest.readCsvInferred(spark, s"$fixtures/orders_2024-06-0[67].csv")
+    mt.write(twoDays, "overwrite")
+    // move one 06-06 order to 06-07 (a corrected order date)
+    val moved = twoDays.filter(col("order_id") === 868660)
+      .withColumn("date", to_date(lit("2024-06-07")))
+      .withColumn("order_timestamp",
+        col("order_timestamp") + expr("INTERVAL 1 DAY"))
+    mt.merge(moved, Seq("order_id"))
+    val after = mt.read()
+    // exactly one row for the key, in the NEW partition
+    val rows = after.filter(col("order_id") === 868660).collect()
+    assert(rows.length === 1, s"stale copy left behind: ${rows.toSeq}")
+    assert(rows.head.getAs[java.sql.Date]("date").toString === "2024-06-07")
+    assert(after.count() === twoDays.count())
+  }
+
+  test("L1: tombstone merge deletes matched keys through the manifest") {
+    val root = scratch("pdel")
+    val mt = new ManifestTable(spark, root, partitionCol = Some("date"))
+    val twoDays = RawIngest.readCsvInferred(spark, s"$fixtures/orders_2024-06-0[67].csv")
+    mt.write(twoDays, "overwrite")
+    val delRows = twoDays.orderBy(col("order_id").asc).limit(5)
+    val feed = updated.withColumn("_deleted", lit(false))
+      .unionByName(delRows.withColumn("_deleted", lit(true)))
+    val delKeys = delRows.select(col("order_id").cast("long"))
+      .collect().map(_.getLong(0))
+    mt.merge(feed, Seq("order_id"), deleteCol = Some("_deleted"))
+    val after = mt.read()
+    assert(after.filter(col("order_id").isin(delKeys: _*)).count() === 0)
+    assert(after.count() === twoDays.count() - 5)
+    // idempotent: re-applying the same feed commits nothing
+    val v = mt.latestVersion.get
+    assert(mt.merge(feed, Seq("order_id"), deleteCol = Some("_deleted")) === v)
+  }
+
+  test("L3: readAsOf picks the version committed at or before a timestamp") {
+    val root = scratch("asof")
+    val mt = new ManifestTable(spark, root)
+    mt.write(orders, "overwrite") // v0
+    val t0 = mt.commitTimeOf(0)
+    Thread.sleep(1100) // fs mtime granularity is a full second
+    mt.merge(updated, Seq("order_id")) // v1
+    val t1 = mt.commitTimeOf(1)
+    assert(t0 < t1)
+    assert(mt.readAsOf(t0).exceptAll(orders).count() === 0)
+    assert(mt.readAsOf((t0 + t1) / 2).exceptAll(orders).count() === 0)
+    assert(mt.readAsOf(t1).exceptAll(mt.read(Some(1))).count() === 0)
+    assert(mt.readAsOf(System.currentTimeMillis() + 60000)
+      .exceptAll(mt.read(Some(1))).count() === 0)
+    intercept[IllegalArgumentException](mt.readAsOf(t0 - 60000))
+  }
+
+  test("L2: partition values needing hive escaping prune correctly") {
+    val root = scratch("pesc")
+    val mt = new ManifestTable(spark, root, partitionCol = Some("tag"))
+    import spark.implicits._
+    // ':' and ' ' are hive-escaped to %3A / %20 in directory names
+    val base = Seq((1L, "a:1 x"), (2L, "a:1 x"), (3L, "b:2 y"))
+      .toDF("id", "tag")
+    mt.write(base, "overwrite")
+    mt.overwritePartition(Seq((9L, "a:1 x")).toDF("id", "tag"), "a:1 x")
+    val after = mt.read()
+    assert(after.filter(col("tag") === "a:1 x").count() === 1)
+    assert(after.filter(col("tag") === "b:2 y").count() === 1)
+    // merge path: update a row in the escaped partition
+    mt.merge(Seq((9L, "b:2 y")).toDF("id", "tag"), Seq("id"))
+    val moved = mt.read()
+    assert(moved.filter(col("id") === 9L).count() === 1)
+    assert(moved.filter(col("tag") === "a:1 x").count() === 0)
+  }
+
   test("L4: vacuum deletes unreferenced files, latest stays readable") {
     val root = scratch("vacuum")
     val mt = new ManifestTable(spark, root)

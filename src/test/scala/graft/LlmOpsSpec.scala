@@ -132,6 +132,22 @@ class LlmOpsSpec extends SparkTestBase {
     assert(both.count() > 2000)
   }
 
+  test("CosineSimilarity yields NULL on mismatched vector lengths (HOF parity)") {
+    import graft.functions.CosineSimilarity
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0)),       // truncated
+      (Array(1.0, 2.0), Array(1.0, 2.0))              // well-formed
+    ).toDF("a", "b")
+    val out = df.select(
+      CosineSimilarity.cosine(spark, col("a"), col("b")).as("native"),
+      graft.functions.VectorOps.cosine(col("a"), col("b")).as("hof"))
+      .collect()
+    assert(out(0).isNullAt(0), "mismatched lengths must not yield a prefix similarity")
+    assert(out(0).isNullAt(1)) // zip_with null-pads → HOF is NULL too
+    assert(!out(1).isNullAt(0) && out(1).getDouble(0) === out(1).getDouble(1))
+  }
+
   test("language-ID marker sets are consistent between query and oracle") {
     // the heuristic must at least detect planted English text
     val planted = Seq((1L, "the cat sat of the mat and it is a test")).toDF("doc_id", "text")

@@ -85,6 +85,56 @@ class MergePropertiesSpec extends SparkTestBase {
     assert(merged.count() === 4) // keys 1,2,3,9
   }
 
+  private def cdcDf(rows: List[(Long, Int, String)], deleted: Long => Boolean) =
+    rows.map { case (k, v, s) => (k, v, s, deleted(k)) }
+      .toDF("k", "v", "s", "_deleted")
+
+  test("applyCdc: matched tombstones delete, unmatched are no-ops") {
+    (1 to 5).foreach { i =>
+      val b = sample(i + 800)
+      val u = sample(i + 900)
+      val bKeys = b.map(_._1).toSet
+      val del: Long => Boolean = _ % 3 == 0
+      val out = Merge.applyCdc(df(b), cdcDf(u, del), Seq("k"))
+        .as[(Long, Int, String)].collect().map(r => r._1 -> r).toMap
+      // tombstoned keys are gone, present or not in base
+      u.filter(r => del(r._1)).foreach(r => assert(!out.contains(r._1)))
+      // non-tombstoned feed rows upsert (source wins)
+      u.filterNot(r => del(r._1)).foreach { case (k, v, s) =>
+        assert(out(k) === ((k, v, s)))
+      }
+      // untouched base rows persist
+      val uKeys = u.map(_._1).toSet
+      b.filterNot(r => uKeys.contains(r._1)).foreach { case (k, v, s) =>
+        assert(out(k) === ((k, v, s)))
+      }
+      val expected = (bKeys ++ u.filterNot(r => del(r._1)).map(_._1))
+        .diff(u.filter(r => del(r._1)).map(_._1).toSet)
+      assert(out.keySet === expected, s"seed $i")
+    }
+  }
+
+  test("applyCdc is idempotent: re-applying a feed changes nothing") {
+    (1 to 5).foreach { i =>
+      val (b, u) = (sample(i + 1000), sample(i + 1100))
+      val feed = cdcDf(u, _ % 2 == 0)
+      val once = Merge.applyCdc(df(b), feed, Seq("k"))
+      val twice = Merge.applyCdc(once, feed, Seq("k"))
+      assert(twice.exceptAll(once).count() === 0, s"seed $i")
+      assert(once.exceptAll(twice).count() === 0, s"seed $i")
+    }
+  }
+
+  test("applyCdc with no tombstones equals upsert") {
+    (1 to 5).foreach { i =>
+      val (b, u) = (sample(i + 1200), sample(i + 1300))
+      val viaCdc = Merge.applyCdc(df(b), cdcDf(u, _ => false), Seq("k"))
+      val viaUpsert = Merge.upsert(df(b), df(u), Seq("k"))
+      assert(viaCdc.exceptAll(viaUpsert).count() === 0, s"seed $i")
+      assert(viaUpsert.exceptAll(viaCdc).count() === 0, s"seed $i")
+    }
+  }
+
   test("effectiveChanges is empty iff the feed is already applied") {
     (1 to 5).foreach { i =>
       val b = sample(i + 700)
