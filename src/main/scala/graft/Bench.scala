@@ -20,12 +20,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // median-of-3 per query: a single sample at this SF is dominated by
+    // fixed overhead and machine-contention noise (round-1 recorded two
+    // set-op outliers 10× their clean-run time); the median of three
+    // back-to-back runs is stable round-over-round
+    def run(name: String): Double = {
+      val samples = Seq.fill(3)(runOnce(name))
+      if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1)
     }
 
     // warm-up: JVM/codegen/first-scan costs land here, not in a

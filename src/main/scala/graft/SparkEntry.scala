@@ -23,6 +23,7 @@ object SparkEntry {
     Lakehouse,
     StreamingQueries,
     TextAnalysis,
+    DataMix,
     Dedup,
     Similarity,
     MultimodalQueries,

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data mixing operators over `documents` — the planning layer
+  * of a pretraining pipeline: deterministic weighted subsampling,
+  * context-window sequence packing, and per-language quality filtering.
+  * All three are content/key-hash deterministic (NOT Bernoulli RNG), so
+  * they are exactly reproducible across engines, re-runs, and cluster
+  * sizes — the property a 100 TB data recipe actually needs (a rerun
+  * must select the SAME documents), and what makes them oracle-able.
+  *
+  * Scale notes: mix1/mix3 are narrow projections + window ranks
+  * (one shuffle on lang); mix2 is one window cumsum + one partial-agg
+  * shuffle. No driver-side state, no RNG seeds to coordinate.
+  */
+object DataMix extends QueryModule {
+
+  /** Uniform-in-[0,1) from the first 8 md5 hex digits of a key — the
+    * engine-portable deterministic sampler (md5 is bit-identical
+    * everywhere; xxhash64 would be Spark-only).
+    */
+  private def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  private def hashUniformSql(key: String): String =
+    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0"
+
+  /** Per-language target keep rates: downweight the over-represented
+    * language, keep the tail. (Values are a demo recipe; the operator
+    * is the deterministic thresholding, not the numbers.)
+    */
+  private val langWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "zh" -> 0.9, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8)
+
+  /** MIX1: deterministic weighted sampling — keep doc iff
+    * hashUniform(doc_id) < weight(lang). Rerunning (anywhere) selects
+    * the same documents; changing a weight only adds/removes docs of
+    * that language (no reshuffling of survivors).
+    */
+  def mix1HashSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = langWeights.foldRight(lit(0.1): Column) { case ((l, p), e) =>
+      when(col("lang") === l, lit(p)).otherwise(e)
+    }
+    Q.t(spark, dir, "documents")
+      .withColumn("u", hashUniform(col("doc_id")))
+      .filter(col("u") < w)
+      .select(col("doc_id"), col("lang"), col("source"), col("u"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val mix1Oracle: String = {
+    val cases = langWeights.map { case (l, p) => s"WHEN '$l' THEN $p" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, source, ${hashUniformSql("doc_id")} AS u
+       |FROM documents
+       |WHERE ${hashUniformSql("doc_id")} < CASE lang $cases ELSE 0.1 END
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
+
+  /** MIX2: sequence packing plan — concatenate docs per language in
+    * doc_id order, split at a 2048-token context budget: a doc's pack
+    * is floor(tokens-before-it / budget) (streaming concat-then-chunk,
+    * the standard pretraining packing). Output is the per-pack manifest
+    * a downstream tokenizer job would consume.
+    */
+  def mix2SeqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Q.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("tokens_before") / budget))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang").asc, col("pack_id").asc)
+  }
+
+  val mix2Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY doc_id ASC NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+      |      AS BIGINT) AS pack_id
+      |  FROM toks)
+      |SELECT lang, pack_id, COUNT(*) AS n_docs,
+    |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM packed
+      |GROUP BY lang, pack_id
+      |ORDER BY lang ASC NULLS FIRST, pack_id ASC NULLS FIRST""".stripMargin
+
+  /** MIX3: per-language quality filtering — keep the top half of each
+    * language by the tx quality score (percent_rank over a total
+    * order). The per-lang rank (not a global threshold) is what keeps
+    * low-resource languages from being filtered out wholesale.
+    */
+  def mix3QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val sw = TextFunctions.stopwordRatio(col("text"))
+    val punct = TextFunctions.punctRatio(col("text"))
+    val lenScore = least(length(col("text")).cast("double") / lit(400.0), lit(1.0))
+    val quality = lit(0.5) * lenScore + lit(0.3) * sw + lit(0.2) * (lit(1.0) - punct)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    Q.t(spark, dir, "documents")
+      .withColumn("quality", quality)
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= 0.5)
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val mix3Oracle: String =
+    """WITH sig AS (
+      |  SELECT doc_id, lang,
+      |    0.5 * least(CAST(len(text) AS DOUBLE) / 400.0, 1.0)
+      |    + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')))
+      |    + 0.2 * (1.0 - CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |        / len(text)) AS quality
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, lang, quality,
+      |    percent_rank() OVER (PARTITION BY lang
+      |      ORDER BY quality DESC NULLS LAST, doc_id ASC NULLS FIRST) AS pr
+      |  FROM sig)
+      |SELECT doc_id, lang, quality FROM ranked
+      |WHERE pr <= 0.5
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix1_hash_sample" -> mix1HashSample,
+    "mix2_seq_packing" -> mix2SeqPacking,
+    "mix3_quality_filter" -> mix3QualityFilter)
+
+  override def oracles: Map[String, String] = Map(
+    "mix1_hash_sample" -> mix1Oracle,
+    "mix2_seq_packing" -> mix2Oracle,
+    "mix3_quality_filter" -> mix3Oracle)
+}

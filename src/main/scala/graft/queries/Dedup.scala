@@ -42,21 +42,33 @@ object Dedup extends QueryModule {
       |WHERE rn = 1
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
-  /** D2: n-gram Jaccard similarity join — exact pairwise bigram
-    * Jaccard over a bounded slice (brute force is the oracle-able
-    * baseline; LSH below is the scale path).
+  /** D2: n-gram Jaccard similarity join, candidate-generated through an
+    * inverted shingle index: docs pair only if they SHARE a bigram,
+    * which is lossless here (jaccard ≥ 0.05 > 0 ⟹ ≥ 1 common
+    * shingle) yet scale-shaped — the equi-join key is (lang, shingle),
+    * cardinality O(vocab), not the ~3-value lang key that would skew a
+    * broadcast-less shuffle catastrophically at 100 TB. The remaining
+    * scale knob (not needed at oracle scale) is a doc-frequency cap on
+    * ultra-common shingles, trading exactness at jaccard→0 for a
+    * bounded hottest key.
     */
   def d2JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Q.t(spark, dir, "documents")
       .filter(col("doc_id") < 60)
       .select(col("doc_id"), col("lang"),
         DedupOps.shingles(col("text")).as("sh"))
-    val a = docs.select(col("doc_id").as("id_a"), col("lang"),
-      col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("id_b"),
-      col("lang"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang"))
+    val inv = docs.select(col("doc_id"), col("lang"),
+      explode(col("sh")).as("shingle"))
+    val cands = inv.select(col("doc_id").as("id_a"),
+        col("lang"), col("shingle"))
+      .join(inv.select(col("doc_id").as("id_b"), col("lang"), col("shingle")),
+        Seq("lang", "shingle"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "lang")
+      .distinct()
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.05)
       .select("id_a", "id_b", "lang", "jaccard")

@@ -67,6 +67,26 @@ class PlanShapeSpec extends SparkTestBase {
       p.contains("SortMergeJoin"), p)
   }
 
+  test("u3 set-ops: pruned pushed-down scans + AQE broadcast semi/anti join") {
+    // Each branch scans orders with ITS status filter pushed down (two
+    // pruned scans beat one shared wide scan — each reads only matching
+    // row groups of 2 columns), and AQE must turn the set-op's join into
+    // a broadcast semi/anti, not a full shuffle join. Final plan exists
+    // only after execution.
+    Seq("u3_intersect" -> "LeftSemi", "u3_except" -> "LeftAnti").foreach {
+      case (name, joinType) =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("EqualTo(o_orderstatus,F)"), s"$name F-pushdown:\n$p")
+        assert(p.contains("EqualTo(o_orderstatus,O)"), s"$name O-pushdown:\n$p")
+        assert(p.contains(s"BroadcastHashJoin") && p.contains(joinType),
+          s"$name should broadcast $joinType:\n$p")
+        assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderstatus:string>"),
+          s"$name scan not pruned to 2 columns:\n$p")
+    }
+  }
+
   test("j4 semi/anti joins plan as semi/anti, not inner+distinct") {
     assert(plan("j4_semi_join").contains("LeftSemi"))
     assert(plan("j4_anti_join").contains("LeftAnti"))
