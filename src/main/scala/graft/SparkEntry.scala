@@ -27,6 +27,7 @@ object SparkEntry {
     Dedup,
     Similarity,
     MultimodalQueries,
+    Reshape,
     Subqueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -44,6 +44,24 @@ object Subqueries extends QueryModule {
   def sub2ScalarIn(spark: SparkSession, dir: String): DataFrame =
     GraftSession.sql(spark, dir, sub2Sql)
 
+  /** Correlated EXISTS / NOT EXISTS — Catalyst rewrites both into
+    * semi/anti joins (one shuffle each, no per-row subquery
+    * re-execution); same SQL is the DuckDB oracle.
+    */
+  private val sub3Sql =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
+
+  def sub3Exists(spark: SparkSession, dir: String): DataFrame =
+    GraftSession.sql(spark, dir, sub3Sql)
+
   /** GROUPING SETS — explicit multi-grain aggregate (A4's general
     * form beyond ROLLUP).
     */
@@ -61,11 +79,13 @@ object Subqueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sub1_correlated_scalar" -> sub1CorrelatedScalar,
     "sub2_scalar_in" -> sub2ScalarIn,
+    "sub3_exists" -> sub3Exists,
     "a4_grouping_sets" -> a4GroupingSets)
 
   // the Spark SQL strings are (deliberately) also valid DuckDB SQL
   override def oracles: Map[String, String] = Map(
     "sub1_correlated_scalar" -> sub1Sql,
     "sub2_scalar_in" -> sub2Sql,
+    "sub3_exists" -> sub3Sql,
     "a4_grouping_sets" -> gsSpark)
 }
