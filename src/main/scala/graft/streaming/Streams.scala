@@ -99,6 +99,25 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** T7: stream-stream event-time interval join — the attribution
+    * pattern (right-side events within [leftTs, leftTs + horizon] of a
+    * matching left event). BOTH sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, so each side's
+    * buffered state is dropped as the other side's watermark passes —
+    * state stays O(horizon × rate), never unbounded. Inner join:
+    * results are identical to the batch join over the same inputs.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      watermark: String, horizon: String): DataFrame = {
+    require(leftTs != rightTs, "rename one side's event-time column first")
+    left.withWatermark(leftTs, watermark).alias("l")
+      .join(right.withWatermark(rightTs, watermark).alias("r"),
+        expr(s"""l.$key = r.$key
+                 AND $rightTs >= $leftTs
+                 AND $rightTs <= $leftTs + INTERVAL $horizon"""))
+  }
+
   /** T6: late-data policy — rows older than the watermark are dropped
     * by the windowed aggregate; the `observe` metric counts every
     * arriving row so dropped = observed - aggregated. DQ analog of the

@@ -61,6 +61,37 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$sink/out").count() === ev.count())
   }
 
+  test("T7: stream-stream interval join equals the batch interval join") {
+    val inbox = scratch("t7_inbox")
+    val ev = stageEvents(inbox)
+    def sides(df: DataFrame): (DataFrame, DataFrame) = (
+      df.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id")),
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"), col("value")))
+    val stream = spark.readStream.schema(ev.schema).parquet(inbox)
+    val (vs, ps) = sides(stream)
+    val joined = Streams.intervalJoin(vs, ps, "user_id",
+      "view_ts", "buy_ts", "1 hour", "30 MINUTES")
+      .select(col("view_id"), col("buy_id"), col("value"))
+    val q = joined.writeStream.format("memory").queryName("t7_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("t7_out")
+    val (vb, pb) = sides(ev)
+    val batch = vb.alias("l").join(pb.alias("r"),
+      col("l.user_id") === col("r.user_id") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("view_id"), col("buy_id"), col("value"))
+    assert(batch.count() > 0, "fixture yields no attributed purchases")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("T2: streamed tumbling agg equals the batch window agg") {
     val inbox = scratch("t2_inbox")
     val ev = stageEvents(inbox)
