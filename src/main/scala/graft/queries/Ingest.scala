@@ -28,10 +28,14 @@ object Ingest extends QueryModule {
   /** Fixture dir — absolute so both Spark and the driver's DuckDB see it. */
   val FixtureDir = "/root/repo/src/test/resources/datasets"
 
-  /** Positional truth for products.csv (the lying-header file). */
+  /** Positional truth for products.csv (the lying-header file) — the
+    * interpretation IngestSpec validates: field 2 is the dense PK
+    * 1..134 that covers every order_items.product_id (field 1 is a
+    * legacy id the 4-name header omits).
+    */
   val ProductsSchema: StructType = StructType(Seq(
+    StructField("legacy_id", IntegerType),
     StructField("product_id", IntegerType),
-    StructField("aisle_id", IntegerType),
     StructField("department_id", IntegerType),
     StructField("department", StringType),
     StructField("product_name", StringType)))
@@ -76,9 +80,9 @@ object Ingest extends QueryModule {
   }
 
   val s2Oracle: String =
-    s"""SELECT product_id, aisle_id, department_id, department, product_name
+    s"""SELECT legacy_id, product_id, department_id, department, product_name
        |FROM read_csv('$FixtureDir/products.csv', skip=1, header=false,
-       |  columns={'product_id':'INTEGER','aisle_id':'INTEGER',
+       |  columns={'legacy_id':'INTEGER','product_id':'INTEGER',
        |           'department_id':'INTEGER','department':'VARCHAR',
        |           'product_name':'VARCHAR'})
        |ORDER BY product_id ASC NULLS FIRST""".stripMargin
