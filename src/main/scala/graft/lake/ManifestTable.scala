@@ -12,7 +12,8 @@ import java.util.UUID
   * Layout:
   * {{{
   *   <root>/data/[<part>=<value>/]<uuid>.parquet   immutable data files
-  *   <root>/_graft_log/v<NNNNN>.manifest           one line per data file
+  *   <root>/_graft_log/v<NNNNN>.manifest           one line per data file:
+  *     <relPath>[\t<urlenc min>\t<urlenc max>]     (stats when statsCol set)
   * }}}
   *
   * A commit writes the manifest to a temp name then atomically renames it
@@ -21,9 +22,18 @@ import java.util.UUID
   * scope). Scale: the manifest lists FILES, not rows — commit cost is
   * O(files), never O(data). Partition-aware merge rewrites only touched
   * partitions and carries every other file forward by reference.
+  *
+  * Data skipping (L7): with `statsCol` set, each commit records that
+  * column's per-file min/max (one distributed job over the NEW files
+  * only; carried-forward files keep their recorded stats), and
+  * [[readRange]] prunes files whose [min,max] misses the queried range
+  * before Spark ever lists them — the Delta/Iceberg zone-map pattern
+  * that turns a narrow range query on a sorted/clustered 100 TB table
+  * into a few file reads.
   */
 class ManifestTable(spark: SparkSession, root: String,
-    partitionCol: Option[String] = None) {
+    partitionCol: Option[String] = None,
+    statsCol: Option[String] = None) {
 
   private val logDir = new Path(root, "_graft_log")
   private val dataDir = new Path(root, "data")
@@ -43,13 +53,34 @@ class ManifestTable(spark: SparkSession, root: String,
 
   def latestVersion: Option[Int] = versions.lastOption
 
-  /** Data files (absolute) referenced by a version. */
-  def filesOf(version: Int): Seq[String] = {
+  /** One manifest line: relative path + optional (min, max) of statsCol. */
+  private case class Entry(rel: String, stats: Option[(String, String)]) {
+    def line: String = stats match {
+      case Some((mn, mx)) => s"$rel\t${Entry.enc(mn)}\t${Entry.enc(mx)}"
+      case None => rel
+    }
+  }
+  private object Entry {
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, "UTF-8")
+    def dec(s: String): String =
+      java.net.URLDecoder.decode(s, "UTF-8")
+    def parse(line: String): Entry = line.split('\t') match {
+      case Array(rel, mn, mx) => Entry(rel, Some((dec(mn), dec(mx))))
+      case _ => Entry(line, None)
+    }
+  }
+
+  private def entriesOf(version: Int): Seq[Entry] = {
     val in = fs.open(manifestPath(version))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(rel => new Path(root, rel).toString).toList
+      .filter(_.nonEmpty).map(Entry.parse).toList
     finally in.close()
   }
+
+  /** Data files (absolute) referenced by a version. */
+  def filesOf(version: Int): Seq[String] =
+    entriesOf(version).map(e => new Path(root, e.rel).toString)
 
   /** Time-travel read: latest when version is None. */
   def read(version: Option[Int] = None): DataFrame = {
@@ -85,16 +116,80 @@ class ManifestTable(spark: SparkSession, root: String,
     read(Some(v))
   }
 
-  private def commit(relFiles: Seq[String]): Int = {
+  private def commit(entries: Seq[Entry]): Int = {
     fs.mkdirs(logDir)
     val v = latestVersion.getOrElse(-1) + 1
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write((relFiles.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((entries.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, manifestPath(v)))
       throw new IllegalStateException(s"commit of v$v failed (concurrent writer?)")
     v
+  }
+
+  /** Entries for freshly written files: statsCol min/max per file via
+    * ONE distributed job over just the new files (input_file_name
+    * grouping) — write-time stats collection, O(new data) once, never
+    * re-scanned. Files are uuid-named so basename lookup is exact.
+    */
+  private def newEntries(relFiles: Seq[String]): Seq[Entry] = statsCol match {
+    case None => relFiles.map(Entry(_, None))
+    case Some(c) if relFiles.nonEmpty =>
+      val abs = relFiles.map(r => new Path(root, r).toString)
+      val sdf = spark.read.option("basePath", dataDir.toString).parquet(abs: _*)
+      if (!sdf.columns.contains(c)) relFiles.map(Entry(_, None))
+      else {
+        val byName = sdf
+          .groupBy(input_file_name().as("_f"))
+          .agg(min(col(c)).cast("string").as("mn"),
+            max(col(c)).cast("string").as("mx"))
+          .collect() // bounded: one row per new file
+          .map(r => new Path(r.getString(0)).getName ->
+            (Option(r.getString(1)), Option(r.getString(2))))
+          .toMap
+        relFiles.map { rel =>
+          byName.get(new Path(rel).getName) match {
+            case Some((Some(mn), Some(mx))) => Entry(rel, Some((mn, mx)))
+            case _ => Entry(rel, None) // all-null or empty file: never pruned
+          }
+        }
+      }
+    case _ => Seq.empty
+  }
+
+  /** Min/max compare in the stats domain: numeric when both sides parse
+    * as numbers, else lexicographic (ISO dates/timestamps sort
+    * correctly as strings).
+    */
+  private def statCmp(a: String, b: String): Int =
+    try BigDecimal(a).compare(BigDecimal(b))
+    catch { case _: NumberFormatException => a.compareTo(b) }
+
+  /** L7: data-skipping read — files of the (latest) version whose
+    * statsCol range intersects [lo, hi]; files without stats are kept
+    * (never wrongly pruned). Exposed for pruning assertions.
+    */
+  def prunedFiles(lo: String, hi: String,
+      version: Option[Int] = None): Seq[String] = {
+    require(statsCol.isDefined, "table has no statsCol")
+    val v = version.orElse(latestVersion)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    entriesOf(v).filter(_.stats.forall { case (mn, mx) =>
+      statCmp(mx, lo) >= 0 && statCmp(mn, hi) <= 0
+    }).map(e => new Path(root, e.rel).toString)
+  }
+
+  /** L7: range query with file skipping — scans only intersecting files
+    * and applies the residual predicate (exact result regardless of
+    * stats coverage).
+    */
+  def readRange(lo: String, hi: String, version: Option[Int] = None): DataFrame = {
+    val c = statsCol.get
+    val files = prunedFiles(lo, hi, version)
+    if (files.isEmpty) read(version).filter(lit(false))
+    else spark.read.option("basePath", dataDir.toString).parquet(files: _*)
+      .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
   /** Write a DataFrame's rows as new data files; returns their paths
@@ -128,25 +223,22 @@ class ManifestTable(spark: SparkSession, root: String,
     * append = new version referencing old + new files.
     */
   def write(df: DataFrame, mode: String = "overwrite"): Int = {
-    val newFiles = writeDataFiles(df)
+    val newFiles = newEntries(writeDataFiles(df))
     val carried = mode match {
-      case "append" => latestVersion.map(relFilesOf).getOrElse(Seq.empty)
+      case "append" => latestVersion.map(entriesOf).getOrElse(Seq.empty)
       case "overwrite" => Seq.empty
       case m => throw new IllegalArgumentException(s"mode $m")
     }
     commit(carried ++ newFiles)
   }
 
-  private def relFilesOf(v: Int): Seq[String] =
-    filesOf(v).map(f => f.stripPrefix(new Path(root).toString).stripPrefix("/"))
-
   /** L2: replace exactly one partition (dynamic partition overwrite). */
   def overwritePartition(df: DataFrame, value: String): Int = {
     val c = partitionCol.getOrElse(
       throw new IllegalStateException("table is not partitioned"))
-    val newFiles = writeDataFiles(df.filter(col(c) === value))
-    val kept = latestVersion.map(relFilesOf).getOrElse(Seq.empty)
-      .filterNot(f => inPartition(f, c, value))
+    val newFiles = newEntries(writeDataFiles(df.filter(col(c) === value)))
+    val kept = latestVersion.map(entriesOf).getOrElse(Seq.empty)
+      .filterNot(e => inPartition(e.rel, c, value))
     commit(kept ++ newFiles)
   }
 
@@ -214,9 +306,9 @@ class ManifestTable(spark: SparkSession, root: String,
           case None => updates.filter(inTouched)
         }
         val merged = resolve(touchedBase, touchedUpdates)
-        val newFiles = writeDataFiles(merged)
-        val kept = relFilesOf(latestVersion.get)
-          .filterNot(f => touched.exists(v => inPartition(f, c, v)))
+        val newFiles = newEntries(writeDataFiles(merged))
+        val kept = entriesOf(latestVersion.get)
+          .filterNot(e => touched.exists(v => inPartition(e.rel, c, v)))
         commit(kept ++ newFiles)
       case None =>
         write(resolve(base, updates), "overwrite")

@@ -179,6 +179,37 @@ class LakeSpec extends SparkTestBase {
     assert(moved.filter(col("tag") === "a:1 x").count() === 0)
   }
 
+  test("L7: manifest min/max stats skip files outside the queried range") {
+    val root = scratch("skip")
+    val mt = new ManifestTable(spark, root, statsCol = Some("o_orderkey"))
+    val orders10 = Q.t(spark, sf, "orders")
+    // range-cluster on the stats column so files have narrow, disjoint
+    // key ranges — the layout OPTIMIZE ZORDER/sort would produce
+    mt.write(orders10.repartitionByRange(8, col("o_orderkey")), "overwrite")
+    val all = mt.filesOf(0)
+    assert(all.size >= 4, s"expected several files, got ${all.size}")
+    val total = orders10.count()
+    val expected = orders10.filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 500)
+
+    val pruned = mt.prunedFiles("100", "500")
+    assert(pruned.size < all.size,
+      s"no files skipped (${pruned.size} of ${all.size})")
+    val got = mt.readRange("100", "500")
+    assert(expected.count() > 0 && got.count() === expected.count())
+    assert(got.select("o_orderkey").exceptAll(expected.select("o_orderkey")).count() === 0)
+
+    // stats survive a carried-forward commit: append an out-of-range
+    // slice — its new files must be skipped, carried files keep stats
+    val slice = orders10.filter(col("o_orderkey").between(1000, 1200))
+    assert(slice.count() > 0, "fixture slice empty; pick an in-data range")
+    mt.write(slice, "append")
+    assert(mt.prunedFiles("100", "500").size === pruned.size)
+    assert(mt.readRange("100", "500").count() === expected.count())
+
+    // full-range query touches everything and loses nothing
+    assert(mt.readRange("0", s"${Long.MaxValue}").count() === total + slice.count())
+  }
+
   test("L4: vacuum deletes unreferenced files, latest stays readable") {
     val root = scratch("vacuum")
     val mt = new ManifestTable(spark, root)
