@@ -329,6 +329,15 @@ class ManifestTable(spark: SparkSession, root: String,
     write(compacted, "overwrite")
   }
 
+  /** L5b: cluster-compact — rewrite range-partitioned by `column` so
+    * each file covers a narrow value range (the single-dimension
+    * OPTIMIZE ZORDER analogue). Pays one sort-shuffle to make every
+    * later [[readRange]] on that column skip most files: the write-once
+    * read-many trade a 100 TB table wants.
+    */
+  def optimizeBy(column: String, targetFiles: Int = 8): Int =
+    write(read().repartitionByRange(targetFiles, col(column)), "overwrite")
+
   /** L4: VACUUM — delete data files unreferenced by the `retain` most
     * recent versions, and drop manifests older than those. Returns
     * deleted file paths. Walk cost is O(files).

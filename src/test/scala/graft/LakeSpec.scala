@@ -210,6 +210,26 @@ class LakeSpec extends SparkTestBase {
     assert(mt.readRange("0", s"${Long.MaxValue}").count() === total + slice.count())
   }
 
+  test("L5b/L7: optimizeBy clusters files so range reads skip most of them") {
+    val root = scratch("optby")
+    val mt = new ManifestTable(spark, root, statsCol = Some("o_orderkey"))
+    // hash layout: every file spans ~the full key range → nothing skips
+    mt.write(Q.t(spark, sf, "orders").repartition(8), "overwrite")
+    val allBefore = mt.filesOf(mt.latestVersion.get).size
+    val prunedBefore = mt.prunedFiles("100", "500").size
+    assert(prunedBefore === allBefore, "hash layout shouldn't be skippable")
+
+    mt.optimizeBy("o_orderkey", targetFiles = 8)
+    val allAfter = mt.filesOf(mt.latestVersion.get).size
+    val prunedAfter = mt.prunedFiles("100", "500").size
+    assert(prunedAfter < allAfter,
+      s"clustered layout skipped nothing ($prunedAfter of $allAfter)")
+    // same data, same range answer
+    val expected = Q.t(spark, sf, "orders")
+      .filter(col("o_orderkey").between(100, 500)).count()
+    assert(mt.readRange("100", "500").count() === expected)
+  }
+
   test("L4: vacuum deletes unreferenced files, latest stays readable") {
     val root = scratch("vacuum")
     val mt = new ManifestTable(spark, root)

@@ -87,6 +87,26 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("r1 pivot with explicit values is a single-scan single-aggregate plan") {
+    val p = plan("r1_pivot")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      "pivot should not re-scan to discover values:\n" + p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("mix1 hash sampling is scan+filter only — no aggregate/join exchange") {
+    val p = plan("mix1_hash_sample")
+    assert(!p.contains("hashpartitioning"),
+      "row-wise sampler must not shuffle:\n" + p)
+    assert(p.contains("rangepartitioning"), "only the final sort exchanges:\n" + p)
+  }
+
+  test("d2 inverted-index jaccard has no cartesian/nested-loop join") {
+    val p = plan("d2_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("j4 semi/anti joins plan as semi/anti, not inner+distinct") {
     assert(plan("j4_semi_join").contains("LeftSemi"))
     assert(plan("j4_anti_join").contains("LeftAnti"))
