@@ -35,6 +35,23 @@ object VectorOps {
   def l2Dist(a: Column, b: Column): Column =
     sqrt(arraySum(zip_with(a, b, (x, y) => (x - y) * (x - y))))
 
+  /** Symmetric max-abs int8 quantization: (scale, ARRAY<TINYINT>) —
+    * 4× (vs float) / 8× (vs double) smaller embedding storage, the
+    * difference between a 100 TB and a 25 TB vector store. Codegen
+    * higher-order fns, no UDF. Zero vectors quantize to scale 0 /
+    * all-zero codes (dequantize returns the zero vector back).
+    */
+  def quantScale(v: Column): Column =
+    aggregate(toDouble(v), lit(0.0), (m, x) => greatest(m, abs(x))) / lit(127.0)
+
+  def quantize(v: Column, scale: Column): Column =
+    transform(toDouble(v), x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(round(x / scale).cast("int")).cast("tinyint"))
+
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** A8/X2: typed Aggregator computing the element-wise mean vector
     * (centroid) of grouped embeddings. Buffer = (sum vector, count);
     * merge is element-wise — classic partial-aggregation shape, scales

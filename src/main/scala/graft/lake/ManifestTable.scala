@@ -90,8 +90,13 @@ class ManifestTable(spark: SparkSession, root: String,
     if (files.isEmpty) {
       spark.emptyDataFrame
     } else {
-      // basePath restores partition columns from directory structure
-      spark.read.option("basePath", new Path(root, "data").toString)
+      // basePath restores partition columns from directory structure;
+      // mergeSchema unions file schemas so a column added by a later
+      // append surfaces (null-filled for pre-evolution files) instead
+      // of silently depending on which file seeds the schema
+      spark.read
+        .option("basePath", new Path(root, "data").toString)
+        .option("mergeSchema", "true")
         .parquet(files: _*)
     }
   }

@@ -141,11 +141,39 @@ object Similarity extends QueryModule {
       .orderBy(col("label").asc)
   }
 
+  /** S5: int8-quantized top-k — the corpus side carries only
+    * (scale, ARRAY<TINYINT>) = 8× smaller than double vectors (the
+    * memory/IO knob a 100 TB vector store turns first); probes stay
+    * full-precision, corpus vectors are dequantized on the fly inside
+    * the scan (codegen HOFs, no shuffle of the wide column). Rounding
+    * noise → rows-only check; recall vs exact asserted in LlmOpsSpec.
+    */
+  def s5QuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Q.t(spark, dir, "embeddings")
+    val corpus = emb
+      .withColumn("scale", VectorOps.quantScale(col("embedding")))
+      .withColumn("codes", VectorOps.quantize(col("embedding"), col("scale")))
+      .select(col("vec_id"), col("scale"), col("codes"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        VectorOps.toDouble(col("embedding")).as("q_v"))
+    val scored = corpus.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("q_v"),
+        VectorOps.dequantize(col("codes"), col("scale"))), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("sim"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_ann" -> s2LshAnn,
     "s3_centroids" -> s3Centroids,
-    "s4_ivf_ann" -> ((s, d) => s4IvfAnn(s, d)))
+    "s4_ivf_ann" -> ((s, d) => s4IvfAnn(s, d)),
+    "s5_quantized_topk" -> s5QuantizedTopK)
 
   override def oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Oracle)

@@ -230,6 +230,18 @@ class LakeSpec extends SparkTestBase {
     assert(mt.readRange("100", "500").count() === expected)
   }
 
+  test("S7/L: appended column survives read (mergeSchema), null for old files") {
+    val root = scratch("evolve")
+    val mt = new ManifestTable(spark, root)
+    import spark.implicits._
+    mt.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "overwrite")
+    mt.write(Seq((3L, "c", 9.5)).toDF("id", "v", "score"), "append")
+    val df = mt.read()
+    assert(df.columns.toSet === Set("id", "v", "score"))
+    assert(df.filter(col("score").isNotNull).count() === 1)
+    assert(df.count() === 3)
+  }
+
   test("L4: vacuum deletes unreferenced files, latest stays readable") {
     val root = scratch("vacuum")
     val mt = new ManifestTable(spark, root)

@@ -132,6 +132,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(both.count() > 2000)
   }
 
+  test("int8 quantization: bounded reconstruction error, high top-3 recall") {
+    import graft.functions.VectorOps
+    val emb = Q.t(spark, sf, "embeddings")
+    // element-wise |x - dequant(quant(x))| ≤ scale/2 (round-to-nearest)
+    val err = emb
+      .withColumn("scale", VectorOps.quantScale(col("embedding")))
+      .withColumn("codes", VectorOps.quantize(col("embedding"), col("scale")))
+      .withColumn("back", VectorOps.dequantize(col("codes"), col("scale")))
+      .withColumn("max_err", expr(
+        "aggregate(zip_with(cast(embedding as array<double>), back, (x, y) -> abs(x - y)), 0D, (a, e) -> greatest(a, e))"))
+      .filter(col("max_err") > col("scale") * 0.5 + 1e-12)
+    assert(err.count() === 0, "reconstruction error above scale/2")
+
+    // quantized ranking finds (nearly) the exact top-3
+    val exact = SparkEntry.queries("s1_cosine_topk")(spark, sf)
+      .select("q_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SparkEntry.queries("s5_quantized_topk")(spark, sf)
+      .select("q_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall")
+  }
+
   test("CosineSimilarity yields NULL on mismatched vector lengths (HOF parity)") {
     import graft.functions.CosineSimilarity
     import spark.implicits._
