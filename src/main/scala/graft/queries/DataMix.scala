@@ -146,13 +146,43 @@ object DataMix extends QueryModule {
       |WHERE pr <= 0.5
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** MIX4: quota (stratified) sampling — EXACTLY n docs per language,
+    * chosen by hash rank: the deterministic reservoir. Unlike mix1's
+    * rate sampling, quotas hold exactly even when language sizes drift
+    * — the contract data-mixture specs are written against. One
+    * window shuffle on lang; no RNG, no driver state.
+    */
+  def mix4QuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val n = 40
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("u").asc, col("doc_id").asc)
+    Q.t(spark, dir, "documents")
+      .withColumn("u", hashUniform(col("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val mix4Oracle: String =
+    s"""SELECT doc_id, lang, rk FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY ${hashUniformSql("doc_id")} ASC NULLS FIRST,
+       |               doc_id ASC NULLS FIRST) AS INT) AS rk
+       |  FROM documents)
+       |WHERE rk <= 40
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix1_hash_sample" -> mix1HashSample,
     "mix2_seq_packing" -> mix2SeqPacking,
-    "mix3_quality_filter" -> mix3QualityFilter)
+    "mix3_quality_filter" -> mix3QualityFilter,
+    "mix4_quota_sample" -> mix4QuotaSample)
 
   override def oracles: Map[String, String] = Map(
     "mix1_hash_sample" -> mix1Oracle,
     "mix2_seq_packing" -> mix2Oracle,
-    "mix3_quality_filter" -> mix3Oracle)
+    "mix3_quality_filter" -> mix3Oracle,
+    "mix4_quota_sample" -> mix4Oracle)
 }
