@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{CosineSimilarity, TextFunctions}
+
+/** Session-extension entry point — the deployment-grade way to expose
+  * the engine's native Expressions in plain SQL, with no code on the
+  * user side:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   spark.sql("SELECT graft_cosine(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * The per-session `CosineSimilarity.register` / `registerRollingHash`
+  * temp-function calls remain for ad-hoc use; this class is the
+  * cluster-wide configuration surface (every new session gets the
+  * functions at build time, exactly how Delta/Iceberg register their
+  * SQL surface).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two float/double arrays; NULL on length mismatch"),
+      exprs => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[TextFunctions.RollingHash].getName,
+        "graft_rolling_hash",
+        "graft_rolling_hash(s) - base-31 rolling hash of a string (document fingerprinting)"),
+      exprs => TextFunctions.RollingHash(exprs.head, 31)))
+  }
+}

@@ -244,7 +244,41 @@ object Functions extends QueryModule {
        |GROUP BY 1
        |ORDER BY k_mod10 ASC NULLS FIRST""".stripMargin
 
-  /** F7: hash/fingerprint functions — md5 + sha2-256 hex. */
+  /** F6b: map functions — build, merge, introspect, and transform a
+    * MAP<STRING,STRING> assembled from event columns. The oracle
+    * recomputes each scalar from the raw columns (first-principles
+    * check of the map semantics; DuckDB's MAP surface differs).
+    */
+  def f6bMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val m = map_concat(
+      map_from_arrays(
+        array(lit("type"), lit("k")),
+        array(col("event_type"), get_json_object(col("props"), "$.k"))),
+      map(lit("src"), lit("evt")))
+    Q.t(spark, dir, "events")
+      .filter(col("event_id") < 50)
+      .select(
+        col("event_id"),
+        size(m).as("n_keys"),
+        array_join(sort_array(map_keys(m)), ",").as("keys"),
+        element_at(m, "k").cast(IntegerType).as("k_val"),
+        element_at(transform_values(m, (_, v) => upper(v)), "type").as("type_upper"),
+        size(map_filter(m, (_, v) => v.rlike("^[0-9]+$"))).as("numeric_vals"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val f6bOracle: String =
+    """SELECT event_id,
+      |  CAST(3 AS INT) AS n_keys,
+      |  'k,src,type' AS keys,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+      |  upper(event_type) AS type_upper,
+      |  CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^[0-9]+$') THEN 1 ELSE 0 END
+      |     + CASE WHEN regexp_matches(event_type, '^[0-9]+$') THEN 1 ELSE 0 END
+      |     + 0 AS INT) AS numeric_vals
+      |FROM events
+      |WHERE event_id < 50
+      |ORDER BY event_id ASC NULLS FIRST""".stripMargin
   def f7Hash(spark: SparkSession, dir: String): DataFrame =
     Q.t(spark, dir, "documents")
       .filter(col("doc_id") < 50)
@@ -270,6 +304,7 @@ object Functions extends QueryModule {
     "f5_array_funcs" -> f5Array,
     "f5_explode_tf" -> f5Explode,
     "f6_json_funcs" -> f6Json,
+    "f6b_map_funcs" -> f6bMapFuncs,
     "f7_hash_funcs" -> f7Hash)
 
   override def oracles: Map[String, String] = Map(
@@ -282,5 +317,6 @@ object Functions extends QueryModule {
     "f5_array_funcs" -> f5Oracle,
     "f5_explode_tf" -> f5ExplodeOracle,
     "f6_json_funcs" -> f6Oracle,
+    "f6b_map_funcs" -> f6bOracle,
     "f7_hash_funcs" -> f7Oracle)
 }
