@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, QueryModule}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (F8 + north-star
@@ -146,17 +147,74 @@ object TextAnalysis extends QueryModule {
       |FROM documents
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** F8f: tf-idf term scoring — the inverted-index relevance score
+    * (search/retrieval over the corpus). Classic shape: explode to
+    * (doc, term, tf), document frequency per term, join, score, top-3
+    * per doc. Rational idf damping `(N+1)/(df+1)` instead of
+    * `ln(N/df)`: identical ranking direction, but exact IEEE division
+    * in both engines (ln can differ in the last ulp and flip a
+    * rounded tie cross-engine).
+    *
+    * Scale notes: tf and df are both partial-combine hash aggregates;
+    * the df side is tiny (vocab) and broadcasts into the score join.
+    */
+  def txTfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(spark, dir, "documents")
+    val n = docs.agg(countDistinct(col("doc_id")).as("n"))
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n") + 1).cast("double")
+          / (col("df") + 1).cast("double"))
+      .filter(col("doc_id") < 30)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy(col("doc_id").asc, col("rk").asc)
+  }
+
+  val txTfIdfOracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    CAST(tf.tf AS DOUBLE) * CAST(n.n + 1 AS DOUBLE)
+      |      / CAST(df.df + 1 AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  WHERE tf.doc_id < 30)
+      |SELECT doc_id, rk, term, score FROM (
+      |  SELECT doc_id, term, score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC NULLS LAST, term ASC NULLS FIRST) AS INT) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3
+      |ORDER BY doc_id ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_token_stats" -> txTokenStats,
     "tx_quality_score" -> txQualityScore,
     "tx_lang_id" -> txLangId,
     "tx_bigrams" -> txBigrams,
-    "tx_fingerprint" -> txFingerprint)
+    "tx_fingerprint" -> txFingerprint,
+    "tx_tfidf" -> txTfIdf)
 
   override def oracles: Map[String, String] = Map(
     "tx_token_stats" -> txTokenStatsOracle,
     "tx_quality_score" -> txQualityScoreOracle,
     "tx_lang_id" -> txLangIdOracle,
     "tx_bigrams" -> txBigramsOracle,
-    "tx_fingerprint" -> txFingerprintOracle)
+    "tx_fingerprint" -> txFingerprintOracle,
+    "tx_tfidf" -> txTfIdfOracle)
 }

@@ -242,6 +242,29 @@ class LakeSpec extends SparkTestBase {
     assert(df.count() === 3)
   }
 
+  test("commit refuses to clobber a version written by another writer") {
+    val root = scratch("clobber")
+    val mt = new ManifestTable(spark, root)
+    mt.write(orders.limit(10), "overwrite") // v0
+    // another writer publishes v1 behind our back
+    val foreign = new org.apache.hadoop.fs.Path(root, "_graft_log/v00001.manifest")
+    val fs = foreign.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(foreign, false)
+    out.write("data/foreign.parquet\n".getBytes("UTF-8")); out.close()
+    // our next commit targets v2 (sees v1 in the log) — the atomic
+    // rename contract is per-version; colliding versions must fail,
+    // sequential ones succeed
+    val v = mt.write(orders.limit(5), "append")
+    assert(v === 2)
+    // and a direct collision (simulated stale writer) is rejected: the
+    // rename-onto-existing path cannot silently replace a manifest
+    val tmp = new org.apache.hadoop.fs.Path(root, "_graft_log/.tmp-race")
+    val out2 = fs.create(tmp, false)
+    out2.write("data/other.parquet\n".getBytes("UTF-8")); out2.close()
+    assert(!fs.rename(tmp, foreign),
+      "filesystem rename must not clobber an existing manifest")
+  }
+
   test("L4: vacuum deletes unreferenced files, latest stays readable") {
     val root = scratch("vacuum")
     val mt = new ManifestTable(spark, root)
