@@ -136,4 +136,51 @@ object DedupOps {
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
+
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise candidates (LSH / jaccard / cosine) into dedup
+    * CLUSTERS with one canonical survivor each (min id). Iterative
+    * min-label propagation: each round every node takes the min of its
+    * own label and its neighbors' labels; converges in O(diameter)
+    * rounds — near-dup graphs are shallow (dup groups are small
+    * cliques), so this is 2–4 hash-join rounds in practice. Each round
+    * is shuffle-on-node-id; each iteration's labels are
+    * `localCheckpoint`ed, which BOTH materializes them AND truncates
+    * the logical plan — without lineage truncation an iterative
+    * DataFrame loop nests every prior round's plan inside the next
+    * (the plan tree grows exponentially and the driver, not the
+    * executors, becomes the bottleneck). Fixpoint exit by changed
+    * count (the standard distributed-CC pattern, e.g. GraphFrames).
+    * `pairs` carries (aCol, bCol) edges.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // materialize once, shallow plan
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("label", "nbr_label"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true) // O(diameter) materializations, flat lineage
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
 }

@@ -153,15 +153,61 @@ object Dedup extends QueryModule {
        |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
   }
 
+  /** D6: near-dup clusters — connected components over the d2 pair
+    * graph, one canonical survivor (min doc_id) per cluster. This is
+    * the step that makes pairwise similarity actionable: a dedup
+    * pipeline drops every non-canonical member. Oracle = transitive
+    * closure by recursive CTE over the identical pair set.
+    */
+  def d6DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d2JaccardPairs(spark, dir)
+    DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster_id"),
+        (col("cluster_id") === col("node")).as("is_canonical"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Keep the d2 pair definition inline (sh CTE identical to d2Oracle)
+    * so the closure runs over exactly the oracle-checked pair set.
+    */
+  val d6Oracle: String =
+    """WITH RECURSIVE
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      list_zip(string_split(text,' ')[1:len(string_split(text,' '))-1],
+      |               string_split(text,' ')[2:len(string_split(text,' '))]),
+      |      p -> p[1] || ' ' || p[2])) AS s
+      |  FROM documents WHERE doc_id < 60),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.05),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b)
+      |SELECT node AS doc_id, MIN(r) AS cluster_id,
+      |  MIN(r) = node AS is_canonical
+      |FROM reach
+      |GROUP BY node
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash" -> d4Simhash,
-    "d5_embedding_neardup" -> d5EmbeddingNearDup)
+    "d5_embedding_neardup" -> d5EmbeddingNearDup,
+    "d6_dup_clusters" -> d6DupClusters)
 
   override def oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Oracle,
     "d2_jaccard_pairs" -> d2Oracle,
-    "d5_embedding_neardup" -> d5Oracle)
+    "d5_embedding_neardup" -> d5Oracle,
+    "d6_dup_clusters" -> d6Oracle)
 }

@@ -155,8 +155,11 @@ object TextAnalysis extends QueryModule {
     * in both engines (ln can differ in the last ulp and flip a
     * rounded tie cross-engine).
     *
-    * Scale notes: tf and df are both partial-combine hash aggregates;
-    * the df side is tiny (vocab) and broadcasts into the score join.
+    * Scale notes: tf and df are both partial-combine hash aggregates.
+    * The tf⋈df join is left to AQE: at test scale df (vocab) is tiny
+    * and auto-broadcasts; at web scale vocab is GBs and the right plan
+    * is a shuffle join on term — a hard-coded broadcast hint would be
+    * the 100 TB mistake.
     */
   def txTfIdf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Q.t(spark, dir, "documents")
@@ -169,7 +172,7 @@ object TextAnalysis extends QueryModule {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(df_), Seq("term"))
+    tf.join(df_, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * (col("n") + 1).cast("double")

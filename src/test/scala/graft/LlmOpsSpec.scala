@@ -132,6 +132,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(both.count() > 2000)
   }
 
+  test("connectedComponents: correct on a long chain, lineage stays flat") {
+    import graft.functions.DedupOps
+    import spark.implicits._
+    // path graph 0-1-2-…-12 forces ~diameter iterations — the case
+    // where un-truncated lineage grows exponentially and hangs the
+    // DRIVER on plan stringification (regression: localCheckpoint)
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val t0 = System.nanoTime()
+    val cc = DedupOps.connectedComponents(chain, "a", "b")
+    val rows = cc.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length === 13)
+    assert(rows.forall(_.getLong(1) === 0L), "one chain, one cluster, min id 0")
+    assert(cc.queryExecution.logical.toString.length < 20000,
+      "iterative plan must stay flat (localCheckpoint truncates lineage)")
+    assert(secs < 60, s"CC on a 13-node chain took ${secs}s — lineage blowup?")
+    // two disjoint components resolve to their own minima
+    val two = (0L until 3L).map(i => (i, i + 1)).toDF("a", "b")
+      .unionByName(Seq((100L, 101L), (101L, 102L)).toDF("a", "b"))
+    val got = DedupOps.connectedComponents(two, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(got(_) === 0L))
+    assert((100L to 102L).forall(got(_) === 100L))
+  }
+
   test("int8 quantization: bounded reconstruction error, high top-3 recall") {
     import graft.functions.VectorOps
     val emb = Q.t(spark, sf, "embeddings")
