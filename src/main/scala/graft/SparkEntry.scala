@@ -13,6 +13,7 @@ object SparkEntry {
   /** All query modules. Order is irrelevant (names must be unique). */
   private val modules: Seq[QueryModule] = Seq(
     Flagship,
+    Analytics,
     Ingest,
     Projections,
     Joins,

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{Q, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over `events` — the gold-zone reports a
+  * retail lakehouse actually serves: conversion funnels, cohort
+  * retention, and table profiling (DQ summary). All exact arithmetic
+  * (counts, mins, day buckets) — no FP aggregation order issues.
+  *
+  * Scale notes: fn1/fn2 are one hash-agg shuffle each on user_id (the
+  * natural high-cardinality key — no skew), then a bounded-cardinality
+  * re-aggregate; pr1 is a single full-scan aggregate with partial
+  * combine (one row out per column).
+  */
+object Analytics extends QueryModule {
+
+  /** FN1: conversion funnel — per-user first timestamp of each stage,
+    * then stage-ordered conversion counts (view → click → purchase:
+    * a stage counts only if it happens AFTER the prior stage).
+    */
+  def fn1Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(spark, dir, "events")
+    val stages = ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    stages.agg(
+      count(col("t_view")).as("n_viewed"),
+      count(when(col("t_click") > col("t_view"), lit(1))).as("n_clicked_after_view"),
+      count(when(col("t_purchase") > col("t_click") &&
+        col("t_click") > col("t_view"), lit(1))).as("n_full_funnel"),
+      count(lit(1)).as("n_users"))
+  }
+
+  val fn1Oracle: String =
+    """WITH stages AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT COUNT(t_view) AS n_viewed,
+      |  COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after_view,
+      |  COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS n_full_funnel,
+      |  COUNT(*) AS n_users
+      |FROM stages""".stripMargin
+
+  /** FN2: cohort retention — users grouped by first-activity day,
+    * counted per day-offset of subsequent activity (the retention
+    * triangle). Day arithmetic only; exact.
+    */
+  def fn2Cohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, Seq("user_id"))
+      .withColumn("offset", datediff(col("day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .filter(col("offset") <= 7)
+      .orderBy(col("cohort_day").asc, col("offset").asc)
+  }
+
+  val fn2Oracle: String =
+    """WITH activity AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |first AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+      |SELECT cohort_day,
+      |  CAST(datediff('day', cohort_day, day) AS INT) AS "offset",
+      |  COUNT(DISTINCT a.user_id) AS active_users
+      |FROM activity a JOIN first USING (user_id)
+      |WHERE datediff('day', cohort_day, day) <= 7
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day ASC NULLS FIRST, "offset" ASC NULLS FIRST""".stripMargin
+
+  /** PR1: table profile — the DQ summary a catalog publishes per
+    * column: counts, null budget, distincts, bounds. One scan, one
+    * row; every stat is exact.
+    */
+  def pr1Profile(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "events")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("value").isNull.cast("long")).as("value_nulls"),
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"),
+        Q.dsum(col("value")).as("value_total"))
+
+  val pr1Oracle: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  COUNT(DISTINCT event_type) AS n_types,
+       |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+       |  MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+       |  ${Q.sql.dsum("value")} AS value_total
+       |FROM events""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn1_funnel" -> fn1Funnel,
+    "fn2_cohorts" -> fn2Cohorts,
+    "pr1_profile" -> pr1Profile)
+
+  override def oracles: Map[String, String] = Map(
+    "fn1_funnel" -> fn1Oracle,
+    "fn2_cohorts" -> fn2Oracle,
+    "pr1_profile" -> pr1Oracle)
+}
