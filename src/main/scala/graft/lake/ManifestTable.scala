@@ -343,6 +343,48 @@ class ManifestTable(spark: SparkSession, root: String,
   def optimizeBy(column: String, targetFiles: Int = 8): Int =
     write(read().repartitionByRange(targetFiles, col(column)), "overwrite")
 
+  /** L8: change data feed — keyed row-level diff between two committed
+    * versions (the Delta CDF / `table_changes` surface): what a
+    * downstream consumer must apply to catch up from `vFrom` to `vTo`.
+    * Emits `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage. Computed from the two version snapshots (full
+    * outer on the keys), so it works for ANY pair of versions — no
+    * per-commit change files needed; cost is one shuffle over the two
+    * snapshots, read through the same file manifests as time travel.
+    */
+  def changesBetween(vFrom: Int, vTo: Int, keys: Seq[String]): DataFrame = {
+    val pre = read(Some(vFrom))
+    val post = read(Some(vTo))
+    require(pre.columns.sorted.sameElements(post.columns.sorted),
+      "schema changed between versions; diff by key is ambiguous")
+    val cols = pre.columns.toSeq
+    val preK = pre.select(cols.map(col): _*).withColumn("_side", lit("pre"))
+    val postK = post.select(cols.map(col): _*).withColumn("_side", lit("post"))
+    val cond = keys.map(k => col(s"p.$k") <=> col(s"q.$k")).reduce(_ && _)
+    val joined = preK.as("p").join(postK.as("q"), cond, "full_outer")
+    val preAbsent = keys.map(k => col(s"p.$k").isNull).reduce(_ && _)
+    val postAbsent = keys.map(k => col(s"q.$k").isNull).reduce(_ && _)
+    val changed = cols.filterNot(keys.contains)
+      .map(c => !(col(s"p.$c") <=> col(s"q.$c")))
+      .foldLeft(lit(false))(_ || _)
+    // ONE pass over the join: each matched-and-changed key explodes to
+    // (preimage, postimage); inserts/deletes emit one row; unchanged
+    // keys emit none — no re-scan of the join per change type
+    val preRow = struct(cols.map(c => col(s"p.$c").as(c)): _*)
+    val postRow = struct(cols.map(c => col(s"q.$c").as(c)): _*)
+    def tag(row: org.apache.spark.sql.Column, t: String) =
+      struct(row.as("row"), lit(t).as("t"))
+    joined
+      .select(explode(
+        when(preAbsent, array(tag(postRow, "insert")))
+          .when(postAbsent, array(tag(preRow, "delete")))
+          .when(changed, array(tag(preRow, "update_preimage"),
+            tag(postRow, "update_postimage")))
+        // no otherwise: unchanged keys yield NULL and explode drops them
+      ).as("e"))
+      .select(col("e.row.*"), col("e.t").as("_change_type"))
+  }
+
   /** L4: VACUUM — delete data files unreferenced by the `retain` most
     * recent versions, and drop manifests older than those. Returns
     * deleted file paths. Walk cost is O(files).

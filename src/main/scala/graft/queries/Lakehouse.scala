@@ -154,14 +154,47 @@ object Lakehouse extends QueryModule {
       |WHERE rn = 1
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** L8: change data feed between two live versions — v0 (full orders)
+    * to v1 (price corrections + inserts): every correction emits a
+    * pre/post image pair, every new key an insert. The oracle derives
+    * the same rows from the feed definition.
+    */
+  def l8ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l8_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+    val orders = Q.t(spark, dir, "orders")
+    val mt = new ManifestTable(spark, scratch)
+    mt.write(orders, "overwrite") // v0
+    mt.merge(updatesFeed(orders), Seq("o_orderkey")) // v1
+    mt.changesBetween(0, 1, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"))
+      .orderBy(col("o_orderkey").asc, col("_change_type").asc)
+  }
+
+  val l8Oracle: String =
+    """SELECT o_orderkey, o_totalprice, _change_type FROM (
+      |  SELECT o_orderkey, o_totalprice, 'update_preimage' AS _change_type
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1000.0, 'update_postimage'
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice, 'insert'
+      |  FROM orders WHERE o_orderkey % 503 = 0)
+      |ORDER BY o_orderkey ASC NULLS FIRST, _change_type ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_merge" -> l1Merge,
+    "l8_change_feed" -> l8ChangeFeed,
     "l1_merge_delete" -> l1MergeDelete,
     "l3_time_travel" -> l3TimeTravel,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
     "l1_merge" -> l1Oracle,
+    "l8_change_feed" -> l8Oracle,
     "l1_merge_delete" -> l1MergeDeleteOracle,
     "l3_time_travel" -> l3Oracle,
     "l6_exact_dedup" -> l6Oracle)

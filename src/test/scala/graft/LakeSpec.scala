@@ -265,6 +265,33 @@ class LakeSpec extends SparkTestBase {
       "filesystem rename must not clobber an existing manifest")
   }
 
+  test("L8: change feed emits delete rows for tombstoned keys") {
+    val root = scratch("cdf")
+    val mt = new ManifestTable(spark, root)
+    mt.write(orders, "overwrite") // v0
+    val delRows = orders.orderBy(col("order_id").asc).limit(3)
+    val feed = updated.withColumn("_deleted", lit(false))
+      .unionByName(delRows.withColumn("_deleted", lit(true)))
+    mt.merge(feed, Seq("order_id"), deleteCol = Some("_deleted")) // v1
+    val cdf = mt.changesBetween(0, 1, Seq("order_id")).cache()
+    val byType = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("delete", 0L) === 3)
+    assert(byType.getOrElse("update_preimage", 0L) === 8) // Updated.csv changes
+    assert(byType.getOrElse("update_postimage", 0L) === 8)
+    assert(byType.getOrElse("insert", 0L) === 0)
+    // applying the feed to v0 reproduces v1: post-images ∪ untouched
+    val v1 = mt.read(Some(1))
+    val deletes = cdf.filter(col("_change_type") === "delete").drop("_change_type")
+    val posts = cdf.filter(col("_change_type") === "update_postimage").drop("_change_type")
+    val pres = cdf.filter(col("_change_type") === "update_preimage").drop("_change_type")
+    val replayed = mt.read(Some(0))
+      .exceptAll(deletes).exceptAll(pres).unionByName(posts)
+    assert(replayed.exceptAll(v1).count() === 0)
+    assert(v1.exceptAll(replayed).count() === 0)
+    cdf.unpersist(): Unit
+  }
+
   test("L4: vacuum deletes unreferenced files, latest stays readable") {
     val root = scratch("vacuum")
     val mt = new ManifestTable(spark, root)
