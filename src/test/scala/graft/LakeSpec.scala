@@ -265,6 +265,22 @@ class LakeSpec extends SparkTestBase {
       "filesystem rename must not clobber an existing manifest")
   }
 
+  test("L7 property: readRange equals full-scan filter on arbitrary ranges") {
+    val root = scratch("skipprop")
+    val mt = new ManifestTable(spark, root, statsCol = Some("o_orderkey"))
+    val base = Q.t(spark, sf, "orders")
+    mt.write(base.repartitionByRange(6, col("o_orderkey")), "overwrite")
+    // seeded ranges incl. degenerate (empty, single-point, all)
+    val ranges = Seq((0L, 10L), (700L, 701L), (1499L, 1600L), (5L, 1400L),
+      (2000L, 3000L), (0L, Long.MaxValue))
+    ranges.foreach { case (lo, hi) =>
+      val expected = base.filter(col("o_orderkey").between(lo, hi))
+      val got = mt.readRange(lo.toString, hi.toString)
+      assert(got.count() === expected.count(), s"range [$lo,$hi]")
+      assert(got.exceptAll(expected).count() === 0, s"range [$lo,$hi] extras")
+    }
+  }
+
   test("L8: change feed emits delete rows for tombstoned keys") {
     val root = scratch("cdf")
     val mt = new ManifestTable(spark, root)
