@@ -101,13 +101,68 @@ object Analytics extends QueryModule {
        |  ${Q.sql.dsum("value")} AS value_total
        |FROM events""".stripMargin
 
+  /** FN3: market-basket co-purchase — part pairs sharing an order,
+    * scored by lift = P(a,b) / (P(a)·P(b)) in exact rational form
+    * (pair_n · n_orders) / (cnt_a · cnt_b). Self-join on the order key
+    * — the basket key, bounded fan-out (baskets are small); at 100 TB
+    * the guard is a per-basket size cap, not a different algorithm.
+    */
+  def fn3CoPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val items = Q.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = Q.t(spark, dir, "orders").agg(
+      countDistinct(col("o_orderkey")).as("n_orders"))
+    val cnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 3)
+    pairs
+      .join(cnt.select(col("l_partkey").as("part_a"), col("cnt").as("cnt_a")), Seq("part_a"))
+      .join(cnt.select(col("l_partkey").as("part_b"), col("cnt").as("cnt_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift",
+        (col("pair_n") * col("n_orders")).cast("double")
+          / (col("cnt_a") * col("cnt_b")).cast("double"))
+      .select("part_a", "part_b", "pair_n", "lift")
+      .orderBy(col("pair_n").desc, col("part_a").asc, col("part_b").asc)
+      .limit(25)
+  }
+
+  val fn3Oracle: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT o_orderkey) AS n_orders FROM orders),
+      |cnt AS (SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
+      |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 3)
+      |SELECT part_a, part_b, pair_n,
+      |  CAST(pair_n * n.n_orders AS DOUBLE)
+      |    / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN cnt ca ON ca.l_partkey = part_a
+      |JOIN cnt cb ON cb.l_partkey = part_b
+      |CROSS JOIN n
+      |ORDER BY pair_n DESC NULLS LAST, part_a ASC NULLS FIRST,
+      |  part_b ASC NULLS FIRST
+      |LIMIT 25""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn1_funnel" -> fn1Funnel,
     "fn2_cohorts" -> fn2Cohorts,
+    "fn3_copurchase" -> fn3CoPurchase,
     "pr1_profile" -> pr1Profile)
 
   override def oracles: Map[String, String] = Map(
     "fn1_funnel" -> fn1Oracle,
     "fn2_cohorts" -> fn2Oracle,
+    "fn3_copurchase" -> fn3Oracle,
     "pr1_profile" -> pr1Oracle)
 }

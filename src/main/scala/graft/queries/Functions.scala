@@ -244,6 +244,49 @@ object Functions extends QueryModule {
        |GROUP BY 1
        |ORDER BY k_mod10 ASC NULLS FIRST""".stripMargin
 
+  /** F2c: calendar gap filling — a dense (priority × day) grid over a
+    * fixed window, zero-filled where no orders exist. `sequence` +
+    * `explode` generates the calendar; the left join pulls actuals.
+    * The dashboard-feeding shape: time series must not skip days.
+    */
+  def f2cGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val days = spark.range(1)
+      .select(explode(expr(
+        "sequence(DATE'1995-03-01', DATE'1995-03-30', interval 1 day)")).as("day"))
+    val prios = Q.t(spark, dir, "orders")
+      .select(col("o_orderpriority")).distinct()
+    val actual = Q.t(spark, dir, "orders")
+      .withColumn("day", to_date(col("o_orderdate")))
+      .filter(col("day").between("1995-03-01", "1995-03-30"))
+      .groupBy(col("o_orderpriority"), col("day"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+    days.crossJoin(prios)
+      .join(actual, Seq("o_orderpriority", "day"), "left")
+      .select(col("o_orderpriority"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy(col("o_orderpriority").asc, col("day").asc)
+  }
+
+  val f2cOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(unnest(generate_series(DATE '1995-03-01',
+       |    DATE '1995-03-30', INTERVAL 1 DAY)) AS DATE) AS day),
+       |prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+       |actual AS (
+       |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+       |    COUNT(*) AS n, ${Q.sql.dsum("o_totalprice")} AS total
+       |  FROM orders
+       |  WHERE CAST(o_orderdate AS DATE)
+       |    BETWEEN DATE '1995-03-01' AND DATE '1995-03-30'
+       |  GROUP BY 1, 2)
+       |SELECT p.o_orderpriority, d.day,
+       |  COALESCE(a.n, 0) AS n, COALESCE(a.total, 0.0) AS total
+       |FROM days d CROSS JOIN prios p
+       |LEFT JOIN actual a ON a.o_orderpriority = p.o_orderpriority
+       |  AND a.day = d.day
+       |ORDER BY p.o_orderpriority ASC NULLS FIRST, d.day ASC NULLS FIRST""".stripMargin
+
   /** F6b: map functions — build, merge, introspect, and transform a
     * MAP<STRING,STRING> assembled from event columns. The oracle
     * recomputes each scalar from the raw columns (first-principles
@@ -304,6 +347,7 @@ object Functions extends QueryModule {
     "f5_array_funcs" -> f5Array,
     "f5_explode_tf" -> f5Explode,
     "f6_json_funcs" -> f6Json,
+    "f2c_gap_fill" -> f2cGapFill,
     "f6b_map_funcs" -> f6bMapFuncs,
     "f7_hash_funcs" -> f7Hash)
 
@@ -317,6 +361,7 @@ object Functions extends QueryModule {
     "f5_array_funcs" -> f5Oracle,
     "f5_explode_tf" -> f5ExplodeOracle,
     "f6_json_funcs" -> f6Oracle,
+    "f2c_gap_fill" -> f2cOracle,
     "f6b_map_funcs" -> f6bOracle,
     "f7_hash_funcs" -> f7Oracle)
 }

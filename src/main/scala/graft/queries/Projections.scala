@@ -108,17 +108,46 @@ object Projections extends QueryModule {
       |FROM lineitem
       |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin
 
+  /** P6: error-tolerant casts — try_cast surfaces malformed values as
+    * NULL instead of failing the job (the ingest-hardening contract:
+    * one bad cell must not kill a 100 TB backfill). Valid, invalid,
+    * and empty inputs each exercised.
+    */
+  def p6TryCast(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "part")
+      .filter(col("p_partkey") < 300)
+      .select(
+        col("p_partkey"),
+        expr("try_cast(p_brand AS INT)").as("brand_as_int"), // 'Brand#13' → NULL
+        expr("try_cast(regexp_extract(p_brand, '(\\\\d+)', 1) AS INT)")
+          .as("brand_num"), // digits → value
+        expr("try_cast('' AS INT)").as("empty_int"), // '' → NULL
+        expr("try_cast(CAST(p_size AS STRING) AS INT)").as("size_roundtrip"))
+      .orderBy(col("p_partkey").asc)
+
+  val p6Oracle: String =
+    """SELECT p_partkey,
+      |  TRY_CAST(p_brand AS INT) AS brand_as_int,
+      |  TRY_CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
+      |  TRY_CAST('' AS INT) AS empty_int,
+      |  TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS size_roundtrip
+      |FROM part
+      |WHERE p_partkey < 300
+      |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_project_rename" -> p1ProjectRename,
     "p2_filter_predicates" -> p2FilterPredicates,
     "p3_null_handling" -> p3NullHandling,
     "p4_like_regexp" -> p4LikeRegexp,
-    "p5_casts" -> p5Casts)
+    "p5_casts" -> p5Casts,
+    "p6_try_cast" -> p6TryCast)
 
   override def oracles: Map[String, String] = Map(
     "p1_project_rename" -> p1Oracle,
     "p2_filter_predicates" -> p2Oracle,
     "p3_null_handling" -> p3Oracle,
     "p4_like_regexp" -> p4Oracle,
-    "p5_casts" -> p5Oracle)
+    "p5_casts" -> p5Oracle,
+    "p6_try_cast" -> p6Oracle)
 }
