@@ -181,6 +181,14 @@ object DedupOps {
       converged = changed == 0
       i += 1
     }
+    // A cap exit means labels are only partially propagated — silently
+    // returning them would hand back WRONG clusters for any chain longer
+    // than maxIter hops. Fail loudly; callers with deep graphs raise
+    // maxIter (rounds needed = graph diameter).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations; " +
+          "graph diameter exceeds maxIter — raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
 }

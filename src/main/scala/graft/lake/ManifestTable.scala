@@ -53,10 +53,19 @@ class ManifestTable(spark: SparkSession, root: String,
 
   def latestVersion: Option[Int] = versions.lastOption
 
-  /** One manifest line: relative path + optional (min, max) of statsCol. */
-  private case class Entry(rel: String, stats: Option[(String, String)]) {
+  /** One manifest line: relative path + optional (min, max, kind) of
+    * statsCol. `kind` records the ordering the stats were computed under
+    * ("N" numeric, "S" lexicographic) so pruning compares in the SAME
+    * domain: Spark's min/max on a STRING column is lexicographic, and a
+    * file holding {"9","10"} records min="10"/max="9" — parsing those as
+    * numbers at prune time would wrongly skip the file for range
+    * ["1","2"] even though "10" satisfies the lexicographic residual
+    * filter (silent row loss).
+    */
+  private case class Entry(rel: String, stats: Option[(String, String)],
+      kind: String = "N") {
     def line: String = stats match {
-      case Some((mn, mx)) => s"$rel\t${Entry.enc(mn)}\t${Entry.enc(mx)}"
+      case Some((mn, mx)) => s"$rel\t${Entry.enc(mn)}\t${Entry.enc(mx)}\t$kind"
       case None => rel
     }
   }
@@ -66,10 +75,21 @@ class ManifestTable(spark: SparkSession, root: String,
     def dec(s: String): String =
       java.net.URLDecoder.decode(s, "UTF-8")
     def parse(line: String): Entry = line.split('\t') match {
+      case Array(rel, mn, mx, k) => Entry(rel, Some((dec(mn), dec(mx))), k)
       case Array(rel, mn, mx) => Entry(rel, Some((dec(mn), dec(mx))))
       case _ => Entry(line, None)
     }
   }
+
+  /** Ordering marker for statsCol's type: numeric types compare as
+    * numbers; strings compare lexicographically (dates/timestamps render
+    * as ISO strings, whose lexicographic order IS chronological).
+    */
+  private def statKindOf(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => "N"
+      case _ => "S"
+    }
 
   private def entriesOf(version: Int): Seq[Entry] = {
     val in = fs.open(manifestPath(version))
@@ -145,6 +165,7 @@ class ManifestTable(spark: SparkSession, root: String,
       val sdf = spark.read.option("basePath", dataDir.toString).parquet(abs: _*)
       if (!sdf.columns.contains(c)) relFiles.map(Entry(_, None))
       else {
+        val kind = statKindOf(sdf.schema(c).dataType)
         val byName = sdf
           .groupBy(input_file_name().as("_f"))
           .agg(min(col(c)).cast("string").as("mn"),
@@ -155,7 +176,7 @@ class ManifestTable(spark: SparkSession, root: String,
           .toMap
         relFiles.map { rel =>
           byName.get(new Path(rel).getName) match {
-            case Some((Some(mn), Some(mx))) => Entry(rel, Some((mn, mx)))
+            case Some((Some(mn), Some(mx))) => Entry(rel, Some((mn, mx)), kind)
             case _ => Entry(rel, None) // all-null or empty file: never pruned
           }
         }
@@ -163,13 +184,16 @@ class ManifestTable(spark: SparkSession, root: String,
     case _ => Seq.empty
   }
 
-  /** Min/max compare in the stats domain: numeric when both sides parse
-    * as numbers, else lexicographic (ISO dates/timestamps sort
-    * correctly as strings).
+  /** Min/max compare in the ordering the stats were recorded under
+    * (entry kind): numeric for numeric columns, lexicographic for
+    * everything else. Legacy numeric entries that fail to parse fall
+    * back to lexicographic rather than crashing the prune.
     */
-  private def statCmp(a: String, b: String): Int =
-    try BigDecimal(a).compare(BigDecimal(b))
-    catch { case _: NumberFormatException => a.compareTo(b) }
+  private def statCmp(a: String, b: String, kind: String): Int =
+    if (kind == "N")
+      try BigDecimal(a).compare(BigDecimal(b))
+      catch { case _: NumberFormatException => a.compareTo(b) }
+    else a.compareTo(b)
 
   /** L7: data-skipping read — files of the (latest) version whose
     * statsCol range intersects [lo, hi]; files without stats are kept
@@ -180,8 +204,8 @@ class ManifestTable(spark: SparkSession, root: String,
     require(statsCol.isDefined, "table has no statsCol")
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
-    entriesOf(v).filter(_.stats.forall { case (mn, mx) =>
-      statCmp(mx, lo) >= 0 && statCmp(mn, hi) <= 0
+    entriesOf(v).filter(e => e.stats.forall { case (mn, mx) =>
+      statCmp(mx, lo, e.kind) >= 0 && statCmp(mn, hi, e.kind) <= 0
     }).map(e => new Path(root, e.rel).toString)
   }
 
@@ -193,7 +217,9 @@ class ManifestTable(spark: SparkSession, root: String,
     val c = statsCol.get
     val files = prunedFiles(lo, hi, version)
     if (files.isEmpty) read(version).filter(lit(false))
-    else spark.read.option("basePath", dataDir.toString).parquet(files: _*)
+    else spark.read.option("basePath", dataDir.toString)
+      .option("mergeSchema", "true") // same evolved-schema view as read()
+      .parquet(files: _*)
       .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
@@ -295,9 +321,15 @@ class ManifestTable(spark: SparkSession, root: String,
     partitionCol match {
       case Some(c) =>
         // touched = partitions the changed rows land in ∪ partitions
-        // currently holding any fed key (covers deletes + partition moves)
-        val feedKeys = updates.select(keys.map(col): _*).distinct()
-        val currentOfFed = base.join(feedKeys, keys, "left_semi")
+        // currently holding any CHANGED key (covers deletes + partition
+        // moves). Keys come from upsertDelta + tombstones, NOT the raw
+        // feed: a largely no-op incremental feed must not rewrite every
+        // partition that merely contains a fed-but-unchanged key.
+        val changedKeys = {
+          val uk = upsertDelta.select(keys.map(col): _*)
+          deletes.fold(uk)(d => uk.union(d.select(keys.map(col): _*))).distinct()
+        }
+        val currentOfFed = base.join(changedKeys, keys, "left_semi")
         val touched = upsertDelta.select(col(c).cast("string"))
           .union(currentOfFed.select(col(c).cast("string")))
           .distinct()
@@ -358,8 +390,8 @@ class ManifestTable(spark: SparkSession, root: String,
     require(pre.columns.sorted.sameElements(post.columns.sorted),
       "schema changed between versions; diff by key is ambiguous")
     val cols = pre.columns.toSeq
-    val preK = pre.select(cols.map(col): _*).withColumn("_side", lit("pre"))
-    val postK = post.select(cols.map(col): _*).withColumn("_side", lit("post"))
+    val preK = pre.select(cols.map(col): _*)
+    val postK = post.select(cols.map(col): _*)
     val cond = keys.map(k => col(s"p.$k") <=> col(s"q.$k")).reduce(_ && _)
     val joined = preK.as("p").join(postK.as("q"), cond, "full_outer")
     val preAbsent = keys.map(k => col(s"p.$k").isNull).reduce(_ && _)

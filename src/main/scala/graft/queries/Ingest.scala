@@ -25,8 +25,16 @@ import org.apache.spark.sql.types._
   */
 object Ingest extends QueryModule {
 
-  /** Fixture dir — absolute so both Spark and the driver's DuckDB see it. */
-  val FixtureDir = "/root/repo/src/test/resources/datasets"
+  /** Fixture dir — absolute so both Spark and the driver's DuckDB see
+    * it, resolved from the checkout location (working directory, or the
+    * `graft.fixtures.dir` system property) rather than a hard-coded
+    * path so the queries survive any checkout location.
+    */
+  val FixtureDir: String = sys.props.get("graft.fixtures.dir").getOrElse {
+    val f = new java.io.File(
+      sys.props.getOrElse("user.dir", "."), "src/test/resources/datasets")
+    f.getAbsolutePath
+  }
 
   /** Positional truth for products.csv (the lying-header file) — the
     * interpretation IngestSpec validates: field 2 is the dense PK

@@ -265,6 +265,57 @@ class LakeSpec extends SparkTestBase {
       "filesystem rename must not clobber an existing manifest")
   }
 
+  test("L7: string statsCol prunes lexicographically — no silent row loss") {
+    // Spark's min/max on a STRING column is lexicographic: a file with
+    // {"9","10"} records min="10", max="9". Numeric comparison at prune
+    // time would skip it for range ["1","2"] and lose row "10", which
+    // the residual lexicographic filter keeps. The manifest records the
+    // stats ordering so pruning compares in the same domain.
+    val root = scratch("strstats")
+    val mt = new ManifestTable(spark, root, statsCol = Some("k"))
+    import spark.implicits._
+    mt.write(Seq("9", "10").toDF("k").coalesce(1), "overwrite")
+    mt.write(Seq("5", "7").toDF("k").coalesce(1), "append")
+    val got = mt.readRange("1", "2").as[String].collect().toSet
+    assert(got === Set("10"), s"lexicographic range ['1','2'] lost rows: $got")
+    // and numeric columns still prune numerically
+    val nt = new ManifestTable(spark, scratch("numstats"), statsCol = Some("k"))
+    nt.write(Seq(9L, 10L).toDF("k").coalesce(1), "overwrite")
+    nt.write(Seq(100L, 200L).toDF("k").coalesce(1), "append")
+    assert(nt.prunedFiles("1", "20").size === 1)
+    assert(nt.readRange("1", "20").count() === 2)
+  }
+
+  test("L1: unchanged-heavy feed rewrites only the changed partition") {
+    // feed = entire current table (no-ops) + one real change in a single
+    // partition: only that partition may be rewritten; every other
+    // partition's files must carry forward BY REFERENCE (same paths)
+    val root = scratch("noamp")
+    val mt = new ManifestTable(spark, root, partitionCol = Some("date"))
+    mt.write(RawIngest.withFilenamePartition(orders), "overwrite")
+    val mt2 = new ManifestTable(spark, scratch("noamp2"), partitionCol = Some("date"))
+    mt2.write(
+      RawIngest.withFilenamePartition(orders).unionByName(
+        RawIngest.withFilenamePartition(
+          RawIngest.readCsvInferred(spark, s"$fixtures/orders_2024-06-07.csv"))),
+      "overwrite")
+    val v0Files = mt2.filesOf(0)
+    val otherDay = v0Files.filter(_.contains("date=2024-06-07"))
+    assert(otherDay.nonEmpty)
+    // feed: all 06-06 rows unchanged except one amount bump
+    val someId = orders.select(min(col("order_id"))).first().get(0)
+    val feed = RawIngest.withFilenamePartition(orders)
+      .withColumn("total_amount",
+        when(col("order_id") === lit(someId), col("total_amount") + 1)
+          .otherwise(col("total_amount")))
+    mt2.merge(feed, Seq("order_id"))
+    val v1Files = mt2.filesOf(1)
+    assert(otherDay.forall(v1Files.contains),
+      "untouched partition was rewritten by a no-op-heavy feed")
+    assert(v1Files.filter(_.contains("date=2024-06-06"))
+      .forall(f => !v0Files.contains(f)), "changed partition not rewritten")
+  }
+
   test("L7 property: readRange equals full-scan filter on arbitrary ranges") {
     val root = scratch("skipprop")
     val mt = new ManifestTable(spark, root, statsCol = Some("o_orderkey"))

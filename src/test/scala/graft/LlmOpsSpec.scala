@@ -157,6 +157,18 @@ class LlmOpsSpec extends SparkTestBase {
     assert((100L to 102L).forall(got(_) === 100L))
   }
 
+  test("connectedComponents: refuses to return unconverged labels") {
+    import graft.functions.DedupOps
+    import spark.implicits._
+    // diameter-8 chain with maxIter=2: labels would be partially
+    // propagated (wrong clusters); the cap exit must throw, not return
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, "a", "b", maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("int8 quantization: bounded reconstruction error, high top-3 recall") {
     import graft.functions.VectorOps
     val emb = Q.t(spark, sf, "embeddings")
