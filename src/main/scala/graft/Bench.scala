@@ -28,13 +28,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // median-of-3 per query: a single sample at this SF is dominated by
-    // fixed overhead and machine-contention noise (round-1 recorded two
-    // set-op outliers 10× their clean-run time); the median of three
-    // back-to-back runs is stable round-over-round
+    // min-of-3 per query: the work is fixed, so the fastest sample is
+    // the one least polluted by co-tenant contention and GC (timeit
+    // semantics). Median still recorded a 10–40× outlier whenever
+    // contention spanned a query's whole 3-sample window (r1: set ops;
+    // r2: j1/p3); min is stable round-over-round on a shared box
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     def run(name: String): Double = {
-      val samples = Seq.fill(3)(runOnce(name))
-      if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1)
+      val samples = Seq.fill(3) {
+        val g0 = gcMillis
+        val t = runOnce(name)
+        if (debug) System.err.println(
+          f"[bench] $name sample=$t%.2fs gc=${(gcMillis - g0) / 1000.0}%.2fs " +
+            f"heapMB=${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1 << 20)}")
+        t
+      }
+      if (samples.exists(_ < 0)) -1.0 else samples.min
     }
 
     // warm-up: JVM/codegen/first-scan costs land here, not in a
