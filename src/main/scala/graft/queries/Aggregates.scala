@@ -234,6 +234,63 @@ object Aggregates extends QueryModule {
        |HAVING ${Q.sql.dsum("l_quantity")} > 100.0
        |ORDER BY l_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** A8b: descriptive statistics (variance / stddev / correlation /
+    * covariance) computed from DECIMAL sufficient statistics — NOT the
+    * built-in streaming `stddev`/`corr` aggregates, whose FP
+    * accumulation order varies with partitioning (not reproducible
+    * across engines or cluster sizes). Exact decimal sums of x, y, x²,
+    * y², xy are partial-aggregatable (one map-side-combined shuffle —
+    * THE single-pass distributed formula at 100 TB), and the closing
+    * scalar formula over exact inputs is deterministic FP. Prices have
+    * 2-digit scale → squares have 4-digit scale → sums are exact.
+    */
+  def a8DescriptiveStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_extendedprice").cast(Q.Dec)
+    val y = col("l_quantity").cast(Q.Dec)
+    Q.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"),
+        sum(x * y).cast(DoubleType).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / col("n")).as("mean_price"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("var_price"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("std_price"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("cov_price_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_price_qty"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  val a8Oracle: String = {
+    val dx = "CAST(l_extendedprice AS DECIMAL(12,2))"
+    val dy = "CAST(l_quantity AS DECIMAL(12,2))"
+    s"""SELECT l_returnflag, n, sx / n AS mean_price,
+       |  (sxx - sx * sx / n) / (n - 1) AS var_price,
+       |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_price,
+       |  (sxy - sx * sy / n) / (n - 1) AS cov_price_qty,
+       |  (n * sxy - sx * sy) /
+       |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_qty
+       |FROM (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    CAST(SUM($dx) AS DOUBLE) AS sx,
+       |    CAST(SUM($dy) AS DOUBLE) AS sy,
+       |    CAST(SUM($dx * $dx) AS DOUBLE) AS sxx,
+       |    CAST(SUM($dy * $dy) AS DOUBLE) AS syy,
+       |    CAST(SUM($dx * $dy) AS DOUBLE) AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_pricing_summary" -> a1PricingSummary,
     "a2_count_distinct" -> a2CountDistinct,
@@ -244,6 +301,7 @@ object Aggregates extends QueryModule {
     "a6_collect_list" -> a6CollectList,
     "a7_percentiles" -> a7Percentiles,
     "a7_percentile_approx" -> a7PercentileApprox,
+    "a8_descriptive_stats" -> a8DescriptiveStats,
     "a9_having" -> a9Having)
 
   override def oracles: Map[String, String] = Map(
@@ -254,5 +312,6 @@ object Aggregates extends QueryModule {
     "a5_conditional_agg" -> a5Oracle,
     "a6_collect_list" -> a6Oracle,
     "a7_percentiles" -> a7Oracle,
+    "a8_descriptive_stats" -> a8Oracle,
     "a9_having" -> a9Oracle)
 }

@@ -174,15 +174,50 @@ object DataMix extends QueryModule {
        |WHERE rk <= 40
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** MIX5: stratified train/val/test split — every doc is assigned a
+    * split by key hash (80/10/10), deterministically: reruns, engine
+    * swaps, and cluster resizes all produce the SAME assignment, and
+    * new docs never move existing ones between splits (the property
+    * that keeps eval sets stable as a 100 TB corpus grows). Output is
+    * the per-(lang, split) manifest with doc-id bounds — what a split
+    * audit job publishes.
+    */
+  def mix5StratifiedSplit(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "documents")
+      .withColumn("u", hashUniform(col("doc_id")))
+      .withColumn("split",
+        when(col("u") < 0.8, lit("train"))
+          .when(col("u") < 0.9, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang").asc, col("split").asc)
+
+  val mix5Oracle: String =
+    s"""SELECT lang,
+       |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM (SELECT *, ${hashUniformSql("doc_id")} AS u FROM documents)
+       |GROUP BY 1, 2
+       |ORDER BY lang ASC NULLS FIRST, split ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix1_hash_sample" -> mix1HashSample,
     "mix2_seq_packing" -> mix2SeqPacking,
     "mix3_quality_filter" -> mix3QualityFilter,
-    "mix4_quota_sample" -> mix4QuotaSample)
+    "mix4_quota_sample" -> mix4QuotaSample,
+    "mix5_stratified_split" -> mix5StratifiedSplit)
 
   override def oracles: Map[String, String] = Map(
     "mix1_hash_sample" -> mix1Oracle,
     "mix2_seq_packing" -> mix2Oracle,
     "mix3_quality_filter" -> mix3Oracle,
-    "mix4_quota_sample" -> mix4Oracle)
+    "mix4_quota_sample" -> mix4Oracle,
+    "mix5_stratified_split" -> mix5Oracle)
 }

@@ -197,17 +197,66 @@ object Dedup extends QueryModule {
       |GROUP BY node
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** D7: benchmark-contamination check — which training documents share
+    * word 4-grams with the held-out eval set (doc_id < 20 here stands
+    * in for an external benchmark). The canonical pre-training hygiene
+    * scan, shaped for scale: distinct n-grams per doc, inverted-index
+    * equi-join on the n-gram (cardinality ~vocab^4 — never skewed),
+    * partial-combined count aggregates. At 100 TB the eval side is tiny
+    * and broadcasts; the train side is never shuffled whole.
+    */
+  def d7Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val n = 4
+    val docs = Q.t(spark, dir, "documents")
+    val t = TextFunctions.tokens(col("text"))
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => array_join(slice(t, i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))).as("ngram"))
+    val evalG = grams.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("eval_id"), col("ngram"))
+    val trainG = grams.filter(col("doc_id") >= 20)
+      .select(col("doc_id").as("train_id"), col("ngram"))
+    trainG.join(evalG, Seq("ngram"))
+      .groupBy(col("train_id"))
+      .agg(
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("ngram")).as("n_shared_ngrams"))
+      .filter(col("n_shared_ngrams") >= 2)
+      .orderBy(col("train_id").asc)
+  }
+
+  val d7Oracle: String =
+    """WITH grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS ngram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |       UNNEST(generate_series(1, len(t)-3)) AS g(i)),
+      |hits AS (
+      |  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, tr.ngram
+      |  FROM grams tr JOIN grams ev USING (ngram)
+      |  WHERE tr.doc_id >= 20 AND ev.doc_id < 20)
+      |SELECT train_id,
+      |  COUNT(DISTINCT eval_id) AS n_eval_docs,
+      |  COUNT(DISTINCT ngram) AS n_shared_ngrams
+      |FROM hits
+      |GROUP BY train_id
+      |HAVING COUNT(DISTINCT ngram) >= 2
+      |ORDER BY train_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash" -> d4Simhash,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
-    "d6_dup_clusters" -> d6DupClusters)
+    "d6_dup_clusters" -> d6DupClusters,
+    "d7_contamination" -> d7Contamination)
 
   override def oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Oracle,
     "d2_jaccard_pairs" -> d2Oracle,
     "d5_embedding_neardup" -> d5Oracle,
-    "d6_dup_clusters" -> d6Oracle)
+    "d6_dup_clusters" -> d6Oracle,
+    "d7_contamination" -> d7Oracle)
 }

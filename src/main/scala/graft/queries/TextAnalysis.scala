@@ -205,7 +205,88 @@ object TextAnalysis extends QueryModule {
       |WHERE rk <= 3
       |ORDER BY doc_id ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin
 
+  /** F8g: PII scrubbing — regex redaction of emails, US-SSN-shaped
+    * digit groups, and a configurable term blocklist, with a per-doc
+    * redaction count. The pattern set sticks to RE2-compatible syntax
+    * (classes, alternation, word boundaries — no lookaround) so the
+    * same pattern runs on Spark (Java regex), RE2 engines, and the
+    * DuckDB oracle. Narrow projection + per-row regex → embarrassingly
+    * parallel, no shuffle until the final order.
+    */
+  private val piiPattern =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" + // email
+      "|\\d{3}-\\d{2}-\\d{4}" +                         // SSN-shaped
+      "|\\b(customer|merge)\\b"                         // term blocklist
+
+  def txPiiRedact(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(col("text"), piiPattern, "[REDACTED]").as("clean_text"),
+        (size(split(col("text"), piiPattern, -1)) - 1).as("n_redactions"))
+      .withColumn("clean_md5", md5(col("clean_text").cast("binary")))
+      .drop("clean_text")
+      .orderBy(col("doc_id").asc)
+
+  val txPiiRedactOracle: String = {
+    // single-quoted SQL literal: backslashes stay, quotes double
+    val pat = piiPattern.replace("'", "''")
+    s"""SELECT doc_id, lang,
+       |  CAST(len(string_split_regex(text, '$pat')) - 1 AS INT) AS n_redactions,
+       |  md5(regexp_replace(text, '$pat', '[REDACTED]', 'g')) AS clean_md5
+       |FROM documents
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
+
+  /** F8h: repetition signals (Gopher/RefinedWeb-style quality
+    * filtering) — fraction of tokens that are the single most frequent
+    * token, and fraction of duplicate bigrams. High values flag
+    * boilerplate/spam for removal before pretraining. top-token needs
+    * one explode + two hash-aggs (partial-combined); the bigram ratio
+    * is per-row array math — no shuffle.
+    */
+  def txRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(spark, dir, "documents")
+    val topTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_tok"))
+      .select(col("doc_id"),
+        (col("top_c").cast("double") / col("n_tok")).as("top_token_frac"))
+    val dupBigram = docs.select(col("doc_id"), col("lang"),
+      (lit(1.0) - size(array_distinct(bigrams(col("text")))).cast("double") /
+        size(bigrams(col("text")))).as("dup_bigram_frac"))
+    dupBigram.join(topTok, Seq("doc_id"))
+      .withColumn("flagged",
+        col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.5)
+      .select("doc_id", "lang", "top_token_frac", "dup_bigram_frac", "flagged")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txRepetitionOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |top AS (
+      |  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+      |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |       UNNEST(generate_series(1, len(t)-1)) AS g(i)),
+      |dup AS (
+      |  SELECT doc_id,
+      |    1.0 - CAST(COUNT(DISTINCT bigram) AS DOUBLE) / COUNT(*) AS dup_bigram_frac
+      |  FROM bg GROUP BY doc_id)
+      |SELECT d.doc_id, d.lang, top.top_token_frac, dup.dup_bigram_frac,
+      |  top.top_token_frac > 0.2 OR dup.dup_bigram_frac > 0.5 AS flagged
+      |FROM documents d JOIN top ON d.doc_id = top.doc_id
+      |JOIN dup ON d.doc_id = dup.doc_id
+      |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_pii_redact" -> txPiiRedact,
+    "tx_repetition" -> txRepetition,
     "tx_token_stats" -> txTokenStats,
     "tx_quality_score" -> txQualityScore,
     "tx_lang_id" -> txLangId,
@@ -214,6 +295,8 @@ object TextAnalysis extends QueryModule {
     "tx_tfidf" -> txTfIdf)
 
   override def oracles: Map[String, String] = Map(
+    "tx_pii_redact" -> txPiiRedactOracle,
+    "tx_repetition" -> txRepetitionOracle,
     "tx_token_stats" -> txTokenStatsOracle,
     "tx_quality_score" -> txQualityScoreOracle,
     "tx_lang_id" -> txLangIdOracle,
