@@ -33,7 +33,16 @@ import java.util.UUID
   */
 class ManifestTable(spark: SparkSession, root: String,
     partitionCol: Option[String] = None,
-    statsCol: Option[String] = None) {
+    statsCol: Option[String] = None,
+    statsCols: Seq[String] = Nil) {
+
+  /** All zone-map columns: the legacy single `statsCol` plus any
+    * additional `statsCols` (multi-column zone maps are what make
+    * z-order clustering worth anything — skipping must work on every
+    * clustered dimension, not just one).
+    */
+  private val allStatsCols: Seq[String] =
+    (statsCol.toSeq ++ statsCols).distinct
 
   private val logDir = new Path(root, "_graft_log")
   private val dataDir = new Path(root, "data")
@@ -53,32 +62,51 @@ class ManifestTable(spark: SparkSession, root: String,
 
   def latestVersion: Option[Int] = versions.lastOption
 
-  /** One manifest line: relative path + optional (min, max, kind) of
-    * statsCol. `kind` records the ordering the stats were computed under
-    * ("N" numeric, "S" lexicographic) so pruning compares in the SAME
-    * domain: Spark's min/max on a STRING column is lexicographic, and a
-    * file holding {"9","10"} records min="10"/max="9" — parsing those as
-    * numbers at prune time would wrongly skip the file for range
-    * ["1","2"] even though "10" satisfies the lexicographic residual
-    * filter (silent row loss).
+  /** Per-file min/max of one stats column. `kind` records the ordering
+    * the stats were computed under ("N" numeric, "S" lexicographic) so
+    * pruning compares in the SAME domain: Spark's min/max on a STRING
+    * column is lexicographic, and a file holding {"9","10"} records
+    * min="10"/max="9" — parsing those as numbers at prune time would
+    * wrongly skip the file for range ["1","2"] even though "10"
+    * satisfies the lexicographic residual filter (silent row loss).
     */
-  private case class Entry(rel: String, stats: Option[(String, String)],
-      kind: String = "N") {
-    def line: String = stats match {
-      case Some((mn, mx)) => s"$rel\t${Entry.enc(mn)}\t${Entry.enc(mx)}\t$kind"
-      case None => rel
-    }
+  private case class ColStats(mn: String, mx: String, kind: String)
+
+  /** One manifest line: relative path + per-column zone-map stats.
+    * Format: `rel[\tcol=min:max:kind]*` with col/min/max URL-encoded
+    * (so '=', ':' and '\t' inside values cannot break the framing).
+    * Legacy single-column lines (`rel\tmin\tmax[\tkind]`) parse onto
+    * the table's configured primary statsCol.
+    */
+  private case class Entry(rel: String, stats: Map[String, ColStats]) {
+    def line: String =
+      if (stats.isEmpty) rel
+      else rel + "\t" + stats.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"${Entry.enc(c)}=${Entry.enc(s.mn)}:${Entry.enc(s.mx)}:${s.kind}"
+      }.mkString("\t")
   }
   private object Entry {
     def enc(s: String): String =
       java.net.URLEncoder.encode(s, "UTF-8")
     def dec(s: String): String =
       java.net.URLDecoder.decode(s, "UTF-8")
-    def parse(line: String): Entry = line.split('\t') match {
-      case Array(rel, mn, mx, k) => Entry(rel, Some((dec(mn), dec(mx))), k)
-      case Array(rel, mn, mx) => Entry(rel, Some((dec(mn), dec(mx))))
-      case _ => Entry(line, None)
-    }
+    def parse(line: String, primaryCol: Option[String]): Entry =
+      line.split('\t') match {
+        case Array(rel) => Entry(rel, Map.empty)
+        case fields if fields(1).contains('=') =>
+          Entry(fields(0), fields.tail.map { f =>
+            val Array(c, rest) = f.split('=')
+            rest.split(':') match {
+              case Array(mn, mx, k) => dec(c) -> ColStats(dec(mn), dec(mx), k)
+              case _ => throw new IllegalStateException(s"bad stats field $f")
+            }
+          }.toMap)
+        case Array(rel, mn, mx, k) =>
+          Entry(rel, primaryCol.map(_ -> ColStats(dec(mn), dec(mx), k)).toMap)
+        case Array(rel, mn, mx) =>
+          Entry(rel, primaryCol.map(_ -> ColStats(dec(mn), dec(mx), "N")).toMap)
+        case _ => Entry(line, Map.empty)
+      }
   }
 
   /** Ordering marker for statsCol's type: numeric types compare as
@@ -94,7 +122,7 @@ class ManifestTable(spark: SparkSession, root: String,
   private def entriesOf(version: Int): Seq[Entry] = {
     val in = fs.open(manifestPath(version))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(Entry.parse).toList
+      .filter(_.nonEmpty).map(Entry.parse(_, statsCol)).toList
     finally in.close()
   }
 
@@ -153,35 +181,40 @@ class ManifestTable(spark: SparkSession, root: String,
     v
   }
 
-  /** Entries for freshly written files: statsCol min/max per file via
-    * ONE distributed job over just the new files (input_file_name
-    * grouping) — write-time stats collection, O(new data) once, never
-    * re-scanned. Files are uuid-named so basename lookup is exact.
+  /** Entries for freshly written files: per-file min/max of EVERY stats
+    * column via ONE distributed job over just the new files
+    * (input_file_name grouping) — write-time stats collection, O(new
+    * data) once, never re-scanned. Files are uuid-named so basename
+    * lookup is exact.
     */
-  private def newEntries(relFiles: Seq[String]): Seq[Entry] = statsCol match {
-    case None => relFiles.map(Entry(_, None))
-    case Some(c) if relFiles.nonEmpty =>
-      val abs = relFiles.map(r => new Path(root, r).toString)
-      val sdf = spark.read.option("basePath", dataDir.toString).parquet(abs: _*)
-      if (!sdf.columns.contains(c)) relFiles.map(Entry(_, None))
-      else {
-        val kind = statKindOf(sdf.schema(c).dataType)
-        val byName = sdf
-          .groupBy(input_file_name().as("_f"))
-          .agg(min(col(c)).cast("string").as("mn"),
-            max(col(c)).cast("string").as("mx"))
-          .collect() // bounded: one row per new file
-          .map(r => new Path(r.getString(0)).getName ->
-            (Option(r.getString(1)), Option(r.getString(2))))
-          .toMap
-        relFiles.map { rel =>
-          byName.get(new Path(rel).getName) match {
-            case Some((Some(mn), Some(mx))) => Entry(rel, Some((mn, mx)), kind)
-            case _ => Entry(rel, None) // all-null or empty file: never pruned
+  private def newEntries(relFiles: Seq[String]): Seq[Entry] = {
+    if (allStatsCols.isEmpty || relFiles.isEmpty)
+      return relFiles.map(Entry(_, Map.empty))
+    val abs = relFiles.map(r => new Path(root, r).toString)
+    val sdf = spark.read.option("basePath", dataDir.toString).parquet(abs: _*)
+    val present = allStatsCols.filter(sdf.columns.contains)
+    if (present.isEmpty) return relFiles.map(Entry(_, Map.empty))
+    val kinds = present.map(c => c -> statKindOf(sdf.schema(c).dataType)).toMap
+    val aggs = present.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val byName = sdf
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per new file
+      .map { r =>
+        val stats = present.flatMap { c =>
+          (Option(r.getAs[String](s"mn_$c")), Option(r.getAs[String](s"mx_$c"))) match {
+            case (Some(mn), Some(mx)) => Some(c -> ColStats(mn, mx, kinds(c)))
+            case _ => None // all-null column in this file: never pruned on it
           }
-        }
+        }.toMap
+        new Path(r.getString(0)).getName -> stats
       }
-    case _ => Seq.empty
+      .toMap
+    relFiles.map { rel =>
+      Entry(rel, byName.getOrElse(new Path(rel).getName, Map.empty))
+    }
   }
 
   /** Min/max compare in the ordering the stats were recorded under
@@ -195,33 +228,44 @@ class ManifestTable(spark: SparkSession, root: String,
       catch { case _: NumberFormatException => a.compareTo(b) }
     else a.compareTo(b)
 
-  /** L7: data-skipping read — files of the (latest) version whose
-    * statsCol range intersects [lo, hi]; files without stats are kept
-    * (never wrongly pruned). Exposed for pruning assertions.
+  /** L7: data-skipping file set for a range on ANY zone-mapped column —
+    * files of the (latest) version whose recorded [min, max] for `c`
+    * intersects [lo, hi]; files without stats for `c` are kept (never
+    * wrongly pruned). Exposed for pruning assertions.
     */
-  def prunedFiles(lo: String, hi: String,
+  def prunedFilesBy(c: String, lo: String, hi: String,
       version: Option[Int] = None): Seq[String] = {
-    require(statsCol.isDefined, "table has no statsCol")
+    require(allStatsCols.contains(c), s"no zone map for column $c")
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
-    entriesOf(v).filter(e => e.stats.forall { case (mn, mx) =>
-      statCmp(mx, lo, e.kind) >= 0 && statCmp(mn, hi, e.kind) <= 0
+    entriesOf(v).filter(e => e.stats.get(c).forall { s =>
+      statCmp(s.mx, lo, s.kind) >= 0 && statCmp(s.mn, hi, s.kind) <= 0
     }).map(e => new Path(root, e.rel).toString)
   }
 
-  /** L7: range query with file skipping — scans only intersecting files
-    * and applies the residual predicate (exact result regardless of
-    * stats coverage).
+  /** Single-column convenience over the primary statsCol. */
+  def prunedFiles(lo: String, hi: String,
+      version: Option[Int] = None): Seq[String] =
+    prunedFilesBy(statsCol.getOrElse(
+      throw new IllegalArgumentException("table has no statsCol")), lo, hi, version)
+
+  /** L7: range query with file skipping on any zone-mapped column —
+    * scans only intersecting files and applies the residual predicate
+    * (exact result regardless of stats coverage).
     */
-  def readRange(lo: String, hi: String, version: Option[Int] = None): DataFrame = {
-    val c = statsCol.get
-    val files = prunedFiles(lo, hi, version)
+  def readRangeBy(c: String, lo: String, hi: String,
+      version: Option[Int] = None): DataFrame = {
+    val files = prunedFilesBy(c, lo, hi, version)
     if (files.isEmpty) read(version).filter(lit(false))
     else spark.read.option("basePath", dataDir.toString)
       .option("mergeSchema", "true") // same evolved-schema view as read()
       .parquet(files: _*)
       .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
+
+  def readRange(lo: String, hi: String, version: Option[Int] = None): DataFrame =
+    readRangeBy(statsCol.getOrElse(
+      throw new IllegalArgumentException("table has no statsCol")), lo, hi, version)
 
   /** Write a DataFrame's rows as new data files; returns their paths
     * relative to the table root. Files land under data/ preserving
@@ -374,6 +418,23 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def optimizeBy(column: String, targetFiles: Int = 8): Int =
     write(read().repartitionByRange(targetFiles, col(column)), "overwrite")
+
+  /** L5c: two-dimensional OPTIMIZE ZORDER — rewrite the table clustered
+    * along the Morton curve of (c1, c2) so range reads on EITHER column
+    * skip most files (a single-column sort only ever helps one of
+    * them). Pair with `statsCols = Seq(c1, c2)` so both zone maps are
+    * recorded. One quantile-sketch pass + one range-shuffle write; the
+    * same write-once/read-many trade as [[optimizeBy]], paid per
+    * OPTIMIZE, never per query.
+    */
+  def optimizeByZ(c1: String, c2: String, targetFiles: Int = 8): Int = {
+    val df = read()
+    val z = graft.operators.ZOrder.zValue(df, c1, c2)
+    write(df.withColumn("_zorder", z)
+      .repartitionByRange(targetFiles, col("_zorder"))
+      .sortWithinPartitions("_zorder")
+      .drop("_zorder"), "overwrite")
+  }
 
   /** L8: change data feed — keyed row-level diff between two committed
     * versions (the Delta CDF / `table_changes` surface): what a

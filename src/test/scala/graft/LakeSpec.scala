@@ -230,6 +230,33 @@ class LakeSpec extends SparkTestBase {
     assert(mt.readRange("100", "500").count() === expected)
   }
 
+  test("L5c/L7: z-order clustering skips files on BOTH dimensions") {
+    val root = scratch("zorder")
+    val mt = new ManifestTable(spark, root,
+      statsCols = Seq("o_orderkey", "o_custkey"))
+    val base = Q.t(spark, sf, "orders")
+    // hash layout: every file spans both domains → nothing skippable
+    mt.write(base.repartition(16), "overwrite")
+    val all0 = mt.filesOf(0).size
+    assert(mt.prunedFilesBy("o_orderkey", "100", "200").size === all0)
+    assert(mt.prunedFilesBy("o_custkey", "100", "200").size === all0)
+
+    mt.optimizeByZ("o_orderkey", "o_custkey", targetFiles = 16)
+    val v = mt.latestVersion.get
+    val all = mt.filesOf(v).size
+    val pk = mt.prunedFilesBy("o_orderkey", "100", "200").size
+    val pc = mt.prunedFilesBy("o_custkey", "100", "200").size
+    assert(pk < all, s"orderkey range skipped nothing ($pk of $all)")
+    assert(pc < all, s"custkey range skipped nothing ($pc of $all)")
+
+    // exactness on both dimensions (skipping must never lose rows)
+    val ek = base.filter(col("o_orderkey").between(100, 200)).count()
+    val ec = base.filter(col("o_custkey").between(100, 200)).count()
+    assert(mt.readRangeBy("o_orderkey", "100", "200").count() === ek)
+    assert(mt.readRangeBy("o_custkey", "100", "200").count() === ec)
+    assert(ek > 0 && ec > 0, "fixture ranges must be non-empty")
+  }
+
   test("S7/L: appended column survives read (mergeSchema), null for old files") {
     val root = scratch("evolve")
     val mt = new ManifestTable(spark, root)
