@@ -42,4 +42,49 @@ object Stateful {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(updateProfile)
   }
+
+  // ---- T8b: first-seen dedup with event-time TTL state eviction ----
+
+  case class Keyed(key: String, ts: java.sql.Timestamp, value: Double)
+  // public: Spark's state-store encoder codegen needs the accessor
+  case class SeenState(firstTsMs: Long)
+
+  /** First-seen dedup whose per-key state is EVICTED once the watermark
+    * passes first-seen + TTL — the custom-state form of
+    * `dropDuplicatesWithinWatermark`. The point at 100 TB: without a
+    * timeout, dedup state grows O(all keys ever seen) and the job dies
+    * slowly; with an event-time TTL it is O(keys active in the last TTL
+    * window), independent of stream age. A key reappearing after
+    * eviction re-emits (by design — that IS the TTL contract).
+    */
+  def dedupFirstSeenTtl(spark: SparkSession, events: Dataset[Keyed],
+      watermarkDelay: String, ttlMs: Long): Dataset[Keyed] = {
+    import spark.implicits._
+
+    def update(key: String, it: Iterator[Keyed],
+        state: GroupState[SeenState]): Iterator[Keyed] = {
+      if (state.hasTimedOut) { // watermark passed firstSeen + TTL
+        state.remove()
+        Iterator.empty
+      } else {
+        val rows = it.toList
+        val out =
+          if (state.exists) Iterator.empty // duplicate within TTL: suppress
+          else {
+            val first = rows.minBy(_.ts.getTime)
+            state.update(SeenState(first.ts.getTime))
+            Iterator.single(first)
+          }
+        // (re-)arm the eviction clock every invocation: EventTimeTimeout
+        // fires when the watermark crosses firstSeen + TTL
+        state.setTimeoutTimestamp(state.get.firstTsMs + ttlMs)
+        out
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

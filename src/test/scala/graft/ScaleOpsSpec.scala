@@ -59,6 +59,50 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(ok.forall(identity))
   }
 
+  test("stateful dedup: TTL evicts state, key re-emits after eviction") {
+    import java.sql.Timestamp
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ttl_dedup"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    new java.io.File(dir).mkdirs()
+
+    def ts(m: String) = Timestamp.valueOf(s"2024-06-06 $m:00")
+    import spark.implicits._
+    // b1: key A + in-batch duplicate → one emit; TTL clock starts 10:00
+    // b2: key B at 12:00 → watermark advances to ~11:59 (1 min delay)
+    // b3: key C → batch with no A data: A times out (10:30 < wm), evicted
+    // b4: A reappears at 12:30 → state is gone → re-emits
+    Seq(Stateful.Keyed("A", ts("10:00"), 1.0),
+        Stateful.Keyed("A", ts("10:01"), 2.0)).toDS()
+      .coalesce(1).write.parquet(s"$dir/b1.parquet")
+    Seq(Stateful.Keyed("B", ts("12:00"), 3.0)).toDS()
+      .coalesce(1).write.parquet(s"$dir/b2.parquet")
+    Seq(Stateful.Keyed("C", ts("12:01"), 4.0)).toDS()
+      .coalesce(1).write.parquet(s"$dir/b3.parquet")
+    Seq(Stateful.Keyed("A", ts("12:30"), 5.0)).toDS()
+      .coalesce(1).write.parquet(s"$dir/b4.parquet")
+
+    val stream = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Stateful.Keyed]].schema)
+      .option("recursiveFileLookup", true)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .as[Stateful.Keyed]
+    val q = Stateful.dedupFirstSeenTtl(spark, stream,
+        watermarkDelay = "1 minute", ttlMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("ttl_dedup")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("ttl_dedup").as[Stateful.Keyed].collect()
+      .map(k => (k.key, k.ts.toString, k.value)).toSet
+    assert(got === Set(
+      ("A", "2024-06-06 10:00:00.0", 1.0), // first seen, dup suppressed
+      ("B", "2024-06-06 12:00:00.0", 3.0),
+      ("C", "2024-06-06 12:01:00.0", 4.0),
+      ("A", "2024-06-06 12:30:00.0", 5.0))) // re-emitted post-eviction
+  }
+
   test("flatMapGroupsWithState accumulates user profiles across batches") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_stateful"
     val p = new org.apache.hadoop.fs.Path(dir)
