@@ -359,6 +359,41 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("L10: incremental view maintenance equals full recompute") {
+    import graft.lake.IncrementalView
+    val root = scratch("ivm")
+    val mt = new ManifestTable(spark, root)
+    // decimal measure → incremental sums are bit-exact vs recompute
+    val base = Q.t(spark, sf, "orders").limit(2000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(graft.Q.Dec).as("price"))
+    mt.write(base, "overwrite") // v0
+    def recompute(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(sum(col("price")).as("price"), count(lit(1)).as("n"))
+    val view0 = recompute(mt.read()).localCheckpoint(true)
+
+    // feed: price updates, group-moving status updates, deletes, inserts
+    val feed = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("price", col("price") + lit(BigDecimal(1)).cast(graft.Q.Dec))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 21 === 0, lit("Z")).otherwise(col("o_orderstatus")))
+      .withColumn("_deleted", col("o_orderkey") % 35 === 0)
+      .unionByName(base.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 5000000L)
+        .withColumn("_deleted", lit(false)))
+    mt.merge(feed, Seq("o_orderkey"), deleteCol = Some("_deleted")) // v1
+
+    val incr = IncrementalView.refresh(mt, 0, 1, view0,
+      rowKeys = Seq("o_orderkey"), groupKeys = Seq("o_orderstatus"),
+      sumCols = Seq("price"))
+    val full = recompute(mt.read())
+    assert(incr.exceptAll(full).count() === 0)
+    assert(full.exceptAll(incr).count() === 0)
+    // the Z group was born from a group-moving update
+    assert(incr.filter(col("o_orderstatus") === "Z").count() === 1)
+  }
+
   test("L8: change feed emits delete rows for tombstoned keys") {
     val root = scratch("cdf")
     val mt = new ManifestTable(spark, root)
