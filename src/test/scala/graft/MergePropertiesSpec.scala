@@ -51,6 +51,30 @@ class MergePropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("IVM property: applyDelta(view(before), diff) == view(after)") {
+    import graft.lake.{IncrementalView, ManifestTable}
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    (1 to 3).foreach { i =>
+      val before = sample(i + 700)
+      val after = sample(i + 800)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ivm_prop_$i"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      val mt = new ManifestTable(spark, root)
+      mt.write(df(before), "overwrite") // v0
+      mt.write(df(after), "overwrite")  // v1: arbitrary rewrite
+      def view(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy(col("s")).agg(sum(col("v").cast("long")).as("v"),
+          count(lit(1)).as("n"))
+      val incr = IncrementalView.applyDelta(
+        view(df(before)), mt.changesBetween(0, 1, Seq("k")),
+        groupKeys = Seq("s"), sumCols = Seq("v"))
+      val full = view(df(after))
+      assert(incr.exceptAll(full).count() === 0, s"seed $i")
+      assert(full.exceptAll(incr).count() === 0, s"seed $i")
+    }
+  }
+
   test("disjoint-key feeds commute") {
     (1 to 3).foreach { i =>
       val b = sample(i + 400)

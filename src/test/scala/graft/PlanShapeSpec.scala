@@ -111,4 +111,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("j4_semi_join").contains("LeftSemi"))
     assert(plan("j4_anti_join").contains("LeftAnti"))
   }
+
+  test("d7 contamination joins through the inverted n-gram index — no cartesian") {
+    val p = plan("d7_contamination")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("a8 descriptive stats is one partial-aggregated pass, no join") {
+    val p = plan("a8_descriptive_stats")
+    assert(p.contains("partial_"), "sufficient stats must map-side combine:\n" + p)
+    assert(!p.contains("Join"), "single-pass moments must not join:\n" + p)
+    // one hash exchange for the agg + one range exchange for the output
+    // order — any more means the sufficient-statistics pass re-shuffles
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("mix5 stratified split is scan + partial/final agg (no extra shuffle)") {
+    val p = plan("mix5_stratified_split")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
