@@ -135,18 +135,30 @@ class ManifestTable(spark: SparkSession, root: String,
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
     val files = filesOf(v)
-    if (files.isEmpty) {
-      spark.emptyDataFrame
-    } else {
-      // basePath restores partition columns from directory structure;
-      // mergeSchema unions file schemas so a column added by a later
-      // append surfaces (null-filled for pre-evolution files) instead
-      // of silently depending on which file seeds the schema
-      spark.read
-        .option("basePath", new Path(root, "data").toString)
-        .option("mergeSchema", "true")
-        .parquet(files: _*)
+    if (files.isEmpty) spark.emptyDataFrame else readFiles(files)
+  }
+
+  /** Read a manifest file set. basePath restores partition columns from
+    * directory structure; mergeSchema unions file schemas so a column
+    * added by a later append surfaces (null-filled for pre-evolution
+    * files) instead of silently depending on which file seeds the
+    * schema. Files are grouped by their `<root>/data/` prefix because a
+    * SHALLOW CLONE references the source's files by absolute path — a
+    * clone that later appends its own files spans two roots, and Spark
+    * requires every path to live under its basePath; each group reads
+    * under its own basePath and the groups union by name.
+    */
+  private def readFiles(files: Seq[String]): DataFrame = {
+    val groups = files.groupBy { f =>
+      val i = f.lastIndexOf("/data/")
+      if (i >= 0) f.substring(0, i + "/data".length) else dataDir.toString
     }
+    groups.toSeq.sortBy(_._1).map { case (bp, fs) =>
+      spark.read
+        .option("basePath", bp)
+        .option("mergeSchema", "true")
+        .parquet(fs: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Commit wall-clock time of a version (epoch millis) — the manifest
@@ -257,9 +269,7 @@ class ManifestTable(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
     val files = prunedFilesBy(c, lo, hi, version)
     if (files.isEmpty) read(version).filter(lit(false))
-    else spark.read.option("basePath", dataDir.toString)
-      .option("mergeSchema", "true") // same evolved-schema view as read()
-      .parquet(files: _*)
+    else readFiles(files) // same evolved-schema + clone-aware view as read()
       .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
@@ -477,6 +487,49 @@ class ManifestTable(spark: SparkSession, root: String,
       ).as("e"))
       .select(col("e.row.*"), col("e.t").as("_change_type"))
   }
+
+  /** L11: RESTORE — roll the table back to an earlier version by
+    * committing a NEW version that references exactly that version's
+    * files (the Delta `RESTORE TABLE … TO VERSION AS OF` contract:
+    * history is preserved, nothing is rewritten, and the bad versions
+    * stay readable for forensics until VACUUM). O(manifest), zero data
+    * movement.
+    */
+  def restore(version: Int): Int = {
+    require(versions.contains(version), s"no version $version at $root")
+    commit(entriesOf(version))
+  }
+
+  /** L12: SHALLOW CLONE — create an independent table at `destRoot`
+    * whose v0 references THIS table's current data files by absolute
+    * path (no copy; Delta SHALLOW CLONE). The clone's own writes land
+    * under its own root and never touch the source; the source must
+    * not be VACUUMed below the cloned version while the clone lives —
+    * the same lifetime contract Delta documents. O(manifest).
+    */
+  def shallowClone(destRoot: String): ManifestTable = {
+    val dest = new ManifestTable(spark, destRoot, partitionCol,
+      statsCol, statsCols)
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    // qualify: clone entries must resolve against the SOURCE root
+    val absEntries = entriesOf(v).map { e =>
+      e.copy(rel = fs.makeQualified(new Path(root, e.rel)).toString)
+    }
+    dest.commitEntries(absEntries.map(e =>
+      (e.rel, e.stats.map { case (c, s) => (c, s.mn, s.mx, s.kind) }.toSeq)))
+    dest
+  }
+
+  /** Internal cross-instance commit hook for [[shallowClone]] (the
+    * clone's Entry type is path-compatible: absolute paths survive
+    * `new Path(root, rel)` resolution untouched).
+    */
+  private[lake] def commitEntries(
+      es: Seq[(String, Seq[(String, String, String, String)])]): Int =
+    commit(es.map { case (rel, stats) =>
+      Entry(rel, stats.map { case (c, mn, mx, k) => c -> ColStats(mn, mx, k) }.toMap)
+    })
 
   /** L4: VACUUM — delete data files unreferenced by the `retain` most
     * recent versions, and drop manifests older than those. Returns

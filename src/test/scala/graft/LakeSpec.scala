@@ -359,6 +359,44 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("L11: RESTORE rolls back by reference, preserving history") {
+    val root = scratch("restore")
+    val mt = new ManifestTable(spark, root)
+    mt.write(orders, "overwrite") // v0
+    mt.merge(updated, Seq("order_id")) // v1: 8 corrections applied
+    assert(mt.read().exceptAll(orders).count() === 8)
+    val v2 = mt.restore(0)
+    assert(v2 === 2)
+    // rolled back content == v0, bit for bit, and nothing was rewritten
+    assert(mt.read().exceptAll(mt.read(Some(0))).count() === 0)
+    assert(mt.filesOf(2) === mt.filesOf(0))
+    // history intact: the bad version is still readable for forensics
+    assert(mt.versions === Seq(0, 1, 2))
+    assert(mt.read(Some(1)).exceptAll(orders).count() === 8)
+  }
+
+  test("L12: SHALLOW CLONE shares files, then diverges independently") {
+    val src = new ManifestTable(spark, scratch("clone_src"))
+    src.write(orders, "overwrite")
+    val clone = src.shallowClone(scratch("clone_dst"))
+    // same content, zero data copied (clone references source files)
+    assert(clone.read().exceptAll(src.read()).count() === 0)
+    def qualified(fs: Seq[String]) = {
+      val hc = spark.sessionState.newHadoopConf()
+      fs.map(f => { val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hc).makeQualified(p).toString })
+    }
+    assert(qualified(clone.filesOf(0)) ===
+      qualified(src.filesOf(src.latestVersion.get)))
+    // clone writes diverge without touching the source
+    clone.merge(updated, Seq("order_id"))
+    assert(clone.read().exceptAll(orders).count() === 8)
+    assert(src.read().exceptAll(orders).count() === 0)
+    // and source writes don't leak into the clone
+    src.write(orders.limit(5), "overwrite")
+    assert(clone.read().count() === orders.count())
+  }
+
   test("L10: incremental view maintenance equals full recompute") {
     import graft.lake.IncrementalView
     val root = scratch("ivm")
