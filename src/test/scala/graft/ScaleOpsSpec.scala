@@ -59,6 +59,43 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(ok.forall(identity))
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter builds a bloom filter from the
+    // selective (creation) side and pushes a might_contain probe into
+    // the large side's scan — the shuffle-join analogue of broadcast
+    // pruning, and at 100 TB the difference between shuffling the
+    // whole fact table and shuffling the ~matching slice. Default
+    // thresholds target real clusters (10 GB application side), so the
+    // spec pins them down to fixture scale; the assertion is that the
+    // engine's plan actually carries the filter.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Q.t(spark, sf, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") < 100)
+      val l = Q.t(spark, sf, "lineitem")
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        "no runtime bloom filter injected:\n" + opt)
+      // and the filtered plan still returns exactly the right rows
+      val expected = Q.t(spark, sf, "lineitem").as("l")
+        .join(Q.t(spark, sf, "orders")
+          .filter(col("o_orderstatus") === "F" && col("o_orderkey") < 100).as("o"),
+          col("l.l_orderkey") === col("o.o_orderkey")).count()
+      assert(j.agg(sum(col("n"))).first().getLong(0) === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stateful dedup: TTL evicts state, key re-emits after eviction") {
     import java.sql.Timestamp
     val dir = s"${sys.props("java.io.tmpdir")}/graft_ttl_dedup"
