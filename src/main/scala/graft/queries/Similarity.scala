@@ -168,7 +168,74 @@ object Similarity extends QueryModule {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
+  /** S6: matryoshka (truncated-dimension) two-stage retrieval — the
+    * production coarse-to-fine pattern: score ALL candidates on the
+    * first 16 of 64 dims (4× cheaper per comparison, and with
+    * MRL-trained embeddings nearly rank-preserving), keep top-10 per
+    * probe, then re-rank only those on full dims for the final top-3.
+    * At 100 TB the coarse pass is the only corpus-wide scan and it
+    * reads a quarter of the vector bytes; the fine pass touches
+    * 10 rows per probe. Both stages are deterministic fold math →
+    * fully oracle-able (unlike LSH/IVF, which trade exactness).
+    */
+  def s6MatryoshkaTopK(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 16
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("v16", slice(col("v"), 1, dims))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("v16").as("q_v16"))
+    val coarse = emb.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("sim16",
+        round(CosineSimilarity.cosine(spark, col("q_v16"), col("v16")), 6))
+    val w16 = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim16").desc, col("vec_id").asc)
+    val cands = coarse.withColumn("rn16", row_number().over(w16))
+      .filter(col("rn16") <= 10)
+    val fine = cands
+      .withColumn("sim", round(CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    fine.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"),
+        col("sim"), col("sim16"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  val s6Oracle: String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($x, $y), p -> p[1] * p[2])), (a, b) -> a + b)"
+    def cos(x: String, y: String) =
+      s"round(${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)})), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |            (embedding::DOUBLE[])[1:16] AS v16 FROM embeddings),
+       |coarse AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
+       |    q.v AS q_v, c.v AS c_v,
+       |    ${cos("q.v16", "c.v16")} AS sim16
+       |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+       |cands AS (
+       |  SELECT * FROM (
+       |    SELECT q_id, neighbor, q_v, c_v, sim16,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY sim16 DESC NULLS LAST, neighbor ASC NULLS FIRST) AS rn16
+       |    FROM coarse)
+       |  WHERE rn16 <= 10),
+       |fine AS (
+       |  SELECT q_id, neighbor, sim16, ${cos("q_v", "c_v")} AS sim
+       |  FROM cands)
+       |SELECT q_id, rn, neighbor, sim, sim16 FROM (
+       |  SELECT q_id, neighbor, sim, sim16,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC NULLS LAST, neighbor ASC NULLS FIRST) AS INT) AS rn
+       |  FROM fine)
+       |WHERE rn <= 3
+       |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_matryoshka_topk" -> s6MatryoshkaTopK,
     "s1_cosine_topk" -> s1BruteForceTopK,
     "s2_lsh_ann" -> s2LshAnn,
     "s3_centroids" -> s3Centroids,
@@ -176,7 +243,8 @@ object Similarity extends QueryModule {
     "s5_quantized_topk" -> s5QuantizedTopK)
 
   override def oracles: Map[String, String] = Map(
-    "s1_cosine_topk" -> s1Oracle)
+    "s1_cosine_topk" -> s1Oracle,
+    "s6_matryoshka_topk" -> s6Oracle)
 }
 
 /** Deterministic pseudo-random hyperplanes for multi-table sign-LSH:
