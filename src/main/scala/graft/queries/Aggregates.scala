@@ -257,16 +257,20 @@ object Aggregates extends QueryModule {
         sum(y * y).cast(DoubleType).as("syy"),
         sum(x * y).cast(DoubleType).as("sxy"))
       .select(col("l_returnflag"), col("n"),
-        (col("sx") / col("n")).as("mean_price"),
-        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        // closing formulas rounded (s1/d5 pattern): the inputs are
+        // exact decimal sums, but `a*b - c*d` in double can differ by
+        // one ulp across engines (FMA contraction); 6–8 decimals is
+        // far above ulp noise and far below anything meaningful
+        round(col("sx") / col("n"), 6).as("mean_price"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 2)
           .as("var_price"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
           .as("std_price"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 4)
           .as("cov_price_qty"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 8)
           .as("corr_price_qty"))
       .orderBy(col("l_returnflag").asc)
   }
@@ -274,12 +278,12 @@ object Aggregates extends QueryModule {
   val a8Oracle: String = {
     val dx = "CAST(l_extendedprice AS DECIMAL(12,2))"
     val dy = "CAST(l_quantity AS DECIMAL(12,2))"
-    s"""SELECT l_returnflag, n, sx / n AS mean_price,
-       |  (sxx - sx * sx / n) / (n - 1) AS var_price,
-       |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_price,
-       |  (sxy - sx * sy / n) / (n - 1) AS cov_price_qty,
-       |  (n * sxy - sx * sy) /
-       |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_qty
+    s"""SELECT l_returnflag, n, round(sx / n, 6) AS mean_price,
+       |  round((sxx - sx * sx / n) / (n - 1), 2) AS var_price,
+       |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS std_price,
+       |  round((sxy - sx * sy / n) / (n - 1), 4) AS cov_price_qty,
+       |  round((n * sxy - sx * sy) /
+       |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS corr_price_qty
        |FROM (
        |  SELECT l_returnflag, COUNT(*) AS n,
        |    CAST(SUM($dx) AS DOUBLE) AS sx,
