@@ -244,7 +244,39 @@ object Dedup extends QueryModule {
       |HAVING COUNT(DISTINCT ngram) >= 2
       |ORDER BY train_id ASC NULLS FIRST""".stripMargin
 
+  /** D8: fuzzy entity-resolution join — name pairs within Levenshtein
+    * distance 3, candidate-generated by a blocking key (the last
+    * token) so the comparison is per-block, never all-pairs: the
+    * standard record-linkage shape. At 100 TB the blocking key is the
+    * entire scalability story (per-block cost is quadratic); distance
+    * is computed only inside blocks.
+    */
+  def d8FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Q.t(spark, dir, "part").select(col("p_name")).distinct()
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("block"))
+    val b = names.select(col("p_name").as("name_b"), col("block"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"))
+      .orderBy(col("name_a").asc, col("name_b").asc)
+  }
+
+  val d8Oracle: String =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS block
+      |  FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM names a JOIN names b
+      |  ON a.block = b.block AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a ASC NULLS FIRST, name_b ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_fuzzy_join" -> d8FuzzyJoin,
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,
     "d3_minhash_lsh" -> d3MinhashLsh,
@@ -258,5 +290,6 @@ object Dedup extends QueryModule {
     "d2_jaccard_pairs" -> d2Oracle,
     "d5_embedding_neardup" -> d5Oracle,
     "d6_dup_clusters" -> d6Oracle,
-    "d7_contamination" -> d7Oracle)
+    "d7_contamination" -> d7Oracle,
+    "d8_fuzzy_join" -> d8Oracle)
 }
