@@ -295,6 +295,32 @@ object Aggregates extends QueryModule {
        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin
   }
 
+  /** A11: mergeable sketch rollup (Apache DataSketches HLL) — per-group
+    * distinct-count sketches UNIONED into coarser grains without
+    * rescanning the data: the pattern behind re-aggregatable gold
+    * rollups at 100 TB (store sketches per partition/day; any coarser
+    * distinct count is a sketch union, O(groups), not a table scan).
+    * Engine-specific binary → rows-only check; ApproxDistinctSpec
+    * asserts accuracy AND that union-of-group-sketches ≡ one global
+    * sketch (HLL registers are max-merged, so grouping is lossless).
+    */
+  def a11SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Q.t(spark, dir, "orders")
+    val sketches = o.groupBy(col("o_orderstatus"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"),
+        countDistinct(col("o_custkey")).as("exact"))
+    val perStatus = sketches.select(col("o_orderstatus"),
+      expr("hll_sketch_estimate(sk)").cast("long").as("approx_customers"),
+      col("exact"))
+    // grand total WITHOUT touching orders again: union the group sketches
+    val total = sketches
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long")
+        .as("approx_customers"))
+      .select(lit("TOTAL").as("o_orderstatus"), col("approx_customers"),
+        lit(null).cast("long").as("exact"))
+    perStatus.unionByName(total).orderBy(col("o_orderstatus").asc)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_pricing_summary" -> a1PricingSummary,
     "a2_count_distinct" -> a2CountDistinct,
@@ -306,7 +332,8 @@ object Aggregates extends QueryModule {
     "a7_percentiles" -> a7Percentiles,
     "a7_percentile_approx" -> a7PercentileApprox,
     "a8_descriptive_stats" -> a8DescriptiveStats,
-    "a9_having" -> a9Having)
+    "a9_having" -> a9Having,
+    "a11_sketch_rollup" -> a11SketchRollup)
 
   override def oracles: Map[String, String] = Map(
     "a1_pricing_summary" -> a1Oracle,

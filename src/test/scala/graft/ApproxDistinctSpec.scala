@@ -25,6 +25,27 @@ class ApproxDistinctSpec extends SparkTestBase {
     assert(res.count() === flags)
   }
 
+  test("A11: HLL sketch rollup is accurate and union-lossless") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("a11_sketch_rollup")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    // per-group estimates within 5% of exact
+    rows.filterNot(_._1 == "TOTAL").foreach { case (g, (approx, exact)) =>
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"group $g: approx=$approx exact=$exact")
+    }
+    // union of per-group sketches == one sketch over everything:
+    // HLL registers max-merge, so pre-grouping loses nothing
+    val direct = Q.t(spark, sf, "orders")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))")
+        .cast("long")).first().getLong(0)
+    assert(rows("TOTAL")._1 === direct)
+    val exactTotal = Q.t(spark, sf, "orders")
+      .select(countDistinct(col("o_custkey"))).first().getLong(0)
+    assert(math.abs(rows("TOTAL")._1 - exactTotal) <= (exactTotal * 0.05).toLong)
+  }
+
   test("A7b: approx_percentile tracks exact percentiles per group") {
     val approx = SparkEntry.queries("a7_percentile_approx")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
