@@ -67,6 +67,14 @@ object Stateful {
         state.remove()
         Iterator.empty
       } else {
+        val wm = state.getCurrentWatermarkMs()
+        // Logically-expired state: new data for a key whose TTL the
+        // watermark has already passed, arriving in the SAME batch that
+        // would have fired its timeout (data beats timeout processing).
+        // Without this, setTimeoutTimestamp(firstSeen + TTL) below would
+        // be ≤ watermark — an IllegalArgumentException that kills the
+        // query. Expired state starts a fresh first-seen epoch.
+        if (state.exists && state.get.firstTsMs + ttlMs <= wm) state.remove()
         val rows = it.toList
         val out =
           if (state.exists) Iterator.empty // duplicate within TTL: suppress
@@ -76,8 +84,9 @@ object Stateful {
             Iterator.single(first)
           }
         // (re-)arm the eviction clock every invocation: EventTimeTimeout
-        // fires when the watermark crosses firstSeen + TTL
-        state.setTimeoutTimestamp(state.get.firstTsMs + ttlMs)
+        // fires when the watermark crosses firstSeen + TTL (clamped above
+        // the watermark — required by the state API)
+        state.setTimeoutTimestamp(math.max(state.get.firstTsMs + ttlMs, wm + 1))
         out
       }
     }

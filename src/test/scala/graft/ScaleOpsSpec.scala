@@ -140,6 +140,44 @@ class ScaleOpsSpec extends SparkTestBase {
       ("A", "2024-06-06 12:30:00.0", 5.0))) // re-emitted post-eviction
   }
 
+  test("stateful dedup: late re-arrival in the timeout batch starts a new epoch") {
+    import java.sql.Timestamp
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ttl_dedup2"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    new java.io.File(dir).mkdirs()
+    def ts(m: String) = Timestamp.valueOf(s"2024-06-06 $m:00")
+    import spark.implicits._
+    // b1: A at 10:00 (TTL until 10:30)
+    // b2: B at 13:00 → watermark jumps to 12:59, far past A's TTL
+    // b3: A again at 13:05 — A's state is logically expired but its
+    //     timeout callback hasn't fired (data arrives in the same batch
+    //     that would fire it); must re-emit, not crash on re-arming the
+    //     timeout below the watermark
+    Seq(Stateful.Keyed("A", ts("10:00"), 1.0)).toDS()
+      .coalesce(1).write.parquet(s"$dir/b1.parquet")
+    Seq(Stateful.Keyed("B", ts("13:00"), 2.0)).toDS()
+      .coalesce(1).write.parquet(s"$dir/b2.parquet")
+    Seq(Stateful.Keyed("A", ts("13:05"), 3.0)).toDS()
+      .coalesce(1).write.parquet(s"$dir/b3.parquet")
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Stateful.Keyed]].schema)
+      .option("recursiveFileLookup", true)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .as[Stateful.Keyed]
+    val q = Stateful.dedupFirstSeenTtl(spark, stream,
+        watermarkDelay = "1 minute", ttlMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("ttl_dedup2")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ttl_dedup2").as[Stateful.Keyed].collect()
+      .map(k => (k.key, k.value)).toSet
+    assert(got === Set(("A", 1.0), ("B", 2.0), ("A", 3.0)))
+  }
+
   test("flatMapGroupsWithState accumulates user profiles across batches") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_stateful"
     val p = new org.apache.hadoop.fs.Path(dir)
