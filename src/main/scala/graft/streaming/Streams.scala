@@ -99,6 +99,33 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** T5b: continuous gold maintenance — each micro-batch MERGEs into
+    * the base table AND rolls the incremental view forward from the
+    * versions the merge produced (merge → changesBetween → signed
+    * delta apply). The composition that keeps a gold rollup fresh
+    * under streaming CDC with per-batch cost O(batch + touched
+    * groups): the base table is never rescanned, at any table size.
+    */
+  def ivmSink(stream: DataFrame, table: ManifestTable, keys: Seq[String],
+      view: ManifestTable, groupKeys: Seq[String], sumCols: Seq[String],
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val vBefore = table.latestVersion.get
+          table.merge(batch, keys)
+          val vAfter = table.latestVersion.get
+          if (vAfter != vBefore) { // no-op feeds refresh nothing
+            val next = graft.lake.IncrementalView.refresh(
+              table, vBefore, vAfter, view.read(), keys, groupKeys, sumCols)
+            view.write(next, "overwrite"): Unit
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** T7: stream-stream event-time interval join — the attribution
     * pattern (right-side events within [leftTs, leftTs + horizon] of a
     * matching left event). BOTH sides carry watermarks and the join

@@ -163,6 +163,39 @@ class StreamingSpec extends SparkTestBase {
     assert(expected.exceptAll(mt.read()).count() === 0)
   }
 
+  test("T5b: ivmSink keeps the gold view equal to a recompute under streamed CDC") {
+    val inbox = scratch("t5b_inbox")
+    // decimal measure → incremental maintenance is bit-exact
+    val base = Q.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(graft.Q.Dec).as("price"))
+    val mt = new ManifestTable(spark, scratch("t5b_table"))
+    mt.write(base, "overwrite")
+    def recompute(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_orderstatus"))
+        .agg(sum(col("price")).as("price"), count(lit(1)).as("n"))
+    val view = new ManifestTable(spark, scratch("t5b_view"))
+    view.write(recompute(mt.read()), "overwrite")
+    // two CDC drops: price bumps, then group-moving status updates
+    base.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("price",
+        (col("price") + lit(BigDecimal(7))).cast(graft.Q.Dec))
+      .write.parquet(s"$inbox/feed1")
+    base.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderstatus", lit("Z"))
+      .write.parquet(s"$inbox/feed2")
+    val stream = spark.readStream.schema(mt.read().schema)
+      .option("recursiveFileLookup", true)
+      .option("maxFilesPerTrigger", 1).parquet(inbox)
+    val q = Streams.ivmSink(stream, mt, Seq("o_orderkey"),
+      view, Seq("o_orderstatus"), Seq("price"), scratch("t5b_ckpt")).start()
+    q.awaitTermination()
+    val expected = recompute(mt.read())
+    assert(view.read().exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(view.read()).count() === 0)
+    assert(view.read().filter(col("o_orderstatus") === "Z").count() === 1)
+  }
+
   test("T6: late rows beyond the watermark are dropped and observable") {
     import org.apache.spark.sql.streaming.Trigger
     val inbox = scratch("t6_inbox")
