@@ -155,6 +155,28 @@ object Functions extends QueryModule {
       |WHERE l_orderkey < 200
       |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin
 
+  /** F3b: width_bucket histogram — uniform-bucket distribution of order
+    * values (the profiling histogram a DQ dashboard draws). DuckDB has
+    * no width_bucket, so the oracle uses the defining floor formula;
+    * boundary-safe because money values are 0.01-granular and the
+    * bucket edges are exact doubles (no value sits within an ulp of an
+    * edge). One partial-combined agg on a bounded key.
+    */
+  def f3bHistogram(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "orders")
+      .groupBy(expr("width_bucket(o_totalprice, 0.0, 600000.0, 12)").as("bucket"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("bucket").asc)
+
+  val f3bOracle: String =
+    s"""SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+       |       WHEN o_totalprice >= 600000.0 THEN 13
+       |       ELSE floor(o_totalprice / 50000.0) + 1 END AS BIGINT) AS bucket,
+       |  COUNT(*) AS n, ${Q.sql.dsum("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY bucket ASC NULLS FIRST""".stripMargin
+
   /** F4: conditional functions — CASE buckets, nullif, greatest/least. */
   def f4Conditional(spark: SparkSession, dir: String): DataFrame =
     Q.t(spark, dir, "orders")
@@ -343,6 +365,7 @@ object Functions extends QueryModule {
     "f2_datetime_funcs" -> f2DateTime,
     "f2b_date_more" -> f2bDateMore,
     "f3_math_funcs" -> f3Math,
+    "f3b_histogram" -> f3bHistogram,
     "f4_conditional_funcs" -> f4Conditional,
     "f5_array_funcs" -> f5Array,
     "f5_explode_tf" -> f5Explode,
@@ -357,6 +380,7 @@ object Functions extends QueryModule {
     "f2_datetime_funcs" -> f2Oracle,
     "f2b_date_more" -> f2bOracle,
     "f3_math_funcs" -> f3Oracle,
+    "f3b_histogram" -> f3bOracle,
     "f4_conditional_funcs" -> f4Oracle,
     "f5_array_funcs" -> f5Oracle,
     "f5_explode_tf" -> f5ExplodeOracle,

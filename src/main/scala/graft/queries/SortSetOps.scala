@@ -101,13 +101,49 @@ object SortSetOps extends QueryModule {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin
 
+  /** U4a: EXCEPT ALL — multiset difference (each occurrence counts):
+    * order keys minus one copy per matching high-value key. The
+    * bag-semantics forms complete the set-op family; Spark plans both
+    * as aggregate-on-count, one shuffle.
+    */
+  def u4ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Q.t(spark, dir, "orders")
+    o.select(col("o_custkey"))
+      .exceptAll(o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey")))
+      .orderBy(col("o_custkey").asc)
+  }
+
+  val u4ExceptAllOracle: String =
+    """SELECT o_custkey FROM orders
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin
+
+  /** U4b: INTERSECT ALL — multiset intersection (min of occurrence
+    * counts per key across the two order-status bags).
+    */
+  def u4IntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Q.t(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersectAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey").asc)
+  }
+
+  val u4IntersectAllOracle: String =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o1_global_sort" -> o1GlobalSort,
     "o2_topk" -> o2TopK,
     "u1_union_all" -> u1UnionAll,
     "u2_union_distinct" -> u2UnionDistinct,
     "u3_intersect" -> u3Intersect,
-    "u3_except" -> u3Except)
+    "u3_except" -> u3Except,
+    "u4_except_all" -> u4ExceptAll,
+    "u4_intersect_all" -> u4IntersectAll)
 
   override def oracles: Map[String, String] = Map(
     "o1_global_sort" -> o1Oracle,
@@ -115,5 +151,7 @@ object SortSetOps extends QueryModule {
     "u1_union_all" -> u1Oracle,
     "u2_union_distinct" -> u2Oracle,
     "u3_intersect" -> u3IntersectOracle,
-    "u3_except" -> u3ExceptOracle)
+    "u3_except" -> u3ExceptOracle,
+    "u4_except_all" -> u4ExceptAllOracle,
+    "u4_intersect_all" -> u4IntersectAllOracle)
 }

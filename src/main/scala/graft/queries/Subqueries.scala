@@ -76,10 +76,29 @@ object Subqueries extends QueryModule {
   def a4GroupingSets(spark: SparkSession, dir: String): DataFrame =
     GraftSession.sql(spark, dir, gsSpark)
 
+  /** LATERAL join — per-row correlated derived table (top-2 orders per
+    * customer). Catalyst plans the correlated limit as a ranked window
+    * over one join, not per-row re-execution — the same
+    * decorrelation story as sub1/sub3.
+    */
+  private val sub4Sql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |    SELECT o_orderkey, o_totalprice FROM orders
+      |    WHERE o_custkey = c.c_custkey
+      |    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+      |    LIMIT 2) t
+      |WHERE c.c_custkey < 50
+      |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
+
+  def sub4Lateral(spark: SparkSession, dir: String): DataFrame =
+    GraftSession.sql(spark, dir, sub4Sql)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sub1_correlated_scalar" -> sub1CorrelatedScalar,
     "sub2_scalar_in" -> sub2ScalarIn,
     "sub3_exists" -> sub3Exists,
+    "sub4_lateral" -> sub4Lateral,
     "a4_grouping_sets" -> a4GroupingSets)
 
   // the Spark SQL strings are (deliberately) also valid DuckDB SQL
@@ -87,5 +106,6 @@ object Subqueries extends QueryModule {
     "sub1_correlated_scalar" -> sub1Sql,
     "sub2_scalar_in" -> sub2Sql,
     "sub3_exists" -> sub3Sql,
+    "sub4_lateral" -> sub4Sql,
     "a4_grouping_sets" -> gsSpark)
 }
