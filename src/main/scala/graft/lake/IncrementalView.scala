@@ -40,15 +40,19 @@ object IncrementalView {
         sumCols.map(c => sum(col(c) * sign).as(s"_d_$c"))
     val deltas = cdf.groupBy(groupKeys.map(col): _*)
       .agg(dAggs.head, dAggs.tail: _*)
-    // full outer: feed may touch groups absent from the view (new
-    // groups) and the view keeps groups the feed never mentions
-    val joined = agg.join(deltas, groupKeys, "full_outer")
+    // full outer on NULL-SAFE key equality: a NULL group key is a legal
+    // aggregation group, and plain `=` would never match it between the
+    // view and the delta — the null group would appear twice instead of
+    // merging. Feed may touch groups absent from the view (new groups)
+    // and the view keeps groups the feed never mentions.
+    val cond = groupKeys.map(k => col(s"a.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val joined = agg.as("a").join(deltas.as("d"), cond, "full_outer")
     val outCols =
-      groupKeys.map(col) ++
+      groupKeys.map(k => coalesce(col(s"a.$k"), col(s"d.$k")).as(k)) ++
         sumCols.map(c =>
-          (coalesce(col(c), lit(0)) + coalesce(col(s"_d_$c"), lit(0))).as(c)) :+
-        (coalesce(col(countCol), lit(0L)) +
-          coalesce(col(s"_d_$countCol"), lit(0L))).as(countCol)
+          (coalesce(col(s"a.$c"), lit(0)) + coalesce(col(s"d._d_$c"), lit(0))).as(c)) :+
+        (coalesce(col(s"a.$countCol"), lit(0L)) +
+          coalesce(col(s"d._d_$countCol"), lit(0L))).as(countCol)
     joined.select(outCols: _*).filter(col(countCol) > 0)
   }
 

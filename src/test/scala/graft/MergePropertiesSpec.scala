@@ -61,15 +61,20 @@ class MergePropertiesSpec extends SparkTestBase {
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
       val mt = new ManifestTable(spark, root)
-      mt.write(df(before), "overwrite") // v0
-      mt.write(df(after), "overwrite")  // v1: arbitrary rewrite
+      // "c" becomes a NULL group key: a legal aggregation group that a
+      // non-null-safe view⋈delta join would duplicate instead of merge
+      def withNullGroup(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("s", org.apache.spark.sql.functions.nullif(col("s"),
+          org.apache.spark.sql.functions.lit("c")))
+      mt.write(withNullGroup(df(before)), "overwrite") // v0
+      mt.write(withNullGroup(df(after)), "overwrite")  // v1: arbitrary rewrite
       def view(d: org.apache.spark.sql.DataFrame) =
         d.groupBy(col("s")).agg(sum(col("v").cast("long")).as("v"),
           count(lit(1)).as("n"))
       val incr = IncrementalView.applyDelta(
-        view(df(before)), mt.changesBetween(0, 1, Seq("k")),
+        view(withNullGroup(df(before))), mt.changesBetween(0, 1, Seq("k")),
         groupKeys = Seq("s"), sumCols = Seq("v"))
-      val full = view(df(after))
+      val full = view(withNullGroup(df(after)))
       assert(incr.exceptAll(full).count() === 0, s"seed $i")
       assert(full.exceptAll(incr).count() === 0, s"seed $i")
     }
