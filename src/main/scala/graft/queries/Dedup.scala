@@ -275,8 +275,53 @@ object Dedup extends QueryModule {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY name_a ASC NULLS FIRST, name_b ASC NULLS FIRST""".stripMargin
 
+  /** D9: triangle listing over the embedding near-dup graph — the
+    * classic distributed graph-analytics kernel (clustering
+    * coefficient, community density). Edges are oriented id_a < id_b
+    * so each triangle is enumerated exactly once as a < b < c; the
+    * two joins are equi-joins on node ids (shuffle-partitioned by id,
+    * no cartesian). At scale the standard refinement is
+    * degree-ordering the orientation so high-degree hubs don't fan
+    * out — same plan shape.
+    */
+  def d9Triangles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CosineSimilarity, VectorOps}
+    val emb = Q.t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    val e = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(CosineSimilarity.cosine(spark, col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= 0.25)
+      .select("id_a", "id_b")
+    e.as("e1")
+      .join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
+      .join(e.as("e3"),
+        col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b"))
+      .select(col("e1.id_a").as("a"), col("e1.id_b").as("b"),
+        col("e2.id_b").as("c"))
+      .orderBy(col("a").asc, col("b").asc, col("c").asc)
+  }
+
+  val d9Oracle: String = {
+    val cos = s"round(${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |           FROM embeddings WHERE vec_id < 100),
+       |ed AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE $cos >= 0.25)
+       |SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+       |FROM ed e1 JOIN ed e2 ON e1.id_b = e2.id_a
+       |JOIN ed e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+       |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST, c ASC NULLS FIRST""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d8_fuzzy_join" -> d8FuzzyJoin,
+    "d9_triangles" -> d9Triangles,
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,
     "d3_minhash_lsh" -> d3MinhashLsh,
@@ -291,5 +336,6 @@ object Dedup extends QueryModule {
     "d5_embedding_neardup" -> d5Oracle,
     "d6_dup_clusters" -> d6Oracle,
     "d7_contamination" -> d7Oracle,
-    "d8_fuzzy_join" -> d8Oracle)
+    "d8_fuzzy_join" -> d8Oracle,
+    "d9_triangles" -> d9Oracle)
 }
