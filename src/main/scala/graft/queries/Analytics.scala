@@ -154,7 +154,46 @@ object Analytics extends QueryModule {
       |  part_b ASC NULLS FIRST
       |LIMIT 25""".stripMargin
 
+  /** PR2: join-key skew diagnostic — the per-key histogram summary a
+    * 100 TB pipeline computes BEFORE a big join to decide whether to
+    * salt / AQE-split: distinct keys, hottest key (with its count),
+    * mean rows per key, and the max/mean skew ratio. Two partial-agg
+    * levels; the second input is one row per key, never raw rows.
+    */
+  def pr2SkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Q.t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+    val hot = counts
+      .orderBy(col("n").desc, col("l_suppkey").asc).limit(1)
+      .select(col("l_suppkey").as("hottest_key"), col("n").as("hottest_rows"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_rows"),
+      round(sum(col("n")).cast("double") / count(lit(1)), 6).as("mean_rows"),
+      round(max(col("n")).cast("double") /
+        (sum(col("n")).cast("double") / count(lit(1))), 6).as("skew_ratio"))
+      .crossJoin(hot)
+  }
+
+  val pr2Oracle: String =
+    """WITH cnt AS (
+      |  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |hot AS (
+      |  SELECT l_suppkey AS hottest_key, n AS hottest_rows FROM cnt
+      |  ORDER BY n DESC NULLS LAST, l_suppkey ASC NULLS FIRST LIMIT 1)
+      |SELECT COUNT(*) AS n_keys,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  MAX(n) AS max_rows,
+      |  round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS mean_rows,
+      |  round(CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6)
+      |    AS skew_ratio,
+      |  hot.hottest_key, hot.hottest_rows
+      |FROM cnt CROSS JOIN hot
+      |GROUP BY hot.hottest_key, hot.hottest_rows""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pr2_skew_report" -> pr2SkewReport,
     "fn1_funnel" -> fn1Funnel,
     "fn2_cohorts" -> fn2Cohorts,
     "fn3_copurchase" -> fn3CoPurchase,
@@ -164,5 +203,6 @@ object Analytics extends QueryModule {
     "fn1_funnel" -> fn1Oracle,
     "fn2_cohorts" -> fn2Oracle,
     "fn3_copurchase" -> fn3Oracle,
-    "pr1_profile" -> pr1Oracle)
+    "pr1_profile" -> pr1Oracle,
+    "pr2_skew_report" -> pr2Oracle)
 }
