@@ -206,7 +206,30 @@ object Joins extends QueryModule {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin
 
+  /** J9: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — NULL
+    * keys MATCH each other instead of silently dropping, the semantics
+    * CDC diffs and dimension lookups with unknown members need. Region
+    * key 0 is nulled on both sides to exercise the null bucket.
+    */
+  def j9NullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val n = Q.t(spark, dir, "nation")
+      .withColumn("k", nullif(col("n_regionkey"), lit(0)))
+    val r = Q.t(spark, dir, "region")
+      .withColumn("k", nullif(col("r_regionkey"), lit(0)))
+    n.as("n").join(r.as("r"), col("n.k") <=> col("r.k"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey").asc)
+  }
+
+  val j9Oracle: String =
+    """SELECT n_nationkey, n_name, r_name
+      |FROM (SELECT *, nullif(n_regionkey, 0) AS k FROM nation) n
+      |JOIN (SELECT *, nullif(r_regionkey, 0) AS k FROM region) r
+      |  ON n.k IS NOT DISTINCT FROM r.k
+      |ORDER BY n_nationkey ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j9_null_safe" -> j9NullSafe,
     "j1_inner_join" -> j1InnerJoin,
     "j2_broadcast_join" -> j2BroadcastJoin,
     "j3_left_outer" -> j3LeftOuter,
@@ -224,5 +247,6 @@ object Joins extends QueryModule {
     "j4_anti_join" -> j4AntiOracle,
     "j5_star_join" -> j5Oracle,
     "j6_range_join" -> j6Oracle,
-    "j7_asof_join" -> j7Oracle)
+    "j7_asof_join" -> j7Oracle,
+    "j9_null_safe" -> j9Oracle)
 }

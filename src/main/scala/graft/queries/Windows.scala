@@ -163,17 +163,44 @@ object Windows extends QueryModule {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** W6: LOCF forward-fill — last non-null observation carried forward
+    * per user (`last(..., ignoreNulls)` over a running frame): the
+    * standard sensor/time-series gap repair. One window shuffle on the
+    * user key; the frame scan is incremental, not quadratic.
+    */
+  def w6Locf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Q.t(spark, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"), col("value"),
+        last(col("value"), ignoreNulls = true).over(w).as("value_filled"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
+  val w6Oracle: String =
+    """SELECT user_id, event_id, value,
+      |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+      |FROM events
+      |WHERE user_id < 50
+      |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_rank_topn" -> w1RankTopN,
     "w2_lag_lead" -> w2LagLead,
     "w3_running_frames" -> w3RunningFrames,
     "w4_ntile" -> w4Ntile,
-    "w5_first_last_nth" -> w5FirstLastNth)
+    "w5_first_last_nth" -> w5FirstLastNth,
+    "w6_locf" -> w6Locf)
 
   override def oracles: Map[String, String] = Map(
     "w1_rank_topn" -> w1Oracle,
     "w2_lag_lead" -> w2Oracle,
     "w3_running_frames" -> w3Oracle,
     "w4_ntile" -> w4Oracle,
-    "w5_first_last_nth" -> w5Oracle)
+    "w5_first_last_nth" -> w5Oracle,
+    "w6_locf" -> w6Oracle)
 }
