@@ -432,6 +432,23 @@ class LakeSpec extends SparkTestBase {
     assert(incr.filter(col("o_orderstatus") === "Z").count() === 1)
   }
 
+  test("L5c property: z-order range reads exact on both dims, arbitrary ranges") {
+    val root = scratch("zprop")
+    val mt = new ManifestTable(spark, root,
+      statsCols = Seq("o_orderkey", "o_custkey"))
+    val base = Q.t(spark, sf, "orders")
+    mt.write(base.repartition(8), "overwrite")
+    mt.optimizeByZ("o_orderkey", "o_custkey", targetFiles = 16)
+    val ranges = Seq((0L, 10L), (700L, 701L), (1499L, 1600L), (5L, 1400L),
+      (2000L, 3000L), (0L, Long.MaxValue))
+    for (c <- Seq("o_orderkey", "o_custkey"); (lo, hi) <- ranges) {
+      val expected = base.filter(col(c).between(lo, hi))
+      val got = mt.readRangeBy(c, lo.toString, hi.toString)
+      assert(got.count() === expected.count(), s"$c range [$lo,$hi]")
+      assert(got.exceptAll(expected).count() === 0, s"$c range [$lo,$hi] extras")
+    }
+  }
+
   test("L8: change feed emits delete rows for tombstoned keys") {
     val root = scratch("cdf")
     val mt = new ManifestTable(spark, root)
