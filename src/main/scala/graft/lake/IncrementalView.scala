@@ -47,10 +47,20 @@ object IncrementalView {
     // and the view keeps groups the feed never mentions.
     val cond = groupKeys.map(k => col(s"a.$k") <=> col(s"d.$k")).reduce(_ && _)
     val joined = agg.as("a").join(deltas.as("d"), cond, "full_outer")
+    // SUM NULL-ness: a side's sum is NULL when it saw no non-null
+    // values — the combined sum must stay NULL when BOTH sides are
+    // NULL (coalescing to 0 would rewrite an all-NULL group's SUM
+    // from NULL to 0 and diverge from a recompute). Known caveat,
+    // same class as MIN/MAX: a delete that removes a group's last
+    // non-null values leaves 0 here where a recompute gives NULL —
+    // exact NULL tracking under deletes needs a per-measure non-null
+    // count, which callers needing it should add as another sumCol.
+    def nullSafeAdd(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      when(x.isNull && y.isNull, lit(null))
+        .otherwise(coalesce(x, lit(0)) + coalesce(y, lit(0)))
     val outCols =
       groupKeys.map(k => coalesce(col(s"a.$k"), col(s"d.$k")).as(k)) ++
-        sumCols.map(c =>
-          (coalesce(col(s"a.$c"), lit(0)) + coalesce(col(s"d._d_$c"), lit(0))).as(c)) :+
+        sumCols.map(c => nullSafeAdd(col(s"a.$c"), col(s"d._d_$c")).as(c)) :+
         (coalesce(col(s"a.$countCol"), lit(0L)) +
           coalesce(col(s"d._d_$countCol"), lit(0L))).as(countCol)
     joined.select(outCols: _*).filter(col(countCol) > 0)
@@ -66,4 +76,52 @@ object IncrementalView {
       sumCols: Seq[String], countCol: String = "n"): DataFrame =
     applyDelta(agg, table.changesBetween(vFrom, vTo, rowKeys),
       groupKeys, sumCols, countCol)
+
+  /** The base-table version a materialized view currently reflects —
+    * recorded as a version tag written before each view commit, so the
+    * pair (view version, as-of version) survives crash-replay intact.
+    */
+  val AsOfTag = "asof"
+
+  def viewAsOf(view: ManifestTable): Int = {
+    val v = view.latestVersion.getOrElse(
+      throw new IllegalStateException("view has no versions — materialize first"))
+    view.versionTag(v, AsOfTag).map(_.toInt).getOrElse(
+      throw new IllegalStateException(
+        s"view v$v has no '$AsOfTag' tag — materialize via IncrementalView.materialize"))
+  }
+
+  /** Bootstrap a view: full recompute of `viewOf(table.read())` stamped
+    * with the table version it reflects.
+    */
+  def materialize(table: ManifestTable, view: ManifestTable,
+      viewOf: DataFrame => DataFrame): Int = {
+    val asOf = table.latestVersion.getOrElse(
+      throw new IllegalStateException("base table has no versions"))
+    val nextV = view.latestVersion.getOrElse(-1) + 1
+    view.putVersionTag(nextV, AsOfTag, asOf.toString)
+    view.write(viewOf(table.read(Some(asOf))), "overwrite")
+  }
+
+  /** Catch the view up to the table's latest version, reading the
+    * refresh RANGE from the view's own durable as-of tag — never from
+    * state captured around the caller's merge. This is what makes the
+    * streaming sink crash-safe: if a job dies after the merge commits
+    * but before the view write, the replayed batch's merge is a no-op,
+    * yet the as-of tag still points at the pre-crash version, so the
+    * missed delta is applied then. Idempotent: already-current views
+    * commit nothing.
+    */
+  def refreshToLatest(table: ManifestTable, view: ManifestTable,
+      rowKeys: Seq[String], groupKeys: Seq[String],
+      sumCols: Seq[String], countCol: String = "n"): Int = {
+    val vFrom = viewAsOf(view)
+    val vTo = table.latestVersion.get
+    if (vTo <= vFrom) return view.latestVersion.get
+    val next = refresh(table, vFrom, vTo, view.read(), rowKeys, groupKeys,
+      sumCols, countCol)
+    val nextV = view.latestVersion.get + 1
+    view.putVersionTag(nextV, AsOfTag, vTo.toString)
+    view.write(next, "overwrite")
+  }
 }

@@ -330,11 +330,17 @@ class ManifestTable(spark: SparkSession, root: String,
   /** Hive-style partition directory segment for a value — Spark escapes
     * special chars (space, ':', '%', …) via `escapePathName` when
     * writing `col=value/` dirs, so file matching must escape the same
-    * way or non-URL-safe values silently miss their files.
+    * way or non-URL-safe values silently miss their files. A NULL
+    * partition value lands in the hive default-partition directory.
     */
   private def partSegment(c: String, value: String): String = {
-    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .escapePathName(value)
+    val esc =
+      if (value == null)
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME
+      else
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(value)
     s"$c=$esc"
   }
 
@@ -388,10 +394,18 @@ class ManifestTable(spark: SparkSession, root: String,
           .union(currentOfFed.select(col(c).cast("string")))
           .distinct()
           .collect().map(_.getString(0)).toSet // bounded: distinct partitions
-        val touchedBase = base.filter(col(c).cast("string").isin(touched.toSeq: _*))
+        // NULL is a legal partition value (hive default partition) but
+        // isin(null) never matches — test it explicitly or rows landing
+        // in / moving out of the null partition are silently dropped
+        val touchedVals = touched.filter(_ != null).toSeq
+        def inTouchedOf(col0: org.apache.spark.sql.Column) = {
+          val nonNullHit = col0.cast("string").isin(touchedVals: _*)
+          if (touched.contains(null)) nonNullHit || col0.isNull else nonNullHit
+        }
+        val touchedBase = base.filter(inTouchedOf(col(c)))
         // tombstones bypass the partition filter: they match by KEY and
         // their own partition-column value may not reflect the base row's
-        val inTouched = col(c).cast("string").isin(touched.toSeq: _*)
+        val inTouched = inTouchedOf(col(c))
         val touchedUpdates = deleteCol match {
           case Some(d) => updates.filter(coalesce(col(d), lit(false)) || inTouched)
           case None => updates.filter(inTouched)
@@ -486,6 +500,33 @@ class ManifestTable(spark: SparkSession, root: String,
         // no otherwise: unchanged keys yield NULL and explode drops them
       ).as("e"))
       .select(col("e.row.*"), col("e.t").as("_change_type"))
+  }
+
+  /** Version-scoped tag (small key=value sidecar in the log dir, e.g.
+    * the incremental-view as-of marker). Written BEFORE the version it
+    * describes commits: an orphaned tag for a never-committed version
+    * is harmless and simply overwritten on retry, so tag-then-commit
+    * yields an atomic (version, tag) pair under crash-replay.
+    */
+  def putVersionTag(version: Int, key: String, value: String): Unit = {
+    fs.mkdirs(logDir)
+    val p = new Path(logDir, f"tag-$key-v$version%05d")
+    val tmp = new Path(logDir, s".tmp-tag-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false) // retry after a crash overwrites the orphan
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"tag commit $key@v$version failed")
+  }
+
+  def versionTag(version: Int, key: String): Option[String] = {
+    val p = new Path(logDir, f"tag-$key-v$version%05d")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
   }
 
   /** L11: RESTORE — roll the table back to an earlier version by

@@ -49,10 +49,10 @@ object ZOrder {
   def zValue(df: DataFrame, c1: String, c2: String, bits: Int = 4): Column = {
     val nCuts = (1 << bits) - 1
     val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
-    val q1 = df.stat.approxQuantile(c1, probs, 0.01).toSeq
-    val q2 = df.stat.approxQuantile(c2, probs, 0.01).toSeq
+    // both columns' boundaries from ONE sketch pass over the table
+    val Array(q1, q2) = df.stat.approxQuantile(Array(c1, c2), probs, 0.01)
     interleaveBits(
-      bucketExpr(col(c1).cast("double"), q1),
-      bucketExpr(col(c2).cast("double"), q2), bits)
+      bucketExpr(col(c1).cast("double"), q1.toSeq),
+      bucketExpr(col(c2).cast("double"), q2.toSeq), bits)
   }
 }

@@ -260,17 +260,26 @@ object Aggregates extends QueryModule {
         // closing formulas rounded (s1/d5 pattern): the inputs are
         // exact decimal sums, but `a*b - c*d` in double can differ by
         // one ulp across engines (FMA contraction); 6–8 decimals is
-        // far above ulp noise and far below anything meaningful
+        // far above ulp noise and far below anything meaningful.
+        // Degenerate groups are guarded EXPLICITLY (n=1 → no sample
+        // variance; zero variance → no correlation): Spark's x/0
+        // yields NULL while DuckDB's IEEE division yields inf/NaN, so
+        // leaving the divide-by-zero implicit would diverge.
         round(col("sx") / col("n"), 6).as("mean_price"),
-        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 2)
+        when(col("n") > 1,
+          round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 2))
           .as("var_price"),
-        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
+        when(col("n") > 1,
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4))
           .as("std_price"),
-        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 4)
+        when(col("n") > 1,
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 4))
           .as("cov_price_qty"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 8)
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 8))
           .as("corr_price_qty"))
       .orderBy(col("l_returnflag").asc)
   }
@@ -279,11 +288,16 @@ object Aggregates extends QueryModule {
     val dx = "CAST(l_extendedprice AS DECIMAL(12,2))"
     val dy = "CAST(l_quantity AS DECIMAL(12,2))"
     s"""SELECT l_returnflag, n, round(sx / n, 6) AS mean_price,
-       |  round((sxx - sx * sx / n) / (n - 1), 2) AS var_price,
-       |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS std_price,
-       |  round((sxy - sx * sy / n) / (n - 1), 4) AS cov_price_qty,
-       |  round((n * sxy - sx * sy) /
-       |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS corr_price_qty
+       |  CASE WHEN n > 1
+       |    THEN round((sxx - sx * sx / n) / (n - 1), 2) END AS var_price,
+       |  CASE WHEN n > 1
+       |    THEN round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) END AS std_price,
+       |  CASE WHEN n > 1
+       |    THEN round((sxy - sx * sy / n) / (n - 1), 4) END AS cov_price_qty,
+       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |    THEN round((n * sxy - sx * sy) /
+       |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8)
+       |  END AS corr_price_qty
        |FROM (
        |  SELECT l_returnflag, COUNT(*) AS n,
        |    CAST(SUM($dx) AS DOUBLE) AS sx,

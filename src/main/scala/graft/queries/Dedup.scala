@@ -291,11 +291,14 @@ object Dedup extends QueryModule {
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
     val a = emb.select(col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    // materialize the O(n²) similarity join ONCE: referenced three ways
+    // below, an uncached plan would re-run the cosine pass per leg
     val e = a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos",
         round(CosineSimilarity.cosine(spark, col("v_a"), col("v_b")), 6))
       .filter(col("cos") >= 0.25)
       .select("id_a", "id_b")
+      .localCheckpoint(true)
     e.as("e1")
       .join(e.as("e2"), col("e1.id_b") === col("e2.id_a"))
       .join(e.as("e3"),

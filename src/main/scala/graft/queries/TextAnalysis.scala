@@ -245,7 +245,11 @@ object TextAnalysis extends QueryModule {
     * is per-row array math — no shuffle.
     */
   def txRepetition(spark: SparkSession, dir: String): DataFrame = {
+    // docs under 2 tokens have no bigrams: Spark would emit NULL
+    // dup_bigram_frac while the oracle's inner join would drop the doc
+    // — restrict BOTH sides to docs where the signals are defined
     val docs = Q.t(spark, dir, "documents")
+      .filter(size(tokens(col("text"))) >= 2)
     val topTok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
@@ -264,15 +268,17 @@ object TextAnalysis extends QueryModule {
   }
 
   val txRepetitionOracle: String =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    """WITH d2 AS (
+      |  SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d2),
       |top AS (
       |  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
       |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2)
       |  GROUP BY doc_id),
       |bg AS (
       |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d2),
       |       UNNEST(generate_series(1, len(t)-1)) AS g(i)),
       |dup AS (
       |  SELECT doc_id,
@@ -280,7 +286,7 @@ object TextAnalysis extends QueryModule {
       |  FROM bg GROUP BY doc_id)
       |SELECT d.doc_id, d.lang, top.top_token_frac, dup.dup_bigram_frac,
       |  top.top_token_frac > 0.2 OR dup.dup_bigram_frac > 0.5 AS flagged
-      |FROM documents d JOIN top ON d.doc_id = top.doc_id
+      |FROM d2 d JOIN top ON d.doc_id = top.doc_id
       |JOIN dup ON d.doc_id = dup.doc_id
       |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
 

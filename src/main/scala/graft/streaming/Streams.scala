@@ -100,11 +100,16 @@ object Streams {
       .trigger(Trigger.AvailableNow())
 
   /** T5b: continuous gold maintenance — each micro-batch MERGEs into
-    * the base table AND rolls the incremental view forward from the
-    * versions the merge produced (merge → changesBetween → signed
-    * delta apply). The composition that keeps a gold rollup fresh
-    * under streaming CDC with per-batch cost O(batch + touched
-    * groups): the base table is never rescanned, at any table size.
+    * the base table, then catches the incremental view up to the
+    * table's latest version (merge → changesBetween → signed delta
+    * apply). The refresh RANGE comes from the view's durable as-of
+    * tag, NOT from versions captured around the merge: a job that dies
+    * between the merge commit and the view write replays the batch as
+    * a no-op merge, and the tag still points at the pre-crash version,
+    * so the missed delta is applied then — no silent divergence.
+    * Per-batch cost O(batch + touched groups); the base table is never
+    * rescanned, at any table size. Bootstrap the view with
+    * [[graft.lake.IncrementalView.materialize]] first.
     */
   def ivmSink(stream: DataFrame, table: ManifestTable, keys: Seq[String],
       view: ManifestTable, groupKeys: Seq[String], sumCols: Seq[String],
@@ -114,14 +119,9 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val vBefore = table.latestVersion.get
           table.merge(batch, keys)
-          val vAfter = table.latestVersion.get
-          if (vAfter != vBefore) { // no-op feeds refresh nothing
-            val next = graft.lake.IncrementalView.refresh(
-              table, vBefore, vAfter, view.read(), keys, groupKeys, sumCols)
-            view.write(next, "overwrite"): Unit
-          }
+          graft.lake.IncrementalView.refreshToLatest(
+            table, view, keys, groupKeys, sumCols): Unit
         }
       }
       .trigger(Trigger.AvailableNow())

@@ -359,6 +359,24 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("L1: merge handles NULL partition values (hive default partition)") {
+    import spark.implicits._
+    val root = scratch("nullpart")
+    val mt = new ManifestTable(spark, root, partitionCol = Some("p"))
+    mt.write(Seq((1L, "a", 10), (2L, null.asInstanceOf[String], 20))
+      .toDF("k", "p", "v"), "overwrite")
+    // update the null-partition row, insert a new null-partition row,
+    // and move a key INTO the null partition
+    val feed = Seq((2L, null.asInstanceOf[String], 25),
+      (3L, null.asInstanceOf[String], 30),
+      (1L, null.asInstanceOf[String], 11)).toDF("k", "p", "v")
+    mt.merge(feed, Seq("k"))
+    val got = mt.read().select(col("k"), col("p"), col("v"))
+      .as[(Long, Option[String], Int)].collect().toSet
+    assert(got === Set((1L, None, 11), (2L, None, 25), (3L, None, 30)),
+      s"null-partition merge lost or stranded rows: $got")
+  }
+
   test("L11: RESTORE rolls back by reference, preserving history") {
     val root = scratch("restore")
     val mt = new ManifestTable(spark, root)

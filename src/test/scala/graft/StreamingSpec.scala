@@ -175,7 +175,7 @@ class StreamingSpec extends SparkTestBase {
       df.groupBy(col("o_orderstatus"))
         .agg(sum(col("price")).as("price"), count(lit(1)).as("n"))
     val view = new ManifestTable(spark, scratch("t5b_view"))
-    view.write(recompute(mt.read()), "overwrite")
+    graft.lake.IncrementalView.materialize(mt, view, recompute)
     // two CDC drops: price bumps, then group-moving status updates
     base.filter(col("o_orderkey") % 97 === 0)
       .withColumn("price",
@@ -194,6 +194,24 @@ class StreamingSpec extends SparkTestBase {
     assert(view.read().exceptAll(expected).count() === 0)
     assert(expected.exceptAll(view.read()).count() === 0)
     assert(view.read().filter(col("o_orderstatus") === "Z").count() === 1)
+
+    // crash-replay regression: a merge that committed WITHOUT its view
+    // refresh (job died in between) must be caught up by the next
+    // refresh — the as-of tag, not the replayed (no-op) merge, drives
+    // the range. Then an already-current view refreshes to a no-op.
+    val crashFeed = base.filter(col("o_orderkey") % 113 === 0)
+      .withColumn("price", (col("price") + lit(BigDecimal(3))).cast(graft.Q.Dec))
+    mt.merge(crashFeed, Seq("o_orderkey")) // view NOT refreshed: "crash"
+    assert(view.read().exceptAll(recompute(mt.read())).count() > 0)
+    graft.lake.IncrementalView.refreshToLatest(
+      mt, view, Seq("o_orderkey"), Seq("o_orderstatus"), Seq("price"))
+    val expected2 = recompute(mt.read())
+    assert(view.read().exceptAll(expected2).count() === 0)
+    assert(expected2.exceptAll(view.read()).count() === 0)
+    val vStable = view.latestVersion.get
+    graft.lake.IncrementalView.refreshToLatest(
+      mt, view, Seq("o_orderkey"), Seq("o_orderstatus"), Seq("price"))
+    assert(view.latestVersion.get === vStable, "current view must not re-commit")
   }
 
   test("T6: late rows beyond the watermark are dropped and observable") {
