@@ -574,9 +574,13 @@ class ManifestTable(spark: SparkSession, root: String,
 
   /** L4: VACUUM — delete data files unreferenced by the `retain` most
     * recent versions, and drop manifests older than those. Returns
-    * deleted file paths. Walk cost is O(files).
+    * deleted file paths. `dryRun` lists what WOULD be deleted without
+    * touching anything (the Delta `VACUUM ... DRY RUN` safety valve —
+    * the check an operator runs before an irreversible cleanup,
+    * e.g. to confirm no shallow clone still references the files).
+    * Walk cost is O(files).
     */
-  def vacuum(retain: Int = 1): Seq[String] = {
+  def vacuum(retain: Int = 1, dryRun: Boolean = false): Seq[String] = {
     val vs = versions
     val keepVs = vs.takeRight(retain)
     // qualify both sides: manifest paths are scheme-less, listStatus
@@ -589,12 +593,13 @@ class ManifestTable(spark: SparkSession, root: String,
         if (st.isDirectory) walk(st.getPath)
         else if (st.getPath.getName.endsWith(".parquet") &&
                  !referenced.contains(fs.makeQualified(st.getPath).toString)) {
-          fs.delete(st.getPath, false)
+          if (!dryRun) fs.delete(st.getPath, false)
           deleted += st.getPath.toString
         }
       }
     walk(dataDir)
-    vs.dropRight(retain).foreach(v => fs.delete(manifestPath(v), false))
+    if (!dryRun)
+      vs.dropRight(retain).foreach(v => fs.delete(manifestPath(v), false))
     deleted.toSeq
   }
 }
