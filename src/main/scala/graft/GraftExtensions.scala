@@ -22,17 +22,29 @@ import graft.functions.{CosineSimilarity, TextFunctions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Wrong-arity SQL calls must fail with a clear message, not an
+    * IndexOutOfBoundsException from exprs(1) mid-resolution.
+    */
+  private def arity[A](name: String, n: Int,
+      f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => A)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): A = {
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+    f(exprs)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine",
         "graft_cosine(a, b) - cosine similarity of two float/double arrays; NULL on length mismatch"),
-      exprs => CosineSimilarity(exprs.head, exprs(1))))
+      arity("graft_cosine", 2, es => CosineSimilarity(es.head, es(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[TextFunctions.RollingHash].getName,
         "graft_rolling_hash",
         "graft_rolling_hash(s) - base-31 rolling hash of a string (document fingerprinting)"),
-      exprs => TextFunctions.RollingHash(exprs.head, 31)))
+      arity("graft_rolling_hash", 1, es => TextFunctions.RollingHash(es.head, 31))))
   }
 }

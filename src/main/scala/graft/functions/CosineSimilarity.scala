@@ -55,6 +55,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // a NULL element must yield NULL (VectorOps.cosine's zip_with
+      // semantics) — ArrayData.getDouble on a null slot returns 0.0,
+      // which would be a plausible-but-wrong similarity
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
@@ -82,12 +86,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xi = ${get(a, i, elemType(left) == FloatType)};
          |    double $yi = ${get(b, i, elemType(right) == FloatType)};
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })
@@ -101,7 +108,14 @@ object CosineSimilarity {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      exprs => {
+        // arity-check here: a wrong-arity SQL call would otherwise die
+        // with an opaque IndexOutOfBoundsException during resolution
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_cosine expects 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      },
       "scala_udf")
 
   /** Column API: native fused cosine. */

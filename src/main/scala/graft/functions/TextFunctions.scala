@@ -112,7 +112,12 @@ object TextFunctions {
   def registerRollingHash(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash",
-      exprs => RollingHash(exprs.head, 31),
+      exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"graft_rolling_hash expects 1 argument, got ${exprs.length}")
+        RollingHash(exprs.head, 31)
+      },
       "scala_udf")
 
   def rollingHash(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {

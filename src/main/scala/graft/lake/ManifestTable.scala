@@ -317,11 +317,18 @@ class ManifestTable(spark: SparkSession, root: String,
     commit(carried ++ newFiles)
   }
 
-  /** L2: replace exactly one partition (dynamic partition overwrite). */
+  /** L2: replace exactly one partition (dynamic partition overwrite).
+    * `value = null` replaces the hive default (null) partition — the
+    * filter must be null-aware or zero new files would be written
+    * while the old null-partition files are dropped (silent data loss).
+    */
   def overwritePartition(df: DataFrame, value: String): Int = {
     val c = partitionCol.getOrElse(
       throw new IllegalStateException("table is not partitioned"))
-    val newFiles = newEntries(writeDataFiles(df.filter(col(c) === value)))
+    val slice =
+      if (value == null) df.filter(col(c).isNull)
+      else df.filter(col(c) === value)
+    val newFiles = newEntries(writeDataFiles(slice))
     val kept = latestVersion.map(entriesOf).getOrElse(Seq.empty)
       .filterNot(e => inPartition(e.rel, c, value))
     commit(kept ++ newFiles)
@@ -373,7 +380,11 @@ class ManifestTable(spark: SparkSession, root: String,
     val upserts = deleteCol.fold(updates)(d =>
       updates.filter(!coalesce(col(d), lit(false))).drop(d))
     val deletes = deleteCol.map(d => updates.filter(coalesce(col(d), lit(false))))
-    val upsertDelta = Merge.effectiveChanges(base, upserts)
+    // cache: the exceptAll against the full base is the merge's most
+    // expensive shuffle, and it feeds the no-op check, changedKeys, AND
+    // the touched-partition scan — uncached it would run three times
+    val upsertDelta = Merge.effectiveChanges(base, upserts).cache()
+    try {
     val deleteHits = deletes.map(_.select(keys.map(col): _*).distinct()
       .join(base, keys, "left_semi"))
     val noop = upsertDelta.isEmpty && deleteHits.forall(_.isEmpty)
@@ -418,6 +429,7 @@ class ManifestTable(spark: SparkSession, root: String,
       case None =>
         write(resolve(base, updates), "overwrite")
     }
+    } finally upsertDelta.unpersist()
   }
 
   /** L5: OPTIMIZE — small-file compaction after many appends: rewrite
@@ -598,8 +610,21 @@ class ManifestTable(spark: SparkSession, root: String,
         }
       }
     walk(dataDir)
-    if (!dryRun)
-      vs.dropRight(retain).foreach(v => fs.delete(manifestPath(v), false))
+    if (!dryRun) {
+      val dropped = vs.dropRight(retain).toSet
+      dropped.foreach(v => fs.delete(manifestPath(v), false))
+      // version tags of vacuumed versions go with their manifests —
+      // a long-lived IVM pipeline would otherwise leak one tag file
+      // per vacuumed view commit forever
+      fs.listStatus(logDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("tag-")) {
+          val v = name.substring(name.lastIndexOf("-v") + 2)
+          if (v.forall(_.isDigit) && dropped.contains(v.toInt))
+            fs.delete(st.getPath, false)
+        }
+      }
+    }
     deleted.toSeq
   }
 }

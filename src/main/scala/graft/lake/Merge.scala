@@ -30,13 +30,16 @@ object Merge {
     require(base.columns.toSet == updates.columns.toSet,
       s"schema mismatch: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
     val cols = base.columns.toSeq
+    // explicit presence marker: testing source-key nullability would
+    // misread a legitimately-NULL-keyed source row (matched null-safely
+    // by the <=> join) as "no source row" and silently drop its update
     val s0 = updates.select(cols.map(col): _*)
+      .withColumn("_s_present", lit(true))
     val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val sourcePresent = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+    val sourcePresent = coalesce(col(s"s._s_present"), lit(false))
     base.as("t").join(s0.as("s"), cond, "full_outer")
       .select(cols.map { c =>
-        if (keys.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
-        else when(sourcePresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+        when(sourcePresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       }: _*)
   }
 
@@ -60,15 +63,17 @@ object Merge {
       s"updates must be base schema + $deleteCol: " +
         s"${base.columns.toSeq} vs ${updates.columns.toSeq}")
     val cols = base.columns.toSeq
+    // same presence-marker rationale as [[upsert]]: NULL source keys
+    // are legal and must still update/delete their null-safe match
     val s0 = updates.select((cols :+ deleteCol).map(col): _*)
+      .withColumn("_s_present", lit(true))
     val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val sourcePresent = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+    val sourcePresent = coalesce(col(s"s._s_present"), lit(false))
     val isDelete = coalesce(col(s"s.$deleteCol"), lit(false))
     base.as("t").join(s0.as("s"), cond, "full_outer")
       .filter(!(sourcePresent && isDelete)) // drop matched + tombstoned keys
       .select(cols.map { c =>
-        if (keys.contains(c)) coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
-        else when(sourcePresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+        when(sourcePresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       }: _*)
   }
 

@@ -18,10 +18,14 @@ object DataQuality {
   case class CheckResult(check: String, passed: Boolean, violations: Long,
       detail: String)
 
-  /** FK orphans: rows of `child` whose `key` has no match in `parent`. */
+  /** FK orphans: rows of `child` whose `key` has no match in `parent`.
+    * NULL child keys are vacuously valid (SQL FK semantics — the
+    * left_anti's plain equality would otherwise count every distinct
+    * NULL as an orphan); budget NULLs separately with [[nullRate]].
+    */
   def referentialIntegrity(child: DataFrame, parent: DataFrame,
       key: String): CheckResult = {
-    val orphans = child.select(key).distinct()
+    val orphans = child.select(key).filter(col(key).isNotNull).distinct()
       .join(parent.select(key).distinct(), Seq(key), "left_anti").count()
     CheckResult(s"ri:$key", orphans == 0, orphans,
       s"$orphans orphan $key values")

@@ -71,7 +71,12 @@ class SchemaRegistry(spark: SparkSession, dir: String) {
         val evolvedExisting = old.fields.map { f =>
           inferredByName.get(f.name) match {
             case Some(nf) if nf.dataType != f.dataType =>
-              f.copy(dataType = nf.dataType) // UPDATE_IN_DATABASE
+              // UPDATE_IN_DATABASE; a column present in the inference
+              // is live regardless of its previous state — a
+              // deprecated column re-appearing WITH a new type must
+              // shed its deprecation flag like the same-type branch
+              f.copy(dataType = nf.dataType,
+                metadata = if (isDeprecated(f)) Metadata.empty else f.metadata)
             case Some(_) =>
               // column re-appeared: clear any deprecation flag
               if (isDeprecated(f)) f.copy(metadata = Metadata.empty) else f

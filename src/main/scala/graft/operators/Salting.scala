@@ -18,13 +18,18 @@ object Salting {
 
   val SaltCol = "_graft_salt"
 
-  /** Add a deterministic salt 0..factor-1 to the skewed side (spread:
-    * derived from the whole row via a second key column when present,
-    * else a stable per-row hash).
+  /** Add a salt 0..factor-1 to the skewed side. The spread mixes a
+    * per-row ordinal into the row hash: a content-only hash would give
+    * FULLY-DUPLICATE rows (a common hot-key shape — repeated identical
+    * events) the same salt and never split the straggler. The ordinal
+    * makes salt values run-dependent, which is fine — salting has no
+    * determinism contract, only row-preservation (asserted in
+    * ScaleOpsSpec).
     */
   def saltLarge(df: DataFrame, factor: Int): DataFrame =
-    df.withColumn(SaltCol, pmod(xxhash64(struct(df.columns.map(col): _*)),
-      lit(factor.toLong)).cast("int"))
+    df.withColumn(SaltCol,
+      pmod(xxhash64(struct(df.columns.map(col): _*),
+        monotonically_increasing_id()), lit(factor.toLong)).cast("int"))
 
   /** Replicate the small side once per salt value. */
   def replicateSmall(df: DataFrame, factor: Int): DataFrame =

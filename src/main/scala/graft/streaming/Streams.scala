@@ -113,13 +113,20 @@ object Streams {
     */
   def ivmSink(stream: DataFrame, table: ManifestTable, keys: Seq[String],
       view: ManifestTable, groupKeys: Seq[String], sumCols: Seq[String],
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpoint: String,
+      orderCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          table.merge(batch, keys)
+          // a micro-batch can buffer several changes per key; the merge
+          // requires one row per key (same contract as mergeSink) —
+          // compact to the newest by orderCol first
+          val compacted = orderCol
+            .map(c => graft.lake.Merge.latestPerKey(batch, keys, c))
+            .getOrElse(batch)
+          table.merge(compacted, keys)
           graft.lake.IncrementalView.refreshToLatest(
             table, view, keys, groupKeys, sumCols): Unit
         }

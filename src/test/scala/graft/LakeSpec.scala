@@ -377,6 +377,19 @@ class LakeSpec extends SparkTestBase {
       s"null-partition merge lost or stranded rows: $got")
   }
 
+  test("L2: overwritePartition(null) replaces the null partition, not deletes it") {
+    import spark.implicits._
+    val root = scratch("nullow")
+    val mt = new ManifestTable(spark, root, partitionCol = Some("p"))
+    mt.write(Seq((1L, "a", 10), (2L, null.asInstanceOf[String], 20))
+      .toDF("k", "p", "v"), "overwrite")
+    mt.overwritePartition(
+      Seq((3L, null.asInstanceOf[String], 30)).toDF("k", "p", "v"), null)
+    val got = mt.read().select(col("k"), col("v")).as[(Long, Int)].collect().toSet
+    assert(got === Set((1L, 10), (3L, 30)),
+      s"null partition should hold exactly the replacement row: $got")
+  }
+
   test("L11: RESTORE rolls back by reference, preserving history") {
     val root = scratch("restore")
     val mt = new ManifestTable(spark, root)

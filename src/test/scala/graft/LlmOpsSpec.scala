@@ -157,6 +157,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert((100L to 102L).forall(got(_) === 100L))
   }
 
+  test("native cosine yields NULL for arrays with NULL elements (HOF parity)") {
+    import graft.functions.{CosineSimilarity, VectorOps}
+    import spark.implicits._
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(1.0), Some(2.0))),
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    val got = df.select(
+      CosineSimilarity.cosine(spark, col("a"), col("b")).as("native"),
+      VectorOps.cosine(col("a"), col("b")).as("hof")).collect()
+    assert(got(0).isNullAt(0), "null element must yield NULL, not a plausible value")
+    assert(got(0).isNullAt(0) === got(0).isNullAt(1), "parity with HOF form")
+    assert(!got(1).isNullAt(0) && got(1).getDouble(0) === got(1).getDouble(1))
+  }
+
   test("connectedComponents: refuses to return unconverged labels") {
     import graft.functions.DedupOps
     import spark.implicits._

@@ -51,6 +51,30 @@ class MergePropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("NULL-key rows update, insert, and delete like any other key") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = Seq((Some(1L), 10, "a"), (None, 20, "b"))
+      .toDF("k", "v", "s")
+    // update the NULL-key row: the null-safe join matches it and the
+    // source must WIN (testing source presence via key nullability
+    // would silently keep the stale target values)
+    val upd = Seq((Option.empty[Long], 21, "b2")).toDF("k", "v", "s")
+    val merged = Merge.upsert(base, upd, Seq("k"))
+    assert(merged.count() === 2)
+    assert(merged.filter(col("k").isNull).select("v", "s").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((21, "b2")))
+    // NULL-key insert (no existing null-key row)
+    val base2 = Seq((Some(1L), 10, "a")).toDF("k", "v", "s")
+    val ins = Merge.upsert(base2, upd, Seq("k"))
+    assert(ins.count() === 2)
+    assert(ins.filter(col("k").isNull).select("v").first().getInt(0) === 21)
+    // NULL-key tombstone deletes its null-safe match
+    val del = Seq((Option.empty[Long], 0, "x", true)).toDF("k", "v", "s", "_d")
+    val afterDel = Merge.applyCdc(base, del, Seq("k"), "_d")
+    assert(afterDel.count() === 1)
+    assert(afterDel.filter(col("k").isNull).count() === 0)
+  }
+
   test("IVM property: applyDelta(view(before), diff) == view(after)") {
     import graft.lake.{IncrementalView, ManifestTable}
     import org.apache.spark.sql.functions.{col, count, lit, sum}

@@ -23,6 +23,18 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("salt spreads FULLY-IDENTICAL duplicate rows (worst-case hot key)") {
+    // all rows identical in every column: a content-only hash would
+    // put them all in one salt bucket and the straggler would remain
+    val dup = spark.range(8000).select(lit(1L).as("k"), lit("x").as("v"))
+    val spread = Salting.saltLarge(dup, 8)
+      .groupBy(Salting.SaltCol).count().collect()
+    assert(spread.length === 8, s"expected 8 salt buckets, got ${spread.length}")
+    val counts = spread.map(_.getLong(1))
+    assert(counts.max < 3 * counts.min,
+      s"identical rows did not spread evenly: ${counts.toSeq}")
+  }
+
   test("salt spreads a hot key across partitions") {
     // all rows share ONE key — worst-case skew
     val hot = Q.t(spark, sf, "lineitem").withColumn("k", lit(1))

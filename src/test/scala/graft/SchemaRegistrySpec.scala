@@ -73,4 +73,19 @@ class SchemaRegistrySpec extends SparkTestBase {
     reg.register("t", v1)
     assert(!reg.isDeprecated(reg.schemaOf("t").get("note")))
   }
+
+  test("re-appearing column with a NEW TYPE also clears deprecation") {
+    import org.apache.spark.sql.types._
+    val reg = freshRegistry("revive_retype")
+    reg.register("t", v1)
+    reg.register("t", StructType(v1.fields.filterNot(_.name == "note")))
+    // 'note' comes back retyped: it is live in the source, so keeping
+    // the deprecated flag would make consumers silently drop it
+    val retyped = StructType(v1.fields.map(f =>
+      if (f.name == "note") f.copy(dataType = IntegerType) else f))
+    reg.register("t", retyped)
+    val f = reg.schemaOf("t").get("note")
+    assert(f.dataType === IntegerType)
+    assert(!reg.isDeprecated(f), "retyped revival must shed the deprecation flag")
+  }
 }
