@@ -463,9 +463,16 @@ class ManifestTable(spark: SparkSession, root: String,
     * same write-once/read-many trade as [[optimizeBy]], paid per
     * OPTIMIZE, never per query.
     */
-  def optimizeByZ(c1: String, c2: String, targetFiles: Int = 8): Int = {
+  def optimizeByZ(c1: String, c2: String, targetFiles: Int = 8): Int =
+    optimizeByZ(Seq(c1, c2), targetFiles)
+
+  /** N-column form — same Morton rewrite over every listed dimension
+    * (2–4 columns is the practical range; each added dimension dilutes
+    * per-dimension clustering).
+    */
+  def optimizeByZ(cols: Seq[String], targetFiles: Int): Int = {
     val df = read()
-    val z = graft.operators.ZOrder.zValue(df, c1, c2)
+    val z = graft.operators.ZOrder.zValue(df, cols, bits = 4)
     write(df.withColumn("_zorder", z)
       .repartitionByRange(targetFiles, col("_zorder"))
       .sortWithinPartitions("_zorder")

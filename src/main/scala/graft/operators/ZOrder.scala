@@ -32,27 +32,40 @@ object ZOrder {
       acc + when(c >= lit(b), lit(1)).otherwise(lit(0))
     }
 
-  /** Interleave the low `bits` bits of two bucket indices:
-    * z = … b1[1] b2[1] b1[0] b2[0].
+  /** Interleave the low `bits` bits of N bucket indices: bit i of
+    * dimension j lands at position i*N + (N-1-j), so earlier columns
+    * take the more significant interleaved slots.
     */
-  def interleaveBits(b1: Column, b2: Column, bits: Int): Column =
+  def interleaveBits(bs: Seq[Column], bits: Int): Column = {
+    val n = bs.length
     (0 until bits).foldLeft(lit(0)) { (acc, i) =>
-      acc +
-        shiftleft(shiftright(b1, i).bitwiseAND(lit(1)), 2 * i + 1) +
-        shiftleft(shiftright(b2, i).bitwiseAND(lit(1)), 2 * i)
+      bs.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
+        a + shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * n + (n - 1 - j))
+      }
     }
+  }
 
-  /** Z-value column for (c1, c2), quantile-bucketed to 2^bits ranks
+  def interleaveBits(b1: Column, b2: Column, bits: Int): Column =
+    interleaveBits(Seq(b1, b2), bits)
+
+  /** Z-value column for N columns, quantile-bucketed to 2^bits ranks
     * per dimension. Numeric columns only (quantiles of strings are not
-    * defined here).
+    * defined here). One sketch pass computes every column's
+    * boundaries; more dimensions dilute per-dimension clustering (the
+    * usual z-order trade — 2-4 columns is the practical range).
     */
-  def zValue(df: DataFrame, c1: String, c2: String, bits: Int = 4): Column = {
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
+    require(cols.size >= 2, "z-order needs at least two columns")
     val nCuts = (1 << bits) - 1
     val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
-    // both columns' boundaries from ONE sketch pass over the table
-    val Array(q1, q2) = df.stat.approxQuantile(Array(c1, c2), probs, 0.01)
+    // all columns' boundaries from ONE sketch pass over the table
+    val qs = df.stat.approxQuantile(cols.toArray, probs, 0.01)
     interleaveBits(
-      bucketExpr(col(c1).cast("double"), q1.toSeq),
-      bucketExpr(col(c2).cast("double"), q2.toSeq), bits)
+      cols.zip(qs.toSeq).map { case (c, q) =>
+        bucketExpr(col(c).cast("double"), q.toSeq)
+      }, bits)
   }
+
+  def zValue(df: DataFrame, c1: String, c2: String, bits: Int = 4): Column =
+    zValue(df, Seq(c1, c2), bits)
 }

@@ -463,6 +463,29 @@ class LakeSpec extends SparkTestBase {
     assert(incr.filter(col("o_orderstatus") === "Z").count() === 1)
   }
 
+  test("L5c: three-column z-order skips files on every dimension") {
+    val root = scratch("zorder3")
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val mt = new ManifestTable(spark, root, statsCols = cols)
+    val base = Q.t(spark, sf, "orders")
+    mt.write(base.repartition(16), "overwrite")
+    mt.optimizeByZ(cols, targetFiles = 16)
+    val all = mt.filesOf(mt.latestVersion.get).size
+    // a narrow range on EACH dimension must skip files and stay exact
+    val ranges = Map(
+      "o_orderkey" -> ("100", "200"),
+      "o_custkey" -> ("100", "200"),
+      "o_totalprice" -> ("10000", "30000"))
+    cols.foreach { c =>
+      val (lo, hi) = ranges(c)
+      val pruned = mt.prunedFilesBy(c, lo, hi).size
+      assert(pruned < all, s"$c skipped nothing ($pruned of $all)")
+      val expected = base.filter(
+        col(c) >= lit(lo).cast("double") && col(c) <= lit(hi).cast("double")).count()
+      assert(mt.readRangeBy(c, lo, hi).count() === expected, c)
+    }
+  }
+
   test("L5c property: z-order range reads exact on both dims, arbitrary ranges") {
     val root = scratch("zprop")
     val mt = new ManifestTable(spark, root,
