@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.util.UUID
 
@@ -245,14 +245,21 @@ class ManifestTable(spark: SparkSession, root: String,
     * intersects [lo, hi]; files without stats for `c` are kept (never
     * wrongly pruned). Exposed for pruning assertions.
     */
+  /** True when an entry's zone map for `c` intersects [lo, hi] — or when
+    * it has no stats for `c` (unknown files are never wrongly pruned).
+    */
+  private def zoneIntersects(e: Entry, c: String, lo: String, hi: String): Boolean =
+    e.stats.get(c).forall { s =>
+      statCmp(s.mx, lo, s.kind) >= 0 && statCmp(s.mn, hi, s.kind) <= 0
+    }
+
   def prunedFilesBy(c: String, lo: String, hi: String,
       version: Option[Int] = None): Seq[String] = {
     require(allStatsCols.contains(c), s"no zone map for column $c")
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
-    entriesOf(v).filter(e => e.stats.get(c).forall { s =>
-      statCmp(s.mx, lo, s.kind) >= 0 && statCmp(s.mn, hi, s.kind) <= 0
-    }).map(e => new Path(root, e.rel).toString)
+    entriesOf(v).filter(zoneIntersects(_, c, lo, hi))
+      .map(e => new Path(root, e.rel).toString)
   }
 
   /** Single-column convenience over the primary statsCol. */
