@@ -240,11 +240,6 @@ class ManifestTable(spark: SparkSession, root: String,
       catch { case _: NumberFormatException => a.compareTo(b) }
     else a.compareTo(b)
 
-  /** L7: data-skipping file set for a range on ANY zone-mapped column —
-    * files of the (latest) version whose recorded [min, max] for `c`
-    * intersects [lo, hi]; files without stats for `c` are kept (never
-    * wrongly pruned). Exposed for pruning assertions.
-    */
   /** True when an entry's zone map for `c` intersects [lo, hi] — or when
     * it has no stats for `c` (unknown files are never wrongly pruned).
     */
@@ -253,6 +248,11 @@ class ManifestTable(spark: SparkSession, root: String,
       statCmp(s.mx, lo, s.kind) >= 0 && statCmp(s.mn, hi, s.kind) <= 0
     }
 
+  /** L7: data-skipping file set for a range on ANY zone-mapped column —
+    * files of the (latest) version whose recorded [min, max] for `c`
+    * intersects [lo, hi]; files without stats for `c` are kept (never
+    * wrongly pruned). Exposed for pruning assertions.
+    */
   def prunedFilesBy(c: String, lo: String, hi: String,
       version: Option[Int] = None): Seq[String] = {
     require(allStatsCols.contains(c), s"no zone map for column $c")
@@ -416,7 +416,7 @@ class ManifestTable(spark: SparkSession, root: String,
         // isin(null) never matches — test it explicitly or rows landing
         // in / moving out of the null partition are silently dropped
         val touchedVals = touched.filter(_ != null).toSeq
-        def inTouchedOf(col0: org.apache.spark.sql.Column) = {
+        def inTouchedOf(col0: Column) = {
           val nonNullHit = col0.cast("string").isin(touchedVals: _*)
           if (touched.contains(null)) nonNullHit || col0.isNull else nonNullHit
         }
@@ -515,7 +515,7 @@ class ManifestTable(spark: SparkSession, root: String,
     // keys emit none — no re-scan of the join per change type
     val preRow = struct(cols.map(c => col(s"p.$c").as(c)): _*)
     val postRow = struct(cols.map(c => col(s"q.$c").as(c)): _*)
-    def tag(row: org.apache.spark.sql.Column, t: String) =
+    def tag(row: Column, t: String) =
       struct(row.as("row"), lit(t).as("t"))
     joined
       .select(explode(

@@ -98,14 +98,31 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("list_id"), col("v").as("seed_v"))
 
     def nearestLists(vecs: DataFrame, n: Int, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("seed_sim").desc, col("list_id").asc)
-      vecs.crossJoin(broadcast(seeds))
+      val scored = vecs.crossJoin(broadcast(seeds))
         .withColumn("seed_sim",
           CosineSimilarity.cosine(spark, col("v"), col("seed_v")))
-        .withColumn("seed_rn", row_number().over(w))
-        .filter(col("seed_rn") <= n)
-        .drop("seed_v", "seed_sim", "seed_rn")
+      if (n == 1) {
+        // Corpus-wide assignment: argmax via max_by, a declarative
+        // aggregate that partial-aggregates map-side — the K scored
+        // rows per vector collapse to one BEFORE any exchange, so the
+        // embedding column never rides an N×K sort-shuffle (the window
+        // form ranked all N×K wide rows through a full sort exchange).
+        // Tie-break matches the window's (seed_sim desc, list_id asc):
+        // max of (seed_sim, -list_id).
+        scored.groupBy(col(idCol))
+          .agg(max_by(struct(col("v").as("v"), col("list_id").as("list_id")),
+            struct(col("seed_sim"), (-col("list_id")).as("nl"))).as("best"))
+          .select(col(idCol), col("best.v").as("v"),
+            col("best.list_id").as("list_id"))
+      } else {
+        // Probe side: nprobe > 1 lists per vector, bounded probe set —
+        // the window rank is fine here.
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("seed_sim").desc, col("list_id").asc)
+        scored.withColumn("seed_rn", row_number().over(w))
+          .filter(col("seed_rn") <= n)
+          .drop("seed_v", "seed_sim", "seed_rn")
+      }
     }
 
     val assigned = nearestLists(emb, 1, "vec_id") // inverted lists
@@ -249,24 +266,49 @@ object Similarity extends QueryModule {
 
 /** Deterministic pseudo-random hyperplanes for multi-table sign-LSH:
   * plane i, component j has value (xxhash64(i, j) mod 1001)/500 - 1 ∈
-  * [-1, 1]. Data-independent and identical on every executor — no
-  * broadcast of plane state needed. Multiple small tables (union of
-  * candidates) trade candidate volume for recall — one table of many
-  * planes has near-zero recall on near-orthogonal vectors.
+  * [-1, 1]. Data-independent and identical on every executor — and
+  * therefore computed ONCE on the driver and baked into the plan as
+  * array literals: the naive in-plan form re-evaluated xxhash64 for
+  * every (row × 32 planes × 64 dims) ≈ 2,048 hash calls per row on
+  * the corpus-wide signature pass — pure waste at scale. The literal
+  * arrays are bit-identical to the old formula (asserted in
+  * SimilaritySpec), so buckets are unchanged. Multiple small tables
+  * (union of candidates) trade candidate volume for recall — one
+  * table of many planes has near-zero recall on near-orthogonal
+  * vectors.
   */
 object LshPlanes {
   import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.expressions.XXH64
 
   val nTables = 8
   val planesPerTable = 4
 
-  private def planeComponent(i: Int, j: Column): Column =
-    (pmod(xxhash64(lit(i), j), lit(1001L)).cast("double") / 500.0) - 1.0
+  /** Embedding dimensionality the plane literals are built for (the
+    * `embeddings` table's vectors). zip_with pads a shorter side with
+    * NULLs, so a mismatched vector would yield a NULL dot product —
+    * never a silently wrong bucket.
+    */
+  val dims = 64
+
+  /** Driver-side replica of the in-plan formula
+    * `(pmod(xxhash64(lit(i), j), 1001) / 500.0) - 1.0` with both
+    * arguments IntegerType: Spark's xxhash64 chains
+    * XXH64.hashInt(arg, seed) left-to-right from seed 42.
+    */
+  private[graft] def planeComponentValue(i: Int, j: Int): Double = {
+    val h = XXH64.hashInt(j, XXH64.hashInt(i, 42L))
+    (((h % 1001L) + 1001L) % 1001L).toDouble / 500.0 - 1.0
+  }
+
+  private lazy val planeLits: IndexedSeq[Column] =
+    (0 until nTables * planesPerTable).map { i =>
+      array((0 until dims).map(j => lit(planeComponentValue(i, j))): _*)
+    }
 
   private def signBit(v: Column, plane: Int): Column = {
     val dot = aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, j) => x * planeComponent(plane, j)),
+      zip_with(v, planeLits(plane), (x, w) => x * w),
       lit(0.0), (acc, x) => acc + x)
     when(dot > 0, 1).otherwise(0)
   }

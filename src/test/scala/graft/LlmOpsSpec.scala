@@ -115,6 +115,44 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"IVF recall collapsed: $recall")
   }
 
+  test("LSH plane literals are bit-identical to the in-plan hash formula") {
+    // The legacy form evaluated (pmod(xxhash64(lit(i), j), 1001)/500)-1
+    // inside the plan for every row; the literals must reproduce it
+    // bit-for-bit or every bucket assignment silently changes.
+    import graft.queries.LshPlanes
+    val nPlanes = LshPlanes.nTables * LshPlanes.planesPerTable
+    val idx = (0 until nPlanes).flatMap(i =>
+      (0 until LshPlanes.dims).map(j => (i, j))).toDF("i", "j")
+    val inPlan = idx.select(col("i"), col("j"),
+        ((pmod(xxhash64(col("i"), col("j")), lit(1001L)).cast("double")
+          / 500.0) - 1.0).as("w"))
+      .as[(Int, Int, Double)].collect()
+    inPlan.foreach { case (i, j, w) =>
+      val lit0 = LshPlanes.planeComponentValue(i, j)
+      assert(java.lang.Double.doubleToRawLongBits(lit0) ===
+        java.lang.Double.doubleToRawLongBits(w), s"plane $i comp $j: $lit0 != $w")
+    }
+  }
+
+  test("IVF assignment aggregates map-side: no window over the corpus×K rows") {
+    // The assignment pass (nearestLists n=1) must be a hash aggregate
+    // (max_by partial-aggregates before the exchange), not a
+    // row_number window that sort-shuffles N×K embedding-carrying rows.
+    val df = Similarity.s4IvfAnn(spark, sf)
+    df.collect() // AQE: finalize the physical plan before inspecting
+    // AQE prints Final and Initial plans — inspect the final one only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_max_by"),
+      "corpus assignment lost its map-side partial max_by aggregate")
+    // windows remain only for the probe nprobe-ranking and the final
+    // top-3 ranking — the corpus pass must not add a third (operator
+    // nodes print as "Window [" at a tree position; expression text
+    // like windowspecdefinition doesn't match)
+    val windows = "(?m)^[-+:*() ]*Window \\[".r.findAllIn(plan).size
+    assert(windows <= 2, s"expected ≤2 window ops (probe+rank), got $windows")
+  }
+
   test("native CosineSimilarity expression is bit-exact vs the HOF composition") {
     import graft.functions.CosineSimilarity
     val emb = Q.t(spark, sf, "embeddings")
