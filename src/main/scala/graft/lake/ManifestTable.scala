@@ -17,11 +17,17 @@ import java.util.UUID
   * }}}
   *
   * A commit writes the manifest to a temp name then atomically renames it
-  * into the log — readers always see a complete version. Single-writer
-  * assumption (documented; multi-writer needs a lock service, out of
-  * scope). Scale: the manifest lists FILES, not rows — commit cost is
-  * O(files), never O(data). Partition-aware merge rewrites only touched
-  * partitions and carries every other file forward by reference.
+  * into the log — readers always see a complete version. Writers use
+  * OPTIMISTIC CONCURRENCY (the Delta/Iceberg model): each mutation is a
+  * file-level delta against the snapshot it read; on losing a version
+  * race it rebases onto the winner when the two commits are disjoint
+  * (append+append, merges of different partitions, compaction vs an
+  * untouched-partition writer) and throws
+  * ConcurrentModificationException when they overlap — never a silent
+  * lost update. See [[commitDelta]]. Scale: the manifest lists FILES,
+  * not rows — commit cost is O(files), never O(data). Partition-aware
+  * merge rewrites only touched partitions and carries every other file
+  * forward by reference.
   *
   * Data skipping (L7): with `statsCol` set, each commit records that
   * column's per-file min/max (one distributed job over the NEW files
@@ -31,6 +37,16 @@ import java.util.UUID
   * that turns a narrow range query on a sorted/clustered 100 TB table
   * into a few file reads.
   */
+object ManifestTable {
+  /** Per-log-dir commit locks: serialize the exists-check + rename of
+    * same-JVM writers (local POSIX rename overwrites, so the pair must
+    * be atomic within the process; see [[ManifestTable.tryCommit]]).
+    */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    locks.computeIfAbsent(key, _ => new Object)
+}
+
 class ManifestTable(spark: SparkSession, root: String,
     partitionCol: Option[String] = None,
     statsCol: Option[String] = None,
@@ -181,16 +197,96 @@ class ManifestTable(spark: SparkSession, root: String,
     read(Some(v))
   }
 
-  private def commit(entries: Seq[Entry]): Int = {
+  /** Attempt to publish `entries` as version `v`. Returns false when a
+    * concurrent writer already published that version (the caller
+    * rebases and retries). Publication stays write-tmp + atomic-rename
+    * so readers never see a partial manifest; the exists-check +
+    * rename pair is serialized through a JVM-wide per-root lock
+    * because a POSIX rename OVERWRITES an existing destination —
+    * without the lock two same-process writers could both "win" and
+    * one commit would silently vanish. Cross-process local-FS writers
+    * retain a tiny exists→rename window (the same caveat Delta's
+    * local LogStore documents; HDFS/object-store renames are atomic
+    * no-overwrite and close it).
+    */
+  private def tryCommit(v: Int, entries: Seq[Entry]): Boolean = {
     fs.mkdirs(logDir)
-    val v = latestVersion.getOrElse(-1) + 1
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write((entries.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, manifestPath(v)))
-      throw new IllegalStateException(s"commit of v$v failed (concurrent writer?)")
-    v
+    val dest = manifestPath(v)
+    val won = ManifestTable.lockFor(fs.makeQualified(logDir).toString)
+      .synchronized {
+        !fs.exists(dest) && fs.rename(tmp, dest)
+      }
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** Single-shot full-snapshot commit (overwrite/restore/clone — ops
+    * whose intent is "the table now IS this file set", so there is
+    * nothing to rebase). Loses a version-number race only in a tight
+    * window; retries the next number a few times before giving up.
+    */
+  private def commit(entries: Seq[Entry]): Int = {
+    var attempt = 0
+    while (attempt < 5) {
+      val v = latestVersion.getOrElse(-1) + 1
+      if (tryCommit(v, entries)) return v
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commit at $root kept losing version races after 5 attempts")
+  }
+
+  /** Optimistic concurrent commit of a FILE-LEVEL DELTA against the
+    * snapshot the writer read (the Delta/Iceberg optimistic-concurrency
+    * core): the commit is "remove `removed`, add `added`" relative to
+    * `baseEntries`. If another writer committed first, REBASE instead
+    * of failing: re-read the latest manifest and re-apply the delta on
+    * top, provided the two commits are disjoint —
+    *
+    *  - every file this commit removes must still be referenced (a
+    *    concurrent writer rewriting the same files means both derived
+    *    output from rows the other replaced → real conflict);
+    *  - no concurrently-added entry may satisfy `conflictsWith` (the
+    *    caller's semantic overlap test, e.g. "lands in a partition my
+    *    merge rewrote" — rows added there concurrently would be
+    *    dropped or double-merged by a blind rebase).
+    *
+    * Disjoint writers (append+append, merges of different partitions,
+    * stream sink + compaction of untouched partitions) all commit;
+    * overlapping writers get a ConcurrentModificationException and
+    * re-run on the new snapshot. Retry budget bounds livelock under a
+    * commit storm.
+    */
+  private def commitDelta(baseEntries: Seq[Entry], removed: Set[String],
+      added: Seq[Entry], conflictsWith: Entry => Boolean = _ => false,
+      maxRetries: Int = 10): Int = {
+    val baseRels = baseEntries.map(_.rel).toSet
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val cur = latestVersion
+      val curEntries = cur.map(entriesOf).getOrElse(Seq.empty)
+      val curRels = curEntries.map(_.rel).toSet
+      val missing = removed.diff(curRels)
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent writer rewrote ${missing.size} file(s) this commit " +
+            s"also rewrites (e.g. ${missing.head}); re-run on the new snapshot")
+      val overlapping = curEntries.filter(e =>
+        !baseRels.contains(e.rel) && conflictsWith(e))
+      if (overlapping.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent writer added ${overlapping.size} file(s) overlapping " +
+            s"this commit (e.g. ${overlapping.head.rel}); re-run on the new snapshot")
+      val target = curEntries.filterNot(e => removed.contains(e.rel)) ++ added
+      if (tryCommit(cur.getOrElse(-1) + 1, target)) return cur.getOrElse(-1) + 1
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"commit at $root kept losing version races after $maxRetries retries")
   }
 
   /** Entries for freshly written files: per-file min/max of EVERY stats
@@ -312,16 +408,33 @@ class ManifestTable(spark: SparkSession, root: String,
   }
 
   /** L2/S5: overwrite = new version referencing only the new files;
-    * append = new version referencing old + new files.
+    * append = new version referencing old + new files. Appends are
+    * blind adds — they rebase onto ANY concurrent commit and never
+    * conflict (the stream-sink + nightly-job coexistence case).
     */
   def write(df: DataFrame, mode: String = "overwrite"): Int = {
     val newFiles = newEntries(writeDataFiles(df))
-    val carried = mode match {
-      case "append" => latestVersion.map(entriesOf).getOrElse(Seq.empty)
-      case "overwrite" => Seq.empty
+    mode match {
+      case "append" =>
+        val base = latestVersion.map(entriesOf).getOrElse(Seq.empty)
+        commitDelta(base, Set.empty, newFiles)
+      case "overwrite" => commit(newFiles)
       case m => throw new IllegalArgumentException(s"mode $m")
     }
-    commit(carried ++ newFiles)
+  }
+
+  /** Guarded full rewrite for read-modify-replace ops (compact,
+    * optimize, unpartitioned merge): the commit removes exactly the
+    * files of the snapshot that was read, so a concurrent commit of
+    * ANY kind is detected (rewritten files gone, or a new file
+    * appears → conflictsWith) instead of silently dropping its rows —
+    * the lost-update a blind overwrite would cause.
+    */
+  private def rewriteSnapshot(baseVersion: Option[Int], df: DataFrame): Int = {
+    val base = baseVersion.map(entriesOf).getOrElse(Seq.empty)
+    val newFiles = newEntries(writeDataFiles(df))
+    commitDelta(base, base.map(_.rel).toSet, newFiles,
+      conflictsWith = _ => true)
   }
 
   /** L2: replace exactly one partition (dynamic partition overwrite).
@@ -336,9 +449,12 @@ class ManifestTable(spark: SparkSession, root: String,
       if (value == null) df.filter(col(c).isNull)
       else df.filter(col(c) === value)
     val newFiles = newEntries(writeDataFiles(slice))
-    val kept = latestVersion.map(entriesOf).getOrElse(Seq.empty)
-      .filterNot(e => inPartition(e.rel, c, value))
-    commit(kept ++ newFiles)
+    val base = latestVersion.map(entriesOf).getOrElse(Seq.empty)
+    // partition-scoped delta: concurrent commits to OTHER partitions
+    // rebase cleanly; a concurrent touch of THIS partition conflicts
+    commitDelta(base,
+      base.filter(e => inPartition(e.rel, c, value)).map(_.rel).toSet,
+      newFiles, conflictsWith = e => inPartition(e.rel, c, value))
   }
 
   /** Hive-style partition directory segment for a value — Spark escapes
@@ -379,7 +495,12 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def merge(updates: DataFrame, keys: Seq[String],
       deleteCol: Option[String] = None): Int = {
-    val base = read()
+    // pin the snapshot: every read below (base rows, touched scan,
+    // carried entries) must see ONE version, and the commit is a delta
+    // against exactly that version so concurrent disjoint writers rebase
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val base = read(Some(v0))
     def resolve(b: DataFrame, u: DataFrame): DataFrame = deleteCol match {
       case Some(d) => Merge.applyCdc(b, u, keys, d)
       case None => Merge.upsert(b, u, keys)
@@ -430,11 +551,17 @@ class ManifestTable(spark: SparkSession, root: String,
         }
         val merged = resolve(touchedBase, touchedUpdates)
         val newFiles = newEntries(writeDataFiles(merged))
-        val kept = entriesOf(latestVersion.get)
-          .filterNot(e => touched.exists(v => inPartition(e.rel, c, v)))
-        commit(kept ++ newFiles)
+        def inTouchedPartition(e: Entry): Boolean =
+          touched.exists(v => inPartition(e.rel, c, v))
+        val baseEntries = entriesOf(v0)
+        // delta = rewrite of the touched partitions only: a concurrent
+        // merge/append to OTHER partitions rebases and both commits
+        // land; concurrent changes inside a touched partition conflict
+        commitDelta(baseEntries,
+          baseEntries.filter(inTouchedPartition).map(_.rel).toSet,
+          newFiles, conflictsWith = inTouchedPartition)
       case None =>
-        write(resolve(base, updates), "overwrite")
+        rewriteSnapshot(Some(v0), resolve(base, updates))
     }
     } finally upsertDelta.unpersist()
   }
@@ -445,12 +572,13 @@ class ManifestTable(spark: SparkSession, root: String,
     * value lands in few files).
     */
   def compact(targetFiles: Int = 1): Int = {
-    val df = read()
+    val v0 = latestVersion
+    val df = read(v0)
     val compacted = partitionCol match {
       case Some(c) => df.repartition(targetFiles, col(c))
       case None => df.repartition(targetFiles)
     }
-    write(compacted, "overwrite")
+    rewriteSnapshot(v0, compacted)
   }
 
   /** L5b: cluster-compact — rewrite range-partitioned by `column` so
@@ -459,8 +587,10 @@ class ManifestTable(spark: SparkSession, root: String,
     * later [[readRange]] on that column skip most files: the write-once
     * read-many trade a 100 TB table wants.
     */
-  def optimizeBy(column: String, targetFiles: Int = 8): Int =
-    write(read().repartitionByRange(targetFiles, col(column)), "overwrite")
+  def optimizeBy(column: String, targetFiles: Int = 8): Int = {
+    val v0 = latestVersion
+    rewriteSnapshot(v0, read(v0).repartitionByRange(targetFiles, col(column)))
+  }
 
   /** L5c: two-dimensional OPTIMIZE ZORDER — rewrite the table clustered
     * along the Morton curve of (c1, c2) so range reads on EITHER column
@@ -478,12 +608,13 @@ class ManifestTable(spark: SparkSession, root: String,
     * per-dimension clustering).
     */
   def optimizeByZ(cols: Seq[String], targetFiles: Int): Int = {
-    val df = read()
+    val v0 = latestVersion
+    val df = read(v0)
     val z = graft.operators.ZOrder.zValue(df, cols, bits = 4)
-    write(df.withColumn("_zorder", z)
+    rewriteSnapshot(v0, df.withColumn("_zorder", z)
       .repartitionByRange(targetFiles, col("_zorder"))
       .sortWithinPartitions("_zorder")
-      .drop("_zorder"), "overwrite")
+      .drop("_zorder"))
   }
 
   /** L8: change data feed — keyed row-level diff between two committed

@@ -1,0 +1,136 @@
+package graft
+
+import graft.lake.ManifestTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.ConcurrentModificationException
+
+/** Optimistic concurrency on the manifest log: disjoint writers (both
+  * the append+append and the different-partitions merge case) must BOTH
+  * commit — rebase, not lock, not lost update — while overlapping
+  * writers either serialize cleanly or fail loudly with
+  * ConcurrentModificationException. Threads share one SparkSession
+  * (concurrent jobs are a supported Spark pattern).
+  */
+class LakeConcurrencySpec extends SparkTestBase {
+  quiet()
+  import spark.implicits._
+
+  private def scratch(name: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    dir
+  }
+
+  private def baseDf: DataFrame = Seq(
+    (1, "p1", 10.0), (2, "p1", 20.0),
+    (3, "p2", 30.0), (4, "p2", 40.0)).toDF("id", "part", "amt")
+
+  /** Run the thunks concurrently (latch-released together); returns
+    * per-thunk Some(throwable) on failure.
+    */
+  private def race(thunks: Seq[() => Unit]): Seq[Option[Throwable]] = {
+    val pool = Executors.newFixedThreadPool(thunks.size)
+    val go = new CountDownLatch(1)
+    val results = new Array[Option[Throwable]](thunks.size)
+    val futures = thunks.zipWithIndex.map { case (t, i) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          go.await()
+          results(i) = try { t(); None } catch { case e: Throwable => Some(e) }
+        }
+      })
+    }
+    go.countDown()
+    futures.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    results.toSeq
+  }
+
+  test("concurrent merges of DISJOINT partitions both commit (rebase)") {
+    val mt = new ManifestTable(spark, scratch("conc_disjoint"),
+      partitionCol = Some("part"))
+    mt.write(baseDf, "overwrite") // v0
+    val updA = Seq((1, "p1", 11.0)).toDF("id", "part", "amt")
+    val updB = Seq((3, "p2", 33.0)).toDF("id", "part", "amt")
+    val outcomes = race(Seq(
+      () => { mt.merge(updA, Seq("id")); () },
+      () => { mt.merge(updB, Seq("id")); () }))
+    // disjoint partitions: NEITHER writer may fail
+    assert(outcomes.forall(_.isEmpty),
+      s"disjoint merge failed: ${outcomes.flatten.headOption}")
+    assert(mt.versions === Seq(0, 1, 2), s"versions: ${mt.versions}")
+    val rows = mt.read().select("id", "amt").as[(Int, Double)]
+      .collect().toMap
+    assert(rows === Map(1 -> 11.0, 2 -> 20.0, 3 -> 33.0, 4 -> 40.0),
+      s"lost update: $rows")
+    // no dangling references: every manifest file must exist on disk
+    val conf = spark.sessionState.newHadoopConf()
+    mt.filesOf(2).foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      assert(p.getFileSystem(conf).exists(p), s"missing $f")
+    }
+  }
+
+  test("concurrent appends both commit (blind add never conflicts)") {
+    val mt = new ManifestTable(spark, scratch("conc_append"))
+    mt.write(baseDf, "overwrite") // v0
+    val outcomes = race(Seq(
+      () => { mt.write(Seq((5, "p1", 50.0)).toDF("id", "part", "amt"), "append"); () },
+      () => { mt.write(Seq((6, "p2", 60.0)).toDF("id", "part", "amt"), "append"); () }))
+    assert(outcomes.forall(_.isEmpty),
+      s"append failed: ${outcomes.flatten.headOption}")
+    assert(mt.versions === Seq(0, 1, 2))
+    assert(mt.read().count() === 6)
+    assert(mt.read().select("id").as[Int].collect().toSet === Set(1, 2, 3, 4, 5, 6))
+  }
+
+  test("concurrent merges of the SAME partition: no silent lost update") {
+    val mt = new ManifestTable(spark, scratch("conc_overlap"),
+      partitionCol = Some("part"))
+    mt.write(baseDf, "overwrite") // v0
+    val updA = Seq((1, "p1", 111.0)).toDF("id", "part", "amt")
+    val updB = Seq((2, "p1", 222.0)).toDF("id", "part", "amt")
+    val outcomes = race(Seq(
+      () => { mt.merge(updA, Seq("id")); () },
+      () => { mt.merge(updB, Seq("id")); () }))
+    // either the threads serialized (both landed) or the loser threw
+    // ConcurrentModificationException — a quiet lost update is the
+    // only forbidden outcome
+    val failures = outcomes.flatten
+    failures.foreach(e => assert(e.isInstanceOf[ConcurrentModificationException],
+      s"unexpected failure type: $e"))
+    val applied = Seq(
+      outcomes(0).isEmpty -> (1 -> 111.0),
+      outcomes(1).isEmpty -> (2 -> 222.0)).filter(_._1).map(_._2).toMap
+    assert(applied.nonEmpty, "both overlapping merges failed")
+    val rows = mt.read().select("id", "amt").as[(Int, Double)]
+      .collect().toMap
+    assert(rows.size === 4, s"row count drifted: $rows")
+    applied.foreach { case (id, amt) =>
+      assert(rows(id) === amt, s"successful merge of id=$id lost: $rows")
+    }
+    // untouched partition intact either way
+    assert(rows(3) === 30.0 && rows(4) === 40.0)
+    assert(mt.versions.size === 1 + applied.size)
+  }
+
+  test("append racing a compact either rebases or conflicts, never loses rows") {
+    val mt = new ManifestTable(spark, scratch("conc_compact"))
+    mt.write(baseDf, "overwrite") // v0
+    mt.write(Seq((5, "p1", 50.0)).toDF("id", "part", "amt"), "append") // v1
+    val outcomes = race(Seq(
+      () => { mt.compact(1); () },
+      () => { mt.write(Seq((6, "p2", 60.0)).toDF("id", "part", "amt"), "append"); () }))
+    // the append is a blind add: it must always succeed
+    assert(outcomes(1).isEmpty, s"append failed: ${outcomes(1)}")
+    // compact may lose the race to the append (snapshot changed) — but
+    // only with a loud conflict, and the appended row must survive
+    outcomes(0).foreach(e =>
+      assert(e.isInstanceOf[ConcurrentModificationException], s"unexpected: $e"))
+    val ids = mt.read().select("id").as[Int].collect().toSet
+    assert(ids === Set(1, 2, 3, 4, 5, 6), s"rows lost: $ids")
+  }
+}
