@@ -45,12 +45,18 @@ object ManifestTable {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(key: String): Object =
     locks.computeIfAbsent(key, _ => new Object)
+
+  /** Salt for the bloom's second hash — part of the on-disk format. */
+  private[lake] val BloomSalt = "graft_bloom"
 }
 
 class ManifestTable(spark: SparkSession, root: String,
     partitionCol: Option[String] = None,
     statsCol: Option[String] = None,
-    statsCols: Seq[String] = Nil) {
+    statsCols: Seq[String] = Nil,
+    bloomCol: Option[String] = None,
+    bloomBits: Int = 1 << 16,
+    bloomHashes: Int = 6) {
 
   /** All zone-map columns: the legacy single `statsCol` plus any
     * additional `statsCols` (multi-column zone maps are what make
@@ -296,18 +302,32 @@ class ManifestTable(spark: SparkSession, root: String,
     * lookup is exact.
     */
   private def newEntries(relFiles: Seq[String]): Seq[Entry] = {
-    if (allStatsCols.isEmpty || relFiles.isEmpty)
+    if ((allStatsCols.isEmpty && bloomCol.isEmpty) || relFiles.isEmpty)
       return relFiles.map(Entry(_, Map.empty))
     val abs = relFiles.map(r => new Path(root, r).toString)
     val sdf = spark.read.option("basePath", dataDir.toString).parquet(abs: _*)
     val present = allStatsCols.filter(sdf.columns.contains)
-    if (present.isEmpty) return relFiles.map(Entry(_, Map.empty))
+    val bloom = bloomCol.filter(sdf.columns.contains)
+    if (present.isEmpty && bloom.isEmpty)
+      return relFiles.map(Entry(_, Map.empty))
     val kinds = present.map(c => c -> statKindOf(sdf.schema(c).dataType)).toMap
+    // Bloom positions ride the SAME per-file stats job: each row
+    // explodes into its k bit positions (min/max are duplication-proof,
+    // collect_set is bounded by bloomBits) — one distributed pass over
+    // the new files collects zone maps AND blooms.
+    val withFile = sdf.withColumn("_f", input_file_name())
+    val rows = bloom match {
+      case Some(b) =>
+        withFile
+          .withColumn("_bp", explode_outer(bloomPositions(col(b))))
+      case None => withFile.withColumn("_bp", lit(null).cast("int"))
+    }
     val aggs = present.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c")))
-    val byName = sdf
-      .groupBy(input_file_name().as("_f"))
+      max(col(c)).cast("string").as(s"mx_$c"))) ++
+      bloom.map(_ => collect_set(col("_bp")).as("_bloom"))
+    val byName = rows
+      .groupBy(col("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per new file
       .map { r =>
@@ -317,12 +337,100 @@ class ManifestTable(spark: SparkSession, root: String,
             case _ => None // all-null column in this file: never pruned on it
           }
         }.toMap
-        new Path(r.getString(0)).getName -> stats
+        val bloomStats = bloom.map { b =>
+          bloomKey(b) -> ColStats(
+            encodeBloom(r.getAs[scala.collection.Seq[Int]]("_bloom")),
+            s"$bloomBits,$bloomHashes", "B")
+        }
+        new Path(r.getString(0)).getName -> (stats ++ bloomStats)
       }
       .toMap
     relFiles.map { rel =>
       Entry(rel, byName.getOrElse(new Path(rel).getName, Map.empty))
     }
+  }
+
+  /** Bloom bit positions of a value (engine side): double hashing
+    * pos_i = (h1 + i·h2) mod m over the value's STRING rendering, both
+    * hashes xxhash64 so the driver-side probe can replay them exactly.
+    */
+  private def bloomPositions(c: Column): Column = {
+    val s = c.cast("string")
+    val m = lit(bloomBits.toLong)
+    // reduce each hash mod m BEFORE combining: (h1 + i·h2) mod m ==
+    // ((h1 mod m) + i·(h2 mod m)) mod m, and the reduced form can't
+    // overflow a long (ANSI mode would reject the wrapping multiply)
+    val h1 = pmod(xxhash64(s), m)
+    val h2 = pmod(xxhash64(lit(ManifestTable.BloomSalt), s), m)
+    transform(sequence(lit(0), lit(bloomHashes - 1)),
+      i => pmod(h1 + i.cast("long") * h2, m).cast("int"))
+  }
+
+  private def bloomKey(c: String): String = s"$c#bloom"
+
+  /** Set-positions → packed little-endian bitset → base64 (the ':'-free
+    * alphabet keeps manifest framing intact; ~m/8 bytes ≈ 8 KB per file
+    * at the default m=65536).
+    */
+  private def encodeBloom(positions: scala.collection.Seq[Int]): String = {
+    val bytes = new Array[Byte]((bloomBits + 7) / 8)
+    positions.foreach { p =>
+      bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
+    }
+    java.util.Base64.getEncoder.encodeToString(bytes)
+  }
+
+  /** Driver-side replica of [[bloomPositions]]'s double hash for a
+    * probe value: Spark's xxhash64 chains XXH64 over the UTF8 bytes
+    * from seed 42, and xxhash64(salt, v) uses the salt's hash as v's
+    * seed.
+    */
+  private def bloomMightContain(s: ColStats, value: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val bits = java.util.Base64.getDecoder.decode(s.mn)
+    val mk = s.mx.split(',')
+    val (m, k) = (mk(0).toLong, mk(1).toInt)
+    val v = UTF8String.fromString(value)
+    val h1 = java.lang.Math.floorMod(XxHash64Function.hash(v, StringType, 42L), m)
+    val saltSeed = XxHash64Function.hash(
+      UTF8String.fromString(ManifestTable.BloomSalt), StringType, 42L)
+    val h2 = java.lang.Math.floorMod(
+      XxHash64Function.hash(v, StringType, saltSeed), m)
+    (0 until k).forall { i =>
+      val pos = ((h1 + i.toLong * h2) % m).toInt
+      (bits(pos >> 3) & (1 << (pos & 7))) != 0
+    }
+  }
+
+  /** Point-lookup file skipping: files of the (latest) version whose
+    * bloom filter might contain `value` (string rendering) in
+    * `bloomCol`. The companion to zone maps for the query they can't
+    * serve — an equality probe on a high-cardinality UNSORTED column
+    * ("find one doc_id among 100k files"), where every file's [min,max]
+    * spans the domain but each file's bloom rejects absent keys with
+    * ~(1-e^(-kn/m))^k false-positive rate. Files without a recorded
+    * bloom (pre-bloom commits, carried-forward legacy entries) are
+    * kept — never wrongly pruned.
+    */
+  def prunedFilesEq(c: String, value: String,
+      version: Option[Int] = None): Seq[String] = {
+    require(bloomCol.contains(c), s"no bloom filter for column $c")
+    val v = version.orElse(latestVersion)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    entriesOf(v)
+      .filter(e => e.stats.get(bloomKey(c)).forall(bloomMightContain(_, value)))
+      .map(e => new Path(root, e.rel).toString)
+  }
+
+  /** Equality probe with bloom file skipping + exact residual filter
+    * (compares in the same string domain the bloom hashed).
+    */
+  def readEq(c: String, value: String, version: Option[Int] = None): DataFrame = {
+    val files = prunedFilesEq(c, value, version)
+    if (files.isEmpty) read(version).filter(lit(false))
+    else readFiles(files).filter(col(c).cast("string") === lit(value))
   }
 
   /** Min/max compare in the ordering the stats were recorded under
@@ -707,7 +815,7 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def shallowClone(destRoot: String): ManifestTable = {
     val dest = new ManifestTable(spark, destRoot, partitionCol,
-      statsCol, statsCols)
+      statsCol, statsCols, bloomCol, bloomBits, bloomHashes)
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
     // qualify: clone entries must resolve against the SOURCE root
