@@ -191,4 +191,89 @@ object DedupOps {
           "graph diameter exceeds maxIter — raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
+
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — same API and output as
+    * [[connectedComponents]], different convergence profile: the edge
+    * set CONTRACTS toward stars each round, so rounds needed grow
+    * logarithmically with diameter instead of linearly, and a hub node's
+    * fan-out is re-pointed at the component minimum instead of
+    * re-joined every round. This is the skew-hardened scale path for a
+    * boilerplate-heavy corpus where one giant dup component (diameter
+    * in the hundreds, one hub with millions of edges) makes plain
+    * label propagation iterate — and shuffle the hub's whole
+    * neighborhood — hundreds of times.
+    *
+    * Each round is two keyed aggregations over the CURRENT edge set
+    * (which only shrinks toward n−1 star edges):
+    *
+    *  - large-star: every node u attaches its LARGER neighbors to
+    *    m = min(Γ(u) ∪ u) — hub fan-out drops to the minimum in one
+    *    step, and edges (v, m) never grow the set beyond Γ;
+    *  - small-star: every node re-points its smaller neighbors (and
+    *    itself) at its minimum — canonical (big, small) orientation is
+    *    preserved, so the next round's aggregations stay keyed.
+    *
+    * Fixpoint when a full round leaves the edge set unchanged — at
+    * that point every edge is (node, component-min), i.e. the label
+    * assignment itself. Same localCheckpoint lineage truncation and
+    * same throw-at-cap contract as the label-propagation form.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("n"))
+      .unionByName(pairs.select(col(bCol).as("n")))
+      .distinct()
+      .localCheckpoint(true)
+    // canonical orientation: u = larger endpoint, v = smaller; drop
+    // self-loops (isolated nodes re-join as singletons at the end)
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: m(u) = min over Γ(u) ∪ {u}; attach larger nbrs to m
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u")) // larger nbrs only; (v, m) stays canonical
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: re-point each node's smaller nbrs (and itself) at
+      // its minimum; edges are canonical so Γ⁻(u) is exactly group u
+      val smallMin = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = afterLarge.join(smallMin, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(smallMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint: both sets are distinct + canonical, so equality is
+      // count match + empty difference (two cheap keyed jobs)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges.unpersist()
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds; " +
+          "raise maxIter (rounds grow ~logarithmically with diameter)")
+    // stars: every edge is (node, component-min); minima label themselves,
+    // and input singletons (self-pair-only nodes) label themselves too
+    val labels = edges.select(col("u").as("node"), col("v").as("cluster_id"))
+    nodes.join(labels, col("n") === col("node"), "left")
+      .select(col("n").as("node"),
+        coalesce(col("cluster_id"), col("n")).as("cluster_id"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryModule}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics operators over `events` — the gold-zone reports a
@@ -104,12 +105,20 @@ object Analytics extends QueryModule {
   /** FN3: market-basket co-purchase — part pairs sharing an order,
     * scored by lift = P(a,b) / (P(a)·P(b)) in exact rational form
     * (pair_n · n_orders) / (cnt_a · cnt_b). Self-join on the order key
-    * — the basket key, bounded fan-out (baskets are small); at 100 TB
-    * the guard is a per-basket size cap, not a different algorithm.
+    * — the basket key, bounded fan-out (baskets are small). The
+    * per-order cost is quadratic in basket size, so `maxBasket` caps
+    * each basket before the self-join: keep the `maxBasket`
+    * hash-ranked items per order (rank by xxhash64(partkey), partkey —
+    * deterministic, no RNG, unbiased w.r.t. part identity). A single
+    * 100k-item mega-basket at 100 TB would otherwise emit 5e9 pairs
+    * from one key — the classic skew bomb. Default ∞ (exact, oracle
+    * form); the cap bounds pairs at orders·maxBasket²/2.
     */
-  def fn3CoPurchase(spark: SparkSession, dir: String): DataFrame = {
-    val items = Q.t(spark, dir, "lineitem")
+  def fn3CoPurchase(spark: SparkSession, dir: String,
+      maxBasket: Int = Int.MaxValue): DataFrame = {
+    val distinctItems = Q.t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val items = capBaskets(distinctItems, "l_orderkey", "l_partkey", maxBasket)
     val nOrders = Q.t(spark, dir, "orders").agg(
       countDistinct(col("o_orderkey")).as("n_orders"))
     val cnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
@@ -131,6 +140,23 @@ object Analytics extends QueryModule {
       .orderBy(col("pair_n").desc, col("part_a").asc, col("part_b").asc)
       .limit(25)
   }
+
+  /** Cap each basket at its `maxBasket` hash-ranked items — the skew
+    * guard in front of any per-basket self-join. Rank by
+    * (xxhash64(item), item): deterministic across runs and executors,
+    * no RNG, unbiased w.r.t. item identity (a min-wise sample of the
+    * basket). `maxBasket = Int.MaxValue` is the identity — no window,
+    * no shuffle added to the exact path.
+    */
+  def capBaskets(items: DataFrame, keyCol: String, itemCol: String,
+      maxBasket: Int): DataFrame =
+    if (maxBasket == Int.MaxValue) items
+    else {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(xxhash64(col(itemCol)).asc, col(itemCol).asc)
+      items.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxBasket).drop("_r")
+    }
 
   val fn3Oracle: String =
     """WITH items AS (
@@ -196,7 +222,7 @@ object Analytics extends QueryModule {
     "pr2_skew_report" -> pr2SkewReport,
     "fn1_funnel" -> fn1Funnel,
     "fn2_cohorts" -> fn2Cohorts,
-    "fn3_copurchase" -> fn3CoPurchase,
+    "fn3_copurchase" -> ((s, d) => fn3CoPurchase(s, d)),
     "pr1_profile" -> pr1Profile)
 
   override def oracles: Map[String, String] = Map(

@@ -173,6 +173,40 @@ object Joins extends QueryModule {
       |GROUP BY p.user_id
       |ORDER BY user_id ASC NULLS FIRST""".stripMargin
 
+  /** J6b: the same range join, TIME-BUCKETED — the bounded-state batch
+    * analogue of T7's stream-stream interval join. The band predicate
+    * `c_ts ∈ [p_ts − 1h, p_ts)` means a purchase in hour-bucket B can
+    * only match clicks in buckets B−1 or B, so each click row is
+    * exploded to its two candidate buckets and the join key becomes
+    * (user, bucket) — an ordinary equi-join with the exact band as
+    * residual. Same rows as [[j6RangeJoin]] bit-for-bit (same oracle
+    * gates both). Why it matters at 100 TB: the per-key work of the
+    * plain form is |purchases(u)|·|clicks(u)| over a user's WHOLE
+    * history; bucketing makes it |purchases(u,h)|·|clicks(u,h±1)| —
+    * bounded by activity per hour, immune to long-lived power users,
+    * and the (user, bucket) key gives AQE far finer skew-split grain.
+    * Each (purchase, click) pair matches exactly one exploded bucket
+    * (cbkt vs cbkt+1 are distinct), so no dedup step is needed.
+    */
+  def j6bBucketedRange(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("bkt"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("cbkt"))
+      .withColumn("bkt", explode(array(col("cbkt"), col("cbkt") + 1)))
+    purchases
+      .join(clicks, col("p_user") === col("c_user") &&
+        purchases("bkt") === clicks("bkt") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("clicks_before_purchase"))
+      .orderBy(col("user_id").asc)
+  }
+
   /** J7: as-of join (latest click at-or-before each purchase), in the
     * scalable union+window form: tag both sides, one shuffle+sort per
     * user, carry the last click ts forward with last(ignoreNulls).
@@ -237,6 +271,7 @@ object Joins extends QueryModule {
     "j4_anti_join" -> j4AntiJoin,
     "j5_star_join" -> j5StarJoin,
     "j6_range_join" -> j6RangeJoin,
+    "j6b_bucketed_range" -> j6bBucketedRange,
     "j7_asof_join" -> j7AsofJoin)
 
   override def oracles: Map[String, String] = Map(
@@ -247,6 +282,7 @@ object Joins extends QueryModule {
     "j4_anti_join" -> j4AntiOracle,
     "j5_star_join" -> j5Oracle,
     "j6_range_join" -> j6Oracle,
+    "j6b_bucketed_range" -> j6Oracle, // identical semantics, bucketed plan
     "j7_asof_join" -> j7Oracle,
     "j9_null_safe" -> j9Oracle)
 }

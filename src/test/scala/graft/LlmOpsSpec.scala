@@ -210,6 +210,42 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!got(1).isNullAt(0) && got(1).getDouble(0) === got(1).getDouble(1))
   }
 
+  test("connectedComponentsStar: 1000-node chain converges in far fewer rounds than diameter") {
+    import graft.functions.DedupOps
+    import spark.implicits._
+    // a 1,000-node path has diameter 999 — plain label propagation
+    // needs ~999 rounds; star contraction must finish within 30
+    // (logarithmic in diameter), which is also the whole point for a
+    // boilerplate-heavy corpus whose giant dup component is deep
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = DedupOps.connectedComponentsStar(chain, "a", "b") // default maxIter=30
+    val rows = cc.collect()
+    assert(rows.length === 1000)
+    assert(rows.forall(_.getLong(1) === 0L), "one chain, one cluster, min id 0")
+    assert(cc.queryExecution.logical.toString.length < 40000,
+      "iterative plan must stay flat (localCheckpoint truncates lineage)")
+  }
+
+  test("connectedComponentsStar ≡ label propagation on a hub-and-clusters graph") {
+    import graft.functions.DedupOps
+    import spark.implicits._
+    // deterministic mixed graph: small cliques, a star hub (the skew
+    // case), one chain, and isolated self-pair nodes
+    val cliques = for {
+      c <- 0L until 8L; i <- 0L until 4L; j <- (i + 1) until 4L
+    } yield (c * 10 + i, c * 10 + j)
+    val hub = (1L until 25L).map(s => (500L, 500L + s))
+    val chainE = (600L until 620L).map(i => (i, i + 1))
+    val selfs = Seq((900L, 900L), (901L, 901L))
+    val pairs = (cliques ++ hub ++ chainE ++ selfs).toDF("a", "b")
+    val star = DedupOps.connectedComponentsStar(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = DedupOps.connectedComponents(pairs, "a", "b", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === plain, "same clusters, same canonical minima")
+    assert(star(900L) === 900L && star(901L) === 901L, "singletons kept")
+  }
+
   test("connectedComponents: refuses to return unconverged labels") {
     import graft.functions.DedupOps
     import spark.implicits._

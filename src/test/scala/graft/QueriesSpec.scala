@@ -38,6 +38,15 @@ class QueriesSpec extends SparkTestBase {
     assert(bad === 0)
   }
 
+  test("j6b bucketed range join ≡ plain range join") {
+    // same band semantics through the (user, hour-bucket) equi-key —
+    // the bucketing is a superset pre-filter, the residual is exact
+    val plain = SparkEntry.queries("j6_range_join")(spark, sf)
+    val bucketed = SparkEntry.queries("j6b_bucketed_range")(spark, sf)
+    assert(bucketed.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(bucketed).count() === 0)
+  }
+
   test("w4 ntile: quartiles are balanced within 1") {
     val res = SparkEntry.queries("w4_ntile")(spark, sf)
       .groupBy("value_quartile").count().collect()

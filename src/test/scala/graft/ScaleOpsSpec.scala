@@ -54,6 +54,37 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(plain.exceptAll(safe).count() === 0)
   }
 
+  test("capBaskets bounds a synthetic mega-basket's pair count; default is identity") {
+    import graft.queries.Analytics
+    // one 5,000-item mega-basket among normal baskets — the skew bomb
+    // that would emit C(5000,2) ≈ 12.5M pairs from ONE join key
+    val mega = spark.range(5000).select(lit(999999L).as("k"), col("id").as("item"))
+    val normal = spark.range(300)
+      .select((col("id") % 100).as("k"), col("id").as("item"))
+    val items = mega.unionByName(normal)
+    val capped = Analytics.capBaskets(items, "k", "item", 50)
+    val sizes = capped.groupBy("k").count().collect().map(_.getLong(1))
+    assert(sizes.max <= 50, "no basket may exceed the cap")
+    assert(capped.filter(col("k") === 999999L).count() === 50)
+    assert(capped.filter(col("k") =!= 999999L).count() === 300,
+      "small baskets pass through whole")
+    // capped self-join pair count is bounded by orders·C(cap,2), not data
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.k") === col("b.k") && col("a.item") < col("b.item")).count()
+    assert(pairs <= 101 * 50 * 49 / 2)
+    assert(pairs < 5000L * 4999 / 2, "mega-basket quadratic blowup not capped")
+    // deterministic: same hash ranking both runs
+    val again = Analytics.capBaskets(items, "k", "item", 50)
+    assert(capped.exceptAll(again).count() === 0)
+    // Int.MaxValue is the identity — the exact/oracle path is untouched
+    assert(Analytics.capBaskets(items, "k", "item", Int.MaxValue)
+      .exceptAll(items).count() === 0)
+    // and the oracled query itself is unchanged at the default
+    val q = Analytics.fn3CoPurchase(spark, sf)
+    val qDefault = Analytics.fn3CoPurchase(spark, sf, Int.MaxValue)
+    assert(q.exceptAll(qDefault).count() === 0)
+  }
+
   test("O3: sortWithinPartitions orders rows inside each partition without a shuffle") {
     val o = Q.t(spark, sf, "orders").repartition(4, col("o_custkey"))
       .sortWithinPartitions(col("o_orderdate"), col("o_orderkey"))
