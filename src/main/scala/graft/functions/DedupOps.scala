@@ -170,14 +170,16 @@ object DedupOps {
           .withColumnRenamed("label", "nbr_label"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("nbr_label")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+      // carry the old label through the update so the convergence
+      // probe is a narrow filter over the SAME materialized result —
+      // one join per round, not a second labels⋈next join
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(true) // O(diameter) materializations, flat lineage
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
+      val changed = updated.filter(col("label") =!= col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = updated.drop("old")
       converged = changed == 0
       i += 1
     }

@@ -48,6 +48,17 @@ object ManifestTable {
 
   /** Salt for the bloom's second hash — part of the on-disk format. */
   private[lake] val BloomSalt = "graft_bloom"
+
+  /** Manifest stats key carrying a file's deletion-vector reference
+    * (mn = sidecar path relative to the table root, mx = deleted-row
+    * count, kind = "D"). Part of the on-disk format. Not a column
+    * name, so it can never collide with zone-map/bloom stats.
+    */
+  private[lake] val DvKey = "#dv"
+
+  /** Deletion-vector sidecar schema / scan-side row-id column names. */
+  private[lake] val DvFileCol = "_graft_dv_file"
+  private[lake] val DvPosCol = "_graft_dv_pos"
 }
 
 class ManifestTable(spark: SparkSession, root: String,
@@ -68,6 +79,10 @@ class ManifestTable(spark: SparkSession, root: String,
 
   private val logDir = new Path(root, "_graft_log")
   private val dataDir = new Path(root, "data")
+  private val dvDir = new Path(root, "_graft_dv")
+  private val DvKey = ManifestTable.DvKey
+  private val DvFileCol = ManifestTable.DvFileCol
+  private val DvPosCol = ManifestTable.DvPosCol
   private def fs: FileSystem =
     logDir.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -152,12 +167,45 @@ class ManifestTable(spark: SparkSession, root: String,
   def filesOf(version: Int): Seq[String] =
     entriesOf(version).map(e => new Path(root, e.rel).toString)
 
-  /** Time-travel read: latest when version is None. */
+  /** Time-travel read: latest when version is None. Deletion vectors
+    * of the version's entries are applied (merge-on-read).
+    */
   def read(version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
-    val files = filesOf(v)
-    if (files.isEmpty) spark.emptyDataFrame else readFiles(files)
+    readEntries(entriesOf(v))
+  }
+
+  /** Entry-level read: scan the entries' files and anti-join out any
+    * deletion-vector positions they reference. The (file-basename,
+    * row_index) pair is a permanent row id — data files are immutable
+    * and uuid-named, so a position recorded by any committed DV can
+    * never misapply to a different row; positions only ever GROW per
+    * file (deletes add, rewrites mint new basenames), so unioning every
+    * referenced sidecar is always exact. DV-free tables take this path
+    * with zero overhead (no metadata columns, no join).
+    */
+  private def readEntries(entries: Seq[Entry]): DataFrame = {
+    if (entries.isEmpty) return spark.emptyDataFrame
+    val files = entries.map(e => new Path(root, e.rel).toString)
+    dvOf(entries) match {
+      case None => readFiles(files)
+      case Some(dv) =>
+        readFiles(files, withPos = true)
+          .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+          .drop(DvFileCol, DvPosCol)
+    }
+  }
+
+  /** Union of the deletion-vector sidecars referenced by `entries` —
+    * None when no entry carries a DV (the common, zero-cost case).
+    */
+  private def dvOf(entries: Seq[Entry]): Option[DataFrame] = {
+    val rels = entries.flatMap(_.stats.get(DvKey).map(_.mn)).distinct
+    if (rels.isEmpty) None
+    else Some(spark.read
+      .parquet(rels.map(r => new Path(root, r).toString): _*)
+      .select(col(DvFileCol), col(DvPosCol)))
   }
 
   /** Read a manifest file set. basePath restores partition columns from
@@ -170,16 +218,24 @@ class ManifestTable(spark: SparkSession, root: String,
     * requires every path to live under its basePath; each group reads
     * under its own basePath and the groups union by name.
     */
-  private def readFiles(files: Seq[String]): DataFrame = {
+  private def readFiles(files: Seq[String], withPos: Boolean = false): DataFrame = {
     val groups = files.groupBy { f =>
       val i = f.lastIndexOf("/data/")
       if (i >= 0) f.substring(0, i + "/data".length) else dataDir.toString
     }
     groups.toSeq.sortBy(_._1).map { case (bp, fs) =>
-      spark.read
+      val df = spark.read
         .option("basePath", bp)
         .option("mergeSchema", "true")
         .parquet(fs: _*)
+      // (basename, row_index) is the engine's permanent row id for
+      // deletion vectors: basenames are uuid-minted so they never
+      // collide across partitions, clones, or rewrites
+      if (withPos) df
+        .withColumn(DvFileCol,
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+      else df
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -253,9 +309,12 @@ class ManifestTable(spark: SparkSession, root: String,
     * of failing: re-read the latest manifest and re-apply the delta on
     * top, provided the two commits are disjoint —
     *
-    *  - every file this commit removes must still be referenced (a
-    *    concurrent writer rewriting the same files means both derived
-    *    output from rows the other replaced → real conflict);
+    *  - every file this commit removes must still be referenced WITH
+    *    an unchanged entry (a concurrent writer rewriting the same
+    *    files means both derived output from rows the other replaced;
+    *    a concurrent DELETION-VECTOR re-point keeps the rel but
+    *    changes the entry — rebasing over it would resurrect the
+    *    concurrently-deleted rows → both are real conflicts);
     *  - no concurrently-added entry may satisfy `conflictsWith` (the
     *    caller's semantic overlap test, e.g. "lands in a partition my
     *    merge rewrote" — rows added there concurrently would be
@@ -271,16 +330,22 @@ class ManifestTable(spark: SparkSession, root: String,
       added: Seq[Entry], conflictsWith: Entry => Boolean = _ => false,
       maxRetries: Int = 10): Int = {
     val baseRels = baseEntries.map(_.rel).toSet
+    val baseByRel = baseEntries.map(e => e.rel -> e).toMap
     var attempt = 0
     while (attempt <= maxRetries) {
       val cur = latestVersion
       val curEntries = cur.map(entriesOf).getOrElse(Seq.empty)
-      val curRels = curEntries.map(_.rel).toSet
-      val missing = removed.diff(curRels)
+      val curByRel = curEntries.map(e => e.rel -> e).toMap
+      // removed entries must be present AND byte-identical to the base
+      // snapshot's: a same-rel entry with different stats means a
+      // concurrent DV commit marked rows in a file this commit rewrites
+      // from pre-DV content
+      val missing = removed.filter(r => !curByRel.get(r).contains(baseByRel(r)))
       if (missing.nonEmpty)
         throw new java.util.ConcurrentModificationException(
-          s"concurrent writer rewrote ${missing.size} file(s) this commit " +
-            s"also rewrites (e.g. ${missing.head}); re-run on the new snapshot")
+          s"concurrent writer rewrote or re-pointed ${missing.size} file(s) " +
+            s"this commit also rewrites (e.g. ${missing.head}); re-run on " +
+            "the new snapshot")
       val overlapping = curEntries.filter(e =>
         !baseRels.contains(e.rel) && conflictsWith(e))
       if (overlapping.nonEmpty)
@@ -415,22 +480,26 @@ class ManifestTable(spark: SparkSession, root: String,
     * kept — never wrongly pruned.
     */
   def prunedFilesEq(c: String, value: String,
-      version: Option[Int] = None): Seq[String] = {
+      version: Option[Int] = None): Seq[String] =
+    prunedEntriesEq(c, value, version).map(e => new Path(root, e.rel).toString)
+
+  private def prunedEntriesEq(c: String, value: String,
+      version: Option[Int]): Seq[Entry] = {
     require(bloomCol.contains(c), s"no bloom filter for column $c")
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
     entriesOf(v)
       .filter(e => e.stats.get(bloomKey(c)).forall(bloomMightContain(_, value)))
-      .map(e => new Path(root, e.rel).toString)
   }
 
   /** Equality probe with bloom file skipping + exact residual filter
-    * (compares in the same string domain the bloom hashed).
+    * (compares in the same string domain the bloom hashed). Entry-level
+    * read so surviving files' deletion vectors still apply.
     */
   def readEq(c: String, value: String, version: Option[Int] = None): DataFrame = {
-    val files = prunedFilesEq(c, value, version)
-    if (files.isEmpty) read(version).filter(lit(false))
-    else readFiles(files).filter(col(c).cast("string") === lit(value))
+    val entries = prunedEntriesEq(c, value, version)
+    if (entries.isEmpty) read(version).filter(lit(false))
+    else readEntries(entries).filter(col(c).cast("string") === lit(value))
   }
 
   /** Min/max compare in the ordering the stats were recorded under
@@ -458,12 +527,15 @@ class ManifestTable(spark: SparkSession, root: String,
     * wrongly pruned). Exposed for pruning assertions.
     */
   def prunedFilesBy(c: String, lo: String, hi: String,
-      version: Option[Int] = None): Seq[String] = {
+      version: Option[Int] = None): Seq[String] =
+    prunedEntriesBy(c, lo, hi, version).map(e => new Path(root, e.rel).toString)
+
+  private def prunedEntriesBy(c: String, lo: String, hi: String,
+      version: Option[Int]): Seq[Entry] = {
     require(allStatsCols.contains(c), s"no zone map for column $c")
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
     entriesOf(v).filter(zoneIntersects(_, c, lo, hi))
-      .map(e => new Path(root, e.rel).toString)
   }
 
   /** Single-column convenience over the primary statsCol. */
@@ -478,9 +550,9 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def readRangeBy(c: String, lo: String, hi: String,
       version: Option[Int] = None): DataFrame = {
-    val files = prunedFilesBy(c, lo, hi, version)
-    if (files.isEmpty) read(version).filter(lit(false))
-    else readFiles(files) // same evolved-schema + clone-aware view as read()
+    val entries = prunedEntriesBy(c, lo, hi, version)
+    if (entries.isEmpty) read(version).filter(lit(false))
+    else readEntries(entries) // evolved-schema + clone- and DV-aware, like read()
       .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
@@ -674,6 +746,109 @@ class ManifestTable(spark: SparkSession, root: String,
     } finally upsertDelta.unpersist()
   }
 
+  /** L15: row-level DELETE via deletion vectors (merge-on-read — the
+    * Delta DV / Iceberg v2 position-delete model). Matching rows are
+    * recorded as (file-basename, row_index) positions in a sidecar
+    * parquet under `_graft_dv/`; the touched files' manifest entries
+    * re-point at the sidecar and NO data file is rewritten. Cost is
+    * O(matching rows + one manifest commit) — at 100 TB a point delete
+    * (GDPR erasure, bad-batch retraction) touches a handful of files'
+    * entries instead of rewriting partitions. Readers anti-join the
+    * positions out ([[readEntries]]); the next compaction/merge of a
+    * file materializes its deletes and drops the DV. A new sidecar for
+    * a file absorbs the file's previous positions, so each entry
+    * references exactly ONE sidecar (bounded read fan-in), while stale
+    * shared sidecars stay harmless (positions are permanent row ids).
+    * Zone maps/blooms of DV-carrying files stay valid — they describe
+    * a superset, which can only under-prune, never lose rows. Returns
+    * the committed version, or the current one when nothing matched.
+    */
+  def delete(predicate: Column): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val entries = entriesOf(v0)
+    if (entries.isEmpty) return v0
+    val files = entries.map(e => new Path(root, e.rel).toString)
+    val withPos = readFiles(files, withPos = true)
+    // only LIVE rows: re-deleting an already-deleted row must not
+    // inflate counts (the union below would dedup it anyway, but the
+    // no-op check must see a true no-op)
+    val live = dvOf(entries).fold(withPos)(dv =>
+      withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
+    val hits = live.filter(predicate).select(col(DvFileCol), col(DvPosCol))
+    commitDv(v0, entries, hits, Seq.empty)
+  }
+
+  /** L16: row-level UPDATE via deletion vectors — `UPDATE ... SET ...
+    * WHERE ...` without rewriting any existing file: matching rows are
+    * DV-marked in place and their updated copies append as new files
+    * (merge-on-read update). An assignment may change the partition
+    * column — the new copy simply lands in its new partition while the
+    * old position is dead. `set` maps column name → new value
+    * expression (may reference the old row's columns).
+    */
+  def updateWhere(predicate: Column, set: Map[String, Column]): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val entries = entriesOf(v0)
+    if (entries.isEmpty) return v0
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    val files = entries.map(e => new Path(root, e.rel).toString)
+    val withPos = readFiles(files, withPos = true)
+    val live = dvOf(entries).fold(withPos)(dv =>
+      withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
+    val hits = live.filter(predicate)
+    val updated = set.foldLeft(hits) { case (df, (c, expr0)) =>
+      df.withColumn(c, expr0)
+    }.drop(DvFileCol, DvPosCol)
+    commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
+      Seq(updated))
+  }
+
+  /** Shared DV commit: record `marks` (positions to kill, computed
+    * against snapshot `v0`) in a fresh sidecar, re-point the touched
+    * entries, append `adds` rows as new files, and commit the delta.
+    * Disjoint concurrent writers (appends, merges of other partitions)
+    * rebase; a concurrent rewrite of a touched file conflicts via the
+    * removed-still-referenced check.
+    */
+  private def commitDv(v0: Int, entries: Seq[Entry], marks: DataFrame,
+      adds: Seq[DataFrame]): Int = {
+    val cached = marks.cache()
+    try {
+      // one bounded job: per-file NEW-mark counts (≤ one row per file)
+      val newPerFile = cached.groupBy(col(DvFileCol)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (newPerFile.isEmpty) return v0
+      val touched = entries.filter(e =>
+        newPerFile.contains(new Path(e.rel).getName))
+      // absorb each touched file's PRIOR positions so its entry points
+      // at exactly one sidecar
+      val oldRels = touched.flatMap(_.stats.get(DvKey).map(_.mn)).distinct
+      val oldForTouched =
+        if (oldRels.isEmpty) None
+        else Some(spark.read
+          .parquet(oldRels.map(r => new Path(root, r).toString): _*)
+          .select(col(DvFileCol), col(DvPosCol))
+          .filter(col(DvFileCol)
+            .isin(touched.map(e => new Path(e.rel).getName): _*)))
+      val allMarks = oldForTouched.fold(cached.distinct())(o =>
+        cached.unionByName(o).distinct())
+      val dvRel = s"_graft_dv/${UUID.randomUUID()}.parquet"
+      allMarks.write.parquet(new Path(root, dvRel).toString)
+      // totals re-read from the written sidecar: ≤ one row per file
+      val totalPerFile = spark.read.parquet(new Path(root, dvRel).toString)
+        .groupBy(col(DvFileCol)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val repointed = touched.map { e =>
+        val n = totalPerFile.getOrElse(new Path(e.rel).getName, 0L)
+        e.copy(stats = e.stats + (DvKey -> ColStats(dvRel, n.toString, "D")))
+      }
+      val added = repointed ++ adds.flatMap(df => newEntries(writeDataFiles(df)))
+      commitDelta(entries, touched.map(_.rel).toSet, added)
+    } finally cached.unpersist()
+  }
+
   /** L5: OPTIMIZE — small-file compaction after many appends: rewrite
     * the latest version through `targetFiles` shuffle partitions
     * (hash-by-partition-column when partitioned, so each partition
@@ -687,6 +862,41 @@ class ManifestTable(spark: SparkSession, root: String,
       case None => df.repartition(targetFiles)
     }
     rewriteSnapshot(v0, compacted)
+  }
+
+  /** L5d: incremental bin-pack OPTIMIZE — the form that survives
+    * 100 TB: only files SMALLER than `minFileBytes` (plus any file
+    * carrying a deletion vector, whose deletes this materializes) are
+    * rewritten into ~`targetFileBytes` outputs; every compliant file
+    * carries forward BY REFERENCE. Cost is O(small files), not
+    * O(table) — compacting a petabyte table that's 99% compliant
+    * touches 1% of it, where [[compact]]'s full rewrite is a non-
+    * starter. Concurrent appends rebase (the rewritten set is
+    * disjoint from new files); a concurrent rewrite of a picked file
+    * conflicts. Returns the new version, or the current one when
+    * nothing needs packing.
+    */
+  def compactSmall(minFileBytes: Long, targetFileBytes: Long = 128L << 20): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val entries = entriesOf(v0)
+    val sized = entries.map { e =>
+      e -> fs.getFileStatus(new Path(root, e.rel)).getLen
+    }
+    val (small, kept) = sized.partition { case (e, len) =>
+      len < minFileBytes || e.stats.contains(DvKey)
+    }
+    if (small.isEmpty || (small.size == 1 && !small.head._1.stats.contains(DvKey)))
+      return v0 // nothing to pack (a single small DV-free file gains nothing)
+    val totalBytes = small.map(_._2).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val packed = readEntries(small.map(_._1)) // DV-applying read
+    val repart = partitionCol match {
+      case Some(c) => packed.repartition(nOut, col(c))
+      case None => packed.repartition(nOut)
+    }
+    val newFiles = newEntries(writeDataFiles(repart))
+    commitDelta(entries, small.map(_._1.rel).toSet, newFiles)
   }
 
   /** L5b: cluster-compact — rewrite range-partitioned by `column` so
@@ -818,9 +1028,18 @@ class ManifestTable(spark: SparkSession, root: String,
       statsCol, statsCols, bloomCol, bloomBits, bloomHashes)
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
-    // qualify: clone entries must resolve against the SOURCE root
+    // qualify: clone entries must resolve against the SOURCE root —
+    // data paths AND deletion-vector sidecar refs (a root-relative DV
+    // ref would resolve against the CLONE's root and resurrect the
+    // source's deleted rows)
     val absEntries = entriesOf(v).map { e =>
-      e.copy(rel = fs.makeQualified(new Path(root, e.rel)).toString)
+      e.copy(
+        rel = fs.makeQualified(new Path(root, e.rel)).toString,
+        stats = e.stats.map {
+          case (DvKey, s) =>
+            DvKey -> s.copy(mn = fs.makeQualified(new Path(root, s.mn)).toString)
+          case kv => kv
+        })
     }
     dest.commitEntries(absEntries.map(e =>
       (e.rel, e.stats.map { case (c, s) => (c, s.mn, s.mx, s.kind) }.toSeq)))
@@ -863,6 +1082,17 @@ class ManifestTable(spark: SparkSession, root: String,
         }
       }
     walk(dataDir)
+    // deletion-vector sidecars unreferenced by any kept entry go too
+    // (a sidecar is a directory written by Spark — removed whole)
+    val dvReferenced = keepVs.flatMap(v => entriesOf(v)
+        .flatMap(_.stats.get(ManifestTable.DvKey).map(_.mn)))
+      .map(r => fs.makeQualified(new Path(root, r)).toString).toSet
+    if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { st =>
+      if (!dvReferenced.contains(fs.makeQualified(st.getPath).toString)) {
+        if (!dryRun) fs.delete(st.getPath, true)
+        deleted += st.getPath.toString
+      }
+    }
     if (!dryRun) {
       val dropped = vs.dropRight(retain).toSet
       dropped.foreach(v => fs.delete(manifestPath(v), false))

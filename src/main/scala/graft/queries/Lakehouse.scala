@@ -185,11 +185,42 @@ object Lakehouse extends QueryModule {
       |  FROM orders WHERE o_orderkey % 503 = 0)
       |ORDER BY o_orderkey ASC NULLS FIRST, _change_type ASC NULLS FIRST""".stripMargin
 
+  /** L15/L16: deletion-vector DELETE then UPDATE on a live table —
+    * both merge-on-read (no data file rewritten; the spec asserts
+    * that), read back through the DV-applying scan. The oracle is the
+    * equivalent row-level SQL over the source table.
+    */
+  def l15DvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l15_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+    val orders = Q.t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val mt = new ManifestTable(spark, scratch)
+    mt.write(orders.repartition(4), "overwrite") // v0, several files
+    mt.delete(col("o_orderkey") % 13 === 0) // v1: DV marks only
+    mt.updateWhere(col("o_orderstatus") === "F",
+      Map("o_totalprice" -> (col("o_totalprice") + 1000.0))) // v2: DV + append
+    mt.read()
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  val l15Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1000.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 13 <> 0
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_merge" -> l1Merge,
     "l8_change_feed" -> l8ChangeFeed,
     "l1_merge_delete" -> l1MergeDelete,
     "l3_time_travel" -> l3TimeTravel,
+    "l15_dv_roundtrip" -> l15DvRoundtrip,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
@@ -197,5 +228,6 @@ object Lakehouse extends QueryModule {
     "l8_change_feed" -> l8Oracle,
     "l1_merge_delete" -> l1MergeDeleteOracle,
     "l3_time_travel" -> l3Oracle,
+    "l15_dv_roundtrip" -> l15Oracle,
     "l6_exact_dedup" -> l6Oracle)
 }

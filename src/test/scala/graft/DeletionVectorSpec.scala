@@ -1,0 +1,245 @@
+package graft
+
+import graft.lake.ManifestTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** L15/L16 deletion vectors: row-level DELETE/UPDATE must be
+  * merge-on-read (no data-file rewrite), exact through every read path
+  * (plain, time travel, zone-map range, bloom point lookup, CDF),
+  * accumulative across deletes, and materialized away by compaction.
+  */
+class DeletionVectorSpec extends SparkTestBase {
+  quiet()
+
+  private def scratch(name: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_dv_$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    dir
+  }
+
+  private def orders: DataFrame =
+    Q.t(spark, sf, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+
+  private def dataFiles(mt: ManifestTable, v: Int): Set[String] =
+    mt.filesOf(v).toSet
+
+  test("DELETE marks rows without rewriting any data file") {
+    val dir = scratch("del_basic")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders.repartition(4), "overwrite") // v0, several files
+    val v0Files = dataFiles(mt, 0)
+    val before = mt.read().count()
+    val expectGone = orders.filter(col("o_orderkey") % 10 === 3).count()
+    assert(expectGone > 0)
+
+    val v1 = mt.delete(col("o_orderkey") % 10 === 3)
+    assert(v1 === 1)
+    // merge-on-read: the data file set is IDENTICAL — only the
+    // manifest gained DV refs
+    assert(dataFiles(mt, 1) === v0Files)
+    assert(mt.read().count() === before - expectGone)
+    assert(mt.read().filter(col("o_orderkey") % 10 === 3).count() === 0)
+    // untouched rows are bit-identical
+    val expected = orders.filter(col("o_orderkey") % 10 =!= 3)
+    assert(mt.read().exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(mt.read()).count() === 0)
+    // time travel still sees the pre-delete rows
+    assert(mt.read(Some(0)).count() === before)
+  }
+
+  test("second DELETE accumulates; no-op delete commits nothing") {
+    val dir = scratch("del_accum")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders.repartition(3), "overwrite")
+    val n = mt.read().count()
+    mt.delete(col("o_orderkey") % 7 === 0)
+    val after1 = mt.read().count()
+    mt.delete(col("o_orderkey") % 11 === 0) // overlaps (%77) with first
+    val expected = orders
+      .filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 11 =!= 0)
+    assert(mt.read().count() === expected.count())
+    assert(mt.read().exceptAll(expected).count() === 0)
+    assert(after1 < n)
+    // deleting already-deleted rows is a no-op: same version, no commit
+    val vBefore = mt.latestVersion.get
+    assert(mt.delete(col("o_orderkey") % 7 === 0) === vBefore)
+    assert(mt.latestVersion.get === vBefore)
+  }
+
+  test("DVs apply through zone-map range reads and bloom point lookups") {
+    val dir = scratch("del_skipping")
+    val mt = new ManifestTable(spark, dir,
+      statsCol = Some("o_orderkey"), bloomCol = Some("o_custkey"))
+    mt.write(orders.repartition(4), "overwrite")
+    val probe = orders.orderBy(col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey").first()
+    val (pk, pc) = (probe.getAs[Number](0).longValue,
+      probe.getAs[Number](1).longValue)
+    mt.delete(col("o_orderkey") === pk)
+    // range read covering the deleted key must not resurrect it
+    val r = mt.readRangeBy("o_orderkey", (pk - 5).toString, (pk + 5).toString)
+    assert(r.filter(col("o_orderkey") === pk).count() === 0)
+    // bloom-pruned point lookup on another column must not either
+    val eq = mt.readEq("o_custkey", pc.toString)
+    assert(eq.filter(col("o_orderkey") === pk).count() === 0)
+    // both paths still return every surviving row of their slices
+    val live = orders.filter(col("o_orderkey") =!= pk)
+    assert(r.count() === live
+      .filter(col("o_orderkey").between(pk - 5, pk + 5)).count())
+    assert(eq.count() === live.filter(col("o_custkey") === pc).count())
+  }
+
+  test("compaction materializes deletes; vacuum collects the sidecar") {
+    val dir = scratch("del_compact")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders.repartition(4), "overwrite")
+    mt.delete(col("o_orderstatus") === "F")
+    val expected = orders.filter(col("o_orderstatus") =!= "F")
+    mt.compact(2)
+    assert(mt.read().count() === expected.count())
+    assert(mt.read().exceptAll(expected).count() === 0)
+    // compacted files carry no DVs: a fresh table over the same files
+    // (no sidecar knowledge) reads the same rows
+    val plain = spark.read.parquet(mt.filesOf(mt.latestVersion.get): _*)
+    assert(plain.count() === expected.count())
+    // vacuum to the compacted version removes the now-unreferenced
+    // sidecar (and the pre-compaction data files)
+    val deleted = mt.vacuum(retain = 1)
+    assert(deleted.exists(_.contains("_graft_dv")),
+      s"sidecar not collected: $deleted")
+    assert(mt.read().count() === expected.count())
+  }
+
+  test("vacuum keeps sidecars still referenced by retained versions") {
+    val dir = scratch("del_vacuum_keep")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders.repartition(2), "overwrite") // v0
+    mt.delete(col("o_orderkey") % 5 === 0) // v1 (DV)
+    val extra = orders.filter(col("o_orderkey") % 100 === 7)
+    mt.write(extra, "append") // v2 — DV refs carried forward
+    val expected = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .unionByName(extra)
+    val deleted = mt.vacuum(retain = 1)
+    assert(!deleted.exists(_.contains("_graft_dv")),
+      "sidecar referenced by the latest version was collected")
+    assert(mt.read().count() === expected.count())
+    assert(mt.read().exceptAll(expected).count() === 0)
+  }
+
+  test("UPDATE via DVs: rows change without rewriting existing files") {
+    val dir = scratch("upd_basic")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders.repartition(4), "overwrite")
+    val v0Files = dataFiles(mt, 0)
+    val v1 = mt.updateWhere(col("o_orderstatus") === "F",
+      Map("o_totalprice" -> (col("o_totalprice") + 1000.0)))
+    assert(v1 === 1)
+    // old files all still referenced; only NEW files were added
+    assert(v0Files.subsetOf(dataFiles(mt, 1)))
+    assert(dataFiles(mt, 1).size > v0Files.size)
+    val expected = orders.withColumn("o_totalprice",
+      when(col("o_orderstatus") === "F", col("o_totalprice") + 1000.0)
+        .otherwise(col("o_totalprice")))
+    assert(mt.read().count() === expected.count())
+    assert(mt.read().exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(mt.read()).count() === 0)
+    // time travel: v0 unchanged
+    assert(mt.read(Some(0)).exceptAll(orders).count() === 0)
+  }
+
+  test("DV delete on a partitioned table + merge carries DVs forward") {
+    val dir = scratch("del_part")
+    val mt = new ManifestTable(spark, dir, partitionCol = Some("o_orderstatus"))
+    mt.write(orders, "overwrite")
+    mt.delete(col("o_orderkey") % 3 === 0) // v1: DVs across partitions
+    // merge touching ONE partition: other partitions' DV refs carry
+    val feed = orders.filter(col("o_orderstatus") === "O")
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 20 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+    mt.merge(feed, Seq("o_orderkey"))
+    val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+    val fedKeys = feed.select("o_orderkey")
+    val expected = base.join(fedKeys, Seq("o_orderkey"), "left_anti")
+      .unionByName(base.join(fedKeys, Seq("o_orderkey"), "left_semi")
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0))
+    // a partitioned table reads back with the partition column moved to
+    // the end — normalize order before the positional exceptAll
+    val cols = orders.columns.toSeq.map(col)
+    val got = mt.read().select(cols: _*)
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("change data feed sees DV deletes as row-level deletes") {
+    val dir = scratch("del_cdf")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders, "overwrite") // v0
+    val gone = orders.filter(col("o_orderkey") % 13 === 0).count()
+    mt.delete(col("o_orderkey") % 13 === 0) // v1
+    val feed = mt.changesBetween(0, 1, Seq("o_orderkey"))
+    assert(feed.filter(col("_change_type") === "delete").count() === gone)
+    assert(feed.filter(col("_change_type") =!= "delete").count() === 0)
+  }
+
+  test("compactSmall packs small + DV files only; compliant files carry by reference") {
+    val dir = scratch("binpack")
+    val mt = new ManifestTable(spark, dir)
+    // one large-ish file + a stream of tiny appends (the real 100 TB
+    // profile: mostly compliant files, a tail of micro-files)
+    val big = spark.range(200000).toDF("o_orderkey")
+      .withColumn("o_totalprice", col("o_orderkey") * 1.5)
+    mt.write(big.repartition(1), "overwrite") // v0: 1 file ≫ threshold
+    val bigFile = dataFiles(mt, 0)
+    (1 to 3).foreach { i =>
+      mt.write(big.filter(col("o_orderkey") % 50000 === i), "append")
+    }
+    val beforeFiles = mt.filesOf(mt.latestVersion.get).toSet
+    assert(beforeFiles.size > bigFile.size)
+
+    val v = mt.compactSmall(minFileBytes = 256 * 1024)
+    val afterFiles = mt.filesOf(v).toSet
+    // the compliant big file survives BY REFERENCE (same path)
+    assert(bigFile.subsetOf(afterFiles), "large file was rewritten")
+    // the tiny appends merged into fewer files
+    assert(afterFiles.size < beforeFiles.size)
+    val expected = big.unionByName(
+      big.filter(col("o_orderkey") % 50000 isin (1, 2, 3)))
+    assert(mt.read().count() === expected.count())
+    assert(mt.read().exceptAll(expected).count() === 0)
+    // idempotent: a second pass has nothing to pack (the packed output
+    // is one small file, and one small DV-free file gains nothing)
+    assert(mt.compactSmall(minFileBytes = 256 * 1024) === v)
+
+    // a DV-carrying file is picked even when large: packing
+    // materializes its deletes and drops the sidecar ref
+    mt.delete(col("o_orderkey") === 7L)
+    val v2 = mt.compactSmall(minFileBytes = 256 * 1024)
+    assert(v2 > mt.versions.dropRight(1).last)
+    assert(!bigFile.subsetOf(mt.filesOf(v2).toSet), "DV file not rewritten")
+    assert(mt.read().filter(col("o_orderkey") === 7L).count() === 0)
+    assert(mt.read().count() === expected.count() - 1)
+  }
+
+  test("shallow clone of a DV-carrying table reads the source's live rows") {
+    val dir = scratch("del_clone_src")
+    val cloneDir = scratch("del_clone_dst")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders.repartition(2), "overwrite")
+    mt.delete(col("o_orderkey") % 4 === 1)
+    val clone = mt.shallowClone(cloneDir)
+    val expected = orders.filter(col("o_orderkey") % 4 =!= 1)
+    assert(clone.read().count() === expected.count())
+    assert(clone.read().exceptAll(expected).count() === 0)
+    // clone deletes diverge: source unaffected
+    clone.delete(col("o_orderkey") % 4 === 2)
+    assert(mt.read().count() === expected.count())
+    assert(clone.read().count() ===
+      orders.filter(col("o_orderkey") % 4 =!= 1 &&
+        col("o_orderkey") % 4 =!= 2).count())
+  }
+}

@@ -133,4 +133,34 @@ class LakeConcurrencySpec extends SparkTestBase {
     val ids = mt.read().select("id").as[Int].collect().toSet
     assert(ids === Set(1, 2, 3, 4, 5, 6), s"rows lost: $ids")
   }
+
+  test("DV delete racing a compact never silently loses the delete") {
+    // the dangerous interleaving: a DV commit re-points an entry UNDER
+    // THE SAME REL, so a rel-set check alone would let the compact
+    // rebase over it and resurrect the deleted rows from pre-DV content
+    val mt = new ManifestTable(spark, scratch("conc_dv_compact"))
+    mt.write(baseDf.repartition(2), "overwrite") // v0
+    val outcomes = race(Seq(
+      () => { mt.delete(col("id") === 2); () },
+      () => { mt.compact(1); () }))
+    outcomes.flatten.foreach(e =>
+      assert(e.isInstanceOf[ConcurrentModificationException], s"unexpected: $e"))
+    assert(outcomes.exists(_.isEmpty), "both writers failed")
+    val deleted = outcomes.head.isEmpty
+    val ids = mt.read().select("id").as[Int].collect().toSet
+    if (deleted) assert(ids === Set(1, 3, 4), s"delete lost or rows lost: $ids")
+    else assert(ids === Set(1, 2, 3, 4), s"rows lost: $ids")
+  }
+
+  test("DV delete racing a disjoint append: both commit") {
+    val mt = new ManifestTable(spark, scratch("conc_dv_append"))
+    mt.write(baseDf.repartition(2), "overwrite") // v0
+    val outcomes = race(Seq(
+      () => { mt.delete(col("id") === 2); () },
+      () => { mt.write(Seq((6, "p2", 60.0)).toDF("id", "part", "amt"), "append"); () }))
+    assert(outcomes.forall(_.isEmpty), s"a disjoint writer failed: $outcomes")
+    // delete applies to its snapshot; the appended row is untouched
+    val ids = mt.read().select("id").as[Int].collect().toSet
+    assert(ids === Set(1, 3, 4, 6), s"wrong final state: $ids")
+  }
 }
