@@ -593,6 +593,7 @@ class ManifestTable(spark: SparkSession, root: String,
     * conflict (the stream-sink + nightly-job coexistence case).
     */
   def write(df: DataFrame, mode: String = "overwrite"): Int = {
+    validateWrite(df)
     val newFiles = newEntries(writeDataFiles(df))
     mode match {
       case "append" =>
@@ -628,6 +629,7 @@ class ManifestTable(spark: SparkSession, root: String,
     val slice =
       if (value == null) df.filter(col(c).isNull)
       else df.filter(col(c) === value)
+    validateWrite(slice)
     val newFiles = newEntries(writeDataFiles(slice))
     val base = latestVersion.map(entriesOf).getOrElse(Seq.empty)
     // partition-scoped delta: concurrent commits to OTHER partitions
@@ -730,6 +732,7 @@ class ManifestTable(spark: SparkSession, root: String,
           case None => updates.filter(inTouched)
         }
         val merged = resolve(touchedBase, touchedUpdates)
+        validateWrite(merged)
         val newFiles = newEntries(writeDataFiles(merged))
         def inTouchedPartition(e: Entry): Boolean =
           touched.exists(v => inPartition(e.rel, c, v))
@@ -741,9 +744,112 @@ class ManifestTable(spark: SparkSession, root: String,
           baseEntries.filter(inTouchedPartition).map(_.rel).toSet,
           newFiles, conflictsWith = inTouchedPartition)
       case None =>
-        rewriteSnapshot(Some(v0), resolve(base, updates))
+        val resolved = resolve(base, updates)
+        validateWrite(resolved)
+        rewriteSnapshot(Some(v0), resolved)
     }
     } finally upsertDelta.unpersist()
+  }
+
+  // ---------------------------------------------------------------- //
+  // L17: CHECK constraints — persisted table-level data-quality gates //
+  // ---------------------------------------------------------------- //
+
+  private val constraintsPath = new Path(logDir, "constraints")
+
+  /** Registered CHECK constraints: name → SQL boolean expression.
+    * Persisted in the log dir, so EVERY writer instance on this root
+    * enforces them (the Delta `ALTER TABLE ADD CONSTRAINT` model).
+    */
+  def constraints: Map[String, String] = {
+    if (!fs.exists(constraintsPath)) return Map.empty
+    val in = fs.open(constraintsPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        Entry.dec(l.substring(0, i)) -> Entry.dec(l.substring(i + 1))
+      }.toMap
+    finally in.close()
+  }
+
+  /** L17: ADD CONSTRAINT — registers a CHECK expression that every
+    * subsequent data-adding commit (write, merge, partition overwrite,
+    * updateWhere) validates BEFORE committing; a violating commit
+    * throws and leaves the table untouched. Like Delta, adding a
+    * constraint first validates the EXISTING data — a table that
+    * already violates it rejects the constraint, not the data. SQL
+    * CHECK semantics: NULL evaluations pass (use IS NOT NULL
+    * explicitly for NOT NULL gates). Pure-movement commits (compact,
+    * optimize, restore) skip re-validation — they add no new rows.
+    */
+  def addConstraint(name: String, sqlExpr: String): Unit = {
+    require(name.nonEmpty, "constraint needs a name")
+    if (latestVersion.isDefined)
+      checkAgainst(read(), Map(name -> sqlExpr), "existing table data")
+    writeConstraints(constraints + (name -> sqlExpr))
+  }
+
+  def dropConstraint(name: String): Unit =
+    writeConstraints(constraints - name)
+
+  private def writeConstraints(m: Map[String, String]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-constraints-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(m.toSeq.sortBy(_._1).map { case (n, s) =>
+      s"${Entry.enc(n)}\t${Entry.enc(s)}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(constraintsPath, false)
+    if (!fs.rename(tmp, constraintsPath))
+      throw new IllegalStateException(s"constraint commit at $root failed")
+  }
+
+  /** Validate incoming rows against all registered constraints in ONE
+    * aggregate pass (per-constraint violation counts), naming every
+    * violated constraint in the error.
+    */
+  private def validateWrite(df: DataFrame): Unit = {
+    val cs = constraints
+    if (cs.nonEmpty) checkAgainst(df, cs, "incoming rows")
+  }
+
+  private def checkAgainst(df: DataFrame, cs: Map[String, String],
+      what: String): Unit = {
+    val ordered = cs.toSeq
+    val aggs = ordered.zipWithIndex.map { case ((_, s), i) =>
+      sum(when(!coalesce(expr(s).cast("boolean"), lit(true)), 1L)
+        .otherwise(0L)).as(s"_c$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val violated = ordered.zipWithIndex.flatMap { case ((n, s), i) =>
+      val v = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (v > 0) Some(s"$n ($s): $v row(s)") else None
+    }
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint(s) violated by $what — ${violated.mkString("; ")}")
+  }
+
+  /** DESCRIBE DETAIL — one-row operational summary of the table (the
+    * Delta `DESCRIBE DETAIL` surface): version, file count, total
+    * bytes, partition/stats/bloom config, deletion-vector count,
+    * constraint count. Driver-side O(files).
+    */
+  def describeDetail(): DataFrame = {
+    import spark.implicits._
+    val v = latestVersion
+    val entries = v.map(entriesOf).getOrElse(Seq.empty)
+    val bytes = entries.map(e =>
+      fs.getFileStatus(new Path(root, e.rel)).getLen).sum
+    Seq((root, "graft-manifest", v.getOrElse(-1),
+      entries.size.toLong, bytes,
+      partitionCol.toSeq, allStatsCols, bloomCol.toSeq,
+      entries.count(_.stats.contains(DvKey)).toLong,
+      constraints.size.toLong))
+      .toDF("location", "format", "version", "num_files", "size_bytes",
+        "partition_columns", "stats_columns", "bloom_columns",
+        "num_dv_files", "num_constraints")
   }
 
   /** L15: row-level DELETE via deletion vectors (merge-on-read — the
@@ -801,6 +907,7 @@ class ManifestTable(spark: SparkSession, root: String,
     val updated = set.foldLeft(hits) { case (df, (c, expr0)) =>
       df.withColumn(c, expr0)
     }.drop(DvFileCol, DvPosCol)
+    validateWrite(updated)
     commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
       Seq(updated))
   }

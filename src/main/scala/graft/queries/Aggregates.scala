@@ -335,7 +335,30 @@ object Aggregates extends QueryModule {
     perStatus.unionByName(total).orderBy(col("o_orderstatus").asc)
   }
 
+  /** A12: heavy hitters via the Misra-Gries mergeable sketch (typed
+    * UDAF, `functions/Sketches.scala`). Capacity 16 ≥ the status
+    * domain, so no decrement fires and the sketch is provably EXACT —
+    * which is what lets DuckDB's GROUP BY act as the oracle. The
+    * approximate regime (capacity ≪ cardinality, the 100 TB vocab
+    * case) is spec-gated in SketchSpec with the n/(k+1) bound.
+    */
+  def a12HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val hh = graft.functions.Sketches.heavyHitters(16)
+    Q.t(spark, dir, "orders")
+      .agg(hh(col("o_orderstatus")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("item"), col("e._2").as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc)
+  }
+
+  val a12Oracle: String =
+    """SELECT o_orderstatus AS item, COUNT(*) AS cnt
+      |FROM orders WHERE o_orderstatus IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY cnt DESC NULLS LAST, item ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_heavy_hitters" -> a12HeavyHitters,
     "a1_pricing_summary" -> a1PricingSummary,
     "a2_count_distinct" -> a2CountDistinct,
     "a3_approx_distinct" -> a3ApproxDistinct,
@@ -350,6 +373,7 @@ object Aggregates extends QueryModule {
     "a11_sketch_rollup" -> a11SketchRollup)
 
   override def oracles: Map[String, String] = Map(
+    "a12_heavy_hitters" -> a12Oracle,
     "a1_pricing_summary" -> a1Oracle,
     "a2_count_distinct" -> a2Oracle,
     "a4_rollup" -> a4Oracle,
