@@ -873,16 +873,49 @@ class ManifestTable(spark: SparkSession, root: String,
     val v0 = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
     val entries = entriesOf(v0)
-    if (entries.isEmpty) return v0
-    val files = entries.map(e => new Path(root, e.rel).toString)
+    deleteFrom(v0, entries, entries, predicate)
+  }
+
+  /** Point delete with BLOOM file skipping (L14 ∘ L15): only files
+    * whose bloom might contain the value are scanned for positions —
+    * the "erase one doc_id among 100k files" path, O(candidate files)
+    * instead of O(table). Exact: the bloom only ever over-selects.
+    */
+  def deleteEq(c: String, value: String): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    deleteFrom(v0, entriesOf(v0), prunedEntriesEq(c, value, Some(v0)),
+      col(c).cast("string") === lit(value))
+  }
+
+  /** Range delete with ZONE-MAP file skipping (L7 ∘ L15): only files
+    * whose [min,max] intersects the range are scanned — retracting a
+    * bad ingest window from a time-clustered table touches the few
+    * files holding it.
+    */
+  def deleteRange(c: String, lo: String, hi: String): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    deleteFrom(v0, entriesOf(v0), prunedEntriesBy(c, lo, hi, Some(v0)),
+      col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+
+  /** Position-mark rows of `candidates` matching `predicate`; commit
+    * as a delta against the FULL snapshot (`all`). Only candidate
+    * files are scanned — callers narrow them via bloom/zone pruning.
+    */
+  private def deleteFrom(v0: Int, all: Seq[Entry], candidates: Seq[Entry],
+      predicate: Column): Int = {
+    if (candidates.isEmpty) return v0
+    val files = candidates.map(e => new Path(root, e.rel).toString)
     val withPos = readFiles(files, withPos = true)
     // only LIVE rows: re-deleting an already-deleted row must not
     // inflate counts (the union below would dedup it anyway, but the
     // no-op check must see a true no-op)
-    val live = dvOf(entries).fold(withPos)(dv =>
+    val live = dvOf(candidates).fold(withPos)(dv =>
       withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
     val hits = live.filter(predicate).select(col(DvFileCol), col(DvPosCol))
-    commitDv(v0, entries, hits, Seq.empty)
+    commitDv(v0, all, hits, Seq.empty)
   }
 
   /** L16: row-level UPDATE via deletion vectors — `UPDATE ... SET ...

@@ -186,6 +186,39 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(feed.filter(col("_change_type") =!= "delete").count() === 0)
   }
 
+  test("deleteRange/deleteEq mark only skipping-index candidate files") {
+    val dir = scratch("del_pruned")
+    val mt = new ManifestTable(spark, dir,
+      statsCol = Some("o_orderkey"), bloomCol = Some("o_custkey"))
+    mt.write(orders, "overwrite")
+    mt.optimizeBy("o_orderkey", targetFiles = 6) // cluster → zones prune
+    val keys = orders.select("o_orderkey").orderBy(col("o_orderkey").asc)
+      .collect().map(_.getAs[Number](0).longValue)
+    val (lo, hi) = (keys(5), keys(20)) // narrow slice of one file
+    val candidates = mt.prunedFilesBy("o_orderkey", lo.toString, hi.toString)
+    assert(candidates.size < mt.filesOf(mt.latestVersion.get).size,
+      "range should prune to a subset — clustering failed?")
+
+    mt.deleteRange("o_orderkey", lo.toString, hi.toString)
+    // correct result through the DV read
+    assert(mt.read().filter(col("o_orderkey").between(lo, hi)).count() === 0)
+    assert(mt.read().count() ===
+      orders.filter(!col("o_orderkey").between(lo, hi)).count())
+    // only candidate files carry a DV
+    val d = mt.describeDetail().first()
+    assert(d.getAs[Long]("num_dv_files") <= candidates.size)
+
+    // bloom point delete: one custkey, candidate files only
+    val victim = orders.orderBy(col("o_orderkey").desc)
+      .select("o_custkey").first().getAs[Number](0).longValue
+    val bloomCands = mt.prunedFilesEq("o_custkey", victim.toString)
+    mt.deleteEq("o_custkey", victim.toString)
+    assert(mt.read().filter(col("o_custkey") === victim).count() === 0)
+    val d2 = mt.describeDetail().first()
+    assert(d2.getAs[Long]("num_dv_files") <=
+      candidates.size + bloomCands.size)
+  }
+
   test("compactSmall packs small + DV files only; compliant files carry by reference") {
     val dir = scratch("binpack")
     val mt = new ManifestTable(spark, dir)
