@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * analogue of PySpark's `mapInPandas` batch shape: one iterator per
   * partition, no per-row closure dispatch).
   *
-  * DECODE IS A STUB: this container ships no imaging/audio libraries,
-  * so `decodeStub` derives metadata deterministically from the payload
-  * bytes (clearly marked). The Spark-side plumbing — schema, encoders,
-  * partitioning, batch iteration — is real and tested; swapping the
-  * stub body for a real codec call changes nothing structural.
+  * Decode dispatches on magic bytes: the self-describing header+raw
+  * formats — PPM (P6) images, PCM WAV audio, and PPM-stream video —
+  * decode / feature-extract / resize / frame-sample FOR REAL via the
+  * pure-JVM [[Codecs]] (no native libraries needed). Compressed
+  * formats (JPEG, MP4, ...) fall to `decodeStub`, which derives
+  * metadata deterministically from payload bytes — clearly marked;
+  * this container ships no native codecs, and swapping the stub body
+  * for a libjpeg/ffmpeg call changes nothing structural.
   *
   * Scale notes: payloads never pass through a shuffle unless the
   * caller repartitions; every transform is narrow (mapPartitions).
@@ -55,9 +58,11 @@ object Multimodal {
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int"))).as("mime"))
 
-  /** STUB — stands in for a real decoder (libjpeg/ffmpeg/...): derives
-    * (width, height, duration) deterministically from payload bytes.
-    * Replace the body with a codec call in a real deployment.
+  /** STUB — stands in for a real decoder of COMPRESSED formats
+    * (libjpeg/ffmpeg/...): derives (width, height, duration)
+    * deterministically from payload bytes. Replace the body with a
+    * codec call in a real deployment. Raw formats never reach it —
+    * see [[decodeMeta]].
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
     val n = payload.length
@@ -65,42 +70,69 @@ object Multimodal {
     (64 + (head % 577).toInt, 64 + (n % 359), n.toLong * 20L)
   }
 
+  /** Per-payload metadata: REAL parse for PPM/WAV (falling back to the
+    * stub if the parse fails — a text payload starting with "P6" must
+    * degrade, never crash an executor), stub for compressed formats.
+    */
+  private def decodeMeta(payload: Array[Byte]): (Int, Int, Long) =
+    if (Codecs.isPpm(payload))
+      Codecs.decodePpm(payload)
+        .map(p => (p.width, p.height, 0L))
+        .getOrElse(decodeStub(payload))
+    else if (Codecs.isWav(payload))
+      Codecs.decodeWav(payload)
+        .map(w => (0, 0,
+          w.samples.length.toLong / w.channels * 1000L / w.sampleRate))
+        .getOrElse(decodeStub(payload))
+    else decodeStub(payload)
+
   /** Decode pass: one iterator per partition (mapInPandas-shaped). */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
-        val (w, h, d) = decodeStub(m.payload)
+        val (w, h, d) = decodeMeta(m.payload)
         DecodedRow(m.media_id, m.kind, m.payload, m.mime, w, h, d)
       }
     }
   }
 
-  /** Feature extraction: fixed-dim pseudo-embedding per payload —
-    * chunked byte hashing (STUB for a real vision/audio encoder; the
-    * per-partition batch shape is the real part).
+  /** Feature extraction: REAL features for raw formats (PPM → channel
+    * means + luminance; WAV → rms/zero-crossings/peak/duration);
+    * fixed-dim chunked byte hashing for compressed payloads (STUB for
+    * a real vision/audio encoder; the per-partition batch shape is the
+    * real part either way).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
       dim: Int = 16): Dataset[FeatureRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
-        val f = new Array[Float](dim)
-        var i = 0
-        while (i < m.payload.length) {
-          val slot = i % dim
-          f(slot) = f(slot) * 31.0f + (m.payload(i) & 0xff)
-          i += 1
+        val real: Option[Array[Float]] =
+          if (Codecs.isPpm(m.payload)) Codecs.decodePpm(m.payload).map(Codecs.ppmFeatures)
+          else if (Codecs.isWav(m.payload)) Codecs.decodeWav(m.payload).map(Codecs.wavFeatures)
+          else None
+        val f = real.getOrElse {
+          val acc = new Array[Float](dim)
+          var i = 0
+          while (i < m.payload.length) {
+            val slot = i % dim
+            acc(slot) = acc(slot) * 31.0f + (m.payload(i) & 0xff)
+            i += 1
+          }
+          var j = 0
+          while (j < dim) { acc(j) = acc(j) % 1000.0f; j += 1 }
+          acc
         }
-        var j = 0
-        while (j < dim) { f(j) = f(j) % 1000.0f; j += 1 }
         FeatureRow(m.media_id, m.kind, f)
       }
     }
   }
 
-  /** Resize: payload truncated/zero-padded to the target byte budget,
-    * metadata updated (STUB resampling; structure real).
+  /** Resize: REAL nearest-neighbor resample for PPM payloads (output
+    * is a valid P6 at the target dims); compressed payloads truncate /
+    * zero-pad to the target byte budget (STUB resampling; structure
+    * real).
     */
   def resize(spark: SparkSession, decoded: Dataset[DecodedRow],
       targetW: Int, targetH: Int): Dataset[DecodedRow] = {
@@ -108,24 +140,33 @@ object Multimodal {
     val budget = targetW * targetH / 64
     decoded.mapPartitions { it =>
       it.map { m =>
-        val out = java.util.Arrays.copyOf(m.payload, budget)
+        val out = Codecs.decodePpm(m.payload) match {
+          case Some(p) => Codecs.resizePpm(p, targetW, targetH)
+          case None => java.util.Arrays.copyOf(m.payload, budget)
+        }
         m.copy(payload = out, width = targetW, height = targetH)
       }
     }
   }
 
-  /** Frame sampling for video payloads: fixed-stride byte windows as
-    * frames (STUB for keyframe extraction), one output row per frame —
-    * a generator (flatMap) over the partition iterator.
+  /** Frame sampling for video payloads — one output row per frame, a
+    * generator (flatMap) over the partition iterator. PPM-stream
+    * payloads (concatenated P6 frames, the raw-y4m shape) split into
+    * REAL frames, each a standalone valid P6 image; other payloads
+    * fall to fixed-stride byte windows (STUB for keyframe extraction).
     */
   def sampleFrames(spark: SparkSession, media: DataFrame,
       frameBytes: Int = 32, stride: Int = 64): Dataset[FrameRow] = {
     import spark.implicits._
     media.filter(col("kind") === "video").as[MediaRow].mapPartitions { it =>
       it.flatMap { m =>
-        m.payload.grouped(stride).zipWithIndex.map { case (chunk, i) =>
+        if (Codecs.isPpm(m.payload)) {
+          Codecs.decodePpmStream(m.payload).zipWithIndex.map { case (f, i) =>
+            FrameRow(m.media_id, i, Codecs.encodePpm(f.width, f.height, f.pixels))
+          }
+        } else m.payload.grouped(stride).zipWithIndex.map { case (chunk, i) =>
           FrameRow(m.media_id, i, chunk.take(frameBytes))
-        }
+        }.toSeq
       }
     }
   }
