@@ -73,11 +73,54 @@ object MultimodalQueries extends QueryModule {
       |WHERE doc_id % 3 = 2
       |ORDER BY media_id ASC NULLS FIRST""".stripMargin
 
+  /** MM3: the REAL codec path inside the oracle gate — synthesize a
+    * valid P6 image per document (dims and a uniform pixel value
+    * derived from doc_id), round it through the real parser
+    * ([[graft.multimodal.Codecs.decodePpm]]) and the real feature
+    * extractor, and emit parsed dims + the red-channel mean. The
+    * oracle recomputes all three analytically — checkable only
+    * because decode is a REAL parse of real image bytes (the stub
+    * would produce unrelated numbers). A uniform image's channel mean
+    * is its pixel value exactly (v·n/n in double is exact), so the
+    * float→long cast is deterministic.
+    */
+  def mm3RealDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Codecs
+    val media = Q.t(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (4 + id % 3).toInt
+          val v = (id % 251).toByte
+          (id, "image", Codecs.encodePpm(w, h, Array.fill(3 * w * h)(v)),
+            "image/x-portable-pixmap")
+        }
+      }.toDF("media_id", "kind", "payload", "mime")
+    val decoded = Multimodal.decode(spark, media).toDF()
+      .select(col("media_id"), col("width"), col("height"))
+    val feats = Multimodal.extractFeatures(spark, media).toDF()
+      .select(col("media_id"), col("feature")(0).cast("long").as("mean_r"))
+    decoded.join(feats, "media_id")
+      .select("media_id", "width", "height", "mean_r")
+      .orderBy(col("media_id").asc)
+  }
+
+  val mm3Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(8 + doc_id % 5 AS INT) AS width,
+      |  CAST(4 + doc_id % 3 AS INT) AS height,
+      |  doc_id % 251 AS mean_r
+      |FROM documents
+      |ORDER BY media_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_meta_stats" -> mm1MetaStats,
-    "mm2_frame_counts" -> mm2FrameCounts)
+    "mm2_frame_counts" -> mm2FrameCounts,
+    "mm3_real_decode" -> mm3RealDecode)
 
   override def oracles: Map[String, String] = Map(
     "mm1_meta_stats" -> mm1Oracle,
-    "mm2_frame_counts" -> mm2Oracle)
+    "mm2_frame_counts" -> mm2Oracle,
+    "mm3_real_decode" -> mm3Oracle)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryModule}
 import graft.functions.{CosineSimilarity, VectorOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -185,6 +185,114 @@ object Similarity extends QueryModule {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
+  /** S7: product-quantization ANN (the PQ half of IVF-PQ, Jégou et
+    * al.'s "Product Quantization for Nearest Neighbor Search"): each
+    * UNIT-NORMALIZED 64-dim corpus vector splits into `m`=16
+    * subvectors of 4 dims, each encoded as the index of its nearest
+    * of `k`=32 per-subspace centroids — 16 byte-sized codes per
+    * vector, a 32× byte reduction over doubles (vs 8× for S5's int8),
+    * the compression that decides whether a 100 TB vector store fits
+    * in cluster memory. The codebook is trained deterministically: a
+    * hash-ordered seed sample, then two Lloyd iterations computed
+    * distributively (assign sampled subvectors, average per cell —
+    * one exploded scalar shuffle each; no RNG anywhere). Scoring is
+    * ADC (asymmetric distance computation): each probe precomputes an
+    * m×k lookup table of subspace dot products ONCE, then every
+    * corpus row scores with m table lookups — no vector arithmetic
+    * against corpus data at all, and the corpus scan carries only the
+    * codes column. Approximate by construction → rows-only; recall
+    * vs brute force (~0.5@10 at this compression) asserted in
+    * LlmOpsSpec.
+    */
+  def s7PqAnn(spark: SparkSession, dir: String,
+      m: Int = 16, k: Int = 32, topK: Int = 3): DataFrame = {
+    val dim = 64
+    val sub = dim / m
+    def dotC(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    def subv(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
+    def dist2(a: Column, c: Column): Column =
+      aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    // cosine-PQ: encode UNIT vectors, so subspace dot products compose
+    // into the cosine directly and quantization error spends itself on
+    // direction, not magnitude
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v0"))
+      .withColumn("n0", sqrt(dotC(col("v0"), col("v0"))))
+      .withColumn("v", transform(col("v0"), x => x / col("n0")))
+      .drop("v0", "n0")
+    // hash-ordered deterministic seed sample (spread across the id
+    // space regardless of corpus size); bounded collect of k rows
+    val seeds = emb
+      .orderBy(pmod(col("vec_id") * 2654435761L, lit(1000003L)).asc,
+        col("vec_id").asc)
+      .limit(k)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq)
+    val kEff = seeds.length // < k only for a corpus smaller than k
+    val seedCents: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
+      seeds.toSeq.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+    // argmin over a literal codebook
+    def codeWith(lit0: Column)(v: Column, mi: Int): Column = {
+      val d = transform(element_at(lit0, mi + 1), c => dist2(subv(v, mi), c))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    // one deterministic Lloyd iteration on a corpus sample: assign
+    // sampled subvectors to the seed codebook, recompute cell means —
+    // the k-means "training" step, one exploded shuffle of scalars,
+    // bounded collect of m·k·sub cell means
+    var cents: Seq[Seq[Seq[Double]]] = seedCents
+    for (_ <- 1 to 2) { // two Lloyd iterations converge most of the gain
+      val curLit = typedLit(cents)
+      val curCode = codeWith(curLit) _
+      val cells = emb.filter(col("vec_id") % 3 === 0)
+        .select(posexplode(array((0 until m).map(mi =>
+          struct(lit(mi).as("mi"), curCode(col("v"), mi).as("code"),
+            subv(col("v"), mi).as("s"))): _*)).as(Seq("_i", "e")))
+        .select(col("e.mi").as("mi"), col("e.code").as("code"),
+          posexplode(col("e.s")).as(Seq("j", "x")))
+        .groupBy(col("mi"), col("code"), col("j"))
+        .agg(avg(col("x")).as("mu"))
+        .collect() // bounded: ≤ m·k·sub rows
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      val prev = cents
+      cents = (0 until m).map(mi =>
+        (0 until kEff).map(ki => (0 until sub).map(j =>
+          // empty cells keep their previous centroid
+          cells.getOrElse((mi, ki, j), prev(mi)(ki)(j)))))
+    }
+    val centNorm2: Seq[Seq[Double]] = cents.map(_.map(c => c.map(x => x * x).sum))
+    val centLit = typedLit(cents)
+    val normLit = typedLit(centNorm2)
+    val codeOf = codeWith(centLit) _
+    val codes = emb
+      .withColumn("codes",
+        array((0 until m).map(mi => codeOf(col("v"), mi)): _*))
+      .select(col("vec_id"), col("codes")) // the ONLY corpus-side columns
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      .withColumn("lut", array((0 until m).map(mi =>
+        transform(element_at(centLit, mi + 1),
+          c => dotC(subv(col("q_v"), mi), c))): _*))
+      .withColumn("q_norm", sqrt(dotC(col("q_v"), col("q_v"))))
+      .drop("q_v")
+    val scored = codes.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("approx_dot", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (code, l) => element_at(l, code + 1)), lit(0.0), _ + _))
+      .withColumn("approx_norm", sqrt(aggregate(
+        zip_with(col("codes"), normLit,
+          (code, norms) => element_at(norms, code + 1)), lit(0.0), _ + _)))
+      .withColumn("sim_pq",
+        round(col("approx_dot") / (col("q_norm") * col("approx_norm")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_pq").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("sim_pq"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   /** S6: matryoshka (truncated-dimension) two-stage retrieval — the
     * production coarse-to-fine pattern: score ALL candidates on the
     * first 16 of 64 dims (4× cheaper per comparison, and with
@@ -257,7 +365,8 @@ object Similarity extends QueryModule {
     "s2_lsh_ann" -> s2LshAnn,
     "s3_centroids" -> s3Centroids,
     "s4_ivf_ann" -> ((s, d) => s4IvfAnn(s, d)),
-    "s5_quantized_topk" -> s5QuantizedTopK)
+    "s5_quantized_topk" -> s5QuantizedTopK,
+    "s7_pq_ann" -> ((s, d) => s7PqAnn(s, d)))
 
   override def oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Oracle,
