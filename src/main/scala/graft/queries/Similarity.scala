@@ -205,7 +205,7 @@ object Similarity extends QueryModule {
     * LlmOpsSpec.
     */
   def s7PqAnn(spark: SparkSession, dir: String,
-      m: Int = 16, k: Int = 32, topK: Int = 3): DataFrame = {
+      m: Int = 16, k: Int = 32, topK: Int = 3, lloydIters: Int = 1): DataFrame = {
     val dim = 64
     val sub = dim / m
     def dotC(a: Column, b: Column): Column =
@@ -240,11 +240,16 @@ object Similarity extends QueryModule {
     // sampled subvectors to the seed codebook, recompute cell means —
     // the k-means "training" step, one exploded shuffle of scalars,
     // bounded collect of m·k·sub cell means
+    // training sample: deterministic 1-in-5 hash slice, materialized
+    // once (localCheckpoint) so each Lloyd pass re-encodes it without
+    // re-reading + re-normalizing the parquet corpus
+    val train = emb.filter(pmod(xxhash64(col("vec_id")), lit(5)) === 0)
+      .localCheckpoint(true)
     var cents: Seq[Seq[Seq[Double]]] = seedCents
-    for (_ <- 1 to 2) { // two Lloyd iterations converge most of the gain
+    for (_ <- 1 to lloydIters) {
       val curLit = typedLit(cents)
       val curCode = codeWith(curLit) _
-      val cells = emb.filter(col("vec_id") % 3 === 0)
+      val cells = train
         .select(posexplode(array((0 until m).map(mi =>
           struct(lit(mi).as("mi"), curCode(col("v"), mi).as("code"),
             subv(col("v"), mi).as("s"))): _*)).as(Seq("_i", "e")))
@@ -261,6 +266,7 @@ object Similarity extends QueryModule {
           // empty cells keep their previous centroid
           cells.getOrElse((mi, ki, j), prev(mi)(ki)(j)))))
     }
+    train.unpersist()
     val centNorm2: Seq[Seq[Double]] = cents.map(_.map(c => c.map(x => x * x).sum))
     val centLit = typedLit(cents)
     val normLit = typedLit(centNorm2)
