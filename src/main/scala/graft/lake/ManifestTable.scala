@@ -888,6 +888,25 @@ class ManifestTable(spark: SparkSession, root: String,
       col(c).cast("string") === lit(value))
   }
 
+  /** Batch point delete — one commit for a SET of keys (the GDPR
+    * erasure-queue shape: requests arrive in batches, each batch is
+    * one DV commit, not one per key). Bloom-prunes to the files that
+    * might contain ANY of the values when the column carries a bloom.
+    */
+  def deleteKeys(c: String, values: Seq[String]): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    if (values.isEmpty) return v0
+    val entries = entriesOf(v0)
+    val candidates =
+      if (bloomCol.contains(c))
+        entries.filter(e => values.exists(v =>
+          e.stats.get(bloomKey(c)).forall(bloomMightContain(_, v))))
+      else entries
+    deleteFrom(v0, entries, candidates,
+      col(c).cast("string").isin(values: _*))
+  }
+
   /** Range delete with ZONE-MAP file skipping (L7 ∘ L15): only files
     * whose [min,max] intersects the range are scanned — retracting a
     * bad ingest window from a time-clustered table touches the few

@@ -99,6 +99,30 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** T5c: streaming erasure sink (the GDPR/right-to-be-forgotten
+    * pipeline): a stream of deletion requests — rows carrying the key
+    * value to erase in `keyCol` — applies to the table as ONE
+    * deletion-vector commit per micro-batch ([[ManifestTable
+    * .deleteKeys]]): bloom-pruned candidate scan, no data file
+    * rewritten, O(matching rows) per batch on any table size.
+    * Checkpointing makes it effectively exactly-once: a replayed
+    * batch re-marks already-dead positions, which commits nothing
+    * (the no-op delete path). The keys are collected to the driver —
+    * bounded by the batch, which an erasure queue always is.
+    */
+  def eraseSink(requests: DataFrame, table: ManifestTable, keyCol: String,
+      tableCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keys = batch.select(col(keyCol).cast("string"))
+          .distinct().collect().map(_.getString(0)).toSeq // bounded: one batch
+        if (keys.nonEmpty) table.deleteKeys(tableCol, keys): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** T5b: continuous gold maintenance — each micro-batch MERGEs into
     * the base table, then catches the incremental view up to the
     * table's latest version (merge → changesBetween → signed delta

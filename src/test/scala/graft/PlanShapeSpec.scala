@@ -132,4 +132,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("j6b bucketed range join is an equi-join with residual, never nested-loop") {
+    val p = plan("j6b_bucketed_range")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the (user, bucket) key must make this a hash/SMJ equi-join:\n" + p)
+  }
+
+  test("s7 PQ: the corpus side of the ADC join carries codes, not vectors") {
+    // the whole point of PQ at 100 TB: the corpus-wide scan→join path
+    // moves 16 small ints per row, never the 64-double embedding. The
+    // plan's join reads `codes` and the probe-side lut — if `v` (the
+    // full vector) appears in the join's corpus-side output, the
+    // compression bought nothing.
+    val df = graft.queries.Similarity.s7PqAnn(spark, sf)
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+    // root whose children aren't visible to collect() before execution
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty)
+    val adc = joins.head // innermost-listed join = the codes⋈probes ADC join
+    val corpusSideCols =
+      (adc.left.output ++ adc.right.output).map(_.name)
+    assert(corpusSideCols.contains("codes"), corpusSideCols.mkString(","))
+    assert(!corpusSideCols.contains("v"),
+      s"ADC join must not carry the raw vector: $corpusSideCols")
+  }
 }

@@ -163,6 +163,49 @@ class StreamingSpec extends SparkTestBase {
     assert(expected.exceptAll(mt.read()).count() === 0)
   }
 
+  test("T5c: eraseSink applies streamed deletion requests as DV commits") {
+    val inbox = scratch("t5c_inbox")
+    val orders = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val mt = new ManifestTable(spark, scratch("t5c_table"),
+      bloomCol = Some("o_orderkey"))
+    mt.write(orders.repartition(4), "overwrite")
+    val v0Files = mt.filesOf(0).toSet
+    // two request drops: erase keys %61 then keys %73
+    val req1 = orders.filter(col("o_orderkey") % 61 === 0)
+      .select(col("o_orderkey").as("erase_key"))
+    val req2 = orders.filter(col("o_orderkey") % 73 === 0)
+      .select(col("o_orderkey").as("erase_key"))
+    req1.write.parquet(s"$inbox/req1")
+    val ckpt = scratch("t5c_ckpt")
+    val stream1 = spark.readStream.schema(req1.schema)
+      .option("recursiveFileLookup", true).parquet(inbox)
+    Streams.eraseSink(stream1, mt, "erase_key", "o_orderkey", ckpt)
+      .start().awaitTermination()
+    val after1 = mt.read()
+    assert(after1.filter(col("o_orderkey") % 61 === 0).count() === 0)
+    // merge-on-read: no data file rewritten by the erasure
+    assert(mt.filesOf(mt.latestVersion.get).toSet === v0Files)
+    // second drop + restart from the SAME checkpoint: only the new
+    // batch applies (exactly-once), both erasures now in effect
+    req2.write.parquet(s"$inbox/req2")
+    val stream2 = spark.readStream.schema(req1.schema)
+      .option("recursiveFileLookup", true).parquet(inbox)
+    Streams.eraseSink(stream2, mt, "erase_key", "o_orderkey", ckpt)
+      .start().awaitTermination()
+    val expected = orders.filter(
+      col("o_orderkey") % 61 =!= 0 && col("o_orderkey") % 73 =!= 0)
+    assert(mt.read().count() === expected.count())
+    assert(mt.read().exceptAll(expected).count() === 0)
+    // replay with the same checkpoint and no new files: no new version
+    val vBefore = mt.latestVersion.get
+    val stream3 = spark.readStream.schema(req1.schema)
+      .option("recursiveFileLookup", true).parquet(inbox)
+    Streams.eraseSink(stream3, mt, "erase_key", "o_orderkey", ckpt)
+      .start().awaitTermination()
+    assert(mt.latestVersion.get === vBefore)
+  }
+
   test("T5b: ivmSink keeps the gold view equal to a recompute under streamed CDC") {
     val inbox = scratch("t5b_inbox")
     // decimal measure → incremental maintenance is bit-exact
