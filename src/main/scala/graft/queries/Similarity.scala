@@ -193,9 +193,11 @@ object Similarity extends QueryModule {
     * vector, a 32× byte reduction over doubles (vs 8× for S5's int8),
     * the compression that decides whether a 100 TB vector store fits
     * in cluster memory. The codebook is trained deterministically: a
-    * hash-ordered seed sample, then two Lloyd iterations computed
+    * hash-ordered seed sample, then Lloyd iteration(s) computed
     * distributively (assign sampled subvectors, average per cell —
-    * one exploded scalar shuffle each; no RNG anywhere). Scoring is
+    * one scalar shuffle each; no RNG anywhere). Encoding runs as a
+    * tight primitive loop over the broadcast codebook in one narrow
+    * mapPartitions pass (see inline note on why not HOFs). Scoring is
     * ADC (asymmetric distance computation): each probe precomputes an
     * m×k lookup table of subspace dot products ONCE, then every
     * corpus row scores with m table lookups — no vector arithmetic
@@ -211,8 +213,6 @@ object Similarity extends QueryModule {
     def dotC(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
     def subv(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
-    def dist2(a: Column, c: Column): Column =
-      aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
     // cosine-PQ: encode UNIT vectors, so subspace dot products compose
     // into the cosine directly and quantization error spends itself on
     // direction, not magnitude
@@ -231,30 +231,54 @@ object Similarity extends QueryModule {
     val kEff = seeds.length // < k only for a corpus smaller than k
     val seedCents: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
       seeds.toSeq.map(s => s.slice(mi * sub, (mi + 1) * sub)))
-    // argmin over a literal codebook
-    def codeWith(lit0: Column)(v: Column, mi: Int): Column = {
-      val d = transform(element_at(lit0, mi + 1), c => dist2(subv(v, mi), c))
-      (array_position(d, array_min(d)) - 1).cast("int")
+    // The m×k-way argmin encoder runs as a tight primitive loop over a
+    // BROADCAST codebook inside one narrow mapPartitions pass — the
+    // genuine per-partition-imperative case: the equivalent HOF
+    // expression (16 subspaces × 32 nested fold-aggregates per row)
+    // blows past whole-stage-codegen limits and evaluates interpreted,
+    // ~an order of magnitude slower on the corpus-wide pass. Loop
+    // order matches the old expression form exactly (first minimum
+    // wins), so codes are bit-identical.
+    def argminCodes(arr: Array[Double], cb: Array[Array[Array[Double]]]): Array[Int] = {
+      val out = new Array[Int](m)
+      var mi = 0
+      while (mi < m) {
+        val cs = cb(mi)
+        var best = 0; var bestD = Double.MaxValue; var ki = 0
+        while (ki < cs.length) {
+          var d = 0.0; var j = 0
+          while (j < sub) {
+            val t = arr(mi * sub + j) - cs(ki)(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = ki }
+          ki += 1
+        }
+        out(mi) = best; mi += 1
+      }
+      out
     }
-    // one deterministic Lloyd iteration on a corpus sample: assign
-    // sampled subvectors to the seed codebook, recompute cell means —
-    // the k-means "training" step, one exploded shuffle of scalars,
-    // bounded collect of m·k·sub cell means
-    // training sample: deterministic 1-in-5 hash slice, materialized
-    // once (localCheckpoint) so each Lloyd pass re-encodes it without
-    // re-reading + re-normalizing the parquet corpus
+    def toArr(cb: Seq[Seq[Seq[Double]]]): Array[Array[Array[Double]]] =
+      cb.map(_.map(_.toArray).toArray).toArray
+    import spark.implicits._
+    // deterministic Lloyd iteration(s) on a 1-in-5 hash sample,
+    // materialized once (localCheckpoint): assign sampled subvectors,
+    // average per cell — one scalar shuffle per pass, bounded collect
+    // of m·k·sub cell means
     val train = emb.filter(pmod(xxhash64(col("vec_id")), lit(5)) === 0)
+      .select(col("vec_id").cast("long"), col("v")).as[(Long, Seq[Double])]
       .localCheckpoint(true)
     var cents: Seq[Seq[Seq[Double]]] = seedCents
     for (_ <- 1 to lloydIters) {
-      val curLit = typedLit(cents)
-      val curCode = codeWith(curLit) _
-      val cells = train
-        .select(posexplode(array((0 until m).map(mi =>
-          struct(lit(mi).as("mi"), curCode(col("v"), mi).as("code"),
-            subv(col("v"), mi).as("s"))): _*)).as(Seq("_i", "e")))
-        .select(col("e.mi").as("mi"), col("e.code").as("code"),
-          posexplode(col("e.s")).as(Seq("j", "x")))
+      val bc = spark.sparkContext.broadcast(toArr(cents))
+      val cells = train.mapPartitions { it =>
+        val cb = bc.value
+        it.flatMap { case (_, v) =>
+          val arr = v.toArray
+          val codes = argminCodes(arr, cb)
+          for (mi <- (0 until cb.length).iterator; j <- (0 until sub).iterator)
+            yield (mi, codes(mi), j, arr(mi * sub + j))
+        }
+      }.toDF("mi", "code", "j", "x")
         .groupBy(col("mi"), col("code"), col("j"))
         .agg(avg(col("x")).as("mu"))
         .collect() // bounded: ≤ m·k·sub rows
@@ -270,11 +294,15 @@ object Similarity extends QueryModule {
     val centNorm2: Seq[Seq[Double]] = cents.map(_.map(c => c.map(x => x * x).sum))
     val centLit = typedLit(cents)
     val normLit = typedLit(centNorm2)
-    val codeOf = codeWith(centLit) _
+    val bcFinal = spark.sparkContext.broadcast(toArr(cents))
     val codes = emb
-      .withColumn("codes",
-        array((0 until m).map(mi => codeOf(col("v"), mi)): _*))
-      .select(col("vec_id"), col("codes")) // the ONLY corpus-side columns
+      .select(col("vec_id").cast("long").as("vec_id"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cb = bcFinal.value
+        it.map { case (id, v) => (id, argminCodes(v.toArray, cb).toSeq) }
+      }
+      .toDF("vec_id", "codes") // the ONLY corpus-side columns
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
       .withColumn("lut", array((0 until m).map(mi =>
