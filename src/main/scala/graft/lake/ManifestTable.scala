@@ -852,6 +852,31 @@ class ManifestTable(spark: SparkSession, root: String,
         "num_dv_files", "num_constraints")
   }
 
+  /** DESCRIBE HISTORY — one row per committed version (the Delta
+    * `DESCRIBE HISTORY` surface): commit time, file count, rows
+    * masked by deletion vectors, and the file-set delta vs the
+    * previous version (added/removed counts — how a reader tells an
+    * append from a compaction from a merge). Driver-side O(versions ·
+    * files).
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val vs = versions
+    val byV = vs.map(v => v -> entriesOf(v)).toMap
+    vs.map { v =>
+      val es = byV(v)
+      val prev = byV.get(v - 1).map(_.map(_.rel).toSet).getOrElse(Set.empty)
+      val rels = es.map(_.rel).toSet
+      val dvRows = es.flatMap(_.stats.get(DvKey))
+        .map(s => try s.mx.toLong catch { case _: NumberFormatException => 0L })
+        .sum
+      (v, new java.sql.Timestamp(commitTimeOf(v)), es.size.toLong,
+        (rels -- prev).size.toLong, (prev -- rels).size.toLong, dvRows)
+    }.toDF("version", "commit_ts", "num_files",
+      "files_added", "files_removed", "dv_deleted_rows")
+      .orderBy(col("version").asc)
+  }
+
   /** L15: row-level DELETE via deletion vectors (merge-on-read — the
     * Delta DV / Iceberg v2 position-delete model). Matching rows are
     * recorded as (file-basename, row_index) positions in a sidecar

@@ -79,6 +79,26 @@ class ConstraintSpec extends SparkTestBase {
     assert(mt.read().filter(col("id") === 7L).count() === 1)
   }
 
+  test("history lists every version with file deltas and DV row counts") {
+    val mt = new ManifestTable(spark, scratch("history"))
+    mt.write(base, "overwrite") // v0
+    mt.write(Seq((4L, 40.0, "c")).toDF("id", "amt", "tag"), "append") // v1
+    mt.delete(col("id") === 1L) // v2: DV only
+    mt.compact(1) // v3: rewrite
+    val h = mt.history().collect()
+    assert(h.map(_.getAs[Int]("version")).toSeq === Seq(0, 1, 2, 3))
+    val byV = h.map(r => r.getAs[Int]("version") -> r).toMap
+    assert(byV(1).getAs[Long]("files_added") >= 1L)
+    assert(byV(1).getAs[Long]("files_removed") === 0L, "append removes nothing")
+    assert(byV(2).getAs[Long]("dv_deleted_rows") === 1L)
+    assert(byV(2).getAs[Long]("files_added") === 0L,
+      "a DV re-point adds no files")
+    assert(byV(3).getAs[Long]("files_removed") ===
+      byV(2).getAs[Long]("num_files"), "compaction replaces the file set")
+    assert(byV(3).getAs[Long]("dv_deleted_rows") === 0L,
+      "compaction materializes deletes")
+  }
+
   test("describeDetail summarizes version, files, bytes, DVs, constraints") {
     val mt = new ManifestTable(spark, scratch("detail"),
       partitionCol = Some("tag"), statsCol = Some("id"))
