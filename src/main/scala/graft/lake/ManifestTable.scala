@@ -59,6 +59,47 @@ object ManifestTable {
   /** Deletion-vector sidecar schema / scan-side row-id column names. */
   private[lake] val DvFileCol = "_graft_dv_file"
   private[lake] val DvPosCol = "_graft_dv_pos"
+
+  /** The salt's own xxhash64 — the seed of every value's second bloom
+    * hash. Constant per process; computed once.
+    */
+  private[lake] lazy val bloomSaltSeed: Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    XxHash64Function.hash(UTF8String.fromString(BloomSalt), StringType, 42L)
+  }
+
+  /** Mergeable bitset aggregate for write-time bloom collection: OR
+    * bit positions into the packed little-endian m/8-byte array
+    * engine-side and emit base64 (the ':'-free alphabet keeps the
+    * manifest framing intact; ~8 KB at the default m=65536). NULL
+    * positions (files with no bloom-column values) leave an all-zero
+    * bitset — identical to the previous empty-set encoding.
+    */
+  private[lake] class BloomBitsAgg(bits: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Integer, Array[Byte], String] {
+    override def zero: Array[Byte] = new Array[Byte]((bits + 7) / 8)
+    override def reduce(b: Array[Byte], p: java.lang.Integer): Array[Byte] = {
+      if (p != null) {
+        val i = p.intValue
+        b(i >> 3) = (b(i >> 3) | (1 << (i & 7))).toByte
+      }
+      b
+    }
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < x.length) { x(i) = (x(i) | y(i)).toByte; i += 1 }
+      x
+    }
+    override def finish(b: Array[Byte]): String =
+      java.util.Base64.getEncoder.encodeToString(b)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+  }
 }
 
 class ManifestTable(spark: SparkSession, root: String,
@@ -387,10 +428,16 @@ class ManifestTable(spark: SparkSession, root: String,
           .withColumn("_bp", explode_outer(bloomPositions(col(b))))
       case None => withFile.withColumn("_bp", lit(null).cast("int"))
     }
+    // the bitset packs ENGINE-SIDE (mergeable OR-aggregator): the
+    // driver receives one ~8 KB base64 string per file — a collect_set
+    // of positions would ship up to bloomBits boxed ints per file and
+    // OOM the driver on a wide compaction
+    val packBits = udaf(new ManifestTable.BloomBitsAgg(bloomBits),
+      org.apache.spark.sql.Encoders.INT)
     val aggs = present.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"mn_$c"),
       max(col(c)).cast("string").as(s"mx_$c"))) ++
-      bloom.map(_ => collect_set(col("_bp")).as("_bloom"))
+      bloom.map(_ => packBits(col("_bp")).as("_bloom"))
     val byName = rows
       .groupBy(col("_f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -404,7 +451,7 @@ class ManifestTable(spark: SparkSession, root: String,
         }.toMap
         val bloomStats = bloom.map { b =>
           bloomKey(b) -> ColStats(
-            encodeBloom(r.getAs[scala.collection.Seq[Int]]("_bloom")),
+            r.getAs[String]("_bloom"),
             s"$bloomBits,$bloomHashes", "B")
         }
         new Path(r.getString(0)).getName -> (stats ++ bloomStats)
@@ -433,40 +480,43 @@ class ManifestTable(spark: SparkSession, root: String,
 
   private def bloomKey(c: String): String = s"$c#bloom"
 
-  /** Set-positions → packed little-endian bitset → base64 (the ':'-free
-    * alphabet keeps manifest framing intact; ~m/8 bytes ≈ 8 KB per file
-    * at the default m=65536).
-    */
-  private def encodeBloom(positions: scala.collection.Seq[Int]): String = {
-    val bytes = new Array[Byte]((bloomBits + 7) / 8)
-    positions.foreach { p =>
-      bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
-    }
-    java.util.Base64.getEncoder.encodeToString(bytes)
-  }
-
   /** Driver-side replica of [[bloomPositions]]'s double hash for a
-    * probe value: Spark's xxhash64 chains XXH64 over the UTF8 bytes
-    * from seed 42, and xxhash64(salt, v) uses the salt's hash as v's
-    * seed.
+    * probe value — the RAW (pre-mod) hash pair, computed ONCE per
+    * value: Spark's xxhash64 chains XXH64 over the UTF8 bytes from
+    * seed 42, and xxhash64(salt, v) uses the salt's hash as v's seed.
     */
-  private def bloomMightContain(s: ColStats, value: String): Boolean = {
+  private def bloomRawHashes(value: String): (Long, Long) = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
-    val bits = java.util.Base64.getDecoder.decode(s.mn)
-    val mk = s.mx.split(',')
-    val (m, k) = (mk(0).toLong, mk(1).toInt)
     val v = UTF8String.fromString(value)
-    val h1 = java.lang.Math.floorMod(XxHash64Function.hash(v, StringType, 42L), m)
-    val saltSeed = XxHash64Function.hash(
-      UTF8String.fromString(ManifestTable.BloomSalt), StringType, 42L)
-    val h2 = java.lang.Math.floorMod(
-      XxHash64Function.hash(v, StringType, saltSeed), m)
+    (XxHash64Function.hash(v, StringType, 42L),
+      XxHash64Function.hash(v, StringType, ManifestTable.bloomSaltSeed))
+  }
+
+  /** Probe a decoded bitset with a precomputed raw-hash pair. */
+  private def bloomTest(bits: Array[Byte], m: Long, k: Int,
+      raw: (Long, Long)): Boolean = {
+    val h1 = java.lang.Math.floorMod(raw._1, m)
+    val h2 = java.lang.Math.floorMod(raw._2, m)
     (0 until k).forall { i =>
       val pos = ((h1 + i.toLong * h2) % m).toInt
       (bits(pos >> 3) & (1 << (pos & 7))) != 0
     }
+  }
+
+  private def bloomMightContain(s: ColStats, value: String): Boolean =
+    bloomTestEntry(s, Seq(bloomRawHashes(value)))
+
+  /** Decode the entry's bitset ONCE and probe it with every raw-hash
+    * pair — the batch path: pruning F files for V values costs
+    * F decodes + V hashings, never F·V of each.
+    */
+  private def bloomTestEntry(s: ColStats, raws: Seq[(Long, Long)]): Boolean = {
+    val bits = java.util.Base64.getDecoder.decode(s.mn)
+    val mk = s.mx.split(',')
+    val (m, k) = (mk(0).toLong, mk(1).toInt)
+    raws.exists(bloomTest(bits, m, k, _))
   }
 
   /** Point-lookup file skipping: files of the (latest) version whose
@@ -566,25 +616,31 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   private def writeDataFiles(df: DataFrame): Seq[String] = {
     val stage = new Path(root, s".stage-${UUID.randomUUID()}")
-    val writer = df.write.mode("overwrite")
-    partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(stage.toString)
-    val moved = scala.collection.mutable.ArrayBuffer[String]()
-    def walk(dir: Path, relPrefix: String): Unit =
-      fs.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory) walk(st.getPath, s"$relPrefix$name/")
-        else if (name.endsWith(".parquet")) {
-          val rel = s"data/$relPrefix${UUID.randomUUID()}.parquet"
-          val dest = new Path(root, rel)
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(st.getPath, dest))
-            throw new IllegalStateException(s"move to $dest failed")
-          moved += rel
+    try {
+      val writer = df.write.mode("overwrite")
+      partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(stage.toString)
+      val moved = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(dir: Path, relPrefix: String): Unit =
+        fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory) walk(st.getPath, s"$relPrefix$name/")
+          else if (name.endsWith(".parquet")) {
+            val rel = s"data/$relPrefix${UUID.randomUUID()}.parquet"
+            val dest = new Path(root, rel)
+            fs.mkdirs(dest.getParent)
+            if (!fs.rename(st.getPath, dest))
+              throw new IllegalStateException(s"move to $dest failed")
+            moved += rel
+          }
         }
-      }
-    walk(stage, "")
-    fs.delete(stage, true)
-    moved.toSeq
+      walk(stage, "")
+      fs.delete(stage, true)
+      moved.toSeq
+    } catch {
+      // a failed write (e.g. a CHECK constraint thrown mid-job) must
+      // not leak its staging dir into the table root
+      case e: Throwable => fs.delete(stage, true); throw e
+    }
   }
 
   /** L2/S5: overwrite = new version referencing only the new files;
@@ -593,8 +649,7 @@ class ManifestTable(spark: SparkSession, root: String,
     * conflict (the stream-sink + nightly-job coexistence case).
     */
   def write(df: DataFrame, mode: String = "overwrite"): Int = {
-    validateWrite(df)
-    val newFiles = newEntries(writeDataFiles(df))
+    val newFiles = newEntries(writeDataFiles(enforced(df)))
     mode match {
       case "append" =>
         val base = latestVersion.map(entriesOf).getOrElse(Seq.empty)
@@ -629,8 +684,7 @@ class ManifestTable(spark: SparkSession, root: String,
     val slice =
       if (value == null) df.filter(col(c).isNull)
       else df.filter(col(c) === value)
-    validateWrite(slice)
-    val newFiles = newEntries(writeDataFiles(slice))
+    val newFiles = newEntries(writeDataFiles(enforced(slice)))
     val base = latestVersion.map(entriesOf).getOrElse(Seq.empty)
     // partition-scoped delta: concurrent commits to OTHER partitions
     // rebase cleanly; a concurrent touch of THIS partition conflicts
@@ -732,8 +786,7 @@ class ManifestTable(spark: SparkSession, root: String,
           case None => updates.filter(inTouched)
         }
         val merged = resolve(touchedBase, touchedUpdates)
-        validateWrite(merged)
-        val newFiles = newEntries(writeDataFiles(merged))
+        val newFiles = newEntries(writeDataFiles(enforced(merged)))
         def inTouchedPartition(e: Entry): Boolean =
           touched.exists(v => inPartition(e.rel, c, v))
         val baseEntries = entriesOf(v0)
@@ -744,9 +797,7 @@ class ManifestTable(spark: SparkSession, root: String,
           baseEntries.filter(inTouchedPartition).map(_.rel).toSet,
           newFiles, conflictsWith = inTouchedPartition)
       case None =>
-        val resolved = resolve(base, updates)
-        validateWrite(resolved)
-        rewriteSnapshot(Some(v0), resolved)
+        rewriteSnapshot(Some(v0), enforced(resolve(base, updates)))
     }
     } finally upsertDelta.unpersist()
   }
@@ -757,11 +808,24 @@ class ManifestTable(spark: SparkSession, root: String,
 
   private val constraintsPath = new Path(logDir, "constraints")
 
+  /** Registry mutations and reads serialize through a per-root lock
+    * (separate from the commit lock — registry ops may run Spark jobs
+    * and must not stall manifest commits): the write is
+    * delete-then-rename, and an unserialized reader in that gap would
+    * see an EMPTY registry and let a violating commit through, while
+    * two unserialized read-modify-writes would silently drop one
+    * writer's constraint. Cross-process writers on a local FS retain
+    * the same tiny window tryCommit documents.
+    */
+  private def constraintsLock: Object =
+    ManifestTable.lockFor(
+      fs.makeQualified(logDir).toString + "#constraints")
+
   /** Registered CHECK constraints: name → SQL boolean expression.
     * Persisted in the log dir, so EVERY writer instance on this root
     * enforces them (the Delta `ALTER TABLE ADD CONSTRAINT` model).
     */
-  def constraints: Map[String, String] = {
+  def constraints: Map[String, String] = constraintsLock.synchronized {
     if (!fs.exists(constraintsPath)) return Map.empty
     val in = fs.open(constraintsPath)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -774,9 +838,13 @@ class ManifestTable(spark: SparkSession, root: String,
 
   /** L17: ADD CONSTRAINT — registers a CHECK expression that every
     * subsequent data-adding commit (write, merge, partition overwrite,
-    * updateWhere) validates BEFORE committing; a violating commit
-    * throws and leaves the table untouched. Like Delta, adding a
-    * constraint first validates the EXISTING data — a table that
+    * updateWhere) enforces INSIDE the write job itself
+    * ([[enforced]]): the same evaluation that produces the written
+    * rows checks them, so a nondeterministic input can never pass a
+    * pre-check and then materialize different, violating rows — and
+    * no separate validation pass re-reads the input. A violating
+    * commit throws and leaves the table untouched. Like Delta, adding
+    * a constraint first validates the EXISTING data — a table that
     * already violates it rejects the constraint, not the data. SQL
     * CHECK semantics: NULL evaluations pass (use IS NOT NULL
     * explicitly for NOT NULL gates). Pure-movement commits (compact,
@@ -786,11 +854,14 @@ class ManifestTable(spark: SparkSession, root: String,
     require(name.nonEmpty, "constraint needs a name")
     if (latestVersion.isDefined)
       checkAgainst(read(), Map(name -> sqlExpr), "existing table data")
-    writeConstraints(constraints + (name -> sqlExpr))
+    constraintsLock.synchronized {
+      writeConstraints(constraints + (name -> sqlExpr))
+    }
   }
 
-  def dropConstraint(name: String): Unit =
+  def dropConstraint(name: String): Unit = constraintsLock.synchronized {
     writeConstraints(constraints - name)
+  }
 
   private def writeConstraints(m: Map[String, String]): Unit = {
     fs.mkdirs(logDir)
@@ -805,14 +876,18 @@ class ManifestTable(spark: SparkSession, root: String,
       throw new IllegalStateException(s"constraint commit at $root failed")
   }
 
-  /** Validate incoming rows against all registered constraints in ONE
-    * aggregate pass (per-constraint violation counts), naming every
-    * violated constraint in the error.
+  /** Wrap a to-be-written DataFrame so the write job itself enforces
+    * every registered constraint per row: `assert_true` throws (with
+    * the constraint's name) on the first violating row, mid-job — one
+    * evaluation of the input, no pre-check/act race on
+    * nondeterministic inputs. The identity when no constraints exist.
     */
-  private def validateWrite(df: DataFrame): Unit = {
-    val cs = constraints
-    if (cs.nonEmpty) checkAgainst(df, cs, "incoming rows")
-  }
+  private def enforced(df: DataFrame): DataFrame =
+    constraints.foldLeft(df) { case (d, (n, s)) =>
+      d.filter(assert_true(
+        coalesce(expr(s).cast("boolean"), lit(true)),
+        lit(s"CHECK constraint $n ($s) violated")).isNull)
+    }
 
   private def checkAgainst(df: DataFrame, cs: Map[String, String],
       what: String): Unit = {
@@ -924,10 +999,13 @@ class ManifestTable(spark: SparkSession, root: String,
     if (values.isEmpty) return v0
     val entries = entriesOf(v0)
     val candidates =
-      if (bloomCol.contains(c))
-        entries.filter(e => values.exists(v =>
-          e.stats.get(bloomKey(c)).forall(bloomMightContain(_, v))))
-      else entries
+      if (bloomCol.contains(c)) {
+        // hash each value once, decode each entry's bitset once —
+        // O(files + keys) driver work, not O(files × keys)
+        val raws = values.map(bloomRawHashes)
+        entries.filter(e =>
+          e.stats.get(bloomKey(c)).forall(bloomTestEntry(_, raws)))
+      } else entries
     deleteFrom(v0, entries, candidates,
       col(c).cast("string").isin(values: _*))
   }
@@ -984,9 +1062,8 @@ class ManifestTable(spark: SparkSession, root: String,
     val updated = set.foldLeft(hits) { case (df, (c, expr0)) =>
       df.withColumn(c, expr0)
     }.drop(DvFileCol, DvPosCol)
-    validateWrite(updated)
     commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
-      Seq(updated))
+      Seq(enforced(updated)))
   }
 
   /** Shared DV commit: record `marks` (positions to kill, computed

@@ -428,9 +428,14 @@ object LshPlanes {
   val planesPerTable = 4
 
   /** Embedding dimensionality the plane literals are built for (the
-    * `embeddings` table's vectors). zip_with pads a shorter side with
-    * NULLs, so a mismatched vector would yield a NULL dot product —
-    * never a silently wrong bucket.
+    * `embeddings` table's vectors). A vector of any OTHER length
+    * throws at evaluation time ([[tableBuckets]] guards on size):
+    * zip_with would pad the shorter side with NULLs, the dot product
+    * would go NULL, and the sign coercion would drop every such
+    * vector into bucket 0 of every table — an all-pairs bucket, the
+    * silently-wrong case the guard exists to prevent. NULL vectors
+    * pass through to NULL buckets (an equi-join drops them — no
+    * candidates, not wrong candidates).
     */
   val dims = 64
 
@@ -453,15 +458,25 @@ object LshPlanes {
     val dot = aggregate(
       zip_with(v, planeLits(plane), (x, w) => x * w),
       lit(0.0), (acc, x) => acc + x)
-    when(dot > 0, 1).otherwise(0)
+    // two-sided when: a NULL dot (NULL vector) stays NULL instead of
+    // being coerced to sign 0
+    when(dot > 0, 1).when(dot <= 0, 0)
   }
 
-  /** One (table, bucket) struct per table for a vector. */
-  def tableBuckets(v: Column): Column =
+  /** One (table, bucket) struct per table for a vector. Guards the
+    * dimensionality loudly — see [[dims]].
+    */
+  def tableBuckets(v: Column): Column = {
+    val checked = when(v.isNull, v)
+      .when(size(v) === dims, v)
+      .otherwise(raise_error(concat(
+        lit(s"LshPlanes requires $dims-dim vectors, got length "),
+        size(v).cast("string"))))
     array((0 until nTables).map { t =>
       val bucket = (0 until planesPerTable)
-        .map(p => signBit(v, t * planesPerTable + p) * (1 << p))
+        .map(p => signBit(checked, t * planesPerTable + p) * (1 << p))
         .reduce(_ + _)
       struct(lit(t).as("table"), bucket.as("bucket"))
     }: _*)
+  }
 }

@@ -23,18 +23,30 @@ class ConstraintSpec extends SparkTestBase {
     Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "a"))
       .toDF("id", "amt", "tag")
 
+  /** Violations now throw INSIDE the write job (assert_true), so the
+    * driver sees a SparkException chain — search the causes.
+    */
+  private def deepMsg(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
   test("violating append throws with the constraint name; table untouched") {
     val mt = new ManifestTable(spark, scratch("violate"))
     mt.write(base, "overwrite")
     mt.addConstraint("amt_positive", "amt > 0")
     mt.write(Seq((4L, 5.0, "c")).toDF("id", "amt", "tag"), "append") // ok
     val v = mt.latestVersion.get
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[Exception] {
       mt.write(Seq((5L, -1.0, "c")).toDF("id", "amt", "tag"), "append")
     }
-    assert(ex.getMessage.contains("amt_positive"))
+    assert(deepMsg(ex).contains("amt_positive"))
     assert(mt.latestVersion.get === v, "violating write must not commit")
     assert(mt.read().count() === 4)
+    // the failed write's staging dir is cleaned up, not leaked
+    val leftovers = new java.io.File(mt.describeDetail()
+      .first().getAs[String]("location")).listFiles()
+      .filter(_.getName.startsWith(".stage-"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
   test("adding a constraint the EXISTING data violates is rejected") {
@@ -54,9 +66,9 @@ class ConstraintSpec extends SparkTestBase {
     mt.addConstraint("amt_positive", "amt > 0")
     val other = new ManifestTable(spark, dir) // new writer, same table
     assert(other.constraints === Map("amt_positive" -> "amt > 0"))
-    intercept[IllegalArgumentException] {
+    assert(deepMsg(intercept[Exception] {
       other.write(Seq((9L, -9.0, "z")).toDF("id", "amt", "tag"), "append")
-    }
+    }).contains("amt_positive"))
     other.dropConstraint("amt_positive")
     // drop is visible to the first instance too
     mt.write(Seq((9L, -9.0, "z")).toDF("id", "amt", "tag"), "append")
@@ -67,12 +79,12 @@ class ConstraintSpec extends SparkTestBase {
     val mt = new ManifestTable(spark, scratch("merge"))
     mt.write(base, "overwrite")
     mt.addConstraint("amt_positive", "amt > 0")
-    intercept[IllegalArgumentException] {
+    assert(deepMsg(intercept[Exception] {
       mt.merge(Seq((2L, -5.0, "b")).toDF("id", "amt", "tag"), Seq("id"))
-    }
-    intercept[IllegalArgumentException] {
+    }).contains("amt_positive"))
+    assert(deepMsg(intercept[Exception] {
       mt.updateWhere(col("id") === 2L, Map("amt" -> lit(-1.0)))
-    }
+    }).contains("amt_positive"))
     // NULL evaluation passes CHECK (SQL standard); merge commits
     mt.merge(Seq((Some(7L), Option.empty[Double], Some("n")))
       .toDF("id", "amt", "tag"), Seq("id"))
