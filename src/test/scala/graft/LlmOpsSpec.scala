@@ -242,6 +242,33 @@ class LlmOpsSpec extends SparkTestBase {
     // measured ~0.52 at 32× compression; 0.35 floor absorbs the FP-order
     // wiggle in the Lloyd cell means (random chance is 10/N ≈ 0.005)
     assert(mean >= 0.35, f"PQ ADC recall collapsed: $mean%.2f")
+
+    // the production deployment pattern: PQ ADC gives a cheap top-50
+    // shortlist, then EXACT cosine re-ranks only those 50 fetched
+    // vectors — recall@3 vs exact top-3 should far exceed the pure-PQ
+    // ranking's (the shortlist only has to CONTAIN the winners)
+    val short = Similarity.s7PqAnn(spark, sf, topK = 50)
+      .select(col("q_id"), col("neighbor"))
+    val rer = short
+      .join(emb.select(col("vec_id").as("neighbor"), col("v")), "neighbor")
+      .join(broadcast(probes), "q_id")
+      .withColumn("sim", graft.functions.VectorOps.cosine(col("q_v"), col("v")))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor").asc)
+    val rer3 = rer.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= 3).select("q_id", "neighbor")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact3 = exactTop.filter(col("rn") <= 3).select("q_id", "vec_id")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rerRecall = exact3.keys.toSeq.sorted
+      .map(q => (rer3.getOrElse(q, Set.empty[Long]) & exact3(q)).size / 3.0)
+    val rerMean = rerRecall.sum / rerRecall.size
+    info(f"PQ+rerank recall@3 = $rerMean%.2f")
+    assert(rerMean >= 0.5, f"shortlist re-rank recall collapsed: $rerMean%.2f")
+    assert(rerMean >= mean - 0.05,
+      "re-ranking a PQ shortlist should not lose to the raw PQ ranking")
   }
 
   test("connectedComponentsStar: 1000-node chain converges in far fewer rounds than diameter") {
