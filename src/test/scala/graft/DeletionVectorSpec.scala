@@ -258,6 +258,48 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(mt.read().count() === expected.count() - 1)
   }
 
+  test("model property: interleaved delete/update/append sequences match a DataFrame model") {
+    val dir = scratch("dv_model")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders.repartition(3), "overwrite")
+    var model: DataFrame = orders
+    def del(p: Int, r: Int): Unit = {
+      mt.delete(col("o_orderkey") % p === r)
+      model = model.filter(!(col("o_orderkey") % p === r))
+    }
+    def upd(p: Int, r: Int): Unit = {
+      mt.updateWhere(col("o_orderkey") % p === r,
+        Map("o_totalprice" -> (col("o_totalprice") + 1.0)))
+      model = model.withColumn("o_totalprice",
+        when(col("o_orderkey") % p === r, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    }
+    def app(p: Int): Unit = {
+      // fresh keys so later % predicates hit both old and new rows
+      val extra = orders.filter(col("o_orderkey") % p === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L * p))
+      mt.write(extra, "append")
+      model = model.unionByName(extra)
+    }
+    // a deterministic gauntlet: deletes over updated rows, updates over
+    // appended rows, repeated deletes over the same files
+    del(7, 3); app(97); upd(5, 2); del(11, 0); upd(13, 1); app(101); del(3, 1)
+    def same(): Unit = {
+      assert(mt.read().count() === model.count())
+      assert(mt.read().exceptAll(model).count() === 0)
+      assert(model.exceptAll(mt.read()).count() === 0)
+    }
+    same()
+    // packing materializes the accumulated DVs; vacuum drops the dead
+    // files + sidecars — state must survive both
+    mt.compactSmall(minFileBytes = Long.MaxValue)
+    same()
+    mt.vacuum(retain = 1)
+    same()
+    assert(mt.describeDetail().first().getAs[Long]("num_dv_files") === 0L,
+      "compaction must have materialized every DV")
+  }
+
   test("shallow clone of a DV-carrying table reads the source's live rows") {
     val dir = scratch("del_clone_src")
     val cloneDir = scratch("del_clone_dst")
