@@ -81,4 +81,12 @@ object Sketches {
     */
   def heavyHitters(k: Int): UserDefinedFunction =
     udaf(new HeavyHittersAggregator(k), Encoders.STRING)
+
+  /** SQL-surface registration: `graft_heavy_hitters(col)` (capacity
+    * `k`) becomes callable from plain `spark.sql`, like the
+    * graft_cosine / graft_rolling_hash expressions.
+    */
+  def registerHeavyHitters(spark: org.apache.spark.sql.SparkSession,
+      k: Int = 64): Unit =
+    spark.udf.register("graft_heavy_hitters", heavyHitters(k)): Unit
 }

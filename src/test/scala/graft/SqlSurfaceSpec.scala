@@ -28,6 +28,22 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(w.count() === Q.t(spark, sf, "orders").select("o_custkey").distinct().count())
   }
 
+  test("heavy-hitters UDAF is callable from plain SQL") {
+    graft.functions.Sketches.registerHeavyHitters(spark, k = 16)
+    Q.t(spark, sf, "orders").createOrReplaceTempView("sql_hh_orders")
+    val got = spark.sql(
+      """SELECT e._1 AS item, e._2 AS cnt
+        |FROM (SELECT explode(graft_heavy_hitters(o_orderstatus)) AS e
+        |      FROM sql_hh_orders)
+        |ORDER BY cnt DESC, item""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Q.t(spark, sf, "orders")
+      .filter(col("o_orderstatus").isNotNull)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected, "capacity ≥ domain ⇒ SQL call is exact")
+  }
+
   test("quarantine splits malformed rows without losing good ones") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_quarantine"
     new java.io.File(dir).mkdirs()
