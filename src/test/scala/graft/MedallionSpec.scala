@@ -60,6 +60,32 @@ class MedallionSpec extends SparkTestBase {
     assert(dd.agg(sum("n_items")).head().getLong(0) === 6655 + 6754)
   }
 
+  test("silver DQ gate: CHECK constraint rejects a corrupting CDC feed end-to-end") {
+    import org.apache.spark.sql.DataFrame
+    val lake = freshLake("dq_gate")
+    val m = new Medallion(spark, lake)
+    val bronze = m.ingestBronze("orders", s"$fixtures/orders_2024-06-06.csv")
+    val silver = m.conformOrders(bronze)
+    // governance: silver amounts must be non-negative — registered
+    // once, enforced by EVERY later writer on the table
+    silver.addConstraint("amount_non_negative", "total_amount >= 0")
+    val good = m.applyOrdersCdc(silver,
+      s"$fixtures/orders_2024-06-06-Updated.csv") // clean feed merges
+    assert(good >= 1)
+    // a corrupting feed (negative amount) must be rejected atomically
+    val vBefore = silver.latestVersion.get
+    val bad: DataFrame = silver.read().limit(1)
+      .withColumn("total_amount",
+        lit(BigDecimal(-5)).cast(org.apache.spark.sql.types.DecimalType(10, 2)))
+    val ex = intercept[Exception] { silver.merge(bad, Seq("order_id")) }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("amount_non_negative"), msgs.take(500))
+    assert(silver.latestVersion.get === vBefore, "bad feed must not commit")
+    assert(silver.read().filter(col("total_amount") < 0).count() === 0)
+  }
+
   test("typed silver Dataset: case-class conformance + typed ops") {
     val lake = freshLake("typed")
     val m = new Medallion(spark, lake)
