@@ -208,99 +208,23 @@ object Similarity extends QueryModule {
     */
   def s7PqAnn(spark: SparkSession, dir: String,
       m: Int = 16, k: Int = 32, topK: Int = 3, lloydIters: Int = 1): DataFrame = {
-    val dim = 64
-    val sub = dim / m
+    val sub = PqDim / m
     def dotC(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
     def subv(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
-    // cosine-PQ: encode UNIT vectors, so subspace dot products compose
-    // into the cosine directly and quantization error spends itself on
-    // direction, not magnitude
-    val emb = Q.t(spark, dir, "embeddings")
-      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v0"))
-      .withColumn("n0", sqrt(dotC(col("v0"), col("v0"))))
-      .withColumn("v", transform(col("v0"), x => x / col("n0")))
-      .drop("v0", "n0")
-    // hash-ordered deterministic seed sample (spread across the id
-    // space regardless of corpus size); bounded collect of k rows
-    val seeds = emb
-      .orderBy(pmod(col("vec_id") * 2654435761L, lit(1000003L)).asc,
-        col("vec_id").asc)
-      .limit(k)
-      .collect().map(_.getSeq[Double](1).toIndexedSeq)
-    val kEff = seeds.length // < k only for a corpus smaller than k
-    val seedCents: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
-      seeds.toSeq.map(s => s.slice(mi * sub, (mi + 1) * sub)))
-    // The m×k-way argmin encoder runs as a tight primitive loop over a
-    // BROADCAST codebook inside one narrow mapPartitions pass — the
-    // genuine per-partition-imperative case: the equivalent HOF
-    // expression (16 subspaces × 32 nested fold-aggregates per row)
-    // blows past whole-stage-codegen limits and evaluates interpreted,
-    // ~an order of magnitude slower on the corpus-wide pass. Loop
-    // order matches the old expression form exactly (first minimum
-    // wins), so codes are bit-identical.
-    def argminCodes(arr: Array[Double], cb: Array[Array[Array[Double]]]): Array[Int] = {
-      val out = new Array[Int](m)
-      var mi = 0
-      while (mi < m) {
-        val cs = cb(mi)
-        var best = 0; var bestD = Double.MaxValue; var ki = 0
-        while (ki < cs.length) {
-          var d = 0.0; var j = 0
-          while (j < sub) {
-            val t = arr(mi * sub + j) - cs(ki)(j); d += t * t; j += 1
-          }
-          if (d < bestD) { bestD = d; best = ki }
-          ki += 1
-        }
-        out(mi) = best; mi += 1
-      }
-      out
-    }
-    def toArr(cb: Seq[Seq[Seq[Double]]]): Array[Array[Array[Double]]] =
-      cb.map(_.map(_.toArray).toArray).toArray
-    import spark.implicits._
-    // deterministic Lloyd iteration(s) on a 1-in-5 hash sample,
-    // materialized once (localCheckpoint): assign sampled subvectors,
-    // average per cell — one scalar shuffle per pass, bounded collect
-    // of m·k·sub cell means
-    val train = emb.filter(pmod(xxhash64(col("vec_id")), lit(5)) === 0)
-      .select(col("vec_id").cast("long"), col("v")).as[(Long, Seq[Double])]
-      .localCheckpoint(true)
-    var cents: Seq[Seq[Seq[Double]]] = seedCents
-    for (_ <- 1 to lloydIters) {
-      val bc = spark.sparkContext.broadcast(toArr(cents))
-      val cells = train.mapPartitions { it =>
-        val cb = bc.value
-        it.flatMap { case (_, v) =>
-          val arr = v.toArray
-          val codes = argminCodes(arr, cb)
-          for (mi <- (0 until cb.length).iterator; j <- (0 until sub).iterator)
-            yield (mi, codes(mi), j, arr(mi * sub + j))
-        }
-      }.toDF("mi", "code", "j", "x")
-        .groupBy(col("mi"), col("code"), col("j"))
-        .agg(avg(col("x")).as("mu"))
-        .collect() // bounded: ≤ m·k·sub rows
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
-        .toMap
-      val prev = cents
-      cents = (0 until m).map(mi =>
-        (0 until kEff).map(ki => (0 until sub).map(j =>
-          // empty cells keep their previous centroid
-          cells.getOrElse((mi, ki, j), prev(mi)(ki)(j)))))
-    }
-    train.unpersist()
+    val emb = unitVectors(spark, dir)
+    val cents = trainPqCodebook(spark, emb, m, sub, k, lloydIters)
     val centNorm2: Seq[Seq[Double]] = cents.map(_.map(c => c.map(x => x * x).sum))
     val centLit = typedLit(cents)
     val normLit = typedLit(centNorm2)
-    val bcFinal = spark.sparkContext.broadcast(toArr(cents))
+    import spark.implicits._
+    val bcFinal = spark.sparkContext.broadcast(pqToArr(cents))
     val codes = emb
       .select(col("vec_id").cast("long").as("vec_id"), col("v"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val cb = bcFinal.value
-        it.map { case (id, v) => (id, argminCodes(v.toArray, cb).toSeq) }
+        it.map { case (id, v) => (id, pqArgminCodes(v.toArray, cb, sub).toSeq) }
       }
       .toDF("vec_id", "codes") // the ONLY corpus-side columns
     val probes = emb.filter(col("vec_id") < 10)
@@ -324,6 +248,189 @@ object Similarity extends QueryModule {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
       .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("sim_pq"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  /** Embedding dimensionality the PQ family is built over. */
+  private val PqDim = 64
+
+  /** cosine-PQ input: UNIT vectors, so subspace dot products compose
+    * into the cosine directly and quantization error spends itself on
+    * direction, not magnitude.
+    */
+  private def unitVectors(spark: SparkSession, dir: String): DataFrame = {
+    def dotC(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v0"))
+      .withColumn("n0", sqrt(dotC(col("v0"), col("v0"))))
+      .withColumn("v", transform(col("v0"), x => x / col("n0")))
+      .drop("v0", "n0")
+  }
+
+  private def pqToArr(cb: Seq[Seq[Seq[Double]]]): Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+
+  /** The m×k-way argmin encoder — a tight primitive loop over a
+    * BROADCAST codebook inside a narrow mapPartitions pass, the
+    * genuine per-partition-imperative case: the equivalent HOF
+    * expression (m subspaces × k nested fold-aggregates per row)
+    * blows past whole-stage-codegen limits and evaluates interpreted,
+    * ~an order of magnitude slower on the corpus-wide pass. First
+    * minimum wins (matches `array_position(array_min)` semantics).
+    */
+  private def pqArgminCodes(arr: Array[Double],
+      cb: Array[Array[Array[Double]]], sub: Int): Array[Int] = {
+    val out = new Array[Int](cb.length)
+    var mi = 0
+    while (mi < cb.length) {
+      val cs = cb(mi)
+      var best = 0; var bestD = Double.MaxValue; var ki = 0
+      while (ki < cs.length) {
+        var d = 0.0; var j = 0
+        while (j < sub) {
+          val t = arr(mi * sub + j) - cs(ki)(j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = ki }
+        ki += 1
+      }
+      out(mi) = best; mi += 1
+    }
+    out
+  }
+
+  /** Deterministic PQ codebook: hash-ordered seed sample (bounded
+    * collect of k rows), then `lloydIters` Lloyd iterations on a
+    * 1-in-5 hash sample materialized once — assign sampled
+    * subvectors, average per cell; one scalar shuffle per pass,
+    * bounded collect of m·k·sub cell means. No RNG anywhere.
+    */
+  private def trainPqCodebook(spark: SparkSession, emb: DataFrame,
+      m: Int, sub: Int, k: Int, lloydIters: Int): Seq[Seq[Seq[Double]]] = {
+    import spark.implicits._
+    val seeds = emb
+      .orderBy(pmod(col("vec_id") * 2654435761L, lit(1000003L)).asc,
+        col("vec_id").asc)
+      .limit(k)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq)
+    val kEff = seeds.length // < k only for a corpus smaller than k
+    var cents: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
+      seeds.toSeq.map(s => s.slice(mi * sub, (mi + 1) * sub)))
+    val train = emb.filter(pmod(xxhash64(col("vec_id")), lit(5)) === 0)
+      .select(col("vec_id").cast("long"), col("v")).as[(Long, Seq[Double])]
+      .localCheckpoint(true)
+    for (_ <- 1 to lloydIters) {
+      val bc = spark.sparkContext.broadcast(pqToArr(cents))
+      val cells = train.mapPartitions { it =>
+        val cb = bc.value
+        it.flatMap { case (_, v) =>
+          val arr = v.toArray
+          val codes = pqArgminCodes(arr, cb, sub)
+          for (mi <- (0 until cb.length).iterator; j <- (0 until sub).iterator)
+            yield (mi, codes(mi), j, arr(mi * sub + j))
+        }
+      }.toDF("mi", "code", "j", "x")
+        .groupBy(col("mi"), col("code"), col("j"))
+        .agg(avg(col("x")).as("mu"))
+        .collect() // bounded: ≤ m·k·sub rows
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      val prev = cents
+      cents = (0 until m).map(mi =>
+        (0 until kEff).map(ki => (0 until sub).map(j =>
+          // empty cells keep their previous centroid
+          cells.getOrElse((mi, ki, j), prev(mi)(ki)(j)))))
+    }
+    train.unpersist()
+    cents
+  }
+
+  /** S8: IVF-PQ with exact re-rank — the COMPOSED production index
+    * (the full Jégou et al. deployment): IVF coarse lists bound the
+    * search to `nprobe` of `lists` inverted lists; within them, PQ
+    * codes score by ADC table lookup; the per-probe shortlist then
+    * re-ranks EXACTLY on fetched full vectors. The persisted corpus
+    * index is (vec_id, list_id, codes) ≈ 20 bytes/vector; a query
+    * touches nprobe/lists of the corpus, does no vector arithmetic
+    * against corpus rows until the final `shortlist` fetches, and the
+    * re-rank makes the returned order exact within the candidate set.
+    * Every stage is deterministic (shared hash-seeded IVF seeds +
+    * Lloyd PQ codebook); approximate only in WHICH candidates the
+    * lists surface → rows-only, recall spec in LlmOpsSpec.
+    */
+  def s8IvfPqAnn(spark: SparkSession, dir: String,
+      lists: Int = 16, nprobe: Int = 4, m: Int = 16, k: Int = 32,
+      shortlist: Int = 30, topK: Int = 3): DataFrame = {
+    val sub = PqDim / m
+    def dotC(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    def subv(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
+    val emb = unitVectors(spark, dir)
+    // IVF coarse quantizer: hash-seeded list centroids, corpus
+    // assignment via map-side max_by (no vector-carrying sort-shuffle)
+    val ivfSeeds = emb
+      .orderBy(pmod(col("vec_id") * 40503L, lit(999983L)).asc,
+        col("vec_id").asc)
+      .limit(lists)
+      .select(col("vec_id").as("list_id"), col("v").as("seed_v"))
+    val assigned = emb.crossJoin(broadcast(ivfSeeds))
+      .withColumn("seed_sim", dotC(col("v"), col("seed_v"))) // unit vecs: dot = cosine
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v").as("v"), col("list_id").as("list_id")),
+        struct(col("seed_sim"), (-col("list_id")).as("nl"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.list_id").as("list_id"))
+    // PQ codebook + per-vector codes (the persisted index columns)
+    val cents = trainPqCodebook(spark, emb, m, sub, k, lloydIters = 1)
+    val centLit = typedLit(cents)
+    val normLit = typedLit(cents.map(_.map(c => c.map(x => x * x).sum)))
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(pqToArr(cents))
+    val index = assigned
+      .select(col("vec_id").cast("long"), col("v"), col("list_id").cast("long"))
+      .as[(Long, Seq[Double], Long)]
+      .mapPartitions { it =>
+        val cb = bcCents.value
+        it.map { case (id, v, list) =>
+          (id, list, pqArgminCodes(v.toArray, cb, sub).toSeq)
+        }
+      }.toDF("vec_id", "list_id", "codes")
+    // probes: nprobe nearest lists + the ADC lookup table
+    val probes0 = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val wSeed = Window.partitionBy(col("q_id"))
+      .orderBy(col("seed_sim").desc, col("list_id").asc)
+    val probeLists = probes0.crossJoin(broadcast(ivfSeeds))
+      .withColumn("seed_sim", dotC(col("q_v"), col("seed_v")))
+      .withColumn("seed_rn", row_number().over(wSeed))
+      .filter(col("seed_rn") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("list_id"))
+      .withColumn("lut", array((0 until m).map(mi =>
+        transform(element_at(centLit, mi + 1),
+          c => dotC(subv(col("q_v"), mi), c))): _*))
+    // ADC within the probed lists only
+    val adc = index.join(probeLists, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_dot", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (code, l) => element_at(l, code + 1)), lit(0.0), _ + _))
+      .withColumn("approx_norm", sqrt(aggregate(
+        zip_with(col("codes"), normLit,
+          (code, norms) => element_at(norms, code + 1)), lit(0.0), _ + _)))
+      .withColumn("sim_pq", col("approx_dot") / col("approx_norm")) // ‖q‖=1
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_pq").desc, col("vec_id").asc)
+    val cands = adc.withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= shortlist)
+      .select(col("q_id"), col("q_v"), col("vec_id"))
+    // exact re-rank of the fetched shortlist vectors
+    val fine = cands
+      .join(emb.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("sim", round(dotC(col("q_v"), col("v")), 6)) // unit: dot = cosine
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    fine.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor"), col("sim"))
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
@@ -400,7 +507,8 @@ object Similarity extends QueryModule {
     "s3_centroids" -> s3Centroids,
     "s4_ivf_ann" -> ((s, d) => s4IvfAnn(s, d)),
     "s5_quantized_topk" -> s5QuantizedTopK,
-    "s7_pq_ann" -> ((s, d) => s7PqAnn(s, d)))
+    "s7_pq_ann" -> ((s, d) => s7PqAnn(s, d)),
+    "s8_ivfpq_ann" -> ((s, d) => s8IvfPqAnn(s, d)))
 
   override def oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Oracle,

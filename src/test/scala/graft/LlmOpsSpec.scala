@@ -269,6 +269,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert(rerMean >= 0.5, f"shortlist re-rank recall collapsed: $rerMean%.2f")
     assert(rerMean >= mean - 0.05,
       "re-ranking a PQ shortlist should not lose to the raw PQ ranking")
+
+    // the composed index (IVF lists + ADC + exact re-rank): recall is
+    // bounded by which lists nprobe surfaces, so it trails the
+    // full-corpus shortlist — but must still far exceed random and
+    // return exact similarity values for what it does return
+    val ivfpq = Similarity.s8IvfPqAnn(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ivfRecall = exact3.keys.toSeq.sorted
+      .map(q => (ivfpq.getOrElse(q, Set.empty[Long]) & exact3(q)).size / 3.0)
+    val ivfMean = ivfRecall.sum / ivfRecall.size
+    info(f"IVF-PQ recall@3 = $ivfMean%.2f")
+    assert(ivfMean >= 0.3, f"IVF-PQ recall collapsed: $ivfMean%.2f")
   }
 
   test("connectedComponentsStar: 1000-node chain converges in far fewer rounds than diameter") {
