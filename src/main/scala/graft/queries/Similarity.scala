@@ -67,13 +67,22 @@ object Similarity extends QueryModule {
   def s2LshAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Q.t(spark, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-    val bucketed = emb.withColumn("tb", explode(LshPlanes.tableBuckets(col("v"))))
-    val probes = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("tb"))
-    val cands = bucketed.join(probes, Seq("tb"))
+    // candidate generation and dedup run on NARROW (id, bucket) rows —
+    // the cross-table distinct must not shuffle 64-dim vectors; they
+    // re-attach after dedup (corpus side by equi-join, probe side by
+    // 10-row broadcast)
+    val bucketed = emb
+      .select(col("vec_id"), explode(LshPlanes.tableBuckets(col("v"))).as("tb"))
+    val probeBuckets = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("tb"))
+    val cands = bucketed.join(probeBuckets, Seq("tb"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "q_v", "vec_id", "v").distinct()
+      .select("q_id", "vec_id").distinct()
+    val probeVecs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     val scored = cands
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(probeVecs), Seq("q_id"))
       .withColumn("sim", round(CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -219,14 +228,21 @@ object Similarity extends QueryModule {
     val normLit = typedLit(centNorm2)
     import spark.implicits._
     val bcFinal = spark.sparkContext.broadcast(pqToArr(cents))
-    val codes = emb
-      .select(col("vec_id").cast("long").as("vec_id"), col("v"))
-      .as[(Long, Seq[Double])]
-      .mapPartitions { it =>
-        val cb = bcFinal.value
-        it.map { case (id, v) => (id, pqArgminCodes(v.toArray, cb, sub).toSeq) }
-      }
-      .toDF("vec_id", "codes") // the ONLY corpus-side columns
+    // eager localCheckpoint materializes the codes while the broadcast
+    // is live, so it can be destroyed here instead of leaking a codebook
+    // copy onto the heap per invocation (measured: ≥5× bench regressions
+    // on unrelated queries from the accumulated copies)
+    val codes = try {
+      emb
+        .select(col("vec_id").cast("long").as("vec_id"), col("v"))
+        .as[(Long, Seq[Double])]
+        .mapPartitions { it =>
+          val cb = bcFinal.value
+          it.map { case (id, v) => (id, pqArgminCodes(v.toArray, cb, sub).toSeq) }
+        }
+        .toDF("vec_id", "codes") // the ONLY corpus-side columns
+        .localCheckpoint(true)
+    } finally bcFinal.destroy()
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
       .withColumn("lut", array((0 until m).map(mi =>
@@ -321,20 +337,24 @@ object Similarity extends QueryModule {
       .localCheckpoint(true)
     for (_ <- 1 to lloydIters) {
       val bc = spark.sparkContext.broadcast(pqToArr(cents))
-      val cells = train.mapPartitions { it =>
-        val cb = bc.value
-        it.flatMap { case (_, v) =>
-          val arr = v.toArray
-          val codes = pqArgminCodes(arr, cb, sub)
-          for (mi <- (0 until cb.length).iterator; j <- (0 until sub).iterator)
-            yield (mi, codes(mi), j, arr(mi * sub + j))
-        }
-      }.toDF("mi", "code", "j", "x")
-        .groupBy(col("mi"), col("code"), col("j"))
-        .agg(avg(col("x")).as("mu"))
-        .collect() // bounded: ≤ m·k·sub rows
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
-        .toMap
+      // destroyed right after the collect consumes it — per-iteration
+      // codebook broadcasts must not accrete on the heap
+      val cells = try {
+        train.mapPartitions { it =>
+          val cb = bc.value
+          it.flatMap { case (_, v) =>
+            val arr = v.toArray
+            val codes = pqArgminCodes(arr, cb, sub)
+            for (mi <- (0 until cb.length).iterator; j <- (0 until sub).iterator)
+              yield (mi, codes(mi), j, arr(mi * sub + j))
+          }
+        }.toDF("mi", "code", "j", "x")
+          .groupBy(col("mi"), col("code"), col("j"))
+          .agg(avg(col("x")).as("mu"))
+          .collect() // bounded: ≤ m·k·sub rows
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+          .toMap
+      } finally bc.destroy()
       val prev = cents
       cents = (0 until m).map(mi =>
         (0 until kEff).map(ki => (0 until sub).map(j =>
@@ -385,15 +405,19 @@ object Similarity extends QueryModule {
     val normLit = typedLit(cents.map(_.map(c => c.map(x => x * x).sum)))
     import spark.implicits._
     val bcCents = spark.sparkContext.broadcast(pqToArr(cents))
-    val index = assigned
-      .select(col("vec_id").cast("long"), col("v"), col("list_id").cast("long"))
-      .as[(Long, Seq[Double], Long)]
-      .mapPartitions { it =>
-        val cb = bcCents.value
-        it.map { case (id, v, list) =>
-          (id, list, pqArgminCodes(v.toArray, cb, sub).toSeq)
-        }
-      }.toDF("vec_id", "list_id", "codes")
+    // materialize-then-destroy: same heap-accretion discipline as s7
+    val index = try {
+      assigned
+        .select(col("vec_id").cast("long"), col("v"), col("list_id").cast("long"))
+        .as[(Long, Seq[Double], Long)]
+        .mapPartitions { it =>
+          val cb = bcCents.value
+          it.map { case (id, v, list) =>
+            (id, list, pqArgminCodes(v.toArray, cb, sub).toSeq)
+          }
+        }.toDF("vec_id", "list_id", "codes")
+        .localCheckpoint(true)
+    } finally bcCents.destroy()
     // probes: nprobe nearest lists + the ADC lookup table
     val probes0 = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
@@ -573,18 +597,28 @@ object LshPlanes {
 
   /** One (table, bucket) struct per table for a vector. Guards the
     * dimensionality loudly — see [[dims]].
+    *
+    * The guard wraps the FINAL bucket array, not the input vector:
+    * substituting a `when/raise_error` expression into each of the 32
+    * sign-bit folds defeats common-subexpression elimination
+    * (`raise_error` is side-effecting, so Catalyst must re-evaluate the
+    * whole guard CASE per plane — measured 12.5× slower). Here the
+    * size check runs once per row; valid rows evaluate the folds on the
+    * plain vector, NULL vectors yield a NULL array (explode drops them —
+    * no candidates, not wrong candidates), and wrong-dim vectors still
+    * throw loudly.
     */
   def tableBuckets(v: Column): Column = {
-    val checked = when(v.isNull, v)
-      .when(size(v) === dims, v)
-      .otherwise(raise_error(concat(
-        lit(s"LshPlanes requires $dims-dim vectors, got length "),
-        size(v).cast("string"))))
-    array((0 until nTables).map { t =>
+    val buckets = array((0 until nTables).map { t =>
       val bucket = (0 until planesPerTable)
-        .map(p => signBit(checked, t * planesPerTable + p) * (1 << p))
+        .map(p => signBit(v, t * planesPerTable + p) * (1 << p))
         .reduce(_ + _)
       struct(lit(t).as("table"), bucket.as("bucket"))
     }: _*)
+    when(size(v) === dims, buckets)
+      .when(v.isNull, lit(null))
+      .otherwise(raise_error(concat(
+        lit(s"LshPlanes requires $dims-dim vectors, got length "),
+        size(v).cast("string"))))
   }
 }
