@@ -56,6 +56,18 @@ object ManifestTable {
     */
   private[lake] val DvKey = "#dv"
 
+  /** Default vacuum retention horizon: unreferenced files younger than
+    * this may belong to an in-flight commit (staged before the manifest
+    * rename) and are left alone. One hour covers any realistic commit
+    * staging window; tests pass `minAgeMs = 0`.
+    */
+  val DefaultVacuumMinAgeMs: Long = 60L * 60 * 1000
+
+  /** Above this many keys, [[ManifestTable.deleteKeys]] switches from a
+    * literal IN predicate to a broadcast semi-join.
+    */
+  private[lake] val InLiteralMaxKeys = 1000
+
   /** Deletion-vector sidecar schema / scan-side row-id column names. */
   private[lake] val DvFileCol = "_graft_dv_file"
   private[lake] val DvPosCol = "_graft_dv_pos"
@@ -996,18 +1008,32 @@ class ManifestTable(spark: SparkSession, root: String,
   def deleteKeys(c: String, values: Seq[String]): Int = {
     val v0 = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
-    if (values.isEmpty) return v0
+    // NULL keys are dropped explicitly (they cannot equal any stored
+    // value; inside an IN literal they'd vanish silently instead)
+    val vals = values.filter(_ != null).distinct
+    if (vals.isEmpty) return v0
     val entries = entriesOf(v0)
     val candidates =
       if (bloomCol.contains(c)) {
         // hash each value once, decode each entry's bitset once —
         // O(files + keys) driver work, not O(files × keys)
-        val raws = values.map(bloomRawHashes)
+        val raws = vals.map(bloomRawHashes)
         entries.filter(e =>
           e.stats.get(bloomKey(c)).forall(bloomTestEntry(_, raws)))
       } else entries
-    deleteFrom(v0, entries, candidates,
-      col(c).cast("string").isin(values: _*))
+    if (vals.size <= ManifestTable.InLiteralMaxKeys)
+      deleteFrom(v0, entries, candidates,
+        col(c).cast("string").isin(vals: _*))
+    else {
+      // a huge erasure batch must not become a huge literal In
+      // expression (analysis-time O(keys) tree, codegen pressure) —
+      // broadcast-semi-join the key set instead
+      val keysDf = spark.createDataset(vals)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("_graft_erase_key")
+      deleteFromWith(v0, entries, candidates, live =>
+        live.join(org.apache.spark.sql.functions.broadcast(keysDf),
+          col(c).cast("string") === col("_graft_erase_key"), "left_semi"))
+    }
   }
 
   /** Range delete with ZONE-MAP file skipping (L7 ∘ L15): only files
@@ -1027,7 +1053,15 @@ class ManifestTable(spark: SparkSession, root: String,
     * files are scanned — callers narrow them via bloom/zone pruning.
     */
   private def deleteFrom(v0: Int, all: Seq[Entry], candidates: Seq[Entry],
-      predicate: Column): Int = {
+      predicate: Column): Int =
+    deleteFromWith(v0, all, candidates, _.filter(predicate))
+
+  /** Generalized form: `matcher` selects the rows to mark from the
+    * live candidate scan (a filter for predicate deletes, a semi-join
+    * for large key sets).
+    */
+  private def deleteFromWith(v0: Int, all: Seq[Entry], candidates: Seq[Entry],
+      matcher: DataFrame => DataFrame): Int = {
     if (candidates.isEmpty) return v0
     val files = candidates.map(e => new Path(root, e.rel).toString)
     val withPos = readFiles(files, withPos = true)
@@ -1036,7 +1070,7 @@ class ManifestTable(spark: SparkSession, root: String,
     // no-op check must see a true no-op)
     val live = dvOf(candidates).fold(withPos)(dv =>
       withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
-    val hits = live.filter(predicate).select(col(DvFileCol), col(DvPosCol))
+    val hits = matcher(live).select(col(DvFileCol), col(DvPosCol))
     commitDv(v0, all, hits, Seq.empty)
   }
 
@@ -1058,12 +1092,18 @@ class ManifestTable(spark: SparkSession, root: String,
     val withPos = readFiles(files, withPos = true)
     val live = dvOf(entries).fold(withPos)(dv =>
       withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
-    val hits = live.filter(predicate)
-    val updated = set.foldLeft(hits) { case (df, (c, expr0)) =>
-      df.withColumn(c, expr0)
-    }.drop(DvFileCol, DvPosCol)
-    commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
-      Seq(enforced(updated)))
+    // materialize the matched row set EXACTLY once (eager checkpoint):
+    // the marks and the appended copies must come from the same rows,
+    // or a nondeterministic predicate/assignment could kill one row
+    // set and append a different one — silent loss or duplication
+    val hits = live.filter(predicate).localCheckpoint(true)
+    try {
+      val updated = set.foldLeft(hits) { case (df, (c, expr0)) =>
+        df.withColumn(c, expr0)
+      }.drop(DvFileCol, DvPosCol)
+      commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
+        Seq(enforced(updated)))
+    } finally hits.unpersist()
   }
 
   /** Shared DV commit: record `marks` (positions to kill, computed
@@ -1325,9 +1365,17 @@ class ManifestTable(spark: SparkSession, root: String,
     * e.g. to confirm no shallow clone still references the files).
     * Walk cost is O(files).
     */
-  def vacuum(retain: Int = 1, dryRun: Boolean = false): Seq[String] = {
+  def vacuum(retain: Int = 1, dryRun: Boolean = false,
+      minAgeMs: Long = ManifestTable.DefaultVacuumMinAgeMs): Seq[String] = {
     val vs = versions
     val keepVs = vs.takeRight(retain)
+    // retention horizon (the Delta deletedFileRetentionDuration
+    // pattern): an unreferenced file younger than the horizon may
+    // belong to an IN-FLIGHT commit — a concurrent writer stages data
+    // files and DV sidecars BEFORE its manifest rename, and vacuuming
+    // them leaves the winning commit unreadable. Age gates on
+    // modification time; tests pass minAgeMs = 0 for immediacy.
+    val cutoff = System.currentTimeMillis() - minAgeMs
     // qualify both sides: manifest paths are scheme-less, listStatus
     // returns fully-qualified (file:/…) paths
     val referenced = keepVs.flatMap(filesOf)
@@ -1337,6 +1385,7 @@ class ManifestTable(spark: SparkSession, root: String,
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
         if (st.isDirectory) walk(st.getPath)
         else if (st.getPath.getName.endsWith(".parquet") &&
+                 st.getModificationTime < cutoff &&
                  !referenced.contains(fs.makeQualified(st.getPath).toString)) {
           if (!dryRun) fs.delete(st.getPath, false)
           deleted += st.getPath.toString
@@ -1349,7 +1398,8 @@ class ManifestTable(spark: SparkSession, root: String,
         .flatMap(_.stats.get(ManifestTable.DvKey).map(_.mn)))
       .map(r => fs.makeQualified(new Path(root, r)).toString).toSet
     if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { st =>
-      if (!dvReferenced.contains(fs.makeQualified(st.getPath).toString)) {
+      if (st.getModificationTime < cutoff &&
+          !dvReferenced.contains(fs.makeQualified(st.getPath).toString)) {
         if (!dryRun) fs.delete(st.getPath, true)
         deleted += st.getPath.toString
       }

@@ -117,7 +117,12 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // NULL request keys are dropped EXPLICITLY: a NULL never equals
+        // any stored value under SQL semantics, so it cannot name a row
+        // to erase — passing it on would only vanish silently inside
+        // the IN predicate
         val keys = batch.select(col(keyCol).cast("string"))
+          .filter(col(keyCol).isNotNull)
           .distinct().collect().map(_.getString(0)).toSeq // bounded: one batch
         if (keys.nonEmpty) table.deleteKeys(tableCol, keys): Unit
       }

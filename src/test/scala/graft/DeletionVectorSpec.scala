@@ -108,7 +108,7 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(plain.count() === expected.count())
     // vacuum to the compacted version removes the now-unreferenced
     // sidecar (and the pre-compaction data files)
-    val deleted = mt.vacuum(retain = 1)
+    val deleted = mt.vacuum(retain = 1, minAgeMs = 0)
     assert(deleted.exists(_.contains("_graft_dv")),
       s"sidecar not collected: $deleted")
     assert(mt.read().count() === expected.count())
@@ -123,11 +123,50 @@ class DeletionVectorSpec extends SparkTestBase {
     mt.write(extra, "append") // v2 — DV refs carried forward
     val expected = orders.filter(col("o_orderkey") % 5 =!= 0)
       .unionByName(extra)
-    val deleted = mt.vacuum(retain = 1)
+    val deleted = mt.vacuum(retain = 1, minAgeMs = 0)
     assert(!deleted.exists(_.contains("_graft_dv")),
       "sidecar referenced by the latest version was collected")
     assert(mt.read().count() === expected.count())
     assert(mt.read().exceptAll(expected).count() === 0)
+  }
+
+  test("vacuum retention horizon protects young unreferenced files") {
+    val dir = scratch("del_vacuum_age")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders.repartition(2), "overwrite") // v0
+    mt.write(orders.limit(5), "overwrite") // v1 orphans v0's files
+    // the orphans were written seconds ago: the default horizon must
+    // leave them alone (they could be an in-flight commit's staging)
+    val young = mt.vacuum(retain = 1)
+    assert(young.isEmpty, s"young files collected: $young")
+    // opting out of the horizon collects them
+    val old = mt.vacuum(retain = 1, minAgeMs = 0)
+    assert(old.nonEmpty)
+    assert(mt.read().count() === 5)
+  }
+
+  test("deleteKeys: large batch (semi-join path) and NULL keys") {
+    val dir = scratch("del_keys_large")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders.repartition(3), "overwrite")
+    // > InLiteralMaxKeys keys forces the broadcast-semi-join path;
+    // half the keys don't exist, and a NULL must be ignored, not
+    // silently change the predicate's semantics
+    val present = orders.select(col("o_orderkey").cast("string"))
+      .distinct().limit(800).collect().map(_.getString(0)).toSeq
+    val absent = (1 to 700).map(i => s"missing_$i")
+    val keys = (present ++ absent :+ (null: String))
+    assert(keys.size > 1000)
+    val v = mt.deleteKeys("o_orderkey", keys)
+    assert(v === 1)
+    val expected = orders
+      .filter(!col("o_orderkey").cast("string").isin(present: _*))
+    assert(mt.read().count() === expected.count())
+    assert(mt.read().exceptAll(expected).count() === 0)
+    // re-deleting the same keys is a no-op commit (exactly-once replay)
+    assert(mt.deleteKeys("o_orderkey", keys) === 1)
+    // an all-NULL batch is a no-op
+    assert(mt.deleteKeys("o_orderkey", Seq(null)) === 1)
   }
 
   test("UPDATE via DVs: rows change without rewriting existing files") {
@@ -294,7 +333,7 @@ class DeletionVectorSpec extends SparkTestBase {
     // files + sidecars — state must survive both
     mt.compactSmall(minFileBytes = Long.MaxValue)
     same()
-    mt.vacuum(retain = 1)
+    mt.vacuum(retain = 1, minAgeMs = 0)
     same()
     assert(mt.describeDetail().first().getAs[Long]("num_dv_files") === 0L,
       "compaction must have materialized every DV")

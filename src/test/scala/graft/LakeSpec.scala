@@ -536,11 +536,11 @@ class LakeSpec extends SparkTestBase {
     mt.write(orders, "overwrite")
     mt.write(orders.limit(10), "overwrite") // v1 orphans v0's files
     // dry run: reports the orphans, touches nothing
-    val wouldDelete = mt.vacuum(retain = 1, dryRun = true)
+    val wouldDelete = mt.vacuum(retain = 1, dryRun = true, minAgeMs = 0)
     assert(wouldDelete.nonEmpty)
     assert(mt.versions === Seq(0, 1))
     assert(mt.read(Some(0)).count() === orders.count(), "dry run must not delete")
-    val deleted = mt.vacuum(retain = 1)
+    val deleted = mt.vacuum(retain = 1, minAgeMs = 0)
     assert(deleted.toSet === wouldDelete.toSet, "dry run must predict the deletion")
     assert(mt.versions === Seq(1))
     assert(mt.read().count() === 10)
