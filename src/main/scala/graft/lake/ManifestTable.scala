@@ -622,6 +622,26 @@ class ManifestTable(spark: SparkSession, root: String,
     readRangeBy(statsCol.getOrElse(
       throw new IllegalArgumentException("table has no statsCol")), lo, hi, version)
 
+  /** Multi-range file skipping in ONE scan: files intersecting ANY of
+    * the ranges are read once (deduped), with the OR of the range
+    * predicates as the residual. The point-lookup-set shape (an
+    * IVF-PQ query's probed lists, an IN-list over a clustered key)
+    * would otherwise need one scan branch per range.
+    */
+  def readRangesBy(c: String, ranges: Seq[(String, String)],
+      version: Option[Int] = None): DataFrame = {
+    require(allStatsCols.contains(c), s"no zone map for column $c")
+    require(ranges.nonEmpty, "readRangesBy needs at least one range")
+    val v = version.orElse(latestVersion)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    val entries = entriesOf(v).filter(e =>
+      ranges.exists { case (lo, hi) => zoneIntersects(e, c, lo, hi) })
+    if (entries.isEmpty) read(version).filter(lit(false))
+    else readEntries(entries).filter(ranges
+      .map { case (lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .reduce(_ || _))
+  }
+
   /** Write a DataFrame's rows as new data files; returns their paths
     * relative to the table root. Files land under data/ preserving
     * hive-style partition dirs when the table is partitioned.

@@ -1,0 +1,130 @@
+package graft
+
+import graft.lake.ManifestTable
+import graft.operators.PqIndex
+import graft.queries.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index: build/query split, zone-pruned serving,
+  * and incremental maintenance off the change feed — the properties
+  * that turn the ANN family from a per-query rebuild into a real
+  * vector store.
+  */
+class PqIndexSpec extends SparkTestBase {
+  quiet()
+
+  private def scratch(name: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_pqidx_$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    dir
+  }
+
+  private def collectRes(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.select(col("q_id").cast("long"), col("rn").cast("int"),
+        col("neighbor").cast("long"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+  test("s9 persisted query returns exactly what the in-memory s8 path returns") {
+    // clear any stale index for this corpus key first
+    val key = java.lang.Integer.toHexString(sf.hashCode)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_pq_idx_v1_$key"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+
+    val viaIndex = collectRes(Similarity.s9PqPersisted(spark, sf))
+    val inMemory = collectRes(Similarity.s8IvfPqAnn(spark, sf))
+    assert(viaIndex === inMemory)
+    // second invocation LOADS (meta sidecar present) and still matches
+    assert(PqIndex.load(spark, root).isDefined, "index must persist")
+    assert(collectRes(Similarity.s9PqPersisted(spark, sf)) === inMemory)
+  }
+
+  test("query path reads only the probed lists' files (zone-pruned scan)") {
+    val root = scratch("prune")
+    val emb = Similarity.unitVectors(spark, sf)
+    val idx = PqIndex.build(spark, emb, root, lists = 16, m = 16, k = 32)
+    // every file of the index table covers a contiguous list range;
+    // a single probed list must prune to a strict subset of files
+    val all = idx.table.filesOf(idx.table.latestVersion.get)
+    assert(all.size > 1, "index must span several files for pruning to mean anything")
+    val one = idx.table.prunedFilesBy("list_id", "0", "0")
+    assert(one.size < all.size,
+      s"zone maps failed to prune: ${one.size} of ${all.size} files for one list")
+  }
+
+  test("refreshFrom: appends encode with the FROZEN codebook, O(delta)") {
+    val root = scratch("refresh")
+    val srcRoot = scratch("refresh_src")
+    val emb = Similarity.unitVectors(spark, sf)
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite") // v0
+    val idx = PqIndex.build(spark, emb, root,
+      lists = 16, m = 16, k = 32, sourceVersion = 0)
+    val n0 = idx.table.read().count()
+    val centsBefore = idx.cents
+
+    // append clones of vec 3 and 7 under new ids: exact duplicates,
+    // so they MUST surface as sim≈1.0 neighbors of their originals
+    val clones = emb.filter(col("vec_id").isin(3, 7))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    source.write(clones, "append") // v1
+    val idx2 = idx.refreshFrom(source, "vec_id", "v")
+
+    assert(idx2.sourceVersion === 1)
+    assert(idx2.cents === centsBefore, "refresh must not retrain the codebook")
+    assert(idx2.table.read().count() === n0 + 2, "exactly the delta appended")
+    // a fresh load sees the advanced cursor (meta persisted)
+    assert(PqIndex.load(spark, root).get.sourceVersion === 1)
+
+    val probes = emb.filter(col("vec_id").isin(3, 7))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val res = idx2.query(source.read(), probes, nprobe = 4, shortlist = 30, topK = 3)
+      .collect()
+    val top1 = res.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1(3L) === 1000003L, s"clone of 3 must be its top neighbor: $top1")
+    assert(top1(7L) === 1000007L, s"clone of 7 must be its top neighbor: $top1")
+  }
+
+  test("refreshFrom: source deletes DV out of the index, no rebuild") {
+    val root = scratch("refresh_del")
+    val srcRoot = scratch("refresh_del_src")
+    val emb = Similarity.unitVectors(spark, sf)
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite") // v0
+    val idx = PqIndex.build(spark, emb, root,
+      lists = 16, m = 16, k = 32, sourceVersion = 0)
+    val filesBefore = idx.table.filesOf(idx.table.latestVersion.get).toSet
+
+    // find probe 0's current top neighbor, then erase it from the source
+    val probes = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val firstTop = idx.query(emb, probes).filter(col("rn") === 1)
+      .select("neighbor").first().getLong(0)
+    source.delete(col("vec_id") === firstTop) // v1
+    val idx2 = idx.refreshFrom(source, "vec_id", "v")
+
+    // dead id gone from the index — by DV, not by rewriting files
+    assert(idx2.table.read().filter(col("vec_id") === firstTop).count() === 0)
+    val filesAfter = idx2.table.filesOf(idx2.table.latestVersion.get).toSet
+    assert(filesAfter === filesBefore, "delete must not rewrite index files")
+    // and gone from results
+    val after = idx2.query(source.read(), probes).select("neighbor")
+      .collect().map(_.getLong(0)).toSet
+    assert(!after.contains(firstTop))
+  }
+
+  test("refreshFrom is a no-op when already current") {
+    val root = scratch("noop")
+    val srcRoot = scratch("noop_src")
+    val emb = Similarity.unitVectors(spark, sf).limit(50)
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite")
+    val idx = PqIndex.build(spark, emb, root, sourceVersion = 0)
+    val v = idx.table.latestVersion
+    assert(idx.refreshFrom(source, "vec_id", "v").table.latestVersion === v)
+  }
+}
