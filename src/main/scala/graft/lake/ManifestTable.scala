@@ -120,7 +120,17 @@ class ManifestTable(spark: SparkSession, root: String,
     statsCols: Seq[String] = Nil,
     bloomCol: Option[String] = None,
     bloomBits: Int = 1 << 16,
-    bloomHashes: Int = 6) {
+    bloomHashes: Int = 6,
+    partitionCols: Seq[String] = Nil) {
+
+  /** All hive partition columns, outermost first: the legacy single
+    * `partitionCol` plus any additional `partitionCols` — real tables
+    * partition by (date, region)/(date, tenant), and merge scoping,
+    * partition overwrite, and compaction must treat the partition as
+    * the full tuple.
+    */
+  private val partCols: Seq[String] =
+    (partitionCol.toSeq ++ partitionCols).distinct
 
   /** All zone-map columns: the legacy single `statsCol` plus any
     * additional `statsCols` (multi-column zone maps are what make
@@ -650,7 +660,8 @@ class ManifestTable(spark: SparkSession, root: String,
     val stage = new Path(root, s".stage-${UUID.randomUUID()}")
     try {
       val writer = df.write.mode("overwrite")
-      partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(stage.toString)
+      (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+        .parquet(stage.toString)
       val moved = scala.collection.mutable.ArrayBuffer[String]()
       def walk(dir: Path, relPrefix: String): Unit =
         fs.listStatus(dir).foreach { st =>
@@ -711,18 +722,37 @@ class ManifestTable(spark: SparkSession, root: String,
     * while the old null-partition files are dropped (silent data loss).
     */
   def overwritePartition(df: DataFrame, value: String): Int = {
-    val c = partitionCol.getOrElse(
-      throw new IllegalStateException("table is not partitioned"))
-    val slice =
-      if (value == null) df.filter(col(c).isNull)
-      else df.filter(col(c) === value)
+    if (partCols.isEmpty)
+      throw new IllegalStateException("table is not partitioned")
+    require(partCols.size == 1,
+      s"table partitions on (${partCols.mkString(", ")}); " +
+        "use overwritePartitionValues with the full tuple")
+    overwritePartitionValues(df, Seq(value))
+  }
+
+  /** Multi-column form of [[overwritePartition]]: replace exactly one
+    * (c1=v1, c2=v2, …) sub-partition. `values` align with the table's
+    * partition columns outermost-first; nulls address the hive default
+    * partition on that level.
+    */
+  def overwritePartitionValues(df: DataFrame, values: Seq[String]): Int = {
+    if (partCols.isEmpty)
+      throw new IllegalStateException("table is not partitioned")
+    require(values.size == partCols.size,
+      s"expected ${partCols.size} partition values (${partCols.mkString(", ")}), " +
+        s"got ${values.size}")
+    val slice = df.filter(partCols.zip(values).map { case (c, v) =>
+      if (v == null) col(c).isNull else col(c) === lit(v)
+    }.reduce(_ && _))
     val newFiles = newEntries(writeDataFiles(enforced(slice)))
     val base = latestVersion.map(entriesOf).getOrElse(Seq.empty)
+    def inPart(e: Entry): Boolean =
+      partCols.zip(values).forall { case (c, v) => inPartition(e.rel, c, v) }
     // partition-scoped delta: concurrent commits to OTHER partitions
     // rebase cleanly; a concurrent touch of THIS partition conflicts
     commitDelta(base,
-      base.filter(e => inPartition(e.rel, c, value)).map(_.rel).toSet,
-      newFiles, conflictsWith = e => inPartition(e.rel, c, value))
+      base.filter(inPart).map(_.rel).toSet,
+      newFiles, conflictsWith = inPart)
   }
 
   /** Hive-style partition directory segment for a value — Spark escapes
@@ -785,9 +815,9 @@ class ManifestTable(spark: SparkSession, root: String,
       .join(base, keys, "left_semi"))
     val noop = upsertDelta.isEmpty && deleteHits.forall(_.isEmpty)
     if (noop) return latestVersion.get
-    partitionCol match {
-      case Some(c) =>
-        // touched = partitions the changed rows land in ∪ partitions
+    if (partCols.nonEmpty) {
+        val cs = partCols
+        // touched = partition TUPLES the changed rows land in ∪ tuples
         // currently holding any CHANGED key (covers deletes + partition
         // moves). Keys come from upsertDelta + tombstones, NOT the raw
         // feed: a largely no-op incremental feed must not rewrite every
@@ -797,22 +827,28 @@ class ManifestTable(spark: SparkSession, root: String,
           deletes.fold(uk)(d => uk.union(d.select(keys.map(col): _*))).distinct()
         }
         val currentOfFed = base.join(changedKeys, keys, "left_semi")
-        val touched = upsertDelta.select(col(c).cast("string"))
-          .union(currentOfFed.select(col(c).cast("string")))
+        def tupleOf(df: DataFrame) =
+          df.select(cs.map(c => col(c).cast("string")): _*)
+        val touched: Set[Seq[String]] = tupleOf(upsertDelta)
+          .union(tupleOf(currentOfFed))
           .distinct()
-          .collect().map(_.getString(0)).toSet // bounded: distinct partitions
-        // NULL is a legal partition value (hive default partition) but
-        // isin(null) never matches — test it explicitly or rows landing
-        // in / moving out of the null partition are silently dropped
-        val touchedVals = touched.filter(_ != null).toSeq
-        def inTouchedOf(col0: Column) = {
-          val nonNullHit = col0.cast("string").isin(touchedVals: _*)
-          if (touched.contains(null)) nonNullHit || col0.isNull else nonNullHit
-        }
-        val touchedBase = base.filter(inTouchedOf(col(c)))
+          .collect() // bounded: distinct touched partition tuples
+          .map(r => cs.indices.map(i =>
+            if (r.isNullAt(i)) null else r.getString(i)): Seq[String])
+          .toSet
+        // NULL is a legal partition value on any level (hive default
+        // partition): each tuple predicate tests it explicitly — an
+        // equality/isin would never match and rows landing in / moving
+        // out of the null partition would be silently dropped
+        def tuplePred(t: Seq[String]): Column =
+          cs.zip(t).map { case (c, v) =>
+            if (v == null) col(c).isNull else col(c).cast("string") === lit(v)
+          }.reduce(_ && _)
+        val inTouched = touched.toSeq.map(tuplePred)
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val touchedBase = base.filter(inTouched)
         // tombstones bypass the partition filter: they match by KEY and
-        // their own partition-column value may not reflect the base row's
-        val inTouched = inTouchedOf(col(c))
+        // their own partition-column values may not reflect the base row's
         val touchedUpdates = deleteCol match {
           case Some(d) => updates.filter(coalesce(col(d), lit(false)) || inTouched)
           case None => updates.filter(inTouched)
@@ -820,7 +856,8 @@ class ManifestTable(spark: SparkSession, root: String,
         val merged = resolve(touchedBase, touchedUpdates)
         val newFiles = newEntries(writeDataFiles(enforced(merged)))
         def inTouchedPartition(e: Entry): Boolean =
-          touched.exists(v => inPartition(e.rel, c, v))
+          touched.exists(t =>
+            cs.zip(t).forall { case (c, v) => inPartition(e.rel, c, v) })
         val baseEntries = entriesOf(v0)
         // delta = rewrite of the touched partitions only: a concurrent
         // merge/append to OTHER partitions rebases and both commits
@@ -828,7 +865,7 @@ class ManifestTable(spark: SparkSession, root: String,
         commitDelta(baseEntries,
           baseEntries.filter(inTouchedPartition).map(_.rel).toSet,
           newFiles, conflictsWith = inTouchedPartition)
-      case None =>
+    } else {
         rewriteSnapshot(Some(v0), enforced(resolve(base, updates)))
     }
     } finally upsertDelta.unpersist()
@@ -951,7 +988,7 @@ class ManifestTable(spark: SparkSession, root: String,
       fs.getFileStatus(new Path(root, e.rel)).getLen).sum
     Seq((root, "graft-manifest", v.getOrElse(-1),
       entries.size.toLong, bytes,
-      partitionCol.toSeq, allStatsCols, bloomCol.toSeq,
+      partCols, allStatsCols, bloomCol.toSeq,
       entries.count(_.stats.contains(DvKey)).toLong,
       constraints.size.toLong))
       .toDF("location", "format", "version", "num_files", "size_bytes",
@@ -1178,10 +1215,9 @@ class ManifestTable(spark: SparkSession, root: String,
   def compact(targetFiles: Int = 1): Int = {
     val v0 = latestVersion
     val df = read(v0)
-    val compacted = partitionCol match {
-      case Some(c) => df.repartition(targetFiles, col(c))
-      case None => df.repartition(targetFiles)
-    }
+    val compacted =
+      if (partCols.nonEmpty) df.repartition(targetFiles, partCols.map(col): _*)
+      else df.repartition(targetFiles)
     rewriteSnapshot(v0, compacted)
   }
 
@@ -1212,10 +1248,9 @@ class ManifestTable(spark: SparkSession, root: String,
     val totalBytes = small.map(_._2).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val packed = readEntries(small.map(_._1)) // DV-applying read
-    val repart = partitionCol match {
-      case Some(c) => packed.repartition(nOut, col(c))
-      case None => packed.repartition(nOut)
-    }
+    val repart =
+      if (partCols.nonEmpty) packed.repartition(nOut, partCols.map(col): _*)
+      else packed.repartition(nOut)
     val newFiles = newEntries(writeDataFiles(repart))
     commitDelta(entries, small.map(_._1.rel).toSet, newFiles)
   }
@@ -1346,7 +1381,7 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def shallowClone(destRoot: String): ManifestTable = {
     val dest = new ManifestTable(spark, destRoot, partitionCol,
-      statsCol, statsCols, bloomCol, bloomBits, bloomHashes)
+      statsCol, statsCols, bloomCol, bloomBits, bloomHashes, partitionCols)
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
     // qualify: clone entries must resolve against the SOURCE root —
