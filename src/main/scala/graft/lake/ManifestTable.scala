@@ -68,6 +68,13 @@ object ManifestTable {
     */
   private[lake] val InLiteralMaxKeys = 1000
 
+  /** Full-snapshot checkpoint cadence for the commit log: versions at
+    * this spacing (and v0) write the complete file list; everything
+    * between writes O(changed-files) delta entries. Bounds the delta
+    * chain a reader folds to resolve any version.
+    */
+  private[lake] val CheckpointEvery = 10
+
   /** Deletion-vector sidecar schema / scan-side row-id column names. */
   private[lake] val DvFileCol = "_graft_dv_file"
   private[lake] val DvPosCol = "_graft_dv_pos"
@@ -151,12 +158,25 @@ class ManifestTable(spark: SparkSession, root: String,
 
   private def manifestPath(v: Int) = new Path(logDir, f"v$v%05d.manifest")
 
+  /** Delta commit file: O(changed files) lines (`-<TAB>rel` removals,
+    * `+<TAB>entry` adds/re-points) against the previous version. Full
+    * `v<N>.manifest` snapshots are checkpoints — written for v0, every
+    * [[ManifestTable.CheckpointEvery]]-th version, and by ops whose
+    * intent is a whole new file set (overwrite/restore/clone). Without
+    * deltas, a million-file table would rewrite an O(files) manifest
+    * for every tiny append or DV commit.
+    */
+  private def deltaPath(v: Int) = new Path(logDir, f"v$v%05d.delta")
+
   def versions: Seq[Int] = {
     if (!fs.exists(logDir)) return Seq.empty
     fs.listStatus(logDir).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
+      .filter(n => n.startsWith("v") &&
+        (n.endsWith(".manifest") || n.endsWith(".delta")))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest")
+        .stripSuffix(".delta").toInt)
+      .distinct
       .sorted
   }
 
@@ -219,11 +239,44 @@ class ManifestTable(spark: SparkSession, root: String,
       case _ => "S"
     }
 
-  private def entriesOf(version: Int): Seq[Entry] = {
-    val in = fs.open(manifestPath(version))
+  private def readLogLines(p: Path): Seq[String] = {
+    val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(Entry.parse(_, statsCol)).toList
+      .filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  /** Resolve a version's full entry list: a checkpoint manifest when
+    * one exists, otherwise the nearest checkpoint at-or-below folded
+    * forward through the delta chain. Chain length is bounded by the
+    * checkpoint cadence, so resolution is O(checkpoint + cadence·delta)
+    * — never O(versions).
+    */
+  private def entriesOf(version: Int): Seq[Entry] = {
+    if (fs.exists(manifestPath(version)))
+      return readLogLines(manifestPath(version)).map(Entry.parse(_, statsCol))
+    var s = version - 1
+    while (s >= 0 && !fs.exists(manifestPath(s))) s -= 1
+    if (s < 0) throw new IllegalStateException(
+      s"no checkpoint manifest at or below v$version under $logDir")
+    // fold preserving order: removals drop, adds append (a DV re-point
+    // is remove+add of the same rel, matching the filterNot ++ added
+    // shape full commits use)
+    val acc = scala.collection.mutable.LinkedHashMap.from(
+      readLogLines(manifestPath(s)).map(Entry.parse(_, statsCol))
+        .map(e => e.rel -> e))
+    for (v <- s + 1 to version) {
+      readLogLines(deltaPath(v)).foreach { line =>
+        if (line.startsWith("-\t")) acc.remove(line.substring(2)): Unit
+        else if (line.startsWith("+\t")) {
+          val e = Entry.parse(line.substring(2), statsCol)
+          acc.remove(e.rel) // re-point: replace, appended at the end
+          acc.put(e.rel, e): Unit
+        } else throw new IllegalStateException(
+          s"bad delta line in ${deltaPath(v)}: $line")
+      }
+    }
+    acc.values.toList
   }
 
   /** Data files (absolute) referenced by a version. */
@@ -307,7 +360,12 @@ class ManifestTable(spark: SparkSession, root: String,
     * published it.
     */
   def commitTimeOf(version: Int): Long =
-    fs.getFileStatus(manifestPath(version)).getModificationTime
+    Seq(deltaPath(version), manifestPath(version))
+      .filter(fs.exists)
+      .map(fs.getFileStatus(_).getModificationTime)
+      // min: a vacuum-time checkpoint materialized BESIDE a delta must
+      // not shift the version's original commit time
+      .min
 
   /** Time-travel read by timestamp (the common Delta/Iceberg
     * `timestampAsOf` interface): the newest version committed at or
@@ -334,16 +392,24 @@ class ManifestTable(spark: SparkSession, root: String,
     * local LogStore documents; HDFS/object-store renames are atomic
     * no-overwrite and close it).
     */
-  private def tryCommit(v: Int, entries: Seq[Entry]): Boolean = {
+  private def tryCommit(v: Int, entries: Seq[Entry]): Boolean =
+    tryPublish(v, entries.map(_.line).mkString("\n") + "\n", asDelta = false)
+
+  /** A version is taken if EITHER file form exists — a checkpoint
+    * writer and a delta writer racing for the same number must not
+    * both win.
+    */
+  private def tryPublish(v: Int, content: String, asDelta: Boolean): Boolean = {
     fs.mkdirs(logDir)
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write((entries.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(content.getBytes("UTF-8"))
     finally out.close()
-    val dest = manifestPath(v)
+    val dest = if (asDelta) deltaPath(v) else manifestPath(v)
     val won = ManifestTable.lockFor(fs.makeQualified(logDir).toString)
       .synchronized {
-        !fs.exists(dest) && fs.rename(tmp, dest)
+        !fs.exists(manifestPath(v)) && !fs.exists(deltaPath(v)) &&
+          fs.rename(tmp, dest)
       }
     if (!won) fs.delete(tmp, false)
     won
@@ -415,8 +481,24 @@ class ManifestTable(spark: SparkSession, root: String,
         throw new java.util.ConcurrentModificationException(
           s"concurrent writer added ${overlapping.size} file(s) overlapping " +
             s"this commit (e.g. ${overlapping.head.rel}); re-run on the new snapshot")
-      val target = curEntries.filterNot(e => removed.contains(e.rel)) ++ added
-      if (tryCommit(cur.getOrElse(-1) + 1, target)) return cur.getOrElse(-1) + 1
+      val vNext = cur.getOrElse(-1) + 1
+      // O(delta) commit entry; full snapshot on the checkpoint cadence
+      // (and for v0, which anchors every chain)
+      val won =
+        if (vNext == 0 || vNext % ManifestTable.CheckpointEvery == 0) {
+          val target = curEntries.filterNot(e => removed.contains(e.rel)) ++ added
+          tryCommit(vNext, target)
+        } else {
+          val lines = removed.toSeq.sorted.map("-\t" + _) ++
+            added.map("+\t" + _.line)
+          // a pure no-op delta still needs a line-less file? No — the
+          // caller guarantees a non-empty delta (no-ops return early),
+          // but guard the degenerate case with an empty payload anyway
+          tryPublish(vNext,
+            if (lines.isEmpty) "" else lines.mkString("\n") + "\n",
+            asDelta = true)
+        }
+      if (won) return vNext
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -1461,7 +1543,27 @@ class ManifestTable(spark: SparkSession, root: String,
     }
     if (!dryRun) {
       val dropped = vs.dropRight(retain).toSet
-      dropped.foreach(v => fs.delete(manifestPath(v), false))
+      // the kept chain must stand alone: if the oldest kept version is
+      // a delta commit, materialize its resolved snapshot BESIDE the
+      // delta (the delta keeps the original commit time; entriesOf
+      // prefers the manifest) before its upstream chain is deleted
+      keepVs.headOption.foreach { oldest =>
+        if (dropped.nonEmpty && !fs.exists(manifestPath(oldest))) {
+          val resolved = entriesOf(oldest)
+          val tmp = new Path(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
+          val out = fs.create(tmp, false)
+          try out.write(
+            (resolved.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
+          finally out.close()
+          if (!fs.rename(tmp, manifestPath(oldest)))
+            throw new IllegalStateException(
+              s"checkpoint materialization for v$oldest failed")
+        }
+      }
+      dropped.foreach { v =>
+        fs.delete(manifestPath(v), false)
+        fs.delete(deltaPath(v), false): Unit
+      }
       // version tags of vacuumed versions go with their manifests —
       // a long-lived IVM pipeline would otherwise leak one tag file
       // per vacuumed view commit forever
