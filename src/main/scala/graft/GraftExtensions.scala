@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // CALL graft.<proc>(...) procedure surface (MERGE/DELETE/UPDATE/
+    // OPTIMIZE/VACUUM/RESTORE/DESCRIBE over manifest tables); every
+    // other statement delegates to the stock parser untouched
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine",

@@ -75,6 +75,36 @@ object ManifestTable {
     */
   private[lake] val CheckpointEvery = 10
 
+  /** Reconstruct a fully-configured instance from a root path alone,
+    * using the table_config sidecar the first commit persisted — how
+    * the SQL procedure surface addresses tables by path. Falls back to
+    * an unconfigured instance for pre-sidecar tables (reads still
+    * work; partition-scoped merge degrades to a guarded full rewrite).
+    */
+  def forRoot(spark: SparkSession, root: String): ManifestTable = {
+    val logDir = new Path(root, "_graft_log")
+    val cfgPath = new Path(logDir, "table_config")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(cfgPath)) return new ManifestTable(spark, root)
+    val in = fs.open(cfgPath)
+    val cfg =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.contains('=')).map { l =>
+          val i = l.indexOf('=')
+          l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
+      finally in.close()
+    def list(k: String): Seq[String] = cfg.getOrElse(k, "").split(',')
+      .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")).toSeq
+    new ManifestTable(spark, root,
+      statsCols = list("stats_cols"),
+      bloomCol = cfg.get("bloom_col").filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8")),
+      bloomBits = cfg.get("bloom_bits").map(_.toInt).getOrElse(1 << 16),
+      bloomHashes = cfg.get("bloom_hashes").map(_.toInt).getOrElse(6),
+      partitionCols = list("partition_cols"))
+  }
+
   /** Deletion-vector sidecar schema / scan-side row-id column names. */
   private[lake] val DvFileCol = "_graft_dv_file"
   private[lake] val DvPosCol = "_graft_dv_pos"
@@ -395,6 +425,33 @@ class ManifestTable(spark: SparkSession, root: String,
   private def tryCommit(v: Int, entries: Seq[Entry]): Boolean =
     tryPublish(v, entries.map(_.line).mkString("\n") + "\n", asDelta = false)
 
+  /** Table configuration sidecar: the first successful commit persists
+    * this instance's partition/stats/bloom declaration in the log dir
+    * so [[ManifestTable.forRoot]] (and the SQL procedure surface) can
+    * reconstruct a fully-configured instance from the root path alone
+    * — the Delta pattern of metadata living IN the log. First writer
+    * wins; an explicitly-configured constructor always overrides.
+    */
+  private val configPath = new Path(logDir, "table_config")
+  @volatile private var configChecked = false
+
+  private def persistConfigIfNeeded(): Unit = {
+    if (configChecked) return
+    configChecked = true
+    if (fs.exists(configPath)) return
+    val lines = Seq(
+      "partition_cols=" + partCols.map(Entry.enc).mkString(","),
+      "stats_cols=" + allStatsCols.map(Entry.enc).mkString(","),
+      "bloom_col=" + bloomCol.map(Entry.enc).getOrElse(""),
+      "bloom_bits=" + bloomBits,
+      "bloom_hashes=" + bloomHashes)
+    val tmp = new Path(logDir, s".tmp-cfg-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, configPath)) fs.delete(tmp, false): Unit
+  }
+
   /** A version is taken if EITHER file form exists — a checkpoint
     * writer and a delta writer racing for the same number must not
     * both win.
@@ -412,6 +469,7 @@ class ManifestTable(spark: SparkSession, root: String,
           fs.rename(tmp, dest)
       }
     if (!won) fs.delete(tmp, false)
+    else persistConfigIfNeeded()
     won
   }
 

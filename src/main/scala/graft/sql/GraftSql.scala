@@ -1,0 +1,244 @@
+package graft.sql
+
+import graft.lake.ManifestTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types._
+
+/** SQL DML surface for manifest tables — the `CALL graft.<proc>(...)`
+  * procedure style (the Iceberg stored-procedure surface; Delta ships
+  * dedicated DML grammar, but a procedure namespace composes with the
+  * stock parser instead of forking it). Injected by
+  * [[graft.GraftExtensions]], so a session configured with
+  * `spark.sql.extensions=graft.GraftExtensions` drives the whole
+  * medallion lifecycle from SQL:
+  *
+  * {{{
+  *   CALL graft.merge('/lake/silver', 'updates_view', 'order_id')
+  *   CALL graft.delete('/lake/silver', 'o_orderstatus = ''X''')
+  *   CALL graft.update('/lake/silver', 'amt < 0', 'amt = 0.0')
+  *   CALL graft.optimize('/lake/silver', 4)
+  *   CALL graft.zorder('/lake/silver', 'ds,region', 8)
+  *   CALL graft.vacuum('/lake/silver', 2)
+  *   CALL graft.restore('/lake/silver', 3)
+  *   CALL graft.describe_history('/lake/silver')
+  *   CALL graft.describe_detail('/lake/silver')
+  * }}}
+  *
+  * Tables are addressed by root path; configuration (partition tuple,
+  * zone-map/bloom columns) comes from the table_config sidecar via
+  * [[ManifestTable.forRoot]], so a partitioned merge issued from SQL
+  * scopes to touched partitions exactly like the Scala API.
+  * Statements that don't match the CALL pattern delegate verbatim to
+  * the stock parser — zero interference with regular Spark SQL.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSql.parseCall(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSql {
+
+  private val CallPattern =
+    """(?is)^\s*CALL\s+graft\s*\.\s*(\w+)\s*\((.*)\)\s*;?\s*$""".r
+
+  /** Some(plan) when `sqlText` is a graft procedure call; None lets
+    * the stock parser handle everything else.
+    */
+  def parseCall(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case CallPattern(proc, argText) =>
+      Some(GraftProcedureCommand(proc.toLowerCase, parseArgs(argText, sqlText)))
+    case _ => None
+  }
+
+  /** Argument literals: 'single-quoted strings' (with '' escaping) and
+    * integers, comma-separated. Procedures take paths, SQL fragments,
+    * and counts — nothing needing a fuller grammar.
+    */
+  private[sql] def parseArgs(argText: String, stmt: String): Seq[Any] = {
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    val s = argText
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"graft CALL: $msg in: $stmt")
+    while (i < s.length) {
+      while (i < s.length && s(i).isWhitespace) i += 1
+      if (i >= s.length) {
+        if (out.nonEmpty) fail("trailing comma")
+      } else if (s(i) == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          if (s(i) == '\'' && i + 1 < s.length && s(i + 1) == '\'') {
+            sb += '\''; i += 2
+          } else if (s(i) == '\'') { closed = true; i += 1 }
+          else { sb += s(i); i += 1 }
+        }
+        if (!closed) fail("unterminated string literal")
+        out += sb.toString
+      } else if (s(i).isDigit || s(i) == '-') {
+        val start = i
+        if (s(i) == '-') i += 1
+        while (i < s.length && s(i).isDigit) i += 1
+        out += s.substring(start, i).toLong
+      } else fail(s"unexpected character '${s(i)}' at position $i")
+      while (i < s.length && s(i).isWhitespace) i += 1
+      if (i < s.length) {
+        if (s(i) != ',') fail(s"expected ',' at position $i")
+        i += 1
+        // a comma must be followed by another argument
+        var j = i
+        while (j < s.length && s(j).isWhitespace) j += 1
+        if (j >= s.length) fail("trailing comma")
+      }
+    }
+    out.toSeq
+  }
+
+  /** Split `a = expr1, b = expr2` assignment lists on top-level commas
+    * (quotes and parens respected — `coalesce(a, b)` is one expr).
+    */
+  private[sql] def splitAssignments(text: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var depth = 0
+    var inStr = false
+    text.foreach { c =>
+      if (inStr) { sb += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; sb += c
+        case '(' => depth += 1; sb += c
+        case ')' => depth -= 1; sb += c
+        case ',' if depth == 0 => parts += sb.toString; sb.clear()
+        case _ => sb += c
+      }
+    }
+    if (sb.nonEmpty) parts += sb.toString
+    parts.toSeq.map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"assignment '$p' must be 'column = expression'")
+      (p.substring(0, i).trim, p.substring(i + 1).trim)
+    }
+  }
+}
+
+/** One eagerly-executed command per procedure call. Output schemas are
+  * static per procedure (version row for DML, the DESCRIBE schemas for
+  * the two describes, path rows for VACUUM).
+  */
+case class GraftProcedureCommand(proc: String, args: Seq[Any])
+    extends LeafRunnableCommand {
+
+  private def attr(name: String, dt: DataType): AttributeReference =
+    AttributeReference(name, dt, nullable = true)()
+
+  override val output: Seq[Attribute] = proc match {
+    case "describe_history" => Seq(
+      attr("version", IntegerType), attr("commit_ts", TimestampType),
+      attr("num_files", LongType), attr("files_added", LongType),
+      attr("files_removed", LongType), attr("dv_deleted_rows", LongType))
+    case "describe_detail" => Seq(
+      attr("location", StringType), attr("format", StringType),
+      attr("version", IntegerType), attr("num_files", LongType),
+      attr("size_bytes", LongType),
+      attr("partition_columns", ArrayType(StringType)),
+      attr("stats_columns", ArrayType(StringType)),
+      attr("bloom_columns", ArrayType(StringType)),
+      attr("num_dv_files", LongType), attr("num_constraints", LongType))
+    case "vacuum" => Seq(attr("deleted_path", StringType))
+    case _ => Seq(attr("version", IntegerType))
+  }
+
+  private def str(i: Int): String = args.lift(i) match {
+    case Some(s: String) => s
+    case other => throw new IllegalArgumentException(
+      s"graft.$proc: argument ${i + 1} must be a string, got $other")
+  }
+  private def num(i: Int): Long = args.lift(i) match {
+    case Some(n: Long) => n
+    case other => throw new IllegalArgumentException(
+      s"graft.$proc: argument ${i + 1} must be an integer, got $other")
+  }
+  private def optNum(i: Int, dflt: Long): Long =
+    if (args.length > i) num(i) else dflt
+
+  override def run(session: SparkSession): Seq[Row] = {
+    def table = ManifestTable.forRoot(session, str(0))
+    def versionRow(v: Int) = Seq(Row(v))
+    proc match {
+      case "write" =>
+        // write(root, sourceView, mode [, partitionColsCsv]) — the
+        // ingest step; an optional partition tuple configures a table
+        // being created (an existing table's config sidecar wins)
+        val source = session.table(str(1))
+        val mt =
+          if (args.length > 3)
+            new ManifestTable(session, str(0), partitionCols =
+              str(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          else table
+        versionRow(mt.write(source, str(2)))
+      case "merge" =>
+        // merge(root, sourceView, keysCsv [, deleteCol])
+        val source = session.table(str(1))
+        val keys = str(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "graft.merge: empty key list")
+        val deleteCol = if (args.length > 3) Some(str(3)) else None
+        versionRow(table.merge(source, keys, deleteCol))
+      case "delete" =>
+        versionRow(table.delete(expr(str(1))))
+      case "update" =>
+        // update(root, predicate, 'a = expr, b = expr')
+        val sets = GraftSql.splitAssignments(str(2))
+          .map { case (c, e) => c -> expr(e) }.toMap
+        versionRow(table.updateWhere(expr(str(1)), sets))
+      case "optimize" =>
+        versionRow(table.compact(optNum(1, 1).toInt))
+      case "optimize_small" =>
+        versionRow(table.compactSmall(num(1),
+          optNum(2, 128L << 20)))
+      case "zorder" =>
+        val cols = str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "graft.zorder: empty column list")
+        versionRow(
+          if (cols.size == 1) table.optimizeBy(cols.head, optNum(2, 8).toInt)
+          else table.optimizeByZ(cols, optNum(2, 8).toInt))
+      case "vacuum" =>
+        table.vacuum(optNum(1, 1).toInt,
+          dryRun = false, minAgeMs = optNum(2, ManifestTable.DefaultVacuumMinAgeMs))
+          .map(Row(_))
+      case "restore" =>
+        versionRow(table.restore(num(1).toInt))
+      case "describe_history" =>
+        table.history().collect().toSeq
+      case "describe_detail" =>
+        table.describeDetail().collect().toSeq
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown procedure graft.$other; known: write, merge, delete, " +
+            "update, optimize, optimize_small, zorder, vacuum, restore, " +
+            "describe_history, describe_detail")
+    }
+  }
+}

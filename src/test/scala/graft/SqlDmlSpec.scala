@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The CALL graft.<proc>(...) SQL DML surface: a session configured
+  * with GraftExtensions drives the full medallion lifecycle — ingest
+  * write, keyed merge, DV delete, row update, optimize, describe,
+  * restore, vacuum — entirely through spark.sql(...).
+  */
+class SqlDmlSpec extends SparkTestBase {
+  quiet()
+
+  /** A second session on the SAME SparkContext, built with the
+    * extensions (the base test session predates them). Default/active
+    * session pointers are restored so other suites are untouched.
+    */
+  lazy val sqlSpark: SparkSession = {
+    spark.sparkContext // force base session/context creation first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      SparkSession.builder()
+        .master("local[8]")
+        .appName("graft-sql-dml")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  private def scratch(name: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_sqldml_$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    dir
+  }
+
+  test("non-CALL statements parse and run exactly as stock Spark SQL") {
+    Q.t(sqlSpark, sf, "orders").createOrReplaceTempView("sql_dml_orders")
+    val n = sqlSpark.sql(
+      "SELECT count(*) AS n FROM sql_dml_orders WHERE o_orderstatus = 'F'")
+      .first().getLong(0)
+    assert(n > 0)
+    // injected scalar functions resolve through the same session
+    assert(sqlSpark.sql("SELECT graft_rolling_hash('abc') AS h").count() === 1)
+  }
+
+  test("medallion pipeline end-to-end through spark.sql only") {
+    val bronze = scratch("bronze")
+    val silver = scratch("silver")
+    val orders = Q.t(sqlSpark, sf, "orders")
+      .select(col("o_orderkey").as("order_id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("amount"),
+        col("o_orderpriority").as("priority"))
+    orders.createOrReplaceTempView("feed_full")
+
+    // bronze ingest (partitioned by status), silver initial load
+    val v0 = sqlSpark.sql(
+      s"CALL graft.write('$bronze', 'feed_full', 'overwrite', 'status')")
+      .first().getInt(0)
+    assert(v0 === 0)
+    sqlSpark.sql(s"CALL graft.write('$silver', 'feed_full', 'overwrite', 'status')")
+
+    // CDC merge: bump 5 amounts
+    orders.limit(5).withColumn("amount", col("amount") + 10)
+      .createOrReplaceTempView("feed_updates")
+    val v1 = sqlSpark.sql(
+      s"CALL graft.merge('$silver', 'feed_updates', 'order_id')")
+      .first().getInt(0)
+    assert(v1 === 1)
+
+    // DV delete (quoted-quote predicate) + row update
+    val nP = orders.filter(col("status") === "P").count()
+    assert(nP > 0)
+    sqlSpark.sql(s"CALL graft.delete('$silver', 'status = ''P''')")
+    sqlSpark.sql(
+      s"CALL graft.update('$silver', 'amount > 100000', " +
+        "'priority = ''5-LOW'', amount = amount + 0')")
+
+    // optimize + describes + vacuum, all from SQL
+    sqlSpark.sql(s"CALL graft.optimize('$silver', 2)")
+    val hist = sqlSpark.sql(s"CALL graft.describe_history('$silver')").collect()
+    assert(hist.length === 5, s"5 versions expected: ${hist.length}")
+    val detail = sqlSpark.sql(s"CALL graft.describe_detail('$silver')").first()
+    assert(detail.getAs[Seq[String]]("partition_columns") === Seq("status"),
+      "config sidecar must surface the partition spec through SQL")
+    val removed = sqlSpark.sql(s"CALL graft.vacuum('$silver', 1, 0)").collect()
+    assert(removed.nonEmpty, "vacuum after optimize must collect dead files")
+
+    // final state: merged amounts, deleted partition, updated priority
+    val got = graft.lake.ManifestTable.forRoot(sqlSpark, silver).read()
+    assert(got.filter(col("status") === "P").count() === 0)
+    val expectCount = orders.filter(col("status") =!= "P").count()
+    assert(got.count() === expectCount)
+    assert(got.filter(col("amount") > 100000
+      && col("priority") =!= "5-LOW").count() === 0)
+
+    // restore rewinds to the pre-delete version — but vacuum(retain=1)
+    // dropped those files, so restore the LATEST (idempotence check)
+    val vLatest = graft.lake.ManifestTable.forRoot(sqlSpark, silver)
+      .latestVersion.get
+    val vR = sqlSpark.sql(s"CALL graft.restore('$silver', $vLatest)")
+      .first().getInt(0)
+    assert(vR === vLatest + 1)
+    assert(graft.lake.ManifestTable.forRoot(sqlSpark, silver).read()
+      .count() === expectCount)
+  }
+
+  test("zorder procedure clusters and describe reflects it") {
+    val root = scratch("zorder")
+    Q.t(sqlSpark, sf, "orders")
+      .select(col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("amt"))
+      .createOrReplaceTempView("feed_z")
+    sqlSpark.sql(s"CALL graft.write('$root', 'feed_z', 'overwrite')")
+    val v = sqlSpark.sql(s"CALL graft.zorder('$root', 'cust,amt', 4)")
+      .first().getInt(0)
+    assert(v === 1)
+    assert(graft.lake.ManifestTable.forRoot(sqlSpark, root).read().count() ===
+      Q.t(sqlSpark, sf, "orders").count())
+  }
+
+  test("malformed CALLs fail loudly, not silently") {
+    intercept[Exception] {
+      sqlSpark.sql("CALL graft.nosuch('/tmp/x')").collect()
+    }
+    intercept[Exception] {
+      sqlSpark.sql("CALL graft.merge('/tmp/x', unquoted, 'k')").collect()
+    }
+    intercept[Exception] {
+      sqlSpark.sql("CALL graft.merge('/tmp/x', 'v',)").collect()
+    }
+  }
+}
