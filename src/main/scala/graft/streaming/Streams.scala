@@ -128,6 +128,30 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** T5d: continuous vector-index maintenance — each micro-batch of
+    * embedding rows MERGEs into the source table, then catches the
+    * persisted [[graft.operators.PqIndex]] up through the change feed:
+    * new/updated vectors encode with the FROZEN codebook and append,
+    * deleted ids DV out — O(batch) per trigger, never a rebuild. The
+    * same crash-replay contract as [[ivmSink]]: a replayed batch
+    * re-merges as a no-op and the index cursor (persisted in the index
+    * meta) still advances over any missed delta.
+    */
+  def pqIndexSink(stream: DataFrame, source: ManifestTable,
+      keys: Seq[String], indexRoot: String, idCol: String, vecCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          source.merge(batch, keys)
+          graft.operators.PqIndex.load(batch.sparkSession, indexRoot)
+            .foreach(_.refreshFrom(source, idCol, vecCol)): Unit
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** T5b: continuous gold maintenance — each micro-batch MERGEs into
     * the base table, then catches the incremental view up to the
     * table's latest version (merge → changesBetween → signed delta

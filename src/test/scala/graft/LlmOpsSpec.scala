@@ -115,6 +115,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.2, s"IVF recall collapsed: $recall")
   }
 
+  test("LSH dim guard: wrong-dim vectors throw, NULL vectors drop") {
+    import graft.queries.LshPlanes
+    import spark.implicits._
+    // wrong dimensionality must fail LOUDLY — the pre-guard behavior
+    // silently coerced NULL dots to sign 0, dumping every mismatched
+    // vector into one shared all-pairs bucket
+    val bad = Seq((1L, Seq.fill(63)(0.5))).toDF("vec_id", "v")
+    val ex = intercept[Exception] {
+      bad.select(LshPlanes.tableBuckets(col("v"))).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("requires 64-dim vectors"), msgs.take(300))
+    // NULL vectors yield a NULL bucket array: explode drops them — no
+    // candidates, not wrong candidates
+    val withNull = Seq((1L, Option(Seq.fill(64)(0.5))), (2L, None))
+      .toDF("vec_id", "v")
+    val buckets = withNull
+      .select(col("vec_id"), explode(LshPlanes.tableBuckets(col("v"))).as("tb"))
+      .collect()
+    assert(buckets.map(_.getLong(0)).toSet === Set(1L),
+      "NULL vector must produce zero bucket rows")
+    assert(buckets.length === LshPlanes.nTables)
+  }
+
   test("LSH plane literals are bit-identical to the in-plan hash formula") {
     // The legacy form evaluated (pmod(xxhash64(lit(i), j), 1001)/500)-1
     // inside the plan for every row; the literals must reproduce it

@@ -206,6 +206,47 @@ class StreamingSpec extends SparkTestBase {
     assert(mt.latestVersion.get === vBefore)
   }
 
+  test("T5d: pqIndexSink keeps the persisted ANN index caught up per micro-batch") {
+    import graft.operators.PqIndex
+    import graft.queries.Similarity
+    val inbox = scratch("t5d_inbox")
+    val srcRoot = scratch("t5d_src")
+    val idxRoot = scratch("t5d_idx")
+    val emb = Similarity.unitVectors(spark, sf)
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite") // v0
+    PqIndex.build(spark, emb, idxRoot, lists = 16, m = 16, k = 32,
+      sourceVersion = 0)
+    val centsBefore = PqIndex.load(spark, idxRoot).get.cents
+    // batch 1: clones of vec 3 and 7 under new ids (exact duplicates —
+    // must surface as sim≈1.0 top neighbors once indexed)
+    val batch1 = emb.filter(col("vec_id").isin(3, 7))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    batch1.write.parquet(s"$inbox/b1")
+    val ckpt = scratch("t5d_ckpt")
+    def stream = spark.readStream.schema(batch1.schema)
+      .option("recursiveFileLookup", true).parquet(inbox)
+    Streams.pqIndexSink(stream, source, Seq("vec_id"), idxRoot,
+      "vec_id", "v", ckpt).start().awaitTermination()
+    val idx1 = PqIndex.load(spark, idxRoot).get
+    assert(idx1.sourceVersion === source.latestVersion.get)
+    assert(idx1.cents === centsBefore, "streamed refresh must not retrain")
+    val probes = emb.filter(col("vec_id").isin(3, 7))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val top1 = idx1.query(source.read(), probes).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1(3L) === 1000003L && top1(7L) === 1000007L, s"$top1")
+    // batch 2 via the SAME checkpoint: exactly-once, only the delta
+    val batch2 = emb.filter(col("vec_id") === 11)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    batch2.write.parquet(s"$inbox/b2")
+    val n1 = idx1.table.read().count()
+    Streams.pqIndexSink(stream, source, Seq("vec_id"), idxRoot,
+      "vec_id", "v", ckpt).start().awaitTermination()
+    val idx2 = PqIndex.load(spark, idxRoot).get
+    assert(idx2.table.read().count() === n1 + 1, "only batch 2's row appended")
+  }
+
   test("T5b: ivmSink keeps the gold view equal to a recompute under streamed CDC") {
     val inbox = scratch("t5b_inbox")
     // decimal measure → incremental maintenance is bit-exact
