@@ -395,7 +395,9 @@ class ManifestTable(spark: SparkSession, root: String,
       .map(fs.getFileStatus(_).getModificationTime)
       // min: a vacuum-time checkpoint materialized BESIDE a delta must
       // not shift the version's original commit time
-      .min
+      .minOption
+      .getOrElse(throw new IllegalStateException(
+        s"version $version has no manifest or delta under $logDir"))
 
   /** Time-travel read by timestamp (the common Delta/Iceberg
     * `timestampAsOf` interface): the newest version committed at or
@@ -1613,9 +1615,15 @@ class ManifestTable(spark: SparkSession, root: String,
           try out.write(
             (resolved.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
           finally out.close()
-          if (!fs.rename(tmp, manifestPath(oldest)))
-            throw new IllegalStateException(
-              s"checkpoint materialization for v$oldest failed")
+          if (!fs.rename(tmp, manifestPath(oldest))) {
+            fs.delete(tmp, false)
+            // a concurrent vacuum may have materialized the same
+            // checkpoint between our exists-check and rename — its
+            // content is identical, so losing that race IS success
+            if (!fs.exists(manifestPath(oldest)))
+              throw new IllegalStateException(
+                s"checkpoint materialization for v$oldest failed")
+          }
         }
       }
       dropped.foreach { v =>

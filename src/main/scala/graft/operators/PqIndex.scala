@@ -99,11 +99,20 @@ class PqIndex private (spark: SparkSession, val root: String,
         .filter(col("_change_type").isin("delete", "update_preimage"))
         .select(col(idCol).cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq // bounded by the delta
-      if (deadIds.nonEmpty) table.deleteKeys("vec_id", deadIds): Unit
       val fresh = changes
         .filter(col("_change_type").isin("insert", "update_postimage"))
         .select(col(idCol).as("vec_id"), col(vecCol).as("raw_v"))
-      if (!fresh.isEmpty) {
+      val freshIds = fresh.select(col("vec_id").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq // bounded by the delta
+      // IDEMPOTENT upsert: DV out any existing index rows for the ids
+      // this refresh touches (dead AND fresh) BEFORE appending — a
+      // crash between the append and the cursor write, or a stale
+      // cached cursor, replays the same delta as a clean re-upsert
+      // instead of duplicating (vec_id, codes) rows (duplicates would
+      // each take a shortlist slot and displace real neighbors)
+      val touched = (deadIds ++ freshIds).distinct
+      if (touched.nonEmpty) table.deleteKeys("vec_id", touched): Unit
+      if (freshIds.nonEmpty) {
         val unit = PqIndex.unitize(fresh)
         val assigned = Similarity.ivfAssign(unit, seedsDf)
         val codes = Similarity.pqEncode(spark, assigned, meta.cents)
@@ -147,19 +156,13 @@ object PqIndex {
     new ManifestTable(spark, s"$root/index",
       statsCol = Some("list_id"), bloomCol = Some("vec_id"))
 
-  /** Unit-normalize `(vec_id, raw_v)` rows (float or double arrays)
-    * into the `(vec_id, v)` shape every PQ stage consumes — the same
-    * promotion + normalization as [[Similarity.unitVectors]].
+  /** Unit-normalize `(vec_id, raw_v)` rows into the `(vec_id, v)`
+    * shape every PQ stage consumes — delegates to the single shared
+    * pipeline so refreshed vectors normalize bit-identically to the
+    * build-time corpus.
     */
-  private[operators] def unitize(df: DataFrame): DataFrame = {
-    def dotC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-    df.select(col("vec_id"),
-        transform(col("raw_v"), _.cast("double")).as("v0"))
-      .withColumn("n0", sqrt(dotC(col("v0"), col("v0"))))
-      .withColumn("v", transform(col("v0"), x => x / col("n0")))
-      .drop("v0", "n0")
-  }
+  private[operators] def unitize(df: DataFrame): DataFrame =
+    Similarity.unitize(df)
 
   private[operators] def writeMeta(spark: SparkSession, root: String,
       meta: PqIndexMeta): Unit = {

@@ -274,11 +274,21 @@ object Similarity extends QueryModule {
     * into the cosine directly and quantization error spends itself on
     * direction, not magnitude.
     */
-  private[graft] def unitVectors(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def unitVectors(spark: SparkSession, dir: String): DataFrame =
+    unitize(Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("raw_v")))
+
+  /** Promote-and-normalize `(vec_id, raw_v)` (float or double arrays)
+    * to the `(vec_id, v)` unit-vector shape every PQ stage consumes.
+    * The ONE copy of this pipeline — the index's build/refresh
+    * determinism depends on new vectors normalizing bit-identically to
+    * the build-time corpus, so [[graft.operators.PqIndex]] delegates
+    * here rather than re-implementing it.
+    */
+  private[graft] def unitize(df: DataFrame): DataFrame = {
     def dotC(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-    Q.t(spark, dir, "embeddings")
-      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v0"))
+    df.select(col("vec_id"), VectorOps.toDouble(col("raw_v")).as("v0"))
       .withColumn("n0", sqrt(dotC(col("v0"), col("v0"))))
       .withColumn("v", transform(col("v0"), x => x / col("n0")))
       .drop("v0", "n0")
@@ -466,10 +476,11 @@ object Similarity extends QueryModule {
     // probes: nprobe nearest lists + the ADC lookup table
     val wSeed = Window.partitionBy(col("q_id"))
       .orderBy(col("seed_sim").desc, col("list_id").asc)
-    // materialized once (probes × nprobe rows): feeds both the
-    // probed-list collect below and the ADC join without re-scanning
-    // the probe side
-    val probeLists = probes0.crossJoin(broadcast(ivfSeeds))
+    // materialized ONCE to the driver (probes × nprobe tiny rows) and
+    // re-planted as a local relation: feeds both the probed-list
+    // pruning and the ADC join with no probe-side re-scan and no
+    // lingering checkpoint blocks in the block manager
+    val probePlan = probes0.crossJoin(broadcast(ivfSeeds))
       .withColumn("seed_sim", dotC(col("q_v"), col("seed_v")))
       .withColumn("seed_rn", row_number().over(wSeed))
       .filter(col("seed_rn") <= nprobe)
@@ -477,10 +488,13 @@ object Similarity extends QueryModule {
       .withColumn("lut", array((0 until m).map(mi =>
         transform(element_at(centLit, mi + 1),
           c => dotC(subv(col("q_v"), mi), c))): _*))
-      .localCheckpoint(true)
+    val probeRows = probePlan.collect() // bounded: probes × nprobe
+    val probeLists = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+    val listIdx = probePlan.schema.fieldIndex("list_id")
     // bounded: ≤ `lists` values — lets the persisted path prune files
-    val probed = probeLists.select(col("list_id").cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val probed = probeRows.map(r => java.lang.Long.valueOf(
+        r.get(listIdx).toString).longValue()).distinct.toSeq.sorted
     val index = indexFor(probed)
     // ADC within the probed lists only
     val adc = index.join(probeLists, Seq("list_id"))

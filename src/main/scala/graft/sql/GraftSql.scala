@@ -190,14 +190,28 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
     proc match {
       case "write" =>
         // write(root, sourceView, mode [, partitionColsCsv]) — the
-        // ingest step; an optional partition tuple configures a table
-        // being created (an existing table's config sidecar wins)
+        // ingest step; the partition tuple only configures a table
+        // being CREATED. An existing table's config sidecar wins: a
+        // conflicting spec must refuse, not silently write a second
+        // hive layout into the same data dir (which leaves the table
+        // unreadable under Spark partition discovery).
         val source = session.table(str(1))
+        val existing = table
         val mt =
-          if (args.length > 3)
-            new ManifestTable(session, str(0), partitionCols =
-              str(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-          else table
+          if (args.length > 3) {
+            val asked = str(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            if (existing.latestVersion.isEmpty)
+              new ManifestTable(session, str(0), partitionCols = asked)
+            else {
+              val current = existing.describeDetail()
+                .first().getAs[Seq[String]]("partition_columns")
+              if (current == asked) existing
+              else throw new IllegalArgumentException(
+                s"graft.write: table ${str(0)} partitions on " +
+                  s"(${current.mkString(", ")}); cannot write with " +
+                  s"(${asked.mkString(", ")})")
+            }
+          } else existing
         versionRow(mt.write(source, str(2)))
       case "merge" =>
         // merge(root, sourceView, keysCsv [, deleteCol])

@@ -117,6 +117,28 @@ class PqIndexSpec extends SparkTestBase {
     assert(!after.contains(firstTop))
   }
 
+  test("refreshFrom replay with a stale cursor re-upserts, never duplicates") {
+    val root = scratch("replay")
+    val srcRoot = scratch("replay_src")
+    val emb = Similarity.unitVectors(spark, sf)
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite") // v0
+    val idx = PqIndex.build(spark, emb, root,
+      lists = 16, m = 16, k = 32, sourceVersion = 0)
+    val clones = emb.filter(col("vec_id").isin(3, 7))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    source.write(clones, "append") // v1
+    val n0 = idx.table.read().count()
+    idx.refreshFrom(source, "vec_id", "v")
+    // crash-replay shape: the ORIGINAL instance still holds cursor 0
+    // (the append happened, the meta write "didn't") — replaying the
+    // same delta must re-upsert the same rows, not append them twice
+    val again = idx.refreshFrom(source, "vec_id", "v")
+    assert(again.table.read().count() === n0 + 2,
+      "stale-cursor replay must not duplicate index rows")
+    assert(again.table.read().filter(col("vec_id") === 1000003L).count() === 1)
+  }
+
   test("refreshFrom is a no-op when already current") {
     val root = scratch("noop")
     val srcRoot = scratch("noop_src")
