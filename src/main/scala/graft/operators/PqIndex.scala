@@ -92,8 +92,16 @@ class PqIndex private (spark: SparkSession, val root: String,
     val vTo = source.latestVersion.getOrElse(
       throw new IllegalStateException("source table has no versions"))
     if (vTo == meta.sourceVersion) return this
-    val changes = source.changesBetween(meta.sourceVersion, vTo, Seq(idCol))
-      .localCheckpoint(true) // one evaluation feeds both branches
+    // bootstrap (cursor < 0: the index was built from a non-table
+    // corpus): treat the ENTIRE source as inserts — the idempotent
+    // upsert below makes re-encoding already-indexed vectors a clean
+    // replace, and subsequent refreshes are O(delta) from vTo on
+    val changes = (
+      if (meta.sourceVersion < 0)
+        source.read(Some(vTo))
+          .withColumn("_change_type", lit("insert"))
+      else source.changesBetween(meta.sourceVersion, vTo, Seq(idCol))
+    ).localCheckpoint(true) // one evaluation feeds both branches
     try {
       val deadIds = changes
         .filter(col("_change_type").isin("delete", "update_preimage"))

@@ -28,6 +28,9 @@ import org.apache.spark.sql.types._
   *   CALL graft.restore('/lake/silver', 3)
   *   CALL graft.describe_history('/lake/silver')
   *   CALL graft.describe_detail('/lake/silver')
+  *   CALL graft.pq_build('/lake/emb_idx', 'embeddings_view', 'embedding')
+  *   CALL graft.pq_refresh('/lake/emb_idx', '/lake/embeddings', 'vec_id', 'v')
+  *   CALL graft.pq_query('/lake/emb_idx', 'corpus_view', 'probes_view', 'embedding')
   * }}}
   *
   * Tables are addressed by root path; configuration (partition tuple,
@@ -168,6 +171,9 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       attr("bloom_columns", ArrayType(StringType)),
       attr("num_dv_files", LongType), attr("num_constraints", LongType))
     case "vacuum" => Seq(attr("deleted_path", StringType))
+    case "pq_query" => Seq(
+      attr("q_id", LongType), attr("rn", IntegerType),
+      attr("neighbor", LongType), attr("sim", DoubleType))
     case _ => Seq(attr("version", IntegerType))
   }
 
@@ -248,11 +254,53 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         table.history().collect().toSeq
       case "describe_detail" =>
         table.describeDetail().collect().toSeq
+      case "pq_build" =>
+        // pq_build(indexRoot, corpusView, vecCol [, lists, m, k]) —
+        // corpus rows are (vec_id, <vecCol>) raw float/double arrays;
+        // normalization happens here so SQL callers never hand-roll it
+        val emb = graft.queries.Similarity.unitize(
+          session.table(str(1))
+            .select(col("vec_id"), col(str(2)).as("raw_v")))
+        val idx = graft.operators.PqIndex.build(session, emb, str(0),
+          lists = optNum(3, 16).toInt, m = optNum(4, 16).toInt,
+          k = optNum(5, 32).toInt)
+        versionRow(idx.table.latestVersion.getOrElse(-1))
+      case "pq_refresh" =>
+        // pq_refresh(indexRoot, sourceTableRoot, idCol, vecCol) —
+        // catch the index up through the source's change feed; returns
+        // the caught-up source version (the index cursor)
+        val idx = graft.operators.PqIndex.load(session, str(0))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no PQ index at ${str(0)}; run graft.pq_build first"))
+        val refreshed = idx.refreshFrom(
+          ManifestTable.forRoot(session, str(1)), str(2), str(3))
+        versionRow(refreshed.sourceVersion)
+      case "pq_query" =>
+        // pq_query(indexRoot, corpusView, probesView, vecCol
+        //          [, nprobe, shortlist, topk]) — probes and corpus
+        // are raw (vec_id, <vecCol>) views; corpus supplies the full
+        // vectors for the exact re-rank
+        val idx = graft.operators.PqIndex.load(session, str(0))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no PQ index at ${str(0)}; run graft.pq_build first"))
+        val emb = graft.queries.Similarity.unitize(
+          session.table(str(1))
+            .select(col("vec_id"), col(str(3)).as("raw_v")))
+        val probes = graft.queries.Similarity.unitize(
+          session.table(str(2))
+            .select(col("vec_id"), col(str(3)).as("raw_v")))
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        idx.query(emb, probes, nprobe = optNum(4, 4).toInt,
+          shortlist = optNum(5, 30).toInt, topK = optNum(6, 3).toInt)
+          .select(col("q_id").cast("long"), col("rn").cast("int"),
+            col("neighbor").cast("long"), col("sim").cast("double"))
+          .collect().toSeq
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure graft.$other; known: write, merge, delete, " +
             "update, optimize, optimize_small, zorder, vacuum, restore, " +
-            "describe_history, describe_detail")
+            "describe_history, describe_detail, pq_build, pq_refresh, " +
+            "pq_query")
     }
   }
 }

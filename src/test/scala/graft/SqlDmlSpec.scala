@@ -129,6 +129,50 @@ class SqlDmlSpec extends SparkTestBase {
       Q.t(sqlSpark, sf, "orders").count())
   }
 
+  test("vector store end-to-end through SQL: pq_build, pq_query, pq_refresh") {
+    import graft.operators.PqIndex
+    val idxRoot = scratch("pq_idx")
+    val srcRoot = scratch("pq_src")
+    Q.t(sqlSpark, sf, "embeddings").createOrReplaceTempView("sql_emb")
+    Q.t(sqlSpark, sf, "embeddings").filter(col("vec_id") < 10)
+      .createOrReplaceTempView("sql_probes")
+    val v = sqlSpark.sql(
+      s"CALL graft.pq_build('$idxRoot', 'sql_emb', 'embedding')")
+      .first().getInt(0)
+    assert(v === 0)
+    val got = sqlSpark.sql(
+      s"CALL graft.pq_query('$idxRoot', 'sql_emb', 'sql_probes', 'embedding')")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // identical to serving the same persisted index through the Scala API
+    val emb = graft.queries.Similarity.unitVectors(sqlSpark, sf)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val scala0 = PqIndex.load(sqlSpark, idxRoot).get
+      .query(emb, probes)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === scala0.toSeq)
+
+    // refresh through SQL: append a clone of vec 3 to a source table,
+    // catch the index up, and see it surface as the top neighbor
+    val source = new graft.lake.ManifestTable(sqlSpark, srcRoot)
+    source.write(emb, "overwrite") // v0 ≡ the indexed corpus
+    source.write(emb.filter(col("vec_id") === 3)
+      .withColumn("vec_id", col("vec_id") + 1000000L), "append") // v1
+    // the index was built from a view (cursor -1): the first refresh
+    // bootstraps by re-upserting the whole source, then catches up
+    val cursor = sqlSpark.sql(
+      s"CALL graft.pq_refresh('$idxRoot', '$srcRoot', 'vec_id', 'v')")
+      .first().getInt(0)
+    assert(cursor === 1)
+    source.read().createOrReplaceTempView("sql_src_corpus")
+    emb.filter(col("vec_id") === 3)
+      .createOrReplaceTempView("sql_probe3")
+    val top = sqlSpark.sql(
+      s"CALL graft.pq_query('$idxRoot', 'sql_src_corpus', 'sql_probe3', 'v')")
+      .filter(col("rn") === 1).first()
+    assert(top.getLong(2) === 1000003L, s"clone must be top neighbor: $top")
+  }
+
   test("malformed CALLs fail loudly, not silently") {
     intercept[Exception] {
       sqlSpark.sql("CALL graft.nosuch('/tmp/x')").collect()
