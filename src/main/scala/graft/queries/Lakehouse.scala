@@ -215,8 +215,50 @@ object Lakehouse extends QueryModule {
       |WHERE o_orderkey % 13 <> 0
       |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** L18: multi-column partitioning end-to-end — a (status, bucket)-
+    * partitioned table takes a keyed merge (touched tuples only) and a
+    * DV delete scoped inside ONE sub-partition, then reads back
+    * through the partition-restoring scan. The oracle is the
+    * equivalent row-level SQL; tuple-scoping/carry-forward mechanics
+    * are asserted file-level in MultiPartitionSpec.
+    */
+  def l18Multipart(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l18_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+    val orders = Q.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("pbucket", (col("o_orderkey") % 3).cast("string"))
+    val mt = new ManifestTable(spark, scratch,
+      partitionCols = Seq("o_orderstatus", "pbucket"))
+    mt.write(orders, "overwrite") // v0: two-level hive layout
+    val corrections = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    mt.merge(corrections, Seq("o_orderkey")) // v1: touched tuples only
+    mt.delete(col("o_orderstatus") === "F" && col("pbucket") === "1"
+      && col("o_orderkey") % 5 === 0) // v2: DV inside one sub-partition
+    mt.read()
+      // partition-value inference restores pbucket from the path; pin
+      // the string type the oracle compares against
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("pbucket").cast("string").as("pbucket"), col("o_totalprice"))
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  val l18Oracle: String =
+    """SELECT o_orderkey, o_orderstatus, pbucket, o_totalprice FROM (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_orderkey % 3 AS VARCHAR) AS pbucket,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |WHERE NOT (o_orderstatus = 'F' AND pbucket = '1' AND o_orderkey % 5 = 0)
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_merge" -> l1Merge,
+    "l18_multipart" -> l18Multipart,
     "l8_change_feed" -> l8ChangeFeed,
     "l1_merge_delete" -> l1MergeDelete,
     "l3_time_travel" -> l3TimeTravel,
@@ -225,6 +267,7 @@ object Lakehouse extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "l1_merge" -> l1Oracle,
+    "l18_multipart" -> l18Oracle,
     "l8_change_feed" -> l8Oracle,
     "l1_merge_delete" -> l1MergeDeleteOracle,
     "l3_time_travel" -> l3Oracle,
