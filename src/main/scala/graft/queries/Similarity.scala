@@ -72,7 +72,8 @@ object Similarity extends QueryModule {
     // re-attach after dedup (corpus side by equi-join, probe side by
     // 10-row broadcast)
     val bucketed = emb
-      .select(col("vec_id"), explode(LshPlanes.tableBuckets(col("v"))).as("tb"))
+      .select(col("vec_id"),
+        explode(graft.functions.LshBuckets.buckets(spark, col("v"))).as("tb"))
     val probeBuckets = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("tb"))
     val cands = bucketed.join(probeBuckets, Seq("tb"))
@@ -684,8 +685,11 @@ object LshPlanes {
     when(dot > 0, 1).when(dot <= 0, 0)
   }
 
-  /** One (table, bucket) struct per table for a vector. Guards the
-    * dimensionality loudly — see [[dims]].
+  /** HOF reference form of the signature — one (table, bucket) struct
+    * per table. The hot path uses [[graft.functions.LshBuckets]] (one
+    * fused native loop); this composition exists as the independently-
+    * derived parity oracle for it (LlmOpsSpec asserts bucket-identical
+    * output on the corpus).
     *
     * The guard wraps the FINAL bucket array, not the input vector:
     * substituting a `when/raise_error` expression into each of the 32
@@ -697,7 +701,7 @@ object LshPlanes {
     * no candidates, not wrong candidates), and wrong-dim vectors still
     * throw loudly.
     */
-  def tableBuckets(v: Column): Column = {
+  def tableBucketsHof(v: Column): Column = {
     val buckets = array((0 until nTables).map { t =>
       val bucket = (0 until planesPerTable)
         .map(p => signBit(v, t * planesPerTable + p) * (1 << p))

@@ -116,6 +116,7 @@ class LlmOpsSpec extends SparkTestBase {
   }
 
   test("LSH dim guard: wrong-dim vectors throw, NULL vectors drop") {
+    import graft.functions.LshBuckets
     import graft.queries.LshPlanes
     import spark.implicits._
     // wrong dimensionality must fail LOUDLY — the pre-guard behavior
@@ -123,22 +124,40 @@ class LlmOpsSpec extends SparkTestBase {
     // vector into one shared all-pairs bucket
     val bad = Seq((1L, Seq.fill(63)(0.5))).toDF("vec_id", "v")
     val ex = intercept[Exception] {
-      bad.select(LshPlanes.tableBuckets(col("v"))).collect()
+      bad.select(LshBuckets.buckets(spark, col("v"))).collect()
     }
     val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
       .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
       .mkString(" | ")
     assert(msgs.contains("requires 64-dim vectors"), msgs.take(300))
     // NULL vectors yield a NULL bucket array: explode drops them — no
-    // candidates, not wrong candidates
-    val withNull = Seq((1L, Option(Seq.fill(64)(0.5))), (2L, None))
+    // candidates, not wrong candidates. Same for a NULL element.
+    val withNull = Seq(
+      (1L, Some(Seq.fill(64)(Option(0.5)))),
+      (2L, None),
+      (3L, Some(Seq.fill(63)(Option(0.5)) :+ (None: Option[Double]))))
       .toDF("vec_id", "v")
     val buckets = withNull
-      .select(col("vec_id"), explode(LshPlanes.tableBuckets(col("v"))).as("tb"))
+      .select(col("vec_id"), explode(LshBuckets.buckets(spark, col("v"))).as("tb"))
       .collect()
     assert(buckets.map(_.getLong(0)).toSet === Set(1L),
-      "NULL vector must produce zero bucket rows")
+      "NULL vector/element must produce zero bucket rows")
     assert(buckets.length === LshPlanes.nTables)
+  }
+
+  test("native LshBuckets ≡ the HOF signature composition on the corpus") {
+    import graft.functions.LshBuckets
+    import graft.queries.LshPlanes
+    val emb = Similarity.unitVectors(spark, sf)
+    val both = emb.select(col("vec_id"),
+        LshBuckets.buckets(spark, col("v")).as("native"),
+        LshPlanes.tableBucketsHof(col("v")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](1) === r.getSeq[org.apache.spark.sql.Row](2),
+        s"bucket mismatch for vec ${r.getLong(0)}")
+    }
   }
 
   test("LSH plane literals are bit-identical to the in-plan hash formula") {
