@@ -1138,6 +1138,27 @@ class ManifestTable(spark: SparkSession, root: String,
         "num_dv_files", "num_constraints")
   }
 
+  /** Files metadata table (the Iceberg `table.files` surface): one row
+    * per data file of a version — relative path, size, per-column zone
+    * map [min, max], and the deletion-vector sidecar reference if any.
+    * What an operator reads to see WHY a query pruned (or didn't), and
+    * what external tooling consumes to audit layout. Driver-side
+    * O(files), served as a local DataFrame.
+    */
+  def filesDf(version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.orElse(latestVersion)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    entriesOf(v).map { e =>
+      val len = fs.getFileStatus(new Path(root, e.rel)).getLen
+      val zones = e.stats.toSeq
+        .filter { case (c, s) => c != DvKey && s.kind != "B" }
+        .sortBy(_._1)
+        .map { case (c, s) => (c, s.mn, s.mx) }
+      (e.rel, len, zones, e.stats.get(DvKey).map(_.mn))
+    }.toDF("file", "size_bytes", "zone_maps", "dv_sidecar")
+  }
+
   /** DESCRIBE HISTORY — one row per committed version (the Delta
     * `DESCRIBE HISTORY` surface): commit time, file count, rows
     * masked by deletion vectors, and the file-set delta vs the

@@ -174,6 +174,14 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
     case "pq_query" => Seq(
       attr("q_id", LongType), attr("rn", IntegerType),
       attr("neighbor", LongType), attr("sim", DoubleType))
+    case "describe_files" => Seq(
+      attr("file", StringType), attr("size_bytes", LongType),
+      attr("zone_maps", ArrayType(StructType(Seq(
+        StructField("_1", StringType), StructField("_2", StringType),
+        StructField("_3", StringType))))),
+      attr("dv_sidecar", StringType))
+    case "constraints" => Seq(
+      attr("name", StringType), attr("expression", StringType))
     case _ => Seq(attr("version", IntegerType))
   }
 
@@ -254,6 +262,22 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         table.history().collect().toSeq
       case "describe_detail" =>
         table.describeDetail().collect().toSeq
+      case "describe_files" =>
+        // describe_files(root [, version])
+        table.filesDf(if (args.length > 1) Some(num(1).toInt) else None)
+          .collect().toSeq
+      case "constraint_add" =>
+        // constraint_add(root, name, checkSql) — validates existing
+        // data first, like the Scala API
+        val t = table
+        t.addConstraint(str(1), str(2))
+        versionRow(t.latestVersion.getOrElse(-1))
+      case "constraint_drop" =>
+        val t = table
+        t.dropConstraint(str(1))
+        versionRow(t.latestVersion.getOrElse(-1))
+      case "constraints" =>
+        table.constraints.toSeq.sortBy(_._1).map { case (n, e) => Row(n, e) }
       case "pq_build" =>
         // pq_build(indexRoot, corpusView, vecCol [, lists, m, k]) —
         // corpus rows are (vec_id, <vecCol>) raw float/double arrays;
@@ -299,8 +323,9 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         throw new IllegalArgumentException(
           s"unknown procedure graft.$other; known: write, merge, delete, " +
             "update, optimize, optimize_small, zorder, vacuum, restore, " +
-            "describe_history, describe_detail, pq_build, pq_refresh, " +
-            "pq_query")
+            "describe_history, describe_detail, describe_files, " +
+            "constraint_add, constraint_drop, constraints, pq_build, " +
+            "pq_refresh, pq_query")
     }
   }
 }

@@ -173,6 +173,37 @@ class SqlDmlSpec extends SparkTestBase {
     assert(top.getLong(2) === 1000003L, s"clone must be top neighbor: $top")
   }
 
+  test("constraints and files metadata through SQL") {
+    val root = scratch("meta")
+    Q.t(sqlSpark, sf, "orders")
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("amt"))
+      .createOrReplaceTempView("feed_meta")
+    sqlSpark.sql(s"CALL graft.write('$root', 'feed_meta', 'overwrite')")
+    sqlSpark.sql(s"CALL graft.constraint_add('$root', 'amt_pos', 'amt > 0')")
+    val cs = sqlSpark.sql(s"CALL graft.constraints('$root')").collect()
+    assert(cs.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("amt_pos", "amt > 0")))
+    // a violating write through SQL fails loudly and commits nothing
+    sqlSpark.sql("SELECT -1L AS id, CAST(-5.0 AS DOUBLE) AS amt")
+      .createOrReplaceTempView("feed_bad")
+    val before = graft.lake.ManifestTable.forRoot(sqlSpark, root).latestVersion
+    val ex = intercept[Exception] {
+      sqlSpark.sql(s"CALL graft.write('$root', 'feed_bad', 'append')").collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("amt_pos"), msgs.take(300))
+    assert(graft.lake.ManifestTable.forRoot(sqlSpark, root)
+      .latestVersion === before)
+    // files metadata: every file row carries its size and zone maps
+    val files = sqlSpark.sql(s"CALL graft.describe_files('$root')").collect()
+    assert(files.nonEmpty)
+    assert(files.forall(_.getLong(1) > 0))
+    sqlSpark.sql(s"CALL graft.constraint_drop('$root', 'amt_pos')")
+    assert(sqlSpark.sql(s"CALL graft.constraints('$root')").count() === 0)
+  }
+
   test("malformed CALLs fail loudly, not silently") {
     intercept[Exception] {
       sqlSpark.sql("CALL graft.nosuch('/tmp/x')").collect()
