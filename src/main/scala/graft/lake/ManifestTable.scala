@@ -801,7 +801,15 @@ class ManifestTable(spark: SparkSession, root: String,
   private def writeDataFiles(df: DataFrame): Seq[String] = {
     val stage = new Path(root, s".stage-${UUID.randomUUID()}")
     try {
-      val writer = df.write.mode("overwrite")
+      // optimized write (the Delta optimizeWrite pattern): without the
+      // pre-shuffle, a partitioned write fans out (tasks × tuples)
+      // files — a 32-task merge over 9 tuples mints up to 288 small
+      // files per commit, the small-file problem compaction exists to
+      // undo. One hash shuffle by the partition tuple lands each tuple
+      // in one task → one file per tuple per commit.
+      val toWrite =
+        if (partCols.isEmpty) df else df.repartition(partCols.map(col): _*)
+      val writer = toWrite.write.mode("overwrite")
       (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
         .parquet(stage.toString)
       val moved = scala.collection.mutable.ArrayBuffer[String]()

@@ -252,12 +252,10 @@ object Similarity extends QueryModule {
       .withColumn("q_norm", sqrt(dotC(col("q_v"), col("q_v"))))
       .drop("q_v")
     val scored = codes.join(broadcast(probes), col("vec_id") =!= col("q_id"))
-      .withColumn("approx_dot", aggregate(
-        zip_with(col("codes"), col("lut"),
-          (code, l) => element_at(l, code + 1)), lit(0.0), _ + _))
-      .withColumn("approx_norm", sqrt(aggregate(
-        zip_with(col("codes"), normLit,
-          (code, norms) => element_at(norms, code + 1)), lit(0.0), _ + _)))
+      .withColumn("approx_dot",
+        graft.functions.AdcScore.score(spark, col("codes"), col("lut")))
+      .withColumn("approx_norm",
+        sqrt(graft.functions.AdcScore.score(spark, col("codes"), normLit)))
       .withColumn("sim_pq",
         round(col("approx_dot") / (col("q_norm") * col("approx_norm")), 6))
     val w = Window.partitionBy(col("q_id"))
@@ -497,15 +495,15 @@ object Similarity extends QueryModule {
     val probed = probeRows.map(r => java.lang.Long.valueOf(
         r.get(listIdx).toString).longValue()).distinct.toSeq.sorted
     val index = indexFor(probed)
-    // ADC within the probed lists only
+    // ADC within the probed lists only — native fused lookup (the HOF
+    // zip_with/element_at/aggregate form pays interpreted dispatch per
+    // subspace on the hottest per-candidate expression)
     val adc = index.join(probeLists, Seq("list_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("approx_dot", aggregate(
-        zip_with(col("codes"), col("lut"),
-          (code, l) => element_at(l, code + 1)), lit(0.0), _ + _))
-      .withColumn("approx_norm", sqrt(aggregate(
-        zip_with(col("codes"), normLit,
-          (code, norms) => element_at(norms, code + 1)), lit(0.0), _ + _)))
+      .withColumn("approx_dot",
+        graft.functions.AdcScore.score(spark, col("codes"), col("lut")))
+      .withColumn("approx_norm",
+        sqrt(graft.functions.AdcScore.score(spark, col("codes"), normLit)))
       .withColumn("sim_pq", col("approx_dot") / col("approx_norm")) // ‖q‖=1
     val wShort = Window.partitionBy(col("q_id"))
       .orderBy(col("sim_pq").desc, col("vec_id").asc)

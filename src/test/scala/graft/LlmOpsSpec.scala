@@ -145,6 +145,39 @@ class LlmOpsSpec extends SparkTestBase {
     assert(buckets.length === LshPlanes.nTables)
   }
 
+  test("native AdcScore ≡ the HOF lookup composition (bit-exact, null parity)") {
+    import graft.functions.AdcScore
+    import spark.implicits._
+    // deterministic pseudo-random codes + tables: 16 subspaces × 32 cells
+    val rows = (0 until 200).map { r =>
+      val codes = (0 until 16).map(mi => (r * 31 + mi * 7) % 32)
+      val tables = (0 until 16).map(mi =>
+        (0 until 32).map(c => ((r + mi * 13 + c * 3) % 101) / 50.0 - 1.0))
+      (r.toLong, codes, tables)
+    }
+    val df = rows.toDF("id", "codes", "tables")
+    val both = df.select(col("id"),
+        AdcScore.score(spark, col("codes"), col("tables")).as("native"),
+        aggregate(zip_with(col("codes"), col("tables"),
+          (code, t) => element_at(t, code + 1)), lit(0.0), _ + _).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"row ${r.getLong(0)}")
+    }
+    // NULL parity: a null code slot nulls the score in both forms
+    val withNull = Seq((1L, Seq(Option(0), None: Option[Int]),
+        Seq(Seq(1.0, 2.0), Seq(3.0, 4.0))))
+      .toDF("id", "codes", "tables")
+    val n = withNull.select(
+        AdcScore.score(spark, col("codes"), col("tables")).as("native"),
+        aggregate(zip_with(col("codes"), col("tables"),
+          (code, t) => element_at(t, code + 1)), lit(0.0), _ + _).as("hof"))
+      .first()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("native LshBuckets ≡ the HOF signature composition on the corpus") {
     import graft.functions.LshBuckets
     import graft.queries.LshPlanes
