@@ -1363,8 +1363,20 @@ class ManifestTable(spark: SparkSession, root: String,
             .isin(touched.map(e => new Path(e.rel).getName): _*)))
       val allMarks = oldForTouched.fold(cached.distinct())(o =>
         cached.unionByName(o).distinct())
+      // size the sidecar from the (driver-known) mark count: the
+      // default shuffle parallelism would mint up to 32 files for a
+      // typically-tiny position set — sidecar-level small-file bloat
+      // on every DV commit. ~4M positions per file; coalesce narrows
+      // without another shuffle.
+      val oldCount = touched.flatMap(_.stats.get(DvKey))
+        .map(s => try s.mx.toLong catch { case _: NumberFormatException => 0L })
+        .sum
+      val approxMarks = newPerFile.values.sum + oldCount
+      val sidecarFiles =
+        math.max(1L, math.min(16L, (approxMarks + 3999999L) / 4000000L)).toInt
       val dvRel = s"_graft_dv/${UUID.randomUUID()}.parquet"
-      allMarks.write.parquet(new Path(root, dvRel).toString)
+      allMarks.coalesce(sidecarFiles)
+        .write.parquet(new Path(root, dvRel).toString)
       // totals re-read from the written sidecar: ≤ one row per file
       val totalPerFile = spark.read.parquet(new Path(root, dvRel).toString)
         .groupBy(col(DvFileCol)).count().collect()
