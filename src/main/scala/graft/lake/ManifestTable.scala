@@ -1146,6 +1146,38 @@ class ManifestTable(spark: SparkSession, root: String,
         "num_dv_files", "num_constraints")
   }
 
+  /** Stream-source surface: rows of the files ADDED between two
+    * versions, read DV-aware as of `vTo` — what a table-as-stream
+    * micro-batch emits. With `failOnChange`, any non-append difference
+    * (a removed file, or a same-path entry whose stats/DV reference
+    * changed — i.e. a merge rewrite, compaction, delete, or update)
+    * throws instead of silently emitting partial or duplicate data —
+    * the Delta source's append-only contract; `ignoreChanges` relaxes
+    * it to at-least-once on rewritten files.
+    */
+  private[graft] def addedBetween(vFrom: Option[Int], vTo: Int,
+      failOnChange: Boolean): DataFrame = {
+    val toEntries = entriesOf(vTo)
+    val fromEntries = vFrom.map(entriesOf).getOrElse(Seq.empty)
+    val fromByRel = fromEntries.map(e => e.rel -> e).toMap
+    if (failOnChange && vFrom.isDefined) {
+      val toByRel = toEntries.map(e => e.rel -> e).toMap
+      val removed = fromEntries.filterNot(e => toByRel.contains(e.rel))
+      val changed = fromEntries.filter(e =>
+        toByRel.get(e.rel).exists(_ != e))
+      if (removed.nonEmpty || changed.nonEmpty)
+        throw new IllegalStateException(
+          s"non-append change between v${vFrom.get} and v$vTo " +
+            s"(${removed.size} removed, ${changed.size} rewritten/DV-marked " +
+            "files): a table stream is append-only; pass " +
+            "ignoreChanges=true to emit newly-added files anyway " +
+            "(at-least-once on rewrites)")
+    }
+    val added = toEntries.filterNot(e => fromByRel.contains(e.rel))
+    if (added.isEmpty) read(Some(vTo)).filter(lit(false))
+    else readEntries(added)
+  }
+
   /** Files metadata table (the Iceberg `table.files` surface): one row
     * per data file of a version — relative path, size, per-column zone
     * map [min, max], and the deletion-vector sidecar reference if any.

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.lake.ManifestTable
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Version-number offset for the table stream: commit `v` means
+  * "everything up to and including version v has been emitted".
+  */
+case class GraftTableOffset(version: Int) extends Offset {
+  override def json: String = version.toString
+}
+
+/** T10: a ManifestTable as a STREAMING SOURCE (the Delta
+  * `spark.readStream.format("delta")` surface) — the missing half of
+  * the streaming story: the sinks write INTO tables; this reads
+  * incrementally OUT of them. Offsets are version numbers; each
+  * micro-batch emits the rows of files ADDED in `(fromV, toV]`,
+  * DV-aware as of `toV`. The first batch is the initial snapshot
+  * (every file of the start version). Non-append commits (merge
+  * rewrites, compaction, DV deletes) fail the stream by default —
+  * append-only is the only exactly-once contract a file-level feed
+  * can keep — or are skipped with `ignoreChanges=true` (newly-added
+  * files still flow; at-least-once on rewrites).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft-table")        // or classOf[GraftTableSourceProvider].getName
+  *     .option("root", "/lake/bronze")
+  *     .load()
+  * }}}
+  *
+  * Scale: each trigger lists one manifest (O(files) driver-side, the
+  * same cost every reader pays) and scans ONLY the added files — a
+  * continuous pipeline tails a 100 TB table at the cost of its
+  * appends, never rescanning history.
+  */
+class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.get("root").orElse(parameters.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-table source requires .option(\"root\", <table root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val mt = ManifestTable.forRoot(sqlContext.sparkSession, rootOf(parameters))
+    (shortName(), schema.getOrElse(mt.read().schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftTableSource(sqlContext.sparkSession, rootOf(parameters),
+      parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
+        .exists(_.equalsIgnoreCase("true")))
+}
+
+class GraftTableSource(spark: SparkSession, root: String,
+    ignoreChanges: Boolean) extends Source with SupportsTriggerAvailableNow {
+
+  private def table: ManifestTable = ManifestTable.forRoot(spark, root)
+
+  override val schema: StructType = table.read().schema
+
+  // Trigger.AvailableNow pins the target offset at start; the stream
+  // drains to it and stops even while writers keep committing
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = table.latestVersion
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  // SupportsAdmissionControl entry point (the engine prefers it over
+  // getOffset when present); version commits aren't rate-splittable,
+  // so every limit reads to the (possibly AvailableNow-capped) latest
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getOffset: Option[Offset] = {
+    val latest = table.latestVersion
+    val capped = availableNowCap.fold(latest)(c => latest.map(math.min(_, c)))
+    capped.map(GraftTableOffset)
+  }
+
+  private def versionOf(o: Offset): Int = o match {
+    case GraftTableOffset(v) => v
+    case other => other.json.trim.toInt // deserialized from checkpoint
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val vTo = versionOf(end)
+    val df0 = table.addedBetween(start.map(versionOf), vTo,
+      failOnChange = !ignoreChanges)
+    // pin column set + order to the source schema (a later append may
+    // carry evolved columns; missing ones null-fill)
+    val withAll = schema.fields.foldLeft(df0) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val projected = withAll.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // batch DataFrames from Source.getBatch must carry the isStreaming
+    // flag or the incremental planner rejects them — same call Spark's
+    // FileStreamSource makes (see GraftSqlBridge for why the shim)
+    org.apache.spark.sql.graft.GraftSqlBridge.streamingDataFrame(
+      spark, projected.queryExecution.toRdd, schema)
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftTableSource[$root]"
+}

@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` call a V1 streaming Source needs: batch
+  * DataFrames returned from `Source.getBatch` must carry the
+  * `isStreaming` flag or the incremental planner rejects them —
+  * exactly what Spark's own FileStreamSource does via
+  * `internalCreateDataFrame(..., isStreaming = true)`, reachable only
+  * from inside the `org.apache.spark.sql` namespace (the same shim
+  * pattern early external connectors used).
+  */
+object GraftSqlBridge {
+  def streamingDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+}

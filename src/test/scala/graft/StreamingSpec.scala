@@ -247,6 +247,81 @@ class StreamingSpec extends SparkTestBase {
     assert(idx2.table.read().count() === n1 + 1, "only batch 2's row appended")
   }
 
+  test("T10: graft-table stream source tails a manifest table incrementally") {
+    import graft.streaming.GraftTableSourceProvider
+    val root = scratch("t10_table")
+    val outDir = scratch("t10_out")
+    val ckpt = scratch("t10_ckpt")
+    val orders = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val mt = new ManifestTable(spark, root)
+    mt.write(orders.filter(col("o_orderkey") % 3 === 0), "overwrite") // v0
+
+    def drain(): Unit = spark.readStream
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root)
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+
+    // batch 1: the initial snapshot
+    drain()
+    val snap = spark.read.parquet(outDir)
+    assert(snap.count() === orders.filter(col("o_orderkey") % 3 === 0).count())
+    // two more appends, one drain: only the delta flows (exactly-once
+    // across restarts from the same checkpoint)
+    mt.write(orders.filter(col("o_orderkey") % 3 === 1), "append") // v1
+    mt.write(orders.filter(col("o_orderkey") % 3 === 2), "append") // v2
+    drain()
+    val all = spark.read.parquet(outDir)
+    assert(all.count() === orders.count(), "appends must flow exactly once")
+    assert(all.exceptAll(orders).count() === 0)
+    // no new commits → a drain emits nothing new
+    drain()
+    assert(spark.read.parquet(outDir).count() === orders.count())
+  }
+
+  test("T10: non-append commits fail the stream unless ignoreChanges") {
+    import graft.streaming.GraftTableSourceProvider
+    val root = scratch("t10b_table")
+    val orders = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val mt = new ManifestTable(spark, root)
+    mt.write(orders, "overwrite") // v0
+    def drain(ckpt: String, out: String, ignoreChanges: Boolean): Unit = {
+      val r = spark.readStream
+        .format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root)
+      (if (ignoreChanges) r.option("ignoreChanges", "true") else r)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    val ckptA = scratch("t10b_ckpt_a")
+    val outA = scratch("t10b_out_a")
+    drain(ckptA, outA, ignoreChanges = false) // snapshot ok
+    mt.delete(col("o_orderkey") % 7 === 0) // v1: DV re-point = non-append
+    val ex = intercept[Exception] { drain(ckptA, outA, ignoreChanges = false) }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("non-append change"), msgs.take(400))
+    // with ignoreChanges the stream advances (nothing new to emit for
+    // a pure DV delete) and a subsequent append flows
+    drain(ckptA, outA, ignoreChanges = true)
+    mt.write(orders.limit(5).withColumn("o_orderkey",
+      col("o_orderkey") + 90000000L), "append") // v2
+    drain(ckptA, outA, ignoreChanges = true)
+    val out = spark.read.parquet(outA)
+    assert(out.filter(col("o_orderkey") >= 90000000L).count() === 5)
+  }
+
   test("T5b: ivmSink keeps the gold view equal to a recompute under streamed CDC") {
     val inbox = scratch("t5b_inbox")
     // decimal measure → incremental maintenance is bit-exact
