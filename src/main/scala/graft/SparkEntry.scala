@@ -29,7 +29,8 @@ object SparkEntry {
     Similarity,
     MultimodalQueries,
     Reshape,
-    Subqueries)
+    Subqueries,
+    TimeSeries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -322,8 +322,64 @@ object Dedup extends QueryModule {
        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST, c ASC NULLS FIRST""".stripMargin
   }
 
+  /** D10: exact substring-span dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data" exact-substring pass, at word granularity): every
+    * 5-token span occurrence whose TEXT occurs ≥2 times anywhere in the
+    * corpus (another doc or another position of the same doc) is a
+    * duplicated span; report per-doc span counts and duplicated
+    * fraction. The production decontamination signal between exact-doc
+    * dedup (d1) and fuzzy near-dup (d2/d3): catches boilerplate and
+    * quotation reuse that whole-doc hashing misses.
+    *
+    * Scale shape: explode to (span-text, doc, pos) occurrences, ONE
+    * hash aggregation keyed by span text for corpus-wide frequency
+    * (map-side combined), broadcast-size join back per occurrence —
+    * never an all-pairs doc comparison. At 100 TB the span-frequency
+    * table is the big intermediate; it shards by span hash with no skew
+    * beyond natural boilerplate (cap-able by doc-frequency like d2).
+    */
+  def d10SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    val t = TextFunctions.tokens(col("text"))
+    val spans = Q.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => array_join(slice(t, i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("span"))
+    val freq = spans.groupBy(col("span"))
+      .agg(count(lit(1)).as("occ"))
+    spans.join(freq, Seq("span"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .filter(col("n_dup_spans") > 0)
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_fraction"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val d10Oracle: String =
+    """WITH spans AS (
+      |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS span
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |       UNNEST(generate_series(1, len(t)-4)) AS g(i)),
+      |freq AS (SELECT span, COUNT(*) AS occ FROM spans GROUP BY span)
+      |SELECT doc_id, n_spans, n_dup_spans,
+      |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_fraction
+      |FROM (
+      |  SELECT s.doc_id, COUNT(*) AS n_spans,
+      |    CAST(SUM(CASE WHEN f.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      |  FROM spans s JOIN freq f USING (span)
+      |  GROUP BY s.doc_id)
+      |WHERE n_dup_spans > 0
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d8_fuzzy_join" -> d8FuzzyJoin,
+    "d10_span_dedup" -> d10SpanDedup,
     "d9_triangles" -> d9Triangles,
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,
@@ -334,6 +390,7 @@ object Dedup extends QueryModule {
     "d7_contamination" -> d7Contamination)
 
   override def oracles: Map[String, String] = Map(
+    "d10_span_dedup" -> d10Oracle,
     "d1_exact_dedup" -> d1Oracle,
     "d2_jaccard_pairs" -> d2Oracle,
     "d5_embedding_neardup" -> d5Oracle,
