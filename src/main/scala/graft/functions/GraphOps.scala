@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph ranking over edge DataFrames — the companion to the
+  * connected-components engines in [[DedupOps]]: CC answers "which
+  * docs are the same", PageRank answers "which node is central"
+  * (canonical-survivor choice inside a dup cluster, seed selection in
+  * a crawl frontier, influence in the co-purchase graph).
+  *
+  * Implemented as the standard distributed power iteration (Page et
+  * al. 1999; the Pregel/GraphX formulation): per round ONE equi-join
+  * of ranks onto edges plus one keyed sum — no adjacency collection,
+  * no driver-side state beyond the dangling-mass scalar (an O(1)
+  * aggregate each round, same bounded-collect discipline as the Lloyd
+  * trainer). Lineage is truncated per round with localCheckpoint, so
+  * the plan stays flat at any iteration count. At 100 TB the rank
+  * exchange shards by node id; a hub's IN-edges concentrate on one
+  * reducer only at the final sum, which is a partial-aggregated
+  * (map-side combined) LongType-keyed sum — the same shape the CC
+  * engines already survive.
+  */
+object GraphOps {
+
+  /** Ranks for a DIRECTED edge list (undirected graphs pass both
+    * orientations). Dangling mass (nodes with no out-edges) is
+    * redistributed uniformly each round — the textbook stochastic
+    * completion, keeping Σrank = 1 exactly (up to FP) so convergence
+    * is measurable. Fixed iteration count: deterministic plan depth,
+    * the production choice when rounds are budgeted ahead of time.
+    *
+    * @return (node, rank) — one row per node appearing in any edge.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val withDeg = ranks.join(outDeg, Seq("node"), "left")
+      // O(1) driver scalar: total rank sitting on dangling nodes
+      val danglingMass = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = withDeg.filter(col("deg").isNotNull)
+        .select(col("node").as("src"), (col("rank") / col("deg")).as("c"))
+        .join(e, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("in_mass"))
+      val base = (1.0 - damping) / n + damping * danglingMass / n
+      val updated = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = updated
+      i += 1
+    }
+    ranks
+  }
+}

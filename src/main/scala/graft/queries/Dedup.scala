@@ -322,6 +322,23 @@ object Dedup extends QueryModule {
        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST, c ASC NULLS FIRST""".stripMargin
   }
 
+  /** G1: PageRank centrality over the near-dup graph — which doc is
+    * the HUB of its duplication neighborhood (the principled canonical-
+    * survivor choice where d6's min-id rule is arbitrary). Undirected:
+    * both orientations feed the directed engine. Deterministic
+    * structure but iterative float sums → rows-only gate; closed-form
+    * and conservation properties are GraphOpsSpec's job.
+    */
+  def g1PageRank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraphOps
+    val pairs = d2JaccardPairs(spark, dir).select("id_a", "id_b")
+    val both = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    GraphOps.pageRank(both, "id_a", "id_b", damping = 0.85, iters = 10)
+      .select(col("node").as("doc_id"), round(col("rank"), 9).as("rank"))
+      .orderBy(col("rank").desc, col("doc_id").asc)
+  }
+
   /** D10: exact substring-span dedup (the Lee et al. 2022 "Deduplicating
     * Training Data" exact-substring pass, at word granularity): every
     * 5-token span occurrence whose TEXT occurs ≥2 times anywhere in the
@@ -380,6 +397,7 @@ object Dedup extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d8_fuzzy_join" -> d8FuzzyJoin,
     "d10_span_dedup" -> d10SpanDedup,
+    "g1_pagerank" -> g1PageRank,
     "d9_triangles" -> d9Triangles,
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.GraphOps
+import org.apache.spark.sql.functions._
+
+/** PageRank invariants the rows-only gate can't express: mass
+  * conservation, cycle symmetry (exact closed form), star dominance,
+  * dangling-mass redistribution, and determinism across runs.
+  */
+class GraphOpsSpec extends SparkTestBase {
+  quiet()
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 30): Map[Long, Double] = {
+    import spark.implicits._
+    GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", 0.85, iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("cycle: all nodes get exactly 1/N; mass sums to 1") {
+    val n = 6
+    val cyc = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+    val r = ranks(cyc)
+    assert(r.size === n)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-12))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("undirected star: center dominates, leaves tie, closed form holds") {
+    val leaves = (1L to 10L)
+    val edges = leaves.flatMap(l => Seq((0L, l), (l, 0L)))
+    val r = ranks(edges, iters = 100) // fixpoint error ~0.85^iters
+    val c = r(0L)
+    val leafRanks = leaves.map(r)
+    // leaves are symmetric
+    leafRanks.foreach(v => assert(math.abs(v - leafRanks.head) < 1e-12))
+    // fixpoint equations: leaf = (1-d)/N + d*c/10 ; c = (1-d)/N + d*(10*leaf)
+    val d = 0.85; val n = 11
+    assert(math.abs(leafRanks.head - ((1 - d) / n + d * c / 10)) < 1e-6)
+    assert(math.abs(c - ((1 - d) / n + d * leafRanks.sum)) < 1e-6)
+    assert(c > leafRanks.head * 5)
+  }
+
+  test("dangling node: mass is redistributed, sum stays 1, sink outranks source") {
+    // a -> b, b dangles: b receives a's mass, both receive dangling spread
+    val r = ranks(Seq((1L, 2L)), iters = 80)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(2L) > r(1L))
+    // fixpoint: r1 = (1-d)/2 + d*r2/2 ; r2 = (1-d)/2 + d*(r1 + r2/2)
+    val d = 0.85
+    assert(math.abs(r(1L) - ((1 - d) / 2 + d * r(2L) / 2)) < 1e-9)
+    assert(math.abs(r(2L) - ((1 - d) / 2 + d * (r(1L) + r(2L) / 2))) < 1e-9)
+  }
+
+  test("g1_pagerank query: one row per graph node, mass conserved, deterministic") {
+    val out = SparkEntry.queries("g1_pagerank")(spark, sf).cache()
+    val pairs = graft.queries.Dedup.d2JaccardPairs(spark, sf)
+    val nodes = pairs.select(col("id_a").as("n"))
+      .unionByName(pairs.select(col("id_b").as("n"))).distinct().count()
+    assert(out.count() === nodes)
+    assert(math.abs(out.agg(sum("rank")).head().getDouble(0) - 1.0) < 1e-6)
+    val again = SparkEntry.queries("g1_pagerank")(spark, sf)
+    assert(out.exceptAll(again).count() === 0)
+  }
+}
