@@ -182,6 +182,13 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       attr("dv_sidecar", StringType))
     case "constraints" => Seq(
       attr("name", StringType), attr("expression", StringType))
+    case "analyze" => Seq(
+      attr("version", IntegerType), attr("rows", LongType),
+      attr("size_bytes", LongType))
+    case "describe_stats" => Seq(
+      attr("column", StringType), attr("non_null", LongType),
+      attr("ndv", LongType), attr("min", StringType),
+      attr("max", StringType))
     case _ => Seq(attr("version", IntegerType))
   }
 
@@ -278,6 +285,18 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         versionRow(t.latestVersion.getOrElse(-1))
       case "constraints" =>
         table.constraints.toSeq.sortBy(_._1).map { case (n, e) => Row(n, e) }
+      case "analyze" =>
+        // analyze(root [, colsCsv]) — scan once, persist the stats
+        // sidecar, report (version, rows, size_bytes)
+        val t = table
+        val cols = if (args.length > 1)
+          str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        else Seq.empty
+        t.analyze(cols)
+        val (v, rows, bytes) = t.tableStats.get
+        Seq(Row(v, rows, bytes))
+      case "describe_stats" =>
+        table.columnStats().collect().toSeq
       case "pq_build" =>
         // pq_build(indexRoot, corpusView, vecCol [, lists, m, k]) —
         // corpus rows are (vec_id, <vecCol>) raw float/double arrays;
@@ -324,8 +343,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
           s"unknown procedure graft.$other; known: write, merge, delete, " +
             "update, optimize, optimize_small, zorder, vacuum, restore, " +
             "describe_history, describe_detail, describe_files, " +
-            "constraint_add, constraint_drop, constraints, pq_build, " +
-            "pq_refresh, pq_query")
+            "constraint_add, constraint_drop, constraints, analyze, " +
+            "describe_stats, pq_build, pq_refresh, pq_query")
     }
   }
 }
