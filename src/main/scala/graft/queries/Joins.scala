@@ -262,8 +262,35 @@ object Joins extends QueryModule {
       |  ON n.k IS NOT DISTINCT FROM r.k
       |ORDER BY n_nationkey ASC NULLS FIRST""".stripMargin
 
+  /** J10: hot-key-split skew join — lineitem⋈supplier on suppkey with
+    * the hot set routed through a broadcast leg and the cold remainder
+    * through the normal shuffle (threshold forced low so the split
+    * actually engages at test scale). The oracle is the PLAIN join:
+    * the split must be row-for-row invisible in the result — only the
+    * plan changes.
+    */
+  def j10SkewSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Salting
+    val li = Q.t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_quantity"))
+    val supp = Q.t(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    Salting.hotKeySplitJoin(li, supp, Seq("l_suppkey"), hotThreshold = 50L)
+      .groupBy(col("l_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_items"), Q.dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("l_suppkey").asc)
+  }
+
+  val j10Oracle: String =
+    s"""SELECT l_suppkey, s_name, COUNT(*) AS n_items,
+       |  ${Q.sql.dsum("l_quantity")} AS qty
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY l_suppkey, s_name
+       |ORDER BY l_suppkey ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j9_null_safe" -> j9NullSafe,
+    "j10_skew_split" -> j10SkewSplit,
     "j1_inner_join" -> j1InnerJoin,
     "j2_broadcast_join" -> j2BroadcastJoin,
     "j3_left_outer" -> j3LeftOuter,
@@ -275,6 +302,7 @@ object Joins extends QueryModule {
     "j7_asof_join" -> j7AsofJoin)
 
   override def oracles: Map[String, String] = Map(
+    "j10_skew_split" -> j10Oracle,
     "j1_inner_join" -> j1Oracle,
     "j2_broadcast_join" -> j2Oracle,
     "j3_left_outer" -> j3Oracle,

@@ -23,6 +23,48 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("hot-key-split join ≡ plain join; hot leg broadcasts, cold leg shuffles") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    // skewed large side: key 1 dominates; small side: one row per key
+    val large = ((1 to 5000).map(_ => (1L, "hot")) ++
+      (1 to 500).map(i => ((i % 50 + 2).toLong, s"cold$i")))
+      .toDF("k", "payload")
+    val small = (1L to 60L).map(i => (i, s"dim$i")).toDF("k", "label")
+    val plain = large.join(small, Seq("k"))
+    val split = Salting.hotKeySplitJoin(large, small, Seq("k"),
+      hotThreshold = 1000L, maxHotKeys = 4)
+    assert(split.count() === plain.count())
+    assert(split.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(split).count() === 0)
+
+    // plan: with autoBroadcast off, the hot leg STILL broadcasts (our
+    // explicit hint) while the cold leg stays a shuffle join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Salting.hotKeySplitJoin(large, small, Seq("k"),
+        hotThreshold = 1000L, maxHotKeys = 4)
+      q.count()
+      val plan = q.queryExecution.executedPlan
+      val bhj = helper.collectWithSubqueries(plan) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      val smj = helper.collectWithSubqueries(plan) {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+        case s: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => s
+      }
+      assert(bhj.nonEmpty, s"hot leg must broadcast:\n$plan")
+      assert(smj.nonEmpty, s"cold leg must shuffle-join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // no hot keys → degenerates to exactly the plain join
+    val nohot = Salting.hotKeySplitJoin(large, small, Seq("k"),
+      hotThreshold = 100000L)
+    assert(nohot.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(nohot).count() === 0)
+  }
+
   test("salt spreads FULLY-IDENTICAL duplicate rows (worst-case hot key)") {
     // all rows identical in every column: a content-only hash would
     // put them all in one salt bucket and the straggler would remain
