@@ -46,28 +46,47 @@ object GraphOps {
     require(n > 0, "pageRank: empty graph")
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
+    // degree rides the edge list, precomputed once: each round is then
+    // ONE rank⋈edge join + one keyed sum, not a second degree join
+    val eDeg = e.join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
+      .localCheckpoint(true)
+
+    // Dangling handling costs one aggregate job PER ROUND — pay it
+    // only when dangling nodes exist at all (an undirected graph never
+    // has any; checked once, O(1) driver scalar).
+    val hasDangling = nodes.join(outDeg, Seq("node"), "left_anti")
+      .limit(1).count() > 0
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var lastMat = ranks
     var i = 0
     while (i < iters) {
-      val withDeg = ranks.join(outDeg, Seq("node"), "left")
       // O(1) driver scalar: total rank sitting on dangling nodes
-      val danglingMass = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val contribs = withDeg.filter(col("deg").isNotNull)
-        .select(col("node").as("src"), (col("rank") / col("deg")).as("c"))
-        .join(e, Seq("src"))
+      val danglingMass =
+        if (!hasDangling) 0.0
+        else ranks.join(outDeg, Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = ranks.withColumnRenamed("node", "src")
+        .join(eDeg, Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("in_mass"))
+        .agg(sum(col("rank") / col("deg")).as("in_mass"))
       val base = (1.0 - damping) / n + damping * danglingMass / n
       val updated = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint(true)
-      ranks.unpersist()
-      ranks = updated
+      // materialize every 3rd round (and the last): lineage stays
+      // shallow while 2 of 3 rounds skip the checkpoint job — the
+      // driver round-trips, not the tiny per-round compute, dominate
+      // iteration cost
+      val mat = (i % 3 == 2) || i == iters - 1
+      if (mat) {
+        val next = updated.localCheckpoint(true)
+        lastMat.unpersist()
+        lastMat = next
+        ranks = next
+      } else ranks = updated
       i += 1
     }
     ranks

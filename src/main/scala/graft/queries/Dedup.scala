@@ -364,9 +364,13 @@ object Dedup extends QueryModule {
           transform(sequence(lit(0), size(t) - n),
             i => array_join(slice(t, i + lit(1), lit(n)), " ")))
           .otherwise(array().cast("array<string>"))).as("span"))
-    val freq = spans.groupBy(col("span"))
-      .agg(count(lit(1)).as("occ"))
-    spans.join(freq, Seq("span"))
+    // corpus-wide frequency via a whole-partition window: ONE shuffle
+    // keyed by span text (vs the groupBy+self-join form's two passes
+    // over the exploded spans)
+    val withOcc = spans.withColumn("occ",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("span"))))
+    withOcc
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_spans"),
