@@ -103,7 +103,8 @@ object ManifestTable {
         .map(java.net.URLDecoder.decode(_, "UTF-8")),
       bloomBits = cfg.get("bloom_bits").map(_.toInt).getOrElse(1 << 16),
       bloomHashes = cfg.get("bloom_hashes").map(_.toInt).getOrElse(6),
-      partitionCols = list("partition_cols"))
+      partitionCols = list("partition_cols"),
+      partitionSpec = list("partition_spec"))
   }
 
   /** Deletion-vector sidecar schema / scan-side row-id column names. */
@@ -159,16 +160,50 @@ class ManifestTable(spark: SparkSession, root: String,
     bloomCol: Option[String] = None,
     bloomBits: Int = 1 << 16,
     bloomHashes: Int = 6,
-    partitionCols: Seq[String] = Nil) {
+    partitionCols: Seq[String] = Nil,
+    partitionSpec: Seq[String] = Nil) {
+
+  /** Hidden-partitioning transforms (`days(ts)`, `bucket(16, id)`,
+    * `truncate(4, c)` — [[PartitionTransform]]): each contributes a
+    * DERIVED hive column computed from its source column at write
+    * time, dropped from every scan, and recomputed for pruning — the
+    * Iceberg hidden-partitioning contract.
+    */
+  private val transforms: Seq[PartitionTransform] =
+    partitionSpec.map(PartitionTransform.parse)
 
   /** All hive partition columns, outermost first: the legacy single
-    * `partitionCol` plus any additional `partitionCols` — real tables
+    * `partitionCol` plus any additional `partitionCols` (identity),
+    * then the transform-derived hidden columns — real tables
     * partition by (date, region)/(date, tenant), and merge scoping,
     * partition overwrite, and compaction must treat the partition as
     * the full tuple.
     */
-  private val partCols: Seq[String] =
+  private val identityPartCols: Seq[String] =
     (partitionCol.toSeq ++ partitionCols).distinct
+  private val partCols: Seq[String] =
+    identityPartCols ++ transforms.map(_.name)
+
+  /** Add any missing derived partition columns (no-op for identity
+    * tables and for frames already carrying them — derivation is
+    * deterministic, so recomputing can never disagree with dirs).
+    */
+  private def withDerived(df: DataFrame): DataFrame =
+    transforms.foldLeft(df) { (d, t) =>
+      if (d.columns.contains(t.name)) d
+      else d.withColumn(t.name, t.derive(col(t.src), d.schema(t.src).dataType))
+    }
+
+  /** Partition-tuple value expression over a frame that carries SOURCE
+    * columns (derived columns may be absent — merge feeds raw user
+    * frames here).
+    */
+  private def partValueExpr(df: DataFrame, c: String): Column =
+    transforms.find(_.name == c) match {
+      case Some(t) if !df.columns.contains(c) =>
+        t.derive(col(t.src), df.schema(t.src).dataType)
+      case _ => col(c)
+    }
 
   /** All zone-map columns: the legacy single `statsCol` plus any
     * additional `statsCols` (multi-column zone maps are what make
@@ -335,13 +370,16 @@ class ManifestTable(spark: SparkSession, root: String,
   private def readEntries(entries: Seq[Entry]): DataFrame = {
     if (entries.isEmpty) return spark.emptyDataFrame
     val files = entries.map(e => new Path(root, e.rel).toString)
-    dvOf(entries) match {
+    val raw = dvOf(entries) match {
       case None => readFiles(files)
       case Some(dv) =>
         readFiles(files, withPos = true)
           .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
           .drop(DvFileCol, DvPosCol)
     }
+    // hidden partitioning: derived layout columns never surface in a
+    // scan (writers re-derive them from their sources)
+    if (transforms.isEmpty) raw else raw.drop(transforms.map(_.name): _*)
   }
 
   /** Union of the deletion-vector sidecars referenced by `entries` —
@@ -443,7 +481,8 @@ class ManifestTable(spark: SparkSession, root: String,
     configChecked = true
     if (fs.exists(configPath)) return
     val lines = Seq(
-      "partition_cols=" + partCols.map(Entry.enc).mkString(","),
+      "partition_cols=" + identityPartCols.map(Entry.enc).mkString(","),
+      "partition_spec=" + transforms.map(t => Entry.enc(t.spec)).mkString(","),
       "stats_cols=" + allStatsCols.map(Entry.enc).mkString(","),
       "bloom_col=" + bloomCol.map(Entry.enc).getOrElse(""),
       "bloom_bits=" + bloomBits,
@@ -795,6 +834,102 @@ class ManifestTable(spark: SparkSession, root: String,
       .reduce(_ || _))
   }
 
+  // -------------------------------------------------------------- //
+  // Hidden-partition pruning: queries filter on the SOURCE column;  //
+  // the engine recomputes the transform and prunes hive dirs.       //
+  // -------------------------------------------------------------- //
+
+  private def transformFor(srcCol: String): PartitionTransform =
+    transforms.find(_.src == srcCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"no partition transform on column $srcCol " +
+          s"(declared: ${transforms.map(_.spec).mkString(", ")})"))
+
+  /** Derived partition value of a literal, computed through the SAME
+    * expression writers use (a one-row local projection — never a
+    * distributed job). `dt` = the source column's type.
+    */
+  private def derivedValueOf(t: PartitionTransform, value: String,
+      dt: org.apache.spark.sql.types.DataType): String = {
+    val r = spark.range(1)
+      .select(t.derive(lit(value).cast(dt), dt).cast("string").as("v"))
+      .head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  /** Hive dir value of partition column `c` in a file path, unescaped;
+    * None when the path carries no such segment. */
+  private def partValueOf(rel: String, c: String): Option[String] =
+    rel.split("/").find(_.startsWith(s"$c=")).map { seg =>
+      val v = seg.substring(c.length + 1)
+      if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME) null
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(v)
+    }
+
+  private def srcType(srcCol: String) = read().schema(srcCol).dataType
+
+  /** Point lookup through a partition transform: scan only the files
+    * whose derived partition matches `transform(value)`, then apply
+    * the exact residual predicate on the source column. A
+    * `bucket(1024, user_id)` table answers a user lookup from 1/1024th
+    * of its files with zero index structures.
+    */
+  def readPartitionEq(srcCol: String, value: String): DataFrame = {
+    val t = transformFor(srcCol)
+    val dt = srcType(srcCol)
+    val tv = derivedValueOf(t, value, dt)
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val entries = entriesOf(v).filter(e =>
+      partValueOf(e.rel, t.name).forall(_ == tv))
+    if (entries.isEmpty) read(Some(v)).filter(lit(false))
+    else readEntries(entries).filter(col(srcCol) === lit(value).cast(dt))
+  }
+
+  /** Range scan through a MONOTONIC partition transform (`days`,
+    * `months`, `hours`, `truncate`): scan only files whose derived
+    * partition intersects `[transform(lo), transform(hi)]`, with the
+    * exact residual on the source column. Bucket transforms refuse —
+    * hashing destroys ordering.
+    */
+  def readPartitionRange(srcCol: String, lo: String, hi: String): DataFrame = {
+    val t = transformFor(srcCol)
+    require(t.monotonic,
+      s"${t.spec} is not ordering-preserving; range pruning would be wrong")
+    val dt = srcType(srcCol)
+    val (tlo, thi) = (derivedValueOf(t, lo, dt), derivedValueOf(t, hi, dt))
+    val numeric = t match {
+      case PartitionTransform.TruncateOf(_, _) => dt match {
+        case org.apache.spark.sql.types.StringType => false
+        case _ => true
+      }
+      case _ => false // date-shaped strings compare lexicographically
+    }
+    def le(a: String, b: String): Boolean =
+      if (numeric) a.toDouble <= b.toDouble else a <= b
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val entries = entriesOf(v).filter(e =>
+      partValueOf(e.rel, t.name).forall(pv =>
+        pv != null && le(tlo, pv) && le(pv, thi)))
+    if (entries.isEmpty) read(Some(v)).filter(lit(false))
+    else readEntries(entries)
+      .filter(col(srcCol) >= lit(lo).cast(dt) && col(srcCol) <= lit(hi).cast(dt))
+  }
+
+  /** Files a [[readPartitionEq]] would scan — the pruning audit hook
+    * (what a spec asserts shrank). */
+  def prunedFilesPartitionEq(srcCol: String, value: String): Seq[String] = {
+    val t = transformFor(srcCol)
+    val tv = derivedValueOf(t, value, srcType(srcCol))
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    entriesOf(v).filter(e => partValueOf(e.rel, t.name).forall(_ == tv))
+      .map(e => new Path(root, e.rel).toString)
+  }
+
   /** Write a DataFrame's rows as new data files; returns their paths
     * relative to the table root. Files land under data/ preserving
     * hive-style partition dirs when the table is partitioned.
@@ -808,8 +943,10 @@ class ManifestTable(spark: SparkSession, root: String,
       // files per commit, the small-file problem compaction exists to
       // undo. One hash shuffle by the partition tuple lands each tuple
       // in one task → one file per tuple per commit.
+      val derived = withDerived(df)
       val toWrite =
-        if (partCols.isEmpty) df else df.repartition(partCols.map(col): _*)
+        if (partCols.isEmpty) derived
+        else derived.repartition(partCols.map(col): _*)
       val writer = toWrite.write.mode("overwrite")
       (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
         .parquet(stage.toString)
@@ -892,8 +1029,12 @@ class ManifestTable(spark: SparkSession, root: String,
     require(values.size == partCols.size,
       s"expected ${partCols.size} partition values (${partCols.mkString(", ")}), " +
         s"got ${values.size}")
+    // transformed tables address sub-partitions by the DERIVED value
+    // (e.g. '2024-01-02' for days(ts)); the slice filter derives it
+    // from the source column, so user frames need no hidden columns
     val slice = df.filter(partCols.zip(values).map { case (c, v) =>
-      if (v == null) col(c).isNull else col(c) === lit(v)
+      val pv = partValueExpr(df, c)
+      if (v == null) pv.isNull else pv.cast("string") === lit(v)
     }.reduce(_ && _))
     val newFiles = newEntries(writeDataFiles(enforced(slice)))
     val base = latestVersion.map(entriesOf).getOrElse(Seq.empty)
@@ -979,7 +1120,7 @@ class ManifestTable(spark: SparkSession, root: String,
         }
         val currentOfFed = base.join(changedKeys, keys, "left_semi")
         def tupleOf(df: DataFrame) =
-          df.select(cs.map(c => col(c).cast("string")): _*)
+          df.select(cs.map(c => partValueExpr(df, c).cast("string")): _*)
         val touched: Set[Seq[String]] = tupleOf(upsertDelta)
           .union(tupleOf(currentOfFed))
           .distinct()
@@ -991,9 +1132,12 @@ class ManifestTable(spark: SparkSession, root: String,
         // partition): each tuple predicate tests it explicitly — an
         // equality/isin would never match and rows landing in / moving
         // out of the null partition would be silently dropped
+        // derived-value comparisons resolve source types against the
+        // base schema (updates must be merge-compatible with it anyway)
         def tuplePred(t: Seq[String]): Column =
           cs.zip(t).map { case (c, v) =>
-            if (v == null) col(c).isNull else col(c).cast("string") === lit(v)
+            val pv = partValueExpr(base, c)
+            if (v == null) pv.isNull else pv.cast("string") === lit(v)
           }.reduce(_ && _)
         val inTouched = touched.toSeq.map(tuplePred)
           .reduceOption(_ || _).getOrElse(lit(false))
@@ -1552,7 +1696,7 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def compact(targetFiles: Int = 1): Int = {
     val v0 = latestVersion
-    val df = read(v0)
+    val df = withDerived(read(v0))
     val compacted =
       if (partCols.nonEmpty) df.repartition(targetFiles, partCols.map(col): _*)
       else df.repartition(targetFiles)
@@ -1585,7 +1729,7 @@ class ManifestTable(spark: SparkSession, root: String,
       return v0 // nothing to pack (a single small DV-free file gains nothing)
     val totalBytes = small.map(_._2).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val packed = readEntries(small.map(_._1)) // DV-applying read
+    val packed = withDerived(readEntries(small.map(_._1))) // DV-applying read
     val repart =
       if (partCols.nonEmpty) packed.repartition(nOut, partCols.map(col): _*)
       else packed.repartition(nOut)
@@ -1719,7 +1863,8 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def shallowClone(destRoot: String): ManifestTable = {
     val dest = new ManifestTable(spark, destRoot, partitionCol,
-      statsCol, statsCols, bloomCol, bloomBits, bloomHashes, partitionCols)
+      statsCol, statsCols, bloomCol, bloomBits, bloomHashes, partitionCols,
+      partitionSpec)
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
     // qualify: clone entries must resolve against the SOURCE root —
