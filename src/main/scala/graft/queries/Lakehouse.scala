@@ -256,9 +256,40 @@ object Lakehouse extends QueryModule {
       |WHERE NOT (o_orderstatus = 'F' AND pbucket = '1' AND o_orderkey % 5 = 0)
       |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** L19: hidden-partitioning roundtrip — events written through a
+    * days(ts) transform (derived hive layout, no materialized date
+    * column), then a RANGE read through the transform: dirs pruned by
+    * the recomputed derived value, residual applied on the raw ts.
+    * The oracle sees only the plain filter — hidden partitioning must
+    * be value-invisible end-to-end.
+    */
+  def l19HiddenPart(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l19_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+    val events = Q.t(spark, dir, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("value"))
+    val mt = new ManifestTable(spark, scratch, partitionSpec = Seq("days(ts)"))
+    mt.write(events, "overwrite")
+    mt.readPartitionRange("ts", "2024-01-02 00:00:00", "2024-01-03 12:00:00")
+      .select(col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("value"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val l19Oracle: String =
+    """SELECT event_id, ts, user_id, value FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+      |  AND ts <= TIMESTAMP '2024-01-03 12:00:00'
+      |ORDER BY event_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_merge" -> l1Merge,
     "l18_multipart" -> l18Multipart,
+    "l19_hidden_part" -> l19HiddenPart,
     "l8_change_feed" -> l8ChangeFeed,
     "l1_merge_delete" -> l1MergeDelete,
     "l3_time_travel" -> l3TimeTravel,
@@ -268,6 +299,7 @@ object Lakehouse extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "l1_merge" -> l1Oracle,
     "l18_multipart" -> l18Oracle,
+    "l19_hidden_part" -> l19Oracle,
     "l8_change_feed" -> l8Oracle,
     "l1_merge_delete" -> l1MergeDeleteOracle,
     "l3_time_travel" -> l3Oracle,
