@@ -378,8 +378,11 @@ class ManifestTable(spark: SparkSession, root: String,
           .drop(DvFileCol, DvPosCol)
     }
     // hidden partitioning: derived layout columns never surface in a
-    // scan (writers re-derive them from their sources)
-    if (transforms.isEmpty) raw else raw.drop(transforms.map(_.name): _*)
+    // scan (writers re-derive them from their sources); renamed
+    // columns surface under their LOGICAL name
+    val noDerived =
+      if (transforms.isEmpty) raw else raw.drop(transforms.map(_.name): _*)
+    toLogicalRename(noDerived)
   }
 
   /** Union of the deletion-vector sidecars referenced by `entries` —
@@ -739,11 +742,12 @@ class ManifestTable(spark: SparkSession, root: String,
 
   private def prunedEntriesEq(c: String, value: String,
       version: Option[Int]): Seq[Entry] = {
-    require(bloomCol.contains(c), s"no bloom filter for column $c")
+    val pc = toPhysical(c) // stats/bloom keys are recorded physical
+    require(bloomCol.contains(pc), s"no bloom filter for column $c")
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
     entriesOf(v)
-      .filter(e => e.stats.get(bloomKey(c)).forall(bloomMightContain(_, value)))
+      .filter(e => e.stats.get(bloomKey(pc)).forall(bloomMightContain(_, value)))
   }
 
   /** Equality probe with bloom file skipping + exact residual filter
@@ -786,10 +790,11 @@ class ManifestTable(spark: SparkSession, root: String,
 
   private def prunedEntriesBy(c: String, lo: String, hi: String,
       version: Option[Int]): Seq[Entry] = {
-    require(allStatsCols.contains(c), s"no zone map for column $c")
+    val pc = toPhysical(c) // stats keys are recorded physical
+    require(allStatsCols.contains(pc), s"no zone map for column $c")
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
-    entriesOf(v).filter(zoneIntersects(_, c, lo, hi))
+    entriesOf(v).filter(zoneIntersects(_, pc, lo, hi))
   }
 
   /** Single-column convenience over the primary statsCol. */
@@ -822,12 +827,13 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def readRangesBy(c: String, ranges: Seq[(String, String)],
       version: Option[Int] = None): DataFrame = {
-    require(allStatsCols.contains(c), s"no zone map for column $c")
+    val pc = toPhysical(c)
+    require(allStatsCols.contains(pc), s"no zone map for column $c")
     require(ranges.nonEmpty, "readRangesBy needs at least one range")
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
     val entries = entriesOf(v).filter(e =>
-      ranges.exists { case (lo, hi) => zoneIntersects(e, c, lo, hi) })
+      ranges.exists { case (lo, hi) => zoneIntersects(e, pc, lo, hi) })
     if (entries.isEmpty) read(version).filter(lit(false))
     else readEntries(entries).filter(ranges
       .map { case (lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
@@ -943,7 +949,12 @@ class ManifestTable(spark: SparkSession, root: String,
       // files per commit, the small-file problem compaction exists to
       // undo. One hash shuffle by the partition tuple lands each tuple
       // in one task → one file per tuple per commit.
-      val derived = withDerived(df)
+      // ALWAYS recompute derived partition values (drop any carried
+      // in): an updateWhere copy scanned from hive dirs carries the
+      // OLD derived value — if the assignment changed the transform
+      // source, trusting it would file the row in the wrong partition
+      val derived = withDerived(
+        toPhysicalRename(df).drop(transforms.map(_.name): _*))
       val toWrite =
         if (partCols.isEmpty) derived
         else derived.repartition(partCols.map(col): _*)
@@ -1181,6 +1192,96 @@ class ManifestTable(spark: SparkSession, root: String,
     * writer's constraint. Cross-process writers on a local FS retain
     * the same tiny window tryCommit documents.
     */
+  // ---------------------------------------------------------------- //
+  // Column mapping — RENAME COLUMN without rewriting a byte (the      //
+  // Delta column-mapping model): data files keep their original       //
+  // PHYSICAL names forever; a log-dir sidecar maps physical→logical.  //
+  // Scans rename physical→logical on the way out, writers rename      //
+  // logical→physical on the way in, and stats/bloom keys (recorded    //
+  // physical) translate at the API boundary.                          //
+  // ---------------------------------------------------------------- //
+
+  private val columnMappingPath = new Path(logDir, "column_mapping")
+  private def mappingLock: Object =
+    ManifestTable.lockFor(fs.makeQualified(logDir).toString + "#colmap")
+
+  /** Current physical→logical mapping (empty = no renames ever). Read
+    * fresh per use, like the constraint registry, so every instance on
+    * this root sees renames immediately. */
+  def columnMapping: Map[String, String] = mappingLock.synchronized {
+    if (!fs.exists(columnMappingPath)) return Map.empty
+    val in = fs.open(columnMappingPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        Entry.dec(l.substring(0, i)) -> Entry.dec(l.substring(i + 1))
+      }.toMap
+    finally in.close()
+  }
+
+  private def toPhysical(logical: String): String = {
+    val m = columnMapping
+    // a stale (pre-rename) name must refuse loudly, not silently hit
+    // its still-matching physical stats key while the scan resolves
+    // nothing
+    m.get(logical).filter(_ != logical).foreach { cur =>
+      throw new IllegalArgumentException(
+        s"column $logical was renamed to $cur")
+    }
+    m.collectFirst { case (p, l) if l == logical => p }.getOrElse(logical)
+  }
+
+  private def toLogicalRename(df: DataFrame): DataFrame = {
+    val m = columnMapping
+    if (m.isEmpty) df
+    else m.foldLeft(df) { case (d, (p, l)) =>
+      if (p != l && d.columns.contains(p)) d.withColumnRenamed(p, l) else d
+    }
+  }
+
+  private def toPhysicalRename(df: DataFrame): DataFrame = {
+    val m = columnMapping
+    if (m.isEmpty) df
+    else m.foldLeft(df) { case (d, (p, l)) =>
+      if (p != l && d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only: no data file is
+    * touched; the next scan surfaces the new name. Partition columns
+    * (identity or transform source) refuse — their names are baked
+    * into hive paths and derived layouts. The new name must not
+    * collide with any current logical OR physical column.
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    require(oldName != newName, "rename to the same name")
+    require(!identityPartCols.contains(toPhysical(oldName))
+      && !transforms.exists(_.src == toPhysical(oldName)),
+      s"cannot rename partition column $oldName (hive paths and derived " +
+        "layouts carry its name)")
+    val logicalCols = read().columns.toSet
+    require(logicalCols.contains(oldName), s"no column $oldName " +
+      s"(have: ${logicalCols.toSeq.sorted.mkString(", ")})")
+    val m = columnMapping
+    require(!logicalCols.contains(newName) && !m.keys.exists(_ == newName)
+      && toPhysical(newName) == newName,
+      s"column $newName already exists (logically or physically)")
+    val physical = toPhysical(oldName)
+    mappingLock.synchronized {
+      val updated = columnMapping + (physical -> newName)
+      fs.mkdirs(logDir)
+      val tmp = new Path(logDir, s".tmp-colmap-${UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(updated.toSeq.sortBy(_._1).map { case (p, l) =>
+        s"${Entry.enc(p)}\t${Entry.enc(l)}"
+      }.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      if (fs.exists(columnMappingPath)) fs.delete(columnMappingPath, false)
+      if (!fs.rename(tmp, columnMappingPath))
+        throw new IllegalStateException("column_mapping update failed")
+    }
+  }
+
   private def constraintsLock: Object =
     ManifestTable.lockFor(
       fs.makeQualified(logDir).toString + "#constraints")
@@ -1540,13 +1641,14 @@ class ManifestTable(spark: SparkSession, root: String,
     val vals = values.filter(_ != null).distinct
     if (vals.isEmpty) return v0
     val entries = entriesOf(v0)
+    val pc = toPhysical(c)
     val candidates =
-      if (bloomCol.contains(c)) {
+      if (bloomCol.contains(pc)) {
         // hash each value once, decode each entry's bitset once —
         // O(files + keys) driver work, not O(files × keys)
         val raws = vals.map(bloomRawHashes)
         entries.filter(e =>
-          e.stats.get(bloomKey(c)).forall(bloomTestEntry(_, raws)))
+          e.stats.get(bloomKey(pc)).forall(bloomTestEntry(_, raws)))
       } else entries
     if (vals.size <= ManifestTable.InLiteralMaxKeys)
       deleteFrom(v0, entries, candidates,
@@ -1591,7 +1693,9 @@ class ManifestTable(spark: SparkSession, root: String,
       matcher: DataFrame => DataFrame): Int = {
     if (candidates.isEmpty) return v0
     val files = candidates.map(e => new Path(root, e.rel).toString)
-    val withPos = readFiles(files, withPos = true)
+    // logical names for the caller's predicate; DV marker columns are
+    // reserved and never mapped
+    val withPos = toLogicalRename(readFiles(files, withPos = true))
     // only LIVE rows: re-deleting an already-deleted row must not
     // inflate counts (the union below would dedup it anyway, but the
     // no-op check must see a true no-op)
@@ -1616,7 +1720,7 @@ class ManifestTable(spark: SparkSession, root: String,
     if (entries.isEmpty) return v0
     require(set.nonEmpty, "updateWhere needs at least one assignment")
     val files = entries.map(e => new Path(root, e.rel).toString)
-    val withPos = readFiles(files, withPos = true)
+    val withPos = toLogicalRename(readFiles(files, withPos = true))
     val live = dvOf(entries).fold(withPos)(dv =>
       withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
     // materialize the matched row set EXACTLY once (eager checkpoint):

@@ -297,6 +297,11 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         Seq(Row(v, rows, bytes))
       case "describe_stats" =>
         table.columnStats().collect().toSeq
+      case "rename_column" =>
+        // rename_column(root, old, new) — metadata-only, no rewrite
+        val t = table
+        t.renameColumn(str(1), str(2))
+        versionRow(t.latestVersion.getOrElse(-1))
       case "pq_build" =>
         // pq_build(indexRoot, corpusView, vecCol [, lists, m, k]) —
         // corpus rows are (vec_id, <vecCol>) raw float/double arrays;
@@ -344,7 +349,7 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
             "update, optimize, optimize_small, zorder, vacuum, restore, " +
             "describe_history, describe_detail, describe_files, " +
             "constraint_add, constraint_drop, constraints, analyze, " +
-            "describe_stats, pq_build, pq_refresh, pq_query")
+            "describe_stats, rename_column, pq_build, pq_refresh, pq_query")
     }
   }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.lake.ManifestTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** RENAME COLUMN without rewrite (column mapping): metadata-only
+  * renames, logical names on every read/write path, physical stats
+  * keys translated at the API boundary, restrictions on partition
+  * columns, and the SQL procedure.
+  */
+class ColumnMappingSpec extends SparkTestBase {
+  quiet()
+  import spark.implicits._
+
+  private def scratch(name: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_colmap_$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    dir
+  }
+
+  test("rename: no data rewrite, logical reads, writes through the new name") {
+    val root = scratch("basic")
+    val t = new ManifestTable(spark, root)
+    val df = (1 to 100).map(i => (i.toLong, s"u$i", i * 2.0)).toDF("id", "uname", "amt")
+    t.write(df, "overwrite")
+    val filesBefore = t.filesDf().collect().map(_.getString(0)).toSet
+
+    t.renameColumn("uname", "user_name")
+
+    // metadata only: same files, same version
+    assert(t.filesDf().collect().map(_.getString(0)).toSet === filesBefore)
+    // read shows the logical name with the same data
+    val out = t.read()
+    assert(out.columns.sorted.toSeq === Seq("amt", "id", "user_name"))
+    assert(out.agg(sum("id")).head().getLong(0) === 5050L)
+
+    // append THROUGH the new name: lands physical, reads logical
+    t.write(Seq((101L, "u101", 202.0)).toDF("id", "user_name", "amt"), "append")
+    assert(t.read().count() === 101)
+    assert(t.read().filter(col("user_name") === "u101").count() === 1)
+
+    // merge keyed through renamed world
+    t.merge(Seq((101L, "u101x", 999.0)).toDF("id", "user_name", "amt"), Seq("id"))
+    assert(t.read().filter(col("user_name") === "u101x").count() === 1)
+
+    // delete with a predicate over the logical name
+    t.delete(col("user_name") === "u101x")
+    assert(t.read().count() === 100)
+
+    // chained rename (uses the original physical key under the hood)
+    t.renameColumn("user_name", "member_name")
+    assert(t.read().columns.contains("member_name"))
+    assert(t.read().filter(col("member_name") === "u50").count() === 1)
+  }
+
+  test("stats and bloom pruning survive a rename (physical keys translated)") {
+    val root = scratch("stats")
+    val t = new ManifestTable(spark, root,
+      statsCol = Some("ts_val"), bloomCol = Some("key"))
+    val df = (1 to 400).map(i => (i.toLong, s"k$i", s"r$i")).toDF("ts_val", "key", "x")
+    // several files so pruning is observable
+    t.write(df.repartition(8), "overwrite")
+
+    t.renameColumn("ts_val", "event_time")
+    t.renameColumn("key", "event_key")
+
+    // range read through the NEW name: exact + pruned
+    val got = t.readRangeBy("event_time", "100", "150")
+    assert(got.count() === 51)
+    assert(got.columns.contains("event_time"))
+    // eq read through the new bloom name
+    val eq = t.readEq("event_key", "k250")
+    assert(eq.count() === 1)
+    // deleteEq through the new name
+    t.deleteEq("event_key", "k250")
+    assert(t.read().count() === 399)
+    // old names now refuse
+    intercept[IllegalArgumentException] { t.readRangeBy("ts_val", "1", "2") }
+  }
+
+  test("restrictions: partition columns refuse; collisions refuse") {
+    val root = scratch("restrict")
+    val t = new ManifestTable(spark, root,
+      partitionCols = Seq("region"), partitionSpec = Seq("days(ts)"))
+    val df = Seq((1L, "eu", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"))
+      .toDF("id", "region", "ts", "x")
+    t.write(df, "overwrite")
+    intercept[IllegalArgumentException] { t.renameColumn("region", "zone") }
+    intercept[IllegalArgumentException] { t.renameColumn("ts", "event_ts") }
+    intercept[IllegalArgumentException] { t.renameColumn("id", "x") } // collision
+    intercept[IllegalArgumentException] { t.renameColumn("nope", "y") }
+    // non-partition columns still rename fine on this table
+    t.renameColumn("x", "payload")
+    assert(t.read().columns.contains("payload"))
+  }
+
+  test("SQL surface: CALL graft.rename_column; forRoot instances see the mapping") {
+    val root = scratch("sql")
+    new ManifestTable(spark, root)
+      .write(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), "overwrite")
+    val sqlSpark: SparkSession = {
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      try SparkSession.builder().master("local[8]")
+        .appName("graft-colmap-sql")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      finally {
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    }
+    sqlSpark.sql(s"CALL graft.rename_column('$root', 'tag', 'label')").collect()
+    // an independent instance (fresh read of the sidecar) sees it
+    val t2 = ManifestTable.forRoot(spark, root)
+    assert(t2.read().columns.sorted.toSeq === Seq("id", "label"))
+    assert(t2.columnMapping === Map("tag" -> "label"))
+  }
+}
