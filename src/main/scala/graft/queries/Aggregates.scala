@@ -335,6 +335,31 @@ object Aggregates extends QueryModule {
     perStatus.unionByName(total).orderBy(col("o_orderstatus").asc)
   }
 
+  /** A13: mergeable QUANTILE sketch rollup (KLL — Karnin/Lang/Liberty
+    * FOCS'16, Spark's DataSketches integration) — the a11 pattern for
+    * percentiles: per-group KLL sketches, then the grand-total p50/p95
+    * from a sketch UNION, never rescanning the table. This is how a
+    * 100 TB metrics store serves "p95 by region AND global p95" from
+    * one pass + O(groups) merge work. Sketch binaries are
+    * engine-specific → rows-only gate; SketchSpec bounds the error
+    * against exact percentiles.
+    */
+  def a13QuantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Q.t(spark, dir, "orders")
+    val sketches = o.groupBy(col("o_orderstatus"))
+      .agg(expr("kll_sketch_agg_double(o_totalprice)").as("sk"),
+        count(lit(1)).as("n"))
+    val perStatus = sketches.select(col("o_orderstatus"), col("n"),
+      expr("kll_sketch_get_quantile_double(sk, 0.5)").as("p50"),
+      expr("kll_sketch_get_quantile_double(sk, 0.95)").as("p95"))
+    val total = sketches
+      .agg(expr("kll_merge_agg_double(sk)").as("sk"), sum(col("n")).as("n"))
+      .select(lit("TOTAL").as("o_orderstatus"), col("n"),
+        expr("kll_sketch_get_quantile_double(sk, 0.5)").as("p50"),
+        expr("kll_sketch_get_quantile_double(sk, 0.95)").as("p95"))
+    perStatus.unionByName(total).orderBy(col("o_orderstatus").asc)
+  }
+
   /** A12: heavy hitters via the Misra-Gries mergeable sketch (typed
     * UDAF, `functions/Sketches.scala`). Capacity 16 ≥ the status
     * domain, so no decrement fires and the sketch is provably EXACT —
@@ -370,7 +395,8 @@ object Aggregates extends QueryModule {
     "a7_percentile_approx" -> a7PercentileApprox,
     "a8_descriptive_stats" -> a8DescriptiveStats,
     "a9_having" -> a9Having,
-    "a11_sketch_rollup" -> a11SketchRollup)
+    "a11_sketch_rollup" -> a11SketchRollup,
+    "a13_quantile_rollup" -> a13QuantileRollup)
 
   override def oracles: Map[String, String] = Map(
     "a12_heavy_hitters" -> a12Oracle,

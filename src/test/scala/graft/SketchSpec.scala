@@ -61,4 +61,32 @@ class SketchSpec extends SparkTestBase {
     val empty = hhMap(df.filter(col("k") === "zzz"), "k", 4)
     assert(empty === Map.empty[String, Long])
   }
+
+  test("a13: KLL quantile rollup tracks exact percentiles; union ≡ global sketch") {
+    val out = SparkEntry.queries("a13_quantile_rollup")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val o = Q.t(spark, sf, "orders")
+    val statuses = out.keySet - "TOTAL"
+    assert(statuses.nonEmpty)
+
+    // per-group sketch quantiles within 5% RELATIVE RANK of exact: the
+    // KLL guarantee is on rank error, so compare by checking the
+    // sketch's answer sits between the exact 45th and 55th (resp.
+    // 90th/99th) percentiles of the group
+    def exactQ(df: org.apache.spark.sql.DataFrame, q: Double): Double =
+      df.stat.approxQuantile("o_totalprice", Array(q), 0.0).head
+    statuses.foreach { s =>
+      val grp = o.filter(col("o_orderstatus") === s)
+      val (n, p50, p95) = out(s)
+      assert(n === grp.count())
+      assert(p50 >= exactQ(grp, 0.45) && p50 <= exactQ(grp, 0.55), s"$s p50")
+      assert(p95 >= exactQ(grp, 0.90) && p95 <= exactQ(grp, 0.99), s"$s p95")
+    }
+    // TOTAL row: union of group sketches tracks the GLOBAL distribution
+    val (tn, tp50, tp95) = out("TOTAL")
+    assert(tn === o.count())
+    assert(tp50 >= exactQ(o, 0.45) && tp50 <= exactQ(o, 0.55), "total p50")
+    assert(tp95 >= exactQ(o, 0.90) && tp95 <= exactQ(o, 0.99), "total p95")
+  }
 }
