@@ -290,7 +290,66 @@ object TextAnalysis extends QueryModule {
       |JOIN dup ON d.doc_id = dup.doc_id
       |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
 
+  /** F8g: corpus-LM familiarity score — the CCNet/KenLM quality-
+    * filtering pattern (score each doc by how well a corpus n-gram
+    * model predicts it) in an oracle-exact form: per bigram,
+    * add-one-smoothed conditional probability p = (c(w1,w2)+1) /
+    * (c(w1)+V), carried as INTEGER parts-per-billion via BIGINT floor
+    * division — no transcendentals, no float summation order — and
+    * averaged per doc with ONE final double division. Low scores mark
+    * out-of-distribution/garbled docs, the signal LM-based quality
+    * filters threshold on.
+    *
+    * Scale shape: two count aggregations (bigram, unigram — both
+    * map-side combined), one scalar vocab count, two equi-joins keyed
+    * by token text (the natural shard key; a stopword's count row is
+    * one row, not a skew source), one per-doc aggregation.
+    */
+  def txLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(spark, dir, "documents")
+    val t = tokens(col("text"))
+    val toks = docs.select(col("doc_id"), explode(t).as("w1"))
+    val bigrams = docs.select(col("doc_id"),
+      explode(when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => struct(element_at(t, i + 1).as("w1"),
+            element_at(t, i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val c1 = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val vocab = toks.select(countDistinct(col("w1")).as("v"))
+    bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(vocab) // 1-row scalar
+      .select(col("doc_id"),
+        expr("((c2 + 1) * 1000000000L) div (c1 + v)").as("ppb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("ppb")).cast("double") / count(lit(1))).as("familiarity_ppb"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txLmScoreOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w1 FROM documents),
+      |bigrams AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |       UNNEST(generate_series(1, len(t)-1)) AS g(i)),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM toks GROUP BY w1),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bigrams GROUP BY w1, w2),
+      |vocab AS (SELECT COUNT(DISTINCT w1) AS v FROM toks)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM((c2 + 1) * 1000000000 // (c1 + v)) AS DOUBLE) / COUNT(*)
+      |    AS familiarity_ppb
+      |FROM bigrams JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+      |GROUP BY doc_id
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_lm_score" -> txLmScore,
     "tx_pii_redact" -> txPiiRedact,
     "tx_repetition" -> txRepetition,
     "tx_token_stats" -> txTokenStats,
@@ -301,6 +360,7 @@ object TextAnalysis extends QueryModule {
     "tx_tfidf" -> txTfIdf)
 
   override def oracles: Map[String, String] = Map(
+    "tx_lm_score" -> txLmScoreOracle,
     "tx_pii_redact" -> txPiiRedactOracle,
     "tx_repetition" -> txRepetitionOracle,
     "tx_token_stats" -> txTokenStatsOracle,

@@ -456,4 +456,22 @@ class LlmOpsSpec extends SparkTestBase {
     val hits = planted.select(TextFunctions.markerHits(col("text"), "en")).head().getInt(0)
     assert(hits >= 4)
   }
+
+  test("tx_lm_score: in-distribution boilerplate scores above out-of-distribution noise") {
+    // corpus: many copies of one phrase + one garbled doc. The familiar
+    // doc's bigrams are corpus-frequent -> high smoothed probability;
+    // the garbled doc's bigrams are singletons -> low.
+    val common = "the quick brown fox jumps over the lazy dog"
+    val docs = ((1 to 20).map(i => (i.toLong, common)) :+
+      (99L, "zqx wvu ptr mno klj ihg fed cba xyz abc"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("lmscore").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val scores = graft.queries.TextAnalysis.txLmScore(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(99L) * 3,
+      s"familiar=${scores(1L)} garbled=${scores(99L)}")
+  }
 }
