@@ -57,6 +57,104 @@ object Similarity extends QueryModule {
       |WHERE rn <= 3
       |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
 
+  /** S10: hybrid retrieval with reciprocal-rank fusion — the
+    * production search stack's merge step: a KEYWORD leg (distinct-
+    * token overlap against the probe doc) and a VECTOR leg (exact
+    * cosine) each produce a top-20 ranked list per probe, fused by
+    * RRF(60): score = Σ 1/(60 + rank) over the legs that returned the
+    * candidate (Cormack et al. SIGIR'09). Rank fusion needs no score
+    * calibration between legs — which is why hybrid search ships RRF
+    * rather than weighted score sums. Oracle-exact: ranks are
+    * integers, the fused score is a two-term sum of identical IEEE
+    * divisions in both engines.
+    *
+    * Scale shape: each leg is the engine's existing top-k machinery
+    * (broadcast probes, windowed rank); the fusion is a full-outer
+    * equi-join of two K-row-per-probe lists — O(probes × K), corpus
+    * size long gone by then. Swap the legs for their ANN/inverted-
+    * index forms (s9, tx_tfidf) at 100 TB; the fusion step is
+    * unchanged.
+    */
+  def s10HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val legK = 20
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val probesV = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val wV = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val vLeg = emb.join(broadcast(probesV), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
+      .withColumn("rv", row_number().over(wV))
+      .filter(col("rv") <= legK)
+      .select(col("q_id"), col("vec_id").as("id"), col("rv"))
+
+    val docs = Q.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("tk"))
+    val probesK = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("tk").as("q_tk"))
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("ov").desc, col("doc_id").asc)
+    val kLeg = docs.join(broadcast(probesK), col("doc_id") =!= col("q_id"))
+      .withColumn("ov", size(array_intersect(col("tk"), col("q_tk"))))
+      .filter(col("ov") > 0)
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= legK)
+      .select(col("q_id"), col("doc_id").as("id"), col("rk"))
+
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+    vLeg.join(kLeg, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0)))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("rn"), col("id").as("neighbor"), col("rrf_score"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  val s10Oracle: String = {
+    val dot = (x: String, y: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($x, $y), p -> p[1] * p[2])), (a, b) -> a + b)"
+    val cos = s"round(${dot("q.v", "c.v")} / (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.v", "c.v")})), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |v_scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS id, $cos AS sim
+       |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+       |v_leg AS (
+       |  SELECT q_id, id, rv FROM (
+       |    SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC NULLS LAST, id ASC NULLS FIRST) AS rv
+       |    FROM v_scored) WHERE rv <= 20),
+       |d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+       |      FROM documents),
+       |k_scored AS (
+       |  SELECT q.doc_id AS q_id, c.doc_id AS id,
+       |    len(list_intersect(c.tk, q.tk)) AS ov
+       |  FROM d q JOIN d c ON q.doc_id < 5 AND c.doc_id != q.doc_id
+       |  WHERE len(list_intersect(c.tk, q.tk)) > 0),
+       |k_leg AS (
+       |  SELECT q_id, id, rk FROM (
+       |    SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY ov DESC NULLS LAST, id ASC NULLS FIRST) AS rk
+       |    FROM k_scored) WHERE rk <= 20),
+       |fused AS (
+       |  SELECT COALESCE(v.q_id, k.q_id) AS q_id, COALESCE(v.id, k.id) AS id,
+       |    COALESCE(CAST(1 AS DOUBLE) / (60 + rv), 0.0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / (60 + rk), 0.0) AS rrf_score
+       |  FROM v_leg v FULL OUTER JOIN k_leg k
+       |    ON v.q_id = k.q_id AND v.id = k.id)
+       |SELECT q_id, rn, id AS neighbor, rrf_score FROM (
+       |  SELECT q_id, id, rrf_score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_score DESC NULLS LAST, id ASC NULLS FIRST) AS INT) AS rn
+       |  FROM fused)
+       |WHERE rn <= 10
+       |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+  }
+
   /** S2: LSH-bucketed ANN — multi-table random-hyperplane LSH
     * (8 tables × 4 sign bits, hyperplanes derived deterministically
     * from xxhash64, data-independent). A vector lands in one bucket
@@ -597,7 +695,8 @@ object Similarity extends QueryModule {
     "s5_quantized_topk" -> s5QuantizedTopK,
     "s7_pq_ann" -> ((s, d) => s7PqAnn(s, d)),
     "s8_ivfpq_ann" -> ((s, d) => s8IvfPqAnn(s, d)),
-    "s9_pq_persisted" -> ((s, d) => s9PqPersisted(s, d)))
+    "s9_pq_persisted" -> ((s, d) => s9PqPersisted(s, d)),
+    "s10_hybrid_rrf" -> s10HybridRrf)
 
   /** S9: the persisted-index serving path — build the IVF-PQ index
     * ONCE per corpus (first invocation; a lakehouse table + codebook
@@ -624,6 +723,7 @@ object Similarity extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Oracle,
+    "s10_hybrid_rrf" -> s10Oracle,
     "s6_matryoshka_topk" -> s6Oracle)
 }
 
