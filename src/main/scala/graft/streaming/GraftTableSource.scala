@@ -1,11 +1,12 @@
 package graft.streaming
 
 import graft.lake.ManifestTable
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 
 /** Version-number offset for the table stream: commit `v` means
@@ -40,7 +41,8 @@ case class GraftTableOffset(version: Int) extends Offset {
   * continuous pipeline tails a 100 TB table at the cost of its
   * appends, never rescanning history.
   */
-class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftTableSourceProvider extends StreamSourceProvider
+    with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
@@ -61,11 +63,39 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       parameters: Map[String, String]): Source =
     new GraftTableSource(sqlContext.sparkSession, rootOf(parameters),
       parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
-        .exists(_.equalsIgnoreCase("true")))
+        .exists(_.equalsIgnoreCase("true")),
+      parameters.get("maxversionspertrigger")
+        .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toInt))
+
+  /** BATCH read (the `spark.read.format("delta")` surface):
+    * `.option("versionAsOf", n)` / `.option("timestampAsOf", ts)` time
+    * travel, latest version otherwise — so both halves of the
+    * DataSource story go through one format string.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val mt = ManifestTable.forRoot(sqlContext.sparkSession, rootOf(parameters))
+    def opt(k: String) =
+      parameters.get(k.toLowerCase).orElse(parameters.get(k))
+    val df = (opt("versionAsOf"), opt("timestampAsOf")) match {
+      case (Some(v), _) => mt.read(Some(v.toInt))
+      case (None, Some(ts)) =>
+        mt.readAsOf(java.sql.Timestamp.valueOf(ts).getTime)
+      case _ => mt.read()
+    }
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = sqlContext0
+      override def schema: StructType = df.schema
+      override def buildScan(): RDD[Row] = df.rdd
+      private def sqlContext0 = df.sparkSession.sqlContext
+    }
+  }
 }
 
 class GraftTableSource(spark: SparkSession, root: String,
-    ignoreChanges: Boolean) extends Source with SupportsTriggerAvailableNow {
+    ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends Source with SupportsTriggerAvailableNow {
 
   private def table: ManifestTable = ManifestTable.forRoot(spark, root)
 
@@ -81,12 +111,28 @@ class GraftTableSource(spark: SparkSession, root: String,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   // SupportsAdmissionControl entry point (the engine prefers it over
-  // getOffset when present); version commits aren't rate-splittable,
-  // so every limit reads to the (possibly AvailableNow-capped) latest
+  // getOffset when present). A version commit is the atomic unit (its
+  // files land together or not at all), so rate limiting caps how many
+  // VERSIONS a micro-batch drains (`maxVersionsPerTrigger`) — the
+  // Delta `maxFilesPerTrigger` role at our commit granularity; a huge
+  // backlog then catches up in bounded batches instead of one
+  // unbounded scan.
   override def latestOffset(
       startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
-      limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset =
-    getOffset.orNull
+      limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val uncapped = getOffset
+    val limited = maxVersionsPerTrigger match {
+      case Some(maxV) =>
+        val from = Option(startOffset).map {
+          case GraftTableOffset(v) => v
+          case o => o.json.trim.toInt
+        }
+        uncapped.map(o => GraftTableOffset(
+          math.min(versionOf(o), from.getOrElse(-1) + maxV)))
+      case None => uncapped
+    }
+    limited.orNull
+  }
 
   override def getOffset: Option[Offset] = {
     val latest = table.latestVersion

@@ -285,6 +285,50 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() === orders.count())
   }
 
+  test("T10: maxVersionsPerTrigger bounds each micro-batch; batch read time-travels") {
+    import graft.streaming.GraftTableSourceProvider
+    val root = scratch("t10c_table")
+    val mt = new ManifestTable(spark, root)
+    import spark.implicits._
+    (0 to 4).foreach { v =>
+      mt.write(Seq((v.toLong, s"v$v")).toDF("id", "tag"),
+        if (v == 0) "overwrite" else "append") // v0..v4
+    }
+
+    // rate-limited drain: 5 versions at 2/trigger → ≥3 micro-batches,
+    // all rows exactly once
+    val outDir = scratch("t10c_out")
+    val ckpt = scratch("t10c_ckpt")
+    var batches = 0
+    val q = spark.readStream
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("maxVersionsPerTrigger", 2)
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        df.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches >= 3, s"expected >=3 rate-limited batches, got $batches")
+    assert(spark.read.parquet(outDir).count() === 5)
+
+    // batch read through the same format string
+    val latest = spark.read
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root).load()
+    assert(latest.count() === 5)
+    val asOf = spark.read
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root).option("versionAsOf", 1).load()
+    assert(asOf.count() === 2)
+    assert(asOf.columns.sorted.toSeq === Seq("id", "tag"))
+  }
+
   test("T10: non-append commits fail the stream unless ignoreChanges") {
     import graft.streaming.GraftTableSourceProvider
     val root = scratch("t10b_table")
