@@ -1250,11 +1250,24 @@ class ManifestTable(spark: SparkSession, root: String,
   /** ALTER TABLE RENAME COLUMN — metadata-only: no data file is
     * touched; the next scan surfaces the new name. Partition columns
     * (identity or transform source) refuse — their names are baked
-    * into hive paths and derived layouts. The new name must not
-    * collide with any current logical OR physical column.
+    * into hive paths and derived layouts — as does a column referenced
+    * by a CHECK constraint (every later write would fail to resolve
+    * the constraint, the Delta restriction). The new name must not
+    * collide with any current logical OR physical column. Active
+    * streams tailing this table pin the pre-rename schema; restart
+    * them to pick up the new name.
     */
   def renameColumn(oldName: String, newName: String): Unit = {
     require(oldName != newName, "rename to the same name")
+    val referencing = constraints.filter { case (_, s) =>
+      try spark.sessionState.sqlParser.parseExpression(s)
+        .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name }
+        .contains(oldName)
+      catch { case _: Exception => s.contains(oldName) } // conservative
+    }
+    require(referencing.isEmpty,
+      s"cannot rename $oldName: referenced by CHECK constraint(s) " +
+        s"${referencing.keys.mkString(", ")} — drop them first")
     require(!identityPartCols.contains(toPhysical(oldName))
       && !transforms.exists(_.src == toPhysical(oldName)),
       s"cannot rename partition column $oldName (hive paths and derived " +

@@ -96,6 +96,25 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(t.read().columns.contains("payload"))
   }
 
+  test("a column referenced by a CHECK constraint refuses to rename") {
+    val root = scratch("constraint")
+    val t = new ManifestTable(spark, root)
+    t.write(Seq((1L, 5.0)).toDF("id", "amt"), "overwrite")
+    t.addConstraint("amt_pos", "amt >= 0")
+    val ex = intercept[IllegalArgumentException] { t.renameColumn("amt", "amount") }
+    assert(ex.getMessage.contains("amt_pos"))
+    // dropping the constraint unblocks the rename
+    t.dropConstraint("amt_pos")
+    t.renameColumn("amt", "amount")
+    assert(t.read().columns.contains("amount"))
+    // and a constraint over the NEW name enforces on writes
+    t.addConstraint("amount_pos", "amount >= 0")
+    intercept[Exception] {
+      t.write(Seq((2L, -1.0)).toDF("id", "amount"), "append")
+    }
+    assert(t.read().count() === 1)
+  }
+
   test("SQL surface: CALL graft.rename_column; forRoot instances see the mapping") {
     val root = scratch("sql")
     new ManifestTable(spark, root)
