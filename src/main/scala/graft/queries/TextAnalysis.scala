@@ -319,12 +319,15 @@ object TextAnalysis extends QueryModule {
     val c1 = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val vocab = toks.select(countDistinct(col("w1")).as("v"))
-    bigrams
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .crossJoin(vocab) // 1-row scalar
-      .select(col("doc_id"),
+    // enrich the DISTINCT-bigram table once (vocab-sized joins), then
+    // hit the big occurrence stream with a single equi-join — joining
+    // occurrences twice would shuffle the corpus-scale stream two
+    // extra times for the same answer
+    val probs = c2.join(c1, Seq("w1")).crossJoin(vocab) // vocab is 1 row
+      .select(col("w1"), col("w2"),
         expr("((c2 + 1) * 1000000000L) div (c1 + v)").as("ppb"))
+    bigrams
+      .join(probs, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("ppb")).cast("double") / count(lit(1))).as("familiarity_ppb"))
