@@ -266,6 +266,43 @@ object Functions extends QueryModule {
        |GROUP BY 1
        |ORDER BY k_mod10 ASC NULLS FIRST""".stripMargin
 
+  /** F6c: VARIANT semi-structured extraction (Spark 4's open
+    * JSON-like type): parse real props JSON AND a synthesized nested
+    * document into variants, then typed-path extraction — nested
+    * object field, array index, and a missing path that must yield
+    * NULL (not fail). The variant encoding stays engine-internal; the
+    * EXTRACTED typed values are what cross engines, so the DuckDB
+    * oracle reads the same paths with its JSON operators. At scale
+    * variant shreds/prunes like a column, where a raw JSON string
+    * reparses per access.
+    */
+  def f6cVariant(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "events")
+      .filter(col("event_id") < 500)
+      .withColumn("doc", format_string(
+        """{"meta":{"type":"%s"},"ids":[%s,%s]}""",
+        col("event_type"), col("user_id"), col("event_id")))
+      .select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+        expr("variant_get(parse_json(doc), '$.meta.type', 'string')").as("etype"),
+        expr("variant_get(parse_json(doc), '$.ids[0]', 'long')").as("id0"),
+        expr("try_variant_get(parse_json(doc), '$.meta.absent', 'string')").as("missing"))
+      .orderBy(col("event_id").asc)
+
+  val f6cOracle: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  json_extract_string(doc, '$.meta.type') AS etype,
+      |  CAST(json_extract(doc, '$.ids[0]') AS BIGINT) AS id0,
+      |  json_extract_string(doc, '$.meta.absent') AS missing
+      |FROM (
+      |  SELECT event_id, props,
+      |    '{"meta":{"type":"' || event_type || '"},"ids":[' || user_id ||
+      |      ',' || event_id || ']}' AS doc
+      |  FROM events WHERE event_id < 500)
+      |ORDER BY event_id ASC NULLS FIRST""".stripMargin
+
   /** F2c: calendar gap filling — a dense (priority × day) grid over a
     * fixed window, zero-filled where no orders exist. `sequence` +
     * `explode` generates the calendar; the left join pulls actuals.
@@ -370,6 +407,7 @@ object Functions extends QueryModule {
     "f5_array_funcs" -> f5Array,
     "f5_explode_tf" -> f5Explode,
     "f6_json_funcs" -> f6Json,
+    "f6c_variant" -> f6cVariant,
     "f2c_gap_fill" -> f2cGapFill,
     "f6b_map_funcs" -> f6bMapFuncs,
     "f7_hash_funcs" -> f7Hash)
@@ -385,6 +423,7 @@ object Functions extends QueryModule {
     "f5_array_funcs" -> f5Oracle,
     "f5_explode_tf" -> f5ExplodeOracle,
     "f6_json_funcs" -> f6Oracle,
+    "f6c_variant" -> f6cOracle,
     "f2c_gap_fill" -> f2cOracle,
     "f6b_map_funcs" -> f6bOracle,
     "f7_hash_funcs" -> f7Oracle)

@@ -94,7 +94,43 @@ object Subqueries extends QueryModule {
   def sub4Lateral(spark: SparkSession, dir: String): DataFrame =
     GraftSession.sql(spark, dir, sub4Sql)
 
+  /** SUB5: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — walk each
+    * customer's order chain (first order → next by date) emitting the
+    * hop number: the linked-list/hierarchy traversal shape (org
+    * charts, BOM explosions, referral chains) that was THE reason to
+    * leave Spark before 4.0. Iterations = longest chain; each step is
+    * one equi-join of the frontier against the next-pointer table —
+    * the same per-round shape as the CC engines, planned by the
+    * engine itself.
+    */
+  private val sub5Sql =
+    """WITH RECURSIVE nxt AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+      |      AS next_key
+      |  FROM orders WHERE o_custkey < 100),
+      |chain AS (
+      |  SELECT o_custkey, o_orderkey, 1 AS hop FROM (
+      |    SELECT o_custkey, o_orderkey,
+      |      ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+      |        AS rn
+      |    FROM orders WHERE o_custkey < 100) f
+      |  WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.o_custkey, x.next_key AS o_orderkey, c.hop + 1 AS hop
+      |  FROM chain c JOIN nxt x
+      |    ON x.o_custkey = c.o_custkey AND x.o_orderkey = c.o_orderkey
+      |  WHERE x.next_key IS NOT NULL)
+      |SELECT o_custkey, o_orderkey, hop FROM chain
+      |ORDER BY o_custkey ASC NULLS FIRST, hop ASC NULLS FIRST""".stripMargin
+
+  def sub5Recursive(spark: SparkSession, dir: String): DataFrame =
+    GraftSession.sql(spark, dir, sub5Sql)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sub5_recursive" -> sub5Recursive,
     "sub1_correlated_scalar" -> sub1CorrelatedScalar,
     "sub2_scalar_in" -> sub2ScalarIn,
     "sub3_exists" -> sub3Exists,
@@ -103,6 +139,7 @@ object Subqueries extends QueryModule {
 
   // the Spark SQL strings are (deliberately) also valid DuckDB SQL
   override def oracles: Map[String, String] = Map(
+    "sub5_recursive" -> sub5Sql,
     "sub1_correlated_scalar" -> sub1Sql,
     "sub2_scalar_in" -> sub2Sql,
     "sub3_exists" -> sub3Sql,
