@@ -99,6 +99,34 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** T11: stream-static dimension enrichment with PER-BATCH dimension
+    * refresh — each micro-batch LEFT-joins against a FRESH snapshot of
+    * the dimension ManifestTable (broadcast; dims are broadcast-sized
+    * by definition), so slowly-changing-dimension updates committed
+    * between triggers are visible to the next batch — where a plain
+    * `stream.join(staticDf)` pins the dimension at plan time forever.
+    * Left join: an event with no dimension row flows through with
+    * NULLs (a fact must never be dropped by late dimension data).
+    * Results append to `out` — replayed batches re-append; downstream
+    * exactly-once comes from keyed merge if needed.
+    */
+  def enrichSink(stream: DataFrame, dim: ManifestTable, keys: Seq[String],
+      out: ManifestTable,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val snapshot = dim.read() // fresh per trigger
+          out.write(
+            batch.join(org.apache.spark.sql.functions.broadcast(snapshot),
+              keys, "left"),
+            "append"): Unit
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** T5c: streaming erasure sink (the GDPR/right-to-be-forgotten
     * pipeline): a stream of deletion requests — rows carrying the key
     * value to erase in `keyCol` — applies to the table as ONE

@@ -285,6 +285,43 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() === orders.count())
   }
 
+  test("T11: enrichSink sees dimension updates committed between batches") {
+    import spark.implicits._
+    val dimRoot = scratch("t11_dim")
+    val outRoot = scratch("t11_out")
+    val inbox = scratch("t11_inbox")
+    val ckpt = scratch("t11_ckpt")
+    val dim = new ManifestTable(spark, dimRoot)
+    dim.write(Seq((1L, "bronze"), (2L, "silver")).toDF("tier_id", "tier_name"),
+      "overwrite")
+    val out = new ManifestTable(spark, outRoot)
+
+    def drainOne(file: String, rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("event_id", "tier_id").write.mode("append").parquet(inbox)
+      val stream = spark.readStream
+        .schema("event_id LONG, tier_id LONG")
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(inbox)
+      graft.streaming.Streams.enrichSink(stream, dim, Seq("tier_id"), out, ckpt)
+        .start().awaitTermination()
+    }
+
+    drainOne("b1", Seq((100L, 1L), (101L, 2L), (102L, 9L))) // 9 = no dim row
+    val first = out.read()
+    assert(first.count() === 3)
+    assert(first.filter(col("event_id") === 100L).head().getString(2) === "bronze")
+    assert(first.filter(col("event_id") === 102L).head().isNullAt(2),
+      "unmatched fact flows with NULL dim")
+
+    // dimension changes BETWEEN batches: tier 1 renamed, tier 9 appears
+    dim.merge(Seq((1L, "BRONZE+"), (9L, "gold")).toDF("tier_id", "tier_name"),
+      Seq("tier_id"))
+    drainOne("b2", Seq((200L, 1L), (201L, 9L)))
+    val second = out.read().filter(col("event_id") >= 200L)
+    assert(second.filter(col("event_id") === 200L).head().getString(2) === "BRONZE+")
+    assert(second.filter(col("event_id") === 201L).head().getString(2) === "gold")
+  }
+
   test("T10: maxVersionsPerTrigger bounds each micro-batch; batch read time-travels") {
     import graft.streaming.GraftTableSourceProvider
     val root = scratch("t10c_table")
