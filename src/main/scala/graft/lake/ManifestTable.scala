@@ -483,6 +483,10 @@ class ManifestTable(spark: SparkSession, root: String,
     if (configChecked) return
     configChecked = true
     if (fs.exists(configPath)) return
+    writeConfigFile(replaceExisting = false)
+  }
+
+  private def writeConfigFile(replaceExisting: Boolean): Unit = {
     val lines = Seq(
       "partition_cols=" + identityPartCols.map(Entry.enc).mkString(","),
       "partition_spec=" + transforms.map(t => Entry.enc(t.spec)).mkString(","),
@@ -494,7 +498,42 @@ class ManifestTable(spark: SparkSession, root: String,
     val out = fs.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    if (replaceExisting && fs.exists(configPath)) fs.delete(configPath, false)
     if (!fs.rename(tmp, configPath)) fs.delete(tmp, false): Unit
+  }
+
+  /** ALTER TABLE … PARTITIONED BY — change the partition layout
+    * (identity columns and/or transforms). This REWRITES the current
+    * snapshot under the new layout in one conflict-checked commit
+    * (concurrent writers of any kind conflict rather than losing
+    * rows), then persists the new layout to the config sidecar — so
+    * the table is never in a mixed-layout state and every partition-
+    * scoped op (tuple merge, partition overwrite, DV scoping) stays
+    * exact. O(table) — the honest cost of a layout change here;
+    * Iceberg's lazy multi-spec variant trades it for per-file spec
+    * tracking. History is preserved: earlier versions time-travel
+    * with their old layout (readers key on paths, not config).
+    * Returns a NEW instance configured with the evolved layout; the
+    * receiving instance keeps its old view and should be discarded.
+    */
+  def evolvePartitionSpec(newIdentityCols: Seq[String],
+      newTransformSpecs: Seq[String] = Nil): ManifestTable = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"evolvePartitionSpec: no versions at $root"))
+    val parsed = newTransformSpecs.map(PartitionTransform.parse)
+    val current = read(Some(v0))
+    val needed = newIdentityCols ++ parsed.map(_.src)
+    val missing = needed.filterNot(current.columns.contains)
+    require(missing.isEmpty,
+      s"evolvePartitionSpec: column(s) not in table: ${missing.mkString(", ")}")
+    val renamed = needed.filter(c => toPhysical(c) != c)
+    require(renamed.isEmpty,
+      s"evolvePartitionSpec: renamed column(s) cannot partition: ${renamed.mkString(", ")}")
+    val evolved = new ManifestTable(spark, root, None, statsCol, statsCols,
+      bloomCol, bloomBits, bloomHashes, newIdentityCols, newTransformSpecs)
+    evolved.rewriteSnapshot(Some(v0), current)
+    evolved.writeConfigFile(replaceExisting = true)
+    evolved
   }
 
   /** A version is taken if EITHER file form exists — a checkpoint

@@ -297,6 +297,14 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         Seq(Row(v, rows, bytes))
       case "describe_stats" =>
         table.columnStats().collect().toSeq
+      case "evolve_partition" =>
+        // evolve_partition(root, identityColsCsv [, transformSpecsCsv])
+        // — rewrite-migrate the layout; '' for no identity columns
+        def csv(i: Int): Seq[String] =
+          if (args.length > i) str(i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          else Seq.empty
+        val t = table.evolvePartitionSpec(csv(1), csv(2))
+        versionRow(t.latestVersion.getOrElse(-1))
       case "rename_column" =>
         // rename_column(root, old, new) — metadata-only, no rewrite
         val t = table
@@ -349,7 +357,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
             "update, optimize, optimize_small, zorder, vacuum, restore, " +
             "describe_history, describe_detail, describe_files, " +
             "constraint_add, constraint_drop, constraints, analyze, " +
-            "describe_stats, rename_column, pq_build, pq_refresh, pq_query")
+            "describe_stats, rename_column, evolve_partition, pq_build, " +
+            "pq_refresh, pq_query")
     }
   }
 }

@@ -134,6 +134,46 @@ class PartitionTransformSpec extends SparkTestBase {
     assert(gotR.collect().map(_.getString(1)).sorted.toSeq === Seq("aa1", "aa2", "ab1"))
   }
 
+  test("evolvePartitionSpec migrates the layout in one commit; history keeps the old one") {
+    val root = scratch("evolve")
+    val t0 = new ManifestTable(spark, root) // unpartitioned
+    t0.write(eventsDf, "overwrite")
+    val v0 = t0.latestVersion.get
+
+    val t1 = t0.evolvePartitionSpec(Nil, Seq("days(ts)"))
+    // data identical, layout migrated
+    assert(t1.read().count() === 300)
+    assert(t1.read().exceptAll(eventsDf).count() === 0)
+    assert(t1.filesDf().collect().map(_.getString(0))
+      .forall(_.contains("_graft_p_days_ts=")), "all files under the new layout")
+    // transform pruning works through the evolved instance
+    val want = eventsDf.filter(
+      col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp")
+        && col("ts") <= lit("2024-01-02 23:59:59").cast("timestamp"))
+    val got = t1.readPartitionRange("ts", "2024-01-02 00:00:00", "2024-01-02 23:59:59")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    // time travel to the pre-evolution version still serves the old files
+    assert(t1.read(Some(v0)).count() === 300)
+    // forRoot picks up the evolved spec (appends land derived dirs)
+    val t2 = ManifestTable.forRoot(spark, root)
+    t2.write(eventsDf.withColumn("event_id", col("event_id") + 1000L), "append")
+    assert(t2.read().count() === 600)
+
+    // second evolution: add a bucket level
+    val t3 = t2.evolvePartitionSpec(Nil, Seq("days(ts)", "bucket(4,user_id)"))
+    assert(t3.readPartitionEq("user_id", "7").count() ===
+      t3.read().filter(col("user_id") === 7L).count())
+
+    // refusals: unknown column, renamed column
+    intercept[IllegalArgumentException] {
+      t3.evolvePartitionSpec(Seq("nope"))
+    }
+    t3.renameColumn("payload", "body")
+    intercept[IllegalArgumentException] {
+      ManifestTable.forRoot(spark, root).evolvePartitionSpec(Seq("body"))
+    }
+  }
+
   test("transform parsing round-trips; malformed specs refuse") {
     val specs = Seq("days(ts)", "months(ts)", "hours(ts)",
       "bucket(16,id)", "truncate(4,name)")
