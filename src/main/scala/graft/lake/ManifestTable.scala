@@ -991,9 +991,10 @@ class ManifestTable(spark: SparkSession, root: String,
       // ALWAYS recompute derived partition values (drop any carried
       // in): an updateWhere copy scanned from hive dirs carries the
       // OLD derived value — if the assignment changed the transform
-      // source, trusting it would file the row in the wrong partition
+      // source, trusting it would file the row in the wrong partition.
+      // Generated columns compute/validate FIRST, on logical names.
       val derived = withDerived(
-        toPhysicalRename(df).drop(transforms.map(_.name): _*))
+        toPhysicalRename(withGenerated(df)).drop(transforms.map(_.name): _*))
       val toWrite =
         if (partCols.isEmpty) derived
         else derived.repartition(partCols.map(col): _*)
@@ -1133,14 +1134,19 @@ class ManifestTable(spark: SparkSession, root: String,
     * when the merge is a no-op (re-applying an already-applied feed
     * commits nothing).
     */
-  def merge(updates: DataFrame, keys: Seq[String],
+  def merge(updates0: DataFrame, keys: Seq[String],
       deleteCol: Option[String] = None): Int = {
     // pin the snapshot: every read below (base rows, touched scan,
     // carried entries) must see ONE version, and the commit is a delta
     // against exactly that version so concurrent disjoint writers rebase
     val v0 = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
-    val base = read(Some(v0))
+    // a merge source may omit generated columns — compute them on both
+    // sides so the schema contract and the change detection line up.
+    // The tombstone flag (not a table column) rides along untouched:
+    // generated expressions only reference table columns.
+    val updates = withGenerated(updates0)
+    val base = withGenerated(read(Some(v0)))
     def resolve(b: DataFrame, u: DataFrame): DataFrame = deleteCol match {
       case Some(d) => Merge.applyCdc(b, u, keys, d)
       case None => Merge.upsert(b, u, keys)
@@ -1333,6 +1339,76 @@ class ManifestTable(spark: SparkSession, root: String,
         throw new IllegalStateException("column_mapping update failed")
     }
   }
+
+  // ---------------------------------------------------------------- //
+  // Generated columns (Delta GENERATED ALWAYS AS): registered          //
+  // expressions every writer either COMPUTES (column absent from the  //
+  // incoming frame) or VALIDATES in-job (column present — a value     //
+  // disagreeing with the expression fails the write, so a generated   //
+  // column can never silently drift from its definition).             //
+  // ---------------------------------------------------------------- //
+
+  private val generatedPath = new Path(logDir, "generated_columns")
+  private def generatedLock: Object =
+    ManifestTable.lockFor(fs.makeQualified(logDir).toString + "#generated")
+
+  /** Registered generated columns: name → SQL expression (over the
+    * table's other columns). Read fresh per use, like constraints. */
+  def generatedColumns: Map[String, String] = generatedLock.synchronized {
+    if (!fs.exists(generatedPath)) return Map.empty
+    val in = fs.open(generatedPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        Entry.dec(l.substring(0, i)) -> Entry.dec(l.substring(i + 1))
+      }.toMap
+    finally in.close()
+  }
+
+  /** Register `name` as GENERATED ALWAYS AS (`sqlExpr`). Old files
+    * simply lack the column (mergeSchema null-fills on read); every
+    * write from now on carries it. */
+  def addGeneratedColumn(name: String, sqlExpr: String): Unit = {
+    require(name.nonEmpty && sqlExpr.nonEmpty, "generated column needs name + expr")
+    spark.sessionState.sqlParser.parseExpression(sqlExpr) // fail fast on syntax
+    generatedLock.synchronized {
+      writeGenerated(generatedColumns + (name -> sqlExpr))
+    }
+  }
+
+  def dropGeneratedColumn(name: String): Unit = generatedLock.synchronized {
+    writeGenerated(generatedColumns - name)
+  }
+
+  private def writeGenerated(m: Map[String, String]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-gen-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(m.toSeq.sortBy(_._1).map { case (n, s) =>
+      s"${Entry.enc(n)}\t${Entry.enc(s)}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(generatedPath)) fs.delete(generatedPath, false)
+    if (!fs.rename(tmp, generatedPath))
+      throw new IllegalStateException("generated_columns update failed")
+  }
+
+  /** Compute absent / validate present generated columns. Validation
+    * rides the write job itself (one evaluation, assert_true filter —
+    * the same no-TOCTOU shape as CHECK enforcement; the guard wraps
+    * the ROW, never inlines into per-column expressions). */
+  private def withGenerated(df: DataFrame): DataFrame =
+    generatedColumns.foldLeft(df) { case (d, (name, sqlExpr)) =>
+      if (!d.columns.contains(name)) d.withColumn(name, expr(sqlExpr))
+      else d
+        // NULL backfills (pre-registration rows null-fill on rewrite;
+        // an explicit NULL means "compute it", the Delta semantics)
+        .withColumn(name,
+          when(col(name).isNull, expr(sqlExpr)).otherwise(col(name)))
+        .filter(assert_true(
+          col(name) <=> expr(sqlExpr),
+          lit(s"generated column $name must equal $sqlExpr")).isNull)
+    }
 
   private def constraintsLock: Object =
     ManifestTable.lockFor(

@@ -297,6 +297,15 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         Seq(Row(v, rows, bytes))
       case "describe_stats" =>
         table.columnStats().collect().toSeq
+      case "generated_add" =>
+        // generated_add(root, name, sqlExpr)
+        val t = table
+        t.addGeneratedColumn(str(1), str(2))
+        versionRow(t.latestVersion.getOrElse(-1))
+      case "generated_drop" =>
+        val t = table
+        t.dropGeneratedColumn(str(1))
+        versionRow(t.latestVersion.getOrElse(-1))
       case "evolve_partition" =>
         // evolve_partition(root, identityColsCsv [, transformSpecsCsv])
         // — rewrite-migrate the layout; '' for no identity columns
@@ -357,8 +366,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
             "update, optimize, optimize_small, zorder, vacuum, restore, " +
             "describe_history, describe_detail, describe_files, " +
             "constraint_add, constraint_drop, constraints, analyze, " +
-            "describe_stats, rename_column, evolve_partition, pq_build, " +
-            "pq_refresh, pq_query")
+            "describe_stats, rename_column, evolve_partition, " +
+            "generated_add, generated_drop, pq_build, pq_refresh, pq_query")
     }
   }
 }

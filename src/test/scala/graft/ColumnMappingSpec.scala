@@ -115,6 +115,43 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(t.read().count() === 1)
   }
 
+  test("generated columns: computed when absent, validated when present, backfilled on rewrite") {
+    val root = scratch("generated")
+    val t = new ManifestTable(spark, root)
+    // pre-registration data: lacks the column entirely
+    t.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"), "overwrite")
+    t.addGeneratedColumn("amt_cents", "CAST(round(amt * 100) AS BIGINT)")
+
+    // absent → computed
+    t.write(Seq((3L, 30.5)).toDF("id", "amt"), "append")
+    val r3 = t.read().filter(col("id") === 3L).head()
+    assert(r3.getAs[Long]("amt_cents") === 3050L)
+    // old rows null-fill on read (their files predate the column)
+    assert(t.read().filter(col("id") === 1L).head().isNullAt(2))
+
+    // present and correct → accepted
+    t.write(Seq((4L, 40.0, 4000L)).toDF("id", "amt", "amt_cents"), "append")
+    // present and WRONG → the write fails, table untouched
+    val before = t.latestVersion.get
+    intercept[Exception] {
+      t.write(Seq((5L, 50.0, 999L)).toDF("id", "amt", "amt_cents"), "append")
+    }
+    assert(t.latestVersion.get === before)
+
+    // a rewrite (compaction) backfills the old rows' NULLs
+    t.compact(1)
+    assert(t.read().filter(col("id") === 1L).head().getAs[Long]("amt_cents") === 1000L)
+
+    // merge computes it for merged rows too
+    t.merge(Seq((2L, 25.0)).toDF("id", "amt"), Seq("id"))
+    assert(t.read().filter(col("id") === 2L).head().getAs[Long]("amt_cents") === 2500L)
+
+    // drop → writes stop carrying enforcement (absent column stays absent)
+    t.dropGeneratedColumn("amt_cents")
+    t.write(Seq((6L, 60.0, 42L)).toDF("id", "amt", "amt_cents"), "append")
+    assert(t.read().filter(col("id") === 6L).head().getAs[Long]("amt_cents") === 42L)
+  }
+
   test("SQL surface: CALL graft.rename_column; forRoot instances see the mapping") {
     val root = scratch("sql")
     new ManifestTable(spark, root)
