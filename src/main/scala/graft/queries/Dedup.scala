@@ -322,6 +322,68 @@ object Dedup extends QueryModule {
        |ORDER BY a ASC NULLS FIRST, b ASC NULLS FIRST, c ASC NULLS FIRST""".stripMargin
   }
 
+  /** D11: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication") — drop
+    * documents whose EMBEDDINGS nearly coincide, comparing only
+    * WITHIN k-means clusters: cluster the corpus, compute pairwise
+    * cosine inside each cluster, connect pairs ≥ τ, keep one
+    * canonical survivor (min id) per component. The semantic layer
+    * above d1 (exact text) and d2/d3 (lexical n-grams): catches
+    * paraphrases and template rewrites that share no shingles.
+    *
+    * Scale shape: the all-pairs comparison is confined to clusters
+    * (quadratic in CLUSTER size, k clusters in parallel — the paper's
+    * exact trick); assignment is the IVF map-side `max_by` argmax, so
+    * the corpus pass never sort-shuffles vectors. Iterative float
+    * clustering → rows-only gate; DedupSpec plants paraphrase pairs
+    * and asserts survivors, and bounds the comparison count.
+    */
+  def d11SemDedup(spark: SparkSession, dir: String,
+      k: Int = 16, tau: Double = 0.95): DataFrame = {
+    val emb = graft.queries.Similarity.unitVectors(spark, dir)
+    val seeds = emb.filter(col("vec_id") % 31 === 0)
+      .orderBy(col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("cluster_id"), col("v").as("seed_v"))
+    semDedup(spark, emb, seeds, tau)
+  }
+
+  /** Core SemDeDup over an explicit `(vec_id, v)` unit-vector frame and
+    * `(cluster_id, seed_v)` seed frame — split out so specs can plant
+    * paraphrase embeddings and drive the cluster geometry directly.
+    */
+  private[graft] def semDedup(spark: SparkSession, emb: DataFrame,
+      seeds: DataFrame, tau: Double): DataFrame = {
+    import graft.functions.{CosineSimilarity, DedupOps}
+    // map-side argmax assignment (the s4 IVF shape; same tie-break)
+    val assigned = emb.crossJoin(broadcast(seeds))
+      .withColumn("seed_sim",
+        CosineSimilarity.cosine(spark, col("v"), col("seed_v")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("v").as("v"), col("cluster_id").as("cluster_id")),
+        struct(col("seed_sim"), (-col("cluster_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"),
+        col("best.v").as("v"))
+    // within-cluster pairs only (the bounded quadratic)
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"),
+      col("v").as("v_a"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("id_b"),
+      col("v").as("v_b"))
+    val pairs = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", CosineSimilarity.cosine(spark, col("v_a"), col("v_b")))
+      .filter(col("cos") >= tau)
+      .select("id_a", "id_b")
+    val clusters = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+    assigned.select(col("vec_id"))
+      .join(clusters.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("group_id"),
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+          .as("is_kept"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** G1: PageRank centrality over the near-dup graph — which doc is
     * the HUB of its duplication neighborhood (the principled canonical-
     * survivor choice where d6's min-id rule is arbitrary). Undirected:
@@ -402,6 +464,7 @@ object Dedup extends QueryModule {
     "d8_fuzzy_join" -> d8FuzzyJoin,
     "d10_span_dedup" -> d10SpanDedup,
     "g1_pagerank" -> g1PageRank,
+    "d11_semdedup" -> ((s, d) => d11SemDedup(s, d)),
     "d9_triangles" -> d9Triangles,
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,

@@ -474,4 +474,45 @@ class LlmOpsSpec extends SparkTestBase {
     assert(scores(1L) > scores(99L) * 3,
       s"familiar=${scores(1L)} garbled=${scores(99L)}")
   }
+
+  test("SemDeDup: planted paraphrase embeddings collapse, distinct survive") {
+    import graft.queries.Dedup
+    // two tight direction clusters + one outlier, all unit vectors
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.0447, 0.0, 0.0)),   // cos(1,2) ≈ 0.999 ≥ τ
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(0.0447, 0.999, 0.0, 0.0)),   // cos(3,4) ≈ 0.999 ≥ τ
+      (5L, Seq(0.0, 0.0, 1.0, 0.0))         // unique direction
+    ).toDF("vec_id", "v")
+    val seeds = Seq(
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (20L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (30L, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("cluster_id", "seed_v")
+    val got = Dedup.semDedup(spark, emb, seeds, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 3L, false),
+      (5L, 5L, true)))
+  }
+
+  test("SemDeDup on sf corpus: one survivor per group, min-id canonical, no cartesian") {
+    val res = graft.queries.Dedup.d11SemDedup(spark, sf)
+    // the only non-equi join is the broadcast seed assignment — the
+    // within-cluster pair pass must stay an equi-join, never a
+    // corpus-wide cartesian
+    assert(!res.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val emb = Q.t(spark, sf, "embeddings")
+    assert(rows.length === emb.count())
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.groupBy(_._2).foreach { case (gid, members) =>
+      assert(members.count(_._3) === 1, s"group $gid keeps exactly one")
+      assert(members.filter(_._3).head._1 === members.map(_._1).min,
+        s"group $gid canonical survivor is min id")
+      assert(gid === members.map(_._1).min, s"group id $gid is the min member")
+    }
+  }
 }
