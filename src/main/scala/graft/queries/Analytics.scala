@@ -218,14 +218,69 @@ object Analytics extends QueryModule {
       |FROM cnt CROSS JOIN hot
       |GROUP BY hot.hottest_key, hot.hottest_rows""".stripMargin
 
+  /** FN4: gap-based sessionization — the batch form of T3's session
+    * window: a user's events split into sessions wherever the gap to
+    * the previous event exceeds 30 minutes; per-session start/end,
+    * event count, and exact value sum. The classic two-window shape:
+    * lag to mark boundaries, running sum of boundary marks to number
+    * sessions — both over the SAME (user_id, ts) sort, so Spark plans
+    * ONE shuffle + one sort for the whole thing.
+    *
+    * Scale: partitioned by user_id (high-cardinality, unskewed);
+    * session numbering never crosses partitions, so no global
+    * coordination. Timestamp arithmetic is integer microseconds —
+    * exact, oracle-safe.
+    */
+  def fn4Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        Q.dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id").asc, col("session_seq").asc)
+  }
+
+  val fn4Oracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |numbered AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_seq
+      |  FROM marked)
+      |SELECT user_id, session_seq,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+      |FROM numbered
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id ASC NULLS FIRST, session_seq ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr2_skew_report" -> pr2SkewReport,
+    "fn4_sessionize" -> fn4Sessionize,
     "fn1_funnel" -> fn1Funnel,
     "fn2_cohorts" -> fn2Cohorts,
     "fn3_copurchase" -> ((s, d) => fn3CoPurchase(s, d)),
     "pr1_profile" -> pr1Profile)
 
   override def oracles: Map[String, String] = Map(
+    "fn4_sessionize" -> fn4Oracle,
     "fn1_funnel" -> fn1Oracle,
     "fn2_cohorts" -> fn2Oracle,
     "fn3_copurchase" -> fn3Oracle,
