@@ -137,6 +137,67 @@ object DedupOps {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** The `hashes` bloom bit positions of a fingerprint column —
+    * xxhash64 re-seeded per slot, pmod'd into the bit space. Shared by
+    * the build side (set bits) and the probe side (test bits) so the
+    * two can never disagree.
+    */
+  private def bloomPositions(fp: Column, bits: Int, hashes: Int): Seq[Column] =
+    (0 until hashes).map(i => pmod(xxhash64(lit(i), fp), lit(bits.toLong)))
+
+  /** Build a bloom filter over a fingerprint column as packed longs.
+    * One pass: explode the k positions, OR-fold per-partition bitsets
+    * in a partial+final typed Aggregator (O(bits/64) longs of state
+    * per partition; the only shuffle is the single 1-group final
+    * merge). The words array is the broadcastable corpus summary an
+    * incremental-ingest pipeline persists once per corpus version and
+    * reuses for every arriving batch — at 100 TB the filter is built
+    * beside the corpus (or sharded by fingerprint prefix) instead of
+    * re-shuffling corpus fingerprints per ingest.
+    */
+  def bloomWords(df: DataFrame, fp: Column, bits: Int, hashes: Int): Array[Long] = {
+    require(bits % 64 == 0, s"bits must pack into longs, got $bits")
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, Array[Long], Array[Long]] {
+      override def zero: Array[Long] = new Array[Long](bits / 64)
+      override def reduce(b: Array[Long], p: java.lang.Long): Array[Long] = {
+        if (p != null) { val i = p.intValue; b(i >> 6) |= (1L << (i & 63)) }
+        b
+      }
+      override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < x.length) { x(i) |= y(i); i += 1 }
+        x
+      }
+      override def finish(b: Array[Long]): Array[Long] = b
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+        ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+        ExpressionEncoder[Array[Long]]()
+    }
+    df.select(explode(array(bloomPositions(fp, bits, hashes): _*)).as("p"))
+      .agg(udaf(agg, ExpressionEncoder[java.lang.Long]())(col("p")).as("w"))
+      .head().getSeq[Long](0).toArray // bounded: bits/64 longs
+  }
+
+  /** Membership-test column against a built bloom: true iff every one
+    * of the fingerprint's k bits is set. No false negatives — a row
+    * testing false is DEFINITELY absent from the build set — so a
+    * bloom-pruned exact dedup stays exact: rows testing true go
+    * through the confirming anti-join, rows testing false skip it.
+    * Pure built-ins (element_at + variable shiftright), codegen'd; the
+    * words literal is the plan-embedded stand-in for a broadcast.
+    */
+  def maybeInBloom(words: Array[Long], bits: Int, hashes: Int, fp: Column): Column = {
+    val wordsLit = typedLit(words.toSeq)
+    bloomPositions(fp, bits, hashes).map { p =>
+      val word = element_at(wordsLit, shiftright(p, 6).cast("int") + 1)
+      val bit = p.bitwiseAND(lit(63L)).cast("int")
+      call_function("shiftright", word, bit).bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns pairwise candidates (LSH / jaccard / cosine) into dedup
     * CLUSTERS with one canonical survivor each (min id). Iterative

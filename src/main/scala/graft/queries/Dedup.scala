@@ -384,6 +384,67 @@ object Dedup extends QueryModule {
       .orderBy(col("vec_id").asc)
   }
 
+  /** D12: incremental-ingest dedup — the arriving-batch-vs-historical-
+    * corpus pass every continuously-crawled training corpus runs: keep
+    * only batch docs whose content fingerprint is NEW (not in the
+    * corpus, not earlier in the batch). Corpus = docs with
+    * doc_id % 10 ≠ 0; batch = the rest plus re-crawled copies of every
+    * corpus doc with doc_id % 7 = 1 (the realistic duplicate source).
+    *
+    * Scale shape — the reason this is not just an anti-join: the
+    * corpus fingerprint set is corpus-sized, and shuffling it against
+    * every small arriving batch is the thing a production pipeline
+    * cannot afford. Instead a bloom over corpus fingerprints (built
+    * once per corpus version, a few MB broadcast) prunes the batch
+    * map-side: rows testing NEGATIVE are definitely new and skip the
+    * join entirely; only the positive residue (true dups + the bloom's
+    * false-positive sliver) pays the exact confirming anti-join — so
+    * the result is still EXACT, byte-equal to the plain anti-join
+    * oracle, while the join's probe side shrinks from |batch| to
+    * |dups| + ε. LlmOpsSpec asserts both the equivalence and the
+    * actual pruning ratio.
+    */
+  def d12IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DedupOps
+    val docs = Q.t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val recrawled = corpus.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("fp"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .unionByName(recrawled)
+    val bits = 1 << 16
+    val hashes = 6
+    val words = DedupOps.bloomWords(corpus, col("fp"), bits, hashes)
+    val flagged = batch.withColumn("maybe_seen",
+      DedupOps.maybeInBloom(words, bits, hashes, col("fp")))
+    val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
+    val confirmed = flagged.filter(col("maybe_seen")).drop("maybe_seen")
+      .join(corpus.select("fp"), Seq("fp"), "left_anti")
+    DedupOps.dedupByFingerprint(
+      definitelyNew.unionByName(confirmed), col("fp"), "doc_id")
+      .select("doc_id", "fp")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val d12Oracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0),
+      |batch AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, fp FROM corpus WHERE doc_id % 7 = 1),
+      |fresh AS (
+      |  SELECT b.doc_id, b.fp FROM batch b
+      |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp))
+      |SELECT doc_id, fp FROM (
+      |  SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp
+      |    ORDER BY doc_id ASC NULLS FIRST) AS rn
+      |  FROM fresh)
+      |WHERE rn = 1
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** G1: PageRank centrality over the near-dup graph — which doc is
     * the HUB of its duplication neighborhood (the principled canonical-
     * survivor choice where d6's min-id rule is arbitrary). Undirected:
@@ -465,6 +526,7 @@ object Dedup extends QueryModule {
     "d10_span_dedup" -> d10SpanDedup,
     "g1_pagerank" -> g1PageRank,
     "d11_semdedup" -> ((s, d) => d11SemDedup(s, d)),
+    "d12_incr_dedup" -> d12IncrementalDedup,
     "d9_triangles" -> d9Triangles,
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,
@@ -476,6 +538,7 @@ object Dedup extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "d10_span_dedup" -> d10Oracle,
+    "d12_incr_dedup" -> d12Oracle,
     "d1_exact_dedup" -> d1Oracle,
     "d2_jaccard_pairs" -> d2Oracle,
     "d5_embedding_neardup" -> d5Oracle,

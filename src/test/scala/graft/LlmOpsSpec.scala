@@ -475,6 +475,53 @@ class LlmOpsSpec extends SparkTestBase {
       s"familiar=${scores(1L)} garbled=${scores(99L)}")
   }
 
+  test("bloom: no false negatives, low false-positive rate, real pruning") {
+    val bits = 1 << 16
+    val hashes = 6
+    val corpus = (1L to 500L).map(i => s"member-$i").toDF("fp")
+    val words = DedupOps.bloomWords(corpus, col("fp"), bits, hashes)
+    // every member tests positive (no false negatives — exactness hinges here)
+    val misses = corpus
+      .filter(!DedupOps.maybeInBloom(words, bits, hashes, col("fp"))).count()
+    assert(misses === 0)
+    // non-members mostly test negative: 500 keys in 65536 bits / 6
+    // hashes → theoretical fp ≈ 2e-4; allow a generous margin
+    val probes = (1L to 2000L).map(i => s"absent-$i").toDF("fp")
+    val falsePos = probes
+      .filter(DedupOps.maybeInBloom(words, bits, hashes, col("fp"))).count()
+    assert(falsePos <= 20, s"false positives $falsePos / 2000")
+  }
+
+  test("d12 incremental dedup ≡ plain anti-join; bloom prunes the confirm side") {
+    import graft.functions.DedupOps
+    val docs = Q.t(spark, sf, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val recrawled = corpus.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("fp"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .unionByName(recrawled)
+    // the naive exact path (what the oracle computes)
+    val naive = DedupOps.dedupByFingerprint(
+      batch.join(corpus.select("fp"), Seq("fp"), "left_anti"),
+      col("fp"), "doc_id")
+      .select("doc_id", "fp").orderBy(col("doc_id").asc).collect()
+    val got = graft.queries.Dedup.d12IncrementalDedup(spark, sf).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      naive.map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // pruning: rows surviving the bloom ≈ true dups (+ tiny fp sliver),
+    // far fewer than the whole batch
+    val bits = 1 << 16
+    val words = DedupOps.bloomWords(corpus, col("fp"), bits, 6)
+    val residue = batch
+      .filter(DedupOps.maybeInBloom(words, bits, 6, col("fp"))).count()
+    val trueDups = batch.join(corpus.select("fp"), Seq("fp"), "left_semi").count()
+    assert(residue >= trueDups) // no false negatives
+    assert(residue <= trueDups + batch.count() / 10,
+      s"bloom residue $residue vs true dups $trueDups — not pruning")
+  }
+
   test("SemDeDup: planted paraphrase embeddings collapse, distinct survive") {
     import graft.queries.Dedup
     // two tight direction clusters + one outlier, all unit vectors
