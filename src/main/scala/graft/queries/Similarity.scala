@@ -57,6 +57,51 @@ object Similarity extends QueryModule {
       |WHERE rn <= 3
       |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
 
+  /** S11: exact kNN-graph construction — top-5 cosine neighbors for
+    * EVERY corpus vector (not a probe set): the k-nearest-neighbor
+    * graph that SemDeDup-style semantic dedup, diversity sampling, and
+    * graph-based ANN indexes (HNSW/NSG ground truth) all start from.
+    * Corpus-side broadcast + per-node ranking window; exact, so
+    * oracle-gated.
+    *
+    * Scale: the all-pairs form is exact ground truth, right up to the
+    * point the broadcast side stops fitting — past that the candidate
+    * generator swaps for the LSH band join (d3/s2) or IVF lists (s4)
+    * and the same window ranks the pruned candidate set; the
+    * per-cluster variant is exactly what d11 runs. The ranking shuffle
+    * is keyed by vec_id (max cardinality, no skew).
+    */
+  def s11KnnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val nbrs = emb.select(col("vec_id").as("neighbor"), col("v").as("n_v"))
+    val scored = emb.join(broadcast(nbrs), col("vec_id") =!= col("neighbor"))
+      .withColumn("sim", round(CosineSimilarity.cosine(spark, col("v"), col("n_v")), 6))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("neighbor").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("neighbor"), col("sim"))
+      .orderBy(col("vec_id").asc, col("rn").asc)
+  }
+
+  val s11Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id, c.vec_id AS neighbor,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, c.v), p -> p[1] * p[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, q.v), p -> p[1] * p[2])), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(c.v, c.v), p -> p[1] * p[2])), (a, b) -> a + b))), 6) AS sim
+      |  FROM e q JOIN e c ON c.vec_id != q.vec_id)
+      |SELECT vec_id, rn, neighbor, sim FROM (
+      |  SELECT vec_id, neighbor, sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY sim DESC NULLS LAST, neighbor ASC NULLS FIRST) AS INT) AS rn
+      |  FROM scored)
+      |WHERE rn <= 5
+      |ORDER BY vec_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+
   /** S10: hybrid retrieval with reciprocal-rank fusion — the
     * production search stack's merge step: a KEYWORD leg (distinct-
     * token overlap against the probe doc) and a VECTOR leg (exact
@@ -696,7 +741,8 @@ object Similarity extends QueryModule {
     "s7_pq_ann" -> ((s, d) => s7PqAnn(s, d)),
     "s8_ivfpq_ann" -> ((s, d) => s8IvfPqAnn(s, d)),
     "s9_pq_persisted" -> ((s, d) => s9PqPersisted(s, d)),
-    "s10_hybrid_rrf" -> s10HybridRrf)
+    "s10_hybrid_rrf" -> s10HybridRrf,
+    "s11_knn_graph" -> ((s, d) => s11KnnGraph(s, d)))
 
   /** S9: the persisted-index serving path — build the IVF-PQ index
     * ONCE per corpus (first invocation; a lakehouse table + codebook
@@ -724,6 +770,7 @@ object Similarity extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Oracle,
     "s10_hybrid_rrf" -> s10Oracle,
+    "s11_knn_graph" -> s11Oracle,
     "s6_matryoshka_topk" -> s6Oracle)
 }
 
