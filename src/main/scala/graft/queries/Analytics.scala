@@ -271,8 +271,52 @@ object Analytics extends QueryModule {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id ASC NULLS FIRST, session_seq ASC NULLS FIRST""".stripMargin
 
+  /** PR3: equi-DEPTH histogram (quantile binning) of order values —
+    * the feature-discretization / data-profiling partner to F3b's
+    * equi-width buckets: 8 bins holding ~equal row counts, each
+    * reported with its row count and value bounds.
+    *
+    * Binning is VALUE-functional, not ntile: a value's bin is
+    * floor(rows-strictly-below · B / N), so ties land in one bin and
+    * the result is independent of sort-tie order — the property that
+    * makes it cross-engine exact (all-integer math). The cumulative
+    * pass runs on the DISTINCT-VALUE frame (after a keyed count agg),
+    * not the raw rows; at extreme cardinality the cutpoints swap for
+    * approx_percentile and the same bin-assignment join remains.
+    */
+  def pr3EqdepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val bins = 8
+    val grouped = Q.t(spark, dir, "orders")
+      .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("c"))
+    val tot = grouped.agg(sum(col("c")).as("N"))
+    val wBelow = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped.crossJoin(tot)
+      .withColumn("f", coalesce(sum(col("c")).over(wBelow), lit(0L)))
+      .withColumn("bin",
+        least(expr(s"(f * $bins) div N"), lit(bins - 1L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(sum(col("c")).as("n_rows"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("bin").asc)
+  }
+
+  val pr3Oracle: String =
+    """WITH g AS (SELECT o_totalprice AS v, COUNT(*) AS c FROM orders GROUP BY 1),
+      |tot AS (SELECT SUM(c) AS N FROM g),
+      |b AS (SELECT v, c,
+      |  COALESCE(SUM(c) OVER (ORDER BY v ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f
+      |  FROM g),
+      |binned AS (
+      |  SELECT v, c, CAST(LEAST((f * 8) // N, 7) AS INT) AS bin
+      |  FROM b CROSS JOIN tot)
+      |SELECT bin, CAST(SUM(c) AS BIGINT) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+      |FROM binned GROUP BY bin
+      |ORDER BY bin ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr2_skew_report" -> pr2SkewReport,
+    "pr3_eqdepth" -> pr3EqdepthHist,
     "fn4_sessionize" -> fn4Sessionize,
     "fn1_funnel" -> fn1Funnel,
     "fn2_cohorts" -> fn2Cohorts,
@@ -280,6 +324,7 @@ object Analytics extends QueryModule {
     "pr1_profile" -> pr1Profile)
 
   override def oracles: Map[String, String] = Map(
+    "pr3_eqdepth" -> pr3Oracle,
     "fn4_sessionize" -> fn4Oracle,
     "fn1_funnel" -> fn1Oracle,
     "fn2_cohorts" -> fn2Oracle,

@@ -207,7 +207,59 @@ object DataMix extends QueryModule {
        |GROUP BY 1, 2
        |ORDER BY lang ASC NULLS FIRST, split ASC NULLS FIRST""".stripMargin
 
+  /** MIX6: temperature-weighted source sampling — the multilingual/
+    * multi-source rebalancing recipe (sample source s with probability
+    * ∝ n_s^α, α = 1/2): big sources are downweighted sublinearly, the
+    * tail is upweighted, per XLM-R-style corpus mixing. Quotas are
+    * INTEGER-exact — weight w_s = floor(sqrt(n_s)) (correctly-rounded
+    * IEEE sqrt of a bigint, floored: identical in every engine),
+    * integer sum W, quota_s = (T·w_s) div W — so no float-accumulation
+    * order can flip a doc across the quota boundary; the only float is
+    * the hash-uniform pick ORDER, which is the mix1/mix4 shared
+    * primitive. Selection = per-source top-quota_s by (u, doc_id).
+    *
+    * Scale: one count agg, a ≤|sources| quota frame broadcast back,
+    * one per-source ranking window (keyed by source; the per-source
+    * sort is the cost, same shape as mix4).
+    */
+  def mix6Temperature(spark: SparkSession, dir: String): DataFrame = {
+    val target = 200
+    val docs = Q.t(spark, dir, "documents")
+      .withColumn("u", hashUniform(col("doc_id")))
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val wts = cnt.withColumn("w",
+      floor(sqrt(col("n").cast("double"))).cast("long"))
+    val tot = wts.agg(sum(col("w")).as("wsum"))
+    val quo = wts.crossJoin(tot)
+      .withColumn("q", expr(s"($target * w) div wsum"))
+      .select(col("source"), col("q"))
+    val wr = Window.partitionBy(col("source"))
+      .orderBy(col("u").asc, col("doc_id").asc)
+    docs.withColumn("rk", row_number().over(wr))
+      .join(broadcast(quo), Seq("source"))
+      .filter(col("rk") <= col("q"))
+      .select(col("doc_id"), col("source"), col("rk"), col("q"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val mix6Oracle: String =
+    s"""WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+       |wts AS (SELECT source, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM cnt),
+       |tot AS (SELECT SUM(w) AS wsum FROM wts),
+       |quo AS (SELECT source, CAST((200 * w) // wsum AS BIGINT) AS q FROM wts CROSS JOIN tot),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ${hashUniformSql("doc_id")} ASC NULLS FIRST,
+       |               doc_id ASC NULLS FIRST) AS INT) AS rk
+       |  FROM documents)
+       |SELECT doc_id, ranked.source, rk, q FROM ranked
+       |JOIN quo ON ranked.source = quo.source
+       |WHERE rk <= q
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix6_temperature" -> mix6Temperature,
     "mix1_hash_sample" -> mix1HashSample,
     "mix2_seq_packing" -> mix2SeqPacking,
     "mix3_quality_filter" -> mix3QualityFilter,
@@ -215,6 +267,7 @@ object DataMix extends QueryModule {
     "mix5_stratified_split" -> mix5StratifiedSplit)
 
   override def oracles: Map[String, String] = Map(
+    "mix6_temperature" -> mix6Oracle,
     "mix1_hash_sample" -> mix1Oracle,
     "mix2_seq_packing" -> mix2Oracle,
     "mix3_quality_filter" -> mix3Oracle,
