@@ -102,6 +102,85 @@ object Similarity extends QueryModule {
       |WHERE rn <= 5
       |ORDER BY vec_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
 
+  /** Greedy maximal-marginal-relevance selection (Carbonell & Goldstein
+    * SIGIR'98) over one probe's BOUNDED candidate shortlist: pick
+    * argmax λ·sim(q,c) − (1−λ)·max_{s∈picked} cos(c,s), k times.
+    * Pure Scala on ≤shortlist elements — the per-group kernel of
+    * [[s12Mmr]], split out so the spec can drive it directly.
+    * Tie-break: higher score, then lower id. Returns picks in
+    * selection order with their MMR score at pick time.
+    */
+  private[graft] def mmrGreedy(cands: Seq[(Long, Double, Array[Double])],
+      k: Int, lambda: Double): Seq[(Long, Double)] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Double])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (out.length < k && remaining.nonEmpty) {
+      var bestIdx = -1; var bestScore = Double.NegativeInfinity; var bestId = Long.MaxValue
+      var i = 0
+      while (i < remaining.length) {
+        val (id, sim, v) = remaining(i)
+        val penalty =
+          if (picked.isEmpty) 0.0
+          else picked.iterator.map(p => cos(v, p._3)).max
+        val score = lambda * sim - (1 - lambda) * penalty
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestIdx = i; bestScore = score; bestId = id
+        }
+        i += 1
+      }
+      val b = remaining.remove(bestIdx)
+      picked += b
+      out += ((b._1, bestScore))
+    }
+    out.toSeq
+  }
+
+  /** S12: MMR-diversified retrieval — the re-rank step between ANN
+    * shortlist and serving: top-20 exact-cosine shortlist per probe
+    * (the s1 shape), then greedy MMR (λ = 0.7) picks 5 results that
+    * trade relevance against redundancy with what's already picked.
+    * The shortlist is BOUNDED (20 rows/probe), so the greedy kernel
+    * runs per-group in a typed mapGroups — the declared imperative
+    * boundary, same contract as the PQ encoder: everything upstream
+    * (scan, broadcast probe join, windowed shortlist) is declarative
+    * and scales; the sequential part touches ≤ shortlist·k pairs.
+    * Iterative float scoring → rows-only gate; LlmOpsSpec pins the
+    * λ=1 ≡ plain-top-k equivalence, the redundancy-avoidance property,
+    * and determinism.
+    */
+  def s12Mmr(spark: SparkSession, dir: String,
+      shortlist: Int = 20, k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val short = emb.join(broadcast(probes), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", CosineSimilarity.cosine(spark, col("q_v"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("v"))
+    short.as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qId, it) =>
+        val cands = it.toSeq.sortBy(c => (-c._3, c._2))
+          .map(c => (c._2, c._3, c._4.toArray))
+        mmrGreedy(cands, k, lambda).zipWithIndex.map { case ((id, s), i) =>
+          (qId, i + 1, id, math.rint(s * 1e6) / 1e6)
+        }
+      }
+      .toDF("q_id", "rk", "neighbor", "mmr_score")
+      .orderBy(col("q_id").asc, col("rk").asc)
+  }
+
   /** S10: hybrid retrieval with reciprocal-rank fusion — the
     * production search stack's merge step: a KEYWORD leg (distinct-
     * token overlap against the probe doc) and a VECTOR leg (exact
@@ -742,7 +821,8 @@ object Similarity extends QueryModule {
     "s8_ivfpq_ann" -> ((s, d) => s8IvfPqAnn(s, d)),
     "s9_pq_persisted" -> ((s, d) => s9PqPersisted(s, d)),
     "s10_hybrid_rrf" -> s10HybridRrf,
-    "s11_knn_graph" -> ((s, d) => s11KnnGraph(s, d)))
+    "s11_knn_graph" -> ((s, d) => s11KnnGraph(s, d)),
+    "s12_mmr" -> ((s, d) => s12Mmr(s, d)))
 
   /** S9: the persisted-index serving path — build the IVF-PQ index
     * ONCE per corpus (first invocation; a lakehouse table + codebook

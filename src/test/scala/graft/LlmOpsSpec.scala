@@ -475,6 +475,33 @@ class LlmOpsSpec extends SparkTestBase {
       s"familiar=${scores(1L)} garbled=${scores(99L)}")
   }
 
+  test("MMR: λ=1 reduces to plain top-k; λ<1 skips the redundant twin; deterministic") {
+    // candidates: two near-identical high-sim docs + one diverse mid-sim doc
+    val a = Array(1.0, 0.0, 0.0)
+    val aTwin = Array(0.999, 0.0447, 0.0)
+    val diverse = Array(0.0, 1.0, 0.0)
+    val cands = Seq((1L, 0.95, a), (2L, 0.94, aTwin), (3L, 0.80, diverse))
+    // λ=1: diversity off — exactly the sim ranking
+    val plain = Similarity.mmrGreedy(cands, 3, 1.0).map(_._1)
+    assert(plain === Seq(1L, 2L, 3L))
+    // λ=0.5: after picking 1, the twin's redundancy penalty (≈1.0)
+    // beats its sim edge over the diverse doc — diverse goes second
+    val div = Similarity.mmrGreedy(cands, 2, 0.5).map(_._1)
+    assert(div === Seq(1L, 3L))
+    // end-to-end on the corpus: deterministic, right shape, rk dense
+    val r1 = graft.queries.Similarity.s12Mmr(spark, sf).collect()
+    val r2 = graft.queries.Similarity.s12Mmr(spark, sf).collect()
+    assert(r1.map(_.toSeq) === r2.map(_.toSeq))
+    val byProbe = r1.groupBy(_.getLong(0))
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted === (1 to rows.length).toArray,
+        s"probe $q ranks dense")
+      assert(rows.map(_.getLong(2)).distinct.length === rows.length,
+        s"probe $q picks distinct neighbors")
+    }
+  }
+
   test("bloom: no false negatives, low false-positive rate, real pruning") {
     val bits = 1 << 16
     val hashes = 6
