@@ -1969,6 +1969,44 @@ class ManifestTable(spark: SparkSession, root: String,
     commitDelta(entries, small.map(_._1.rel).toSet, newFiles)
   }
 
+  /** REORG PURGE — materialize soft deletes: rewrite exactly the files
+    * carrying a deletion vector (optionally only those whose deleted
+    * fraction ≥ `minDeletedFraction`), dropping their DV sidecars, and
+    * leave every clean file untouched. The Delta `REORG TABLE ...
+    * APPLY (PURGE)` operation, and the back-pressure valve for the DV
+    * design: DV deletes are O(matched rows) per commit, but reads pay
+    * the anti-join per DV'd file forever — once a file is mostly
+    * dead, rewriting it is cheaper than carrying the vector.
+    *
+    * Cost is O(DV'd files): candidate row counts come from parquet
+    * footers only (no data scan), the rewrite reads just the chosen
+    * files DV-applied, and the commit is an O(delta) entry. Untouched
+    * files carry forward by reference.
+    */
+  def reorgPurge(minDeletedFraction: Double = 0.0): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val entries = entriesOf(v0)
+    val dvd = entries.filter(_.stats.contains(DvKey))
+    val chosen =
+      if (minDeletedFraction <= 0.0) dvd
+      else dvd.filter { e =>
+        val marks = e.stats(DvKey).mx.toLong
+        // footer-only count: no column data is read
+        val rows = spark.read.parquet(
+          new Path(root, e.rel).toString).count()
+        rows > 0 && marks.toDouble / rows >= minDeletedFraction
+      }
+    if (chosen.isEmpty) return v0
+    val purged = withDerived(readEntries(chosen)) // DV-applying read
+    val repart =
+      if (partCols.nonEmpty)
+        purged.repartition(math.max(1, chosen.size), partCols.map(col): _*)
+      else purged.repartition(math.max(1, chosen.size))
+    val newFiles = newEntries(writeDataFiles(repart))
+    commitDelta(entries, chosen.map(_.rel).toSet, newFiles)
+  }
+
   /** L5b: cluster-compact — rewrite range-partitioned by `column` so
     * each file covers a narrow value range (the single-dimension
     * OPTIMIZE ZORDER analogue). Pays one sort-shuffle to make every

@@ -75,8 +75,16 @@ object Similarity extends QueryModule {
     val emb = Q.t(spark, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
     val nbrs = emb.select(col("vec_id").as("neighbor"), col("v").as("n_v"))
-    val scored = emb.join(broadcast(nbrs), col("vec_id") =!= col("neighbor"))
+    // cosine is symmetric: evaluate each unordered pair ONCE (half the
+    // floating-point work) and mirror the scored row; drop both vector
+    // arrays BEFORE the ranking shuffle — the window needs only
+    // (id, neighbor, sim), and carrying 64-dim payloads through the
+    // sort multiplies shuffle bytes ~16×
+    val half = emb.join(broadcast(nbrs), col("vec_id") < col("neighbor"))
       .withColumn("sim", round(CosineSimilarity.cosine(spark, col("v"), col("n_v")), 6))
+      .select(col("vec_id"), col("neighbor"), col("sim"))
+    val scored = half.unionByName(half.select(
+      col("neighbor").as("vec_id"), col("vec_id").as("neighbor"), col("sim")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("neighbor").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -253,6 +253,10 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       case "optimize_small" =>
         versionRow(table.compactSmall(num(1),
           optNum(2, 128L << 20)))
+      case "reorg" =>
+        // reorg(root [, min_deleted_fraction]) — purge DV'd files
+        versionRow(table.reorgPurge(
+          if (args.length > 1) str(1).toDouble else 0.0))
       case "zorder" =>
         val cols = str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         require(cols.nonEmpty, "graft.zorder: empty column list")

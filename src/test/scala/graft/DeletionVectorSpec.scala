@@ -297,6 +297,38 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(mt.read().count() === expected.count() - 1)
   }
 
+  test("REORG PURGE rewrites only DV'd files; threshold spares lightly-deleted ones") {
+    def dvFileCount(mt: ManifestTable): Long =
+      mt.describeDetail().select("num_dv_files").head().getLong(0)
+    val dir = scratch("reorg")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders.repartition(4), "overwrite") // v0: 4 files, no DVs
+    mt.delete(col("o_orderkey") % 2 === 0) // DVs land in every file
+    val live = mt.read().collect().map(_.toSeq).toSet
+    assert(dvFileCount(mt) > 0)
+
+    // full purge: live rows unchanged, zero DV refs remain
+    val vPurged = mt.reorgPurge()
+    assert(mt.read().collect().map(_.toSeq).toSet === live)
+    assert(dvFileCount(mt) === 0)
+    // idempotent: nothing left to purge → same version back, no commit
+    assert(mt.reorgPurge() === vPurged)
+    assert(mt.latestVersion.get === vPurged)
+
+    // ~33% deleted per file < 90% threshold → files spared, DVs stay
+    mt.delete(col("o_orderkey") % 3 === 0)
+    val liveAfter = mt.read().collect().map(_.toSeq).toSet
+    val dvBefore = dvFileCount(mt)
+    val vLatest = mt.latestVersion.get
+    assert(mt.reorgPurge(minDeletedFraction = 0.9) === vLatest)
+    assert(dvFileCount(mt) === dvBefore)
+    // ...but a low threshold purges them
+    val vLow = mt.reorgPurge(minDeletedFraction = 0.1)
+    assert(vLow > vLatest)
+    assert(dvFileCount(mt) === 0)
+    assert(mt.read().collect().map(_.toSeq).toSet === liveAfter)
+  }
+
   test("model property: interleaved delete/update/append sequences match a DataFrame model") {
     val dir = scratch("dv_model")
     val mt = new ManifestTable(spark, dir)

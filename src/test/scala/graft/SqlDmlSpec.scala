@@ -204,6 +204,22 @@ class SqlDmlSpec extends SparkTestBase {
     assert(sqlSpark.sql(s"CALL graft.constraints('$root')").count() === 0)
   }
 
+  test("CALL graft.reorg purges DV'd files via SQL") {
+    import graft.lake.ManifestTable
+    val dir = scratch("reorg_sql")
+    val mt = new ManifestTable(sqlSpark, dir)
+    mt.write(Q.t(sqlSpark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus")).repartition(2),
+      "overwrite")
+    mt.delete(col("o_orderstatus") === "F")
+    val live = mt.read().count()
+    val res = sqlSpark.sql(s"CALL graft.reorg('$dir')").collect()
+    assert(res.length === 1)
+    val mt2 = ManifestTable.forRoot(sqlSpark, dir)
+    assert(mt2.read().count() === live)
+    assert(mt2.describeDetail().select("num_dv_files").head().getLong(0) === 0)
+  }
+
   test("malformed CALLs fail loudly, not silently") {
     intercept[Exception] {
       sqlSpark.sql("CALL graft.nosuch('/tmp/x')").collect()
