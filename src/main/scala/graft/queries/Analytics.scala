@@ -314,9 +314,56 @@ object Analytics extends QueryModule {
       |FROM binned GROUP BY bin
       |ORDER BY bin ASC NULLS FIRST""".stripMargin
 
+  /** FN5: sequential event-pattern detection (MATCH_RECOGNIZE-lite):
+    * purchases preceded by a view within 1 hour with NO error between
+    * the view and the purchase — the A→B-within-T-unless-C shape every
+    * CEP engine sells. One pass, no self-join: per user-ordered
+    * window, the running last-view and last-error timestamps
+    * (conditional MAX over the preceding frame) decide the pattern at
+    * each purchase row.
+    *
+    * Scale: one (user_id, ts) sort — same shuffle class as fn4; the
+    * conditional-extrema frames are O(1) state per row. Timestamp
+    * arithmetic is integer microseconds.
+    */
+  def fn5Pattern(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_view",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("last_error",
+        max(when(col("event_type") === "error", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("last_view").isNotNull &&
+        col("ts") <= col("last_view") + expr("INTERVAL 1 HOUR") &&
+        (col("last_error").isNull || col("last_error") < col("last_view")))
+      .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
+        col("last_view").as("view_ts"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
+  val fn5Oracle: String =
+    """SELECT user_id, event_id, ts AS purchase_ts, last_view AS view_ts
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    MAX(CASE WHEN event_type = 'view' THEN ts END) OVER w AS last_view,
+      |    MAX(CASE WHEN event_type = 'error' THEN ts END) OVER w AS last_error
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |WHERE event_type = 'purchase'
+      |  AND last_view IS NOT NULL
+      |  AND ts <= last_view + INTERVAL 1 HOUR
+      |  AND (last_error IS NULL OR last_error < last_view)
+      |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr2_skew_report" -> pr2SkewReport,
     "pr3_eqdepth" -> pr3EqdepthHist,
+    "fn5_pattern" -> fn5Pattern,
     "fn4_sessionize" -> fn4Sessionize,
     "fn1_funnel" -> fn1Funnel,
     "fn2_cohorts" -> fn2Cohorts,
@@ -325,6 +372,7 @@ object Analytics extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "pr3_eqdepth" -> pr3Oracle,
+    "fn5_pattern" -> fn5Oracle,
     "fn4_sessionize" -> fn4Oracle,
     "fn1_funnel" -> fn1Oracle,
     "fn2_cohorts" -> fn2Oracle,

@@ -176,13 +176,54 @@ object TimeSeries extends QueryModule {
       |ORDER BY event_type ASC NULLS FIRST, ts ASC NULLS FIRST,
       |  event_id ASC NULLS FIRST""".stripMargin
 
+  /** TS4: seasonal profile decomposition — the additive
+    * seasonal-naive model's first stage: per (event_type, hour-of-day),
+    * the seasonal mean and its deviation from the type's grand mean.
+    * The classic-decomposition seasonal component on the daily cycle:
+    * what a metrics pipeline subtracts before anomaly detection, and
+    * the profile a capacity planner reads directly.
+    *
+    * Exactness: both means are exact decimal sums over doubles divided
+    * once; the deviation is ONE double subtraction of two exact
+    * quotients — reproducible across engines. Two map-side-combined
+    * aggs (hour grain, then type grain) + a broadcast join of the
+    * 24×types profile against the ≤types grand-mean frame.
+    */
+  def ts4Seasonal(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(spark, dir, "events")
+      .select(col("event_type"), hour(col("ts")).as("hod"), col("value"))
+    val hourly = ev.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), Q.davg(col("value")).as("seasonal_mean"))
+    val global = ev.groupBy(col("event_type"))
+      .agg(Q.davg(col("value")).as("grand_mean"))
+    hourly.join(broadcast(global), Seq("event_type"))
+      .withColumn("seasonal_dev", col("seasonal_mean") - col("grand_mean"))
+      .select("event_type", "hod", "n", "seasonal_mean", "grand_mean", "seasonal_dev")
+      .orderBy(col("event_type").asc, col("hod").asc)
+  }
+
+  val ts4Oracle: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, CAST(hour(ts) AS INT) AS hod, COUNT(*) AS n,
+       |    ${Q.sql.davg("value")} AS seasonal_mean
+       |  FROM events GROUP BY 1, 2),
+       |grand AS (
+       |  SELECT event_type, ${Q.sql.davg("value")} AS grand_mean
+       |  FROM events GROUP BY 1)
+       |SELECT hourly.event_type, hod, n, seasonal_mean, grand_mean,
+       |  seasonal_mean - grand_mean AS seasonal_dev
+       |FROM hourly JOIN grand ON hourly.event_type = grand.event_type
+       |ORDER BY hourly.event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_interpolate" -> ts1Interpolate,
     "ts2_ewma" -> ts2Ewma,
-    "ts3_extrema" -> ts3Extrema)
+    "ts3_extrema" -> ts3Extrema,
+    "ts4_seasonal" -> ts4Seasonal)
 
   override def oracles: Map[String, String] = Map(
     "ts1_interpolate" -> ts1Oracle,
     "ts2_ewma" -> ts2Oracle,
-    "ts3_extrema" -> ts3Oracle)
+    "ts3_extrema" -> ts3Oracle,
+    "ts4_seasonal" -> ts4Oracle)
 }
