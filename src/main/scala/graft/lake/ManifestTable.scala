@@ -1041,6 +1041,84 @@ class ManifestTable(spark: SparkSession, root: String,
     }
   }
 
+  // ---- Write-audit-publish: staged branches (the Iceberg WAP flow) ----
+
+  private def branchFile(name: String): Path = {
+    require(name.matches("[A-Za-z0-9_\\-]+"), s"bad branch name: $name")
+    new Path(logDir, s"branch-$name")
+  }
+
+  /** Stage `df` as an APPEND on branch `name`: data files land under
+    * the table dir, a branch file in the log records the staged
+    * entries — but no version is committed, so main readers never see
+    * the rows. The write-audit-publish pattern: land the batch, audit
+    * [[readBranch]], then [[publishBranch]] or [[dropBranch]]. CHECK
+    * constraints are enforced at stage time — a later audit failure
+    * should be about data QUALITY, not validity. Staged files are
+    * vacuum-protected until their branch is dropped or published.
+    */
+  def stageBranch(name: String, df: DataFrame): Unit = {
+    val bp = branchFile(name)
+    require(!fs.exists(bp), s"branch $name already staged at $root")
+    val entries = newEntries(writeDataFiles(enforced(df)))
+    val body = entries.map(_.line).mkString("\n") + "\n"
+    val tmp = new Path(logDir, s".tmp-branch-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, bp)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"branch $name was staged concurrently at $root")
+    }
+  }
+
+  private def branchEntries(name: String): Seq[Entry] =
+    readLogLines(branchFile(name)).filter(_.nonEmpty)
+      .map(Entry.parse(_, statsCol))
+
+  /** Names of currently staged branches. */
+  def branches: Seq[String] =
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.startsWith("branch-")).map(_.stripPrefix("branch-"))
+      .toSeq.sorted
+
+  /** The audit view: current main snapshot plus the branch's staged
+    * rows — what the table WILL look like after publish (modulo
+    * concurrent main commits, which an append rebases over cleanly).
+    */
+  def readBranch(name: String): DataFrame = {
+    val staged = withDerived(readEntries(branchEntries(name)))
+    latestVersion match {
+      case Some(_) =>
+        val base = read()
+        base.unionByName(staged.select(base.columns.map(col).toSeq: _*))
+      case None => staged
+    }
+  }
+
+  /** Publish the branch: ONE append commit of the staged entries onto
+    * the CURRENT main head (an append conflicts with nothing, so any
+    * main commits since staging are rebased over), then the branch
+    * marker is removed. Exactly-once: the commit wins or throws; the
+    * marker removal after a successful commit makes re-publish refuse.
+    */
+  def publishBranch(name: String): Int = {
+    val staged = branchEntries(name)
+    val base = latestVersion.map(entriesOf).getOrElse(Seq.empty)
+    val v = commitDelta(base, Set.empty, staged)
+    fs.delete(branchFile(name), false)
+    v
+  }
+
+  /** Abandon the branch: the marker is removed; the staged data files
+    * become unreferenced and age out via [[vacuum]].
+    */
+  def dropBranch(name: String): Unit = {
+    require(fs.exists(branchFile(name)), s"no branch $name at $root")
+    fs.delete(branchFile(name), false): Unit
+  }
+
   /** Guarded full rewrite for read-modify-replace ops (compact,
     * optimize, unpartitioned merge): the commit removes exactly the
     * files of the snapshot that was read, so a concurrent commit of
@@ -2185,8 +2263,11 @@ class ManifestTable(spark: SparkSession, root: String,
     // modification time; tests pass minAgeMs = 0 for immediacy.
     val cutoff = System.currentTimeMillis() - minAgeMs
     // qualify both sides: manifest paths are scheme-less, listStatus
-    // returns fully-qualified (file:/…) paths
-    val referenced = keepVs.flatMap(filesOf)
+    // returns fully-qualified (file:/…) paths. Staged WAP branches
+    // count as references — their files are pre-publish, not garbage.
+    val referenced = (keepVs.flatMap(filesOf) ++
+        branches.flatMap(b => branchEntries(b)
+          .map(e => new Path(root, e.rel).toString)))
       .map(f => fs.makeQualified(new Path(f)).toString).toSet
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     def walk(dir: Path): Unit =

@@ -257,6 +257,15 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         // reorg(root [, min_deleted_fraction]) — purge DV'd files
         versionRow(table.reorgPurge(
           if (args.length > 1) str(1).toDouble else 0.0))
+      case "wap_stage" =>
+        // wap_stage(root, sourceView, branch)
+        table.stageBranch(str(2), session.table(str(1)))
+        versionRow(-1) // staged, not committed
+      case "wap_publish" =>
+        versionRow(table.publishBranch(str(1)))
+      case "wap_drop" =>
+        table.dropBranch(str(1))
+        versionRow(-1)
       case "zorder" =>
         val cols = str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         require(cols.nonEmpty, "graft.zorder: empty column list")

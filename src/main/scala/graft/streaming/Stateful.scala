@@ -96,4 +96,33 @@ object Stateful {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  // ---- T12: streaming heavy hitters (sharded Misra-Gries state) ----
+
+  /** Streaming top-item tracking: each shard keeps a bounded
+    * Misra-Gries counter map (capacity k) in keyed state and re-emits
+    * its current summary every micro-batch. Items are SHARDED BY ITEM
+    * HASH, so each item's counts live in exactly one shard: the global
+    * summary is the plain union of shard summaries (no cross-shard
+    * merge), the n/(k+1) undercount bound holds per shard over that
+    * shard's n, and state is O(shards · k) forever — the property that
+    * lets a top-K dashboard run against an unbounded stream. Reuses
+    * the BATCH aggregator's reduce step ([[Sketches.HeavyHittersAggregator]]),
+    * so streaming and batch estimates can never diverge in logic.
+    */
+  def streamingTopK(spark: SparkSession, items: Dataset[String],
+      k: Int, shards: Int = 8): Dataset[(Int, String, Long)] = {
+    import spark.implicits._
+    val agg = new graft.functions.Sketches.HeavyHittersAggregator(k)
+    items.groupByKey(s => math.floorMod(if (s == null) 0 else s.hashCode, shards))
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, it: Iterator[String],
+         state: GroupState[Map[String, Long]]) =>
+          var b = state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach(s => b = agg.reduce(b, s))
+          state.update(b)
+          agg.finish(b).iterator.map { case (item, c) => (shard, item, c) }
+      }
+  }
 }

@@ -545,4 +545,44 @@ class LakeSpec extends SparkTestBase {
     assert(mt.versions === Seq(1))
     assert(mt.read().count() === 10)
   }
+
+  test("WAP: staged branch invisible on main, audit view complete, publish rebases over concurrent appends") {
+    import spark.implicits._
+    val dir = scratch("wap")
+    val mt = new graft.lake.ManifestTable(spark, dir)
+    mt.write((1 to 10).map(i => (i.toLong, s"base$i")).toDF("id", "v"), "overwrite")
+    val staged = (11 to 15).map(i => (i.toLong, s"new$i")).toDF("id", "v")
+    mt.stageBranch("audit1", staged)
+    assert(mt.branches === Seq("audit1"))
+    // main sees nothing; the audit view sees base ∪ staged
+    assert(mt.read().count() === 10)
+    assert(mt.readBranch("audit1").count() === 15)
+    // a concurrent main append lands between stage and publish
+    mt.write(Seq((100L, "concurrent")).toDF("id", "v"), "append")
+    assert(mt.read().count() === 11)
+    // publish rebases: all three row sets present, branch gone
+    mt.publishBranch("audit1")
+    assert(mt.read().count() === 16)
+    assert(mt.branches.isEmpty)
+    intercept[Exception] { mt.publishBranch("audit1") }
+    // staged files survive vacuum while staged; reaped after drop
+    mt.stageBranch("audit2", Seq((200L, "x")).toDF("id", "v"))
+    val spared = mt.vacuum(retain = 1, minAgeMs = 0)
+    assert(mt.readBranch("audit2").count() === 17, s"vacuum ate staged files: $spared")
+    mt.dropBranch("audit2")
+    mt.vacuum(retain = 1, minAgeMs = 0)
+    assert(mt.read().count() === 16) // main untouched throughout
+  }
+
+  test("WAP: CHECK constraints enforce at stage time") {
+    import spark.implicits._
+    val dir = scratch("wap_check")
+    val mt = new graft.lake.ManifestTable(spark, dir)
+    mt.write(Seq((1L, 5.0)).toDF("id", "amt"), "overwrite")
+    mt.addConstraint("amt_pos", "amt > 0")
+    intercept[Exception] {
+      mt.stageBranch("bad", Seq((2L, -1.0)).toDF("id", "amt"))
+    }
+    assert(mt.branches.isEmpty, "failed stage must not leave a branch marker")
+  }
 }

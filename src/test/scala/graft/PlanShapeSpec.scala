@@ -160,4 +160,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!corpusSideCols.contains("v"),
       s"ADC join must not carry the raw vector: $corpusSideCols")
   }
+
+  test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
+    // the 100 TB join pattern: a date-partitioned fact joined to a dim
+    // filtered at runtime — Spark must inject a DPP subquery so the
+    // fact scan reads only the dim-selected partitions, not all of them
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_dpp_fact"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    Q.t(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(dir)
+    val dimDir = s"${sys.props("java.io.tmpdir")}/graft_dpp_dim"
+    val pd = new org.apache.hadoop.fs.Path(dimDir)
+    pd.getFileSystem(spark.sessionState.newHadoopConf()).delete(pd, true)
+    Q.t(spark, sf, "events")
+      .select(to_date(col("ts")).as("day")).distinct()
+      .write.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    // a SELECTIVE runtime predicate on the dim (not on the join key
+    // statically) — exactly the shape DPP exists for
+    val dim = spark.read.parquet(dimDir)
+      .filter(dayofmonth(col("day")) <= 3)
+    val joined = fact.join(dim, Seq("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning") ||
+      planStr.contains("DynamicPruning") ||
+      planStr.contains("SubqueryBroadcast"),
+      s"expected a DPP filter on the fact scan:\n$planStr")
+    // and it actually executes correctly
+    assert(joined.collect().map(_.getLong(1)).sum > 0)
+  }
 }

@@ -220,6 +220,28 @@ class SqlDmlSpec extends SparkTestBase {
     assert(mt2.describeDetail().select("num_dv_files").head().getLong(0) === 0)
   }
 
+  test("WAP stage/publish/drop via SQL") {
+    import graft.lake.ManifestTable
+    val dir = scratch("wap_sql")
+    val mt = new ManifestTable(sqlSpark, dir)
+    import sqlSpark.implicits._
+    mt.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "overwrite")
+    Seq((3L, "c")).toDF("id", "v").createOrReplaceTempView("wap_src")
+    sqlSpark.sql(s"CALL graft.wap_stage('$dir', 'wap_src', 'nightly')").collect()
+    assert(mt.read().count() === 2) // still invisible on main
+    assert(mt.readBranch("nightly").count() === 3)
+    val v = sqlSpark.sql(s"CALL graft.wap_publish('$dir', 'nightly')")
+      .head().getInt(0)
+    assert(v > 0)
+    assert(mt.read().count() === 3)
+    // drop path
+    Seq((9L, "z")).toDF("id", "v").createOrReplaceTempView("wap_src2")
+    sqlSpark.sql(s"CALL graft.wap_stage('$dir', 'wap_src2', 'scrap')").collect()
+    sqlSpark.sql(s"CALL graft.wap_drop('$dir', 'scrap')").collect()
+    assert(mt.branches.isEmpty)
+    assert(mt.read().count() === 3)
+  }
+
   test("malformed CALLs fail loudly, not silently") {
     intercept[Exception] {
       sqlSpark.sql("CALL graft.nosuch('/tmp/x')").collect()

@@ -482,4 +482,40 @@ class StreamingSpec extends SparkTestBase {
     val emitted = spark.table("t6_out2").agg(sum("n")).head().getLong(0)
     assert(emitted <= ev.count())
   }
+
+  test("T12: streaming heavy hitters accumulate across micro-batches, exact in-capacity") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val inbox = scratch("t12_inbox")
+    // two files → two micro-batches with maxFilesPerTrigger=1
+    val batch1 = Seq.fill(30)("hot") ++ (1 to 10).map(i => s"tail$i")
+    val batch2 = Seq.fill(25)("hot") ++ Seq.fill(15)("warm") ++
+      (11 to 20).map(i => s"tail$i")
+    batch1.toDF("item").coalesce(1).write.parquet(s"$inbox/a")
+    batch2.toDF("item").coalesce(1).write.parquet(s"$inbox/b")
+    val stream = spark.readStream.schema("item STRING")
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", true).parquet(inbox)
+    val out = graft.streaming.Stateful.streamingTopK(
+      spark, stream.as[String], k = 16, shards = 4)
+      .toDF("shard", "item", "est")
+    val q = out.writeStream.format("memory").queryName("t12_out")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the last emission per (shard, item) is the final state; with
+    // ≤16 distinct items per shard the MG counters are EXACT
+    val finalEst = spark.table("t12_out")
+      .groupBy("shard", "item").agg(max("est").as("est"))
+    val got = finalEst.select("item", "est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("hot") === 55L)
+    assert(got("warm") === 15L)
+    assert((1 to 20).forall(i => got(s"tail$i") === 1L))
+    // items shard by hash: each item reported from exactly one shard
+    val perItemShards = spark.table("t12_out")
+      .select("item", "shard").distinct()
+      .groupBy("item").count().filter(col("count") > 1).count()
+    assert(perItemShards === 0)
+  }
 }
