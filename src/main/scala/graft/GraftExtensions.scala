@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, TextFunctions}
+import graft.functions.{CosineSimilarity, TextFunctions, TextNormalize}
 
 /** Session-extension entry point — the deployment-grade way to expose
   * the engine's native Expressions in plain SQL, with no code on the
@@ -50,5 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_rolling_hash",
         "graft_rolling_hash(s) - base-31 rolling hash of a string (document fingerprinting)"),
       arity("graft_rolling_hash", 1, es => TextFunctions.RollingHash(es.head, 31))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[TextNormalize].getName,
+        "graft_normalize_text",
+        "graft_normalize_text(s) - NFC normalize, strip control chars, collapse whitespace, trim"),
+      arity("graft_normalize_text", 1, es => TextNormalize(es.head))))
   }
 }

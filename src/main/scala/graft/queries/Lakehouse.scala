@@ -286,7 +286,57 @@ object Lakehouse extends QueryModule {
       |  AND ts <= TIMESTAMP '2024-01-03 12:00:00'
       |ORDER BY event_id ASC NULLS FIRST""".stripMargin
 
+  /** L20: order-independent table checksum — the cross-engine /
+    * cross-replica data-validation primitive: per table, a row count
+    * and an XOR fold of a 60-bit md5-derived row hash. XOR is
+    * commutative and overflow-free, so the checksum is independent of
+    * row order, partitioning, and engine — two replicas (or a table
+    * before/after a migration) agree iff their row MULTISETs agree
+    * up to duplicate parity, with count catching the rest. Only
+    * string/int/date columns feed the hash (float formatting is not
+    * portable across engines).
+    *
+    * Scale: a single map-side-combined agg per table — the cheapest
+    * possible full-table pass, no shuffle beyond one row per partition.
+    */
+  def l20Checksum(spark: SparkSession, dir: String): DataFrame = {
+    def sig(table: String, keyExpr: String): DataFrame =
+      Q.t(spark, dir, table).selectExpr(
+        s"'$table' AS table_name",
+        "1L AS one",
+        s"conv(substring(md5(cast($keyExpr AS binary)), 1, 15), 16, 10) AS h")
+        .selectExpr("table_name", "one", "cast(h AS bigint) AS h")
+        .groupBy(col("table_name"))
+        .agg(count(col("one")).as("n_rows"),
+          expr("bit_xor(h)").as("checksum"))
+    sig("orders",
+      "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, cast(o_orderdate as string))")
+      .unionByName(sig("customer",
+        "concat_ws('|', c_custkey, c_name, c_nationkey)"))
+      .unionByName(sig("nation",
+        "concat_ws('|', n_nationkey, n_name, n_regionkey)"))
+      .orderBy(col("table_name").asc)
+  }
+
+  val l20Oracle: String =
+    """WITH sigs AS (
+      |  SELECT 'orders' AS table_name,
+      |    CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus, CAST(o_orderdate AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'customer',
+      |    CAST(('0x' || substr(md5(concat_ws('|', c_custkey, c_name, c_nationkey)), 1, 15)) AS BIGINT)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'nation',
+      |    CAST(('0x' || substr(md5(concat_ws('|', n_nationkey, n_name, n_regionkey)), 1, 15)) AS BIGINT)
+      |  FROM nation)
+      |SELECT table_name, COUNT(*) AS n_rows, bit_xor(h) AS checksum
+      |FROM sigs GROUP BY table_name
+      |ORDER BY table_name ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l20_checksum" -> l20Checksum,
     "l1_merge" -> l1Merge,
     "l18_multipart" -> l18Multipart,
     "l19_hidden_part" -> l19HiddenPart,
@@ -297,6 +347,7 @@ object Lakehouse extends QueryModule {
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
+    "l20_checksum" -> l20Oracle,
     "l1_merge" -> l1Oracle,
     "l18_multipart" -> l18Oracle,
     "l19_hidden_part" -> l19Oracle,

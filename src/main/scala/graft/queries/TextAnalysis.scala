@@ -351,7 +351,36 @@ object TextAnalysis extends QueryModule {
       |GROUP BY doc_id
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** TX-NORM: corpus canonicalization through the native
+    * [[graft.functions.TextNormalize]] expression (NFC + control-char
+    * strip + whitespace collapse + trim) — the pre-tokenization pass
+    * that makes composed/decomposed Unicode fingerprint identically.
+    * One codegen'd string pass per row; the oracle mirrors the exact
+    * transform with DuckDB's nfc_normalize + regexp_replace chain.
+    */
+  def txNormalize(spark: SparkSession, dir: String): DataFrame =
+    Q.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextNormalize.normalize(spark, col("text"))
+          .as("clean"))
+      .withColumn("n_chars_clean", length(col("clean")))
+      .orderBy(col("doc_id").asc)
+
+  val txNormalizeOracle: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(nfc_normalize(text),
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      |    '[ \t\n\r]+', ' ', 'g')) AS clean,
+      |  CAST(length(trim(regexp_replace(
+      |    regexp_replace(nfc_normalize(text),
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      |    '[ \t\n\r]+', ' ', 'g'))) AS INT) AS n_chars_clean
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_normalize" -> txNormalize,
     "tx_lm_score" -> txLmScore,
     "tx_pii_redact" -> txPiiRedact,
     "tx_repetition" -> txRepetition,
@@ -363,6 +392,7 @@ object TextAnalysis extends QueryModule {
     "tx_tfidf" -> txTfIdf)
 
   override def oracles: Map[String, String] = Map(
+    "tx_normalize" -> txNormalizeOracle,
     "tx_lm_score" -> txLmScoreOracle,
     "tx_pii_redact" -> txPiiRedactOracle,
     "tx_repetition" -> txRepetitionOracle,

@@ -475,6 +475,29 @@ class LlmOpsSpec extends SparkTestBase {
       s"familiar=${scores(1L)} garbled=${scores(99L)}")
   }
 
+  test("TextNormalize: NFC folding, control strip, whitespace collapse (expr ≡ kernel)") {
+    import graft.functions.TextNormalize
+    // decomposed é (e + U+0301) must NFC-fold to composed é
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    assert(TextNormalize.normalizeString(decomposed) === composed)
+    // control chars vanish, whitespace runs collapse, ends trim
+    assert(TextNormalize.normalizeString("  ab\t\tc\r\nd  ") === "ab c d")
+    assert(TextNormalize.normalizeString(" ") === "")
+    // the EXPRESSION (codegen path) agrees with the kernel on real docs
+    val viaExpr = docs.limit(100)
+      .select(col("text"),
+        TextNormalize.normalize(spark, col("text")).as("clean"))
+      .collect()
+    viaExpr.foreach { r =>
+      assert(r.getString(1) === TextNormalize.normalizeString(r.getString(0)))
+    }
+    // NULL stays NULL
+    val n = Seq[(Long, String)]((1L, null)).toDF("id", "t")
+      .select(TextNormalize.normalize(spark, col("t"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("MMR: λ=1 reduces to plain top-k; λ<1 skips the redundant twin; deterministic") {
     // candidates: two near-identical high-sim docs + one diverse mid-sim doc
     val a = Array(1.0, 0.0, 0.0)
