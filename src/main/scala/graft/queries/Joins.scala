@@ -240,6 +240,51 @@ object Joins extends QueryModule {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin
 
+  /** J7b: FORWARD as-of join with tolerance (pandas merge_asof
+    * direction='forward', tolerance=2h): for each purchase, the next
+    * click strictly after it, kept only when within 2 hours — the
+    * attribution window variant of J7's backward as-of. Same
+    * single-sort shape: a conditional MIN over the FOLLOWING frame
+    * replaces a range self-join; the tolerance is a post-filter on the
+    * matched timestamp, which preserves the left row (NULL match)
+    * exactly like merge_asof.
+    */
+  def j7bAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(spark, dir, "events")
+    val tagged = ev
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "click", col("ts")).as("click_ts_src"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_type").asc, col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    tagged
+      .withColumn("next_click_raw",
+        min(col("click_ts_src")).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("next_click_ts",
+        when(col("next_click_raw") <= col("ts") + expr("INTERVAL 2 HOURS"),
+          col("next_click_raw")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("next_click_ts"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val j7bOracle: String =
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN next_click_raw <= ts + INTERVAL 2 HOUR
+      |       THEN next_click_raw END AS next_click_ts
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) OVER w AS next_click_raw
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click')
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts ASC NULLS FIRST, event_type ASC NULLS FIRST,
+      |             event_id ASC NULLS FIRST
+      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id ASC NULLS FIRST""".stripMargin
+
   /** J9: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — NULL
     * keys MATCH each other instead of silently dropping, the semantics
     * CDC diffs and dimension lookups with unknown members need. Region
@@ -299,7 +344,8 @@ object Joins extends QueryModule {
     "j5_star_join" -> j5StarJoin,
     "j6_range_join" -> j6RangeJoin,
     "j6b_bucketed_range" -> j6bBucketedRange,
-    "j7_asof_join" -> j7AsofJoin)
+    "j7_asof_join" -> j7AsofJoin,
+    "j7b_asof_forward" -> j7bAsofForward)
 
   override def oracles: Map[String, String] = Map(
     "j10_skew_split" -> j10Oracle,
@@ -312,5 +358,6 @@ object Joins extends QueryModule {
     "j6_range_join" -> j6Oracle,
     "j6b_bucketed_range" -> j6Oracle, // identical semantics, bucketed plan
     "j7_asof_join" -> j7Oracle,
+    "j7b_asof_forward" -> j7bOracle,
     "j9_null_safe" -> j9Oracle)
 }
