@@ -360,10 +360,57 @@ object Analytics extends QueryModule {
       |  AND (last_error IS NULL OR last_error < last_view)
       |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin
 
+  /** FN6: daily + trailing-7-day active users per event type (the
+    * DAU/WAU report) — the sliding-window COUNT DISTINCT operator,
+    * which Spark windows cannot express natively (COUNT(DISTINCT)
+    * OVER is unsupported). The scalable form: dedup to (type, day,
+    * user) grain FIRST (one shuffle, the big one), then a
+    * broadcast day-grid range join fans each daily-user row to the ≤7
+    * report days it supports, and a keyed exact distinct count
+    * finishes. Never a per-row window over raw events.
+    */
+  def fn6Wau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Q.t(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = daily.groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val grid = daily.select(col("event_type"), col("day")).distinct()
+      .withColumnRenamed("day", "report_day")
+    val wau = grid.join(daily,
+        grid("event_type") === daily("event_type") &&
+          col("day").between(date_sub(col("report_day"), 6), col("report_day")))
+      .groupBy(grid("event_type").as("event_type"), col("report_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .withColumnRenamed("report_day", "day")
+    dau.join(wau, Seq("event_type", "day"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
+  val fn6Oracle: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+      |  FROM events),
+      |dau AS (
+      |  SELECT event_type, day, COUNT(DISTINCT user_id) AS dau
+      |  FROM daily GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT event_type, day AS report_day FROM daily),
+      |wau AS (
+      |  SELECT g.event_type, g.report_day AS day,
+      |    COUNT(DISTINCT d.user_id) AS wau
+      |  FROM grid g JOIN daily d
+      |    ON g.event_type = d.event_type
+      |   AND d.day BETWEEN g.report_day - INTERVAL 6 DAY AND g.report_day
+      |  GROUP BY 1, 2)
+      |SELECT dau.event_type, dau.day, dau, wau
+      |FROM dau JOIN wau ON dau.event_type = wau.event_type AND dau.day = wau.day
+      |ORDER BY dau.event_type ASC NULLS FIRST, dau.day ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr2_skew_report" -> pr2SkewReport,
     "pr3_eqdepth" -> pr3EqdepthHist,
     "fn5_pattern" -> fn5Pattern,
+    "fn6_wau" -> fn6Wau,
     "fn4_sessionize" -> fn4Sessionize,
     "fn1_funnel" -> fn1Funnel,
     "fn2_cohorts" -> fn2Cohorts,
@@ -373,6 +420,7 @@ object Analytics extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "pr3_eqdepth" -> pr3Oracle,
     "fn5_pattern" -> fn5Oracle,
+    "fn6_wau" -> fn6Oracle,
     "fn4_sessionize" -> fn4Oracle,
     "fn1_funnel" -> fn1Oracle,
     "fn2_cohorts" -> fn2Oracle,

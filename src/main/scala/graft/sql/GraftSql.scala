@@ -171,6 +171,7 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       attr("bloom_columns", ArrayType(StringType)),
       attr("num_dv_files", LongType), attr("num_constraints", LongType))
     case "vacuum" => Seq(attr("deleted_path", StringType))
+    case "wap_branches" => Seq(attr("branch", StringType))
     case "pq_query" => Seq(
       attr("q_id", LongType), attr("rn", IntegerType),
       attr("neighbor", LongType), attr("sim", DoubleType))
@@ -266,6 +267,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       case "wap_drop" =>
         table.dropBranch(str(1))
         versionRow(-1)
+      case "wap_branches" =>
+        table.branches.map(Row(_))
       case "zorder" =>
         val cols = str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         require(cols.nonEmpty, "graft.zorder: empty column list")
