@@ -147,6 +147,74 @@ object TextAnalysis extends QueryModule {
       |FROM documents
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** F8h: winnowing fingerprint selection (Schleimer, Wilkerson &
+    * Aiken, SIGMOD'03 — the MOSS algorithm): hash every 5-token gram,
+    * slide a w=4 window over the hash sequence, keep the MINIMUM hash
+    * per window (rightmost on ties), dedupe selected positions. The
+    * guarantee: any shared substring of ≥ 8 tokens yields at least one
+    * SHARED selected fingerprint — document-level containment
+    * detection at ~1/4 the fingerprint density of d10's every-span
+    * pass. Output: per-doc fingerprint count + order-independent XOR
+    * checksum of the selected hashes.
+    *
+    * Cross-engine exactness: gram hashes are md5-derived 60-bit ints
+    * (the l20 technique — no engine-specific hash), window selection
+    * is an integer argmin with a deterministic tie-break, the
+    * checksum is bit_xor. Scale shape: grams explode once, the w-fan
+    * is a bounded ≤4× row multiply inside one doc-keyed shuffle, and
+    * the argmin is a row_number over (doc, window) — never a
+    * corpus-wide pass.
+    */
+  def txWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5 // gram size (tokens)
+    val w = 4 // winnow window (grams)
+    val toks = Q.t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val grams = toks
+      .select(col("doc_id"), col("t"),
+        posexplode(col("t")).as(Seq("p", "tok")))
+      .filter(col("p") <= size(col("t")) - k)
+      .select(col("doc_id"), col("p"),
+        expr(s"cast(conv(substring(md5(cast(concat_ws(' ', slice(t, p + 1, $k)) AS binary)), 1, 15), 16, 10) AS bigint)").as("h"))
+    // every gram supports the ≤w windows [p-w+1 .. p]; window start s
+    // must itself be a valid gram position
+    val fan = grams
+      .select(col("doc_id"), col("p"), col("h"),
+        explode(sequence(greatest(col("p") - (w - 1), lit(0)), col("p"))).as("s"))
+    val nG = grams.groupBy(col("doc_id")).agg(max(col("p")).as("max_p"))
+    val winArg = Window.partitionBy(col("doc_id"), col("s"))
+      .orderBy(col("h").asc, col("p").desc)
+    val selected = fan.join(nG, Seq("doc_id"))
+      .filter(col("s") <= col("max_p") - (w - 1))
+      .withColumn("rn", row_number().over(winArg))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p"), col("h")).distinct()
+    selected.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), expr("bit_xor(h)").as("fp_checksum"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txWinnowOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS p,
+      |    CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS h
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS g(i)),
+      |mx AS (SELECT doc_id, MAX(p) AS max_p FROM grams GROUP BY 1),
+      |fan AS (
+      |  SELECT doc_id, p, h, s
+      |  FROM grams, UNNEST(generate_series(GREATEST(p - 3, 0), p)) AS w(s)),
+      |ranked AS (
+      |  SELECT f.doc_id, f.p, f.h,
+      |    ROW_NUMBER() OVER (PARTITION BY f.doc_id, f.s
+      |      ORDER BY f.h ASC, f.p DESC) AS rn
+      |  FROM fan f JOIN mx ON f.doc_id = mx.doc_id
+      |  WHERE f.s <= mx.max_p - 3),
+      |sel AS (SELECT DISTINCT doc_id, p, h FROM ranked WHERE rn = 1)
+      |SELECT doc_id, COUNT(*) AS n_fp, bit_xor(h) AS fp_checksum
+      |FROM sel GROUP BY doc_id
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** F8f: tf-idf term scoring — the inverted-index relevance score
     * (search/retrieval over the corpus). Classic shape: explode to
     * (doc, term, tf), document frequency per term, join, score, top-3
@@ -381,6 +449,7 @@ object TextAnalysis extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_normalize" -> txNormalize,
+    "tx_winnow" -> txWinnow,
     "tx_lm_score" -> txLmScore,
     "tx_pii_redact" -> txPiiRedact,
     "tx_repetition" -> txRepetition,
@@ -393,6 +462,7 @@ object TextAnalysis extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "tx_normalize" -> txNormalizeOracle,
+    "tx_winnow" -> txWinnowOracle,
     "tx_lm_score" -> txLmScoreOracle,
     "tx_pii_redact" -> txPiiRedactOracle,
     "tx_repetition" -> txRepetitionOracle,
