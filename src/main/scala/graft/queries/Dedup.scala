@@ -4,6 +4,7 @@ import graft.{Q, QueryModule}
 import graft.functions.DedupOps
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (north-star dedup family,
@@ -89,6 +90,71 @@ object Dedup extends QueryModule {
       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.05
+      |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+
+  /** D13: prefix-filtered set-similarity join (the PPJoin/AllPairs
+    * family, Xiao et al. WWW'08 / Bayardo et al. WWW'07): exact
+    * Jaccard ≥ 0.5 pairs, but candidates are generated from each doc's
+    * PREFIX — its (|s| − ⌈t·|s|⌉ + 1) rarest shingles under a global
+    * (document-frequency asc, shingle asc) order — instead of the full
+    * inverted index. The prefix lemma guarantees completeness: any
+    * pair with J ≥ t shares a prefix token, so the result is
+    * byte-equal to the naive join (the oracle) while the index
+    * shrinks to ~(1−t) of the corpus postings and the candidate set
+    * collapses — THE scalable exact set-similarity algorithm. Corpus:
+    * docs < 60 plus planted near-copies (one appended word) so the
+    * 0.5 threshold has real matches.
+    */
+  def d13PrefixJaccard(spark: SparkSession, dir: String,
+      t: Double = 0.5): DataFrame = {
+    val base = Q.t(spark, dir, "documents")
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text")))
+      .select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+    val inv = corpus.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    val df = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val prefix = inv.join(df, Seq("shingle"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cands = prefix.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = corpus.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = corpus.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= t)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  val d13Oracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' extraword'
+      |  FROM documents WHERE doc_id < 60),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_zip(string_split(text,' ')[1:len(string_split(text,' '))-1],
+      |               string_split(text,' ')[2:len(string_split(text,' '))]),
+      |      p -> p[1] || ' ' || p[2])) AS s
+      |  FROM corpus)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
       |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
 
   /** D3: MinHash+LSH near-dup candidates (k=16, 4 bands × 4 rows),
@@ -527,6 +593,7 @@ object Dedup extends QueryModule {
     "g1_pagerank" -> g1PageRank,
     "d11_semdedup" -> ((s, d) => d11SemDedup(s, d)),
     "d12_incr_dedup" -> d12IncrementalDedup,
+    "d13_prefix_jaccard" -> ((s, d) => d13PrefixJaccard(s, d)),
     "d9_triangles" -> d9Triangles,
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,
@@ -539,6 +606,7 @@ object Dedup extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "d10_span_dedup" -> d10Oracle,
     "d12_incr_dedup" -> d12Oracle,
+    "d13_prefix_jaccard" -> d13Oracle,
     "d1_exact_dedup" -> d1Oracle,
     "d2_jaccard_pairs" -> d2Oracle,
     "d5_embedding_neardup" -> d5Oracle,

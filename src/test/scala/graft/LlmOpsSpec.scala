@@ -525,6 +525,37 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("d13 prefix filter: candidates strictly fewer than full inverted index") {
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.5
+    val base = docs.filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text")))
+      .select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+    val inv = corpus.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("shingle"))
+    def pairs(postings: org.apache.spark.sql.DataFrame): Long = postings
+      .select(col("doc_id").as("a"), col("shingle"))
+      .join(postings.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    val full = pairs(inv)
+    val df = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val prefix = inv.join(df, Seq("shingle"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= col("n") - ceil(lit(t) * col("n")) + 1)
+    val pruned = pairs(prefix)
+    assert(pruned < full, s"prefix candidates $pruned !< full $full")
+    // completeness: every planted twin pair (J ≈ 0.95 ≥ t) is found
+    val found = graft.queries.Dedup.d13PrefixJaccard(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twins = (0L until 60L).map(i => (i, i + 100000L))
+    assert(twins.forall(found.contains), "a planted twin pair was missed")
+  }
+
   test("bloom: no false negatives, low false-positive rate, real pruning") {
     val bits = 1 << 16
     val hashes = 6
