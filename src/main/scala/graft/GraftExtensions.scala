@@ -56,5 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_normalize_text",
         "graft_normalize_text(s) - NFC normalize, strip control chars, collapse whitespace, trim"),
       arity("graft_normalize_text", 1, es => TextNormalize(es.head))))
+    // optimizer rule: defensive re-normalization in composed cleaning
+    // pipelines collapses to one pass (idempotent kernel)
+    ext.injectOptimizerRule(_ => graft.plans.GraftRules.CollapseNormalize)
   }
 }

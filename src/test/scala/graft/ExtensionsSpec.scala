@@ -40,4 +40,38 @@ class ExtensionsSpec extends SparkTestBase {
       savedActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("CollapseNormalize rule: nested graft_normalize_text flattens to one pass") {
+    val saved = SparkSession.getDefaultSession
+    val savedActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions().apply(_))
+        .getOrCreate()
+      try {
+        // non-foldable input (id) so ConstantFolding can't pre-evaluate
+        s2.range(1).selectExpr("concat('  a\tb  ', cast(id AS string)) AS t")
+          .createOrReplaceTempView("ext_t")
+        val df = s2.sql(
+          "SELECT graft_normalize_text(graft_normalize_text(graft_normalize_text(t))) AS c FROM ext_t")
+        val applications = df.queryExecution.optimizedPlan.collect {
+          case p => p.expressions.map(_.collect {
+            case e: graft.functions.TextNormalize => e
+          }.size).sum
+        }.sum
+        assert(applications === 1,
+          s"expected one TextNormalize after optimization, got $applications:\n" +
+            df.queryExecution.optimizedPlan)
+        assert(df.head().getString(0) === "a b 0") // semantics preserved
+      } finally {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+      }
+    } finally {
+      saved.foreach(SparkSession.setDefaultSession)
+      savedActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
