@@ -215,15 +215,61 @@ object TimeSeries extends QueryModule {
        |FROM hourly JOIN grand ON hourly.event_type = grand.event_type
        |ORDER BY hourly.event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin
 
+  /** TS5: robust anomaly detection via median/MAD — the outlier flag
+    * that survives the outliers themselves (mean/stddev z-scores are
+    * corrupted by the very anomalies they hunt; median and MAD have a
+    * 50% breakdown point). Events whose absolute deviation from their
+    * type's median exceeds 3.5× the median absolute deviation.
+    *
+    * Exactness: `percentile` ≡ DuckDB `quantile_cont` (A7 proves the
+    * parity), deviations are single IEEE subtractions, the flag is a
+    * division compare — all deterministic. Two grouped aggregations +
+    * two broadcast joins of the ≤|types| summary frames; the events
+    * scan is the only big pass.
+    */
+  def ts5Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Q.t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad") > 0 && col("adev") / col("mad") > 3.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"))
+      .orderBy(col("event_id").asc)
+  }
+
+  val ts5Oracle: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_id, e.event_type, e.value, m.med,
+      |    abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m ON e.event_type = m.event_type),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_id, d.event_type, d.value, d.med, mad.mad
+      |FROM dev d JOIN mad ON d.event_type = mad.event_type
+      |WHERE mad.mad > 0 AND d.adev / mad.mad > 3.5
+      |ORDER BY d.event_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_interpolate" -> ts1Interpolate,
     "ts2_ewma" -> ts2Ewma,
     "ts3_extrema" -> ts3Extrema,
-    "ts4_seasonal" -> ts4Seasonal)
+    "ts4_seasonal" -> ts4Seasonal,
+    "ts5_anomaly" -> ts5Anomaly)
 
   override def oracles: Map[String, String] = Map(
     "ts1_interpolate" -> ts1Oracle,
     "ts2_ewma" -> ts2Oracle,
     "ts3_extrema" -> ts3Oracle,
-    "ts4_seasonal" -> ts4Oracle)
+    "ts4_seasonal" -> ts4Oracle,
+    "ts5_anomaly" -> ts5Oracle)
 }
