@@ -341,6 +341,52 @@ object Dedup extends QueryModule {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY name_a ASC NULLS FIRST, name_b ASC NULLS FIRST""".stripMargin
 
+  /** D14: entity-resolution CLUSTERS — the composed ER pipeline d8's
+    * pairwise stage feeds: blocking-key Levenshtein pairs → connected
+    * components → one canonical surviving name (lexicographic min) per
+    * entity cluster. The full dedup-merge step of a master-data /
+    * catalog-conformance job, end to end. Same candidate-bounded
+    * shapes as d8 + H8; the closure oracle is the d6 recursive-CTE
+    * pattern over string nodes.
+    */
+  def d14ErClusters(spark: SparkSession, dir: String): DataFrame = {
+    val names = Q.t(spark, dir, "part").select(col("p_name")).distinct()
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("block"))
+    val b = names.select(col("p_name").as("name_b"), col("block"))
+    val pairs = a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+      .select("name_a", "name_b")
+    DedupOps.connectedComponents(pairs, "name_a", "name_b")
+      .select(col("node").as("p_name"), col("cluster_id").as("canonical"),
+        (col("cluster_id") === col("node")).as("is_canonical"))
+      .orderBy(col("p_name").asc)
+  }
+
+  val d14Oracle: String =
+    """WITH RECURSIVE
+      |names AS (
+      |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS block
+      |  FROM part),
+      |pairs AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b
+      |  FROM names a JOIN names b
+      |    ON a.block = b.block AND a.p_name < b.p_name
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+      |edges AS (
+      |  SELECT name_a AS a, name_b AS b FROM pairs
+      |  UNION SELECT name_b, name_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b)
+      |SELECT node AS p_name, MIN(r) AS canonical,
+      |  MIN(r) = node AS is_canonical
+      |FROM reach
+      |GROUP BY node
+      |ORDER BY p_name ASC NULLS FIRST""".stripMargin
+
   /** D9: triangle listing over the embedding near-dup graph — the
     * classic distributed graph-analytics kernel (clustering
     * coefficient, community density). Edges are oriented id_a < id_b
@@ -594,6 +640,7 @@ object Dedup extends QueryModule {
     "d11_semdedup" -> ((s, d) => d11SemDedup(s, d)),
     "d12_incr_dedup" -> d12IncrementalDedup,
     "d13_prefix_jaccard" -> ((s, d) => d13PrefixJaccard(s, d)),
+    "d14_er_clusters" -> d14ErClusters,
     "d9_triangles" -> d9Triangles,
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,
@@ -607,6 +654,7 @@ object Dedup extends QueryModule {
     "d10_span_dedup" -> d10Oracle,
     "d12_incr_dedup" -> d12Oracle,
     "d13_prefix_jaccard" -> d13Oracle,
+    "d14_er_clusters" -> d14Oracle,
     "d1_exact_dedup" -> d1Oracle,
     "d2_jaccard_pairs" -> d2Oracle,
     "d5_embedding_neardup" -> d5Oracle,
