@@ -126,8 +126,36 @@ object Subqueries extends QueryModule {
       |SELECT o_custkey, o_orderkey, hop FROM chain
       |ORDER BY o_custkey ASC NULLS FIRST, hop ASC NULLS FIRST""".stripMargin
 
-  def sub5Recursive(spark: SparkSession, dir: String): DataFrame =
-    GraftSession.sql(spark, dir, sub5Sql)
+  def sub5Recursive(spark: SparkSession, dir: String): DataFrame = {
+    // Same result as sub5Sql (the oracle), different plan: Spark's
+    // recursive-CTE loop re-evaluates the recursion body per hop, so
+    // the successor relation (scan + window) is computed ONCE into a
+    // cached view and each iteration pays only the hop join against
+    // it — depth × O(join) instead of depth × O(scan + sort).
+    GraftSession.registerStar(spark, dir)
+    val nxt = spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+        |    AS next_key,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+        |    AS rn
+        |FROM orders WHERE o_custkey < 100""".stripMargin).cache()
+    nxt.count() // materialize before the loop starts
+    nxt.createOrReplaceTempView("sub5_nxt")
+    spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT o_custkey, o_orderkey, 1 AS hop
+        |  FROM sub5_nxt WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.o_custkey, x.next_key AS o_orderkey, c.hop + 1 AS hop
+        |  FROM chain c JOIN sub5_nxt x
+        |    ON x.o_custkey = c.o_custkey AND x.o_orderkey = c.o_orderkey
+        |  WHERE x.next_key IS NOT NULL)
+        |SELECT o_custkey, o_orderkey, hop FROM chain
+        |ORDER BY o_custkey ASC NULLS FIRST, hop ASC NULLS FIRST""".stripMargin)
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sub5_recursive" -> sub5Recursive,
