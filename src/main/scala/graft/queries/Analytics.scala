@@ -406,11 +406,36 @@ object Analytics extends QueryModule {
       |FROM dau JOIN wau ON dau.event_type = wau.event_type AND dau.day = wau.day
       |ORDER BY dau.event_type ASC NULLS FIRST, dau.day ASC NULLS FIRST""".stripMargin
 
+  /** FN7: approximate WAU from MERGEABLE daily sketches — fn6's true
+    * 100 TB shape: the raw events table is scanned ONCE into per-(type,
+    * day) HLL sketches (the tiny frame a gold layer persists), and any
+    * trailing window's distinct count is a sketch UNION over ≤7 rows —
+    * O(report cells) merge work, never a re-scan, and yesterday's
+    * sketches never recompute. Engine-specific binaries → rows-only
+    * gate; ApproxDistinctSpec bounds the error against fn6's exact
+    * counts.
+    */
+  def fn7WauSketch(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Q.t(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk")) // the only raw pass
+    val grid = daily.select(col("event_type"), col("day").as("report_day"))
+    grid.join(daily,
+        grid("event_type") === daily("event_type") &&
+          col("day").between(date_sub(col("report_day"), 6), col("report_day")))
+      .groupBy(grid("event_type").as("event_type"), col("report_day").as("day"))
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as long)")
+        .as("wau_approx"))
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr2_skew_report" -> pr2SkewReport,
     "pr3_eqdepth" -> pr3EqdepthHist,
     "fn5_pattern" -> fn5Pattern,
     "fn6_wau" -> fn6Wau,
+    "fn7_wau_sketch" -> fn7WauSketch,
     "fn4_sessionize" -> fn4Sessionize,
     "fn1_funnel" -> fn1Funnel,
     "fn2_cohorts" -> fn2Cohorts,

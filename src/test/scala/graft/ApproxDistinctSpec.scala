@@ -66,4 +66,19 @@ class ApproxDistinctSpec extends SparkTestBase {
       assert(math.abs(a75 - p75) / p75 <= 0.02, s"$flag q3: $a75 vs $p75")
     }
   }
+
+  test("FN7: sketch-union WAU tracks the exact fn6 counts per report cell") {
+    import org.apache.spark.sql.functions.col
+    val exact = graft.queries.Analytics.fn6Wau(spark, sf)
+      .select(col("event_type"), col("day"), col("wau")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    val approx = graft.queries.Analytics.fn7WauSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(approx.keySet === exact.keySet, "report cells must align")
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / math.max(e, 1) <= 0.05,
+        s"cell $k: approx $a vs exact $e")
+    }
+  }
 }
