@@ -160,17 +160,31 @@ object Dedup extends QueryModule {
   /** D3: MinHash+LSH near-dup candidates (k=16, 4 bands × 4 rows),
     * verified by exact Jaccard. Signature hashes are engine-specific →
     * rows-only check here; recall is asserted in DedupSpec.
+    *
+    * Verification co-counts through the inverted shingle index (the d2
+    * pattern) instead of re-joining wide shingle arrays onto both pair
+    * sides: |A∩B| = count of shingles the candidate pair co-occurs on,
+    * |A|,|B| from a narrow per-doc size frame, J = ∩/(|A|+|B|−∩).
+    * Every shuffled row is (long, long[, string]) — nothing wide moves.
     */
   def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Q.t(spark, dir, "documents")
     val cands = DedupOps.lshCandidates(docs, "doc_id", "text")
-    val sh = docs.select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
-    cands
-      .join(sh.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", DedupOps.jaccard(col("sh_a"), col("sh_b")))
+    val inv = docs.select(col("doc_id"),
+      explode(DedupOps.shingles(col("text"))).as("s"))
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(inv.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+      .join(inv.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    // left join: band collisions between shingle-disjoint docs must
+    // surface as jaccard 0.0, exactly as the array form did
+    cands.join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        coalesce(col("i"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("i"), lit(0L))).cast("double"))
       .select("id_a", "id_b", "jaccard")
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
