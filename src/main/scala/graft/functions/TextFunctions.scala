@@ -26,14 +26,12 @@ object TextFunctions {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
-  /** Adjacent word bigrams: zip(tokens, tokens[1:]). */
-  def bigrams(text: Column): Column = {
-    val t = tokens(text)
-    zip_with(
-      slice(t, lit(1), size(t) - 1),
-      slice(t, lit(2), size(t) - 1),
-      (a, b) => concat(a, lit(" "), b))
-  }
+  /** Adjacent word bigrams: semantically zip(tokens, tokens[1:]),
+    * implemented by the native [[WordBigrams]] expression (codegen'd
+    * byte-slice kernel; the zip_with/slice HOF form broke whole-stage
+    * codegen and cost 3× on tx_bigrams).
+    */
+  def bigrams(text: Column): Column = WordBigrams.bigrams(text)
 
   /** Small per-language marker-word sets for the n-gram/stopword
     * language-ID heuristic. Deliberately tiny and deterministic.

@@ -498,6 +498,40 @@ class LlmOpsSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("WordBigrams: native expr ≡ zip_with(slice,slice) HOF on edge cases + corpus") {
+    import graft.functions.WordBigrams
+    // reference: the former HOF formulation, bigram i = t[i] + ' ' + t[i+1]
+    def hof(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val t = split(c, " ")
+      zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val edge = Seq("", "one", "a b", "a b c", "a  b", " a", "b ",
+      "  ", "café au lait", "x\ty z").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val rows = edge
+      .select(col("id"), hof(col("t")).as("want"),
+        WordBigrams.bigrams(col("t")).as("got"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"id=${r.getLong(0)}")
+    }
+    // corpus-wide: exact sequence equality on real docs
+    val mismatches = docs
+      .select(hof(col("text")).as("want"),
+        WordBigrams.bigrams(col("text")).as("got"))
+      .filter(not(col("want") === col("got")))
+      .count()
+    assert(mismatches === 0)
+    // NULL stays NULL
+    val n = Seq[(Long, String)]((1L, null)).toDF("id", "t")
+      .select(WordBigrams.bigrams(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("MMR: λ=1 reduces to plain top-k; λ<1 skips the redundant twin; deterministic") {
     // candidates: two near-identical high-sim docs + one diverse mid-sim doc
     val a = Array(1.0, 0.0, 0.0)
