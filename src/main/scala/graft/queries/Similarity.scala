@@ -93,6 +93,93 @@ object Similarity extends QueryModule {
       .orderBy(col("vec_id").asc, col("rn").asc)
   }
 
+  /** S11 scale path: IVF-list candidate generation for the kNN graph —
+    * the "swap the candidate generator past broadcast scale" promised
+    * in [[s11KnnGraph]]'s doc, as code. The seed codebook (≤ `lists`
+    * vectors, unit-normalized on the driver) is baked into the plan as
+    * a LITERAL — assignment is a pure map (no crossJoin, no broadcast,
+    * no extra exchange): each vector ranks the seed array in-row and
+    * explodes its `nprobe` nearest list ids. Candidates are vectors
+    * sharing a list (narrow (id, list) equi-join, key cardinality
+    * `lists` ≈ √n at scale), deduped narrow, then exactly re-scored by
+    * attaching vectors through two vec_id-keyed joins (max-cardinality
+    * key, no skew) — the d3/s2 "dedup narrow, attach late" shape.
+    * Approximate (recall vs exact asserted in LlmOpsSpec ≥ 0.9), so
+    * not oracle-gated; the auto switch keeps the exact path at oracle
+    * scale.
+    */
+  private[graft] def s11KnnGraphBucketed(spark: SparkSession, dir: String,
+      k: Int = 5, lists: Int = 16, nprobe: Int = 2): DataFrame = {
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    // bounded collect: ≤ `lists` codebook rows (the typedLit-codebook
+    // pattern of ivfPqQuery); seeds unit-normalized so ranking by -dot
+    // ≡ ranking by cosine for a fixed query vector
+    val seedRows = ivfSeedsOf(emb, lists).collect()
+    val seedLit = typedLit(seedRows.map { r =>
+      val raw = r.getSeq[Double](1)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (r.getLong(0), if (n == 0.0) raw else raw.map(_ / n))
+    }.toSeq)
+    def dotC(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    // in-row seed ranking: array_sort on (-dot, list_id) structs picks
+    // the nprobe nearest lists with the (sim desc, list_id asc)
+    // tie-break of ivfAssign
+    val rankedSeeds = array_sort(transform(seedLit,
+      s => struct((-dotC(col("v"), s("_2"))).as("ns"), s("_1").as("list_id"))))
+    val assigned = emb
+      .select(col("vec_id"),
+        explode(slice(rankedSeeds, 1, nprobe).getField("list_id")).as("list_id"))
+    val pairs = assigned.select(col("vec_id").as("id_a"), col("list_id"))
+      .join(assigned.select(col("vec_id").as("id_b"), col("list_id")),
+        Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val half = pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("sim", round(CosineSimilarity.cosine(spark, col("v_a"), col("v_b")), 6))
+      .select(col("id_a").as("vec_id"), col("id_b").as("neighbor"), col("sim"))
+    val scored = half.unionByName(half.select(
+      col("neighbor").as("vec_id"), col("vec_id").as("neighbor"), col("sim")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("neighbor").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("neighbor"), col("sim"))
+      .orderBy(col("vec_id").asc, col("rn").asc)
+  }
+
+  /** S11 entry: corpus-size switch between the exact broadcast form
+    * (ground truth, right while the corpus side fits a broadcast) and
+    * the IVF-list candidate form (≈√n lists, no broadcast of the
+    * corpus). The count is a parquet-metadata read, O(files). Default
+    * threshold 200k rows × 64 dims × 8 B ≈ 100 MB broadcast — the
+    * sensible ceiling; at sf0.01 (500 vectors) the exact path runs, so
+    * the oracle stays exact.
+    */
+  def s11KnnGraphAuto(spark: SparkSession, dir: String, k: Int = 5,
+      exactMaxRows: Long = 200000L): DataFrame = {
+    val n = Q.t(spark, dir, "embeddings").count()
+    if (n <= exactMaxRows) s11KnnGraph(spark, dir, k)
+    else s11KnnGraphBucketed(spark, dir, k,
+      lists = math.max(16, math.sqrt(n.toDouble).toInt))
+  }
+
+  /** S1 entry: the same corpus-size switch for probe top-k — exact
+    * brute force while the corpus scan per probe is affordable, the
+    * LSH-bucketed candidate form (s2, identical output schema) past
+    * it. Brute force IS the right answer far longer on s1 than s11
+    * (probes ≪ corpus bounds the work to one corpus scan), hence the
+    * higher default ceiling.
+    */
+  def s1TopKAuto(spark: SparkSession, dir: String,
+      exactMaxRows: Long = 10000000L): DataFrame = {
+    val n = Q.t(spark, dir, "embeddings").count()
+    if (n <= exactMaxRows) s1BruteForceTopK(spark, dir) else s2LshAnn(spark, dir)
+  }
+
   val s11Oracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |scored AS (
@@ -820,7 +907,7 @@ object Similarity extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_matryoshka_topk" -> s6MatryoshkaTopK,
-    "s1_cosine_topk" -> s1BruteForceTopK,
+    "s1_cosine_topk" -> ((s, d) => s1TopKAuto(s, d)),
     "s2_lsh_ann" -> s2LshAnn,
     "s3_centroids" -> s3Centroids,
     "s4_ivf_ann" -> ((s, d) => s4IvfAnn(s, d)),
@@ -829,7 +916,7 @@ object Similarity extends QueryModule {
     "s8_ivfpq_ann" -> ((s, d) => s8IvfPqAnn(s, d)),
     "s9_pq_persisted" -> ((s, d) => s9PqPersisted(s, d)),
     "s10_hybrid_rrf" -> s10HybridRrf,
-    "s11_knn_graph" -> ((s, d) => s11KnnGraph(s, d)),
+    "s11_knn_graph" -> ((s, d) => s11KnnGraphAuto(s, d)),
     "s12_mmr" -> ((s, d) => s12Mmr(s, d)))
 
   /** S9: the persisted-index serving path — build the IVF-PQ index

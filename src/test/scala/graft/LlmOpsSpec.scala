@@ -498,6 +498,65 @@ class LlmOpsSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("s11 bucketed kNN graph: recall ≥ 0.9 vs exact, no corpus broadcast in plan") {
+    import graft.queries.Similarity
+    val k = 5
+    val exact = Similarity.s11KnnGraph(spark, sf, k).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val bucketed = Similarity.s11KnnGraphBucketed(spark, sf, k)
+    // scale shape: candidate generation must not nested-loop-broadcast
+    // the corpus (the literal-codebook assignment is a pure map; every
+    // join in the plan is an equi-join)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // ...whereas the exact path is exactly the documented broadcast form
+    val exactPlan = Similarity.s11KnnGraph(spark, sf, k)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("BroadcastNestedLoopJoin"))
+    // recall floor on the RAW sf corpus: near-random 64-dim vectors
+    // (exact top-5 mean cosine ≈ 0.32) are the adversarial regime for
+    // any locality-based candidate generator — same reasoning as the
+    // LSH ANN ≥ 0.5 floor above
+    val got = bucketed.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = exact.toSeq.map { case (id, want) =>
+      want.intersect(got.getOrElse(id, Set.empty)).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.4, s"mean recall $recall < 0.4 on the random corpus")
+    // recall ≥ 0.9 on a CLUSTERED corpus — the regime real embedding
+    // corpora live in (planted clusters, the SemDeDup-spec pattern):
+    // 25 tight clusters of 20; true top-5 neighbors are in-cluster, so
+    // IVF lists capture them
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(25)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = for {
+      c <- centers.indices
+      i <- 0 until 20
+    } yield (c * 20L + i, c,
+      centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    val tmp = java.nio.file.Files.createTempDirectory("s11rec").toString
+    pts.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val cExact = Similarity.s11KnnGraph(spark, tmp, k).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val cGot = Similarity.s11KnnGraphBucketed(spark, tmp, k).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val cRecalls = cExact.toSeq.map { case (id, want) =>
+      want.intersect(cGot.getOrElse(id, Set.empty)).size.toDouble / want.size
+    }
+    val cRecall = cRecalls.sum / cRecalls.size
+    assert(cRecall >= 0.9, s"clustered mean recall $cRecall < 0.9")
+    // the auto switch: below threshold ≡ exact, above ≡ bucketed shape
+    val below = Similarity.s11KnnGraphAuto(spark, sf, k)
+    assert(below.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val above = Similarity.s11KnnGraphAuto(spark, sf, k, exactMaxRows = 1L)
+    assert(!above.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
   test("WordBigrams: native expr ≡ zip_with(slice,slice) HOF on edge cases + corpus") {
     import graft.functions.WordBigrams
     // reference: the former HOF formulation, bigram i = t[i] + ' ' + t[i+1]
