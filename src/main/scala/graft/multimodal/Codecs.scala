@@ -35,6 +35,89 @@ object Codecs {
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a &&
+      b(7) == 0x0a
+
+  /** REAL JPEG/PNG decode via `javax.imageio.ImageIO` — still-image
+    * codecs ship in the standard JDK, no native libraries needed.
+    * Output is the same [[Ppm]] RGB frame every downstream transform
+    * (features, resize) already consumes. Total: any malformed or
+    * truncated payload — including bytes that merely start with the
+    * right magic — returns None and the caller falls back to the stub,
+    * so a hostile payload can never crash an executor.
+    */
+  def decodeImage(b: Array[Byte]): Option[Ppm] =
+    if (!isJpeg(b) && !isPng(b)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0 || 3L * w * h > Int.MaxValue) None
+        else {
+          val px = new Array[Byte](3 * w * h)
+          var y = 0
+          var i = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              px(i) = ((rgb >> 16) & 0xff).toByte
+              px(i + 1) = ((rgb >> 8) & 0xff).toByte
+              px(i + 2) = (rgb & 0xff).toByte
+              i += 3
+              x += 1
+            }
+            y += 1
+          }
+          Some(Ppm(w, h, px, b.length))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Any supported still image → RGB frame: raw P6 or compressed
+    * JPEG/PNG. The single dispatch point for image-shaped payloads.
+    */
+  def parseImage(b: Array[Byte]): Option[Ppm] =
+    if (isPpm(b)) decodePpm(b) else decodeImage(b)
+
+  /** Encode an RGB frame as PNG (lossless) or JPEG via ImageIO —
+    * fixture/corpus synthesis for the compressed-codec path.
+    */
+  def encodeImage(format: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"need ${3 * w * h} bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeImage("png", w, h, rgb)
+
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeImage("jpg", w, h, rgb)
+
   private def isWs(c: Byte): Boolean =
     c == ' ' || c == '\n' || c == '\r' || c == '\t'
 

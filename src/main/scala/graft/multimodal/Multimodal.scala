@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
   * analogue of PySpark's `mapInPandas` batch shape: one iterator per
   * partition, no per-row closure dispatch).
   *
-  * Decode dispatches on magic bytes: the self-describing header+raw
-  * formats — PPM (P6) images, PCM WAV audio, and PPM-stream video —
-  * decode / feature-extract / resize / frame-sample FOR REAL via the
-  * pure-JVM [[Codecs]] (no native libraries needed). Compressed
-  * formats (JPEG, MP4, ...) fall to `decodeStub`, which derives
-  * metadata deterministically from payload bytes — clearly marked;
-  * this container ships no native codecs, and swapping the stub body
-  * for a libjpeg/ffmpeg call changes nothing structural.
+  * Decode dispatches on magic bytes: PPM (P6) images, PCM WAV audio,
+  * PPM-stream video, and — via `javax.imageio`, which ships in the
+  * standard JDK — compressed JPEG/PNG stills all
+  * decode / feature-extract / resize / frame-sample FOR REAL through
+  * the pure-JVM [[Codecs]]. Only compressed VIDEO (MP4, ...) falls to
+  * `decodeStub` (deterministic fake metadata, clearly marked): the
+  * container ships no video codecs, and swapping the stub body for an
+  * ffmpeg call changes nothing structural.
   *
   * Scale notes: payloads never pass through a shuffle unless the
   * caller repartitions; every transform is narrow (mapPartitions).
@@ -70,13 +70,14 @@ object Multimodal {
     (64 + (head % 577).toInt, 64 + (n % 359), n.toLong * 20L)
   }
 
-  /** Per-payload metadata: REAL parse for PPM/WAV (falling back to the
-    * stub if the parse fails — a text payload starting with "P6" must
-    * degrade, never crash an executor), stub for compressed formats.
+  /** Per-payload metadata: REAL parse for PPM/JPEG/PNG/WAV (falling
+    * back to the stub if the parse fails — a text payload starting
+    * with "P6" or a truncated JPEG must degrade, never crash an
+    * executor), stub for compressed video.
     */
   private def decodeMeta(payload: Array[Byte]): (Int, Int, Long) =
-    if (Codecs.isPpm(payload))
-      Codecs.decodePpm(payload)
+    if (Codecs.isPpm(payload) || Codecs.isJpeg(payload) || Codecs.isPng(payload))
+      Codecs.parseImage(payload)
         .map(p => (p.width, p.height, 0L))
         .getOrElse(decodeStub(payload))
     else if (Codecs.isWav(payload))
@@ -109,7 +110,9 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
         val real: Option[Array[Float]] =
-          if (Codecs.isPpm(m.payload)) Codecs.decodePpm(m.payload).map(Codecs.ppmFeatures)
+          if (Codecs.isPpm(m.payload) || Codecs.isJpeg(m.payload) ||
+              Codecs.isPng(m.payload))
+            Codecs.parseImage(m.payload).map(Codecs.ppmFeatures)
           else if (Codecs.isWav(m.payload)) Codecs.decodeWav(m.payload).map(Codecs.wavFeatures)
           else None
         val f = real.getOrElse {
@@ -129,10 +132,11 @@ object Multimodal {
     }
   }
 
-  /** Resize: REAL nearest-neighbor resample for PPM payloads (output
-    * is a valid P6 at the target dims); compressed payloads truncate /
-    * zero-pad to the target byte budget (STUB resampling; structure
-    * real).
+  /** Resize: REAL nearest-neighbor resample for PPM/JPEG/PNG payloads
+    * (output is a valid P6 at the target dims — the canonical raw
+    * interchange frame downstream stages consume); other payloads
+    * truncate / zero-pad to the target byte budget (STUB resampling;
+    * structure real).
     */
   def resize(spark: SparkSession, decoded: Dataset[DecodedRow],
       targetW: Int, targetH: Int): Dataset[DecodedRow] = {
@@ -140,7 +144,7 @@ object Multimodal {
     val budget = targetW * targetH / 64
     decoded.mapPartitions { it =>
       it.map { m =>
-        val out = Codecs.decodePpm(m.payload) match {
+        val out = Codecs.parseImage(m.payload) match {
           case Some(p) => Codecs.resizePpm(p, targetW, targetH)
           case None => java.util.Arrays.copyOf(m.payload, budget)
         }

@@ -114,13 +114,71 @@ object MultimodalQueries extends QueryModule {
       |FROM documents
       |ORDER BY media_id ASC NULLS FIRST""".stripMargin
 
+  /** MM4: COMPRESSED still-image decode inside the oracle gate — per
+    * document, build a PNG (via ImageIO, pure JDK) whose red channel
+    * is the uniform value `doc_id % 241` and whose green channel is
+    * the column index (a real gradient: proves the decoder reads
+    * actual pixels, not header metadata), round it through the
+    * magic-dispatch decode + feature path, and emit parsed dims, the
+    * exact red mean, and the green mean × 2 (= w−1, integral because
+    * the gradient mean is (w−1)/2 over each row). PNG is lossless, so
+    * all three are analytically exact — a stub or a lossy roundtrip
+    * would fail the hash check.
+    */
+  def mm4PngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Codecs
+    val media = Q.t(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (5 + id % 7).toInt
+          val h = (3 + id % 4).toInt
+          val r = (id % 241).toByte
+          val px = new Array[Byte](3 * w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = 3 * (y * w + x)
+              px(i) = r
+              px(i + 1) = x.toByte // gradient: mean = (w-1)/2
+              px(i + 2) = 0
+              x += 1
+            }
+            y += 1
+          }
+          (id, "image", Codecs.encodePng(w, h, px), "image/png")
+        }
+      }.toDF("media_id", "kind", "payload", "mime")
+    val decoded = Multimodal.decode(spark, media).toDF()
+      .select(col("media_id"), col("width"), col("height"))
+    val feats = Multimodal.extractFeatures(spark, media).toDF()
+      .select(col("media_id"),
+        col("feature")(0).cast("long").as("mean_r"),
+        (col("feature")(1) * 2.0).cast("long").as("mean_g_x2"))
+    decoded.join(feats, "media_id")
+      .select("media_id", "width", "height", "mean_r", "mean_g_x2")
+      .orderBy(col("media_id").asc)
+  }
+
+  val mm4Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(5 + doc_id % 7 AS INT) AS width,
+      |  CAST(3 + doc_id % 4 AS INT) AS height,
+      |  doc_id % 241 AS mean_r,
+      |  (5 + doc_id % 7) - 1 AS mean_g_x2
+      |FROM documents
+      |ORDER BY media_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_meta_stats" -> mm1MetaStats,
     "mm2_frame_counts" -> mm2FrameCounts,
-    "mm3_real_decode" -> mm3RealDecode)
+    "mm3_real_decode" -> mm3RealDecode,
+    "mm4_png_decode" -> mm4PngDecode)
 
   override def oracles: Map[String, String] = Map(
     "mm1_meta_stats" -> mm1Oracle,
     "mm2_frame_counts" -> mm2Oracle,
-    "mm3_real_decode" -> mm3Oracle)
+    "mm3_real_decode" -> mm3Oracle,
+    "mm4_png_decode" -> mm4Oracle)
 }

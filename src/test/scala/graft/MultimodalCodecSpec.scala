@@ -105,11 +105,53 @@ class MultimodalCodecSpec extends SparkTestBase {
     }
   }
 
+  test("PNG roundtrip is pixel-exact; JPEG is within lossy tolerance; dims exact") {
+    // a non-trivial image: red uniform, green column gradient, blue rows
+    val (w, h) = (12, 9)
+    val px = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = 3 * (y * w + x)
+      px(i) = 200.toByte; px(i + 1) = (x * 20).toByte; px(i + 2) = (y * 25).toByte
+    }
+    val png = Codecs.encodePng(w, h, px)
+    assert(Codecs.isPng(png) && !Codecs.isPpm(png))
+    val back = Codecs.decodeImage(png).get
+    assert(back.width === w && back.height === h)
+    assert(back.pixels.toSeq === px.toSeq, "PNG is lossless: bytes must roundtrip")
+    val jpg = Codecs.encodeJpeg(w, h, px)
+    assert(Codecs.isJpeg(jpg))
+    val jback = Codecs.decodeImage(jpg).get
+    assert(jback.width === w && jback.height === h)
+    // lossy: channel MEANS within a few counts of the source means
+    val want = Codecs.ppmFeatures(Codecs.Ppm(w, h, px, 0))
+    val got = Codecs.ppmFeatures(jback)
+    want.zip(got).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 4.0f, s"jpeg mean drifted: $a vs $b")
+    }
+    // the Spark decode path dispatches on magic and reads real dims
+    val media = Seq((1L, "image", png, "image/png"),
+      (2L, "image", jpg, "image/jpeg"))
+      .toDF("media_id", "kind", "payload", "mime")
+    val d = Multimodal.decode(spark, media).collect().sortBy(_.media_id)
+    assert(d.forall(r => r.width === w && r.height === h))
+    // resize of a compressed still emits a valid P6 at target dims
+    val resized = Multimodal.resize(spark,
+      Multimodal.decode(spark, media), 4, 3).collect()
+    resized.foreach { r =>
+      assert(Codecs.decodePpm(r.payload).exists(p => p.width === 4 && p.height === 3))
+    }
+  }
+
   test("almost-PPM and almost-WAV payloads degrade to the stub, never crash") {
     val fakes = Seq(
       "P6 not really an image".getBytes("US-ASCII"),
       "P6\n10 10\n255\nshort".getBytes("US-ASCII"), // truncated pixels
-      "RIFFxxxxWAVEbroken".getBytes("US-ASCII"))
+      "RIFFxxxxWAVEbroken".getBytes("US-ASCII"),
+      // right magic, garbage body: ImageIO must fail cleanly -> stub
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+        "garbage jpeg body".getBytes("US-ASCII"),
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        "garbage png body".getBytes("US-ASCII"))
     fakes.zipWithIndex.foreach { case (payload, i) =>
       val media = Seq((i.toLong, "image", payload, "x"))
         .toDF("media_id", "kind", "payload", "mime")
