@@ -379,9 +379,15 @@ class ManifestTable(spark: SparkSession, root: String,
     }
     // hidden partitioning: derived layout columns never surface in a
     // scan (writers re-derive them from their sources); renamed
-    // columns surface under their LOGICAL name
-    val noDerived =
-      if (transforms.isEmpty) raw else raw.drop(transforms.map(_.name): _*)
+    // columns surface under their LOGICAL name. Drop by the derived
+    // NAME PREFIX, not the current partitionSpec's transform list —
+    // after evolvePartitionSpec, time-travel reads of pre-evolution
+    // versions still carry the OLD spec's hidden hive columns, which
+    // must stay hidden too
+    val noDerived = {
+      val derived = raw.columns.filter(_.startsWith(PartitionTransform.Prefix))
+      if (derived.isEmpty) raw else raw.drop(derived.toIndexedSeq: _*)
+    }
     toLogicalRename(noDerived)
   }
 
@@ -1065,10 +1071,18 @@ class ManifestTable(spark: SparkSession, root: String,
     val tmp = new Path(logDir, s".tmp-branch-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, bp)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"branch $name was staged concurrently at $root")
+    // the exists-check + rename must be one atomic step under the
+    // per-root JVM lock (the tryCommit/colmap pattern): a local-FS
+    // rename OVERWRITES, so two same-process stagers of one branch
+    // name could otherwise both pass the pre-check and both "win",
+    // silently orphaning the loser's staged files
+    ManifestTable.lockFor(
+        fs.makeQualified(logDir).toString + s"#branch-$name").synchronized {
+      if (fs.exists(bp) || !fs.rename(tmp, bp)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"branch $name was staged concurrently at $root")
+      }
     }
   }
 
@@ -1391,6 +1405,24 @@ class ManifestTable(spark: SparkSession, root: String,
     require(referencing.isEmpty,
       s"cannot rename $oldName: referenced by CHECK constraint(s) " +
         s"${referencing.keys.mkString(", ")} — drop them first")
+    // generated columns pin names on BOTH sides: renaming a column a
+    // generated expression reads breaks every later write's resolution
+    // of the stored SQL, and renaming the generated column itself
+    // would make withGenerated re-add the old name (duplicate physical
+    // column). Delta blocks both; so do we.
+    val gen = generatedColumns
+    require(!gen.contains(oldName),
+      s"cannot rename generated column $oldName — drop the generated " +
+        "column first")
+    val genReferencing = gen.filter { case (_, s) =>
+      try spark.sessionState.sqlParser.parseExpression(s)
+        .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name }
+        .contains(oldName)
+      catch { case _: Exception => s.contains(oldName) } // conservative
+    }
+    require(genReferencing.isEmpty,
+      s"cannot rename $oldName: referenced by generated column(s) " +
+        s"${genReferencing.keys.mkString(", ")} — drop them first")
     require(!identityPartCols.contains(toPhysical(oldName))
       && !transforms.exists(_.src == toPhysical(oldName)),
       s"cannot rename partition column $oldName (hive paths and derived " +
@@ -2068,12 +2100,23 @@ class ManifestTable(spark: SparkSession, root: String,
     val dvd = entries.filter(_.stats.contains(DvKey))
     val chosen =
       if (minDeletedFraction <= 0.0) dvd
-      else dvd.filter { e =>
-        val marks = e.stats(DvKey).mx.toLong
-        // footer-only count: no column data is read
-        val rows = spark.read.parquet(
-          new Path(root, e.rel).toString).count()
-        rows > 0 && marks.toDouble / rows >= minDeletedFraction
+      else {
+        // per-file row counts in ONE job, grouped by input_file_name
+        // and keyed by basename (uuid-named files — the newEntries
+        // pattern): a count() per candidate file in a driver loop
+        // would be O(DV'd files) sequential Spark jobs
+        val counts = spark.read
+          .parquet(dvd.map(e => new Path(root, e.rel).toString): _*)
+          .groupBy(input_file_name().as("_f"))
+          .agg(count(lit(1)).as("_n"))
+          .collect() // bounded: one row per DV'd candidate file
+          .map(r => new Path(r.getString(0)).getName -> r.getLong(1))
+          .toMap
+        dvd.filter { e =>
+          val marks = e.stats(DvKey).mx.toLong
+          val rows = counts.getOrElse(new Path(root, e.rel).getName, 0L)
+          rows > 0 && marks.toDouble / rows >= minDeletedFraction
+        }
       }
     if (chosen.isEmpty) return v0
     val purged = withDerived(readEntries(chosen)) // DV-applying read

@@ -115,6 +115,32 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(t.read().count() === 1)
   }
 
+  test("generated columns pin names: source and generated column refuse to rename") {
+    val root = scratch("genrename")
+    val t = new ManifestTable(spark, root)
+    t.write(Seq((1L, 10.0)).toDF("id", "amt"), "overwrite")
+    t.addGeneratedColumn("amt_cents", "CAST(round(amt * 100) AS BIGINT)")
+    t.write(Seq((2L, 20.0)).toDF("id", "amt"), "append") // materialize it
+    // renaming the SOURCE would break every later write's resolution
+    // of the stored expression
+    val exSrc = intercept[IllegalArgumentException] {
+      t.renameColumn("amt", "amount")
+    }
+    assert(exSrc.getMessage.contains("amt_cents"))
+    // renaming the GENERATED column would re-add the old name on write
+    // (duplicate physical column)
+    val exGen = intercept[IllegalArgumentException] {
+      t.renameColumn("amt_cents", "cents")
+    }
+    assert(exGen.getMessage.contains("generated"))
+    // unaffected columns still rename; dropping the generated column
+    // unblocks its source
+    t.renameColumn("id", "row_id")
+    t.dropGeneratedColumn("amt_cents")
+    t.renameColumn("amt", "amount")
+    assert(t.read().columns.toSet === Set("row_id", "amount", "amt_cents"))
+  }
+
   test("generated columns: computed when absent, validated when present, backfilled on rewrite") {
     val root = scratch("generated")
     val t = new ManifestTable(spark, root)

@@ -484,6 +484,13 @@ class LlmOpsSpec extends SparkTestBase {
     // control chars vanish, whitespace runs collapse, ends trim
     assert(TextNormalize.normalizeString("  ab\t\tc\r\nd  ") === "ab c d")
     assert(TextNormalize.normalizeString(" ") === "")
+    // idempotence even when a stripped control char EXPOSES a blocked
+    // composition: "e<NUL><combining acute>" must compose to "\u00e9" in ONE
+    // pass, same as two (CollapseNormalize relies on this)
+    val blocked = "e\u0000\u0301"
+    val once = TextNormalize.normalizeString(blocked)
+    assert(once === "\u00e9")
+    assert(TextNormalize.normalizeString(once) === once)
     // the EXPRESSION (codegen path) agrees with the kernel on real docs
     val viaExpr = docs.limit(100)
       .select(col("text"),

@@ -174,6 +174,22 @@ class PartitionTransformSpec extends SparkTestBase {
     }
   }
 
+  test("time travel across a transform CHANGE keeps old hidden columns hidden") {
+    val root = scratch("evolvehist")
+    val t0 = new ManifestTable(spark, root, partitionSpec = Seq("days(ts)"))
+    t0.write(eventsDf, "overwrite")
+    val v0 = t0.latestVersion.get
+    // change the transform SET (days -> months): pre-evolution files
+    // still carry _graft_p_days_ts in their hive paths; a time-travel
+    // read must hide it exactly like the current layout's column
+    val t1 = t0.evolvePartitionSpec(Nil, Seq("months(ts)"))
+    val hist = t1.read(Some(v0))
+    assert(!hist.columns.exists(_.startsWith(PartitionTransform.Prefix)),
+      s"old hidden layout column leaked: ${hist.columns.mkString(", ")}")
+    assert(hist.count() === 300)
+    assert(!t1.read().columns.exists(_.startsWith(PartitionTransform.Prefix)))
+  }
+
   test("transform parsing round-trips; malformed specs refuse") {
     val specs = Seq("days(ts)", "months(ts)", "hours(ts)",
       "bucket(16,id)", "truncate(4,name)")
