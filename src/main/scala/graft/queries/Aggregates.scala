@@ -360,6 +360,61 @@ object Aggregates extends QueryModule {
     perStatus.unionByName(total).orderBy(col("o_orderstatus").asc)
   }
 
+  /** A13b: the KLL rollup in its provably-EXACT regime — the a12
+    * pattern for quantiles: a KLL sketch stores every item verbatim
+    * until its first compaction (k = 200 by default), so on a slice
+    * small enough to never compact, `kll_sketch_get_quantile_double`
+    * is an ORDER STATISTIC — the smallest value whose inclusive rank
+    * ≥ q — and DuckDB can pin it with a rank window. Same pipeline,
+    * same merge (the union sketch also stays uncompacted), oracle-
+    * gated; the approximate regime stays bounded in SketchSpec.
+    */
+  def a13QuantileExact(spark: SparkSession, dir: String): DataFrame = {
+    val o = Q.t(spark, dir, "orders").filter(col("o_orderkey") % 101 === 0)
+    val sketches = o.groupBy(col("o_orderstatus"))
+      .agg(expr("kll_sketch_agg_double(o_totalprice)").as("sk"),
+        count(lit(1)).as("n"))
+    val perStatus = sketches.select(col("o_orderstatus"), col("n"),
+      expr("kll_sketch_get_quantile_double(sk, 0.5)").as("p50"),
+      expr("kll_sketch_get_quantile_double(sk, 0.95)").as("p95"))
+    val total = sketches
+      .agg(expr("kll_merge_agg_double(sk)").as("sk"), sum(col("n")).as("n"))
+      .select(lit("TOTAL").as("o_orderstatus"), col("n"),
+        expr("kll_sketch_get_quantile_double(sk, 0.5)").as("p50"),
+        expr("kll_sketch_get_quantile_double(sk, 0.95)").as("p95"))
+    perStatus.unionByName(total).orderBy(col("o_orderstatus").asc)
+  }
+
+  val a13ExactOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 101 = 0),
+      |ranked AS (
+      |  SELECT o_orderstatus, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      |  FROM o),
+      |per AS (
+      |  SELECT o_orderstatus, MAX(n) AS n,
+      |    MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN o_totalprice END) AS p50,
+      |    MIN(CASE WHEN rn >= CEIL(0.95 * n) THEN o_totalprice END) AS p95
+      |  FROM ranked GROUP BY 1),
+      |rankedT AS (
+      |  SELECT o_totalprice,
+      |    ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM o),
+      |tot AS (
+      |  SELECT 'TOTAL' AS o_orderstatus, MAX(n) AS n,
+      |    MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN o_totalprice END) AS p50,
+      |    MIN(CASE WHEN rn >= CEIL(0.95 * n) THEN o_totalprice END) AS p95
+      |  FROM rankedT)
+      |SELECT * FROM per
+      |UNION ALL
+      |SELECT * FROM tot
+      |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
+
   /** A12: heavy hitters via the Misra-Gries mergeable sketch (typed
     * UDAF, `functions/Sketches.scala`). Capacity 16 ≥ the status
     * domain, so no decrement fires and the sketch is provably EXACT —
@@ -396,10 +451,12 @@ object Aggregates extends QueryModule {
     "a8_descriptive_stats" -> a8DescriptiveStats,
     "a9_having" -> a9Having,
     "a11_sketch_rollup" -> a11SketchRollup,
-    "a13_quantile_rollup" -> a13QuantileRollup)
+    "a13_quantile_rollup" -> a13QuantileRollup,
+    "a13_quantile_exact" -> a13QuantileExact)
 
   override def oracles: Map[String, String] = Map(
     "a12_heavy_hitters" -> a12Oracle,
+    "a13_quantile_exact" -> a13ExactOracle,
     "a1_pricing_summary" -> a1Oracle,
     "a2_count_distinct" -> a2Oracle,
     "a4_rollup" -> a4Oracle,

@@ -411,9 +411,12 @@ object Analytics extends QueryModule {
     * day) HLL sketches (the tiny frame a gold layer persists), and any
     * trailing window's distinct count is a sketch UNION over ≤7 rows —
     * O(report cells) merge work, never a re-scan, and yesterday's
-    * sketches never recompute. Engine-specific binaries → rows-only
-    * gate; ApproxDistinctSpec bounds the error against fn6's exact
-    * counts.
+    * sketches never recompute. ApproxDistinctSpec bounds the error
+    * against fn6's exact counts at any scale; AT THE GATE SCALE the
+    * query is oracle-EXACT: DataSketches HLL counts coupons exactly
+    * until the sparse→dense promotion (~512 distincts at lgK=12), and
+    * the max 7-day WAU at sf0.01 is ~150 — so hll_sketch_estimate IS
+    * COUNT(DISTINCT) there and the DuckDB oracle pins it bit-exactly.
     */
   def fn7WauSketch(spark: SparkSession, dir: String): DataFrame = {
     val daily = Q.t(spark, dir, "events")
@@ -442,7 +445,21 @@ object Analytics extends QueryModule {
     "fn3_copurchase" -> ((s, d) => fn3CoPurchase(s, d)),
     "pr1_profile" -> pr1Profile)
 
+  val fn7Oracle: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+      |  FROM events),
+      |grid AS (SELECT DISTINCT event_type, day AS report_day FROM daily)
+      |SELECT g.event_type, g.report_day AS day,
+      |  COUNT(DISTINCT d.user_id) AS wau_approx
+      |FROM grid g JOIN daily d
+      |  ON g.event_type = d.event_type
+      | AND d.day BETWEEN g.report_day - INTERVAL 6 DAY AND g.report_day
+      |GROUP BY 1, 2
+      |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "fn7_wau_sketch" -> fn7Oracle,
     "pr3_eqdepth" -> pr3Oracle,
     "fn5_pattern" -> fn5Oracle,
     "fn6_wau" -> fn6Oracle,
