@@ -355,7 +355,7 @@ class ManifestTable(spark: SparkSession, root: String,
   def read(version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
-    readEntries(entriesOf(v))
+    withDeclared(readEntries(entriesOf(v)))
   }
 
   /** Entry-level read: scan the entries' files and anti-join out any
@@ -1423,6 +1423,12 @@ class ManifestTable(spark: SparkSession, root: String,
     require(genReferencing.isEmpty,
       s"cannot rename $oldName: referenced by generated column(s) " +
         s"${genReferencing.keys.mkString(", ")} — drop them first")
+    // declared (catalog-added) columns live in the sidecar by name —
+    // the column-mapping rename path only translates FILE columns, so
+    // a renamed declared column would silently split identities
+    require(!declaredColumns.fieldNames.contains(oldName),
+      s"cannot rename declared column $oldName — deprecate and re-add " +
+        "under the new name instead")
     require(!identityPartCols.contains(toPhysical(oldName))
       && !transforms.exists(_.src == toPhysical(oldName)),
       s"cannot rename partition column $oldName (hive paths and derived " +
@@ -1519,6 +1525,147 @@ class ManifestTable(spark: SparkSession, root: String,
           col(name) <=> expr(sqlExpr),
           lit(s"generated column $name must equal $sqlExpr")).isNull)
     }
+
+  // ---------------------------------------------------------------- //
+  // Declared schema evolution (S7 as SQL): ALTER-style ADD COLUMNS    //
+  // plus the Glue crawler SchemaChangePolicy                          //
+  // (/root/reference/glue_infra.py:101-104) on manifest tables —      //
+  // UPDATE_IN_DATABASE: added columns surface immediately (null for   //
+  // files that predate them, real data once writes carry them);       //
+  // DEPRECATE_IN_DATABASE: columns are never dropped, only flagged.   //
+  // ---------------------------------------------------------------- //
+
+  private val declaredPath = new Path(logDir, "declared_columns")
+  private def declaredLock: Object =
+    ManifestTable.lockFor(fs.makeQualified(logDir).toString + "#declared")
+
+  /** Catalog-declared columns (added via [[addColumns]]) + deprecation
+    * flags, as a StructType JSON sidecar. Field metadata key
+    * "deprecated" marks soft-deleted columns (the SchemaRegistry
+    * convention).
+    */
+  def declaredColumns: StructType = declaredLock.synchronized {
+    if (!fs.exists(declaredPath)) new StructType()
+    else {
+      val in = fs.open(declaredPath)
+      try org.apache.spark.sql.types.DataType.fromJson(
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        .asInstanceOf[StructType]
+      finally in.close()
+    }
+  }
+
+  private def writeDeclared(st: StructType): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-declared-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(st.json.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(declaredPath)) fs.delete(declaredPath, false)
+    if (!fs.rename(tmp, declaredPath))
+      throw new IllegalStateException("declared_columns update failed")
+  }
+
+  private def isDeprecatedField(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains("deprecated") && f.metadata.getBoolean("deprecated")
+
+  private def deprecateField(
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putBoolean("deprecated", true).build())
+
+  /** ALTER TABLE ADD COLUMNS — metadata-only: `ddl` is a Spark DDL
+    * column list ("c1 BIGINT, c2 STRING"). Added columns surface on
+    * every read immediately (typed NULL until a write carries data —
+    * mergeSchema then takes over file-by-file). Refuses names that
+    * collide with live columns, with the PHYSICAL name of a renamed
+    * column (a file written with that name would be re-renamed by the
+    * mapping and duplicate the logical column), or with the hidden
+    * layout prefix.
+    */
+  def addColumns(ddl: String): Unit = {
+    val add = StructType.fromDDL(ddl)
+    require(add.nonEmpty, "addColumns: empty column list")
+    declaredLock.synchronized {
+      val cur = declaredColumns
+      val logical: Set[String] =
+        if (latestVersion.isDefined) read().columns.toSet else Set.empty
+      add.fields.foreach { f =>
+        require(!logical.contains(f.name) && !cur.fieldNames.contains(f.name),
+          s"addColumns: column ${f.name} already exists")
+        require(!columnMapping.contains(f.name),
+          s"addColumns: ${f.name} is the physical name of a renamed " +
+            s"column (→ ${columnMapping(f.name)}); choose another name")
+        require(!f.name.startsWith(PartitionTransform.Prefix),
+          s"addColumns: ${f.name} collides with the hidden layout prefix")
+      }
+      writeDeclared(StructType(cur.fields ++ add.fields))
+    }
+  }
+
+  /** DEPRECATE columns — the Glue DeleteBehavior: data is never
+    * dropped; declared-only columns stop surfacing in reads (they hold
+    * no data anywhere), file-backed columns keep reading — rewrites,
+    * merges, and time travel all preserve them — but carry the flag in
+    * [[describeSchema]], exactly the catalog-level soft delete the
+    * reference's DEPRECATE_IN_DATABASE policy specifies.
+    */
+  def deprecateColumns(names: Seq[String]): Unit = {
+    require(names.nonEmpty, "deprecateColumns: empty column list")
+    declaredLock.synchronized {
+      val cur = declaredColumns
+      val logicalTypes: Map[String, org.apache.spark.sql.types.DataType] =
+        if (latestVersion.isDefined)
+          read().schema.fields.map(f => f.name -> f.dataType).toMap
+        else Map.empty
+      val updated = names.foldLeft(cur) { (st, n) =>
+        if (st.fieldNames.contains(n))
+          StructType(st.fields.map(f => if (f.name == n) deprecateField(f) else f))
+        else logicalTypes.get(n) match {
+          case Some(dt) => // marker entry for a file-backed column
+            StructType(st.fields :+ deprecateField(
+              org.apache.spark.sql.types.StructField(n, dt)))
+          case None => throw new IllegalArgumentException(
+            s"deprecateColumns: no column $n")
+        }
+      }
+      writeDeclared(updated)
+    }
+  }
+
+  /** The declared-schema view of reads: append every live declared
+    * column missing from the scan as a typed NULL. Deprecated
+    * declared-only columns stay hidden; deprecated FILE-backed columns
+    * keep reading (data preserved — DEPRECATE, not DROP).
+    */
+  private def withDeclared(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    declaredColumns.fields
+      .filterNot(f => have.contains(f.name) || isDeprecatedField(f))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
+  /** DESCRIBE SCHEMA — every column with its provenance and
+    * deprecation flag: `source` = "declared" for columns the catalog
+    * sidecar governs (added and/or deprecated through it), "data" for
+    * plain file-backed columns. Deprecated declared-only columns are
+    * hidden from reads but still listed here — the catalog remembers
+    * them, per the DEPRECATE policy.
+    */
+  def describeSchema(): Seq[(String, String, String, Boolean)] = {
+    val declared = declaredColumns
+    val byName = declared.fields.map(f => f.name -> f).toMap
+    val scan =
+      if (latestVersion.isDefined) read().schema.fields.toSeq else Seq.empty
+    val scanNames = scan.map(_.name).toSet
+    scan.map { f =>
+      byName.get(f.name) match {
+        case Some(d) =>
+          (f.name, f.dataType.simpleString, "declared", isDeprecatedField(d))
+        case None => (f.name, f.dataType.simpleString, "data", false)
+      }
+    } ++ declared.fields.toSeq.filterNot(f => scanNames.contains(f.name)).map(f =>
+      (f.name, f.dataType.simpleString, "declared", isDeprecatedField(f)))
+  }
 
   private def constraintsLock: Object =
     ManifestTable.lockFor(

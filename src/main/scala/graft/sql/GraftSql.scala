@@ -190,6 +190,12 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       attr("column", StringType), attr("non_null", LongType),
       attr("ndv", LongType), attr("min", StringType),
       attr("max", StringType))
+    case "describe_schema" => Seq(
+      attr("column", StringType), attr("type", StringType),
+      attr("source", StringType), attr("deprecated", BooleanType))
+    case "schema_register" => Seq(
+      attr("change", StringType), attr("column", StringType),
+      attr("detail", StringType))
     case _ => Seq(attr("version", IntegerType))
   }
 
@@ -313,6 +319,40 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         Seq(Row(v, rows, bytes))
       case "describe_stats" =>
         table.columnStats().collect().toSeq
+      case "add_columns" =>
+        // add_columns(root, 'c1 TYPE, c2 TYPE') — ALTER-style add:
+        // metadata-only, columns surface on the next read (the
+        // UPDATE_IN_DATABASE side of the schema-change policy)
+        val t = table
+        t.addColumns(str(1))
+        versionRow(t.latestVersion.getOrElse(-1))
+      case "deprecate_columns" =>
+        // deprecate_columns(root, 'c1,c2') — soft delete: data kept,
+        // flagged in describe_schema (DEPRECATE_IN_DATABASE)
+        val t = table
+        t.deprecateColumns(
+          str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        versionRow(t.latestVersion.getOrElse(-1))
+      case "describe_schema" =>
+        table.describeSchema().map { case (c, ty, src, dep) =>
+          Row(c, ty, src, dep)
+        }
+      case "schema_register" =>
+        // schema_register(root, registryDir [, tableName]) — push the
+        // table's current logical schema through the SchemaRegistry
+        // evolution policy (the crawler-refresh step); rows report the
+        // applied diff
+        val t = table
+        val name =
+          if (args.length > 2) str(2)
+          else new org.apache.hadoop.fs.Path(str(0)).getName
+        val reg = new graft.meta.SchemaRegistry(session, str(1))
+        val diff = reg.register(name, t.read().schema)
+        diff.added.map(Row("added", _, "")) ++
+          diff.deprecated.map(Row("deprecated", _, "")) ++
+          diff.retyped.map { case (c, from, to) =>
+            Row("retyped", c, s"$from -> $to")
+          }
       case "generated_add" =>
         // generated_add(root, name, sqlExpr)
         val t = table
@@ -383,7 +423,9 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
             "describe_history, describe_detail, describe_files, " +
             "constraint_add, constraint_drop, constraints, analyze, " +
             "describe_stats, rename_column, evolve_partition, " +
-            "generated_add, generated_drop, pq_build, pq_refresh, pq_query")
+            "add_columns, deprecate_columns, describe_schema, " +
+            "schema_register, generated_add, generated_drop, " +
+            "pq_build, pq_refresh, pq_query")
     }
   }
 }

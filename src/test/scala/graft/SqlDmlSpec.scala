@@ -242,6 +242,78 @@ class SqlDmlSpec extends SparkTestBase {
     assert(mt.read().count() === 3)
   }
 
+  test("schema evolution from SQL: add_columns, deprecate_columns, registry refresh") {
+    import sqlSpark.implicits._
+    val dir = scratch("schemaevo")
+    val regDir = scratch("schemaevo_reg")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "amt")
+      .createOrReplaceTempView("evo_feed")
+    sqlSpark.sql(s"CALL graft.write('$dir', 'evo_feed', 'overwrite')").collect()
+
+    // ADD COLUMNS: metadata-only, surfaces immediately as typed NULL
+    sqlSpark.sql(
+      s"CALL graft.add_columns('$dir', 'loyalty_tier STRING, score BIGINT')")
+      .collect()
+    val mt = graft.lake.ManifestTable.forRoot(sqlSpark, dir)
+    val r = mt.read()
+    assert(r.columns.toSet ===
+      Set("id", "name", "amt", "loyalty_tier", "score"))
+    assert(r.filter(col("score").isNull).count() === 2)
+    // a later write materializes real data for the declared column
+    Seq((3L, "c", 30.0, "gold", 7L))
+      .toDF("id", "name", "amt", "loyalty_tier", "score")
+      .createOrReplaceTempView("evo_feed2")
+    sqlSpark.sql(s"CALL graft.write('$dir', 'evo_feed2', 'append')").collect()
+    assert(mt.read().filter(col("score") === 7L).count() === 1)
+    // collisions refuse
+    intercept[Exception] {
+      sqlSpark.sql(s"CALL graft.add_columns('$dir', 'name STRING')").collect()
+    }
+
+    // DEPRECATE: declared-only column hides; file-backed column stays
+    // readable but flagged
+    sqlSpark.sql(s"CALL graft.deprecate_columns('$dir', 'amt')").collect()
+    val schema = sqlSpark.sql(s"CALL graft.describe_schema('$dir')").collect()
+      .map(row => row.getString(0) -> (row.getString(2), row.getBoolean(3)))
+      .toMap
+    assert(schema("amt") === (("declared", true)))
+    assert(schema("loyalty_tier") === (("declared", false)))
+    assert(schema("id") === (("data", false)))
+    assert(mt.read().columns.contains("amt"), "deprecate keeps data")
+
+    // registry refresh applies the UPDATE/DEPRECATE policy and
+    // reports the diff
+    val d1 = sqlSpark.sql(
+      s"CALL graft.schema_register('$dir', '$regDir', 'evo')").collect()
+    assert(d1.map(_.getString(0)).forall(_ === "added")) // first registration
+    val reg = new graft.meta.SchemaRegistry(sqlSpark, regDir)
+    assert(reg.tables === Seq("evo"))
+    assert(reg.schemaOf("evo").get.fieldNames.contains("loyalty_tier"))
+  }
+
+  test("rename then re-add the old physical name refuses (mapping integrity)") {
+    import sqlSpark.implicits._
+    val dir = scratch("renameadd")
+    Seq((1L, 5.0)).toDF("id", "amt").createOrReplaceTempView("ra_feed")
+    sqlSpark.sql(s"CALL graft.write('$dir', 'ra_feed', 'overwrite')").collect()
+    sqlSpark.sql(s"CALL graft.rename_column('$dir', 'amt', 'amount')").collect()
+    // 'amt' is now the PHYSICAL name behind 'amount': a declared column
+    // under that name would be re-renamed by the mapping on read and
+    // duplicate the logical column — must refuse
+    val ex = intercept[Exception] {
+      sqlSpark.sql(s"CALL graft.add_columns('$dir', 'amt DOUBLE')").collect()
+    }
+    assert(ex.getMessage.contains("physical name"))
+    // adding under a fresh name works, and renaming a DECLARED column
+    // refuses (catalog identity is by name)
+    sqlSpark.sql(s"CALL graft.add_columns('$dir', 'amt_v2 DOUBLE')").collect()
+    val mt = graft.lake.ManifestTable.forRoot(sqlSpark, dir)
+    assert(mt.read().columns.toSet === Set("id", "amount", "amt_v2"))
+    intercept[Exception] {
+      sqlSpark.sql(s"CALL graft.rename_column('$dir', 'amt_v2', 'x')").collect()
+    }
+  }
+
   test("malformed CALLs fail loudly, not silently") {
     intercept[Exception] {
       sqlSpark.sql("CALL graft.nosuch('/tmp/x')").collect()
