@@ -71,9 +71,15 @@ object Similarity extends QueryModule {
     * per-cluster variant is exactly what d11 runs. The ranking shuffle
     * is keyed by vec_id (max cardinality, no skew).
     */
-  def s11KnnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = Q.t(spark, dir, "embeddings")
-      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+  def s11KnnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    knnGraphExact(spark, Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v")), k)
+
+  /** The exact kNN-graph core over any `(vec_id, v)` frame — shared by
+    * the s11 query and the [[graft.operators.NswIndex]] build.
+    */
+  private[graft] def knnGraphExact(spark: SparkSession, emb: DataFrame,
+      k: Int): DataFrame = {
     val nbrs = emb.select(col("vec_id").as("neighbor"), col("v").as("n_v"))
     // cosine is symmetric: evaluate each unordered pair ONCE (half the
     // floating-point work) and mirror the scored row; drop both vector
@@ -109,9 +115,14 @@ object Similarity extends QueryModule {
     * scale.
     */
   private[graft] def s11KnnGraphBucketed(spark: SparkSession, dir: String,
-      k: Int = 5, lists: Int = 16, nprobe: Int = 2): DataFrame = {
-    val emb = Q.t(spark, dir, "embeddings")
-      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      k: Int = 5, lists: Int = 16, nprobe: Int = 2): DataFrame =
+    knnGraphBucketed(spark, Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v")),
+      k, lists, nprobe)
+
+  /** The IVF-candidate kNN-graph core over any `(vec_id, v)` frame. */
+  private[graft] def knnGraphBucketed(spark: SparkSession, emb: DataFrame,
+      k: Int, lists: Int, nprobe: Int): DataFrame = {
     // bounded collect: ≤ `lists` codebook rows (the typedLit-codebook
     // pattern of ivfPqQuery); seeds unit-normalized so ranking by -dot
     // ≡ ranking by cosine for a fixed query vector
@@ -917,7 +928,8 @@ object Similarity extends QueryModule {
     "s9_pq_persisted" -> ((s, d) => s9PqPersisted(s, d)),
     "s10_hybrid_rrf" -> s10HybridRrf,
     "s11_knn_graph" -> ((s, d) => s11KnnGraphAuto(s, d)),
-    "s12_mmr" -> ((s, d) => s12Mmr(s, d)))
+    "s12_mmr" -> ((s, d) => s12Mmr(s, d)),
+    "s13_nsw_ann" -> s13NswAnn)
 
   /** S9: the persisted-index serving path — build the IVF-PQ index
     * ONCE per corpus (first invocation; a lakehouse table + codebook
@@ -940,6 +952,25 @@ object Similarity extends QueryModule {
     val probes0 = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     idx.query(emb, probes0, nprobe = 4, shortlist = 30, topK = 3)
+  }
+
+  /** S13: graph-ANN serving — the persisted NSW index
+    * ([[graft.operators.NswIndex]]): build once per corpus (kNN graph
+    * + undirected cap + entry points), then every query is a greedy
+    * beam search over O(ef·m) nodes. The graph-navigable counterpart
+    * to s9's IVF-PQ serving path; engine-specific traversal → rows-only
+    * gate, recall vs exact asserted in NswIndexSpec.
+    */
+  def s13NswAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NswIndex
+    val emb = unitVectors(spark, dir)
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_nsw_idx_v1_$key"
+    val idx = NswIndex.load(spark, root)
+      .getOrElse(NswIndex.build(spark, emb, root))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    idx.query(probes, topK = 3, ef = 64)
   }
 
   override def oracles: Map[String, String] = Map(
