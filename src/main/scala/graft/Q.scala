@@ -40,17 +40,26 @@ object Q {
 
   /** Load one testdata table (TESTDATA.md layout).
     *
-    * `events.ts` is INT64 TIMESTAMP(NANOS) in parquet, which Spark's
-    * vectorized reader rejects; we read it as raw nanos (legacy conf)
-    * and surface a TIMESTAMP_NTZ at microsecond precision (the actual
-    * data precision), matching DuckDB's naive-timestamp semantics.
+    * `events.ts` is INT64 TIMESTAMP(NANOS) in the driver-generated
+    * parquet, which Spark's vectorized reader rejects; we read it as
+    * raw nanos (legacy conf) and surface a TIMESTAMP_NTZ at
+    * microsecond precision (the actual data precision), matching
+    * DuckDB's naive-timestamp semantics. Files from other writers
+    * (e.g. DuckDB's, which encodes MICROS) surface `ts` as a real
+    * timestamp type already — normalize those to the same
+    * TIMESTAMP_NTZ so every `events` consumer sees one schema
+    * regardless of the upstream writer's encoding choice.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts",
           expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        case TimestampNTZType => df
+        case _ => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -168,7 +168,7 @@ object NswIndex {
     * LAST (crash ⇒ no loadable index, same as PqIndex).
     */
   def build(spark: SparkSession, emb: DataFrame, root: String,
-      m: Int = 8, entries: Int = 8, exactMaxRows: Long = 200000L,
+      m: Int = 8, entries: Int = 8, exactMaxRows: Long = 10000L,
       sourceVersion: Int = -1): NswIndex = {
     import org.apache.spark.sql.expressions.Window
     val nRows = emb.count()

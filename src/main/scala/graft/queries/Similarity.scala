@@ -86,7 +86,15 @@ object Similarity extends QueryModule {
     // arrays BEFORE the ranking shuffle — the window needs only
     // (id, neighbor, sim), and carrying 64-dim payloads through the
     // sort multiplies shuffle bytes ~16×
-    val half = emb.join(broadcast(nbrs), col("vec_id") < col("neighbor"))
+    //
+    // Parallelism is explicit: the probe side is bytes-light (one
+    // small parquet split ⇒ 1-2 input tasks) but the nested-loop join
+    // is O(n²) COMPUTE, so split-derived parallelism starves it — at
+    // 20k vectors that is ~200M cosines on 2 cores. One round-robin
+    // shuffle of n narrow rows is noise next to the quadratic work it
+    // spreads across every core.
+    val spread = emb.repartition(spark.sparkContext.defaultParallelism)
+    val half = spread.join(broadcast(nbrs), col("vec_id") < col("neighbor"))
       .withColumn("sim", round(CosineSimilarity.cosine(spark, col("v"), col("n_v")), 6))
       .select(col("vec_id"), col("neighbor"), col("sim"))
     val scored = half.unionByName(half.select(
@@ -165,13 +173,20 @@ object Similarity extends QueryModule {
   /** S11 entry: corpus-size switch between the exact broadcast form
     * (ground truth, right while the corpus side fits a broadcast) and
     * the IVF-list candidate form (≈√n lists, no broadcast of the
-    * corpus). The count is a parquet-metadata read, O(files). Default
-    * threshold 200k rows × 64 dims × 8 B ≈ 100 MB broadcast — the
-    * sensible ceiling; at sf0.01 (500 vectors) the exact path runs, so
-    * the oracle stays exact.
+    * corpus). The count is a parquet-metadata read, O(files).
+    *
+    * The ceiling is COMPUTE-bound, not broadcast-bytes-bound — the
+    * lesson of the sf1 validation run: 20k vectors are only 10 MB of
+    * broadcast but already n²/2 = 200M cosine evaluations (~30 s
+    * across 32 cores), and the cost grows quadratically while the
+    * IVF path grows ~n·√n. 10k rows ⇒ ≤50M pairs ≈ a couple of
+    * seconds on one node — past that the exact graph is a deliberate
+    * ground-truth request (pass `exactMaxRows` explicitly), not a
+    * default. At oracle scales (sf0.01/sf0.1, ≤2k vectors) the exact
+    * path runs, so the oracle stays exact.
     */
   def s11KnnGraphAuto(spark: SparkSession, dir: String, k: Int = 5,
-      exactMaxRows: Long = 200000L): DataFrame = {
+      exactMaxRows: Long = 10000L): DataFrame = {
     val n = Q.t(spark, dir, "embeddings").count()
     if (n <= exactMaxRows) s11KnnGraph(spark, dir, k)
     else s11KnnGraphBucketed(spark, dir, k,

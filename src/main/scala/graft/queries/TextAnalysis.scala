@@ -375,27 +375,30 @@ object TextAnalysis extends QueryModule {
     */
   def txLmScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Q.t(spark, dir, "documents")
-    val t = tokens(col("text"))
-    val toks = docs.select(col("doc_id"), explode(t).as("w1"))
-    val bigrams = docs.select(col("doc_id"),
-      explode(when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          i => struct(element_at(t, i + 1).as("w1"),
-            element_at(t, i + 2).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w1"))
+    // bigram occurrences as the native byte-slice strings ("w1 w2")
+    // rather than (w1,w2) structs: the WordBigrams kernel stays in
+    // whole-stage codegen (the transform(sequence)/element_at struct
+    // form it replaces interprets a lambda per token), the group key
+    // is one string instead of two, and w1 is recoverable from the
+    // DISTINCT-bigram table alone via substring_index — never from
+    // the corpus-scale occurrence stream
+    val bgOcc = docs.select(col("doc_id"),
+      explode(bigrams(col("text"))).as("bg"))
     val c1 = toks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c2 = bgOcc.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val vocab = toks.select(countDistinct(col("w1")).as("v"))
     // enrich the DISTINCT-bigram table once (vocab-sized joins), then
     // hit the big occurrence stream with a single equi-join — joining
     // occurrences twice would shuffle the corpus-scale stream two
     // extra times for the same answer
-    val probs = c2.join(c1, Seq("w1")).crossJoin(vocab) // vocab is 1 row
-      .select(col("w1"), col("w2"),
+    val probs = c2
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, Seq("w1")).crossJoin(vocab) // vocab is 1 row
+      .select(col("bg"),
         expr("((c2 + 1) * 1000000000L) div (c1 + v)").as("ppb"))
-    bigrams
-      .join(probs, Seq("w1", "w2"))
+    bgOcc
+      .join(probs, Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("ppb")).cast("double") / count(lit(1))).as("familiarity_ppb"))
