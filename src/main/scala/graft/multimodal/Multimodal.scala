@@ -42,6 +42,20 @@ object Multimodal {
 
   case class FeatureRow(media_id: Long, kind: String, feature: Array[Float])
 
+  /** Fused decode+features output: metadata AND the feature vector
+    * from ONE parse, payload column dropped (downstream of feature
+    * extraction nothing needs the bytes, so they stop flowing —
+    * the row narrows from payload-sized to a few dozen bytes).
+    */
+  case class DecodedFeatureRow(
+      media_id: Long,
+      kind: String,
+      mime: String,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      feature: Array[Float])
+
   case class FrameRow(media_id: Long, frame_no: Int, frame: Array[Byte])
 
   /** Deterministic fake media corpus derived from `documents` (text
@@ -115,19 +129,64 @@ object Multimodal {
             Codecs.parseImage(m.payload).map(Codecs.ppmFeatures)
           else if (Codecs.isWav(m.payload)) Codecs.decodeWav(m.payload).map(Codecs.wavFeatures)
           else None
-        val f = real.getOrElse {
-          val acc = new Array[Float](dim)
-          var i = 0
-          while (i < m.payload.length) {
-            val slot = i % dim
-            acc(slot) = acc(slot) * 31.0f + (m.payload(i) & 0xff)
-            i += 1
-          }
-          var j = 0
-          while (j < dim) { acc(j) = acc(j) % 1000.0f; j += 1 }
-          acc
-        }
+        val f = real.getOrElse(hashFeatures(m.payload, dim))
         FeatureRow(m.media_id, m.kind, f)
+      }
+    }
+  }
+
+  /** STUB feature fallback for payloads no real codec claims:
+    * fixed-dim chunked byte hashing (stands in for a vision/audio
+    * encoder).
+    */
+  private def hashFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      val slot = i % dim
+      acc(slot) = acc(slot) * 31.0f + (payload(i) & 0xff)
+      i += 1
+    }
+    var j = 0
+    while (j < dim) { acc(j) = acc(j) % 1000.0f; j += 1 }
+    acc
+  }
+
+  /** Fused decode + feature pass — the production shape for COMPRESSED
+    * formats: one parse per payload feeds BOTH the metadata columns
+    * and the feature vector. Composing the separate decode →
+    * extractFeatures stages parses every payload twice (each stage
+    * re-reads the bytes), and at compressed-image decode cost
+    * (ImageIO inflate, ~ms per image — the dominant term at any
+    * scale) the second parse doubles the pipeline; the fused stage
+    * also evaluates the media source once instead of once per branch
+    * and never re-widens rows with payload bytes after the parse.
+    * Fallbacks match the unfused stages exactly: failed/unclaimed
+    * parses degrade to the stub metadata + byte-hash features, never
+    * crash an executor.
+    */
+  def decodeWithFeatures(spark: SparkSession, media: DataFrame,
+      dim: Int = 16): Dataset[DecodedFeatureRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val p = m.payload
+        val parsed: Option[DecodedFeatureRow] =
+          if (Codecs.isPpm(p) || Codecs.isJpeg(p) || Codecs.isPng(p))
+            Codecs.parseImage(p).map(img =>
+              DecodedFeatureRow(m.media_id, m.kind, m.mime,
+                img.width, img.height, 0L, Codecs.ppmFeatures(img)))
+          else if (Codecs.isWav(p))
+            Codecs.decodeWav(p).map(w =>
+              DecodedFeatureRow(m.media_id, m.kind, m.mime, 0, 0,
+                w.samples.length.toLong / w.channels * 1000L / w.sampleRate,
+                Codecs.wavFeatures(w)))
+          else None
+        parsed.getOrElse {
+          val (w, h, d) = decodeStub(p)
+          DecodedFeatureRow(m.media_id, m.kind, m.mime, w, h, d,
+            hashFeatures(p, dim))
+        }
       }
     }
   }

@@ -97,12 +97,12 @@ object MultimodalQueries extends QueryModule {
             "image/x-portable-pixmap")
         }
       }.toDF("media_id", "kind", "payload", "mime")
-    val decoded = Multimodal.decode(spark, media).toDF()
-      .select(col("media_id"), col("width"), col("height"))
-    val feats = Multimodal.extractFeatures(spark, media).toDF()
-      .select(col("media_id"), col("feature")(0).cast("long").as("mean_r"))
-    decoded.join(feats, "media_id")
-      .select("media_id", "width", "height", "mean_r")
+    // fused stage: one parse yields dims AND features (see
+    // decodeWithFeatures scaladoc — the two-stage composition would
+    // synthesize and parse every image twice, then join the halves)
+    Multimodal.decodeWithFeatures(spark, media).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        col("feature")(0).cast("long").as("mean_r"))
       .orderBy(col("media_id").asc)
   }
 
@@ -150,14 +150,13 @@ object MultimodalQueries extends QueryModule {
           (id, "image", Codecs.encodePng(w, h, px), "image/png")
         }
       }.toDF("media_id", "kind", "payload", "mime")
-    val decoded = Multimodal.decode(spark, media).toDF()
-      .select(col("media_id"), col("width"), col("height"))
-    val feats = Multimodal.extractFeatures(spark, media).toDF()
-      .select(col("media_id"),
+    // fused stage: ImageIO inflate is the dominant per-row cost, so
+    // decoding once (not once per stage) halves the pipeline and the
+    // PNG corpus synthesizes once instead of once per branch
+    Multimodal.decodeWithFeatures(spark, media).toDF()
+      .select(col("media_id"), col("width"), col("height"),
         col("feature")(0).cast("long").as("mean_r"),
         (col("feature")(1) * 2.0).cast("long").as("mean_g_x2"))
-    decoded.join(feats, "media_id")
-      .select("media_id", "width", "height", "mean_r", "mean_g_x2")
       .orderBy(col("media_id").asc)
   }
 

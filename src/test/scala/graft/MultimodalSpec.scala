@@ -41,6 +41,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.exceptAll(f2).count() === 0)
   }
 
+  test("fused decodeWithFeatures ≡ decode ⋈ extractFeatures (all codec paths)") {
+    // the fake corpus exercises every fallback path (stub meta + hash
+    // features); add real PPM/PNG/WAV payloads so the fused parse is
+    // compared against the unfused stages on the REAL codec paths too
+    import spark.implicits._
+    import graft.multimodal.Codecs
+    val real = Seq(
+      (9001L, "image", Codecs.encodePpm(4, 3, Array.fill(36)(7.toByte)), "image/x-portable-pixmap"),
+      (9002L, "image", Codecs.encodePng(5, 2, Array.fill(30)(9.toByte)), "image/png"),
+      (9003L, "audio", Codecs.encodeWavPcm16(8000, Array.fill(1600)(3.toShort)), "audio/wav"))
+      .toDF("media_id", "kind", "payload", "mime")
+    val corpus = media.unionByName(real)
+    val fused = Multimodal.decodeWithFeatures(spark, corpus).toDF()
+    val unfused = Multimodal.decode(spark, corpus).toDF()
+      .select("media_id", "kind", "mime", "width", "height", "duration_ms")
+      .join(Multimodal.extractFeatures(spark, corpus).toDF()
+        .select("media_id", "feature"), "media_id")
+      .select(fused.columns.map(col): _*)
+    assert(fused.exceptAll(unfused).count() === 0)
+    assert(unfused.exceptAll(fused).count() === 0)
+  }
+
   test("resize: payload fits the byte budget, metadata updated") {
     val resized = Multimodal.resize(spark,
       Multimodal.decode(spark, media), 128, 128).toDF()
