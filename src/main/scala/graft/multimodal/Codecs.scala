@@ -18,6 +18,14 @@ package graft.multimodal
   */
 object Codecs {
 
+  // ImageIO's default image input/output streams are DISK-cache-backed:
+  // every read/write mints and deletes a temp file, which at corpus
+  // scale turns a per-row decode into a per-row filesystem round-trip
+  // (and on shared executors, contention on java.io.tmpdir). Tiny
+  // still images belong in memory; flip the JVM-global default once at
+  // class load (first use on each executor).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A decoded P6 frame; `consumed` = bytes read from the offset, so
     * concatenated frames (PPM-stream video) parse by advancing it.
     */
