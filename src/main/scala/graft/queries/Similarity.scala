@@ -562,38 +562,59 @@ object Similarity extends QueryModule {
   def s7PqAnn(spark: SparkSession, dir: String,
       m: Int = 16, k: Int = 32, topK: Int = 3, lloydIters: Int = 1): DataFrame = {
     val sub = PqDim / m
-    def dotC(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-    def subv(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
     val emb = unitVectors(spark, dir)
     val cents = trainPqCodebook(spark, emb, m, sub, k, lloydIters)
     val centNorm2: Seq[Seq[Double]] = cents.map(_.map(c => c.map(x => x * x).sum))
-    val centLit = typedLit(cents)
     val normLit = typedLit(centNorm2)
     import spark.implicits._
-    val bcFinal = spark.sparkContext.broadcast(pqToArr(cents))
-    // eager localCheckpoint materializes the codes while the broadcast
-    // is live, so it can be destroyed here instead of leaking a codebook
-    // copy onto the heap per invocation (measured: ≥5× bench regressions
-    // on unrelated queries from the accumulated copies)
-    val codes = try {
-      emb
-        .select(col("vec_id").cast("long").as("vec_id"), col("v"))
-        .as[(Long, Seq[Double])]
-        .mapPartitions { it =>
-          val cb = bcFinal.value
-          it.map { case (id, v) => (id, pqArgminCodes(v.toArray, cb, sub).toSeq) }
-        }
-        .toDF("vec_id", "codes") // the ONLY corpus-side columns
-        .localCheckpoint(true)
-    } finally bcFinal.destroy()
-    val probes = emb.filter(col("vec_id") < 10)
+    // the codebook is m·k·sub doubles (~16 KB at the default shape):
+    // it rides the task closure — a managed broadcast plus the eager
+    // checkpoint needed to destroy it safely costs two extra jobs per
+    // run for nothing, and closure state is GC'd with the job (no
+    // heap accretion across invocations, unlike leaked broadcasts —
+    // measured ≥5× bench regressions from those before). Lazy: the
+    // encode fuses into the ADC-scoring stage that consumes it.
+    val cb = pqToArr(cents)
+    val codes = emb
+      .select(col("vec_id").cast("long").as("vec_id"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, v) => (id, pqArgminCodes(v.toArray, cb, sub).toSeq) }
+      }
+      .toDF("vec_id", "codes") // the ONLY corpus-side columns
+    // probe LUTs computed ON THE DRIVER (see ivfPqQuery's note: the
+    // serving batch is bounded and the nested-HOF plan cost dwarfed
+    // its own execution); fold order matches the HOF form bit-exactly
+    val probeRows = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-      .withColumn("lut", array((0 until m).map(mi =>
-        transform(element_at(centLit, mi + 1),
-          c => dotC(subv(col("q_v"), mi), c))): _*))
-      .withColumn("q_norm", sqrt(dotC(col("q_v"), col("q_v"))))
-      .drop("q_v")
+      .collect()
+    val qIdType = emb.schema("vec_id").dataType
+    val centsArr = pqToArr(cents)
+    val probeData = probeRows.map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val lut: Seq[Seq[Double]] = (0 until m).map { mi =>
+        centsArr(mi).toSeq.map { c =>
+          var s = 0.0; var j = 0
+          while (j < sub) { s += qv(mi * sub + j) * c(j); j += 1 }
+          s
+        }
+      }
+      var n2 = 0.0
+      var i = 0
+      while (i < qv.length) { n2 += qv(i) * qv(i); i += 1 }
+      org.apache.spark.sql.Row(r.get(0), lut, math.sqrt(n2))
+    }
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id", qIdType, nullable = false),
+      org.apache.spark.sql.types.StructField("lut",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, false), false),
+        nullable = false),
+      org.apache.spark.sql.types.StructField("q_norm",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeData: _*), probeSchema)
     val scored = codes.join(broadcast(probes), col("vec_id") =!= col("q_id"))
       .withColumn("approx_dot",
         graft.functions.AdcScore.score(spark, col("codes"), col("lut")))
@@ -684,16 +705,18 @@ object Similarity extends QueryModule {
     val kEff = seeds.length // < k only for a corpus smaller than k
     var cents: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
       seeds.toSeq.map(s => s.slice(mi * sub, (mi + 1) * sub)))
-    val train = emb.filter(pmod(xxhash64(col("vec_id")), lit(5)) === 0)
+    val train0 = emb.filter(pmod(xxhash64(col("vec_id")), lit(5)) === 0)
       .select(col("vec_id").cast("long"), col("v")).as[(Long, Seq[Double])]
-      .localCheckpoint(true)
+    // the sample re-materializes once per Lloyd pass — checkpoint it
+    // only when >1 pass will re-read it (a one-pass train would pay
+    // the materialization job just to read the result once)
+    val train = if (lloydIters > 1) train0.localCheckpoint(true) else train0
     for (_ <- 1 to lloydIters) {
-      val bc = spark.sparkContext.broadcast(pqToArr(cents))
-      // destroyed right after the collect consumes it — per-iteration
-      // codebook broadcasts must not accrete on the heap
-      val cells = try {
+      // per-iteration codebook rides the task closure (~16 KB): GC'd
+      // with the job, no broadcast lifecycle to manage
+      val cb = pqToArr(cents)
+      val cells =
         train.mapPartitions { it =>
-          val cb = bc.value
           it.flatMap { case (_, v) =>
             val arr = v.toArray
             val codes = pqArgminCodes(arr, cb, sub)
@@ -706,14 +729,13 @@ object Similarity extends QueryModule {
           .collect() // bounded: ≤ m·k·sub rows
           .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
           .toMap
-      } finally bc.destroy()
       val prev = cents
       cents = (0 until m).map(mi =>
         (0 until kEff).map(ki => (0 until sub).map(j =>
           // empty cells keep their previous centroid
           cells.getOrElse((mi, ki, j), prev(mi)(ki)(j)))))
     }
-    train.unpersist()
+    if (lloydIters > 1) train.unpersist()
     cents
   }
 
@@ -772,27 +794,25 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("best.v").as("v"), col("best.list_id").as("list_id"))
   }
 
-  /** Encode `(vec_id, v, list_id)` rows to `(vec_id, list_id, codes)`
-    * with a broadcast codebook; materializes eagerly and destroys the
-    * broadcast (heap-accretion discipline).
+  /** Encode `(vec_id, v, list_id)` rows to `(vec_id, list_id, codes)`.
+    * The ~16 KB codebook rides the task closure (see s7's note — no
+    * broadcast, no eager checkpoint), and the result stays LAZY so it
+    * fuses into its consumer: the persisted index writes it straight
+    * to parquet, the in-memory s8 path pipelines it into the ADC join.
     */
   private[graft] def pqEncode(spark: SparkSession, assigned: DataFrame,
       cents: Seq[Seq[Seq[Double]]]): DataFrame = {
     val sub = PqDim / cents.size
     import spark.implicits._
-    val bcCents = spark.sparkContext.broadcast(pqToArr(cents))
-    try {
-      assigned
-        .select(col("vec_id").cast("long"), col("v"), col("list_id").cast("long"))
-        .as[(Long, Seq[Double], Long)]
-        .mapPartitions { it =>
-          val cb = bcCents.value
-          it.map { case (id, v, list) =>
-            (id, list, pqArgminCodes(v.toArray, cb, sub).toSeq)
-          }
-        }.toDF("vec_id", "list_id", "codes")
-        .localCheckpoint(true)
-    } finally bcCents.destroy()
+    val cb = pqToArr(cents)
+    assigned
+      .select(col("vec_id").cast("long"), col("v"), col("list_id").cast("long"))
+      .as[(Long, Seq[Double], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, v, list) =>
+          (id, list, pqArgminCodes(v.toArray, cb, sub).toSeq)
+        }
+      }.toDF("vec_id", "list_id", "codes")
   }
 
   /** The IVF-PQ probe path shared verbatim by s8 (in-memory index) and
@@ -812,31 +832,67 @@ object Similarity extends QueryModule {
     val sub = PqDim / m
     def dotC(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-    def subv(v: Column, mi: Int): Column = slice(v, mi * sub + 1, sub)
-    val centLit = typedLit(cents)
     val normLit = typedLit(cents.map(_.map(c => c.map(x => x * x).sum)))
-    // probes: nprobe nearest lists + the ADC lookup table
-    val wSeed = Window.partitionBy(col("q_id"))
-      .orderBy(col("seed_sim").desc, col("list_id").asc)
-    // materialized ONCE to the driver (probes × nprobe tiny rows) and
-    // re-planted as a local relation: feeds both the probed-list
-    // pruning and the ADC join with no probe-side re-scan and no
-    // lingering checkpoint blocks in the block manager
-    val probePlan = probes0.crossJoin(broadcast(ivfSeeds))
-      .withColumn("seed_sim", dotC(col("q_v"), col("seed_v")))
-      .withColumn("seed_rn", row_number().over(wSeed))
-      .filter(col("seed_rn") <= nprobe)
-      .select(col("q_id"), col("q_v"), col("list_id"))
-      .withColumn("lut", array((0 until m).map(mi =>
-        transform(element_at(centLit, mi + 1),
-          c => dotC(subv(col("q_v"), mi), c))): _*))
-    val probeRows = probePlan.collect() // bounded: probes × nprobe
+    // Probe-side prep — seed ranking, nprobe selection, and the m×k
+    // ADC lookup table per probe — computes ON THE DRIVER: both inputs
+    // are bounded (≤`lists` seeds, a serving batch of probes) and were
+    // ALREADY driver-collected in the previous shape; doing the tiny
+    // arithmetic here too (probes × lists × dim flops) skips planning
+    // and running a crossJoin+window+nested-HOF query per invocation —
+    // the analysis/codegen of that plan dwarfed its execution. Fold
+    // order matches the Catalyst HOF form exactly (sequential
+    // left-to-right sums), so results are bit-identical.
+    val seedRows = ivfSeeds.collect() // bounded: ≤ `lists` rows
+    val probeRows0 = probes0.collect() // bounded: the serving batch
+    val qIdType = probes0.schema("q_id").dataType
+    val listIdType = ivfSeeds.schema("list_id").dataType
+    val sLid = ivfSeeds.schema.fieldIndex("list_id")
+    val sVec = ivfSeeds.schema.fieldIndex("seed_v")
+    val pQid = probes0.schema.fieldIndex("q_id")
+    val pQv = probes0.schema.fieldIndex("q_v")
+    val seeds = seedRows.map(r =>
+      (r.get(sLid), r.getSeq[Double](sVec).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val centsArr = pqToArr(cents)
+    val probeData = probeRows0.flatMap { r =>
+      val qId = r.get(pQid)
+      val qv = r.getSeq[Double](pQv).toArray
+      val ranked = seeds
+        .map { case (lid, sv) => (lid, dot(qv, sv)) }
+        .sortBy { case (lid, sim) =>
+          (-sim, lid.toString.toLong) } // (sim desc, list_id asc)
+        .take(nprobe)
+      val lut: Seq[Seq[Double]] = (0 until m).map { mi =>
+        centsArr(mi).toSeq.map { c =>
+          var s = 0.0; var j = 0
+          while (j < sub) { s += qv(mi * sub + j) * c(j); j += 1 }
+          s
+        }
+      }
+      ranked.map { case (lid, _) =>
+        org.apache.spark.sql.Row(qId, qv.toSeq, lid, lut)
+      }
+    }
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id", qIdType, nullable = false),
+      org.apache.spark.sql.types.StructField("q_v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, false), nullable = false),
+      org.apache.spark.sql.types.StructField("list_id", listIdType, nullable = false),
+      org.apache.spark.sql.types.StructField("lut",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, false), false),
+        nullable = false)))
     val probeLists = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
-    val listIdx = probePlan.schema.fieldIndex("list_id")
+      java.util.Arrays.asList(probeData: _*), probeSchema)
     // bounded: ≤ `lists` values — lets the persisted path prune files
-    val probed = probeRows.map(r => java.lang.Long.valueOf(
-        r.get(listIdx).toString).longValue()).distinct.toSeq.sorted
+    val probed = probeData.map(r => java.lang.Long.valueOf(
+        r.get(2).toString).longValue()).distinct.toSeq.sorted
     val index = indexFor(probed)
     // ADC within the probed lists only — native fused lookup (the HOF
     // zip_with/element_at/aggregate form pays interpreted dispatch per
