@@ -149,7 +149,8 @@ object Subqueries extends QueryModule {
         |  SELECT o_custkey, o_orderkey, 1 AS hop
         |  FROM sub5_nxt WHERE rn = 1
         |  UNION ALL
-        |  SELECT x.o_custkey, x.next_key AS o_orderkey, c.hop + 1 AS hop
+        |  SELECT /*+ BROADCAST(x) */
+        |    x.o_custkey, x.next_key AS o_orderkey, c.hop + 1 AS hop
         |  FROM chain c JOIN sub5_nxt x
         |    ON x.o_custkey = c.o_custkey AND x.o_orderkey = c.o_orderkey
         |  WHERE x.next_key IS NOT NULL)
