@@ -779,20 +779,76 @@ object Similarity extends QueryModule {
       .limit(lists)
       .select(col("vec_id").as("list_id"), col("v").as("seed_v"))
 
-  /** Corpus→list assignment via map-side `max_by` — the K scored rows
-    * per vector collapse to one BEFORE any exchange; the embedding
-    * column never rides an N×K sort-shuffle.
+  /** The one IVF list-ranking kernel: per row, rank the
+    * closure-captured seed codebook by (dot desc, list_id asc) and
+    * emit the `nprobe` nearest list ids — a NARROW map, no crossJoin
+    * row blowup, no aggregate, no exchange, primitive loops inside
+    * the partition iterator (the equivalent per-row HOF expression —
+    * array_sort over a transform of a seed literal — evaluates
+    * interpreted: measured 38s vs ~2s on a 20k×141-seed corpus).
+    * Seeds are bounded (≈√n lists at scale: 100k lists × 64 dims ≈
+    * 50 MB rides the task closure like any broadcast). Dot ranking ≡
+    * cosine ranking per fixed row when seeds are unit vectors —
+    * callers normalize (or not) to preserve their exact scoring.
+    * Fold order matches the HOF `aggregate(zip_with(...))` form.
     */
-  private[graft] def ivfAssign(emb: DataFrame, ivfSeeds: DataFrame): DataFrame = {
-    def dotC(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-    emb.crossJoin(broadcast(ivfSeeds))
-      .withColumn("seed_sim", dotC(col("v"), col("seed_v"))) // unit vecs: dot = cosine
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("v").as("v"), col("list_id").as("list_id")),
-        struct(col("seed_sim"), (-col("list_id")).as("nl"))).as("best"))
-      .select(col("vec_id"), col("best.v").as("v"), col("best.list_id").as("list_id"))
+  private[graft] def ivfNearestLists(emb: DataFrame,
+      seeds: Array[(Long, Array[Double])], nprobe: Int,
+      keepV: Boolean): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = emb.select(col("vec_id").cast("long"), col("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, vSeq) =>
+          val v = vSeq.toArray
+          // top-nprobe by (dot desc, list_id asc): insertion into a
+          // bounded array — seeds.length × nprobe compares worst case
+          val topL = new Array[Long](nprobe)
+          val topS = new Array[Double](nprobe)
+          var filled = 0
+          var si = 0
+          while (si < seeds.length) {
+            val (lid, sv) = seeds(si)
+            var s = 0.0; var j = 0
+            while (j < sv.length) { s += v(j) * sv(j); j += 1 }
+            // find insert position among the current top
+            var pos = filled
+            while (pos > 0 && (topS(pos - 1) < s ||
+                (topS(pos - 1) == s && topL(pos - 1) > lid))) pos -= 1
+            if (pos < nprobe) {
+              val last = math.min(filled, nprobe - 1)
+              var q = last
+              while (q > pos) { topL(q) = topL(q - 1); topS(q) = topS(q - 1); q -= 1 }
+              topL(pos) = lid; topS(pos) = s
+              if (filled < nprobe) filled += 1
+            }
+            si += 1
+          }
+          (0 until filled).iterator.map(i => (id, vSeq, topL(i)))
+        }
+      }
+      .toDF("vec_id", "v", "list_id")
+    if (keepV) ds else ds.drop("v")
   }
+
+  /** Collect a seed frame `(list_id, seed_v)` to the bounded
+    * driver-side shape [[ivfNearestLists]] captures.
+    */
+  private[graft] def collectSeeds(ivfSeeds: DataFrame): Array[(Long, Array[Double])] = {
+    val lidIdx = ivfSeeds.schema.fieldIndex("list_id")
+    val vIdx = ivfSeeds.schema.fieldIndex("seed_v")
+    ivfSeeds.collect().map(r =>
+      (r.getLong(lidIdx), r.getSeq[Double](vIdx).toArray))
+  }
+
+  /** Corpus→list assignment — [[ivfNearestLists]] with nprobe=1: the
+    * embedding column rides a narrow map, never an N×K blowup or a
+    * struct sort-aggregate (at sf1 that aggregate sorted ~2 GB of
+    * vector-carrying structs per run).
+    */
+  private[graft] def ivfAssign(emb: DataFrame, ivfSeeds: DataFrame): DataFrame =
+    ivfNearestLists(emb, collectSeeds(ivfSeeds), nprobe = 1, keepV = true)
 
   /** Encode `(vec_id, v, list_id)` rows to `(vec_id, list_id, codes)`.
     * The ~16 KB codebook rides the task closure (see s7's note — no
