@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 151 queries share one JVM in graft.Bench; at 8g the tail of the
+  // suite (ts*/tx*/w* sort last) ran under GC pressure the head never
+  // saw — 2-3x per-query drift with zero code change (round-8 bench).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -66,9 +66,16 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
+      val g0 = gcMillis
       val v = run(n)
-      println(s"""{"query":"$n","sec":$v}""")
+      val gq = (gcMillis - g0) / 1000.0
+      println(f"""{"query":"$n","sec":$v,"gcsec":$gq%.2f}""")
       Console.out.flush()
+      // suite hygiene: a query's cached/broadcast leftovers must not
+      // tax its successors — round-8 saw 2-3x drift on the queries
+      // that happened to run late in the alphabet, with no code change
+      spark.catalog.clearCache()
+      System.gc()
       n -> v
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -18,14 +18,6 @@ package graft.multimodal
   */
 object Codecs {
 
-  // ImageIO's default image input/output streams are DISK-cache-backed:
-  // every read/write mints and deletes a temp file, which at corpus
-  // scale turns a per-row decode into a per-row filesystem round-trip
-  // (and on shared executors, contention on java.io.tmpdir). Tiny
-  // still images belong in memory; flip the JVM-global default once at
-  // class load (first use on each executor).
-  javax.imageio.ImageIO.setUseCache(false)
-
   /** A decoded P6 frame; `consumed` = bytes read from the offset, so
     * concatenated frames (PPM-stream video) parse by advancing it.
     */
@@ -63,7 +55,15 @@ object Codecs {
   def decodeImage(b: Array[Byte]): Option[Ppm] =
     if (!isJpeg(b) && !isPng(b)) None
     else try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      // a MEMORY-cached image stream, explicitly: ImageIO's default
+      // wrapping is disk-cache-backed (a temp file minted and deleted
+      // per read — a per-row filesystem round-trip at corpus scale,
+      // plus java.io.tmpdir contention on shared executors). Scoped
+      // per call rather than ImageIO.setUseCache(false), which would
+      // mutate a JVM-global for every other ImageIO user in-process.
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(b)))
       if (img == null) None
       else {
         val w = img.getWidth

@@ -2,42 +2,53 @@ package graft.operators
 
 import graft.lake.ManifestTable
 import graft.queries.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Serialized index metadata: link degree, entry-point ids, and the
-  * source version cursor (mirrors [[PqIndexMeta]]).
+/** Serialized index metadata: link degree, shard layout (the frozen
+  * IVF routing seeds), and the source version cursor (mirrors
+  * [[PqIndexMeta]]). The seeds are bounded (≈√n lists), so they ride
+  * the sidecar + task closures like the PQ codebook does.
   */
 private[operators] case class NswIndexMeta(
-    m: Int, entryIds: Seq[Long], sourceVersion: Int)
+    m: Int, lists: Int, replicas: Int, entriesPerShard: Int,
+    sourceVersion: Int, seedIds: Seq[Long], seedVs: Seq[Seq[Double]])
 
 /** Persisted navigable-small-world graph index (the single-layer core
   * of HNSW — Malkov & Yashunin, TPAMI 2020; NSW per Malkov et al.,
-  * IS 2014) over a unit-normalized embedding corpus, as a lakehouse
-  * table: `(vec_id, v, neighbors)` rows in a [[ManifestTable]] with a
-  * meta sidecar holding the entry points.
+  * IS 2014) over a unit-normalized embedding corpus, SHARDED by IVF
+  * list (the SPANN memory–disk layout, Chen et al., NeurIPS 2021):
+  * `(list_id, vec_id, v, neighbors)` rows in a [[ManifestTable]]
+  * zone-mapped on `list_id`, with the routing seeds in a meta sidecar.
   *
-  * BUILD (a batch job, the expensive half): the k-nearest-neighbor
-  * graph — exactly s11's operator, via the same corpus-size switch
-  * between the exact broadcast form and IVF-list candidates — made
-  * UNDIRECTED (each directed top-m edge also inserted in reverse, then
-  * the per-node list re-capped at 2m by similarity), which is what
-  * makes greedy search navigable: a node that nothing points to can
-  * still be reached through its own out-links' back-edges. Entry
-  * points are `entries` hash-spread corpus nodes (the ivfSeedsOf
-  * pattern) — the multi-entry stand-in for HNSW's upper layers.
+  * SHARDING: every vector is assigned to its `replicas` nearest IVF
+  * lists (SPANN's closure assignment — boundary vectors appear in each
+  * neighboring shard, which is what keeps recall up when a probe's
+  * true neighbors straddle a shard edge), and each shard holds a
+  * SELF-CONTAINED navigable subgraph over its members: per-shard kNN
+  * links made undirected (2m cap), plus a hash-ordered ring path that
+  * makes each shard provably connected (the lite stand-in for HNSW's
+  * upper layers). Shard size is ~replicas·n/lists — with the √n
+  * default, a bounded task-local working set at any corpus scale.
   *
-  * QUERY (the cheap half): greedy best-first beam search, the
-  * standard NSW kernel — pop the best unexpanded candidate, score its
-  * neighbors, keep the best `ef` results, stop when the best candidate
-  * is worse than the worst kept result. Each probe touches O(ef·m)
-  * vectors instead of the corpus. The graph shard is memory-resident
-  * at query time (collected once per batch, broadcast to probe
-  * partitions) — the serving-node model every production graph-ANN
-  * store uses (a 100 TB corpus shards by IVF list / tenant and fans
-  * the probe to shards; within a shard the structure is RAM-resident
-  * by design, so the bounded collect HERE is the architecture, not a
-  * shortcut).
+  * QUERY: probes rank the frozen seeds (a narrow map over bounded
+  * driver-side state — the [[Similarity.ivfNearestLists]] kernel),
+  * fan to their `nprobe` nearest shards, and the probed shards' rows
+  * are CO-GROUPED with their probes: each task materializes only its
+  * own shard (never the corpus), runs the greedy beam search per
+  * probe in-memory, and the per-shard top-k lists merge into the
+  * global top-k with one bounded window. The index scan prunes to
+  * probed lists through the `list_id` zone maps. Nothing whole-index
+  * ever reaches the driver — the previous design's full-table
+  * `collect()` (a driver OOM at 100×) is gone.
+  *
+  * MAINTENANCE ([[refreshFrom]]): rides the L8 change feed like
+  * [[PqIndex.refreshFrom]] — deletes DV out by id; inserts route to
+  * their frozen shards and splice in with the standard graph-ANN
+  * insertion (exact top-m links against the RAM-resident shard,
+  * reverse edges, 2m prune), rewriting only the AFFECTED shards —
+  * O(delta shards), never a corpus rebuild.
   */
 class NswIndex private (spark: SparkSession, val root: String,
     meta: NswIndexMeta) {
@@ -45,59 +56,200 @@ class NswIndex private (spark: SparkSession, val root: String,
   val table: ManifestTable = NswIndex.indexTable(spark, root)
 
   def m: Int = meta.m
-  def entryIds: Seq[Long] = meta.entryIds
+  def lists: Int = meta.lists
+  def replicas: Int = meta.replicas
+  def sourceVersion: Int = meta.sourceVersion
+
+  private def seedArr: Array[(Long, Array[Double])] =
+    meta.seedIds.zip(meta.seedVs.map(_.toArray)).toArray
+
+  /** Zone-map-pruned shard scan (the [[PqIndex]] scanLists shape): one
+    * scan of the files intersecting any probed list, full scan past
+    * [[PqIndex.MaxPrunedLists]] — over-reading only costs IO, the
+    * downstream cogroup keys keep correctness.
+    */
+  private def scanLists(probed: Seq[Long]): DataFrame =
+    if (probed.isEmpty) table.read().filter(lit(false))
+    else if (probed.size <= PqIndex.MaxPrunedLists)
+      table.readRangesBy("list_id", probed.map(l => (l.toString, l.toString)))
+    else table.read()
 
   /** Serve a probe batch `(q_id, q_v)` (unit-normalized, the PqIndex
     * probe shape): returns `(q_id, rn, neighbor, sim)` — the s1/s9
-    * output contract. `ef` is the beam width (recall knob).
+    * output contract. `ef` is the beam width, `nprobe` the shard
+    * fan-out (the two recall knobs).
     */
-  def query(probes0: DataFrame, topK: Int = 3, ef: Int = 64): DataFrame = {
+  def query(probes0: DataFrame, topK: Int = 3, ef: Int = 64,
+      nprobe: Int = 4): DataFrame = {
     import spark.implicits._
-    // the shard, RAM-resident for the batch (serving-node model above)
-    val rows = table.read().select("vec_id", "v", "neighbors").collect()
-    val n = rows.length
-    val ids = new Array[Long](n)
-    val vecs = new Array[Array[Double]](n)
-    val index = new java.util.HashMap[Long, Integer](n * 2)
-    var i = 0
-    while (i < n) {
-      ids(i) = rows(i).getLong(0)
-      vecs(i) = rows(i).getSeq[Double](1).toArray
-      index.put(ids(i), i)
-      i += 1
+    // probe routing runs ON THE DRIVER (the ivfPqQuery precedent): both
+    // inputs are bounded — the seed codebook and a serving batch — and
+    // ranking them here skips two Spark jobs per query (the routing map
+    // and the probed-list distinct/collect). Tie-breaks match
+    // ivfNearestLists exactly: (dot desc, list_id asc).
+    val probeRows = probes0
+      .select(col("q_id").cast("long"), col("q_v")).collect() // bounded: the serving batch
+    val seeds = seedArr
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
     }
-    val adj: Array[Array[Int]] = Array.tabulate(n) { j =>
-      rows(j).getSeq[Long](2)
-        .flatMap(id => Option(index.get(id)).map(_.intValue)).toArray
+    val routedRows = probeRows.flatMap { r =>
+      val qId = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      seeds.map { case (lid, sv) => (lid, dot(qv, sv)) }
+        .sortWith { case ((lidA, sA), (lidB, sB)) =>
+          // Double.compare, not negation: NaN (zero-norm probe) ranks
+          // greatest-first, matching Spark's desc semantics
+          val c = java.lang.Double.compare(sB, sA)
+          if (c != 0) c < 0 else lidA < lidB
+        }
+        .take(nprobe)
+        .map { case (lid, _) => (lid, qId, qv.toSeq) }
     }
-    val entries = meta.entryIds
-      .flatMap(id => Option(index.get(id)).map(_.intValue)).toArray
-    val bc = spark.sparkContext.broadcast((ids, vecs, adj, entries))
-    try {
-      val out = probes0
-        .select(col("q_id").cast("long"), col("q_v"))
-        .as[(Long, Seq[Double])]
-        .mapPartitions { it =>
-          val (bIds, bVecs, bAdj, bEntries) = bc.value
-          it.flatMap { case (qId, qv) =>
-            NswIndex.beamSearch(qv.toArray, bIds, bVecs, bAdj, bEntries,
-                ef, topK, excludeId = qId)
-              .zipWithIndex.map { case ((nid, sim), r) =>
-                (qId, r + 1, nid, math.rint(sim * 1e6) / 1e6)
+    val routed = spark.createDataset(routedRows.toSeq)
+      .toDF("list_id", "q_id", "q_v").as[(Long, Long, Seq[Double])]
+    // bounded: ≤ min(lists, probes×nprobe) values — prunes the shard scan
+    val probedLists = routedRows.map(_._1).distinct.sorted.toSeq
+    val shards = scanLists(probedLists)
+      .select(col("list_id"), col("vec_id"), col("v"), col("neighbors"))
+      .as[(Long, Long, Seq[Double], Seq[Long])]
+    val mEf = ef
+    val mTopK = topK
+    val mEntries = meta.entriesPerShard
+    val hits = shards.groupByKey(_._1)
+      .cogroup(routed.groupByKey(_._1)) { (_, nodeIt, probeIt) =>
+        val ps = probeIt.toArray
+        if (ps.isEmpty) Iterator.empty
+        else {
+          // the task-local shard: ~replicas·n/lists rows by design
+          val rows = nodeIt.toArray.sortBy(_._2) // id order ⇒ deterministic ties
+          val n = rows.length
+          val ids = new Array[Long](n)
+          val vecs = new Array[Array[Double]](n)
+          val index = new java.util.HashMap[Long, Integer](n * 2)
+          var i = 0
+          while (i < n) {
+            ids(i) = rows(i)._2
+            vecs(i) = rows(i)._3.toArray
+            index.put(ids(i), i)
+            i += 1
+          }
+          val adj: Array[Array[Int]] = Array.tabulate(n) { j =>
+            rows(j)._4
+              .flatMap(id => Option(index.get(id)).map(_.intValue)).toArray
+          }
+          // per-shard entry points: the ivfSeedsOf hash spread over the
+          // shard's own members — derived, never stored
+          val entries = (0 until n)
+            .sortBy(j => ((ids(j) * 40503L % 999983L + 999983L) % 999983L, ids(j)))
+            .take(mEntries).toArray
+          ps.sortBy(_._2).iterator.flatMap { case (_, qId, qv) =>
+            NswIndex.beamSearch(qv.toArray, ids, vecs, adj, entries,
+                mEf, mTopK, excludeId = qId)
+              .iterator.map { case (nid, sim) =>
+                (qId, nid, math.rint(sim * 1e6) / 1e6)
               }
           }
         }
-        .toDF("q_id", "rn", "neighbor", "sim")
-        .select(col("q_id"), col("rn").cast("int").as("rn"),
-          col("neighbor"), col("sim"))
-        .orderBy(col("q_id").asc, col("rn").asc)
-        .localCheckpoint(true) // materialize before the broadcast dies
-      out
-    } finally bc.destroy()
+      }
+      .toDF("q_id", "neighbor", "sim")
+    // replica dedup (a boundary vector answers from ≤ replicas shards
+    // with the identical exact cosine) + global top-k merge
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor").asc)
+    hits.groupBy(col("q_id"), col("neighbor")).agg(max(col("sim")).as("sim"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("rn").cast("int").as("rn"),
+        col("neighbor"), col("sim"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  /** Catch the index up to `source`'s latest version through the
+    * change feed: deletes/update-preimages DV out by id;
+    * inserts/update-postimages are unit-normalized, routed to their
+    * `replicas` nearest FROZEN seeds, and spliced into each affected
+    * shard by the standard graph-ANN insertion — exact top-m links
+    * against the RAM-resident shard, reverse edges, prune to the 2m
+    * cap. Only affected shards rewrite (delete + append) — O(delta
+    * shards). Returns the refreshed index; a no-op when current.
+    * Idempotent like [[PqIndex.refreshFrom]]: touched ids are DV'd out
+    * before re-insertion, so a replay re-upserts instead of
+    * duplicating. Dangling neighbor ids left by deletions resolve to
+    * nothing at query time (the shard-local id→slot lookup drops
+    * them), so correctness never depends on back-edge cleanup.
+    */
+  def refreshFrom(source: ManifestTable, idCol: String, vecCol: String): NswIndex = {
+    import spark.implicits._
+    val vTo = source.latestVersion.getOrElse(
+      throw new IllegalStateException("source table has no versions"))
+    if (vTo == meta.sourceVersion) return this
+    val changes = (
+      if (meta.sourceVersion < 0)
+        source.read(Some(vTo))
+          .withColumn("_change_type", lit("insert"))
+      else source.changesBetween(meta.sourceVersion, vTo, Seq(idCol))
+    ).localCheckpoint(true)
+    try {
+      val deadIds = changes
+        .filter(col("_change_type").isin("delete", "update_preimage"))
+        .select(col(idCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq // bounded by the delta
+      val fresh = changes
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col(idCol).as("vec_id"), col(vecCol).as("raw_v"))
+      val freshIds = fresh.select(col("vec_id").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq // bounded by the delta
+      val touched = (deadIds ++ freshIds).distinct
+      if (touched.nonEmpty) table.deleteKeys("vec_id", touched): Unit
+      if (freshIds.nonEmpty) {
+        val unit = Similarity.unitize(fresh)
+        val assigned = Similarity
+          .ivfNearestLists(unit, seedArr, meta.replicas, keepV = true)
+          .select(col("list_id"), col("vec_id"), col("v"))
+          .as[(Long, Long, Seq[Double])]
+        // bounded: ≤ delta × replicas values
+        val affected = assigned.select(col("list_id")).distinct()
+          .as[Long].collect().toSeq.sorted
+        val existing = scanLists(affected)
+          .filter(col("list_id").isin(affected: _*))
+          .select(col("list_id"), col("vec_id"), col("v"), col("neighbors"))
+          .as[(Long, Long, Seq[Double], Seq[Long])]
+        val mM = meta.m
+        val rebuilt = existing.groupByKey(_._1)
+          .cogroup(assigned.groupByKey(_._1)) { (lid, nodeIt, freshIt) =>
+            NswIndex.spliceShard(lid, nodeIt, freshIt, mM)
+          }
+          .toDF("list_id", "vec_id", "v", "neighbors")
+          // materialize BEFORE the shard delete below invalidates the scan
+          .localCheckpoint(true)
+        table.deleteKeys("list_id", affected.map(_.toString)): Unit
+        table.write(rebuilt.repartitionByRange(
+          math.max(1, math.min(meta.lists, NswIndex.IndexFiles)),
+          col("list_id")), "append"): Unit
+      }
+    } finally changes.unpersist()
+    val next = meta.copy(sourceVersion = vTo)
+    NswIndex.writeMeta(spark, root, next)
+    new NswIndex(spark, root, next)
   }
 }
 
 object NswIndex {
+
+  /** Target file count for the index table: range-partitioned by
+    * `list_id` so the zone maps prune the probe scan tightly.
+    */
+  private[operators] val IndexFiles = 16
+
+  /** Minimum rows a default-layout shard should hold — below this,
+    * extra shards only shred true-neighbor sets (recall) without
+    * buying parallelism worth having.
+    */
+  private[operators] val TargetShardRows = 256L
 
   private def metaPath(root: String) = s"$root/_graft_nsw_meta"
 
@@ -105,7 +257,8 @@ object NswIndex {
     new java.util.concurrent.ConcurrentHashMap[String, NswIndexMeta]()
 
   private[operators] def indexTable(spark: SparkSession, root: String): ManifestTable =
-    new ManifestTable(spark, s"$root/index", bloomCol = Some("vec_id"))
+    new ManifestTable(spark, s"$root/index",
+      statsCol = Some("list_id"), bloomCol = Some("vec_id"))
 
   /** The greedy NSW kernel — pure, deterministic (ties break on lower
     * node index), bounded by O(ef·m) scored nodes per probe.
@@ -162,61 +315,148 @@ object NswIndex {
       .take(topK)
   }
 
-  /** Build from a unit-normalized corpus `emb(vec_id, v)`: kNN graph
-    * (corpus-size-switched candidates), undirected 2m-capped adjacency,
-    * hash-spread entry points; persist rows, then the meta sidecar
-    * LAST (crash ⇒ no loadable index, same as PqIndex).
+  /** Graph-ANN insertion for one RAM-resident shard: newcomers splice
+    * in id order (batch-internal links form too) — exact top-m links
+    * by (sim desc, id asc) against current members, reverse edges,
+    * prune any list past 2m back to the 2m best. Emits EVERY row of
+    * the shard (the caller rewrites the shard wholesale — shard-
+    * granular, bounded, no row-level adjacency merge). Deterministic:
+    * sorted iteration, total-order tie-breaks, sorted output lists.
+    */
+  private[operators] def spliceShard(lid: Long,
+      nodeIt: Iterator[(Long, Long, Seq[Double], Seq[Long])],
+      freshIt: Iterator[(Long, Long, Seq[Double])], m: Int)
+      : Iterator[(Long, Long, Seq[Double], Seq[Long])] = {
+    import scala.collection.mutable
+    val vecs = mutable.LinkedHashMap.empty[Long, Array[Double]]
+    val adj = mutable.LinkedHashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    nodeIt.toArray.sortBy(_._2).foreach { case (_, id, v, nbs) =>
+      vecs(id) = v.toArray
+      adj(id) = mutable.ArrayBuffer(nbs: _*)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    freshIt.toArray.sortBy(_._2).foreach { case (_, id, vSeq) =>
+      val v = vSeq.toArray
+      val links = vecs.iterator
+        .filter(_._1 != id)
+        .map { case (oid, ov) => (oid, dot(v, ov)) }
+        .toArray
+        .sortBy { case (oid, s) => (-s, oid) }
+        .take(m).map(_._1)
+      vecs(id) = v
+      adj(id) = mutable.ArrayBuffer(links: _*)
+      links.foreach { t =>
+        val lst = adj(t)
+        if (!lst.contains(id)) {
+          lst += id
+          if (lst.size > 2 * m) {
+            val tv = vecs(t)
+            val kept = lst.iterator
+              .map(nb => (nb, vecs.get(nb).map(dot(tv, _)).getOrElse(Double.MinValue)))
+              .toArray
+              .sortBy { case (nb, s) => (-s, nb) }
+              .take(2 * m).map(_._1)
+            lst.clear()
+            lst ++= kept
+          }
+        }
+      }
+    }
+    vecs.iterator.map { case (id, v) =>
+      (lid, id, v.toSeq, adj(id).sorted.distinct.toSeq)
+    }
+  }
+
+  /** Build from a unit-normalized corpus `emb(vec_id, v)`: assign every
+    * vector to its `replicas` nearest hash-seeded IVF lists (SPANN
+    * closure assignment), build a self-contained navigable subgraph
+    * PER SHARD — within-shard kNN links, undirected with a 2m cap,
+    * plus a hash-ordered ring path so each shard is provably connected
+    * — and persist rows range-partitioned by `list_id` (tight zone
+    * maps), meta sidecar LAST (crash ⇒ no loadable index, same as
+    * PqIndex). `lists` ≤ 0 picks ≈√n, the shard-size sweet spot (each
+    * shard ~replicas·√n rows — a task-local working set at any scale;
+    * every per-shard step keys its shuffle by `list_id`, so the build
+    * is shard-parallel end to end, never corpus-quadratic).
     */
   def build(spark: SparkSession, emb: DataFrame, root: String,
-      m: Int = 8, entries: Int = 8, exactMaxRows: Long = 10000L,
-      sourceVersion: Int = -1): NswIndex = {
-    import org.apache.spark.sql.expressions.Window
+      m: Int = 8, lists: Int = -1, replicas: Int = 2,
+      entriesPerShard: Int = 8, sourceVersion: Int = -1): NswIndex = {
     val nRows = emb.count()
-    val knn =
-      if (nRows <= exactMaxRows) Similarity.knnGraphExact(spark, emb, m)
-      else Similarity.knnGraphBucketed(spark, emb, m,
-        lists = math.max(16, math.sqrt(nRows.toDouble).toInt), nprobe = 2)
-    // undirect: every edge in both directions, then re-cap at 2m per
-    // node (keep the strongest links; dedup first — a mutual kNN pair
-    // appears in both directions already)
-    val undirected = knn.select(col("vec_id"), col("neighbor"), col("sim"))
-      .unionByName(knn.select(col("neighbor").as("vec_id"),
-        col("vec_id").as("neighbor"), col("sim")))
-      .groupBy(col("vec_id"), col("neighbor")).agg(max(col("sim")).as("sim"))
-    val w = Window.partitionBy(col("vec_id"))
+    // default layout: shards of ≥ TargetShardRows (few, large shards
+    // at small n — recall comes from probing most of them; tiny shards
+    // would shred a near-uniform corpus's true-neighbor sets), capped
+    // at √n once the corpus is big enough that √n shards already hold
+    // ≥ TargetShardRows each — the SPANN posting-list sweet spot
+    val listsN =
+      if (lists > 0) lists
+      else math.max(4L, math.min(nRows / TargetShardRows,
+        math.sqrt(nRows.toDouble).toLong)).toInt
+    val seedRows = Similarity.ivfSeedsOf(emb, listsN).collect() // bounded: `lists` rows
+    val seedArr = seedRows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val assigned = Similarity
+      .ivfNearestLists(emb, seedArr, math.max(1, replicas), keepV = true)
+      .select(col("list_id"), col("vec_id"), col("v"))
+    // within-shard kNN: cosine over each unordered member pair ONCE,
+    // mirrored; |shard|² work keyed by list_id — bounded per task
+    val nbrs = assigned.select(col("list_id"),
+      col("vec_id").as("neighbor"), col("v").as("n_v"))
+    val half = assigned.join(nbrs, Seq("list_id"))
+      .filter(col("vec_id") < col("neighbor"))
+      .withColumn("sim", round(
+        graft.functions.CosineSimilarity.cosine(spark, col("v"), col("n_v")), 6))
+      .select(col("list_id"), col("vec_id"), col("neighbor"), col("sim"))
+    val scored = half.unionByName(half.select(col("list_id"),
+      col("neighbor").as("vec_id"), col("vec_id").as("neighbor"), col("sim")))
+    val w = Window.partitionBy(col("list_id"), col("vec_id"))
       .orderBy(col("sim").desc, col("neighbor").asc)
+    val knn = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("list_id"), col("vec_id"), col("neighbor"), col("sim"))
+    // undirect: every kNN edge in both directions, re-cap at 2m per
+    // node (keep the strongest links) — what makes greedy search
+    // navigable: a node nothing points to is reached via back-edges
+    val undirected = knn
+      .unionByName(knn.select(col("list_id"), col("neighbor").as("vec_id"),
+        col("vec_id").as("neighbor"), col("sim")))
+      .groupBy(col("list_id"), col("vec_id"), col("neighbor"))
+      .agg(max(col("sim")).as("sim"))
     val cappedPairs = undirected.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2 * m)
-      .select(col("vec_id"), col("neighbor"))
+      .select(col("list_id"), col("vec_id"), col("neighbor"))
     // long-range links: a kNN graph over clustered data is a set of
     // disconnected islands (the problem HNSW's upper layers solve).
-    // The lite fix: a hash-ordered PATH through all nodes — each node
-    // links its successor in a deterministic pseudo-random order —
-    // which makes the graph provably connected with ≤2 extra links
-    // per node and, because the order is hash-spread, the links are
-    // long-range. Exempt from the 2m cap (eviction could disconnect).
-    // The global sort runs on 16-byte (id, hash) rows only.
-    val wRing = Window.orderBy(
+    // The lite fix, per shard: a hash-ordered PATH through the shard's
+    // members — provably connected with ≤2 extra links per node, and
+    // hash-spread ⇒ long-range. Exempt from the 2m cap (eviction
+    // could disconnect). The sort is per-shard over narrow rows.
+    val wRing = Window.partitionBy(col("list_id")).orderBy(
       pmod(col("vec_id") * 40503L + 17L, lit(999983L)).asc,
       col("vec_id").asc)
-    val ring = emb.select(col("vec_id"))
+    val ring = assigned.select(col("list_id"), col("vec_id"))
       .withColumn("nxt", lead(col("vec_id"), 1).over(wRing))
       .filter(col("nxt").isNotNull)
-    val ringBoth = ring.select(col("vec_id"), col("nxt").as("neighbor"))
-      .unionByName(ring.select(col("nxt").as("vec_id"),
+    val ringBoth = ring.select(col("list_id"), col("vec_id"), col("nxt").as("neighbor"))
+      .unionByName(ring.select(col("list_id"), col("nxt").as("vec_id"),
         col("vec_id").as("neighbor")))
     val adjacency = cappedPairs.unionByName(ringBoth).distinct()
-      .groupBy(col("vec_id"))
-      .agg(collect_list(col("neighbor")).as("neighbors"))
-    val nodes = emb.join(adjacency, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("v"),
+      .groupBy(col("list_id"), col("vec_id"))
+      .agg(sort_array(collect_list(col("neighbor"))).as("neighbors"))
+    val nodes = assigned.join(adjacency, Seq("list_id", "vec_id"), "left")
+      .select(col("list_id"), col("vec_id"), col("v"),
         coalesce(col("neighbors"), array().cast("array<bigint>"))
           .as("neighbors"))
     val mt = indexTable(spark, root)
-    mt.write(nodes, "overwrite")
-    val entryRows = Similarity.ivfSeedsOf(emb, entries)
-      .collect() // bounded: `entries` rows
-    val meta = NswIndexMeta(m, entryRows.map(_.getLong(0)).toSeq, sourceVersion)
+    mt.write(nodes.repartitionByRange(
+      math.max(1, math.min(listsN, IndexFiles)), col("list_id")), "overwrite")
+    val meta = NswIndexMeta(m, listsN, math.max(1, replicas), entriesPerShard,
+      sourceVersion, seedRows.map(_.getLong(0)).toSeq,
+      seedRows.map(_.getSeq[Double](1).toIndexedSeq).toSeq)
     writeMeta(spark, root, meta)
     new NswIndex(spark, root, meta)
   }

@@ -1,12 +1,14 @@
 package graft
 
+import graft.lake.ManifestTable
 import graft.operators.NswIndex
 import graft.queries.Similarity
 import org.apache.spark.sql.functions._
 
-/** The persisted NSW graph-ANN index: recall against the exact
-  * brute-force ranking, persistence roundtrip, determinism, and the
-  * kernel's bounded-work property.
+/** The persisted IVF-sharded NSW graph-ANN index: recall against the
+  * exact brute-force ranking, persistence roundtrip, determinism,
+  * per-shard navigability, the bounded (zone-pruned, never
+  * whole-index) serving scan, and change-feed-driven insertion.
   */
 class NswIndexSpec extends SparkTestBase {
   quiet()
@@ -23,17 +25,21 @@ class NswIndexSpec extends SparkTestBase {
   private lazy val probes = emb.filter(col("vec_id") < 10)
     .select(col("vec_id").as("q_id"), col("v").as("q_v"))
 
+  private def recallVsExact(got: Set[(Long, Long)]): Double = {
+    val exact = Similarity.s1BruteForceTopK(spark, sf)
+      .select(col("q_id"), col("neighbor")).as[(Long, Long)].collect().toSet
+    (exact intersect got).size.toDouble / exact.size
+  }
+
   test("NSW recall ≥ 0.9 vs exact top-3 on the sf corpus; deterministic") {
     val root = scratch("recall")
     val idx = NswIndex.build(spark, emb, root)
-    val exact = Similarity.s1BruteForceTopK(spark, sf)
-      .select(col("q_id"), col("neighbor")).as[(Long, Long)].collect().toSet
     val got = idx.query(probes, topK = 3, ef = 64)
       .select(col("q_id"), col("neighbor")).as[(Long, Long)].collect().toSet
-    val recall = (exact intersect got).size.toDouble / exact.size
+    val recall = recallVsExact(got)
     assert(recall >= 0.9, s"NSW recall $recall < 0.9")
-    // similarities on overlapping pairs are the EXACT cosine (graph
-    // search prunes candidates, never approximates the score)
+    // similarities on overlapping pairs are the EXACT cosine (shard
+    // routing + graph search prune candidates, never the score)
     val exactSims = Similarity.s1BruteForceTopK(spark, sf)
       .select(col("q_id"), col("neighbor"), col("sim"))
       .as[(Long, Long, Double)].collect()
@@ -55,15 +61,38 @@ class NswIndexSpec extends SparkTestBase {
     val built = NswIndex.build(spark, emb, root)
     val wantRows = built.query(probes, topK = 3, ef = 64).collect().toSeq
     val loaded = NswIndex.load(spark, root).get
-    assert(loaded.entryIds === built.entryIds)
+    assert(loaded.m === built.m)
+    assert(loaded.lists === built.lists)
+    assert(loaded.replicas === built.replicas)
     assert(loaded.query(probes, topK = 3, ef = 64).collect().toSeq === wantRows)
     assert(NswIndex.load(spark, scratch("nothere")).isEmpty)
   }
 
-  test("clustered corpus: graph is CONNECTED (long links) and a wide beam escapes islands") {
+  test("serving scan is zone-pruned to probed shards — never the whole index") {
+    val root = scratch("prune")
+    val idx = NswIndex.build(spark, emb, root, lists = 16)
+    // the index spans several range-partitioned files; one list's scan
+    // must prune to a strict subset — the behavior gate that the probe
+    // path reads O(probed shards), not the corpus (and the query plan
+    // holds no whole-table collect: serving is a cogroup over this
+    // pruned scan)
+    val all = idx.table.filesOf(idx.table.latestVersion.get)
+    assert(all.size > 1, "index must span several files for pruning to mean anything")
+    val one = idx.table.prunedFilesBy("list_id", "0", "0")
+    assert(one.size < all.size,
+      s"zone maps failed to prune: ${one.size} of ${all.size} files for one list")
+    // replica coverage: every corpus vector is a member of exactly
+    // `replicas` shards (SPANN closure assignment)
+    val n = emb.count()
+    val rows = idx.table.read()
+    assert(rows.select(col("vec_id")).distinct().count() === n)
+    assert(rows.count() === n * idx.replicas)
+  }
+
+  test("clustered corpus: every SHARD is connected (ring links) and a wide beam escapes islands") {
     // tight clusters make a pure kNN graph a set of disconnected
     // islands — the failure mode HNSW's upper layers (here: the
-    // hash-ordered path links) exist to fix
+    // per-shard hash-ordered path links) exist to fix
     val rnd = new scala.util.Random(7)
     val dim = 16
     val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
@@ -72,16 +101,23 @@ class NswIndexSpec extends SparkTestBase {
     val corpus = Similarity.unitize(pts.toDF("vec_id", "raw_v"))
     val root = scratch("clustered")
     val idx = NswIndex.build(spark, corpus, root, m = 6)
-    // connectivity: BFS over the persisted adjacency reaches EVERY node
-    val adjRows = idx.table.read().select("vec_id", "neighbors").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val seen = scala.collection.mutable.Set(adjRows.keys.head)
-    val queue = scala.collection.mutable.Queue(adjRows.keys.head)
-    while (queue.nonEmpty)
-      adjRows(queue.dequeue()).foreach { nb =>
-        if (!seen.contains(nb)) { seen += nb; queue.enqueue(nb) }
-      }
-    assert(seen.size === 500, s"graph disconnected: ${seen.size}/500 reachable")
+    // connectivity: BFS within EACH shard's adjacency reaches every
+    // member of that shard (shards are self-contained subgraphs)
+    val byShard = idx.table.read()
+      .select("list_id", "vec_id", "neighbors").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .groupBy(_._1)
+    byShard.foreach { case (lid, members) =>
+      val adj = members.map(t => t._2 -> t._3).toMap
+      val seen = scala.collection.mutable.Set(members.head._2)
+      val queue = scala.collection.mutable.Queue(members.head._2)
+      while (queue.nonEmpty)
+        adj(queue.dequeue()).filter(adj.contains).foreach { nb =>
+          if (!seen.contains(nb)) { seen += nb; queue.enqueue(nb) }
+        }
+      assert(seen.size === members.length,
+        s"shard $lid disconnected: ${seen.size}/${members.length} reachable")
+    }
     // a narrow beam returns topK valid, rank-ordered rows cheaply
     val qs2 = corpus.filter(col("vec_id") % 25 === 0).limit(5)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
@@ -91,10 +127,64 @@ class NswIndexSpec extends SparkTestBase {
       val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
       assert(sims.sorted.reverse.toSeq === sims.toSeq, "ranks not by sim")
     }
-    // a wide beam walks the long links out of whatever island the
-    // entries land in: ≥ 0.9 of results are true in-cluster neighbors
+    // a wide beam walks each probed shard exhaustively: ≥ 0.9 of
+    // results are true in-cluster neighbors
     val wide = idx.query(qs2, topK = 3, ef = 300).collect()
     val inCluster = wide.count(r => r.getLong(2) / 25 === r.getLong(0) / 25)
     assert(inCluster >= 14, s"only $inCluster/15 in-cluster at ef=300")
+  }
+
+  test("refreshFrom: inserts splice into affected shards; recall-comparable to a full rebuild") {
+    val root = scratch("refresh")
+    val srcRoot = scratch("refresh_src")
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(half, "overwrite") // v0
+    val idx = NswIndex.build(spark, half, root, sourceVersion = 0)
+    source.write(rest, "append") // v1
+    val idx2 = idx.refreshFrom(source, "vec_id", "v")
+    assert(idx2.sourceVersion === 1)
+    assert(NswIndex.load(spark, root).get.sourceVersion === 1)
+    // the spliced index covers the union corpus...
+    assert(idx2.table.read().select("vec_id").distinct().count() === emb.count())
+    // ...and serves it with recall comparable to building from scratch
+    // on the union (the done-bar: build(A)+insert(B) ≈ build(A∪B))
+    val got = idx2.query(probes, topK = 3, ef = 64)
+      .select(col("q_id"), col("neighbor")).as[(Long, Long)].collect().toSet
+    val fullRoot = scratch("refresh_full")
+    val full = NswIndex.build(spark, emb, fullRoot, sourceVersion = 1)
+    val fullGot = full.query(probes, topK = 3, ef = 64)
+      .select(col("q_id"), col("neighbor")).as[(Long, Long)].collect().toSet
+    val (rSplice, rFull) = (recallVsExact(got), recallVsExact(fullGot))
+    assert(rSplice >= rFull - 0.1 && rSplice >= 0.85,
+      s"spliced recall $rSplice not comparable to rebuilt $rFull")
+    // crash-replay shape: the ORIGINAL instance still holds cursor 0 —
+    // replaying the same delta must re-upsert, never duplicate
+    val again = idx.refreshFrom(source, "vec_id", "v")
+    val dupes = again.table.read()
+      .groupBy(col("list_id"), col("vec_id")).count()
+      .filter(col("count") > 1).count()
+    assert(dupes === 0, s"replay duplicated $dupes (list, vec) rows")
+    assert(again.sourceVersion === 1)
+  }
+
+  test("refreshFrom: source deletes DV out of the index") {
+    val root = scratch("del")
+    val srcRoot = scratch("del_src")
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite") // v0
+    val idx = NswIndex.build(spark, emb, root, sourceVersion = 0)
+    source.deleteKeys("vec_id", Seq("3", "7")) // v1
+    val idx2 = idx.refreshFrom(source, "vec_id", "v")
+    val left = idx2.table.read().select("vec_id").distinct()
+      .as[Long].collect().toSet
+    assert(!left.contains(3L) && !left.contains(7L), "deleted ids still served")
+    // dangling back-edges to the deleted ids resolve to nothing: the
+    // index still serves every probe with full rank lists
+    val got = idx2.query(probes.filter(col("q_id") =!= 3 && col("q_id") =!= 7),
+      topK = 3, ef = 64).collect()
+    assert(got.length === 8 * 3)
+    assert(!got.exists(r => r.getLong(2) == 3L || r.getLong(2) == 7L))
   }
 }
