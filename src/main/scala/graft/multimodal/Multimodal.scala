@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * PPM-stream video, and — via `javax.imageio`, which ships in the
   * standard JDK — compressed JPEG/PNG stills all
   * decode / feature-extract / resize / frame-sample FOR REAL through
-  * the pure-JVM [[Codecs]]. Only compressed VIDEO (MP4, ...) falls to
-  * `decodeStub` (deterministic fake metadata, clearly marked): the
-  * container ships no video codecs, and swapping the stub body for an
-  * ffmpeg call changes nothing structural.
+  * the pure-JVM [[Codecs]]; MP4 containers parse FOR REAL at the
+  * metadata level (the ftyp/moov atom walk — duration, track count,
+  * codec fourccs, dims). Only video FRAME decode falls to `decodeStub`
+  * (deterministic fake, clearly marked): the container ships no video
+  * codecs, and swapping the stub body for an ffmpeg call changes
+  * nothing structural.
   *
   * Scale notes: payloads never pass through a shuffle unless the
   * caller repartitions; every transform is narrow (mapPartitions).
@@ -84,10 +86,11 @@ object Multimodal {
     (64 + (head % 577).toInt, 64 + (n % 359), n.toLong * 20L)
   }
 
-  /** Per-payload metadata: REAL parse for PPM/JPEG/PNG/WAV (falling
-    * back to the stub if the parse fails — a text payload starting
-    * with "P6" or a truncated JPEG must degrade, never crash an
-    * executor), stub for compressed video.
+  /** Per-payload metadata: REAL parse for PPM/JPEG/PNG/WAV and — via
+    * the ISO-BMFF atom walk — MP4 containers (falling back to the stub
+    * if the parse fails — a text payload starting with "P6" or a
+    * truncated JPEG must degrade, never crash an executor). Only
+    * non-MP4 compressed video still reaches the stub.
     */
   private def decodeMeta(payload: Array[Byte]): (Int, Int, Long) =
     if (Codecs.isPpm(payload) || Codecs.isJpeg(payload) || Codecs.isPng(payload))
@@ -98,6 +101,10 @@ object Multimodal {
       Codecs.decodeWav(payload)
         .map(w => (0, 0,
           w.samples.length.toLong / w.channels * 1000L / w.sampleRate))
+        .getOrElse(decodeStub(payload))
+    else if (Codecs.isMp4(payload))
+      Codecs.parseMp4(payload)
+        .map(m => (m.width, m.height, m.durationMs))
         .getOrElse(decodeStub(payload))
     else decodeStub(payload)
 

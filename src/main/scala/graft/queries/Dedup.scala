@@ -189,14 +189,54 @@ object Dedup extends QueryModule {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
-  /** D4: SimHash fingerprints + near-dup pairs by Hamming distance.
-    * Engine-specific hash → rows-only check; properties in DedupSpec.
+  /** D4: SimHash fingerprints (Charikar, STOC'02): per-token hash
+    * bits vote ±1 per position, the sign vector IS the fingerprint;
+    * near-dups land within small Hamming distance. ORACLE-EXACT: token
+    * hashes are md5-derived 60-bit ints (the l20/tx_winnow technique —
+    * no engine-specific hash), the sign aggregation is pure integer
+    * SQL, so DuckDB reproduces the fingerprints bit for bit. The
+    * xxhash64 production form (same aggregation, cheaper hash) lives
+    * in [[DedupOps.simhashAgg]], property-gated in LlmOpsSpec. Scale:
+    * one explode + one keyed sum aggregate — map-side combine does the
+    * voting, nothing wide shuffles.
     */
-  def d4Simhash(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.simhashAgg(Q.t(spark, dir, "documents"), "doc_id",
-        TextFunctions.tokens(col("text")))
-      .withColumnRenamed("id", "doc_id")
+  def d4Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Q.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(cast(t AS binary)), 1, 15), 16, 10) AS bigint)")
+          .as("h"))
+    val counters = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"c$i")
+    }
+    val fingerprint = (0 until 60).map { i =>
+      when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    exploded.groupBy(col("doc_id"))
+      .agg(counters.head, counters.tail: _*)
+      .select(col("doc_id"), fingerprint.cast("long").as("simhash"))
       .orderBy(col("doc_id").asc)
+  }
+
+  val d4Oracle: String = {
+    val cs = (0 until 60).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS c$i")
+      .mkString(", ")
+    val fp = (0 until 60).map(i =>
+      s"CASE WHEN c$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+       |  FROM toks),
+       |c AS (SELECT doc_id, $cs FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |FROM c
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
 
   /** D5: embedding-cosine near-dup pairs — vectors whose cosine
     * exceeds a threshold are duplicate candidates. Brute force over a
@@ -671,6 +711,7 @@ object Dedup extends QueryModule {
     "d14_er_clusters" -> d14Oracle,
     "d1_exact_dedup" -> d1Oracle,
     "d2_jaccard_pairs" -> d2Oracle,
+    "d4_simhash" -> d4Oracle,
     "d5_embedding_neardup" -> d5Oracle,
     "d6_dup_clusters" -> d6Oracle,
     "d7_contamination" -> d7Oracle,

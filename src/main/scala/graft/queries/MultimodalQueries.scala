@@ -169,15 +169,66 @@ object MultimodalQueries extends QueryModule {
       |FROM documents
       |ORDER BY media_id ASC NULLS FIRST""".stripMargin
 
+  /** MM5: VIDEO container metadata inside the oracle gate — per
+    * document, synthesize a structurally-valid MP4 (deterministic
+    * duration / track count / codec fourccs / dims derived from
+    * doc_id), roundtrip it through the REAL ISO-BMFF atom walk
+    * ([[graft.multimodal.Codecs.parseMp4]] — ftyp/moov/mvhd/trak/
+    * stsd), and emit the parsed fields. The oracle recomputes them
+    * analytically — checkable only because the parse is a real box
+    * walk over real container bytes (the stub would produce unrelated
+    * numbers). Frame decode stays an explicit non-goal: the JVM ships
+    * no video codecs, and the container-metadata layer is what a
+    * 100 TB media-lake inventory pass actually reads.
+    */
+  def mm5Mp4Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Codecs
+    Q.t(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions { it =>
+        val fourccs = Array("avc1", "hvc1", "mp4a")
+        it.map { id =>
+          val nTracks = (1 + id % 3).toInt
+          val tracks = (0 until nTracks).map { t =>
+            val fc = fourccs(((id + t) % 3).toInt)
+            if (t == 0)
+              (fc, (160 + (id % 8) * 16).toInt, (90 + (id % 6) * 18).toInt)
+            else (fc, 0, 0)
+          }
+          val bytes = Codecs.encodeMp4(id % 90000, 1000, tracks)
+          val m = Codecs.parseMp4(bytes).getOrElse(
+            throw new IllegalStateException(s"mp4 roundtrip failed for $id"))
+          (id, m.durationMs, m.nTracks, m.codecs.mkString(","),
+            m.width, m.height)
+        }
+      }
+      .toDF("media_id", "duration_ms", "n_tracks", "codec_list",
+        "width", "height")
+      .orderBy(col("media_id").asc)
+  }
+
+  val mm5Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  doc_id % 90000 AS duration_ms,
+      |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+      |  array_to_string(list_transform(generate_series(0, CAST(doc_id % 3 AS INT)),
+      |    t -> ['avc1','hvc1','mp4a'][CAST((doc_id + t) % 3 AS INT) + 1]), ',') AS codec_list,
+      |  CAST(160 + (doc_id % 8) * 16 AS INT) AS width,
+      |  CAST(90 + (doc_id % 6) * 18 AS INT) AS height
+      |FROM documents
+      |ORDER BY media_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_meta_stats" -> mm1MetaStats,
     "mm2_frame_counts" -> mm2FrameCounts,
     "mm3_real_decode" -> mm3RealDecode,
-    "mm4_png_decode" -> mm4PngDecode)
+    "mm4_png_decode" -> mm4PngDecode,
+    "mm5_mp4_meta" -> mm5Mp4Meta)
 
   override def oracles: Map[String, String] = Map(
     "mm1_meta_stats" -> mm1Oracle,
     "mm2_frame_counts" -> mm2Oracle,
     "mm3_real_decode" -> mm3Oracle,
-    "mm4_png_decode" -> mm4Oracle)
+    "mm4_png_decode" -> mm4Oracle,
+    "mm5_mp4_meta" -> mm5Oracle)
 }

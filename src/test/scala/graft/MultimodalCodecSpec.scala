@@ -161,4 +161,42 @@ class MultimodalCodecSpec extends SparkTestBase {
         "malformed payload must fall back to the deterministic stub")
     }
   }
+
+  test("MP4 roundtrip: the atom walk reads real duration/tracks/codecs/dims") {
+    val bytes = Codecs.encodeMp4(90000, 600,
+      Seq(("avc1", 1920, 1080), ("mp4a", 0, 0), ("hvc1", 0, 0)))
+    val m = Codecs.parseMp4(bytes).get
+    assert(m.majorBrand === "isom")
+    assert(m.durationMs === 150000L) // 90000 units / 600 units-per-s
+    assert(m.nTracks === 3)
+    assert(m.codecs === Seq("avc1", "mp4a", "hvc1"))
+    assert((m.width, m.height) === (1920, 1080))
+    // the magic dispatch routes MP4 metadata through the real parse
+    val media = Seq((1L, "video", bytes, "video/mp4"))
+      .toDF("media_id", "kind", "payload", "mime")
+    val d = Multimodal.decode(spark, media).collect().head
+    assert((d.width, d.height, d.duration_ms) === ((1920, 1080, 150000L)))
+  }
+
+  test("hostile/truncated MP4 payloads degrade, never crash") {
+    val good = Codecs.encodeMp4(1000, 1000, Seq(("avc1", 64, 64)))
+    val fakes = Seq(
+      "1234ftypgarbage".getBytes("US-ASCII"), // magic, no moov
+      good.take(20), // truncated mid-ftyp
+      good.take(good.length - 30), // truncated mid-moov
+      {
+        val b = good.clone() // lie about a box size: 0xffffffff
+        b(0) = 0xff.toByte; b(1) = 0xff.toByte
+        b(2) = 0xff.toByte; b(3) = 0xff.toByte
+        b
+      })
+    fakes.zipWithIndex.foreach { case (payload, i) =>
+      val media = Seq((i.toLong, "video", payload, "video/mp4"))
+        .toDF("media_id", "kind", "payload", "mime")
+      // must not throw; parse failure falls back to the stub
+      Multimodal.decode(spark, media).collect()
+      assert(Codecs.parseMp4(payload).isEmpty ||
+        Codecs.parseMp4(payload).get.durationMs >= 0)
+    }
+  }
 }
