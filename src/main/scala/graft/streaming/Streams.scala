@@ -180,6 +180,31 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** T5e: continuous GRAPH-ANN index maintenance — the
+    * [[pqIndexSink]] contract over the IVF-sharded
+    * [[graft.operators.NswIndex]]: each micro-batch MERGEs into the
+    * source table, then the change feed splices new vectors into their
+    * affected shards (frozen routing seeds, exact top-m links, 2m
+    * prune) and DV-deletes dead ids — O(batch + affected shards) per
+    * trigger, never a graph rebuild. Same crash-replay contract: a
+    * replayed batch re-merges as a no-op and the cursor still advances
+    * over any missed delta.
+    */
+  def nswIndexSink(stream: DataFrame, source: ManifestTable,
+      keys: Seq[String], indexRoot: String, idCol: String, vecCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          source.merge(batch, keys)
+          graft.operators.NswIndex.load(batch.sparkSession, indexRoot)
+            .foreach(_.refreshFrom(source, idCol, vecCol)): Unit
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** T5b: continuous gold maintenance — each micro-batch MERGEs into
     * the base table, then catches the incremental view up to the
     * table's latest version (merge → changesBetween → signed delta

@@ -247,6 +247,44 @@ class StreamingSpec extends SparkTestBase {
     assert(idx2.table.read().count() === n1 + 1, "only batch 2's row appended")
   }
 
+  test("T5e: nswIndexSink splices each micro-batch into the graph index's shards") {
+    import graft.operators.NswIndex
+    import graft.queries.Similarity
+    val inbox = scratch("t5e_inbox")
+    val srcRoot = scratch("t5e_src")
+    val idxRoot = scratch("t5e_idx")
+    val emb = Similarity.unitVectors(spark, sf)
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite") // v0
+    NswIndex.build(spark, emb, idxRoot, sourceVersion = 0)
+    // batch: clones of vec 3 and 7 under new ids (exact duplicates —
+    // must surface as sim≈1.0 top neighbors once spliced in)
+    val batch1 = emb.filter(col("vec_id").isin(3, 7))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    batch1.write.parquet(s"$inbox/b1")
+    val ckpt = scratch("t5e_ckpt")
+    def stream = spark.readStream.schema(batch1.schema)
+      .option("recursiveFileLookup", true).parquet(inbox)
+    Streams.nswIndexSink(stream, source, Seq("vec_id"), idxRoot,
+      "vec_id", "v", ckpt).start().awaitTermination()
+    val idx1 = NswIndex.load(spark, idxRoot).get
+    assert(idx1.sourceVersion === source.latestVersion.get)
+    val probes = emb.filter(col("vec_id").isin(3, 7))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val top1 = idx1.query(probes).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1(3L) === 1000003L && top1(7L) === 1000007L, s"$top1")
+    // batch 2 via the SAME checkpoint: exactly-once, only the delta
+    val batch2 = emb.filter(col("vec_id") === 11)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    batch2.write.parquet(s"$inbox/b2")
+    Streams.nswIndexSink(stream, source, Seq("vec_id"), idxRoot,
+      "vec_id", "v", ckpt).start().awaitTermination()
+    val idx2 = NswIndex.load(spark, idxRoot).get
+    assert(idx2.table.read().select("vec_id").distinct().count()
+      === emb.count() + 3, "exactly the three streamed ids indexed")
+  }
+
   test("T10: graft-table stream source tails a manifest table incrementally") {
     import graft.streaming.GraftTableSourceProvider
     val root = scratch("t10_table")
