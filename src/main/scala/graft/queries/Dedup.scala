@@ -326,19 +326,41 @@ object Dedup extends QueryModule {
     * and broadcasts; the train side is never shuffled whole.
     */
   def d7Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val n = 4
-    val docs = Q.t(spark, dir, "documents")
-    val t = TextFunctions.tokens(col("text"))
-    val grams = docs.select(col("doc_id"),
-      explode(array_distinct(when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => array_join(slice(t, i + lit(1), lit(n)), " ")))
-        .otherwise(array().cast("array<string>")))).as("ngram"))
+    // n-grams fingerprinted by the shared md5-60-bit byte-slice kernel
+    // (the d10/tx_winnow primitive, oracle-mirrored in DuckDB): the
+    // train↔eval equi-join keys on 8-byte longs, not gram STRINGS, and
+    // the per-doc distinct runs in the same pass (sort+dedup of a
+    // primitive array) instead of array_distinct over built strings.
+    val grams = Q.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = graft.functions.GramHashes.newDigest()
+        it.flatMap { case (id, text) =>
+          val h = graft.functions.GramHashes.hashes(md, text, n)
+          java.util.Arrays.sort(h)
+          new Iterator[(Long, Long)] {
+            private var i = 0
+            def hasNext: Boolean = i < h.length
+            def next(): (Long, Long) = {
+              val v = h(i)
+              i += 1
+              while (i < h.length && h(i) == v) i += 1 // per-doc distinct
+              (id, v)
+            }
+          }
+        }
+      }.toDF("doc_id", "ngram")
     val evalG = grams.filter(col("doc_id") < 20)
       .select(col("doc_id").as("eval_id"), col("ngram"))
     val trainG = grams.filter(col("doc_id") >= 20)
       .select(col("doc_id").as("train_id"), col("ngram"))
-    trainG.join(evalG, Seq("ngram"))
+    // the eval suite is BOUNDED by construction (benchmark sets are
+    // small; the corpus is not) — broadcast its n-gram index so the
+    // train side never shuffles: the production contamination-check
+    // shape at any corpus scale
+    trainG.join(broadcast(evalG), Seq("ngram"))
       .groupBy(col("train_id"))
       .agg(
         countDistinct(col("eval_id")).as("n_eval_docs"),
@@ -349,7 +371,8 @@ object Dedup extends QueryModule {
 
   val d7Oracle: String =
     """WITH grams AS (
-      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS ngram
+      |  SELECT DISTINCT doc_id,
+      |    CAST(('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15)) AS BIGINT) AS ngram
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |       UNNEST(generate_series(1, len(t)-3)) AS g(i)),
       |hits AS (
@@ -520,16 +543,26 @@ object Dedup extends QueryModule {
   private[graft] def semDedup(spark: SparkSession, emb: DataFrame,
       seeds: DataFrame, tau: Double): DataFrame = {
     import graft.functions.{CosineSimilarity, DedupOps}
-    // map-side argmax assignment (the s4 IVF shape; same tie-break)
-    val assigned = emb.crossJoin(broadcast(seeds))
-      .withColumn("seed_sim",
-        CosineSimilarity.cosine(spark, col("v"), col("seed_v")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("v").as("v"), col("cluster_id").as("cluster_id")),
-        struct(col("seed_sim"), (-col("cluster_id")).as("nc"))).as("best"))
-      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"),
-        col("best.v").as("v"))
+    // map-side argmax assignment through the native ivfNearestLists
+    // kernel (same (sim desc, cluster_id asc) tie-break): the previous
+    // crossJoin+max_by form blew each vector up ×k and aggregated
+    // vector-carrying structs — the exact shape the kernel's doc
+    // measures at ~20× slower on a corpus-wide pass. Seeds are
+    // unit-normalized so dot ranking ≡ cosine ranking per fixed row.
+    val seedArr = graft.queries.Similarity
+      .collectSeeds(seeds.select(col("cluster_id").as("list_id"),
+        col("seed_v")))
+      .map { case (cid, raw) =>
+        val nrm = math.sqrt(raw.map(x => x * x).sum)
+        (cid, if (nrm == 0.0) raw else raw.map(_ / nrm))
+      }
+    // materialized ONCE: three consumers (both pair sides + the final
+    // keep-list) read it, and the old aggregate form's shuffle gave
+    // them a reuse point the narrow kernel no longer does
+    val assigned = graft.queries.Similarity
+      .ivfNearestLists(emb, seedArr, nprobe = 1, keepV = true)
+      .select(col("vec_id"), col("list_id").as("cluster_id"), col("v"))
+      .localCheckpoint(true)
     // within-cluster pairs only (the bounded quadratic)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"),
       col("v").as("v_a"))
@@ -645,16 +678,27 @@ object Dedup extends QueryModule {
     * beyond natural boilerplate (cap-able by doc-frequency like d2).
     */
   def d10SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val n = 5
-    val t = TextFunctions.tokens(col("text"))
+    // span = 5-token gram, fingerprinted by the shared md5-60-bit
+    // byte-slice kernel ([[graft.functions.GramHashes]], the tx_winnow
+    // primitive): the corpus-wide frequency shuffle moves 8-byte
+    // longs, not span STRINGS (~4× the bytes), and the HOF
+    // transform/array_join/explode that built those strings
+    // interpreted per row is gone. Cross-engine: the oracle hashes
+    // identically in DuckDB, so occurrence counts agree bit for bit
+    // (60-bit fingerprints — see the kernel's collision note).
     val spans = Q.t(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(when(size(t) >= n,
-          transform(sequence(lit(0), size(t) - n),
-            i => array_join(slice(t, i + lit(1), lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("span"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = graft.functions.GramHashes.newDigest()
+        it.flatMap { case (id, text) =>
+          graft.functions.GramHashes.hashes(md, text, n).iterator
+            .map(h => (id, h))
+        }
+      }.toDF("doc_id", "span")
     // corpus-wide frequency via a whole-partition window: ONE shuffle
-    // keyed by span text (vs the groupBy+self-join form's two passes
+    // keyed by span hash (vs the groupBy+self-join form's two passes
     // over the exploded spans)
     val withOcc = spans.withColumn("occ",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -673,7 +717,8 @@ object Dedup extends QueryModule {
 
   val d10Oracle: String =
     """WITH spans AS (
-      |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS span
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15)) AS BIGINT) AS span
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |       UNNEST(generate_series(1, len(t)-4)) AS g(i)),
       |freq AS (SELECT span, COUNT(*) AS occ FROM spans GROUP BY span)

@@ -166,31 +166,56 @@ object TextAnalysis extends QueryModule {
     * corpus-wide pass.
     */
   def txWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val k = 5 // gram size (tokens)
     val w = 4 // winnow window (grams)
-    val toks = Q.t(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val grams = toks
-      .select(col("doc_id"), col("t"),
-        posexplode(col("t")).as(Seq("p", "tok")))
-      .filter(col("p") <= size(col("t")) - k)
-      .select(col("doc_id"), col("p"),
-        expr(s"cast(conv(substring(md5(cast(concat_ws(' ', slice(t, p + 1, $k)) AS binary)), 1, 15), 16, 10) AS bigint)").as("h"))
-    // every gram supports the ≤w windows [p-w+1 .. p]; window start s
-    // must itself be a valid gram position
-    val fan = grams
-      .select(col("doc_id"), col("p"), col("h"),
-        explode(sequence(greatest(col("p") - (w - 1), lit(0)), col("p"))).as("s"))
-    val nG = grams.groupBy(col("doc_id")).agg(max(col("p")).as("max_p"))
-    val winArg = Window.partitionBy(col("doc_id"), col("s"))
-      .orderBy(col("h").asc, col("p").desc)
-    val selected = fan.join(nG, Seq("doc_id"))
-      .filter(col("s") <= col("max_p") - (w - 1))
-      .withColumn("rn", row_number().over(winArg))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("p"), col("h")).distinct()
-    selected.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fp"), expr("bit_xor(h)").as("fp_checksum"))
+    // Winnowing is DOCUMENT-LOCAL, so the whole selection runs as one
+    // narrow mapPartitions pass: per doc, hash each k-gram (md5 over
+    // the gram's BYTE SLICE — single-space tokens make gram p..p+k-1
+    // a contiguous range of the original string, the WordBigrams
+    // trick), slide the w-window keeping the min (rightmost on ties),
+    // dedup selected positions, emit (count, xor). The previous
+    // declarative form exploded every gram into its ≤w windows and
+    // ranked a (doc, window)-keyed row_number — a 4× row fan plus a
+    // corpus-wide window sort for what one in-partition loop computes;
+    // at sf1 that was the heaviest non-build query (16.2s → this).
+    // Hashes stay md5-derived 60-bit ints, bit-identical to the
+    // DuckDB oracle (MessageDigest MD5 ≡ Spark md5 ≡ DuckDB md5).
+    Q.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = graft.functions.GramHashes.newDigest()
+        it.flatMap { case (id, text) =>
+          val h = graft.functions.GramHashes.hashes(md, text, k)
+          val nGrams = h.length
+          if (nGrams < w) Iterator.empty
+          else {
+            // slide: min of h[s..s+w-1], rightmost on ties; the winner
+            // index is non-decreasing (robust winnowing), but a bitset
+            // dedup keeps correctness independent of that property
+            val picked = new java.util.BitSet(nGrams)
+            var nFp = 0L
+            var xor = 0L
+            var s = 0
+            while (s <= nGrams - w) {
+              var best = s
+              var q = s + 1
+              while (q < s + w) {
+                if (h(q) < h(best) || (h(q) == h(best) && q > best)) best = q
+                q += 1
+              }
+              if (!picked.get(best)) {
+                picked.set(best)
+                nFp += 1
+                xor ^= h(best)
+              }
+              s += 1
+            }
+            Iterator.single((id, nFp, xor))
+          }
+        }
+      }
+      .toDF("doc_id", "n_fp", "fp_checksum")
       .orderBy(col("doc_id").asc)
   }
 

@@ -81,6 +81,21 @@ class NswIndexSpec extends SparkTestBase {
     val one = idx.table.prunedFilesBy("list_id", "0", "0")
     assert(one.size < all.size,
       s"zone maps failed to prune: ${one.size} of ${all.size} files for one list")
+    // plan gate: serving is a DISTRIBUTED cogroup over that pruned
+    // scan — the shard search executes as a CoGroup node reading the
+    // index relation inside the returned plan, not as a driver-side
+    // collect whose results get re-parallelized
+    val plan = idx.query(probes, topK = 3, ef = 64)
+      .queryExecution.optimizedPlan
+    val hasCoGroup = plan.collect {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CoGroup => c
+    }.nonEmpty
+    assert(hasCoGroup, s"NSW serving must beam-search inside a cogroup:\n$plan")
+    val scansIndex = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.nonEmpty
+    assert(scansIndex, "NSW serving plan must read the persisted index " +
+      "lazily (a whole-index collect would leave only a LocalRelation)")
     // replica coverage: every corpus vector is a member of exactly
     // `replicas` shards (SPANN closure assignment)
     val n = emb.count()
