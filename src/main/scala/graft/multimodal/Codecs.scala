@@ -115,8 +115,22 @@ object Codecs {
       }
       y += 1
     }
+    // a MEMORY-cached image output stream, explicitly (the decodeImage
+    // note, write side): ImageIO.write(_, _, OutputStream) wraps the
+    // target in a DISK-cache-backed stream by default — a temp file
+    // minted and deleted per encoded image, which measured 4× on the
+    // per-row PNG synthesis pass (mm4: 0.5s → 2.5s when the JVM-global
+    // setUseCache(false) was removed; this pins the choice per call)
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, baos)
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName(format).next()
+      try {
+        writer.setOutput(mos)
+        writer.write(img)
+      } finally writer.dispose()
+    } finally mos.close()
     baos.toByteArray
   }
 

@@ -31,6 +31,9 @@ import org.apache.spark.sql.types._
   *   CALL graft.pq_build('/lake/emb_idx', 'embeddings_view', 'embedding')
   *   CALL graft.pq_refresh('/lake/emb_idx', '/lake/embeddings', 'vec_id', 'v')
   *   CALL graft.pq_query('/lake/emb_idx', 'corpus_view', 'probes_view', 'embedding')
+  *   CALL graft.nsw_build('/lake/graph_idx', 'embeddings_view', 'embedding')
+  *   CALL graft.nsw_refresh('/lake/graph_idx', '/lake/embeddings', 'vec_id', 'v')
+  *   CALL graft.nsw_query('/lake/graph_idx', 'probes_view', 'embedding')
   * }}}
   *
   * Tables are addressed by root path; configuration (partition tuple,
@@ -172,7 +175,7 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       attr("num_dv_files", LongType), attr("num_constraints", LongType))
     case "vacuum" => Seq(attr("deleted_path", StringType))
     case "wap_branches" => Seq(attr("branch", StringType))
-    case "pq_query" => Seq(
+    case "pq_query" | "nsw_query" => Seq(
       attr("q_id", LongType), attr("rn", IntegerType),
       attr("neighbor", LongType), attr("sim", DoubleType))
     case "describe_files" => Seq(
@@ -416,6 +419,45 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
           .select(col("q_id").cast("long"), col("rn").cast("int"),
             col("neighbor").cast("long"), col("sim").cast("double"))
           .collect().toSeq
+      case "nsw_build" =>
+        // nsw_build(indexRoot, corpusView, vecCol [, m, lists,
+        // replicas]) — the graph-ANN twin of pq_build; lists <= 0
+        // picks the ~max(n/256 ∧ √n) shard layout
+        val emb = graft.queries.Similarity.unitize(
+          session.table(str(1))
+            .select(col("vec_id").cast("long").as("vec_id"),
+              col(str(2)).as("raw_v")))
+        val idx = graft.operators.NswIndex.build(session, emb, str(0),
+          m = optNum(3, 8).toInt, lists = optNum(4, -1).toInt,
+          replicas = optNum(5, 2).toInt)
+        versionRow(idx.table.latestVersion.getOrElse(-1))
+      case "nsw_refresh" =>
+        // nsw_refresh(indexRoot, sourceTableRoot, idCol, vecCol) —
+        // splice the source's change feed into affected shards;
+        // returns the caught-up source version (the index cursor)
+        val idx = graft.operators.NswIndex.load(session, str(0))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no NSW index at ${str(0)}; run graft.nsw_build first"))
+        val refreshed = idx.refreshFrom(
+          ManifestTable.forRoot(session, str(1)), str(2), str(3))
+        versionRow(refreshed.sourceVersion)
+      case "nsw_query" =>
+        // nsw_query(indexRoot, probesView, vecCol [, topk, ef,
+        // nprobe]) — serving needs no corpus view: shards carry their
+        // full vectors, so scoring is exact in-shard
+        val idx = graft.operators.NswIndex.load(session, str(0))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no NSW index at ${str(0)}; run graft.nsw_build first"))
+        val probes = graft.queries.Similarity.unitize(
+          session.table(str(1))
+            .select(col("vec_id").cast("long").as("vec_id"),
+              col(str(2)).as("raw_v")))
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+        idx.query(probes, topK = optNum(3, 3).toInt,
+          ef = optNum(4, 64).toInt, nprobe = optNum(5, 4).toInt)
+          .select(col("q_id").cast("long"), col("rn").cast("int"),
+            col("neighbor").cast("long"), col("sim").cast("double"))
+          .collect().toSeq
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure graft.$other; known: write, merge, delete, " +
@@ -425,7 +467,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
             "describe_stats, rename_column, evolve_partition, " +
             "add_columns, deprecate_columns, describe_schema, " +
             "schema_register, generated_add, generated_drop, " +
-            "pq_build, pq_refresh, pq_query")
+            "pq_build, pq_refresh, pq_query, " +
+            "nsw_build, nsw_refresh, nsw_query")
     }
   }
 }

@@ -173,6 +173,47 @@ class SqlDmlSpec extends SparkTestBase {
     assert(top.getLong(2) === 1000003L, s"clone must be top neighbor: $top")
   }
 
+  test("graph-ANN end-to-end through SQL: nsw_build, nsw_query, nsw_refresh") {
+    import graft.operators.NswIndex
+    val idxRoot = scratch("nsw_idx")
+    val srcRoot = scratch("nsw_src")
+    Q.t(sqlSpark, sf, "embeddings").createOrReplaceTempView("sql_nsw_emb")
+    Q.t(sqlSpark, sf, "embeddings").filter(col("vec_id") < 10)
+      .createOrReplaceTempView("sql_nsw_probes")
+    val v = sqlSpark.sql(
+      s"CALL graft.nsw_build('$idxRoot', 'sql_nsw_emb', 'embedding')")
+      .first().getInt(0)
+    assert(v === 0)
+    val got = sqlSpark.sql(
+      s"CALL graft.nsw_query('$idxRoot', 'sql_nsw_probes', 'embedding')")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // identical to serving the same persisted index through the Scala API
+    val emb = graft.queries.Similarity.unitVectors(sqlSpark, sf)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val scala0 = NswIndex.load(sqlSpark, idxRoot).get
+      .query(probes)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === scala0.toSeq)
+
+    // refresh through SQL: append a clone of vec 3 to a source table,
+    // splice the index up to it, and see it surface as top neighbor
+    val source = new graft.lake.ManifestTable(sqlSpark, srcRoot)
+    source.write(emb, "overwrite") // v0 ≡ the indexed corpus
+    source.write(emb.filter(col("vec_id") === 3)
+      .withColumn("vec_id", col("vec_id") + 1000000L), "append") // v1
+    val cursor = sqlSpark.sql(
+      s"CALL graft.nsw_refresh('$idxRoot', '$srcRoot', 'vec_id', 'v')")
+      .first().getInt(0)
+    assert(cursor === 1)
+    emb.filter(col("vec_id") === 3)
+      .createOrReplaceTempView("sql_nsw_probe3")
+    val top = sqlSpark.sql(
+      s"CALL graft.nsw_query('$idxRoot', 'sql_nsw_probe3', 'v')")
+      .filter(col("rn") === 1).first()
+    assert(top.getLong(2) === 1000003L, s"clone must be top neighbor: $top")
+  }
+
   test("constraints and files metadata through SQL") {
     val root = scratch("meta")
     Q.t(sqlSpark, sf, "orders")
