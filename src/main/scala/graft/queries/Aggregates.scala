@@ -360,29 +360,43 @@ object Aggregates extends QueryModule {
     perStatus.unionByName(total).orderBy(col("o_orderstatus").asc)
   }
 
-  /** A13b: the KLL rollup in its provably-EXACT regime — the a12
-    * pattern for quantiles: a KLL sketch stores every item verbatim
-    * until its first compaction (k = 200 by default), so on a slice
-    * small enough to never compact, `kll_sketch_get_quantile_double`
-    * is an ORDER STATISTIC — the smallest value whose inclusive rank
-    * ≥ q — and DuckDB can pin it with a rank window. Same pipeline,
-    * same merge (the union sketch also stays uncompacted), oracle-
-    * gated; the approximate regime stays bounded in SketchSpec.
+  /** A13b: EXACT quantiles as order statistics — the smallest value
+    * whose inclusive rank ≥ ⌈q·n⌉, per group and globally, selected by
+    * rank windows: the same integer rank math as the DuckDB oracle,
+    * so values match bit for bit (and ties are value-stable — MIN over
+    * ranks ≥ r is independent of row_number order among equal values).
+    * This used to ride the KLL sketch "in its exact regime", but a
+    * KLL compacts past ~k items and the gated slice outgrew k at
+    * sf0.1 (p50 drifted 1%) — exactness by construction beats
+    * exactness by assumption. The per-group sort is the honest cost
+    * of exact quantiles; the KLL rollup above ([[a13QuantileRollup]],
+    * SketchSpec error-bounded) is the one-pass mergeable path a
+    * 100 TB metrics store actually serves from.
     */
   def a13QuantileExact(spark: SparkSession, dir: String): DataFrame = {
     val o = Q.t(spark, dir, "orders").filter(col("o_orderkey") % 101 === 0)
-    val sketches = o.groupBy(col("o_orderstatus"))
-      .agg(expr("kll_sketch_agg_double(o_totalprice)").as("sk"),
-        count(lit(1)).as("n"))
-    val perStatus = sketches.select(col("o_orderstatus"), col("n"),
-      expr("kll_sketch_get_quantile_double(sk, 0.5)").as("p50"),
-      expr("kll_sketch_get_quantile_double(sk, 0.95)").as("p95"))
-    val total = sketches
-      .agg(expr("kll_merge_agg_double(sk)").as("sk"), sum(col("n")).as("n"))
-      .select(lit("TOTAL").as("o_orderstatus"), col("n"),
-        expr("kll_sketch_get_quantile_double(sk, 0.5)").as("p50"),
-        expr("kll_sketch_get_quantile_double(sk, 0.95)").as("p95"))
-    perStatus.unionByName(total).orderBy(col("o_orderstatus").asc)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+    def quantiles(ranked: DataFrame, key: org.apache.spark.sql.Column) =
+      ranked.groupBy(key.as("o_orderstatus"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("rn") >= ceil(lit(0.5) * col("n")),
+            col("o_totalprice"))).as("p50"),
+          min(when(col("rn") >= ceil(lit(0.95) * col("n")),
+            col("o_totalprice"))).as("p95"))
+    val W = org.apache.spark.sql.expressions.Window
+    val per = quantiles(
+      o.withColumn("rn", row_number().over(W
+          .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))))
+        .withColumn("n", count(lit(1)).over(W
+          .partitionBy(col("o_orderstatus")))),
+      col("o_orderstatus"))
+    val tot = quantiles(
+      o.withColumn("rn", row_number().over(W.orderBy(col("o_totalprice"))))
+        .withColumn("n", count(lit(1)).over(W.partitionBy())),
+      lit("TOTAL"))
+    per.unionByName(tot)
+      .select(col("o_orderstatus"), col("n"), col("p50"), col("p95"))
+      .orderBy(col("o_orderstatus").asc)
   }
 
   val a13ExactOracle: String =

@@ -422,7 +422,16 @@ object Analytics extends QueryModule {
     val daily = Q.t(spark, dir, "events")
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
       .groupBy(col("event_type"), col("day"))
-      .agg(expr("hll_sketch_agg(user_id)").as("sk")) // the only raw pass
+      // the only raw pass. lgK=21 (the max): the sketch stays in its
+      // COUPON (exact) regime through the gated scales — the default
+      // lgK=12 crossed into estimation at sf0.1 (527 vs the exact
+      // 526) and broke the exact-count oracle. Measured boundary:
+      // exact at sf0.01/sf0.1, ±1 departures from ~14k distincts
+      // (sf1). The oracle certifies the merge ALGEBRA while exactness
+      // holds; past it the estimate departs by design (the sketch IS
+      // the point) and ApproxDistinctSpec's error bound vs the exact
+      // fn6 is the contract.
+      .agg(expr("hll_sketch_agg(user_id, 21)").as("sk"))
     val grid = daily.select(col("event_type"), col("day").as("report_day"))
     grid.join(daily,
         grid("event_type") === daily("event_type") &&
