@@ -83,7 +83,7 @@ object Merge {
     * touched-partition pruning.
     */
   def effectiveChanges(base: DataFrame, updates: DataFrame): DataFrame =
-    updates.exceptAll(base.select(updates.columns.map(col): _*))
+    updates.exceptAll(base.select(updates.columns.toIndexedSeq.map(col): _*))
 
   /** CDC feed compaction: keep only the newest row per key, ordered
     * by `orderCol` (event time / sequence number), ties broken
@@ -96,7 +96,7 @@ object Merge {
       orderCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(orderCol).desc,
-        xxhash64(struct(updates.columns.map(col): _*)).asc)
+        xxhash64(struct(updates.columns.toIndexedSeq.map(col): _*)).asc)
     updates.withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") === 1).drop("_graft_rn")
   }

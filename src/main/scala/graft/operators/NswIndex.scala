@@ -13,14 +13,17 @@ import org.apache.spark.sql.functions._
   */
 private[operators] case class NswIndexMeta(
     m: Int, lists: Int, replicas: Int, entriesPerShard: Int,
-    sourceVersion: Int, seedIds: Seq[Long], seedVs: Seq[Seq[Double]])
+    sourceVersion: Int, seedIds: Seq[Long], seedVs: Seq[Seq[Double]],
+    subCounts: Seq[Int])
 
 /** Persisted navigable-small-world graph index (the single-layer core
   * of HNSW — Malkov & Yashunin, TPAMI 2020; NSW per Malkov et al.,
   * IS 2014) over a unit-normalized embedding corpus, SHARDED by IVF
   * list (the SPANN memory–disk layout, Chen et al., NeurIPS 2021):
-  * `(list_id, vec_id, v, neighbors)` rows in a [[ManifestTable]]
-  * zone-mapped on `list_id`, with the routing seeds in a meta sidecar.
+  * `(shard_id, vec_id, v, neighbors)` rows in a [[ManifestTable]]
+  * zone-mapped on `shard_id` (= list_id·1024 + sub — hot lists split
+  * into hash sub-shards at build, see [[NswIndex.build]]), with the
+  * routing seeds + frozen sub-counts in a meta sidecar.
   *
   * SHARDING: every vector is assigned to its `replicas` nearest IVF
   * lists (SPANN's closure assignment — boundary vectors appear in each
@@ -63,15 +66,42 @@ class NswIndex private (spark: SparkSession, val root: String,
   private def seedArr: Array[(Long, Array[Double])] =
     meta.seedIds.zip(meta.seedVs.map(_.toArray)).toArray
 
+  /** Physical sub-shards per IVF list (1 = unsplit; >1 = the hot-list
+    * cap kicked in at build — see [[NswIndex.build]]). Frozen with the
+    * seeds.
+    */
+  private lazy val subCountByList: Map[Long, Int] =
+    meta.seedIds.zip(meta.subCounts).toMap
+  private def subsOf(listId: Long): Int = subCountByList.getOrElse(listId, 1)
+
+  /** The `shard_id = list_id*1024 + sub` column for an assigned
+    * `(list_id, vec_id, ...)` frame — sub-shard choice is a frozen
+    * hash of vec_id, so build, refresh, and replay all agree. The
+    * when-chain covers only SPLIT lists (pathological few by
+    * construction); everything else is sub 0.
+    */
+  private[operators] def shardIdCol: org.apache.spark.sql.Column = {
+    val subCol = subCountByList.filter(_._2 > 1).foldLeft(lit(0L)) {
+      case (acc, (l, s)) =>
+        when(col("list_id") === l,
+          pmod(xxhash64(col("vec_id")), lit(s.toLong))).otherwise(acc)
+    }
+    col("list_id") * NswIndex.MaxSubShards + subCol
+  }
+
   /** Zone-map-pruned shard scan (the [[PqIndex]] scanLists shape): one
-    * scan of the files intersecting any probed list, full scan past
-    * [[PqIndex.MaxPrunedLists]] — over-reading only costs IO, the
-    * downstream cogroup keys keep correctness.
+    * scan of the files intersecting any probed list's CONTIGUOUS
+    * shard-id range [l·1024, l·1024+subs−1], full scan past
+    * [[PqIndex.MaxPrunedLists]] ranges — over-reading only costs IO,
+    * the downstream cogroup keys keep correctness.
     */
   private def scanLists(probed: Seq[Long]): DataFrame =
     if (probed.isEmpty) table.read().filter(lit(false))
     else if (probed.size <= PqIndex.MaxPrunedLists)
-      table.readRangesBy("list_id", probed.map(l => (l.toString, l.toString)))
+      table.readRangesBy("shard_id", probed.map { l =>
+        val base = l * NswIndex.MaxSubShards
+        (base.toString, (base + subsOf(l) - 1).toString)
+      })
     else table.read()
 
   /** Serve a probe batch `(q_id, q_v)` (unit-normalized, the PqIndex
@@ -107,14 +137,21 @@ class NswIndex private (spark: SparkSession, val root: String,
           if (c != 0) c < 0 else lidA < lidB
         }
         .take(nprobe)
-        .map { case (lid, _) => (lid, qId, qv.toSeq) }
+        // fan to EVERY sub-shard of a probed list: a split list is a
+        // hot list, and all its data must be searched — the fan-out
+        // grows exactly where the data does
+        .flatMap { case (lid, _) =>
+          val base = lid * NswIndex.MaxSubShards
+          (0 until subsOf(lid)).map(s => (base + s, qId, qv.toSeq))
+        }
     }
     val routed = spark.createDataset(routedRows.toSeq)
-      .toDF("list_id", "q_id", "q_v").as[(Long, Long, Seq[Double])]
+      .toDF("shard_id", "q_id", "q_v").as[(Long, Long, Seq[Double])]
     // bounded: ≤ min(lists, probes×nprobe) values — prunes the shard scan
-    val probedLists = routedRows.map(_._1).distinct.sorted.toSeq
+    val probedLists = routedRows.map(_._1 / NswIndex.MaxSubShards)
+      .distinct.sorted.toSeq
     val shards = scanLists(probedLists)
-      .select(col("list_id"), col("vec_id"), col("v"), col("neighbors"))
+      .select(col("shard_id"), col("vec_id"), col("v"), col("neighbors"))
       .as[(Long, Long, Seq[Double], Seq[Long])]
     val mEf = ef
     val mTopK = topK
@@ -209,27 +246,29 @@ class NswIndex private (spark: SparkSession, val root: String,
         val unit = Similarity.unitize(fresh)
         val assigned = Similarity
           .ivfNearestLists(unit, seedArr, meta.replicas, keepV = true)
-          .select(col("list_id"), col("vec_id"), col("v"))
+          .select(shardIdCol.as("shard_id"), col("vec_id"), col("v"))
           .as[(Long, Long, Seq[Double])]
         // bounded: ≤ delta × replicas values
-        val affected = assigned.select(col("list_id")).distinct()
+        val affectedShards = assigned.select(col("shard_id")).distinct()
           .as[Long].collect().toSeq.sorted
-        val existing = scanLists(affected)
-          .filter(col("list_id").isin(affected: _*))
-          .select(col("list_id"), col("vec_id"), col("v"), col("neighbors"))
+        val affectedLists = affectedShards
+          .map(_ / NswIndex.MaxSubShards).distinct
+        val existing = scanLists(affectedLists)
+          .filter(col("shard_id").isin(affectedShards: _*))
+          .select(col("shard_id"), col("vec_id"), col("v"), col("neighbors"))
           .as[(Long, Long, Seq[Double], Seq[Long])]
         val mM = meta.m
         val rebuilt = existing.groupByKey(_._1)
-          .cogroup(assigned.groupByKey(_._1)) { (lid, nodeIt, freshIt) =>
-            NswIndex.spliceShard(lid, nodeIt, freshIt, mM)
+          .cogroup(assigned.groupByKey(_._1)) { (sid, nodeIt, freshIt) =>
+            NswIndex.spliceShard(sid, nodeIt, freshIt, mM)
           }
-          .toDF("list_id", "vec_id", "v", "neighbors")
+          .toDF("shard_id", "vec_id", "v", "neighbors")
           // materialize BEFORE the shard delete below invalidates the scan
           .localCheckpoint(true)
-        table.deleteKeys("list_id", affected.map(_.toString)): Unit
+        table.deleteKeys("shard_id", affectedShards.map(_.toString)): Unit
         table.write(rebuilt.repartitionByRange(
           math.max(1, math.min(meta.lists, NswIndex.IndexFiles)),
-          col("list_id")), "append"): Unit
+          col("shard_id")), "append"): Unit
       }
     } finally changes.unpersist()
     val next = meta.copy(sourceVersion = vTo)
@@ -256,9 +295,15 @@ object NswIndex {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, NswIndexMeta]()
 
+  /** shard_id = list_id · MaxSubShards + sub — one flat long key that
+    * keeps a list's sub-shards CONTIGUOUS (zone ranges stay one
+    * (lo, hi) pair per probed list).
+    */
+  private[operators] val MaxSubShards = 1024L
+
   private[operators] def indexTable(spark: SparkSession, root: String): ManifestTable =
     new ManifestTable(spark, s"$root/index",
-      statsCol = Some("list_id"), bloomCol = Some("vec_id"))
+      statsCol = Some("shard_id"), bloomCol = Some("vec_id"))
 
   /** The greedy NSW kernel — pure, deterministic (ties break on lower
     * node index), bounded by O(ef·m) scored nodes per probe.
@@ -349,7 +394,7 @@ object NswIndex {
         .sortBy { case (oid, s) => (-s, oid) }
         .take(m).map(_._1)
       vecs(id) = v
-      adj(id) = mutable.ArrayBuffer(links: _*)
+      adj(id) = mutable.ArrayBuffer.from(links)
       links.foreach { t =>
         val lst = adj(t)
         if (!lst.contains(id)) {
@@ -377,16 +422,28 @@ object NswIndex {
     * closure assignment), build a self-contained navigable subgraph
     * PER SHARD — within-shard kNN links, undirected with a 2m cap,
     * plus a hash-ordered ring path so each shard is provably connected
-    * — and persist rows range-partitioned by `list_id` (tight zone
+    * — and persist rows range-partitioned by `shard_id` (tight zone
     * maps), meta sidecar LAST (crash ⇒ no loadable index, same as
     * PqIndex). `lists` ≤ 0 picks ≈√n, the shard-size sweet spot (each
     * shard ~replicas·√n rows — a task-local working set at any scale;
-    * every per-shard step keys its shuffle by `list_id`, so the build
+    * every per-shard step keys its shuffle by `shard_id`, so the build
     * is shard-parallel end to end, never corpus-quadratic).
+    *
+    * HOT-LIST CAP: hash-sampled seeds balance shards in expectation,
+    * but a duplicate-heavy or pathologically dense region can still
+    * pile one list far past the average — and the per-shard |shard|²
+    * kNN is exactly what must not see that. Any list exceeding
+    * `maxShardRows` (default: 4× the balanced size) splits into
+    * hash-of-vec_id sub-shards of bounded size, each its own
+    * self-contained subgraph under `shard_id = list_id·1024 + sub`;
+    * probes fan to every sub-shard of a probed list (the fan-out
+    * grows exactly where the data does), and the frozen sub-counts
+    * ride the meta so refresh routes identically.
     */
   def build(spark: SparkSession, emb: DataFrame, root: String,
       m: Int = 8, lists: Int = -1, replicas: Int = 2,
-      entriesPerShard: Int = 8, sourceVersion: Int = -1): NswIndex = {
+      entriesPerShard: Int = 8, sourceVersion: Int = -1,
+      maxShardRows: Long = 0L): NswIndex = {
     val nRows = emb.count()
     // default layout: shards of ≥ TargetShardRows (few, large shards
     // at small n — recall comes from probing most of them; tiny shards
@@ -397,66 +454,91 @@ object NswIndex {
       if (lists > 0) lists
       else math.max(4L, math.min(nRows / TargetShardRows,
         math.sqrt(nRows.toDouble).toLong)).toInt
+    val replicasN = math.max(1, replicas)
     val seedRows = Similarity.ivfSeedsOf(emb, listsN).collect() // bounded: `lists` rows
     val seedArr = seedRows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val assigned = Similarity
-      .ivfNearestLists(emb, seedArr, math.max(1, replicas), keepV = true)
+    require(seedArr.forall(s => math.abs(s._1) < Long.MaxValue / (2 * MaxSubShards)),
+      "vec_id-derived list ids must leave room for the sub-shard encoding")
+    val assigned0 = Similarity
+      .ivfNearestLists(emb, seedArr, replicasN, keepV = true)
       .select(col("list_id"), col("vec_id"), col("v"))
+    // the hot-list cap: per-list counts are bounded driver state
+    // (`lists` rows); lists past the cap split into hash sub-shards
+    val cap =
+      if (maxShardRows > 0) maxShardRows
+      else math.max(TargetShardRows * 4,
+        4L * ((nRows * replicasN + listsN - 1) / listsN))
+    val counts = assigned0.groupBy(col("list_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val subCounts = seedRows.map { r =>
+      val c = counts.getOrElse(r.getLong(0), 0L)
+      math.min(MaxSubShards, math.max(1L, (c + cap - 1) / cap)).toInt
+    }
+    val subByList = seedRows.map(_.getLong(0)).zip(subCounts).toMap
+    val subCol = subByList.filter(_._2 > 1).foldLeft(lit(0L)) {
+      case (acc, (l, s)) =>
+        when(col("list_id") === l,
+          pmod(xxhash64(col("vec_id")), lit(s.toLong))).otherwise(acc)
+    }
+    val assigned = assigned0
+      .withColumn("shard_id", col("list_id") * MaxSubShards + subCol)
+      .select(col("shard_id"), col("vec_id"), col("v"))
     // within-shard kNN: cosine over each unordered member pair ONCE,
-    // mirrored; |shard|² work keyed by list_id — bounded per task
-    val nbrs = assigned.select(col("list_id"),
+    // mirrored; |shard|² work keyed by shard_id — bounded per task
+    val nbrs = assigned.select(col("shard_id"),
       col("vec_id").as("neighbor"), col("v").as("n_v"))
-    val half = assigned.join(nbrs, Seq("list_id"))
+    val half = assigned.join(nbrs, Seq("shard_id"))
       .filter(col("vec_id") < col("neighbor"))
       .withColumn("sim", round(
         graft.functions.CosineSimilarity.cosine(spark, col("v"), col("n_v")), 6))
-      .select(col("list_id"), col("vec_id"), col("neighbor"), col("sim"))
-    val scored = half.unionByName(half.select(col("list_id"),
+      .select(col("shard_id"), col("vec_id"), col("neighbor"), col("sim"))
+    val scored = half.unionByName(half.select(col("shard_id"),
       col("neighbor").as("vec_id"), col("vec_id").as("neighbor"), col("sim")))
-    val w = Window.partitionBy(col("list_id"), col("vec_id"))
+    val w = Window.partitionBy(col("shard_id"), col("vec_id"))
       .orderBy(col("sim").desc, col("neighbor").asc)
     val knn = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= m)
-      .select(col("list_id"), col("vec_id"), col("neighbor"), col("sim"))
+      .select(col("shard_id"), col("vec_id"), col("neighbor"), col("sim"))
     // undirect: every kNN edge in both directions, re-cap at 2m per
     // node (keep the strongest links) — what makes greedy search
     // navigable: a node nothing points to is reached via back-edges
     val undirected = knn
-      .unionByName(knn.select(col("list_id"), col("neighbor").as("vec_id"),
+      .unionByName(knn.select(col("shard_id"), col("neighbor").as("vec_id"),
         col("vec_id").as("neighbor"), col("sim")))
-      .groupBy(col("list_id"), col("vec_id"), col("neighbor"))
+      .groupBy(col("shard_id"), col("vec_id"), col("neighbor"))
       .agg(max(col("sim")).as("sim"))
     val cappedPairs = undirected.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2 * m)
-      .select(col("list_id"), col("vec_id"), col("neighbor"))
+      .select(col("shard_id"), col("vec_id"), col("neighbor"))
     // long-range links: a kNN graph over clustered data is a set of
     // disconnected islands (the problem HNSW's upper layers solve).
     // The lite fix, per shard: a hash-ordered PATH through the shard's
     // members — provably connected with ≤2 extra links per node, and
     // hash-spread ⇒ long-range. Exempt from the 2m cap (eviction
     // could disconnect). The sort is per-shard over narrow rows.
-    val wRing = Window.partitionBy(col("list_id")).orderBy(
+    val wRing = Window.partitionBy(col("shard_id")).orderBy(
       pmod(col("vec_id") * 40503L + 17L, lit(999983L)).asc,
       col("vec_id").asc)
-    val ring = assigned.select(col("list_id"), col("vec_id"))
+    val ring = assigned.select(col("shard_id"), col("vec_id"))
       .withColumn("nxt", lead(col("vec_id"), 1).over(wRing))
       .filter(col("nxt").isNotNull)
-    val ringBoth = ring.select(col("list_id"), col("vec_id"), col("nxt").as("neighbor"))
-      .unionByName(ring.select(col("list_id"), col("nxt").as("vec_id"),
+    val ringBoth = ring.select(col("shard_id"), col("vec_id"), col("nxt").as("neighbor"))
+      .unionByName(ring.select(col("shard_id"), col("nxt").as("vec_id"),
         col("vec_id").as("neighbor")))
     val adjacency = cappedPairs.unionByName(ringBoth).distinct()
-      .groupBy(col("list_id"), col("vec_id"))
+      .groupBy(col("shard_id"), col("vec_id"))
       .agg(sort_array(collect_list(col("neighbor"))).as("neighbors"))
-    val nodes = assigned.join(adjacency, Seq("list_id", "vec_id"), "left")
-      .select(col("list_id"), col("vec_id"), col("v"),
+    val nodes = assigned.join(adjacency, Seq("shard_id", "vec_id"), "left")
+      .select(col("shard_id"), col("vec_id"), col("v"),
         coalesce(col("neighbors"), array().cast("array<bigint>"))
           .as("neighbors"))
     val mt = indexTable(spark, root)
     mt.write(nodes.repartitionByRange(
-      math.max(1, math.min(listsN, IndexFiles)), col("list_id")), "overwrite")
-    val meta = NswIndexMeta(m, listsN, math.max(1, replicas), entriesPerShard,
+      math.max(1, math.min(listsN, IndexFiles)), col("shard_id")), "overwrite")
+    val meta = NswIndexMeta(m, listsN, replicasN, entriesPerShard,
       sourceVersion, seedRows.map(_.getLong(0)).toSeq,
-      seedRows.map(_.getSeq[Double](1).toIndexedSeq).toSeq)
+      seedRows.map(_.getSeq[Double](1).toIndexedSeq).toSeq,
+      subCounts.toSeq)
     writeMeta(spark, root, meta)
     new NswIndex(spark, root, meta)
   }

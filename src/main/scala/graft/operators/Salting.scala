@@ -28,7 +28,7 @@ object Salting {
     */
   def saltLarge(df: DataFrame, factor: Int): DataFrame =
     df.withColumn(SaltCol,
-      pmod(xxhash64(struct(df.columns.map(col): _*),
+      pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*),
         monotonically_increasing_id()), lit(factor.toLong)).cast("int"))
 
   /** Replicate the small side once per salt value. */

@@ -78,7 +78,7 @@ class NswIndexSpec extends SparkTestBase {
     // pruned scan)
     val all = idx.table.filesOf(idx.table.latestVersion.get)
     assert(all.size > 1, "index must span several files for pruning to mean anything")
-    val one = idx.table.prunedFilesBy("list_id", "0", "0")
+    val one = idx.table.prunedFilesBy("shard_id", "0", "1023")
     assert(one.size < all.size,
       s"zone maps failed to prune: ${one.size} of ${all.size} files for one list")
     // plan gate: serving is a DISTRIBUTED cogroup over that pruned
@@ -119,7 +119,7 @@ class NswIndexSpec extends SparkTestBase {
     // connectivity: BFS within EACH shard's adjacency reaches every
     // member of that shard (shards are self-contained subgraphs)
     val byShard = idx.table.read()
-      .select("list_id", "vec_id", "neighbors").collect()
+      .select("shard_id", "vec_id", "neighbors").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
       .groupBy(_._1)
     byShard.foreach { case (lid, members) =>
@@ -178,10 +178,44 @@ class NswIndexSpec extends SparkTestBase {
     // replaying the same delta must re-upsert, never duplicate
     val again = idx.refreshFrom(source, "vec_id", "v")
     val dupes = again.table.read()
-      .groupBy(col("list_id"), col("vec_id")).count()
+      .groupBy(col("shard_id"), col("vec_id")).count()
       .filter(col("count") > 1).count()
-    assert(dupes === 0, s"replay duplicated $dupes (list, vec) rows")
+    assert(dupes === 0, s"replay duplicated $dupes (shard, vec) rows")
     assert(again.sourceVersion === 1)
+  }
+
+  test("hot-list cap: a duplicate-heavy corpus sub-shards; every shard stays bounded; recall holds") {
+    // 60% of the corpus is ONE exact duplicate vector — every copy
+    // ties to the same two nearest seeds, so without the cap two
+    // shards would hold ~600 rows each and the per-shard quadratic
+    // kNN would see 360k pairs for what should be a bounded task
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val hot = Array.fill(dim)(rnd.nextGaussian())
+    val pts = (0 until 1000).map { i =>
+      if (i < 600) (i.toLong, hot.toSeq)
+      else (i.toLong, Array.fill(dim)(rnd.nextGaussian()).toSeq)
+    }
+    val corpus = Similarity.unitize(pts.toDF("vec_id", "raw_v"))
+    val root = scratch("skew")
+    val idx = NswIndex.build(spark, corpus, root, lists = 16,
+      maxShardRows = 128)
+    val sizes = idx.table.read().groupBy(col("shard_id")).count()
+      .select(col("count")).as[Long].collect()
+    assert(sizes.max <= 200,
+      s"hot list not capped: largest physical shard ${sizes.max} rows")
+    // sub-shards of one list are CONTIGUOUS shard ids (zone-prunable)
+    val subs = idx.table.read().select(col("shard_id")).distinct()
+      .as[Long].collect().groupBy(_ / 1024).view.mapValues(_.length)
+    assert(subs.values.max > 1, "expected at least one split list")
+    // a duplicate-of-the-hot-vector probe still finds duplicates at
+    // sim 1.0 (they live across sub-shards; the probe fans to all)
+    val probes = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val got = idx.query(probes, topK = 3, ef = 64).collect()
+    assert(got.length === 3)
+    got.foreach(r => assert(r.getDouble(3) === 1.0,
+      s"duplicate neighbors must score 1.0: $r"))
   }
 
   test("refreshFrom: source deletes DV out of the index") {
