@@ -856,8 +856,16 @@ class ManifestTable(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
     val entries = prunedEntriesBy(c, lo, hi, version)
     if (entries.isEmpty) read(version).filter(lit(false))
-    else readEntries(entries) // evolved-schema + clone- and DV-aware, like read()
-      .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    else {
+      val out = readEntries(entries) // evolved-schema + clone- and DV-aware
+      // bounds cast to the COLUMN's type: a bigint-vs-string comparison
+      // would coerce both sides to double, whose exact-integer range
+      // (2^53) is narrower than the ids zone maps allow — boundary rows
+      // near extreme magnitudes would be misclassified by the residual
+      // (zone-map statCmp itself is exact via BigDecimal)
+      val dt = out.schema(c).dataType
+      out.filter(col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt))
+    }
   }
 
   def readRange(lo: String, hi: String, version: Option[Int] = None): DataFrame =
@@ -880,9 +888,15 @@ class ManifestTable(spark: SparkSession, root: String,
     val entries = entriesOf(v).filter(e =>
       ranges.exists { case (lo, hi) => zoneIntersects(e, pc, lo, hi) })
     if (entries.isEmpty) read(version).filter(lit(false))
-    else readEntries(entries).filter(ranges
-      .map { case (lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
-      .reduce(_ || _))
+    else {
+      val out = readEntries(entries)
+      val dt = out.schema(c).dataType // see readRangeBy: exact residual bounds
+      out.filter(ranges
+        .map { case (lo, hi) =>
+          col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
+        }
+        .reduce(_ || _))
+    }
   }
 
   // -------------------------------------------------------------- //
@@ -2127,16 +2141,25 @@ class ManifestTable(spark: SparkSession, root: String,
     * entries, append `adds` rows as new files, and commit the delta.
     * Disjoint concurrent writers (appends, merges of other partitions)
     * rebase; a concurrent rewrite of a touched file conflicts via the
-    * removed-still-referenced check.
+    * removed-still-referenced check. `conflictsWith` narrows further
+    * (see [[commitDelta]]). `appendWithoutMarks` keeps the appends
+    * when the mark set is empty (an upsert whose keys are all new) —
+    * the default preserves the delete/update contract that a no-match
+    * predicate is a version no-op.
     */
   private def commitDv(v0: Int, entries: Seq[Entry], marks: DataFrame,
-      adds: Seq[DataFrame]): Int = {
+      adds: Seq[DataFrame], conflictsWith: Entry => Boolean = _ => false,
+      appendWithoutMarks: Boolean = false): Int = {
     val cached = marks.cache()
     try {
       // one bounded job: per-file NEW-mark counts (≤ one row per file)
       val newPerFile = cached.groupBy(col(DvFileCol)).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (newPerFile.isEmpty) return v0
+      if (newPerFile.isEmpty && !(appendWithoutMarks && adds.nonEmpty))
+        return v0
+      if (newPerFile.isEmpty)
+        return commitDelta(entries, Set.empty,
+          adds.flatMap(df => newEntries(writeDataFiles(df))), conflictsWith)
       val touched = entries.filter(e =>
         newPerFile.contains(new Path(e.rel).getName))
       // absorb each touched file's PRIOR positions so its entry points
@@ -2174,8 +2197,71 @@ class ManifestTable(spark: SparkSession, root: String,
         e.copy(stats = e.stats + (DvKey -> ColStats(dvRel, n.toString, "D")))
       }
       val added = repointed ++ adds.flatMap(df => newEntries(writeDataFiles(df)))
-      commitDelta(entries, touched.map(_.rel).toSet, added)
+      commitDelta(entries, touched.map(_.rel).toSet, added, conflictsWith)
     } finally cached.unpersist()
+  }
+
+  /** Atomic multi-key DV-delete + append — the vector-index refresh
+    * commit ([[graft.operators.PqIndex]]/[[graft.operators.NswIndex]]
+    * `refreshFrom`): mark every row matching ANY `(column, keys)`
+    * batch dead AND append `adds`, as ONE optimistic commit. A reader
+    * — or a crash at any point — sees either the full old state or
+    * the full new state; there is no window where the deletes are
+    * visible without the re-append (the two-commit form silently lost
+    * the deleted rows when a replay re-derived its delta from the
+    * half-applied table). Each batch bloom-prunes its candidate files
+    * like [[deleteKeys]]; all marks ride one DV sidecar.
+    *
+    * `strict = true` additionally makes ANY concurrently-added file a
+    * conflict (not just overlapping rewrites): single-writer
+    * maintenance like an index refresh must observe a racing refresh's
+    * commit as a ConcurrentModificationException, never interleave
+    * with it — two refreshes deriving the same delta from the same
+    * cursor would otherwise both append and duplicate rows.
+    */
+  def deleteKeysAndAppend(deletes: Seq[(String, Seq[String])],
+      adds: Seq[DataFrame], strict: Boolean = false): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val entries = entriesOf(v0)
+    val conflictsWith: Entry => Boolean = if (strict) _ => true else _ => false
+    val markDfs = deletes.flatMap { case (c, values0) =>
+      val vals = values0.filter(_ != null).distinct
+      if (vals.isEmpty || entries.isEmpty) None
+      else {
+        val pc = toPhysical(c)
+        val candidates =
+          if (bloomCol.contains(pc)) {
+            val raws = vals.map(bloomRawHashes)
+            entries.filter(e =>
+              e.stats.get(bloomKey(pc)).forall(bloomTestEntry(_, raws)))
+          } else entries
+        if (candidates.isEmpty) None
+        else {
+          val files = candidates.map(e => new Path(root, e.rel).toString)
+          val withPos = toLogicalRename(readFiles(files, withPos = true))
+          val live = dvOf(candidates).fold(withPos)(dv =>
+            withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
+          val hits =
+            if (vals.size <= ManifestTable.InLiteralMaxKeys)
+              live.filter(col(c).cast("string").isin(vals: _*))
+            else {
+              val keysDf = spark
+                .createDataset(vals)(org.apache.spark.sql.Encoders.STRING)
+                .toDF("_graft_erase_key")
+              live.join(org.apache.spark.sql.functions.broadcast(keysDf),
+                col(c).cast("string") === col("_graft_erase_key"), "left_semi")
+            }
+          Some(hits.select(col(DvFileCol), col(DvPosCol)))
+        }
+      }
+    }
+    val marks = markDfs.reduceOption(_.unionByName(_)).getOrElse(
+      // empty stand-in so commitDv's count job is trivially empty
+      spark.range(0).select(lit("").as(DvFileCol), lit(0L).as(DvPosCol)))
+    if (markDfs.isEmpty && adds.isEmpty) return v0
+    commitDv(v0, entries, marks, adds, conflictsWith,
+      appendWithoutMarks = true)
   }
 
   /** L5: OPTIMIZE — small-file compaction after many appends: rewrite

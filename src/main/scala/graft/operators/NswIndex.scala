@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 private[operators] case class NswIndexMeta(
     m: Int, lists: Int, replicas: Int, entriesPerShard: Int,
     sourceVersion: Int, seedIds: Seq[Long], seedVs: Seq[Seq[Double]],
-    subCounts: Seq[Int])
+    subCounts: Seq[Int], maxShardRows: Long)
 
 /** Persisted navigable-small-world graph index (the single-layer core
   * of HNSW — Malkov & Yashunin, TPAMI 2020; NSW per Malkov et al.,
@@ -80,14 +80,8 @@ class NswIndex private (spark: SparkSession, val root: String,
     * when-chain covers only SPLIT lists (pathological few by
     * construction); everything else is sub 0.
     */
-  private[operators] def shardIdCol: org.apache.spark.sql.Column = {
-    val subCol = subCountByList.filter(_._2 > 1).foldLeft(lit(0L)) {
-      case (acc, (l, s)) =>
-        when(col("list_id") === l,
-          pmod(xxhash64(col("vec_id")), lit(s.toLong))).otherwise(acc)
-    }
-    col("list_id") * NswIndex.MaxSubShards + subCol
-  }
+  private[operators] def shardIdCol: org.apache.spark.sql.Column =
+    NswIndex.shardIdColFor(subCountByList)
 
   /** Zone-map-pruned shard scan (the [[PqIndex]] scanLists shape): one
     * scan of the files intersecting any probed list's CONTIGUOUS
@@ -119,6 +113,13 @@ class NswIndex private (spark: SparkSession, val root: String,
     // ivfNearestLists exactly: (dot desc, list_id asc).
     val probeRows = probes0
       .select(col("q_id").cast("long"), col("q_v")).collect() // bounded: the serving batch
+    // the serving-batch bound is part of the API contract, not an
+    // accident of the routing shape: past it, chunk the batch (each
+    // chunk is an independent query) — an unbounded probe side (e.g. a
+    // corpus-sized self-join) must not become a driver OOM
+    require(probeRows.length <= NswIndex.MaxProbeBatch,
+      s"NSW serving batch ${probeRows.length} exceeds ${NswIndex.MaxProbeBatch}; " +
+        "chunk the probes and query per chunk")
     val seeds = seedArr
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -147,8 +148,11 @@ class NswIndex private (spark: SparkSession, val root: String,
     }
     val routed = spark.createDataset(routedRows.toSeq)
       .toDF("shard_id", "q_id", "q_v").as[(Long, Long, Seq[Double])]
-    // bounded: ≤ min(lists, probes×nprobe) values — prunes the shard scan
-    val probedLists = routedRows.map(_._1 / NswIndex.MaxSubShards)
+    // bounded: ≤ min(lists, probes×nprobe) values — prunes the shard
+    // scan. floorDiv, not /: list ids are corpus vec_ids and may be
+    // negative, where truncating division recovers the wrong list
+    val probedLists = routedRows
+      .map(t => Math.floorDiv(t._1, NswIndex.MaxSubShards))
       .distinct.sorted.toSeq
     val shards = scanLists(probedLists)
       .select(col("shard_id"), col("vec_id"), col("v"), col("neighbors"))
@@ -211,13 +215,31 @@ class NswIndex private (spark: SparkSession, val root: String,
     * `replicas` nearest FROZEN seeds, and spliced into each affected
     * shard by the standard graph-ANN insertion — exact top-m links
     * against the RAM-resident shard, reverse edges, prune to the 2m
-    * cap. Only affected shards rewrite (delete + append) — O(delta
-    * shards). Returns the refreshed index; a no-op when current.
-    * Idempotent like [[PqIndex.refreshFrom]]: touched ids are DV'd out
-    * before re-insertion, so a replay re-upserts instead of
-    * duplicating. Dangling neighbor ids left by deletions resolve to
-    * nothing at query time (the shard-local id→slot lookup drops
-    * them), so correctness never depends on back-edge cleanup.
+    * cap (ring links exempt — see [[NswIndex.spliceShard]]). Only
+    * affected shards rewrite — O(delta shards). Returns the refreshed
+    * index; a no-op when current.
+    *
+    * ATOMIC: every DV mark (dead ids AND rewritten shards) and the
+    * rebuilt-shard append land as ONE strict
+    * [[ManifestTable.deleteKeysAndAppend]] commit — a crash leaves
+    * the full old index or the full new one, and a racing refresh
+    * observes the winner as a ConcurrentModificationException before
+    * its cursor could move. Idempotent like [[PqIndex.refreshFrom]]:
+    * the existing-member scan EXCLUDES touched ids, so a stale-cursor
+    * replay re-upserts the same rows instead of duplicating. Dangling
+    * neighbor ids left by deletions resolve to nothing at query time
+    * (the shard-local id→slot lookup drops them), so correctness
+    * never depends on back-edge cleanup.
+    *
+    * RE-SPLIT UNDER GROWTH: the build-time hot-list cap carries into
+    * refresh — a list whose projected membership outgrows its
+    * sub-shard budget re-splits into ceil(total/cap) hash sub-shards
+    * (grow-only, capped at 1024); its members rehash and rebuild as
+    * fresh self-contained subgraphs. The new layout is written to the
+    * meta sidecar BEFORE the data commit (an inflated sub-count only
+    * over-fans probes into empty shards — harmless — while a data
+    * commit the meta doesn't describe would hide sub-shards from
+    * every query), and the cursor advances only AFTER it.
     */
   def refreshFrom(source: ManifestTable, idCol: String, vecCol: String): NswIndex = {
     import spark.implicits._
@@ -230,6 +252,7 @@ class NswIndex private (spark: SparkSession, val root: String,
           .withColumn("_change_type", lit("insert"))
       else source.changesBetween(meta.sourceVersion, vTo, Seq(idCol))
     ).localCheckpoint(true)
+    var nextSubs = meta.subCounts
     try {
       val deadIds = changes
         .filter(col("_change_type").isin("delete", "update_preimage"))
@@ -241,37 +264,116 @@ class NswIndex private (spark: SparkSession, val root: String,
       val freshIds = fresh.select(col("vec_id").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq // bounded by the delta
       val touched = (deadIds ++ freshIds).distinct
-      if (touched.nonEmpty) table.deleteKeys("vec_id", touched): Unit
-      if (freshIds.nonEmpty) {
+      if (freshIds.isEmpty) {
+        if (touched.nonEmpty) {
+          NswIndex.testBeforeCommit()
+          table.deleteKeysAndAppend(Seq("vec_id" -> touched), Seq.empty,
+            strict = true): Unit
+        }
+      } else {
         val unit = Similarity.unitize(fresh)
-        val assigned = Similarity
+        val assigned0 = Similarity
           .ivfNearestLists(unit, seedArr, meta.replicas, keepV = true)
-          .select(shardIdCol.as("shard_id"), col("vec_id"), col("v"))
-          .as[(Long, Long, Seq[Double])]
-        // bounded: ≤ delta × replicas values
-        val affectedShards = assigned.select(col("shard_id")).distinct()
-          .as[Long].collect().toSeq.sorted
-        val affectedLists = affectedShards
-          .map(_ / NswIndex.MaxSubShards).distinct
-        val existing = scanLists(affectedLists)
-          .filter(col("shard_id").isin(affectedShards: _*))
-          .select(col("shard_id"), col("vec_id"), col("v"), col("neighbors"))
-          .as[(Long, Long, Seq[Double], Seq[Long])]
-        val mM = meta.m
-        val rebuilt = existing.groupByKey(_._1)
-          .cogroup(assigned.groupByKey(_._1)) { (sid, nodeIt, freshIt) =>
-            NswIndex.spliceShard(sid, nodeIt, freshIt, mM)
-          }
-          .toDF("shard_id", "vec_id", "v", "neighbors")
-          // materialize BEFORE the shard delete below invalidates the scan
-          .localCheckpoint(true)
-        table.deleteKeys("shard_id", affectedShards.map(_.toString)): Unit
-        table.write(rebuilt.repartitionByRange(
-          math.max(1, math.min(meta.lists, NswIndex.IndexFiles)),
-          col("shard_id")), "append"): Unit
+          .select(col("list_id"), col("vec_id"), col("v"))
+          .localCheckpoint(true) // feeds the counts AND the routing below
+        try {
+          // bounded: ≤ `lists` rows
+          val freshPerList = assigned0.groupBy(col("list_id")).count()
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val affectedLists = freshPerList.keySet.toSeq.sorted
+          val listOf = shiftright(col("shard_id"), NswIndex.SubShardBits)
+          // every LIVE member of every affected list (all sub-shards —
+          // the re-split decision needs list totals). Touched ids are
+          // excluded HERE: their DV marks land only in the atomic
+          // commit below, so the scan still sees them.
+          val affectedListsDf = broadcast(
+            spark.createDataset(affectedLists).toDF("_aff_list"))
+          val touchedDf = broadcast(
+            spark.createDataset(touched).toDF("_dead_id"))
+          val existing = scanLists(affectedLists)
+            .join(affectedListsDf, listOf === col("_aff_list"), "left_semi")
+            .join(touchedDf,
+              col("vec_id").cast("string") === col("_dead_id"), "left_anti")
+            .select(col("shard_id"), col("vec_id"), col("v"), col("neighbors"))
+            .localCheckpoint(true) // counts + two splice legs consume it
+          try {
+            // bounded: ≤ physical shards of the affected lists
+            val existPerShard = existing.groupBy(col("shard_id")).count()
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            val existPerList = existPerShard.groupBy { case (sid, _) =>
+              Math.floorDiv(sid, NswIndex.MaxSubShards)
+            }.map { case (l, m0) => l -> m0.values.sum }
+            val cap =
+              if (meta.maxShardRows > 0) meta.maxShardRows else Long.MaxValue
+            val newSubCounts: Map[Long, Int] = affectedLists.map { l =>
+              val total = existPerList.getOrElse(l, 0L) + freshPerList(l)
+              val want = math.min(NswIndex.MaxSubShards,
+                math.max(subsOf(l).toLong, (total + cap - 1) / cap)).toInt
+              l -> want
+            }.toMap
+            val resplit = newSubCounts
+              .filter { case (l, s) => s > subsOf(l) }.keySet.toSeq.sorted
+            val mergedSubs = subCountByList ++ newSubCounts
+            val assigned = assigned0
+              .withColumn("shard_id", NswIndex.shardIdColFor(mergedSubs))
+              .select(col("shard_id"), col("vec_id"), col("v"))
+            // members of re-split lists REHASH across the new layout
+            // and rebuild from scratch as fresh nodes (their stored
+            // links cross sub-shard borders); everyone else splices
+            val (reMembers, keepMembers) =
+              if (resplit.isEmpty) (None, existing)
+              else (Some(existing.filter(listOf.isin(resplit: _*))),
+                existing.filter(!listOf.isin(resplit: _*)))
+            val rehashed = reMembers.map(_
+              .withColumn("list_id", listOf)
+              .withColumn("shard_id", NswIndex.shardIdColFor(mergedSubs))
+              .select(col("shard_id"), col("vec_id"), col("v")))
+            val freshAll = rehashed.fold(assigned)(_.unionByName(assigned))
+              .as[(Long, Long, Seq[Double])]
+            // shards to rewrite: those receiving fresh members, plus —
+            // for re-split lists — every OLD physical shard (their
+            // members moved). Bounded: ≤ delta×replicas + resplit subs.
+            val freshShards = freshAll.select(col("shard_id")).distinct()
+              .as[Long].collect().toSeq
+            val resplitSet = resplit.toSet
+            val oldResplitShards = existPerShard.keys.filter(sid =>
+              resplitSet.contains(Math.floorDiv(sid, NswIndex.MaxSubShards)))
+            val deleteShards =
+              (freshShards ++ oldResplitShards).distinct.sorted
+            val deleteShardsDf = broadcast(
+              spark.createDataset(deleteShards).toDF("_rw_shard"))
+            val spliceExisting = keepMembers
+              .join(deleteShardsDf, col("shard_id") === col("_rw_shard"),
+                "left_semi")
+              .select(col("shard_id"), col("vec_id"), col("v"), col("neighbors"))
+              .as[(Long, Long, Seq[Double], Seq[Long])]
+            val mM = meta.m
+            val rebuilt = spliceExisting.groupByKey(_._1)
+              .cogroup(freshAll.groupByKey(_._1)) { (sid, nodeIt, freshIt) =>
+                NswIndex.spliceShard(sid, nodeIt, freshIt, mM)
+              }
+              .toDF("shard_id", "vec_id", "v", "neighbors")
+              // materialize BEFORE the commit invalidates the scan
+              .localCheckpoint(true)
+            if (resplit.nonEmpty) {
+              nextSubs = meta.seedIds.map(l => mergedSubs.getOrElse(l, 1))
+              // WRITE-AHEAD layout, cursor unchanged (see scaladoc)
+              NswIndex.writeMeta(spark, root,
+                meta.copy(subCounts = nextSubs))
+            }
+            NswIndex.testBeforeCommit()
+            table.deleteKeysAndAppend(
+              Seq("vec_id" -> touched,
+                "shard_id" -> deleteShards.map(_.toString)),
+              Seq(rebuilt.repartitionByRange(
+                math.max(1, math.min(meta.lists, NswIndex.IndexFiles)),
+                col("shard_id"))),
+              strict = true): Unit
+          } finally existing.unpersist()
+        } finally assigned0.unpersist()
       }
     } finally changes.unpersist()
-    val next = meta.copy(sourceVersion = vTo)
+    val next = meta.copy(sourceVersion = vTo, subCounts = nextSubs)
     NswIndex.writeMeta(spark, root, next)
     new NswIndex(spark, root, next)
   }
@@ -300,6 +402,40 @@ object NswIndex {
     * (lo, hi) pair per probed list).
     */
   private[operators] val MaxSubShards = 1024L
+
+  /** log2(MaxSubShards): `shard_id >> SubShardBits` is the exact
+    * list id for NEGATIVE ids too (arithmetic shift ≡ floorDiv by a
+    * power of two, where truncating division rounds the wrong way).
+    */
+  private[operators] val SubShardBits = 10
+  require((1L << SubShardBits) == MaxSubShards)
+
+  /** Hard bound on one serving batch's driver-side probe rows — the
+    * routing state is deliberately driver-resident (bounded, skips two
+    * Spark jobs per query), so the probe side must be bounded too.
+    * Callers with more probes chunk the batch.
+    */
+  private[operators] val MaxProbeBatch = 131072
+
+  /** Test seam: runs immediately before refreshFrom's atomic commit —
+    * the crash/race injection point for the durability specs. No-op in
+    * production.
+    */
+  private[graft] var testBeforeCommit: () => Unit = () => ()
+
+  /** The sub-shard routing column for an arbitrary layout map — shared
+    * by build, the instance's frozen layout, and refresh's re-split
+    * layout, so every path hashes members identically.
+    */
+  private[operators] def shardIdColFor(
+      subs: Map[Long, Int]): org.apache.spark.sql.Column = {
+    val subCol = subs.filter(_._2 > 1).foldLeft(lit(0L)) {
+      case (acc, (l, s)) =>
+        when(col("list_id") === l,
+          pmod(xxhash64(col("vec_id")), lit(s.toLong))).otherwise(acc)
+    }
+    col("list_id") * MaxSubShards + subCol
+  }
 
   private[operators] def indexTable(spark: SparkSession, root: String): ManifestTable =
     new ManifestTable(spark, s"$root/index",
@@ -367,6 +503,14 @@ object NswIndex {
     * the shard (the caller rewrites the shard wholesale — shard-
     * granular, bounded, no row-level adjacency merge). Deterministic:
     * sorted iteration, total-order tie-breaks, sorted output lists.
+    *
+    * RING INVARIANT: build exempts each shard's hash-ordered ring
+    * path from the 2m cap (eviction could disconnect the subgraph).
+    * A rewrite must uphold it, so the ring is RE-DERIVED here over
+    * the FINAL member set: its edges are never evicted by the prune
+    * and are unioned into the output adjacency — repeated refreshes
+    * can therefore never disconnect a shard, and an all-fresh shard
+    * (a re-split rebuild) comes out connected by construction.
     */
   private[operators] def spliceShard(lid: Long,
       nodeIt: Iterator[(Long, Long, Seq[Double], Seq[Long])],
@@ -379,13 +523,27 @@ object NswIndex {
       vecs(id) = v.toArray
       adj(id) = mutable.ArrayBuffer(nbs: _*)
     }
+    val freshArr = freshIt.toArray.sortBy(_._2)
+    // the final member set's hash-ordered ring (same spread hash as
+    // build's wRing; pmod semantics, so negative ids order fine)
+    def ringHash(id: Long): Long =
+      (((id * 40503L + 17L) % 999983L) + 999983L) % 999983L
+    val finalIds = (vecs.keysIterator ++ freshArr.iterator.map(_._2)).toArray
+    val ringOrder = finalIds.sortBy(id => (ringHash(id), id))
+    val ringPairs = mutable.HashSet.empty[(Long, Long)]
+    var ri = 0
+    while (ri < ringOrder.length - 1) {
+      ringPairs += ((ringOrder(ri), ringOrder(ri + 1)))
+      ringPairs += ((ringOrder(ri + 1), ringOrder(ri)))
+      ri += 1
+    }
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(a.length, b.length)
       while (i < n) { s += a(i) * b(i); i += 1 }
       s
     }
-    freshIt.toArray.sortBy(_._2).foreach { case (_, id, vSeq) =>
+    freshArr.foreach { case (_, id, vSeq) =>
       val v = vSeq.toArray
       val links = vecs.iterator
         .filter(_._1 != id)
@@ -400,17 +558,30 @@ object NswIndex {
         if (!lst.contains(id)) {
           lst += id
           if (lst.size > 2 * m) {
+            // prune NON-RING links only: ring edges are load-bearing
             val tv = vecs(t)
-            val kept = lst.iterator
+            val (ring, others) = lst.partition(nb => ringPairs((t, nb)))
+            val kept = others.iterator
               .map(nb => (nb, vecs.get(nb).map(dot(tv, _)).getOrElse(Double.MinValue)))
               .toArray
               .sortBy { case (nb, s) => (-s, nb) }
               .take(2 * m).map(_._1)
             lst.clear()
+            lst ++= ring
             lst ++= kept
           }
         }
       }
+    }
+    // union the fresh ring in: connectivity holds whatever the splice
+    // order or prune history (stale ring edges of the PREVIOUS member
+    // set remain as ordinary prunable links)
+    ri = 0
+    while (ri < ringOrder.length - 1) {
+      val a = ringOrder(ri); val b = ringOrder(ri + 1)
+      if (!adj(a).contains(b)) adj(a) += b
+      if (!adj(b).contains(a)) adj(b) += a
+      ri += 1
     }
     vecs.iterator.map { case (id, v) =>
       (lid, id, v.toSeq, adj(id).sorted.distinct.toSeq)
@@ -475,13 +646,8 @@ object NswIndex {
       math.min(MaxSubShards, math.max(1L, (c + cap - 1) / cap)).toInt
     }
     val subByList = seedRows.map(_.getLong(0)).zip(subCounts).toMap
-    val subCol = subByList.filter(_._2 > 1).foldLeft(lit(0L)) {
-      case (acc, (l, s)) =>
-        when(col("list_id") === l,
-          pmod(xxhash64(col("vec_id")), lit(s.toLong))).otherwise(acc)
-    }
     val assigned = assigned0
-      .withColumn("shard_id", col("list_id") * MaxSubShards + subCol)
+      .withColumn("shard_id", shardIdColFor(subByList))
       .select(col("shard_id"), col("vec_id"), col("v"))
     // within-shard kNN: cosine over each unordered member pair ONCE,
     // mirrored; |shard|² work keyed by shard_id — bounded per task
@@ -538,7 +704,8 @@ object NswIndex {
     val meta = NswIndexMeta(m, listsN, replicasN, entriesPerShard,
       sourceVersion, seedRows.map(_.getLong(0)).toSeq,
       seedRows.map(_.getSeq[Double](1).toIndexedSeq).toSeq,
-      subCounts.toSeq)
+      subCounts.toSeq, cap) // the cap FREEZES with the layout: refresh
+    // enforces the same bound it was built under (re-split trigger)
     writeMeta(spark, root, meta)
     new NswIndex(spark, root, meta)
   }

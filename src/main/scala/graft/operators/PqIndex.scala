@@ -87,6 +87,17 @@ class PqIndex private (spark: SparkSession, val root: String,
     * DV-deleted by id. No retrain, no corpus re-encode — O(delta).
     * Returns the refreshed index (meta cursor advanced); a no-op when
     * already current.
+    *
+    * ATOMIC: the DV marks and the code append land as ONE
+    * [[ManifestTable.deleteKeysAndAppend]] commit — a crash leaves
+    * either the full old index or the full new one, never a window
+    * with the touched ids deleted but their codes not yet re-appended
+    * (a replayed refresh from such a window would re-derive its delta
+    * from the damaged table and permanently drop the prior rows). The
+    * commit is strict: a racing refresh observes the winner's commit
+    * as a ConcurrentModificationException — the meta cursor only ever
+    * advances after the commit it describes, so a lost race never
+    * moves it.
     */
   def refreshFrom(source: ManifestTable, idCol: String, vecCol: String): PqIndex = {
     val vTo = source.latestVersion.getOrElse(
@@ -113,22 +124,26 @@ class PqIndex private (spark: SparkSession, val root: String,
       val freshIds = fresh.select(col("vec_id").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq // bounded by the delta
       // IDEMPOTENT upsert: DV out any existing index rows for the ids
-      // this refresh touches (dead AND fresh) BEFORE appending — a
-      // crash between the append and the cursor write, or a stale
-      // cached cursor, replays the same delta as a clean re-upsert
-      // instead of duplicating (vec_id, codes) rows (duplicates would
-      // each take a shortlist slot and displace real neighbors)
+      // this refresh touches (dead AND fresh) in the SAME commit that
+      // appends their re-encoded codes — a stale cached cursor replays
+      // the same delta as a clean re-upsert instead of duplicating
+      // (vec_id, codes) rows (duplicates would each take a shortlist
+      // slot and displace real neighbors)
       val touched = (deadIds ++ freshIds).distinct
-      if (touched.nonEmpty) table.deleteKeys("vec_id", touched): Unit
-      if (freshIds.nonEmpty) {
-        val unit = PqIndex.unitize(fresh)
-        val assigned = Similarity.ivfAssign(unit, seedsDf)
-        val codes = Similarity.pqEncode(spark, assigned, meta.cents)
-        table.write(
-          codes.repartitionByRange(
+      val adds =
+        if (freshIds.isEmpty) Seq.empty[DataFrame]
+        else {
+          val unit = PqIndex.unitize(fresh)
+          val assigned = Similarity.ivfAssign(unit, seedsDf)
+          val codes = Similarity.pqEncode(spark, assigned, meta.cents)
+          Seq(codes.repartitionByRange(
             math.max(1, math.min(meta.lists, PqIndex.IndexFiles)),
-            col("list_id")),
-          "append"): Unit
+            col("list_id")))
+        }
+      if (touched.nonEmpty || adds.nonEmpty) {
+        PqIndex.testBeforeCommit()
+        table.deleteKeysAndAppend(Seq("vec_id" -> touched), adds,
+          strict = true): Unit
       }
     } finally changes.unpersist()
     PqIndex.writeMeta(spark, root, meta.copy(sourceVersion = vTo))
@@ -142,6 +157,12 @@ object PqIndex {
     * per-list pruned reads to one full index scan.
     */
   private[operators] val MaxPrunedLists = 64
+
+  /** Test seam: runs immediately before refreshFrom's atomic commit —
+    * the crash/race injection point for the durability specs. No-op in
+    * production.
+    */
+  private[graft] var testBeforeCommit: () => Unit = () => ()
 
   /** Target file count for the index table: range-partitioned by
     * `list_id` so each file covers a contiguous list range and the

@@ -1111,7 +1111,7 @@ object Similarity extends QueryModule {
     import graft.operators.NswIndex
     val emb = unitVectors(spark, dir)
     val key = java.lang.Integer.toHexString(dir.hashCode)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_nsw_idx_v3_$key"
+    val root = s"${sys.props("java.io.tmpdir")}/graft_nsw_idx_v4_$key"
     val idx = NswIndex.load(spark, root)
       .getOrElse(NswIndex.build(spark, emb, root))
     val probes = emb.filter(col("vec_id") < 10)

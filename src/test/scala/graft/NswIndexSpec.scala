@@ -206,7 +206,7 @@ class NswIndexSpec extends SparkTestBase {
       s"hot list not capped: largest physical shard ${sizes.max} rows")
     // sub-shards of one list are CONTIGUOUS shard ids (zone-prunable)
     val subs = idx.table.read().select(col("shard_id")).distinct()
-      .as[Long].collect().groupBy(_ / 1024).view.mapValues(_.length)
+      .as[Long].collect().groupBy(sid => Math.floorDiv(sid, 1024L)).view.mapValues(_.length)
     assert(subs.values.max > 1, "expected at least one split list")
     // a duplicate-of-the-hot-vector probe still finds duplicates at
     // sim 1.0 (they live across sub-shards; the probe fans to all)
