@@ -2218,10 +2218,18 @@ class ManifestTable(spark: SparkSession, root: String,
     * commit as a ConcurrentModificationException, never interleave
     * with it — two refreshes deriving the same delta from the same
     * cursor would otherwise both append and duplicate rows.
+    *
+    * `version` pins the snapshot the caller DERIVED its delta from
+    * (the optimistic-concurrency base): marks are computed against
+    * that snapshot's files, and any commit that landed since is
+    * rebased over or conflicts per [[commitDelta]]. Left unset, the
+    * latest version at call time is the base — correct only when the
+    * delta was derived in the same breath.
     */
   def deleteKeysAndAppend(deletes: Seq[(String, Seq[String])],
-      adds: Seq[DataFrame], strict: Boolean = false): Int = {
-    val v0 = latestVersion.getOrElse(
+      adds: Seq[DataFrame], strict: Boolean = false,
+      version: Option[Int] = None): Int = {
+    val v0 = version.orElse(latestVersion).getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
     val entries = entriesOf(v0)
     val conflictsWith: Entry => Boolean = if (strict) _ => true else _ => false

@@ -89,14 +89,15 @@ class NswIndex private (spark: SparkSession, val root: String,
     * [[PqIndex.MaxPrunedLists]] ranges — over-reading only costs IO,
     * the downstream cogroup keys keep correctness.
     */
-  private def scanLists(probed: Seq[Long]): DataFrame =
-    if (probed.isEmpty) table.read().filter(lit(false))
+  private def scanLists(probed: Seq[Long],
+      version: Option[Int] = None): DataFrame =
+    if (probed.isEmpty) table.read(version).filter(lit(false))
     else if (probed.size <= PqIndex.MaxPrunedLists)
       table.readRangesBy("shard_id", probed.map { l =>
         val base = l * NswIndex.MaxSubShards
         (base.toString, (base + subsOf(l) - 1).toString)
-      })
-    else table.read()
+      }, version)
+    else table.read(version)
 
   /** Serve a probe batch `(q_id, q_v)` (unit-normalized, the PqIndex
     * probe shape): returns `(q_id, rn, neighbor, sim)` — the s1/s9
@@ -246,6 +247,10 @@ class NswIndex private (spark: SparkSession, val root: String,
     val vTo = source.latestVersion.getOrElse(
       throw new IllegalStateException("source table has no versions"))
     if (vTo == meta.sourceVersion) return this
+    // the optimistic base: every scan below reads THIS snapshot and
+    // the commit pins it — a commit landing in between (a racing
+    // refresh) is a detected conflict, never a silent interleave
+    val baseV = table.latestVersion
     val changes = (
       if (meta.sourceVersion < 0)
         source.read(Some(vTo))
@@ -268,7 +273,7 @@ class NswIndex private (spark: SparkSession, val root: String,
         if (touched.nonEmpty) {
           NswIndex.testBeforeCommit()
           table.deleteKeysAndAppend(Seq("vec_id" -> touched), Seq.empty,
-            strict = true): Unit
+            strict = true, version = baseV): Unit
         }
       } else {
         val unit = Similarity.unitize(fresh)
@@ -290,7 +295,7 @@ class NswIndex private (spark: SparkSession, val root: String,
             spark.createDataset(affectedLists).toDF("_aff_list"))
           val touchedDf = broadcast(
             spark.createDataset(touched).toDF("_dead_id"))
-          val existing = scanLists(affectedLists)
+          val existing = scanLists(affectedLists, baseV)
             .join(affectedListsDf, listOf === col("_aff_list"), "left_semi")
             .join(touchedDf,
               col("vec_id").cast("string") === col("_dead_id"), "left_anti")
@@ -368,7 +373,7 @@ class NswIndex private (spark: SparkSession, val root: String,
               Seq(rebuilt.repartitionByRange(
                 math.max(1, math.min(meta.lists, NswIndex.IndexFiles)),
                 col("shard_id"))),
-              strict = true): Unit
+              strict = true, version = baseV): Unit
           } finally existing.unpersist()
         } finally assigned0.unpersist()
       }

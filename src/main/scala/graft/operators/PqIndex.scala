@@ -103,6 +103,9 @@ class PqIndex private (spark: SparkSession, val root: String,
     val vTo = source.latestVersion.getOrElse(
       throw new IllegalStateException("source table has no versions"))
     if (vTo == meta.sourceVersion) return this
+    // the optimistic base the commit below pins: a commit landing in
+    // between (a racing refresh) is a detected conflict
+    val baseV = table.latestVersion
     // bootstrap (cursor < 0: the index was built from a non-table
     // corpus): treat the ENTIRE source as inserts — the idempotent
     // upsert below makes re-encoding already-indexed vectors a clean
@@ -143,7 +146,7 @@ class PqIndex private (spark: SparkSession, val root: String,
       if (touched.nonEmpty || adds.nonEmpty) {
         PqIndex.testBeforeCommit()
         table.deleteKeysAndAppend(Seq("vec_id" -> touched), adds,
-          strict = true): Unit
+          strict = true, version = baseV): Unit
       }
     } finally changes.unpersist()
     PqIndex.writeMeta(spark, root, meta.copy(sourceVersion = vTo))

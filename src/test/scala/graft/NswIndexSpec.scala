@@ -218,6 +218,166 @@ class NswIndexSpec extends SparkTestBase {
       s"duplicate neighbors must score 1.0: $r"))
   }
 
+  test("refresh is ONE atomic commit: a kill before it leaves the full old state; the real run is a single version") {
+    val root = scratch("atomic")
+    val srcRoot = scratch("atomic_src")
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite") // v0
+    val idx = NswIndex.build(spark, emb, root, sourceVersion = 0)
+    // one delta holding deletes AND inserts — the shape whose old
+    // two-commit refresh had a delete-visible-without-append window
+    source.deleteKeys("vec_id", Seq("3", "7")) // v1
+    val clones = emb.filter(col("vec_id").isin(11, 13))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    source.write(clones, "append") // v2
+    val v0 = idx.table.latestVersion.get
+    val before = idx.table.read().orderBy("shard_id", "vec_id").collect().toSeq
+    NswIndex.testBeforeCommit = () => throw new RuntimeException("killed")
+    try {
+      intercept[RuntimeException] { idx.refreshFrom(source, "vec_id", "v") }
+    } finally NswIndex.testBeforeCommit = () => ()
+    // full old state: same table version, identical rows, cursor unmoved
+    assert(idx.table.latestVersion.get === v0, "a killed refresh must commit nothing")
+    assert(idx.table.read().orderBy("shard_id", "vec_id").collect().toSeq === before)
+    assert(NswIndex.load(spark, root).get.sourceVersion === 0)
+    // the real refresh: deletes + rebuilt-shard append are ONE commit
+    val idx2 = idx.refreshFrom(source, "vec_id", "v")
+    assert(idx2.table.latestVersion.get === v0 + 1,
+      "deletes and re-append must land as exactly one commit")
+    val served = idx2.table.read().select("vec_id").distinct()
+      .as[Long].collect().toSet
+    assert(!served.contains(3L) && !served.contains(7L))
+    assert(served.contains(1000011L) && served.contains(1000013L))
+    val dupes = idx2.table.read()
+      .groupBy(col("shard_id"), col("vec_id")).count()
+      .filter(col("count") > 1).count()
+    assert(dupes === 0)
+  }
+
+  test("racing refreshes: the loser throws before its cursor moves; no duplicate rows") {
+    val root = scratch("race")
+    val srcRoot = scratch("race_src")
+    val source = new ManifestTable(spark, srcRoot)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    source.write(half, "overwrite") // v0
+    val idxA = NswIndex.build(spark, half, root, sourceVersion = 0)
+    val idxB = NswIndex.load(spark, root).get // same cursor as idxA
+    source.write(emb.filter(col("vec_id") % 2 === 1), "append") // v1
+    // interleave: B computes its delta, then A commits the SAME delta
+    // underneath it — B's strict commit must observe A and throw, so
+    // B's cursor never advances over rows it did not commit
+    var fired = false
+    NswIndex.testBeforeCommit = () =>
+      if (!fired) { fired = true; idxA.refreshFrom(source, "vec_id", "v"): Unit }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        idxB.refreshFrom(source, "vec_id", "v")
+      }
+    } finally NswIndex.testBeforeCommit = () => ()
+    // the winner's state is intact and complete; no duplicates
+    val after = NswIndex.load(spark, root).get
+    assert(after.sourceVersion === 1)
+    assert(after.table.read().select("vec_id").distinct().count() === emb.count())
+    val dupes = after.table.read()
+      .groupBy(col("shard_id"), col("vec_id")).count()
+      .filter(col("count") > 1).count()
+    assert(dupes === 0, s"racing refreshes duplicated $dupes rows")
+    // a re-loaded loser is simply current: refresh is a no-op
+    val v = after.table.latestVersion
+    assert(after.refreshFrom(source, "vec_id", "v").table.latestVersion === v)
+  }
+
+  test("refresh over a compacted + purged source is a row-level no-op; cursor advances") {
+    val root = scratch("noop_compact")
+    val srcRoot = scratch("noop_compact_src")
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite") // v0
+    val idx = NswIndex.build(spark, emb, root, sourceVersion = 0)
+    val vIdx = idx.table.latestVersion
+    // compaction rewrites every source FILE but no row — the keyed
+    // change feed must see nothing
+    source.compact(targetFiles = 2) // v1
+    val idx2 = idx.refreshFrom(source, "vec_id", "v")
+    assert(idx2.sourceVersion === 1)
+    assert(idx2.table.latestVersion === vIdx,
+      "a row-level no-op refresh must not commit to the index")
+    // a real delete, then PURGE materializes it (another full-file
+    // rewrite): only the delete itself may reach the index
+    source.deleteKeys("vec_id", Seq("5")) // v2
+    val idx3 = idx2.refreshFrom(source, "vec_id", "v")
+    assert(idx3.table.read().filter(col("vec_id") === 5L).count() === 0)
+    val vIdx3 = idx3.table.latestVersion
+    source.reorgPurge() // v3: rewrites DV'd files, zero row changes
+    val idx4 = idx3.refreshFrom(source, "vec_id", "v")
+    assert(idx4.sourceVersion === 3)
+    assert(idx4.table.latestVersion === vIdx3,
+      "purge must be invisible to the keyed change feed")
+  }
+
+  test("sustained skewed inserts re-split the hot list on refresh; shards stay bounded; recall holds") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val hot = Array.fill(dim)(rnd.nextGaussian())
+    // start uniform; the cap is tight so growth must trigger a split
+    val base = (0 until 400).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()).toSeq))
+    val corpus0 = Similarity.unitize(base.toDF("vec_id", "raw_v"))
+    val srcRoot = scratch("skewgrow_src")
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(corpus0, "overwrite") // v0
+    val root = scratch("skewgrow")
+    val idx = NswIndex.build(spark, corpus0, root, lists = 16,
+      maxShardRows = 128, sourceVersion = 0)
+    // every insert is a near-duplicate of ONE vector: all route to the
+    // same `replicas` lists, the exact one-sided growth that froze the
+    // old layout
+    val inserts = (1000 until 1600).map { i =>
+      (i.toLong, hot.map(x => x + 0.01 * rnd.nextGaussian()).toSeq)
+    }
+    source.write(Similarity.unitize(inserts.toDF("vec_id", "raw_v")), "append") // v1
+    val idx2 = idx.refreshFrom(source, "vec_id", "v")
+    assert(idx2.sourceVersion === 1)
+    val sizes = idx2.table.read().groupBy(col("shard_id")).count()
+      .select(col("count")).as[Long].collect()
+    assert(sizes.max <= 2 * 128,
+      s"hot list not re-split under growth: largest shard ${sizes.max} rows")
+    // layout persisted: a FRESH LOAD fans probes across the new
+    // sub-shards (meta sidecar carries the bumped sub-counts)
+    val loaded = NswIndex.load(spark, root).get
+    val probes = Similarity.unitize(Seq((9999L, hot.toSeq)).toDF("vec_id", "raw_v"))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val got = loaded.query(probes, topK = 5, ef = 128).collect()
+    assert(got.length === 5)
+    // every returned neighbor is one of the near-duplicates (sim ≈ 1)
+    got.foreach(r => assert(r.getDouble(3) > 0.99,
+      s"expected near-duplicate neighbors of the hot vector: $r"))
+    // rebuild parity: a from-scratch build over the union serves the
+    // same probe with the same quality bar
+    val fullRoot = scratch("skewgrow_full")
+    val union = corpus0.unionByName(
+      Similarity.unitize(inserts.toDF("vec_id", "raw_v")))
+    val full = NswIndex.build(spark, union, fullRoot, lists = 16,
+      maxShardRows = 128)
+    val fullGot = full.query(probes, topK = 5, ef = 128).collect()
+    assert(fullGot.forall(_.getDouble(3) > 0.99))
+    // shard connectivity survives the re-split rebuild (ring invariant)
+    val byShard = idx2.table.read()
+      .select("shard_id", "vec_id", "neighbors").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .groupBy(_._1)
+    byShard.foreach { case (sid, members) =>
+      val adj = members.map(t => t._2 -> t._3).toMap
+      val seen = scala.collection.mutable.Set(members.head._2)
+      val queue = scala.collection.mutable.Queue(members.head._2)
+      while (queue.nonEmpty)
+        adj(queue.dequeue()).filter(adj.contains).foreach { nb =>
+          if (!seen.contains(nb)) { seen += nb; queue.enqueue(nb) }
+        }
+      assert(seen.size === members.length,
+        s"shard $sid disconnected after re-split: ${seen.size}/${members.length}")
+    }
+  }
+
   test("refreshFrom: source deletes DV out of the index") {
     val root = scratch("del")
     val srcRoot = scratch("del_src")

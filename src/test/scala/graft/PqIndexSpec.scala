@@ -139,6 +139,88 @@ class PqIndexSpec extends SparkTestBase {
     assert(again.table.read().filter(col("vec_id") === 1000003L).count() === 1)
   }
 
+  test("refresh is ONE atomic commit: a kill before it leaves the full old state") {
+    val root = scratch("atomic")
+    val srcRoot = scratch("atomic_src")
+    val emb = Similarity.unitVectors(spark, sf)
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite") // v0
+    val idx = PqIndex.build(spark, emb, root,
+      lists = 16, m = 16, k = 32, sourceVersion = 0)
+    source.deleteKeys("vec_id", Seq("3")) // v1: a delete AND...
+    val clones = emb.filter(col("vec_id") === 7)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    source.write(clones, "append") // v2: ...an insert, one delta
+    val v0 = idx.table.latestVersion.get
+    val before = idx.table.read().orderBy("list_id", "vec_id").collect().toSeq
+    PqIndex.testBeforeCommit = () => throw new RuntimeException("killed")
+    try {
+      intercept[RuntimeException] { idx.refreshFrom(source, "vec_id", "v") }
+    } finally PqIndex.testBeforeCommit = () => ()
+    assert(idx.table.latestVersion.get === v0, "a killed refresh must commit nothing")
+    assert(idx.table.read().orderBy("list_id", "vec_id").collect().toSeq === before)
+    assert(PqIndex.load(spark, root).get.sourceVersion === 0)
+    val idx2 = idx.refreshFrom(source, "vec_id", "v")
+    assert(idx2.table.latestVersion.get === v0 + 1,
+      "DV marks and the code append must land as exactly one commit")
+    val ids = idx2.table.read().select("vec_id").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(!ids.contains(3L) && ids.contains(1000007L))
+  }
+
+  test("racing refreshes: the loser throws before its cursor moves; no duplicate codes") {
+    val root = scratch("race")
+    val srcRoot = scratch("race_src")
+    val emb = Similarity.unitVectors(spark, sf)
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite") // v0
+    val idxA = PqIndex.build(spark, emb, root,
+      lists = 16, m = 16, k = 32, sourceVersion = 0)
+    val idxB = PqIndex.load(spark, root).get
+    val clones = emb.filter(col("vec_id").isin(3, 7))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    source.write(clones, "append") // v1
+    var fired = false
+    PqIndex.testBeforeCommit = () =>
+      if (!fired) { fired = true; idxA.refreshFrom(source, "vec_id", "v"): Unit }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        idxB.refreshFrom(source, "vec_id", "v")
+      }
+    } finally PqIndex.testBeforeCommit = () => ()
+    val after = PqIndex.load(spark, root).get
+    assert(after.sourceVersion === 1)
+    val perId = after.table.read().groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).count()
+    assert(perId === 0, s"racing refreshes duplicated $perId code rows")
+    assert(after.table.read().count() === emb.count() + 2)
+  }
+
+  test("refresh over a compacted + purged source is a row-level no-op; cursor advances") {
+    val root = scratch("noop_compact")
+    val srcRoot = scratch("noop_compact_src")
+    val emb = Similarity.unitVectors(spark, sf)
+    val source = new ManifestTable(spark, srcRoot)
+    source.write(emb, "overwrite") // v0
+    val idx = PqIndex.build(spark, emb, root,
+      lists = 16, m = 16, k = 32, sourceVersion = 0)
+    val vIdx = idx.table.latestVersion
+    source.compact(targetFiles = 2) // v1: every file rewritten, no row changed
+    val idx2 = idx.refreshFrom(source, "vec_id", "v")
+    assert(idx2.sourceVersion === 1)
+    assert(idx2.table.latestVersion === vIdx,
+      "a row-level no-op refresh must not commit to the index")
+    source.deleteKeys("vec_id", Seq("5")) // v2: a real change
+    val idx3 = idx2.refreshFrom(source, "vec_id", "v")
+    assert(idx3.table.read().filter(col("vec_id") === 5L).count() === 0)
+    val vIdx3 = idx3.table.latestVersion
+    source.reorgPurge() // v3: materializes the DV, zero row changes
+    val idx4 = idx3.refreshFrom(source, "vec_id", "v")
+    assert(idx4.sourceVersion === 3)
+    assert(idx4.table.latestVersion === vIdx3,
+      "purge must be invisible to the keyed change feed")
+  }
+
   test("refreshFrom is a no-op when already current") {
     val root = scratch("noop")
     val srcRoot = scratch("noop_src")
