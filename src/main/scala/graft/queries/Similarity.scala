@@ -645,7 +645,13 @@ object Similarity extends QueryModule {
       aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
     df.select(col("vec_id"), VectorOps.toDouble(col("raw_v")).as("v0"))
       .withColumn("n0", sqrt(dotC(col("v0"), col("v0"))))
-      .withColumn("v", transform(col("v0"), x => x / col("n0")))
+      // a zero-norm vector stays all-zero instead of dividing by zero
+      // (an ANSI error; NaN components under lenient mode — either way
+      // one degenerate row must not poison the corpus): zeros dot 0.0
+      // against everything, so ranking ties break by id, exactly the
+      // deterministic behavior every consumer already guards
+      .withColumn("v", when(col("n0") === 0.0, col("v0"))
+        .otherwise(transform(col("v0"), x => x / col("n0"))))
       .drop("v0", "n0")
   }
 
@@ -769,7 +775,13 @@ object Similarity extends QueryModule {
       .orderBy(pmod(col("vec_id") * 40503L, lit(999983L)).asc,
         col("vec_id").asc)
       .limit(lists)
-      .select(col("vec_id").as("list_id"), col("v").as("seed_v"))
+      // list ids normalize to LONG at the source: assignment already
+      // coerces vec_id to long (ivfNearestLists), and the persisted
+      // index metas hold Seq[Long] — an IntegerType/short/numeric-
+      // string corpus id must build the same index a long one does
+      // instead of dying in a getLong downstream
+      .select(col("vec_id").cast("long").as("list_id"),
+        col("v").as("seed_v"))
 
   /** The one IVF list-ranking kernel: per row, rank the
     * closure-captured seed codebook by (dot desc, list_id asc) and

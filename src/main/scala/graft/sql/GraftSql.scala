@@ -381,10 +381,15 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       case "pq_build" =>
         // pq_build(indexRoot, corpusView, vecCol [, lists, m, k]) —
         // corpus rows are (vec_id, <vecCol>) raw float/double arrays;
-        // normalization happens here so SQL callers never hand-roll it
+        // normalization happens here so SQL callers never hand-roll
+        // it. Ids cast to long (the nsw_build contract): the codebook
+        // train sample hashes vec_id, and xxhash64 is input-TYPE-
+        // sensitive — an int-id corpus must build the same index its
+        // bigint twin does
         val emb = graft.queries.Similarity.unitize(
           session.table(str(1))
-            .select(col("vec_id"), col(str(2)).as("raw_v")))
+            .select(col("vec_id").cast("long").as("vec_id"),
+              col(str(2)).as("raw_v")))
         val idx = graft.operators.PqIndex.build(session, emb, str(0),
           lists = optNum(3, 16).toInt, m = optNum(4, 16).toInt,
           k = optNum(5, 32).toInt)
@@ -409,10 +414,12 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
             s"no PQ index at ${str(0)}; run graft.pq_build first"))
         val emb = graft.queries.Similarity.unitize(
           session.table(str(1))
-            .select(col("vec_id"), col(str(3)).as("raw_v")))
+            .select(col("vec_id").cast("long").as("vec_id"),
+              col(str(3)).as("raw_v")))
         val probes = graft.queries.Similarity.unitize(
           session.table(str(2))
-            .select(col("vec_id"), col(str(3)).as("raw_v")))
+            .select(col("vec_id").cast("long").as("vec_id"),
+              col(str(3)).as("raw_v")))
           .select(col("vec_id").as("q_id"), col("v").as("q_v"))
         idx.query(emb, probes, nprobe = optNum(4, 4).toInt,
           shortlist = optNum(5, 30).toInt, topK = optNum(6, 3).toInt)

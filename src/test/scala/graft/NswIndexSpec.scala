@@ -378,6 +378,29 @@ class NswIndexSpec extends SparkTestBase {
     }
   }
 
+  test("a zero-norm probe routes like Spark's desc (NaN greatest) and serves deterministically") {
+    val root = scratch("zeronorm")
+    val idx = NswIndex.build(spark, emb, root)
+    // unitize(0-vector) = NaN components: every seed dot is NaN, so
+    // routing must tie-break by list id exactly as a window orderBy
+    // (dot desc) would — never throw, never rank NaN last
+    val zero = Similarity.unitize(
+      Seq((777L, Seq.fill(emb.head().getSeq[Double](1).size)(0.0)))
+        .toDF("vec_id", "raw_v"))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val mixed = probes.unionByName(zero)
+    val a = idx.query(mixed, topK = 3, ef = 64).collect().toSeq
+    val b = idx.query(mixed, topK = 3, ef = 64).collect().toSeq
+    assert(a === b, "zero-norm probes must serve deterministically")
+    val zeroRows = a.filter(_.getLong(0) == 777L)
+    assert(zeroRows.length === 3, s"zero-norm probe must still serve topK: $zeroRows")
+    // in-shard scoring guards the zero norm: sims are 0.0, not NaN
+    zeroRows.foreach(r => assert(r.getDouble(3) === 0.0))
+    // the normal probes are untouched by sharing a batch with it
+    val normalOnly = idx.query(probes, topK = 3, ef = 64).collect().toSeq
+    assert(a.filter(_.getLong(0) != 777L) === normalOnly)
+  }
+
   test("refreshFrom: source deletes DV out of the index") {
     val root = scratch("del")
     val srcRoot = scratch("del_src")

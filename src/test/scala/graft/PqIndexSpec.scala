@@ -221,6 +221,31 @@ class PqIndexSpec extends SparkTestBase {
       "purge must be invisible to the keyed change feed")
   }
 
+  test("a zero-norm probe serves deterministically and leaves batch-mates untouched") {
+    val root = scratch("zeronorm")
+    val emb = Similarity.unitVectors(spark, sf)
+    val idx = PqIndex.build(spark, emb, root, lists = 16, m = 16, k = 32)
+    val dim = emb.head().getSeq[Double](1).size
+    import spark.implicits._
+    // unitize(0-vector) = NaN components: seed ranking must tie-break
+    // by list id (NaN ranks greatest, Spark desc semantics) — the
+    // probe serves without throwing and without disturbing the batch
+    val zero = Similarity.unitize(
+      Seq((777L, Seq.fill(dim)(0.0))).toDF("vec_id", "raw_v"))
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val normal = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val mixed = normal.unionByName(zero)
+    val a = idx.query(emb, mixed).collect().toSeq
+    val b = idx.query(emb, mixed).collect().toSeq
+    assert(a === b, "zero-norm probes must serve deterministically")
+    assert(a.count(_.getLong(0) == 777L) === 3,
+      "zero-norm probe must still produce topK rows")
+    val normalOnly = idx.query(emb, normal).collect().toSeq
+    assert(a.filterNot(_.getLong(0) == 777L) === normalOnly,
+      "a zero-norm batch-mate must not change other probes' results")
+  }
+
   test("refreshFrom is a no-op when already current") {
     val root = scratch("noop")
     val srcRoot = scratch("noop_src")

@@ -214,6 +214,44 @@ class SqlDmlSpec extends SparkTestBase {
     assert(top.getLong(2) === 1000003L, s"clone must be top neighbor: $top")
   }
 
+  test("IntegerType corpus ids build and serve BOTH vector indexes through SQL, identically to long ids") {
+    // the first-class API edge that used to die in a getLong: a corpus
+    // whose vec_id is int (or any integral) must build the same index
+    // a bigint corpus does — ids normalize to long at the seed source
+    val pqRootI = scratch("pq_intid"); val pqRootL = scratch("pq_longid")
+    val nswRootI = scratch("nsw_intid"); val nswRootL = scratch("nsw_longid")
+    Q.t(sqlSpark, sf, "embeddings")
+      .withColumn("vec_id", col("vec_id").cast("int"))
+      .createOrReplaceTempView("sql_int_emb")
+    Q.t(sqlSpark, sf, "embeddings").createOrReplaceTempView("sql_long_emb")
+    Q.t(sqlSpark, sf, "embeddings").filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id").cast("int"))
+      .createOrReplaceTempView("sql_int_probes")
+    for ((root, view) <- Seq(pqRootI -> "sql_int_emb", pqRootL -> "sql_long_emb"))
+      assert(sqlSpark.sql(
+        s"CALL graft.pq_build('$root', '$view', 'embedding')")
+        .first().getInt(0) === 0)
+    for ((root, view) <- Seq(nswRootI -> "sql_int_emb", nswRootL -> "sql_long_emb"))
+      assert(sqlSpark.sql(
+        s"CALL graft.nsw_build('$root', '$view', 'embedding')")
+        .first().getInt(0) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val pqI = rows(sqlSpark.sql(
+      s"CALL graft.pq_query('$pqRootI', 'sql_int_emb', 'sql_int_probes', 'embedding')"))
+    val pqL = rows(sqlSpark.sql(
+      s"CALL graft.pq_query('$pqRootL', 'sql_long_emb', 'sql_int_probes', 'embedding')"))
+    assert(pqI.nonEmpty && pqI === pqL,
+      "an int-id corpus must build/serve the identical PQ index")
+    val nswI = rows(sqlSpark.sql(
+      s"CALL graft.nsw_query('$nswRootI', 'sql_int_probes', 'embedding')"))
+    val nswL = rows(sqlSpark.sql(
+      s"CALL graft.nsw_query('$nswRootL', 'sql_int_probes', 'embedding')"))
+    assert(nswI.nonEmpty && nswI === nswL,
+      "an int-id corpus must build/serve the identical NSW index")
+  }
+
   test("constraints and files metadata through SQL") {
     val root = scratch("meta")
     Q.t(sqlSpark, sf, "orders")
