@@ -475,7 +475,98 @@ object TextAnalysis extends QueryModule {
       |FROM documents
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** TX-BPE2: byte-pair encoding with a FIXED merge list
+    * ([[graft.functions.Bpe.FixedMerges]]) — per-doc symbol counts
+    * before/after merging plus the full encoded token stream. The
+    * bracketed-string representation makes each merge one codegen'd
+    * literal replace whose left-to-right scan is canonical BPE greedy
+    * order; the oracle replays the IDENTICAL replace chain in DuckDB,
+    * so the encoded text is hash-exact cross-engine. Narrow per-row
+    * map — embarrassingly parallel at any scale.
+    */
+  def txBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    val wrapped = Bpe.wrapText(col("text"))
+    val merged = Bpe.applyMerges(wrapped, Bpe.FixedMerges)
+    Q.t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        Bpe.nTokens(wrapped).as("n_chars_syms"),
+        Bpe.nTokens(merged).as("n_bpe_tokens"),
+        Bpe.render(merged).as("bpe_text"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txBpeEncodeOracle: String = {
+    import graft.functions.Bpe
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    regexp_replace(text, '[\\x00-\\x1F\\x7F]', '', 'g') AS t
+       |  FROM documents),
+       |w AS (
+       |  -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+       |  -- concat_ws is '' — align the empty-doc edge
+       |  SELECT doc_id, coalesce(array_to_string(list_transform(
+       |    list_filter(string_split(t, ' '), x -> x <> ''),
+       |    x -> regexp_replace(x, '([\\s\\S])', chr(1)||'\\1'||chr(1), 'g')
+       |         || chr(1)||chr(2)||chr(1)), ''), '') AS wr
+       |  FROM s),
+       |m AS (
+       |  SELECT doc_id, wr, ${Bpe.fixedMergesDuckSql("wr")} AS enc
+       |  FROM w)
+       |SELECT doc_id,
+       |  CAST((length(wr) - length(replace(wr, chr(1), ''))) / 2 AS INT)
+       |    AS n_chars_syms,
+       |  CAST((length(enc) - length(replace(enc, chr(1), ''))) / 2 AS INT)
+       |    AS n_bpe_tokens,
+       |  replace(array_to_string(
+       |    string_split(trim(enc, chr(1)), chr(1)||chr(1)), ' '),
+       |    chr(2), '</w>') AS bpe_text
+       |FROM m
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
+
+  /** TX-BPE1: distributed BPE tokenizer TRAINING
+    * ([[graft.operators.BpeTrainer]]) — 16 merges learned from the
+    * corpus: per-iteration ONE pair-count map-reduce over the
+    * distinct-word frequency table (Zipf: ≪ corpus) + a narrow replace;
+    * the only driver traffic is the 1-row argmax. Deterministic total
+    * tie-break → bit-reproducible at any parallelism, but iterative →
+    * spec-gated (BpeSpec: reference-implementation parity, parallelism
+    * invariance, Sennrich-fixture anchor), rows-only here.
+    */
+  def txBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrainer.trainDf(
+      spark, Q.t(spark, dir, "documents"), numMerges = 16)
+
+  /** TX-BPE3: end-to-end tokenizer pipeline — train 12 merges, encode
+    * the corpus with them, report per-language compression (chars vs
+    * BPE tokens). Spec-gated like TX-BPE1 (train-dependent).
+    */
+  def txBpePipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    val docs = Q.t(spark, dir, "documents")
+    val merges = graft.operators.BpeTrainer.train(docs, numMerges = 12)
+      .map(m => (m.left, m.right))
+    val wrapped = Bpe.wrapText(col("text"))
+    val merged = Bpe.applyMerges(wrapped, merges)
+    docs
+      .select(col("lang"),
+        Bpe.nTokens(wrapped).as("n_syms"),
+        Bpe.nTokens(merged).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_syms")).as("total_syms"),
+        sum(col("n_tok")).as("total_bpe_tokens"))
+      .withColumn("compression",
+        col("total_syms").cast("double") / col("total_bpe_tokens"))
+      .orderBy(col("lang").asc)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bpe_train" -> txBpeTrain,
+    "tx_bpe_encode" -> txBpeEncode,
+    "tx_bpe_pipeline" -> txBpePipeline,
     "tx_normalize" -> txNormalize,
     "tx_winnow" -> txWinnow,
     "tx_lm_score" -> txLmScore,
@@ -489,6 +580,7 @@ object TextAnalysis extends QueryModule {
     "tx_tfidf" -> txTfIdf)
 
   override def oracles: Map[String, String] = Map(
+    "tx_bpe_encode" -> txBpeEncodeOracle,
     "tx_normalize" -> txNormalizeOracle,
     "tx_winnow" -> txWinnowOracle,
     "tx_lm_score" -> txLmScoreOracle,
