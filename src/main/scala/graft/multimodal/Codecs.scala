@@ -444,6 +444,132 @@ object Codecs {
     ftyp ++ moov ++ box("mdat", z)
   }
 
+  // ---- MJPEG-in-AVI: real video FRAME decode, pure JDK ----------------
+  // AVI is little-endian RIFF (ISO-BMFF above is big-endian); MJPEG
+  // stores each frame as an ordinary JFIF JPEG in a '##dc' chunk, so
+  // frame decode is the REAL ImageIO JPEG path — the one video format
+  // a JVM can fully decode with no native codecs.
+
+  /** Parsed MJPEG-AVI: container header fields + the DECODED frames. */
+  final case class AviMeta(width: Int, height: Int, usPerFrame: Long,
+      declaredFrames: Long, frames: Seq[Ppm])
+
+  /** RIFF/AVI magic: "RIFF" at 0, form type "AVI " at 8. */
+  def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI "
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def leBytes(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+
+  /** One RIFF chunk: fourcc + le32 size + data, padded to even. */
+  private def riffChunk(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val pad = if (body.length % 2 == 1) Array[Byte](0) else new Array[Byte](0)
+    typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      leBytes(body.length.toLong, 4) ++ body ++ pad
+  }
+
+  private def riffList(listType: String, children: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST",
+      listType.getBytes(java.nio.charset.StandardCharsets.US_ASCII) +:
+        children: _*)
+
+  /** Synthesize a structurally-valid single-stream MJPEG AVI: RIFF →
+    * `hdrl` (avih main header + one `strl` with a 'vids'/'MJPG' strh
+    * and a BITMAPINFOHEADER strf) → `movi` with one `00dc` chunk per
+    * JPEG frame. Sizes and even-padding are consistent, so
+    * [[parseAviMjpeg]]'s walk is a real parse — the mm6 oracle rides
+    * this roundtrip with REAL JPEG bytes in every frame.
+    */
+  def encodeAviMjpeg(w: Int, h: Int, usPerFrame: Long,
+      jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    def u32(v: Long) = leBytes(v, 4)
+    def u16(v: Int) = leBytes(v.toLong, 2)
+    val n = jpegFrames.size.toLong
+    val maxBytes = if (jpegFrames.isEmpty) 0L else jpegFrames.map(_.length).max.toLong
+    val avih = riffChunk("avih",
+      u32(usPerFrame), u32(maxBytes * 1000000L / math.max(1L, usPerFrame)),
+      u32(0), u32(0x10), // padding, flags: HASINDEX off, INTERLEAVED off... 0x10 = TRUSTCKTYPE
+      u32(n), u32(0), u32(1), u32(maxBytes),
+      u32(w.toLong), u32(h.toLong), new Array[Byte](16))
+    val strh = riffChunk("strh",
+      "vids".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      "MJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      u32(0), u16(0), u16(0), u32(0),
+      u32(usPerFrame), u32(1000000L), // scale/rate: fps = rate/scale
+      u32(0), u32(n), u32(maxBytes), u32(0xFFFFFFFFL), u32(0),
+      u16(0), u16(0), u16(w), u16(h))
+    val strf = riffChunk("strf",
+      u32(40), u32(w.toLong), u32(h.toLong), u16(1), u16(24),
+      "MJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      u32(w.toLong * h * 3), u32(0), u32(0), u32(0), u32(0))
+    val hdrl = riffList("hdrl", avih, riffList("strl", strh, strf))
+    val movi = riffList("movi",
+      jpegFrames.map(f => riffChunk("00dc", f)): _*)
+    val body = "AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      hdrl ++ movi
+    "RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      leBytes(body.length.toLong, 4) ++ body
+  }
+
+  /** Walk RIFF children of `[lo, hi)`: yields (fourcc, payloadFrom,
+    * payloadTo) honoring even-padding. Malformed sizes end the walk
+    * (total parse, never a throw).
+    */
+  private def riffChunks(b: Array[Byte], lo: Int,
+      hi: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var o = lo
+      def hasNext: Boolean = o + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val typ = fourcc(b, o)
+        val sz = le32(b, o + 4)
+        val from = o + 8
+        val to = math.min(hi.toLong, from + sz).toInt
+        if (sz < 0 || from > hi) { o = hi; (typ, hi, hi) }
+        else { o = to + (sz % 2).toInt; (typ, from, to) }
+      }
+    }
+
+  /** REAL MJPEG-AVI parse + frame decode: the RIFF walk reads `avih`
+    * (dims, frame timing, declared count) and then DECODES every
+    * `##dc` frame chunk in `movi` through the real ImageIO JPEG path
+    * ([[decodeImage]]). Returns None on non-AVI or malformed bytes;
+    * non-JPEG/corrupt frame chunks are skipped (total parse).
+    */
+  def parseAviMjpeg(b: Array[Byte]): Option[AviMeta] =
+    try {
+      if (!isAvi(b)) return None
+      var width = 0; var height = 0
+      var usPerFrame = 0L; var declared = 0L
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Ppm]
+      for ((typ, from, to) <- riffChunks(b, 12, b.length)) typ match {
+        case "LIST" if to - from >= 4 =>
+          val listType = fourcc(b, from)
+          if (listType == "hdrl") {
+            for ((t2, f2, t2e) <- riffChunks(b, from + 4, to))
+              if (t2 == "avih" && t2e - f2 >= 40) {
+                usPerFrame = le32(b, f2)
+                declared = le32(b, f2 + 16)
+                width = le32(b, f2 + 32).toInt
+                height = le32(b, f2 + 36).toInt
+              }
+          } else if (listType == "movi") {
+            for ((t2, f2, t2e) <- riffChunks(b, from + 4, to))
+              if (t2.endsWith("dc") && t2e > f2)
+                decodeImage(java.util.Arrays.copyOfRange(b, f2, t2e))
+                  .foreach(frames += _)
+          }
+        case _ => ()
+      }
+      if (width <= 0 || height <= 0) None
+      else Some(AviMeta(width, height, usPerFrame, declared, frames.toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def wavFeatures(w: Wav): Array[Float] = {
     val n = w.samples.length
     if (n == 0) return Array(0f, 0f, 0f, 0f)

@@ -218,7 +218,67 @@ object MultimodalQueries extends QueryModule {
       |FROM documents
       |ORDER BY media_id ASC NULLS FIRST""".stripMargin
 
+  /** MM6: REAL video FRAME decode inside the oracle gate — per
+    * document, synthesize an MJPEG AVI (`1 + id % 3` uniform-gray JPEG
+    * frames at 25 fps; dims multiples of 8, gray values on 16-wide
+    * bucket centers `8 + 16·((id+f) % 14)`), roundtrip it through the
+    * REAL RIFF walk + per-frame ImageIO JPEG decode
+    * ([[graft.multimodal.Codecs.parseAviMjpeg]]), and emit frame
+    * count, DECODED frame dims, container timing, and the summed
+    * 16-bucket quantized luminance of the decoded pixels. Frame
+    * count/dims/timing are lossless-exact; the luminance bucket is the
+    * lossy-JPEG-safe pixel proof — a uniform gray block decodes within
+    * ±3 of its value (DC-only DCT + constant chroma), far inside the
+    * ±8 bucket radius, while a stub or header-only "decode" has no
+    * access to the value at all. This closes the video-frame-decode
+    * gap MM5 left open: MJPEG is the one video codec a stock JVM can
+    * fully decode.
+    */
+  def mm6MjpegFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Codecs
+    Q.t(spark, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (16 + (id % 4) * 8).toInt
+          val h = (16 + (id % 3) * 8).toInt
+          val n = (1 + id % 3).toInt
+          val frames = (0 until n).map { f =>
+            val v = (8 + 16 * ((id + f) % 14)).toByte
+            Codecs.encodeJpeg(w, h, Array.fill(3 * w * h)(v))
+          }
+          val avi = Codecs.encodeAviMjpeg(w, h, usPerFrame = 40000L, frames)
+          val m = Codecs.parseAviMjpeg(avi).getOrElse(
+            throw new IllegalStateException(s"avi roundtrip failed for $id"))
+          require(m.frames.size == n, s"frame loss for $id")
+          val qvSum = m.frames.map { p =>
+            val lum = Codecs.ppmFeatures(p)(3)
+            math.round((lum - 8.0) / 16.0)
+          }.sum
+          (id, m.frames.size, m.frames.head.width, m.frames.head.height,
+            m.usPerFrame * m.frames.size / 1000L, qvSum)
+        }
+      }
+      .toDF("media_id", "n_frames", "frame_w", "frame_h",
+        "duration_ms", "total_qlum")
+      .orderBy(col("media_id").asc)
+  }
+
+  val mm6Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(1 + doc_id % 3 AS INT) AS n_frames,
+      |  CAST(16 + (doc_id % 4) * 8 AS INT) AS frame_w,
+      |  CAST(16 + (doc_id % 3) * 8 AS INT) AS frame_h,
+      |  40 * (1 + doc_id % 3) AS duration_ms,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(0, CAST(doc_id % 3 AS INT)),
+      |      f -> (doc_id + f) % 14)), (a, b) -> a + b) AS BIGINT)
+      |    AS total_qlum
+      |FROM documents
+      |ORDER BY media_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm6_mjpeg_frames" -> mm6MjpegFrames,
     "mm1_meta_stats" -> mm1MetaStats,
     "mm2_frame_counts" -> mm2FrameCounts,
     "mm3_real_decode" -> mm3RealDecode,
@@ -226,6 +286,7 @@ object MultimodalQueries extends QueryModule {
     "mm5_mp4_meta" -> mm5Mp4Meta)
 
   override def oracles: Map[String, String] = Map(
+    "mm6_mjpeg_frames" -> mm6Oracle,
     "mm1_meta_stats" -> mm1Oracle,
     "mm2_frame_counts" -> mm2Oracle,
     "mm3_real_decode" -> mm3Oracle,

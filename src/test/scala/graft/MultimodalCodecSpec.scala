@@ -178,6 +178,57 @@ class MultimodalCodecSpec extends SparkTestBase {
     assert((d.width, d.height, d.duration_ms) === ((1920, 1080, 150000L)))
   }
 
+  test("MJPEG-AVI roundtrip: container fields and every frame decode") {
+    val w = 32; val h = 24
+    val values = Seq(8, 72, 136, 216) // 16-wide bucket centers
+    val frames = values.map(v =>
+      Codecs.encodeJpeg(w, h, Array.fill(3 * w * h)(v.toByte)))
+    val avi = Codecs.encodeAviMjpeg(w, h, usPerFrame = 40000L, frames)
+    assert(Codecs.isAvi(avi))
+    val m = Codecs.parseAviMjpeg(avi).get
+    assert((m.width, m.height, m.usPerFrame, m.declaredFrames) ===
+      ((w, h, 40000L, values.size.toLong)))
+    assert(m.frames.size == values.size)
+    // every decoded frame has the encoded dims and its uniform-gray
+    // luminance lands within the JPEG-safe ±8 bucket radius (DC-only
+    // DCT + constant chroma keep the error ~±3)
+    m.frames.zip(values).foreach { case (p, v) =>
+      assert((p.width, p.height) === ((w, h)))
+      val lum = Codecs.ppmFeatures(p)(3)
+      assert(math.abs(lum - v) < 8.0, s"lum=$lum v=$v")
+      assert(math.round((lum - 8.0) / 16.0) === (v - 8) / 16)
+    }
+  }
+
+  test("odd-sized JPEG frames pad to even RIFF chunks and still decode") {
+    val w = 17; val h = 9 // odd dims → odd-length JPEGs are likely
+    val frames = (0 until 3).map(i =>
+      Codecs.encodeJpeg(w, h, Array.fill(3 * w * h)((40 + 16 * i).toByte)))
+    val avi = Codecs.encodeAviMjpeg(w, h, 20000L, frames)
+    val m = Codecs.parseAviMjpeg(avi).get
+    assert(m.frames.size == 3)
+    assert(m.frames.forall(p => p.width == w && p.height == h))
+  }
+
+  test("hostile/truncated AVI payloads degrade, never crash") {
+    val good = Codecs.encodeAviMjpeg(16, 16, 40000L,
+      Seq(Codecs.encodeJpeg(16, 16, Array.fill(3 * 16 * 16)(100.toByte))))
+    val fakes = Seq(
+      "RIFF1234AVI ".getBytes("US-ASCII"), // magic only
+      good.take(30), // truncated mid-hdrl
+      good.take(good.length - 50), // truncated mid-frame
+      {
+        val b = good.clone() // lie about the first LIST size
+        b(16) = 0xff.toByte; b(17) = 0xff.toByte
+        b(18) = 0xff.toByte; b(19) = 0xff.toByte
+        b
+      })
+    fakes.foreach { payload =>
+      val r = Codecs.parseAviMjpeg(payload) // must not throw
+      assert(r.isEmpty || r.get.width >= 0)
+    }
+  }
+
   test("hostile/truncated MP4 payloads degrade, never crash") {
     val good = Codecs.encodeMp4(1000, 1000, Seq(("avc1", 64, 64)))
     val fakes = Seq(
