@@ -563,7 +563,55 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("lang").asc)
   }
 
+  /** TX-CHUNK: overlapping token-window chunking — the RAG/context-
+    * window preprocessing step: each doc explodes into 64-token chunks
+    * with 16-token overlap (stride 48); the last start is the smallest
+    * stride multiple whose chunk reaches the end, so every token is
+    * covered exactly and short docs yield one chunk. All integer
+    * window math + array slicing — hash-exact cross-engine, and a
+    * narrow explode (fan-out ~n_tokens/stride) with no shuffle before
+    * the final order: embarrassingly parallel at 100 TB.
+    */
+  def txChunk(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = 64
+    val stride = 48 // chunk - overlap(16)
+    val t = split(col("text"), " ")
+    val n = size(t)
+    // smallest k with k*stride + chunk >= n, as exact int arithmetic
+    val maxStart = floor(
+      (greatest(n - chunk, lit(0)) + stride - 1) / stride).cast("int") * stride
+    Q.t(spark, dir, "documents")
+      .select(col("doc_id"), t.as("t"), n.as("n"), maxStart.as("ms"))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), col("ms"), lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        least(lit(chunk), col("n") - col("start")).as("chunk_tokens"),
+        concat_ws(" ", slice(col("t"), col("start") + 1, lit(chunk)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+  }
+
+  val txChunkOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, t, n,
+      |    unnest(generate_series(0,
+      |      CAST((greatest(n - 64, 0) + 47) // 48 AS INT) * 48, 48)) AS start
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(start // 48 AS INT) AS chunk_id,
+      |  CAST(least(64, n - start) AS INT) AS chunk_tokens,
+      |  array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text
+      |FROM s
+      |ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_chunk" -> txChunk,
     "tx_bpe_train" -> txBpeTrain,
     "tx_bpe_encode" -> txBpeEncode,
     "tx_bpe_pipeline" -> txBpePipeline,
@@ -580,6 +628,7 @@ object TextAnalysis extends QueryModule {
     "tx_tfidf" -> txTfIdf)
 
   override def oracles: Map[String, String] = Map(
+    "tx_chunk" -> txChunkOracle,
     "tx_bpe_encode" -> txBpeEncodeOracle,
     "tx_normalize" -> txNormalizeOracle,
     "tx_winnow" -> txWinnowOracle,

@@ -34,6 +34,9 @@ import org.apache.spark.sql.types._
   *   CALL graft.nsw_build('/lake/graph_idx', 'embeddings_view', 'embedding')
   *   CALL graft.nsw_refresh('/lake/graph_idx', '/lake/embeddings', 'vec_id', 'v')
   *   CALL graft.nsw_query('/lake/graph_idx', 'probes_view', 'embedding')
+  *   CALL graft.bpe_train('docs_view', 'text', 16)
+  *   CALL graft.bpe_save('/lake/tokenizer', 'docs_view', 'text', 16)
+  *   CALL graft.bpe_merges('/lake/tokenizer', 0)
   * }}}
   *
   * Tables are addressed by root path; configuration (partition tuple,
@@ -199,6 +202,10 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
     case "schema_register" => Seq(
       attr("change", StringType), attr("column", StringType),
       attr("detail", StringType))
+    case "bpe_train" | "bpe_merges" => Seq(
+      attr("rank", IntegerType), attr("left", StringType),
+      attr("right", StringType), attr("merged", StringType),
+      attr("freq", LongType))
     case _ => Seq(attr("version", IntegerType))
   }
 
@@ -465,6 +472,39 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
           .select(col("q_id").cast("long"), col("rn").cast("int"),
             col("neighbor").cast("long"), col("sim").cast("double"))
           .collect().toSeq
+      case "bpe_train" =>
+        // bpe_train(corpusView, textCol [, numMerges]) — learn BPE
+        // merges from a view; rows out (bounded: numMerges). The
+        // marker renders as '</w>' like the DataFrame surface.
+        graft.operators.BpeTrainer
+          .train(session.table(str(0)).select(col(str(1)).as("text")),
+            optNum(2, 16).toInt)
+          .map(m => Row(m.rank,
+            m.left.replace(graft.functions.Bpe.W, "</w>"),
+            m.right.replace(graft.functions.Bpe.W, "</w>"),
+            (m.left + m.right).replace(graft.functions.Bpe.W, "</w>"),
+            m.freq))
+      case "bpe_save" =>
+        // bpe_save(root, corpusView, textCol [, numMerges]) — train
+        // and PERSIST the merge table as a versioned manifest table:
+        // every retrain is an overwrite commit, so a tokenizer is
+        // time-travelable like any other table (reproduce last
+        // month's token counts against last month's merges).
+        val df = graft.operators.BpeTrainer.trainDf(session,
+          session.table(str(1)).select(col(str(2)).as("text")),
+          optNum(3, 16).toInt)
+        versionRow(table.write(df, "overwrite"))
+      case "bpe_merges" =>
+        // bpe_merges(root [, version]) — read a persisted tokenizer,
+        // optionally time-traveled; rows out in rank order (bounded:
+        // the merge count)
+        val t = table
+        val at = if (args.length > 1) Some(num(1).toInt) else None
+        t.read(at)
+          .select(col("rank").cast("int"), col("left"), col("right"),
+            col("merged"), col("freq").cast("long"))
+          .orderBy(col("rank").asc)
+          .collect().toSeq
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure graft.$other; known: write, merge, delete, " +
@@ -475,7 +515,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
             "add_columns, deprecate_columns, describe_schema, " +
             "schema_register, generated_add, generated_drop, " +
             "pq_build, pq_refresh, pq_query, " +
-            "nsw_build, nsw_refresh, nsw_query")
+            "nsw_build, nsw_refresh, nsw_query, " +
+            "bpe_train, bpe_save, bpe_merges")
     }
   }
 }

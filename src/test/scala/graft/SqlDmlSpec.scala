@@ -393,6 +393,41 @@ class SqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("tokenizer lifecycle through SQL: bpe_train, bpe_save, bpe_merges") {
+    val root = scratch("bpe")
+    val docs = Q.t(sqlSpark, sf, "documents").orderBy("doc_id").limit(60)
+    docs.createOrReplaceTempView("sql_bpe_docs")
+    // train-via-SQL equals the Scala surface merge-for-merge
+    val viaSql = sqlSpark
+      .sql("CALL graft.bpe_train('sql_bpe_docs', 'text', 8)")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4)))
+    val viaApi = graft.operators.BpeTrainer.train(docs, numMerges = 8)
+      .map(m => (m.rank,
+        m.left.replace(graft.functions.Bpe.W, "</w>"),
+        m.right.replace(graft.functions.Bpe.W, "</w>"), m.freq))
+    assert(viaSql.toSeq === viaApi)
+    // persist: version 0, and the stored rows read back in rank order
+    val v0 = sqlSpark
+      .sql(s"CALL graft.bpe_save('$root', 'sql_bpe_docs', 'text', 8)")
+      .first().getInt(0)
+    val stored = sqlSpark.sql(s"CALL graft.bpe_merges('$root')")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4)))
+    assert(stored.toSeq === viaApi)
+    // retrain deeper → overwrite commit; the OLD tokenizer is still
+    // readable by version (tokenizers time-travel like any table)
+    val v1 = sqlSpark
+      .sql(s"CALL graft.bpe_save('$root', 'sql_bpe_docs', 'text', 12)")
+      .first().getInt(0)
+    assert(v1 == v0 + 1)
+    assert(sqlSpark.sql(s"CALL graft.bpe_merges('$root')").count() == 12)
+    val old = sqlSpark.sql(s"CALL graft.bpe_merges('$root', $v0)")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(4)))
+    assert(old.toSeq === viaApi)
+  }
+
   test("malformed CALLs fail loudly, not silently") {
     intercept[Exception] {
       sqlSpark.sql("CALL graft.nosuch('/tmp/x')").collect()
