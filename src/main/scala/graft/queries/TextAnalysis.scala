@@ -485,15 +485,26 @@ object TextAnalysis extends QueryModule {
     * map — embarrassingly parallel at any scale.
     */
   def txBpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Bpe
-    val wrapped = Bpe.wrapText(col("text"))
-    val merged = Bpe.applyMerges(wrapped, Bpe.FixedMerges)
+    import graft.functions.{Bpe, BpeEncode, BpeSymCount}
+    // fused codegen kernels (BpeExpr.scala): ONE text walk instead of
+    // a per-code-point regex wrap + a full-string copy per merge —
+    // byte-identical to the composed form (BpeSpec parity gate), so
+    // the DuckDB oracle still replays the replace chain unchanged.
+    // Token count derives from the encoded stream: tokens are
+    // space-joined and never contain spaces.
+    val enc = BpeEncode.encodeCol(spark, col("text"), Bpe.FixedMerges)
     Q.t(spark, dir, "documents")
       .select(
         col("doc_id"),
-        Bpe.nTokens(wrapped).as("n_chars_syms"),
-        Bpe.nTokens(merged).as("n_bpe_tokens"),
-        Bpe.render(merged).as("bpe_text"))
+        BpeSymCount.countCol(spark, col("text")).as("n_chars_syms"),
+        enc.as("bpe_text"))
+      .withColumn("n_bpe_tokens",
+        when(length(col("bpe_text")) === 0, lit(0)).otherwise(
+          length(col("bpe_text"))
+            - length(replace(col("bpe_text"), lit(" "), lit(""))) + 1)
+          .cast("int"))
+      .select(col("doc_id"), col("n_chars_syms"), col("n_bpe_tokens"),
+        col("bpe_text"))
       .orderBy(col("doc_id").asc)
   }
 
@@ -544,16 +555,14 @@ object TextAnalysis extends QueryModule {
     * BPE tokens). Spec-gated like TX-BPE1 (train-dependent).
     */
   def txBpePipeline(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Bpe
+    import graft.functions.{BpeSymCount, BpeTokenCount}
     val docs = Q.t(spark, dir, "documents")
     val merges = graft.operators.BpeTrainer.train(docs, numMerges = 12)
       .map(m => (m.left, m.right))
-    val wrapped = Bpe.wrapText(col("text"))
-    val merged = Bpe.applyMerges(wrapped, merges)
     docs
       .select(col("lang"),
-        Bpe.nTokens(wrapped).as("n_syms"),
-        Bpe.nTokens(merged).as("n_tok"))
+        BpeSymCount.countCol(spark, col("text")).as("n_syms"),
+        BpeTokenCount.countCol(spark, col("text"), merges).as("n_tok"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_syms")).as("total_syms"),
