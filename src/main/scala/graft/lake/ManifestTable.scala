@@ -2040,29 +2040,43 @@ class ManifestTable(spark: SparkSession, root: String,
     val vals = values.filter(_ != null).distinct
     if (vals.isEmpty) return v0
     val entries = entriesOf(v0)
-    val pc = toPhysical(c)
-    val candidates =
-      if (bloomCol.contains(pc)) {
-        // hash each value once, decode each entry's bitset once —
-        // O(files + keys) driver work, not O(files × keys)
-        val raws = vals.map(bloomRawHashes)
-        entries.filter(e =>
-          e.stats.get(bloomKey(pc)).forall(bloomTestEntry(_, raws)))
-      } else entries
+    deleteFromWith(v0, entries,
+      keyCandidates(entries, toPhysical(c), vals), keyMatcher(c, vals))
+  }
+
+  /** Candidate files that may hold ANY of `vals` in physical column
+    * `pc`: bloom-pruned when the column carries a bloom (hash each
+    * value once, decode each entry's bitset once — O(files + keys)),
+    * zone-map-pruned when it carries stats (the NSW refresh's shard_id
+    * batch: O(delta shards), not O(table)), all files otherwise.
+    * Shared by [[deleteKeys]] and [[deleteKeysAndAppend]] so the
+    * single- and multi-batch key-delete paths cannot diverge.
+    */
+  private def keyCandidates(entries: Seq[Entry], pc: String,
+      vals: Seq[String]): Seq[Entry] =
+    if (bloomCol.contains(pc)) {
+      val raws = vals.map(bloomRawHashes)
+      entries.filter(e =>
+        e.stats.get(bloomKey(pc)).forall(bloomTestEntry(_, raws)))
+    } else if (allStatsCols.contains(pc))
+      entries.filter(e => vals.exists(v => zoneIntersects(e, pc, v, v)))
+    else entries
+
+  /** Row matcher for a key set: a literal IN below
+    * [[ManifestTable.InLiteralMaxKeys]]; past it, a broadcast
+    * semi-join (a huge erasure batch must not become a huge In
+    * expression — analysis-time O(keys) tree, codegen pressure).
+    */
+  private def keyMatcher(c: String,
+      vals: Seq[String]): DataFrame => DataFrame =
     if (vals.size <= ManifestTable.InLiteralMaxKeys)
-      deleteFrom(v0, entries, candidates,
-        col(c).cast("string").isin(vals: _*))
+      live => live.filter(col(c).cast("string").isin(vals: _*))
     else {
-      // a huge erasure batch must not become a huge literal In
-      // expression (analysis-time O(keys) tree, codegen pressure) —
-      // broadcast-semi-join the key set instead
       val keysDf = spark.createDataset(vals)(org.apache.spark.sql.Encoders.STRING)
         .toDF("_graft_erase_key")
-      deleteFromWith(v0, entries, candidates, live =>
-        live.join(org.apache.spark.sql.functions.broadcast(keysDf),
-          col(c).cast("string") === col("_graft_erase_key"), "left_semi"))
+      live => live.join(org.apache.spark.sql.functions.broadcast(keysDf),
+        col(c).cast("string") === col("_graft_erase_key"), "left_semi")
     }
-  }
 
   /** Range delete with ZONE-MAP file skipping (L7 ∘ L15): only files
     * whose [min,max] intersects the range are scanned — retracting a
@@ -2237,29 +2251,16 @@ class ManifestTable(spark: SparkSession, root: String,
       val vals = values0.filter(_ != null).distinct
       if (vals.isEmpty || entries.isEmpty) None
       else {
-        val pc = toPhysical(c)
-        val candidates =
-          if (bloomCol.contains(pc)) {
-            val raws = vals.map(bloomRawHashes)
-            entries.filter(e =>
-              e.stats.get(bloomKey(pc)).forall(bloomTestEntry(_, raws)))
-          } else entries
+        // the same candidate pruning + key matching as deleteKeys
+        // (one shared pipeline — the paths cannot diverge)
+        val candidates = keyCandidates(entries, toPhysical(c), vals)
         if (candidates.isEmpty) None
         else {
           val files = candidates.map(e => new Path(root, e.rel).toString)
           val withPos = toLogicalRename(readFiles(files, withPos = true))
           val live = dvOf(candidates).fold(withPos)(dv =>
             withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
-          val hits =
-            if (vals.size <= ManifestTable.InLiteralMaxKeys)
-              live.filter(col(c).cast("string").isin(vals: _*))
-            else {
-              val keysDf = spark
-                .createDataset(vals)(org.apache.spark.sql.Encoders.STRING)
-                .toDF("_graft_erase_key")
-              live.join(org.apache.spark.sql.functions.broadcast(keysDf),
-                col(c).cast("string") === col("_graft_erase_key"), "left_semi")
-            }
+          val hits = keyMatcher(c, vals)(live)
           Some(hits.select(col(DvFileCol), col(DvPosCol)))
         }
       }

@@ -58,6 +58,17 @@ class NswIndex private (spark: SparkSession, val root: String,
 
   val table: ManifestTable = NswIndex.indexTable(spark, root)
 
+  /** Snapshot pin for SERVING: query() reads the table version this
+    * handle was opened at, so a concurrent refresh that re-splits a
+    * hot list can never be read through this handle's frozen layout
+    * (data and sub-counts stay mutually consistent — without the pin,
+    * a stale handle would fan probes over the OLD sub-count while the
+    * scan returned rows rehashed under the NEW one, silently dropping
+    * the moved members). Re-open via load(), or use the handle
+    * refreshFrom returns, to serve newer data.
+    */
+  private val serveVersion: Option[Int] = table.latestVersion
+
   def m: Int = meta.m
   def lists: Int = meta.lists
   def replicas: Int = meta.replicas
@@ -155,7 +166,7 @@ class NswIndex private (spark: SparkSession, val root: String,
     val probedLists = routedRows
       .map(t => Math.floorDiv(t._1, NswIndex.MaxSubShards))
       .distinct.sorted.toSeq
-    val shards = scanLists(probedLists)
+    val shards = scanLists(probedLists, serveVersion)
       .select(col("shard_id"), col("vec_id"), col("v"), col("neighbors"))
       .as[(Long, Long, Seq[Double], Seq[Long])]
     val mEf = ef
@@ -257,7 +268,7 @@ class NswIndex private (spark: SparkSession, val root: String,
           .withColumn("_change_type", lit("insert"))
       else source.changesBetween(meta.sourceVersion, vTo, Seq(idCol))
     ).localCheckpoint(true)
-    var nextSubs = meta.subCounts
+    var layoutByList: Map[Long, Int] = Map.empty
     try {
       val deadIds = changes
         .filter(col("_change_type").isin("delete", "update_preimage"))
@@ -316,8 +327,18 @@ class NswIndex private (spark: SparkSession, val root: String,
                 math.max(subsOf(l).toLong, (total + cap - 1) / cap)).toInt
               l -> want
             }.toMap
-            val resplit = newSubCounts
-              .filter { case (l, s) => s > subsOf(l) }.keySet.toSeq.sorted
+            // crash-replay repair: a write-ahead that landed without
+            // its data commit leaves subsOf inflated while the members
+            // still sit in the old shards — any physical shard past
+            // the cap forces a rehash even when the sub-count itself
+            // needs no further growth
+            val oversized = existPerShard.collect {
+              case (sid, cnt) if cnt > cap =>
+                Math.floorDiv(sid, NswIndex.MaxSubShards)
+            }.toSet
+            val resplit = (newSubCounts
+              .filter { case (l, s) => s > subsOf(l) }.keySet
+              ++ oversized).toSeq.sorted
             val mergedSubs = subCountByList ++ newSubCounts
             val assigned = assigned0
               .withColumn("shard_id", NswIndex.shardIdColFor(mergedSubs))
@@ -360,11 +381,13 @@ class NswIndex private (spark: SparkSession, val root: String,
               .toDF("shard_id", "vec_id", "v", "neighbors")
               // materialize BEFORE the commit invalidates the scan
               .localCheckpoint(true)
+            layoutByList = mergedSubs
             if (resplit.nonEmpty) {
-              nextSubs = meta.seedIds.map(l => mergedSubs.getOrElse(l, 1))
-              // WRITE-AHEAD layout, cursor unchanged (see scaladoc)
-              NswIndex.writeMeta(spark, root,
-                meta.copy(subCounts = nextSubs))
+              // WRITE-AHEAD layout, cursor unchanged — MERGED into the
+              // on-disk meta (per-list max), so a racing loser can
+              // never clobber the winner's layout (see scaladoc)
+              NswIndex.writeMetaMergedLayout(spark, root, meta,
+                mergedSubs, cursor = None): Unit
             }
             NswIndex.testBeforeCommit()
             table.deleteKeysAndAppend(
@@ -378,8 +401,10 @@ class NswIndex private (spark: SparkSession, val root: String,
         } finally assigned0.unpersist()
       }
     } finally changes.unpersist()
-    val next = meta.copy(sourceVersion = vTo, subCounts = nextSubs)
-    NswIndex.writeMeta(spark, root, next)
+    // cursor advances only after the commit it describes; sub-counts
+    // merge against disk so a racer's inflation is never shrunk back
+    val next = NswIndex.writeMetaMergedLayout(spark, root, meta,
+      layoutByList, cursor = Some(vTo))
     new NswIndex(spark, root, next)
   }
 }
@@ -400,7 +425,7 @@ object NswIndex {
   private def metaPath(root: String) = s"$root/_graft_nsw_meta"
 
   private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, NswIndexMeta]()
+    new java.util.concurrent.ConcurrentHashMap[String, (NswIndexMeta, Option[Int])]()
 
   /** shard_id = list_id · MaxSubShards + sub — one flat long key that
     * keeps a list's sub-shards CONTIGUOUS (zone ranges stay one
@@ -719,20 +744,68 @@ object NswIndex {
       meta: NswIndexMeta): Unit = {
     import spark.implicits._
     Seq(meta).toDS().coalesce(1).write.mode("overwrite").parquet(metaPath(root))
-    metaCache.put(root, meta): Unit
+    metaCache.put(root, meta -> indexTable(spark, root).latestVersion): Unit
   }
 
-  def load(spark: SparkSession, root: String): Option[NswIndex] = {
+  /** Fresh on-disk meta read, evolving older schemas in place: an
+    * index persisted before `subCounts`/`maxShardRows` existed loads
+    * with their neutral defaults (all lists unsplit, no cap) instead
+    * of failing analysis on the missing columns.
+    */
+  private[graft] def readDiskMeta(spark: SparkSession,
+      root: String): Option[NswIndexMeta] = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(metaPath(root))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    var raw = spark.read.parquet(metaPath(root))
+    if (!raw.columns.contains("subCounts"))
+      raw = raw.withColumn("subCounts",
+        org.apache.spark.sql.functions.array().cast("array<int>"))
+    if (!raw.columns.contains("maxShardRows"))
+      raw = raw.withColumn("maxShardRows",
+        org.apache.spark.sql.functions.lit(0L))
+    Some(raw.as[NswIndexMeta].head())
+  }
+
+  /** Publish a layout change by MERGING into the current on-disk meta
+    * (fresh read, not the caller's snapshot): per-list MAX sub-count,
+    * disk cursor kept. A racing refresh that loses the strict data
+    * commit can therefore never clobber the winner's layout or regress
+    * its cursor — its inflated sub-counts only over-fan probes into
+    * empty shard ranges (harmless), and its unchanged cursor makes the
+    * replay a clean idempotent re-upsert.
+    */
+  private[operators] def writeMetaMergedLayout(spark: SparkSession,
+      root: String, fallback: NswIndexMeta,
+      subsByList: Map[Long, Int], cursor: Option[Int]): NswIndexMeta = {
+    val base = readDiskMeta(spark, root).getOrElse(fallback)
+    val baseSubs = base.seedIds.zip(
+      if (base.subCounts.nonEmpty) base.subCounts
+      else Seq.fill(base.seedIds.size)(1)).toMap
+    val merged = base.seedIds.map(l =>
+      math.max(baseSubs.getOrElse(l, 1), subsByList.getOrElse(l, 1)))
+    val next = base.copy(subCounts = merged,
+      sourceVersion = cursor.getOrElse(base.sourceVersion))
+    writeMeta(spark, root, next)
+    next
+  }
+
+  def load(spark: SparkSession, root: String): Option[NswIndex] = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(root))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) { metaCache.remove(root); return None }
+    // the cache entry is valid only for the table version it was
+    // written against — a cross-process refresh (new data + new meta)
+    // must not serve through this JVM's stale copy
+    val curV = indexTable(spark, root).latestVersion
     Option(metaCache.get(root))
-      .map(mm => new NswIndex(spark, root, mm))
+      .collect { case (mm, v) if v == curV => new NswIndex(spark, root, mm) }
       .orElse {
-        val mm = spark.read.parquet(metaPath(root)).as[NswIndexMeta].head()
-        metaCache.put(root, mm)
-        Some(new NswIndex(spark, root, mm))
+        readDiskMeta(spark, root).map { mm =>
+          metaCache.put(root, mm -> curV)
+          new NswIndex(spark, root, mm)
+        }
       }
   }
 }

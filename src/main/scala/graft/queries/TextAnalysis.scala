@@ -492,11 +492,14 @@ object TextAnalysis extends QueryModule {
     // the DuckDB oracle still replays the replace chain unchanged.
     // Token count derives from the encoded stream: tokens are
     // space-joined and never contain spaces.
-    val enc = BpeEncode.encodeCol(spark, col("text"), Bpe.FixedMerges)
+    // coalesce: the oracle's wr-CTE maps NULL text to '' (DuckDB list
+    // ops on NULL), so the Spark side must too — 0 counts, '' stream
+    val text = coalesce(col("text"), lit(""))
+    val enc = BpeEncode.encodeCol(spark, text, Bpe.FixedMerges)
     Q.t(spark, dir, "documents")
       .select(
         col("doc_id"),
-        BpeSymCount.countCol(spark, col("text")).as("n_chars_syms"),
+        BpeSymCount.countCol(spark, text).as("n_chars_syms"),
         enc.as("bpe_text"))
       .withColumn("n_bpe_tokens",
         when(length(col("bpe_text")) === 0, lit(0)).otherwise(

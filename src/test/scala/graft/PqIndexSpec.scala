@@ -227,9 +227,9 @@ class PqIndexSpec extends SparkTestBase {
     val idx = PqIndex.build(spark, emb, root, lists = 16, m = 16, k = 32)
     val dim = emb.head().getSeq[Double](1).size
     import spark.implicits._
-    // unitize(0-vector) = NaN components: seed ranking must tie-break
-    // by list id (NaN ranks greatest, Spark desc semantics) — the
-    // probe serves without throwing and without disturbing the batch
+    // unitize keeps a 0-vector all-zero: every seed dot is 0.0, so
+    // ranking ties break by list id — the probe serves without
+    // throwing and without disturbing the batch
     val zero = Similarity.unitize(
       Seq((777L, Seq.fill(dim)(0.0))).toDF("vec_id", "raw_v"))
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
