@@ -2058,9 +2058,26 @@ class ManifestTable(spark: SparkSession, root: String,
       val raws = vals.map(bloomRawHashes)
       entries.filter(e =>
         e.stats.get(bloomKey(pc)).forall(bloomTestEntry(_, raws)))
-    } else if (allStatsCols.contains(pc))
-      entries.filter(e => vals.exists(v => zoneIntersects(e, pc, v, v)))
-    else entries
+    } else if (allStatsCols.contains(pc)) {
+      // sort the keys once per stats kind, then each entry answers
+      // "any key inside my [min, max]?" with one binary search —
+      // O(files·log keys), not O(files × keys) BigDecimal re-parses
+      // (the same once-per-value discipline as the bloom branch)
+      val sortedByKind = scala.collection.mutable.Map.empty[String, Array[String]]
+      def sortedFor(kind: String): Array[String] =
+        sortedByKind.getOrElseUpdate(kind,
+          vals.toArray.sortWith(statCmp(_, _, kind) < 0))
+      entries.filter(e => e.stats.get(pc).forall { s =>
+        val keys = sortedFor(s.kind)
+        var lo = 0
+        var hi = keys.length // first key >= min
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (statCmp(keys(mid), s.mn, s.kind) < 0) lo = mid + 1 else hi = mid
+        }
+        lo < keys.length && statCmp(keys(lo), s.mx, s.kind) <= 0
+      })
+    } else entries
 
   /** Row matcher for a key set: a literal IN below
     * [[ManifestTable.InLiteralMaxKeys]]; past it, a broadcast

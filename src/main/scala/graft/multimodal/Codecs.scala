@@ -527,11 +527,13 @@ object Codecs {
       def hasNext: Boolean = o + 8 <= hi
       def next(): (String, Int, Int) = {
         val typ = fourcc(b, o)
+        // le32 is unsigned (0..2^32-1) and hasNext guarantees
+        // from <= hi, so the min-clamp alone totalizes malformed sizes
         val sz = le32(b, o + 4)
         val from = o + 8
         val to = math.min(hi.toLong, from + sz).toInt
-        if (sz < 0 || from > hi) { o = hi; (typ, hi, hi) }
-        else { o = to + (sz % 2).toInt; (typ, from, to) }
+        o = to + (sz % 2).toInt
+        (typ, from, to)
       }
     }
 

@@ -54,20 +54,19 @@ private[operators] case class NswIndexMeta(
   * O(delta shards), never a corpus rebuild.
   */
 class NswIndex private (spark: SparkSession, val root: String,
-    meta: NswIndexMeta) {
+    meta: NswIndexMeta, pinnedServe: Option[Int]) {
 
   val table: ManifestTable = NswIndex.indexTable(spark, root)
 
-  /** Snapshot pin for SERVING: query() reads the table version this
-    * handle was opened at, so a concurrent refresh that re-splits a
-    * hot list can never be read through this handle's frozen layout
-    * (data and sub-counts stay mutually consistent — without the pin,
-    * a stale handle would fan probes over the OLD sub-count while the
-    * scan returned rows rehashed under the NEW one, silently dropping
-    * the moved members). Re-open via load(), or use the handle
-    * refreshFrom returns, to serve newer data.
+  /** Snapshot pin for SERVING: query() reads the table version the
+    * CALLER validated this handle's meta against (threaded in, never
+    * re-read — a re-read could postdate a concurrent re-splitting
+    * commit and pair new data with this handle's old sub-counts,
+    * silently dropping the rehashed members). A handle therefore
+    * always serves a layout-consistent snapshot; re-open via load(),
+    * or use the handle refreshFrom returns, to serve newer data.
     */
-  private val serveVersion: Option[Int] = table.latestVersion
+  private val serveVersion: Option[Int] = pinnedServe
 
   def m: Int = meta.m
   def lists: Int = meta.lists
@@ -405,7 +404,7 @@ class NswIndex private (spark: SparkSession, val root: String,
     // merge against disk so a racer's inflation is never shrunk back
     val next = NswIndex.writeMetaMergedLayout(spark, root, meta,
       layoutByList, cursor = Some(vTo))
-    new NswIndex(spark, root, next)
+    new NswIndex(spark, root, next, table.latestVersion)
   }
 }
 
@@ -736,21 +735,45 @@ object NswIndex {
       seedRows.map(_.getSeq[Double](1).toIndexedSeq).toSeq,
       subCounts.toSeq, cap) // the cap FREEZES with the layout: refresh
     // enforces the same bound it was built under (re-split trigger)
+    resetMeta(spark, root) // a rebuild must not merge prior deltas
     writeMeta(spark, root, meta)
-    new NswIndex(spark, root, meta)
+    new NswIndex(spark, root, meta, mt.latestVersion)
   }
 
+  /** APPEND a meta delta — never overwrite. The meta state is a CRDT:
+    * sub-counts only grow (element-wise max) and the cursor only
+    * advances (max), so readers MERGE every delta file and
+    * concurrent writers cannot lose each other's updates — the
+    * read-merge-write form this replaces had a classic lost-update
+    * window in which a racing loser's stale overwrite could hide the
+    * winner's re-split layout (silent row loss at serve time).
+    */
   private[operators] def writeMeta(spark: SparkSession, root: String,
       meta: NswIndexMeta): Unit = {
     import spark.implicits._
-    Seq(meta).toDS().coalesce(1).write.mode("overwrite").parquet(metaPath(root))
-    metaCache.put(root, meta -> indexTable(spark, root).latestVersion): Unit
+    val dir = s"${metaPath(root)}/delta_${java.util.UUID.randomUUID().toString.take(12)}"
+    Seq(meta).toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+    // invalidate, don't re-pair: a put here would need a table-version
+    // read that races the very commits the cache key exists to track
+    metaCache.remove(root): Unit
   }
 
-  /** Fresh on-disk meta read, evolving older schemas in place: an
-    * index persisted before `subCounts`/`maxShardRows` existed loads
-    * with their neutral defaults (all lists unsplit, no cap) instead
-    * of failing analysis on the missing columns.
+  /** Remove every meta delta — a fresh build at a reused root must not
+    * merge against a previous index's layout.
+    */
+  private[operators] def resetMeta(spark: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(root))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    metaCache.remove(root): Unit
+  }
+
+  /** Fresh on-disk meta read: unions every delta file (recursive — the
+    * legacy single-overwrite layout reads identically), evolves older
+    * schemas in place (`subCounts`/`maxShardRows` default when the
+    * columns predate them), and MERGES: element-wise max sub-counts,
+    * max cursor. Merge order is irrelevant (grow-only lattice), so any
+    * interleaving of writers yields the same state.
     */
   private[graft] def readDiskMeta(spark: SparkSession,
       root: String): Option[NswIndexMeta] = {
@@ -758,53 +781,67 @@ object NswIndex {
     val p = new org.apache.hadoop.fs.Path(metaPath(root))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
-    var raw = spark.read.parquet(metaPath(root))
-    if (!raw.columns.contains("subCounts"))
-      raw = raw.withColumn("subCounts",
-        org.apache.spark.sql.functions.array().cast("array<int>"))
-    if (!raw.columns.contains("maxShardRows"))
-      raw = raw.withColumn("maxShardRows",
-        org.apache.spark.sql.functions.lit(0L))
-    Some(raw.as[NswIndexMeta].head())
+    val rows =
+      try {
+        var raw = spark.read.option("recursiveFileLookup", "true")
+          .parquet(metaPath(root))
+        if (!raw.columns.contains("subCounts"))
+          raw = raw.withColumn("subCounts",
+            org.apache.spark.sql.functions.array().cast("array<int>"))
+        if (!raw.columns.contains("maxShardRows"))
+          raw = raw.withColumn("maxShardRows",
+            org.apache.spark.sql.functions.lit(0L))
+        raw.as[NswIndexMeta].collect().toSeq
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    if (rows.isEmpty) return None
+    val norm = rows.map(r => r.copy(subCounts =
+      if (r.subCounts.nonEmpty) r.subCounts
+      else Seq.fill(r.seedIds.size)(1)))
+    val base = norm.maxBy(_.sourceVersion)
+    Some(base.copy(
+      subCounts = norm.map(_.subCounts).transpose.map(_.max),
+      sourceVersion = norm.map(_.sourceVersion).max))
   }
 
-  /** Publish a layout change by MERGING into the current on-disk meta
-    * (fresh read, not the caller's snapshot): per-list MAX sub-count,
-    * disk cursor kept. A racing refresh that loses the strict data
-    * commit can therefore never clobber the winner's layout or regress
-    * its cursor — its inflated sub-counts only over-fan probes into
-    * empty shard ranges (harmless), and its unchanged cursor makes the
-    * replay a clean idempotent re-upsert.
+  /** Publish this refresh's layout knowledge as one merged delta:
+    * the handle's sub-counts maxed with `subsByList`, cursor advanced
+    * only when `cursor` is set (a write-ahead keeps the old one, so a
+    * crashed or losing refresh never moves it). Returns the merged
+    * on-disk view for the caller's next handle.
     */
   private[operators] def writeMetaMergedLayout(spark: SparkSession,
       root: String, fallback: NswIndexMeta,
       subsByList: Map[Long, Int], cursor: Option[Int]): NswIndexMeta = {
-    val base = readDiskMeta(spark, root).getOrElse(fallback)
-    val baseSubs = base.seedIds.zip(
-      if (base.subCounts.nonEmpty) base.subCounts
-      else Seq.fill(base.seedIds.size)(1)).toMap
-    val merged = base.seedIds.map(l =>
-      math.max(baseSubs.getOrElse(l, 1), subsByList.getOrElse(l, 1)))
-    val next = base.copy(subCounts = merged,
-      sourceVersion = cursor.getOrElse(base.sourceVersion))
-    writeMeta(spark, root, next)
-    next
+    val baseSubs =
+      if (fallback.subCounts.nonEmpty) fallback.subCounts
+      else Seq.fill(fallback.seedIds.size)(1)
+    val merged = fallback.seedIds.zip(baseSubs).map { case (l, s) =>
+      math.max(s, subsByList.getOrElse(l, 1))
+    }
+    val delta = fallback.copy(subCounts = merged,
+      sourceVersion = cursor.getOrElse(fallback.sourceVersion))
+    writeMeta(spark, root, delta)
+    readDiskMeta(spark, root).getOrElse(delta)
   }
 
   def load(spark: SparkSession, root: String): Option[NswIndex] = {
     val p = new org.apache.hadoop.fs.Path(metaPath(root))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) { metaCache.remove(root); return None }
-    // the cache entry is valid only for the table version it was
-    // written against — a cross-process refresh (new data + new meta)
-    // must not serve through this JVM's stale copy
+    // ORDER MATTERS: the table version is read BEFORE the meta. Every
+    // data commit's layout is already on disk when the commit lands
+    // (the write-ahead delta), and sub-counts only grow, so a meta
+    // read that postdates the version read can only OVER-fan probes
+    // into empty ranges — never under-fan and miss rehashed members.
     val curV = indexTable(spark, root).latestVersion
     Option(metaCache.get(root))
-      .collect { case (mm, v) if v == curV => new NswIndex(spark, root, mm) }
+      .collect { case (mm, v) if v == curV =>
+        new NswIndex(spark, root, mm, curV)
+      }
       .orElse {
         readDiskMeta(spark, root).map { mm =>
           metaCache.put(root, mm -> curV)
-          new NswIndex(spark, root, mm)
+          new NswIndex(spark, root, mm, curV)
         }
       }
   }

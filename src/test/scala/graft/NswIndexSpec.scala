@@ -511,11 +511,12 @@ class NswIndexSpec extends SparkTestBase {
     // simulate an index persisted before the two columns existed:
     // rewrite the sidecar without them (same rows otherwise)
     val metaDir = s"$root/_graft_nsw_meta"
-    val legacy = spark.read.parquet(metaDir)
-      .drop("subCounts", "maxShardRows")
-      .collect()
-    val legacySchema = spark.read.parquet(metaDir)
-      .drop("subCounts", "maxShardRows").schema
+    val asWritten = spark.read.option("recursiveFileLookup", "true")
+      .parquet(metaDir).drop("subCounts", "maxShardRows")
+    val legacy = asWritten.collect()
+    val legacySchema = asWritten.schema
+    // legacy layout = part files directly in the meta dir (the
+    // pre-delta single-overwrite form), minus the two newer columns
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         java.util.Arrays.asList(legacy: _*)), legacySchema)
@@ -525,7 +526,9 @@ class NswIndexSpec extends SparkTestBase {
     // directly on the schema-evolving disk read load() delegates to
     val mm = NswIndex.readDiskMeta(spark, root)
     assert(mm.isDefined, "legacy meta failed to load")
-    assert(mm.get.subCounts.isEmpty && mm.get.maxShardRows === 0L)
+    // neutral defaults: every list unsplit, no cap
+    assert(mm.get.subCounts.forall(_ === 1) && mm.get.maxShardRows === 0L)
+    assert(mm.get.subCounts.size === mm.get.seedIds.size)
   }
 
   test("a zero-norm probe routes and serves deterministically") {
