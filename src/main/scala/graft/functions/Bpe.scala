@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * ([[graft.operators.BpeTrainer]]) and the encode queries.
   *
   * Token sequences are represented as ONE bracketed string instead of an
-  * array: every symbol is wrapped in `` brackets
-  * (`hello` → `␁h␁␁e␁␁l␁␁l␁␁o␁␁␂␁`, `` = end-of-word marker), so
+  * array: every symbol is wrapped in `\u0001` brackets
+  * (`hello` → `␁h␁␁e␁␁l␁␁l␁␁o␁␁␂␁`, `\u0002` = end-of-word marker), so
   * applying a merge (l, r) → lr is a single literal
   * `replace("␁l␁␁r␁" → "␁lr␁")` — a codegen'd built-in whose
   * left-to-right non-overlapping scan IS canonical BPE's greedy

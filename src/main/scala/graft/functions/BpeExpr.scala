@@ -32,15 +32,16 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
 
-  @transient private lazy val flat: Array[String] = BpeEncode.flatten(merges)
+  @transient private lazy val table: BpeTable =
+    BpeTable(BpeEncode.flatten(merges))
 
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(
-      BpeEncode.encode(input.asInstanceOf[UTF8String].toString, flat))
+      BpeEncode.encode(input.asInstanceOf[UTF8String].toString, table))
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    val ref = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeTable")
     defineCodeGen(ctx, ev, c =>
       "org.apache.spark.unsafe.types.UTF8String.fromString(" +
         s"graft.functions.BpeEncode.encode($c.toString(), $ref))")
@@ -89,10 +90,15 @@ object BpeEncode {
     call_function("graft_bpe_encode", text, lit(serializeWire(merges)))
   }
 
+  /** Flat-list convenience overload (tests, default strategy). */
+  def encode(s: String, flat: Array[String]): String =
+    encode(s, BpeTable(flat))
+
   /** The scalar kernel — public static so generated code can call it.
-    * `flat` is [l0, r0, l1, r1, …] in rank order.
+    * The table carries the rank-ordered merges and picks the merge
+    * strategy (chain vs priority queue — see [[BpeTable]]).
     */
-  def encode(s: String, flat: Array[String]): String = {
+  def encode(s: String, table: BpeTable): String = {
     val out = new java.lang.StringBuilder(s.length + (s.length >> 2))
     val syms = new java.util.ArrayList[String](64)
     val n = s.length
@@ -103,7 +109,7 @@ object BpeEncode {
       if (c == ' ') {
         if (!syms.isEmpty) {
           syms.add(Bpe.W)
-          mergeAll(syms, flat)
+          mergeAll(syms, table)
           render(out, syms)
           syms.clear()
         }
@@ -150,10 +156,14 @@ object BpeEncode {
     count
   }
 
+  /** Flat-list convenience overload (tests, default strategy). */
+  def tokenCount(s: String, flat: Array[String]): Int =
+    tokenCount(s, BpeTable(flat))
+
   /** Post-merge token count — [[encode]] without assembling the output
     * string (the pipeline query aggregates counts only).
     */
-  def tokenCount(s: String, flat: Array[String]): Int = {
+  def tokenCount(s: String, table: BpeTable): Int = {
     val syms = new java.util.ArrayList[String](64)
     var count = 0
     val n = s.length
@@ -163,7 +173,7 @@ object BpeEncode {
       if (c == ' ') {
         if (!syms.isEmpty) {
           syms.add(Bpe.W)
-          mergeAll(syms, flat)
+          mergeAll(syms, table)
           count += syms.size
           syms.clear()
         }
@@ -182,10 +192,20 @@ object BpeEncode {
     count
   }
 
-  /** Greedy left-to-right non-overlapping application of every merge in
-    * rank order — in place, reusing one scratch list per call.
+  /** Apply the table's merges to one word in place — the chain scan for
+    * small tables, the rank-priority-queue for large ones (strategy
+    * equivalence proven in BpeSpec; see [[BpeTable]]).
     */
   private def mergeAll(syms: java.util.ArrayList[String],
+      table: BpeTable): Unit =
+    if (table.usePq) mergeAllPq(syms, table.ranks)
+    else mergeAllChain(syms, table.flat)
+
+  /** Greedy left-to-right non-overlapping application of every merge in
+    * rank order — in place, reusing one scratch list per call.
+    * O(merges × len): right for demo-sized tables.
+    */
+  private def mergeAllChain(syms: java.util.ArrayList[String],
       flat: Array[String]): Unit = {
     var m = 0
     while (m < flat.length) {
@@ -205,6 +225,79 @@ object BpeEncode {
       while (k > write) { k -= 1; syms.remove(k) }
       m += 2
     }
+  }
+
+  /** Rank-priority-queue merge: always apply the lowest-rank pair
+    * present, leftmost occurrence first — O(len · log len) per word
+    * regardless of merge-table size (the production-vocabulary path;
+    * a 64k-merge table costs the same per word as a 12-merge one).
+    *
+    * Linked list over the word's symbol slots + a min-heap of
+    * (rank << 32 | leftPos) longs with LAZY invalidation: every pair
+    * creation pushes an entry at its current rank; a popped entry is
+    * applied only when the slot is alive and its CURRENT pair still
+    * has the popped rank (pair ranks are immutable while both symbols
+    * are unchanged, so an equal rank is always safe to apply — it is
+    * the heap minimum). Merged slots keep the LEFT index, so slot
+    * order stays textual order and the long encoding's natural order
+    * (rank asc, then position asc) IS the chain's left-to-right
+    * tie-break.
+    */
+  private def mergeAllPq(syms: java.util.ArrayList[String],
+      ranks: java.util.HashMap[String, Integer]): Unit = {
+    val n = syms.size
+    if (n < 2) return
+    def rankOf(l: String, r: String): Int = {
+      val v = ranks.get(l + " " + r) // symbols never contain a space
+      if (v == null) -1 else v.intValue()
+    }
+    val nxt = new Array[Int](n)
+    val prv = new Array[Int](n)
+    val dead = new Array[Boolean](n)
+    val heap = new java.util.PriorityQueue[java.lang.Long](math.max(16, n))
+    var i = 0
+    while (i < n) {
+      nxt(i) = if (i + 1 < n) i + 1 else -1
+      prv(i) = i - 1
+      if (i + 1 < n) {
+        val rk = rankOf(syms.get(i), syms.get(i + 1))
+        if (rk >= 0) heap.add(java.lang.Long.valueOf((rk.toLong << 32) | i))
+      }
+      i += 1
+    }
+    while (!heap.isEmpty) {
+      val e = heap.poll().longValue()
+      val rk = (e >>> 32).toInt
+      val li = (e & 0xFFFFFFFFL).toInt
+      if (!dead(li)) {
+        val ri = nxt(li)
+        if (ri >= 0 && rankOf(syms.get(li), syms.get(ri)) == rk) {
+          syms.set(li, syms.get(li) + syms.get(ri))
+          dead(ri) = true
+          val rr = nxt(ri)
+          nxt(li) = rr
+          if (rr >= 0) prv(rr) = li
+          val p = prv(li)
+          if (p >= 0) {
+            val pr = rankOf(syms.get(p), syms.get(li))
+            if (pr >= 0) heap.add(java.lang.Long.valueOf((pr.toLong << 32) | p))
+          }
+          if (rr >= 0) {
+            val nr = rankOf(syms.get(li), syms.get(rr))
+            if (nr >= 0) heap.add(java.lang.Long.valueOf((nr.toLong << 32) | li))
+          }
+        }
+      }
+    }
+    // compact surviving symbols in slot (= textual) order
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (!dead(i)) { if (w != i) syms.set(w, syms.get(i)); w += 1 }
+      i += 1
+    }
+    var k = n
+    while (k > w) { k -= 1; syms.remove(k) }
   }
 
   /** Append the word's tokens: space-joined, marker rendered `</w>`. */
@@ -255,12 +348,13 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
       s"bpe_token_count expects STRING, got ${child.dataType.simpleString}")
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
-  @transient private lazy val flat: Array[String] = BpeEncode.flatten(merges)
+  @transient private lazy val table: BpeTable =
+    BpeTable(BpeEncode.flatten(merges))
   override def nullSafeEval(input: Any): Any =
-    BpeEncode.tokenCount(input.asInstanceOf[UTF8String].toString, flat)
+    BpeEncode.tokenCount(input.asInstanceOf[UTF8String].toString, table)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    val ref = ctx.addReferenceObj("bpeTable", table, "graft.functions.BpeTable")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.BpeEncode.tokenCount($c.toString(), $ref)")
   }

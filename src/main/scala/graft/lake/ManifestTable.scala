@@ -2062,22 +2062,49 @@ class ManifestTable(spark: SparkSession, root: String,
       // sort the keys once per stats kind, then each entry answers
       // "any key inside my [min, max]?" with one binary search —
       // O(files·log keys), not O(files × keys) BigDecimal re-parses
-      // (the same once-per-value discipline as the bloom branch)
-      val sortedByKind = scala.collection.mutable.Map.empty[String, Array[String]]
-      def sortedFor(kind: String): Array[String] =
-        sortedByKind.getOrElseUpdate(kind,
-          vals.toArray.sortWith(statCmp(_, _, kind) < 0))
+      // (the same once-per-value discipline as the bloom branch).
+      // Numeric kinds sort ONLY the BigDecimal-parseable keys: folding
+      // statCmp's lexicographic fallback into one sortWith makes the
+      // comparator non-transitive ('2'<'10' numeric, '10'<'1a' lex,
+      // '1a'<'2' lex — a cycle), and binary search over the resulting
+      // inconsistently ordered array can wrongly prune a file that
+      // DOES hold a key — a silently incomplete erasure. Unparseable
+      // keys ('NaN'/'Infinity' cast-strings of doubles) or unparseable
+      // entry bounds disable numeric pruning for the affected entries:
+      // a file is only skipped when provably clean.
+      lazy val numSorted: Array[BigDecimal] =
+        vals.flatMap(tryBigDecimal).toArray.sorted
+      lazy val numKeysAllParse: Boolean = vals.forall(tryBigDecimal(_).isDefined)
+      val lexSorted = scala.collection.mutable.Map.empty[String, Array[String]]
       entries.filter(e => e.stats.get(pc).forall { s =>
-        val keys = sortedFor(s.kind)
-        var lo = 0
-        var hi = keys.length // first key >= min
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (statCmp(keys(mid), s.mn, s.kind) < 0) lo = mid + 1 else hi = mid
+        if (s.kind == "N") {
+          if (!numKeysAllParse) true // a NaN-ish key: cannot prove clean
+          else (tryBigDecimal(s.mn), tryBigDecimal(s.mx)) match {
+            case (Some(mn), Some(mx)) =>
+              var lo = 0
+              var hi = numSorted.length // first key >= min
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (numSorted(mid) < mn) lo = mid + 1 else hi = mid
+              }
+              lo < numSorted.length && numSorted(lo) <= mx
+            case _ => true // legacy/odd numeric bounds: never prune
+          }
+        } else {
+          val keys = lexSorted.getOrElseUpdate(s.kind, vals.toArray.sorted)
+          var lo = 0
+          var hi = keys.length // first key >= min
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (keys(mid).compareTo(s.mn) < 0) lo = mid + 1 else hi = mid
+          }
+          lo < keys.length && keys(lo).compareTo(s.mx) <= 0
         }
-        lo < keys.length && statCmp(keys(lo), s.mx, s.kind) <= 0
       })
     } else entries
+
+  private def tryBigDecimal(s: String): Option[BigDecimal] =
+    try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
 
   /** Row matcher for a key set: a literal IN below
     * [[ManifestTable.InLiteralMaxKeys]]; past it, a broadcast

@@ -1,33 +1,49 @@
 package graft.operators
 
 import graft.functions.Bpe
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding tokenizer TRAINING (Sennrich et al.
   * 2016) — the canonical algorithm, re-shaped for Spark's execution
-  * model:
+  * model in two tiers:
   *
   *  1. ONE pass over the corpus builds the distinct-word frequency
   *     table (explode + hash aggregate with map-side combine). Zipf's
-  *     law makes this table orders of magnitude smaller than the corpus
-  *     — at 100 TB of text it is the ~10⁸-row working set every merge
-  *     iteration runs on, and it stays DISTRIBUTED (never collected).
-  *  2. Per merge: adjacent-pair counts over the word table (narrow
-  *     flatMap via zip_with on the symbol split, then one partial-agg
-  *     shuffle keyed by pair), argmax with a deterministic tie-break
-  *     (count desc, then pair lexicographic asc — a total order, so
-  *     training is bit-reproducible at any parallelism), and a NARROW
-  *     literal-replace applying the merge to every word. The only
-  *     driver traffic per iteration is the 1-row argmax.
-  *  3. Lineage is truncated with localCheckpoint every few merges
-  *     (the [[graft.functions.GraphOps.pageRank]] pattern) so the
-  *     replace chain neither bloats codegen nor re-executes from the
-  *     corpus scan.
+  *     law makes this table orders of magnitude smaller than the
+  *     corpus — it is the ONLY corpus-size-dependent step: at 100 TB
+  *     of text the scan is the cost, and everything after runs on the
+  *     ~10⁷–10⁹-row word table.
+  *  2. The merge loop is inherently sequential (each argmax depends on
+  *     the previous merge), so the iteration engine is picked by word-
+  *     table size:
+  *     - **Local incremental** (table fits the driver — the common
+  *       case even for TB corpora): collect (word, cnt) once and run
+  *       the classic incremental trainer — a pair→count map, a
+  *       pair→words occurrence index, and a lazy-invalidation max-heap;
+  *       each merge touches only the words CONTAINING the winning pair
+  *       and applies signed count deltas. 32k–64k merges are microsec-
+  *       onds per merge, zero Spark jobs — merge count no longer
+  *       multiplies cluster work.
+  *     - **Distributed incremental** (vocabulary too large to
+  *       collect): the same signed-delta idea as incrementally
+  *       maintained DataFrames (the IVM pattern of
+  *       [[graft.lake.IncrementalView]]): a persistent (l, r, count)
+  *       pair table; per merge, ONLY words containing the winning pair
+  *       (a narrow `contains` filter) emit −before/+after pair deltas,
+  *       folded into the pair table with one small shuffle. The
+  *       per-merge cost is proportional to the pair's occurrence set —
+  *       shrinking as training proceeds — not to the word table.
+  *     Both engines share the argmax total order (count desc, then
+  *     pair lexicographic asc) → training is bit-reproducible at any
+  *     parallelism and merge-for-merge identical across the two paths
+  *     and the independent reference (all gated in BpeSpec).
   *
   * Symbols use the bracketed-string representation from
-  * [[graft.functions.Bpe]]; merges therefore apply as codegen'd
-  * string replaces with canonical left-to-right greedy semantics.
+  * [[graft.functions.Bpe]] on the distributed path (merges apply as
+  * codegen'd literal replaces with canonical left-to-right greedy
+  * semantics) and plain code-point lists locally — the same symbol
+  * alphabet (one symbol per code point + end-of-word marker).
   */
 object BpeTrainer {
 
@@ -38,40 +54,217 @@ object BpeTrainer {
   final case class Merge(rank: Int, left: String, right: String,
       freq: Long)
 
+  /** Largest distinct-word count collected for the local engine:
+    * 4M (word, cnt) rows ≈ a few hundred MB of driver heap — far
+    * below the word-table sizes real web corpora produce only past
+    * the ~PB mark. Overridable per call (tests force each path).
+    */
+  val DefaultMaxLocalWords = 4_000_000L
+
   /** Train `numMerges` merges over `docs(textCol)`. Stops early when no
     * adjacent pair occurs twice (nothing left to compress).
     */
-  def train(docs: DataFrame, numMerges: Int,
-      textCol: String = "text"): Seq[Merge] = {
+  def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
+      maxLocalWords: Long = DefaultMaxLocalWords): Seq[Merge] = {
     require(numMerges >= 1, "bpeTrain: numMerges must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val words = docs
+    val wordFreq = docs
       .select(explode(split(Bpe.sanitize(col(textCol)), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(Bpe.wrapWord(col("w")).as("syms"), col("cnt"))
+      .localCheckpoint(true)
+
+    if (wordFreq.count() <= maxLocalWords)
+      trainLocal(wordFreq.as[(String, Long)].collect(), numMerges)
+    else
+      trainDistributed(
+        wordFreq.select(Bpe.wrapWord(col("w")).as("syms"), col("cnt"))
+          .localCheckpoint(true),
+        numMerges)
+  }
+
+  // ------------------------------------------------------------------
+  // Local incremental engine
+  // ------------------------------------------------------------------
+
+  /** Classic incremental BPE trainer over a collected word-frequency
+    * table. Per merge: O(occurrence-set size), found via a pair→words
+    * index; the argmax comes from a max-heap with lazy invalidation
+    * (every count change pushes a fresh entry; a popped entry is valid
+    * iff it equals the pair's current count). Exactly the reference
+    * semantics: greedy left-to-right non-overlapping merge, count-desc
+    * then pair-asc tie-break, stop when the best pair's count < 2.
+    */
+  private[graft] def trainLocal(wordCnt: Array[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    // one symbol per CODE POINT (surrogate pair = one symbol) — the
+    // same alphabet as Bpe.wrapWord's ([\s\S]) and the encode kernel
+    val words = new Array[mutable.ArrayBuffer[String]](wordCnt.length)
+    val cnts = new Array[Long](wordCnt.length)
+    var wi = 0
+    while (wi < wordCnt.length) {
+      val (w, c) = wordCnt(wi)
+      val syms = new mutable.ArrayBuffer[String](w.length + 1)
+      var i = 0
+      while (i < w.length) {
+        if (Character.isHighSurrogate(w.charAt(i)) && i + 1 < w.length &&
+            Character.isLowSurrogate(w.charAt(i + 1))) {
+          syms += w.substring(i, i + 2); i += 2
+        } else { syms += String.valueOf(w.charAt(i)); i += 1 }
+      }
+      syms += Bpe.W
+      words(wi) = syms
+      cnts(wi) = c
+      wi += 1
+    }
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String),
+      mutable.HashSet[Int]]
+    def bump(p: (String, String), d: Long): Unit = {
+      val nv = pairCount.getOrElse(p, 0L) + d
+      if (nv == 0L) pairCount.remove(p) else pairCount(p) = nv
+    }
+    wi = 0
+    while (wi < words.length) {
+      val syms = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        bump(p, cnts(wi))
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        i += 1
+      }
+      wi += 1
+    }
+
+    // max-heap: count desc, then (l, r) asc — dequeue yields the
+    // Sennrich argmax under the deterministic total tie-break
+    val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else {
+            val cl = b._2.compareTo(a._2)
+            if (cl != 0) cl else b._3.compareTo(a._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    for ((p, c) <- pairCount) heap.enqueue((c, p._1, p._2))
+
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    val touched = mutable.HashSet.empty[(String, String)]
+    while (merges.size < numMerges && heap.nonEmpty) {
+      val (c, l, r) = heap.dequeue()
+      val p = (l, r)
+      if (c >= 2 && pairCount.getOrElse(p, 0L) == c) { // fresh entry
+        merges += Merge(merges.size, l, r, c)
+        // snapshot: the loop mutates the index sets it reads
+        val occ = pairWords.get(p).map(_.toArray).getOrElse(Array.empty)
+        touched.clear()
+        val oldPairs = mutable.HashSet.empty[(String, String)]
+        val newPairs = mutable.HashSet.empty[(String, String)]
+        for (idx <- occ) {
+          val syms = words(idx)
+          val wc = cnts(idx)
+          // signed deltas: −old adjacencies, apply merge, +new ones
+          oldPairs.clear(); newPairs.clear()
+          var i = 0
+          while (i < syms.length - 1) {
+            val q = (syms(i), syms(i + 1))
+            bump(q, -wc); touched += q; oldPairs += q
+            i += 1
+          }
+          // greedy left-to-right non-overlapping merge, in place
+          var read = 0
+          var write = 0
+          while (read < syms.length) {
+            if (read < syms.length - 1 && syms(read) == l &&
+                syms(read + 1) == r) {
+              syms(write) = l + r; read += 2
+            } else {
+              if (write != read) syms(write) = syms(read)
+              read += 1
+            }
+            write += 1
+          }
+          syms.dropRightInPlace(syms.length - write)
+          i = 0
+          while (i < syms.length - 1) {
+            val q = (syms(i), syms(i + 1))
+            bump(q, wc); touched += q; newPairs += q
+            pairWords.getOrElseUpdate(q, mutable.HashSet.empty) += idx
+            i += 1
+          }
+          // keep the occurrence index EXACT: drop memberships the
+          // merge dissolved (additions were handled in the + loop)
+          for (q <- oldPairs if !newPairs.contains(q))
+            pairWords.get(q).foreach(_ -= idx)
+        }
+        pairWords.remove(p)
+        // push fresh entries for every pair whose count changed
+        for (q <- touched) {
+          val nc = pairCount.getOrElse(q, 0L)
+          if (nc >= 2) heap.enqueue((nc, q._1, q._2))
+        }
+      } else if (c < 2) {
+        // heap is count-descending: nothing >= 2 remains — exhausted
+        heap.clear()
+      } // else: stale entry, skip
+    }
+    merges.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // Distributed incremental engine
+  // ------------------------------------------------------------------
+
+  /** Adjacent-pair (l, r, c) counts of a wrapped-symbol table — the
+    * zip_with-on-shifted-slices explode, all codegen'd built-ins.
+    * `sign` scales counts (−1 emits retraction deltas).
+    */
+  private def pairsOf(syms: Column, cnt: Column, sign: Int): Column = {
+    val t = split(trim(syms, Bpe.B), Bpe.B + Bpe.B)
+    explode(zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (l, r) => struct(l.as("l"), r.as("r"), (cnt * sign).as("c"))))
+  }
+
+  /** IVM-style trainer for word tables too large to collect: keeps a
+    * persistent distributed pair-count table; per merge, the 1-row
+    * argmax (TakeOrdered — no full sort), then ONLY the words
+    * containing the winning pair (narrow `contains` filter on the
+    * bracketed form — the pattern ␁l␁␁r␁ matches exactly the words
+    * with the adjacency) emit −before/+after deltas, folded in with
+    * one shuffle proportional to the occurrence set, NOT the corpus or
+    * the word table. Lineage on both tables is truncated as it grows
+    * (checkpoint every merge for the pair table — it was just shuffled
+    * anyway — and every 8 for the word table's replace chain).
+    */
+  private[graft] def trainDistributed(words0: DataFrame,
+      numMerges: Int): Seq[Merge] = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+
+    var cur = words0
+    var pairs = cur
+      .select(pairsOf(col("syms"), col("cnt"), 1).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("p.c")).as("c"))
       .localCheckpoint(true)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var cur = words
     var sinceCkpt = 0
-    var i = 0
     var exhausted = false
-    while (i < numMerges && !exhausted) {
-      // symbol array of each word, adjacent pairs via zip_with on the
-      // shifted slices — all codegen'd built-ins, no UDF
-      val toks = split(trim(col("syms"), Bpe.B), Bpe.B + Bpe.B)
-      val top = cur
-        .select(col("cnt"), toks.as("t"))
-        .select(col("cnt"), explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
-        .filter(col("c") >= 2)
+    while (merges.size < numMerges && !exhausted) {
+      val top = pairs.filter(col("c") >= 2)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1)
         .as[(String, String, Long)]
@@ -79,15 +272,27 @@ object BpeTrainer {
       top.headOption match {
         case None => exhausted = true
         case Some((l, r, c)) =>
-          merges += Merge(i, l, r, c)
-          cur = cur.withColumn("syms",
-            graft.functions.Bpe.applyMerges(col("syms"), Seq((l, r))))
+          merges += Merge(merges.size, l, r, c)
+          val pat = Bpe.B + l + Bpe.B + Bpe.B + r + Bpe.B
+          val hits = cur.filter(col("syms").contains(pat))
+          val mergedSyms =
+            Bpe.applyMerges(col("syms"), Seq((l, r))).as("syms")
+          val delta = hits
+            .select(pairsOf(col("syms"), col("cnt"), -1).as("p"))
+            .unionAll(hits.select(mergedSyms, col("cnt"))
+              .select(pairsOf(col("syms"), col("cnt"), 1).as("p")))
+            .select(col("p.l").as("l"), col("p.r").as("r"),
+              col("p.c").as("c"))
+          pairs = pairs.unionByName(delta)
+            .groupBy(col("l"), col("r")).agg(sum(col("c")).as("c"))
+            .filter(col("c") =!= 0)
+            .localCheckpoint(true)
+          cur = cur.withColumn("syms", mergedSyms)
           sinceCkpt += 1
           if (sinceCkpt >= 8) { // truncate the replace-chain lineage
             cur = cur.localCheckpoint(true)
             sinceCkpt = 0
           }
-          i += 1
       }
     }
     merges.toSeq

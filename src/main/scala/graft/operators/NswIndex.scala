@@ -401,10 +401,17 @@ class NswIndex private (spark: SparkSession, val root: String,
       }
     } finally changes.unpersist()
     // cursor advances only after the commit it describes; sub-counts
-    // merge against disk so a racer's inflation is never shrunk back
+    // merge against disk so a racer's inflation is never shrunk back.
+    // The pinned serve version is captured BEFORE the meta merge —
+    // load()'s invariant is meta-postdates-version, under which any
+    // skew can only over-fan probes into empty ranges. Reading the
+    // version after the merge would invert that: a racing re-split
+    // completing in between yields a handle whose pinned version
+    // includes data its layout doesn't describe (under-fanned probes).
+    val vAfter = table.latestVersion
     val next = NswIndex.writeMetaMergedLayout(spark, root, meta,
       layoutByList, cursor = Some(vTo))
-    new NswIndex(spark, root, next, table.latestVersion)
+    new NswIndex(spark, root, next, vAfter)
   }
 }
 
@@ -730,6 +737,9 @@ object NswIndex {
     val mt = indexTable(spark, root)
     mt.write(nodes.repartitionByRange(
       math.max(1, math.min(listsN, IndexFiles)), col("shard_id")), "overwrite")
+    // version captured BEFORE the meta write: load()'s invariant is
+    // meta-postdates-version (skew can only over-fan, never under-fan)
+    val vBuilt = mt.latestVersion
     val meta = NswIndexMeta(m, listsN, replicasN, entriesPerShard,
       sourceVersion, seedRows.map(_.getLong(0)).toSeq,
       seedRows.map(_.getSeq[Double](1).toIndexedSeq).toSeq,
@@ -737,7 +747,7 @@ object NswIndex {
     // enforces the same bound it was built under (re-split trigger)
     resetMeta(spark, root) // a rebuild must not merge prior deltas
     writeMeta(spark, root, meta)
-    new NswIndex(spark, root, meta, mt.latestVersion)
+    new NswIndex(spark, root, meta, vBuilt)
   }
 
   /** APPEND a meta delta — never overwrite. The meta state is a CRDT:
@@ -781,6 +791,19 @@ object NswIndex {
     val p = new org.apache.hadoop.fs.Path(metaPath(root))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
+    // "meta dir exists but holds no parquet" is the same as absent —
+    // a crash between mkdir and the first delta write. But parquet
+    // PRESENT and unreadable is corruption, and serving as if no index
+    // existed (or worse, merging a partial view) silently degrades
+    // every probe — fail loudly and let the operator resetMeta+build.
+    val hasParquet = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (!hasParquet) return None
     val rows =
       try {
         var raw = spark.read.option("recursiveFileLookup", "true")
@@ -792,7 +815,13 @@ object NswIndex {
           raw = raw.withColumn("maxShardRows",
             org.apache.spark.sql.functions.lit(0L))
         raw.as[NswIndexMeta].collect().toSeq
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalStateException(
+            s"NSW meta at ${metaPath(root)} is present but unreadable " +
+              "(corrupt delta parquet?) — refusing to serve a partial " +
+              "layout; resetMeta + rebuild to recover", e)
+      }
     if (rows.isEmpty) return None
     val norm = rows.map(r => r.copy(subCounts =
       if (r.subCounts.nonEmpty) r.subCounts

@@ -482,8 +482,8 @@ class LlmOpsSpec extends SparkTestBase {
     val composed = "caf\u00e9"
     assert(TextNormalize.normalizeString(decomposed) === composed)
     // control chars vanish, whitespace runs collapse, ends trim
-    assert(TextNormalize.normalizeString("  ab\t\tc\r\nd  ") === "ab c d")
-    assert(TextNormalize.normalizeString(" ") === "")
+    assert(TextNormalize.normalizeString("  a\u0007b\t\tc\r\nd  ") === "ab c d")
+    assert(TextNormalize.normalizeString("\u0000\u001f\u007f") === "")
     // idempotence even when a stripped control char EXPOSES a blocked
     // composition: "e<NUL><combining acute>" must compose to "\u00e9" in ONE
     // pass, same as two (CollapseNormalize relies on this)
