@@ -28,12 +28,15 @@ import org.apache.spark.sql.functions._
   *     - **Distributed incremental** (vocabulary too large to
   *       collect): the same signed-delta idea as incrementally
   *       maintained DataFrames (the IVM pattern of
-  *       [[graft.lake.IncrementalView]]): a persistent (l, r, count)
-  *       pair table; per merge, ONLY words containing the winning pair
-  *       (a narrow `contains` filter) emit −before/+after pair deltas,
-  *       folded into the pair table with one small shuffle. The
-  *       per-merge cost is proportional to the pair's occurrence set —
-  *       shrinking as training proceeds — not to the word table.
+  *       [[graft.lake.IncrementalView]]): a persistent hash-partitioned
+  *       (l, r) → count pair table; per merge, ONLY words containing
+  *       the winning pair (a narrow `contains` filter) emit
+  *       −before/+after pair deltas, and the only per-merge SHUFFLE is
+  *       delta-sized — the fold into the pair table is a
+  *       same-partitioner zipPartitions, narrow (zero network) on the
+  *       table side, though it does rewrite the cached table blocks in
+  *       executor memory each merge (RDD immutability; see
+  *       [[trainDistributed]] for the full cost model).
   *     Both engines share the argmax total order (count desc, then
   *     pair lexicographic asc) → training is bit-reproducible at any
   *     parallelism and merge-for-merge identical across the two paths
@@ -54,18 +57,31 @@ object BpeTrainer {
   final case class Merge(rank: Int, left: String, right: String,
       freq: Long)
 
-  /** Largest distinct-word count collected for the local engine:
-    * 4M (word, cnt) rows ≈ a few hundred MB of driver heap — far
-    * below the word-table sizes real web corpora produce only past
-    * the ~PB mark. Overridable per call (tests force each path).
+  /** Word-count cap for the local engine — overridable per call (tests
+    * force each path with 0). The real driver-heap driver is symbol
+    * count, so this is a coarse outer bound refined by
+    * [[DefaultMaxLocalSymbols]].
     */
   val DefaultMaxLocalWords = 4_000_000L
+
+  /** Total-symbol cap for the local engine. The local trainer's
+    * footprint is per SYMBOL, not per word: each symbol costs one
+    * small String (~48 B) + a buffer slot, and each adjacent pair one
+    * pairCount entry + one pairWords membership (~200 B amortized,
+    * pairs ≈ symbols) — call it ~250 B/symbol worst case. 32M symbols
+    * ≈ 8 GB of driver heap, safe on a typical 16 GB driver; 4M
+    * average-8-char words ≈ exactly this budget, so the two caps
+    * agree on natural-language tables and the symbol cap catches
+    * long-word outliers (URLs, DNA strings) the row count misses.
+    */
+  val DefaultMaxLocalSymbols = 32_000_000L
 
   /** Train `numMerges` merges over `docs(textCol)`. Stops early when no
     * adjacent pair occurs twice (nothing left to compress).
     */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
-      maxLocalWords: Long = DefaultMaxLocalWords): Seq[Merge] = {
+      maxLocalWords: Long = DefaultMaxLocalWords,
+      maxLocalSymbols: Long = DefaultMaxLocalSymbols): Seq[Merge] = {
     require(numMerges >= 1, "bpeTrain: numMerges must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -76,7 +92,13 @@ object BpeTrainer {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
 
-    if (wordFreq.count() <= maxLocalWords)
+    // tier by BOTH row count and total symbols (chars + marker; UTF-16
+    // length upper-bounds code points, erring toward distributed)
+    val (nWords, nSyms) = wordFreq
+      .agg(count(lit(1)), sum(length(col("w")) + lit(1)))
+      .as[(Long, Option[Long])].collect().head
+
+    if (nWords <= maxLocalWords && nSyms.getOrElse(0L) <= maxLocalSymbols)
       trainLocal(wordFreq.as[(String, Long)].collect(), numMerges)
     else
       trainDistributed(
@@ -237,41 +259,81 @@ object BpeTrainer {
       (l, r) => struct(l.as("l"), r.as("r"), (cnt * sign).as("c"))))
   }
 
-  /** IVM-style trainer for word tables too large to collect: keeps a
-    * persistent distributed pair-count table; per merge, the 1-row
-    * argmax (TakeOrdered — no full sort), then ONLY the words
-    * containing the winning pair (narrow `contains` filter on the
-    * bracketed form — the pattern ␁l␁␁r␁ matches exactly the words
-    * with the adjacency) emit −before/+after deltas, folded in with
-    * one shuffle proportional to the occurrence set, NOT the corpus or
-    * the word table. Lineage on both tables is truncated as it grows
-    * (checkpoint every merge for the pair table — it was just shuffled
-    * anyway — and every 8 for the word table's replace chain).
+  /** IVM-style trainer for word tables too large to collect. The pair
+    * table lives as a hash-partitioned, persisted `RDD[((l, r), c)]`
+    * whose partitioner NEVER changes, so the per-merge fold is a
+    * same-partitioner `zipPartitions` — narrow on the table side. Per
+    * merge the costs are, in order:
+    *   1. argmax: one in-memory scan of the cached pair table (no
+    *      shuffle, no sort — `takeOrdered(1)`);
+    *   2. delta: ONLY the words containing the winning pair (narrow
+    *      `contains` filter on the bracketed form — the pattern
+    *      ␁l␁␁r␁ matches exactly the words with the adjacency) emit
+    *      −before/+after pair deltas; the ONLY per-merge shuffle is
+    *      `reduceByKey` over this delta, proportional to the winning
+    *      pair's occurrence set, which shrinks as training proceeds;
+    *   3. fold: the co-partitioned zipPartitions rewrites the cached
+    *      pair table in executor memory — no network on the table
+    *      side, but it IS a full pass over the cached blocks (RDDs
+    *      are immutable; a true in-place O(delta) update would need a
+    *      mutable distributed map Spark doesn't have). At 10⁸ pairs ×
+    *      ~30 B this is memory-bandwidth-bound, far below shuffle
+    *      cost.
+    * Lineage is truncated every merge via `localCheckpoint` (backed by
+    * the already-persisted blocks — no extra write), and each
+    * superseded table/word checkpoint is explicitly unpersisted once
+    * its successor materializes, so storage memory stays O(1) in merge
+    * count instead of accumulating until the ContextCleaner notices.
     */
   private[graft] def trainDistributed(words0: DataFrame,
       numMerges: Int): Seq[Merge] = {
     val spark = words0.sparkSession
     import spark.implicits._
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+    // argmax total order: count desc, then (l, r) lexicographic asc —
+    // expressed so the WINNER is this ordering's MINIMUM (takeOrdered)
+    val argmaxOrd: Ordering[((String, String), Long)] =
+      new Ordering[((String, String), Long)] {
+        def compare(a: ((String, String), Long),
+            b: ((String, String), Long)): Int = {
+          val c = java.lang.Long.compare(b._2, a._2) // count desc
+          if (c != 0) c
+          else {
+            val cl = a._1._1.compareTo(b._1._1)
+            if (cl != 0) cl else a._1._2.compareTo(b._1._2)
+          }
+        }
+      }
+
+    def materialize(
+        rdd: org.apache.spark.rdd.RDD[((String, String), Long)])
+        : org.apache.spark.rdd.RDD[((String, String), Long)] = {
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.localCheckpoint() // truncate lineage using the cached blocks
+      rdd.count()
+      rdd
+    }
 
     var cur = words0
-    var pairs = cur
+    var curCkptIds = Set.empty[Int] // words0's blocks belong to train()
+    var pairs = materialize(cur
       .select(pairsOf(col("syms"), col("cnt"), 1).as("p"))
-      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-      .agg(sum(col("p.c")).as("c"))
-      .localCheckpoint(true)
+      .select(col("p.l"), col("p.r"), col("p.c"))
+      .as[(String, String, Long)]
+      .rdd.map { case (l, r, c) => ((l, r), c) }
+      .reduceByKey(part, _ + _))
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var sinceCkpt = 0
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
-      val top = pairs.filter(col("c") >= 2)
-        .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1)
-        .as[(String, String, Long)]
-        .collect() // bounded: exactly the 1-row argmax
+      val top = pairs.filter(_._2 >= 2).takeOrdered(1)(argmaxOrd)
       top.headOption match {
         case None => exhausted = true
-        case Some((l, r, c)) =>
+        case Some(((l, r), c)) =>
           merges += Merge(merges.size, l, r, c)
           val pat = Bpe.B + l + Bpe.B + Bpe.B + r + Bpe.B
           val hits = cur.filter(col("syms").contains(pat))
@@ -281,20 +343,41 @@ object BpeTrainer {
             .select(pairsOf(col("syms"), col("cnt"), -1).as("p"))
             .unionAll(hits.select(mergedSyms, col("cnt"))
               .select(pairsOf(col("syms"), col("cnt"), 1).as("p")))
-            .select(col("p.l").as("l"), col("p.r").as("r"),
-              col("p.c").as("c"))
-          pairs = pairs.unionByName(delta)
-            .groupBy(col("l"), col("r")).agg(sum(col("c")).as("c"))
-            .filter(col("c") =!= 0)
-            .localCheckpoint(true)
+            .select(col("p.l"), col("p.r"), col("p.c"))
+            .as[(String, String, Long)]
+            .rdd.map { case (dl, dr, dc) => ((dl, dr), dc) }
+            .reduceByKey(part, _ + _) // the only shuffle: delta-sized
+          val folded = pairs.zipPartitions(delta,
+              preservesPartitioning = true) { (ti, di) =>
+            val m = new java.util.HashMap[(String, String), Long]()
+            ti.foreach { case (k, v) => m.put(k, v) }
+            di.foreach { case (k, v) =>
+              val nv = m.getOrDefault(k, 0L) + v
+              if (nv == 0L) m.remove(k) else m.put(k, nv)
+            }
+            import scala.jdk.CollectionConverters._
+            m.entrySet().iterator().asScala
+              .map(e => (e.getKey, e.getValue))
+          }
+          materialize(folded)
+          pairs.unpersist(blocking = false)
+          pairs = folded
           cur = cur.withColumn("syms", mergedSyms)
           sinceCkpt += 1
           if (sinceCkpt >= 8) { // truncate the replace-chain lineage
+            val before = sc.getPersistentRDDs.keySet.toSet
             cur = cur.localCheckpoint(true)
+            val mine = sc.getPersistentRDDs.keySet.toSet -- before
+            curCkptIds.foreach(id =>
+              sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+            curCkptIds = mine
             sinceCkpt = 0
           }
       }
     }
+    curCkptIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    pairs.unpersist(blocking = false)
     merges.toSeq
   }
 

@@ -258,8 +258,75 @@ object DataMix extends QueryModule {
        |WHERE rk <= q
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** MIX7: tokenizer-aware sequence packing — mix2's streaming
+    * concat-then-chunk plan driven by REAL BPE token counts (the fused
+    * single-pass encode-count kernel over the fixed demo merge table)
+    * instead of the synthetic whitespace `tokens` proxy: the packing a
+    * pretraining job actually runs downstream of tokenizer training.
+    * The count leg is hash-exact cross-engine (the oracle replays the
+    * identical replace chain), so the whole train→encode→pack
+    * composition stays oracle-gated. Same shuffle shape as mix2 (one
+    * window cumsum per lang + one partial agg); the BPE count is a
+    * narrow codegen'd map — zero added shuffles.
+    */
+  def mix7BpePacking(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeTokenCount}
+    val budget = 2048
+    val text = coalesce(col("text"), lit(""))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Q.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        BpeTokenCount.countCol(spark, text, Bpe.FixedMerges)
+          .cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("tokens_before") / budget))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang").asc, col("pack_id").asc)
+  }
+
+  val mix7Oracle: String = {
+    import graft.functions.Bpe
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    regexp_replace(text, '[\\x00-\\x1F\\x7F]', '', 'g') AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, lang, coalesce(array_to_string(list_transform(
+       |    list_filter(string_split(t, ' '), x -> x <> ''),
+       |    x -> regexp_replace(x, '([\\s\\S])', chr(1)||'\\1'||chr(1), 'g')
+       |         || chr(1)||chr(2)||chr(1)), ''), '') AS wr
+       |  FROM s),
+       |toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST((length(e) - length(replace(e, chr(1), ''))) / 2
+       |      AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, lang,
+       |    ${Bpe.fixedMergesDuckSql("wr")} AS e FROM w)),
+       |packed AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY doc_id ASC NULLS FIRST
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+       |      AS BIGINT) AS pack_id
+       |  FROM toks)
+       |SELECT lang, pack_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM packed
+       |GROUP BY lang, pack_id
+       |ORDER BY lang ASC NULLS FIRST, pack_id ASC NULLS FIRST""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix6_temperature" -> mix6Temperature,
+    "mix7_bpe_packing" -> mix7BpePacking,
     "mix1_hash_sample" -> mix1HashSample,
     "mix2_seq_packing" -> mix2SeqPacking,
     "mix3_quality_filter" -> mix3QualityFilter,
@@ -268,6 +335,7 @@ object DataMix extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "mix6_temperature" -> mix6Oracle,
+    "mix7_bpe_packing" -> mix7Oracle,
     "mix1_hash_sample" -> mix1Oracle,
     "mix2_seq_packing" -> mix2Oracle,
     "mix3_quality_filter" -> mix3Oracle,

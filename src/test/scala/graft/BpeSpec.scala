@@ -16,13 +16,28 @@ class BpeSpec extends SparkTestBase {
 
   // ---- independent single-node reference (list-of-symbols form) ----
 
+  /** One symbol per CODE POINT (surrogate pair = one symbol) — the
+    * same alphabet as the trainers and the encode kernel, so parity
+    * gates stay meaningful on supplementary (non-BMP) characters.
+    */
+  private def codePointSyms(w: String): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   private def refWords(docs: Seq[String]): Map[List[String], Long] =
     docs
       .flatMap(_.replaceAll("[\\x00-\\x1F\\x7F]", "").split(" "))
       .filter(_.nonEmpty)
       .groupBy(identity).view
       .map { case (w, occ) =>
-        (w.map(_.toString).toList :+ Bpe.W) -> occ.size.toLong
+        (codePointSyms(w) :+ Bpe.W) -> occ.size.toLong
       }.toMap
 
   private def refPairCounts(
@@ -72,7 +87,7 @@ class BpeSpec extends SparkTestBase {
       merges: Seq[(String, String)]): List[String] =
     text.replaceAll("[\\x00-\\x1F\\x7F]", "").split(" ").filter(_.nonEmpty)
       .toList.flatMap { w =>
-        merges.foldLeft(w.map(_.toString).toList :+ Bpe.W) {
+        merges.foldLeft(codePointSyms(w) :+ Bpe.W) {
           case (syms, (l, r)) => refApply(syms, l, r)
         }
       }
@@ -164,6 +179,63 @@ class BpeSpec extends SparkTestBase {
     dist.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
       assert(g == w, s"merge #$i diverges: got $g want $w")
     }
+  }
+
+  test("trainer parity holds on supplementary (non-BMP) characters") {
+    // surrogate pairs must count as ONE symbol in every engine AND the
+    // reference: emoji runs, astral letters, mixed BMP/astral words
+    val docs = Seq(
+      "😀😀x 😀😀x 😀😀x",
+      "a😀b a😀b",
+      "𝕊𝕊 𝕊𝕊 𝕊𝕊",
+      "café café café")
+    val want = refTrain(docs, 8)
+    val local = BpeTrainer.train(docs.toDF("text"), numMerges = 8)
+      .map(m => (m.left, m.right, m.freq))
+    assert(local == want)
+    val dist = BpeTrainer.train(docs.toDF("text"), numMerges = 8,
+      maxLocalWords = 0)
+      .map(m => (m.left, m.right, m.freq))
+    assert(dist == want)
+    // at least one merge must involve an ASTRAL symbol (a surrogate
+    // PAIR counted as one code point) — i.e. the gate actually
+    // exercises the non-BMP path, and no side is a lone half
+    assert(want.exists(m =>
+      m._1.codePointCount(0, m._1.length) < m._1.length ||
+        m._2.codePointCount(0, m._2.length) < m._2.length))
+    want.foreach { m =>
+      Seq(m._1, m._2).foreach(s => assert(
+        !Character.isHighSurrogate(s.last) &&
+          !Character.isLowSurrogate(s.head),
+        s"merge side is a torn surrogate: $m"))
+    }
+  }
+
+  test("malformed merge tables fall back to the chain strategy") {
+    import graft.functions.BpeTable
+    def flatOf(ms: Seq[(String, String)]): Array[String] =
+      ms.flatMap(m => Seq(m._1, m._2)).toArray
+    // well-formed base: 40 distinct merges chained off one letter run
+    val good = (0 until 40).map { i =>
+      if (i == 0) ("a", "b") else ("ab" + "c" * (i - 1), "c")
+    }
+    assert(BpeTable.wellFormed(flatOf(good)))
+    assert(BpeTable(flatOf(good)).usePq) // >= threshold and well-formed
+    // duplicate product — the ADVICE gap case: (a,bc)->abc at a low
+    // rank, (ab,c)->abc later; "bc" made producible first so ONLY the
+    // duplicate product trips the check
+    val dupTable = Seq(("b", "c"), ("a", "b")) ++
+      (0 until 40).map(i => ("ab" + "d" * i, "d")) ++ Seq(("a", "bc"), ("ab", "c"))
+    assert(!BpeTable.wellFormed(flatOf(dupTable)))
+    assert(!BpeTable(flatOf(dupTable)).usePq) // falls back to chain
+    // side that is neither base nor an earlier product
+    val orphan = good ++ Seq(("zz", "q"))
+    assert(!BpeTable.wellFormed(flatOf(orphan)))
+    assert(!BpeTable(flatOf(orphan)).usePq)
+    // an astral (surrogate-pair) side IS a base symbol
+    val astral = Seq(("😀", "😀")) ++
+      (0 until 40).map(i => ("😀😀" + "e" * i, "e"))
+    assert(BpeTable.wellFormed(flatOf(astral)))
   }
 
   test("distributed IVM trainer matches local on real corpus text") {

@@ -169,6 +169,55 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(mt.deleteKeys("o_orderkey", Seq(null)) === 1)
   }
 
+  test("deleteKeys zone-map pruning is NaN/Infinity-safe: no file holding a key is ever skipped") {
+    // Regression gate for the keyCandidates parse-or-don't-prune
+    // rewrite: the old comparator fell back to LEXICOGRAPHIC compare
+    // when a double's cast-string bound didn't parse ("-Infinity",
+    // "NaN"), and lex order disagrees with numeric order (e.g.
+    // "-7.0" < "-Infinity" lex because '7' < 'I') — so a file whose
+    // min stat was "-Infinity" could be WRONGLY PRUNED for an
+    // in-range negative key: a silently incomplete GDPR erasure.
+    import spark.implicits._
+    val dir = scratch("del_nan_prune")
+    val mt = new ManifestTable(spark, dir, statsCol = Some("score"))
+    // separate appends => separate files with controlled stats
+    mt.write(Seq((1L, 1.0), (2L, 2.0), (3L, 10.0)).toDF("id", "score")
+      .coalesce(1), "overwrite")             // stats ["1.0","10.0"]
+    mt.write(Seq((4L, 5.0), (5L, Double.NaN)).toDF("id", "score")
+      .coalesce(1), "append")                // stats ["5.0","NaN"]
+    mt.write(Seq((6L, Double.NegativeInfinity), (7L, -7.0), (8L, -5.0))
+      .toDF("id", "score").coalesce(1), "append") // ["-Infinity","-5.0"]
+    mt.write(Seq((9L, 100.0), (10L, 200.0)).toDF("id", "score")
+      .coalesce(1), "append")                // plain parseable file
+    val before = mt.read().count()
+
+    // THE decisive lex-trap case: key -7.0 lives in the file whose min
+    // stat is the unparseable "-Infinity" — must be deleted
+    mt.deleteKeys("score", Seq("-7.0"))
+    assert(mt.read().filter(col("id") === 7L).count() === 0,
+      "file with -Infinity min stat was wrongly pruned for an in-range key")
+
+    // a key inside a file whose MAX stat is "NaN" (min parses)
+    mt.deleteKeys("score", Seq("5.0"))
+    assert(mt.read().filter(col("id") === 4L).count() === 0,
+      "file with NaN max stat was wrongly pruned")
+
+    // the special values themselves as keys (their exact cast-strings)
+    mt.deleteKeys("score", Seq("NaN", "-Infinity"))
+    assert(mt.read().filter(col("id").isin(5L, 6L)).count() === 0,
+      "NaN/-Infinity keys must reach their rows, not disable the delete")
+
+    // a mixed batch with an unparseable junk key must not poison the
+    // parseable ones (numKeysAllParse=false => prune nothing, match all)
+    mt.deleteKeys("score", Seq("10.0", "not_a_number", "100.0"))
+    assert(mt.read().filter(col("id").isin(3L, 9L)).count() === 0)
+
+    // everything else survives — deletes hit exactly the keyed rows
+    assert(mt.read().select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 8L, 10L))
+    assert(before === 10L)
+  }
+
   test("UPDATE via DVs: rows change without rewriting existing files") {
     val dir = scratch("upd_basic")
     val mt = new ManifestTable(spark, dir)

@@ -573,4 +573,65 @@ class NswIndexSpec extends SparkTestBase {
     assert(got.length === 8 * 3)
     assert(!got.exists(r => r.getLong(2) == 3L || r.getLong(2) == 7L))
   }
+
+  test("corrupt meta fails loudly; resetMeta + rebuild recovers") {
+    // Regression gate for readDiskMeta's fail-loud contract: meta
+    // PRESENT but unreadable must throw (serving as if no index
+    // existed — or merging a partial delta view — silently degrades
+    // every probe), while an empty meta dir (crash between mkdir and
+    // the first delta write) reads as absent.
+    val root = scratch("corrupt_meta")
+    val metaDir = s"$root/_graft_nsw_meta"
+    val conf = spark.sessionState.newHadoopConf()
+
+    val built = NswIndex.build(spark, emb, root)
+    val wantRows = built.query(probes, topK = 3, ef = 64).collect().toSeq
+
+    // truncate one delta parquet to a corrupt prefix
+    val mp = new org.apache.hadoop.fs.Path(metaDir)
+    val fs = mp.getFileSystem(conf)
+    val it = fs.listFiles(mp, true)
+    var victim: org.apache.hadoop.fs.Path = null
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) victim = f.getPath
+    }
+    assert(victim != null, "no meta delta parquet found")
+    val head = new Array[Byte](10)
+    val in = fs.open(victim)
+    in.readFully(head); in.close()
+    val out = fs.create(victim, true) // truncate: 10-byte torso
+    out.write(head); out.close()
+
+    // load must THROW the operator-actionable error — not return None
+    // (reverted behavior) and not serve a partial layout
+    val ex = intercept[IllegalStateException] {
+      NswIndex.load(spark, root)
+    }
+    assert(ex.getMessage.contains("unreadable"),
+      s"wrong failure mode: ${ex.getMessage}")
+    // the private read path throws identically (load may cache later)
+    val ex2 = intercept[IllegalStateException] {
+      NswIndex.readDiskMeta(spark, root)
+    }
+    assert(ex2.getMessage.contains("resetMeta"),
+      "error must tell the operator how to recover")
+
+    // recovery: rebuild at the same root (build resets meta first)
+    val rebuilt = NswIndex.build(spark, emb, root)
+    assert(rebuilt.query(probes, topK = 3, ef = 64).collect().toSeq
+      === wantRows)
+    assert(NswIndex.load(spark, root).isDefined)
+
+    // present-but-parquet-less meta dir == absent, NOT an error
+    val emptyRoot = scratch("empty_meta")
+    val ep = new org.apache.hadoop.fs.Path(s"$emptyRoot/_graft_nsw_meta")
+    val efs = ep.getFileSystem(conf)
+    efs.mkdirs(ep)
+    val marker = efs.create(
+      new org.apache.hadoop.fs.Path(ep, "_started"), true)
+    marker.close()
+    assert(NswIndex.readDiskMeta(spark, emptyRoot).isEmpty)
+    assert(NswIndex.load(spark, emptyRoot).isEmpty)
+  }
 }
