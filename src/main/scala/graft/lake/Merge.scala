@@ -14,15 +14,31 @@ import org.apache.spark.sql.functions._
   * correction feeds carry full rows, not sparse patches). Unmatched
   * source rows insert, unmatched target rows persist. Tombstone
   * deletes (WHEN MATCHED AND s._deleted THEN DELETE) via [[applyCdc]].
+  *
+  * Shape: anti-join + union, NOT a full-outer join. A full-outer join
+  * forces BOTH sides through a hash shuffle (full outer is not
+  * broadcastable, and its output partitioning is Unknown — nothing
+  * downstream can reuse it). The equivalent
+  * `source ∪ (target ANTI source-keys)` form lets Catalyst broadcast
+  * the source KEY SET when the feed is small — the overwhelmingly
+  * common CDC case — so the 100 TB target side is NEVER shuffled:
+  * the merge collapses to one broadcast probe per target row plus an
+  * append. A huge feed degrades gracefully to the same shuffled
+  * hash/sort-merge anti join the full-outer paid anyway. Downstream,
+  * ManifestTable's partitioned write repartitions by the partition
+  * tuple — with the old full-outer that made the rewrite DOUBLE
+  * shuffle (join hash + write layout); with the anti form the write
+  * shuffle is the only wide exchange in the whole merge.
   */
 object Merge {
 
-  /** Full-outer keyed upsert; schemas must match and `updates` must
-    * carry at most ONE row per key (a feed with several versions of a
-    * key would fan out the join — compact it first with
-    * [[latestPerKey]]). One shuffle on the key — at scale both sides
-    * hash-partition; no broadcast assumption (the updates side of a
-    * CDC feed can be arbitrarily large).
+  /** Keyed upsert; schemas must match and `updates` must carry at most
+    * ONE row per key (a feed with several versions of a key would
+    * insert both — compact it first with [[latestPerKey]]).
+    * `updates ∪ (base ANTI-JOIN update keys)`: matched targets are
+    * dropped by the anti join and replaced by their source rows
+    * (source wins, NULLs included), unmatched targets survive the
+    * anti, unmatched sources insert via the union.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     // align by NAME: a partitioned table reads back with the partition
@@ -30,24 +46,15 @@ object Merge {
     require(base.columns.toSet == updates.columns.toSet,
       s"schema mismatch: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
     val cols = base.columns.toSeq
-    // explicit presence marker: testing source-key nullability would
-    // misread a legitimately-NULL-keyed source row (matched null-safely
-    // by the <=> join) as "no source row" and silently drop its update
     val s0 = updates.select(cols.map(col): _*)
-      .withColumn("_s_present", lit(true))
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val sourcePresent = coalesce(col(s"s._s_present"), lit(false))
-    base.as("t").join(s0.as("s"), cond, "full_outer")
-      .select(cols.map { c =>
-        when(sourcePresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-      }: _*)
+    keptTargets(base, s0, keys).unionAll(s0)
   }
 
   /** Default tombstone column name for [[applyCdc]] feeds. */
   val DeleteCol = "_deleted"
 
   /** CDC MERGE with delete tombstones — the Delta/Iceberg three-clause
-    * form in ONE full-outer shuffle:
+    * form:
     *
     *   WHEN MATCHED AND s.`deleteCol`     THEN DELETE
     *   WHEN MATCHED                       THEN UPDATE SET *
@@ -56,6 +63,9 @@ object Merge {
     * `updates` = base schema + a boolean `deleteCol` (NULL = false).
     * A tombstone for an absent key is a no-op (idempotent re-apply: a
     * feed applied twice deletes/updates/inserts to the same state).
+    * Same anti-join + union shape as [[upsert]]: ALL fed keys
+    * (tombstones included) anti away their current target rows; only
+    * the non-tombstone source rows come back through the union.
     */
   def applyCdc(base: DataFrame, updates: DataFrame,
       keys: Seq[String], deleteCol: String = DeleteCol): DataFrame = {
@@ -63,18 +73,24 @@ object Merge {
       s"updates must be base schema + $deleteCol: " +
         s"${base.columns.toSeq} vs ${updates.columns.toSeq}")
     val cols = base.columns.toSeq
-    // same presence-marker rationale as [[upsert]]: NULL source keys
-    // are legal and must still update/delete their null-safe match
     val s0 = updates.select((cols :+ deleteCol).map(col): _*)
-      .withColumn("_s_present", lit(true))
+    val inserts = s0.filter(!coalesce(col(deleteCol), lit(false)))
+      .select(cols.map(col): _*)
+    keptTargets(base, s0, keys).unionAll(inserts)
+  }
+
+  /** Target rows whose key is NOT fed: a LEFT ANTI join against the
+    * source's key projection. Null-safe equality (`<=>`) — a NULL
+    * source key legally updates/deletes the NULL-keyed target row.
+    * Only the KEY columns of the feed enter the join's build side
+    * (narrowest possible broadcast); duplicate build keys are inert
+    * under anti-join semantics.
+    */
+  private def keptTargets(base: DataFrame, s0: DataFrame,
+      keys: Seq[String]): DataFrame = {
     val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    val sourcePresent = coalesce(col(s"s._s_present"), lit(false))
-    val isDelete = coalesce(col(s"s.$deleteCol"), lit(false))
-    base.as("t").join(s0.as("s"), cond, "full_outer")
-      .filter(!(sourcePresent && isDelete)) // drop matched + tombstoned keys
-      .select(cols.map { c =>
-        when(sourcePresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-      }: _*)
+    base.as("t")
+      .join(s0.select(keys.map(col): _*).distinct().as("s"), cond, "left_anti")
   }
 
   /** Rows of `updates` that would actually change the table: new keys

@@ -60,9 +60,12 @@ object Lakehouse extends QueryModule {
        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
 
   /** L1b: MERGE with delete tombstones through Merge.applyCdc — the
-    * three-clause Delta/Iceberg form (DELETE / UPDATE / INSERT) in one
-    * full-outer shuffle. Tombstoned keys (%101, disjoint from the other
-    * clauses' keys) vanish; corrections and inserts behave as l1.
+    * three-clause Delta/Iceberg form (DELETE / UPDATE / INSERT) as a
+    * broadcast-friendly anti-join + union (the target side is never
+    * shuffled when the feed is small). Tombstoned keys (%101, disjoint
+    * from the other clauses' keys) vanish; corrections and inserts
+    * behave as l1. The DuckDB oracle keeps the textbook FULL OUTER
+    * form — same rows, independently derived.
     */
   def l1MergeDelete(spark: SparkSession, dir: String): DataFrame = {
     val orders = Q.t(spark, dir, "orders")

@@ -39,6 +39,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("l1 merge: target side is anti-joined, never full-outer shuffled") {
+    // the anti-join + union MERGE shape: with a small CDC feed the
+    // target table is probed via a broadcast anti join — the 100 TB
+    // side is never hash-shuffled (a full-outer join would shuffle
+    // both sides unconditionally and is not broadcastable)
+    val df = SparkEntry.queries("l1_merge")(spark, sf)
+    df.collect() // AQE finalizes the join strategy at runtime
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FullOuter"), "merge regressed to a full-outer join:\n" + p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), "small feed should broadcast:\n" + p)
+  }
+
   test("a1: aggregation is two-phase (partial + final)") {
     val p = plan("a1_pricing_summary")
     assert(p.contains("HashAggregate"), p)
