@@ -56,9 +56,19 @@ object BpeTable {
     * user merge list passed to `graft_bpe_encode` — stays on the chain
     * scan, which IS the documented canonical semantics.
     */
-  def apply(flat: Array[String]): BpeTable =
-    new BpeTable(flat,
-      flat.length >= PqThreshold * 2 && wellFormed(flat))
+  def apply(flat: Array[String]): BpeTable = {
+    val big = flat.length >= PqThreshold * 2
+    val wf = big && wellFormed(flat)
+    if (big && !wf)
+      // a large table losing the O(len·log len) path is a real perf
+      // cliff (the chain is O(merges·len) per word) — say so once
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BPE merge table (${flat.length / 2} merges) is not " +
+          "well-formed (duplicate product or orphan side); encoding " +
+          "falls back to the rank-order chain scan — correct but " +
+          "O(merges) per word instead of O(log len)")
+    new BpeTable(flat, wf)
+  }
 
   /** Sufficient condition for PQ ≡ chain: every product `l + r` is
     * pairwise distinct, and each side is a base symbol (exactly one
@@ -76,6 +86,7 @@ object BpeTable {
     * rare duplicate-product table just runs the chain.
     */
   private[graft] def wellFormed(flat: Array[String]): Boolean = {
+    if (flat.length % 2 != 0) return false // constructor require reports it
     val products = new java.util.HashSet[String](flat.length)
     def ok(s: String): Boolean =
       (s.nonEmpty && s.codePointCount(0, s.length) == 1) ||

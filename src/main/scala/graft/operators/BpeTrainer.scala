@@ -92,8 +92,9 @@ object BpeTrainer {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
 
-    // tier by BOTH row count and total symbols (chars + marker; UTF-16
-    // length upper-bounds code points, erring toward distributed)
+    // tier by BOTH row count and total symbols. Spark's length()
+    // counts CODE POINTS (UTF8String.numChars), so length(w) + 1 is
+    // the trainers' exact per-word symbol count, marker included
     val (nWords, nSyms) = wordFreq
       .agg(count(lit(1)), sum(length(col("w")) + lit(1)))
       .as[(Long, Option[Long])].collect().head
@@ -289,9 +290,17 @@ object BpeTrainer {
       numMerges: Int): Seq[Merge] = {
     val spark = words0.sparkSession
     import spark.implicits._
-    val sc = spark.sparkContext
     val part = new org.apache.spark.HashPartitioner(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+    // the persisted RDD behind a localCheckpoint'd frame — tracked
+    // DIRECTLY off the checkpoint's own plan so the later unpersist
+    // can never touch RDDs persisted concurrently by other jobs on
+    // the shared SparkContext (a global persistent-RDD-id diff could)
+    def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
 
     // argmax total order: count desc, then (l, r) lexicographic asc —
     // expressed so the WINNER is this ordering's MINIMUM (takeOrdered)
@@ -318,7 +327,9 @@ object BpeTrainer {
     }
 
     var cur = words0
-    var curCkptIds = Set.empty[Int] // words0's blocks belong to train()
+    // words0's own checkpoint blocks belong to train(); only the
+    // checkpoints THIS loop creates are eligible for unpersist
+    var curCkptRdds = Seq.empty[org.apache.spark.rdd.RDD[_]]
     var pairs = materialize(cur
       .select(pairsOf(col("syms"), col("cnt"), 1).as("p"))
       .select(col("p.l"), col("p.r"), col("p.c"))
@@ -365,18 +376,15 @@ object BpeTrainer {
           cur = cur.withColumn("syms", mergedSyms)
           sinceCkpt += 1
           if (sinceCkpt >= 8) { // truncate the replace-chain lineage
-            val before = sc.getPersistentRDDs.keySet.toSet
-            cur = cur.localCheckpoint(true)
-            val mine = sc.getPersistentRDDs.keySet.toSet -- before
-            curCkptIds.foreach(id =>
-              sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-            curCkptIds = mine
+            cur = cur.localCheckpoint(true) // eager: materialized here
+            val prev = curCkptRdds
+            curCkptRdds = checkpointRdds(cur)
+            prev.foreach(_.unpersist(blocking = false))
             sinceCkpt = 0
           }
       }
     }
-    curCkptIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    curCkptRdds.foreach(_.unpersist(blocking = false))
     pairs.unpersist(blocking = false)
     merges.toSeq
   }

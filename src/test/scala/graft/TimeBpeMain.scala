@@ -30,8 +30,10 @@ object TimeBpeMain {
     docs.cache(); docs.count()
     def time(n: Int, maxLocal: Long): Unit = {
       val t0 = System.nanoTime()
+      // force BOTH tier gates the same way so the printed engine label
+      // always matches the engine that actually ran
       val m = graft.operators.BpeTrainer.train(docs, n,
-        maxLocalWords = maxLocal)
+        maxLocalWords = maxLocal, maxLocalSymbols = maxLocal)
       val eng = if (maxLocal == 0) "distributed" else "local"
       println(f"engine=$eng%s merges=$n%d learnable=${m.size}%d " +
         f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
