@@ -198,8 +198,11 @@ object BpeEncode {
     */
   private def mergeAll(syms: java.util.ArrayList[String],
       table: BpeTable): Unit =
-    if (table.usePq) mergeAllPq(syms, table.ranks)
-    else mergeAllChain(syms, table.flat)
+    if (table.usePq) {
+      mergeAllPq(syms, table.ranks) // the well-formed prefix
+      if (table.suffixFlat.length > 0) // rare: past the first violation
+        mergeAllChain(syms, table.suffixFlat)
+    } else mergeAllChain(syms, table.flat)
 
   /** Greedy left-to-right non-overlapping application of every merge in
     * rank order — in place, reusing one scratch list per call.

@@ -211,8 +211,8 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
-  test("malformed merge tables fall back to the chain strategy") {
-    import graft.functions.BpeTable
+  test("malformed tables split at the well-formed prefix; suffix chains") {
+    import graft.functions.{BpeEncode, BpeTable}
     def flatOf(ms: Seq[(String, String)]): Array[String] =
       ms.flatMap(m => Seq(m._1, m._2)).toArray
     // well-formed base: 40 distinct merges chained off one letter run
@@ -220,18 +220,42 @@ class BpeSpec extends SparkTestBase {
       if (i == 0) ("a", "b") else ("ab" + "c" * (i - 1), "c")
     }
     assert(BpeTable.wellFormed(flatOf(good)))
-    assert(BpeTable(flatOf(good)).usePq) // >= threshold and well-formed
+    val tGood = BpeTable(flatOf(good))
+    assert(tGood.usePq && tGood.suffixFlat.isEmpty) // whole-table PQ
     // duplicate product — the ADVICE gap case: (a,bc)->abc at a low
     // rank, (ab,c)->abc later; "bc" made producible first so ONLY the
-    // duplicate product trips the check
+    // duplicate product ends the prefix
     val dupTable = Seq(("b", "c"), ("a", "b")) ++
       (0 until 40).map(i => ("ab" + "d" * i, "d")) ++ Seq(("a", "bc"), ("ab", "c"))
-    assert(!BpeTable.wellFormed(flatOf(dupTable)))
-    assert(!BpeTable(flatOf(dupTable)).usePq) // falls back to chain
-    // side that is neither base nor an earlier product
-    val orphan = good ++ Seq(("zz", "q"))
+    val fd = flatOf(dupTable)
+    assert(!BpeTable.wellFormed(fd))
+    val tDup = BpeTable(fd)
+    // the PQ keeps the 43 merges BEFORE the duplicate; only the
+    // offending suffix chain-applies — no O(merges·len) cliff
+    assert(tDup.usePq)
+    assert(tDup.pqMerges == dupTable.size - 1)
+    assert(tDup.suffixFlat.toSeq == Seq("ab", "c"))
+    // byte parity vs the pure rank-order chain (the oracle semantics)
+    val chainT = new BpeTable(fd, false)
+    val probes = Seq("abc", "aabc zabc", "ab c abc abcd", "abdd abddd",
+      "bc abc ab", "abcabc a b c", "")
+    probes.foreach { t =>
+      assert(BpeEncode.encode(t, tDup) == BpeEncode.encode(t, chainT),
+        s"prefix-split/chain diverge on: $t")
+      assert(BpeEncode.tokenCount(t, tDup) == BpeEncode.tokenCount(t, chainT))
+    }
+    // side that is neither base nor an earlier product: prefix stops
+    // there but everything before it still rides the PQ
+    val orphan = good ++ Seq(("zz", "q"), ("ab", "x"))
+    val tOrphan = BpeTable(flatOf(orphan))
     assert(!BpeTable.wellFormed(flatOf(orphan)))
-    assert(!BpeTable(flatOf(orphan)).usePq)
+    assert(tOrphan.usePq && tOrphan.pqMerges == good.size)
+    assert(tOrphan.suffixFlat.toSeq == Seq("zz", "q", "ab", "x"))
+    // a violation BEFORE the threshold keeps the whole table on the
+    // chain (no PQ worth setting up for a 1-merge prefix)
+    val early = Seq(("x", "y"), ("x", "y")) ++ good
+    val tEarly = BpeTable(flatOf(early))
+    assert(!tEarly.usePq && tEarly.suffixFlat.isEmpty)
     // an astral (surrogate-pair) side IS a base symbol
     val astral = Seq(("😀", "😀")) ++
       (0 until 40).map(i => ("😀😀" + "e" * i, "e"))
