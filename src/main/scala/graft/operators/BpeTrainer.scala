@@ -92,21 +92,38 @@ object BpeTrainer {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
 
-    // tier by BOTH row count and total symbols. Spark's length()
-    // counts CODE POINTS (UTF8String.numChars), so length(w) + 1 is
-    // the trainers' exact per-word symbol count, marker included
-    val (nWords, nSyms) = wordFreq
-      .agg(count(lit(1)), sum(length(col("w")) + lit(1)))
-      .as[(Long, Option[Long])].collect().head
+    try {
+      // tier by BOTH row count and total symbols. Spark's length()
+      // counts CODE POINTS (UTF8String.numChars), so length(w) + 1 is
+      // the trainers' exact per-word symbol count, marker included
+      val (nWords, nSyms) = wordFreq
+        .agg(count(lit(1)), sum(length(col("w")) + lit(1)))
+        .as[(Long, Option[Long])].collect().head
 
-    if (nWords <= maxLocalWords && nSyms.getOrElse(0L) <= maxLocalSymbols)
-      trainLocal(wordFreq.as[(String, Long)].collect(), numMerges)
-    else
-      trainDistributed(
-        wordFreq.select(Bpe.wrapWord(col("w")).as("syms"), col("cnt"))
-          .localCheckpoint(true),
-        numMerges)
+      if (nWords <= maxLocalWords && nSyms.getOrElse(0L) <= maxLocalSymbols)
+        trainLocal(wordFreq.as[(String, Long)].collect(), numMerges)
+      else {
+        val words0 = wordFreq
+          .select(Bpe.wrapWord(col("w")).as("syms"), col("cnt"))
+          .localCheckpoint(true)
+        try trainDistributed(words0, numMerges)
+        finally checkpointRdds(words0).foreach(_.unpersist(blocking = false))
+      }
+    } finally
+      // training is a bounded operation, not a handle: every block it
+      // pinned (word table included) is released before returning
+      checkpointRdds(wordFreq).foreach(_.unpersist(blocking = false))
   }
+
+  /** The persisted RDD(s) behind a localCheckpoint'd frame — tracked
+    * DIRECTLY off the checkpoint's own plan so unpersist can never
+    * touch RDDs persisted concurrently by other jobs on the shared
+    * SparkContext (a global persistent-RDD-id diff could).
+    */
+  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 
   // ------------------------------------------------------------------
   // Local incremental engine
@@ -292,15 +309,6 @@ object BpeTrainer {
     import spark.implicits._
     val part = new org.apache.spark.HashPartitioner(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-
-    // the persisted RDD behind a localCheckpoint'd frame — tracked
-    // DIRECTLY off the checkpoint's own plan so the later unpersist
-    // can never touch RDDs persisted concurrently by other jobs on
-    // the shared SparkContext (a global persistent-RDD-id diff could)
-    def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }
 
     // argmax total order: count desc, then (l, r) lexicographic asc —
     // expressed so the WINNER is this ordering's MINIMUM (takeOrdered)

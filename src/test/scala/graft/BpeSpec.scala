@@ -271,6 +271,26 @@ class BpeSpec extends SparkTestBase {
     docs.unpersist()
   }
 
+  test("training releases every RDD block it pinned (no storage leak)") {
+    // train() checkpoints the word table and the distributed engine
+    // checkpoints pair/word tables per merge; all of it must be
+    // unpersisted on return — a long-lived session running many
+    // trainings must not accumulate storage memory. Loose bound
+    // (other suites share this SparkContext and may cache
+    // concurrently): 5 distributed + 5 local trainings pre-fix leak
+    // >= 10 blocks; post-fix 0.
+    val sc = spark.sparkContext
+    val docs = fixture.toDF("text")
+    val before = sc.getPersistentRDDs.size
+    (1 to 5).foreach { _ =>
+      BpeTrainer.train(docs, numMerges = 6, maxLocalWords = 0)
+      BpeTrainer.train(docs, numMerges = 6)
+    }
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 4,
+      s"training leaked persisted RDDs: $before -> $after")
+  }
+
   test("fixed-merge encode matches the reference token stream") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .orderBy("doc_id").limit(60)
