@@ -239,7 +239,10 @@ object DedupOps {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(true) // O(diameter) materializations, flat lineage
       val changed = updated.filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+      // RDD-level release — Dataset.unpersist() is a no-op on a
+      // checkpointed frame (CheckpointOps); superseded rounds must
+      // free their blocks now, not at context-cleaner whim
+      CheckpointOps.release(labels)
       labels = updated.drop("old")
       converged = changed == 0
       i += 1
@@ -252,6 +255,9 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter iterations; " +
           "graph diameter exceeds maxIter — raise maxIter")
+    // the final labels checkpoint is self-contained; the edge table —
+    // the big input — can be released with the result still live
+    CheckpointOps.release(edges)
     labels.withColumnRenamed("label", "cluster_id")
   }
 
@@ -324,7 +330,7 @@ object DedupOps {
       // count match + empty difference (two cheap keyed jobs)
       converged = next.count() == edges.count() &&
         next.except(edges).isEmpty
-      edges.unpersist()
+      CheckpointOps.release(edges) // RDD-level; Dataset.unpersist no-ops
       edges = next
       i += 1
     }

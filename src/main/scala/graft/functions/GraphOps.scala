@@ -83,12 +83,20 @@ object GraphOps {
       val mat = (i % 3 == 2) || i == iters - 1
       if (mat) {
         val next = updated.localCheckpoint(true)
-        lastMat.unpersist()
+        // RDD-level release: Dataset.unpersist() would be a no-op on
+        // a checkpointed frame (see CheckpointOps) — the superseded
+        // round's blocks must go now, not when the cleaner notices
+        CheckpointOps.release(lastMat)
         lastMat = next
         ranks = next
       } else ranks = updated
       i += 1
     }
+    // the result is the final checkpoint — self-contained, so every
+    // working table this call pinned can be released with it live
+    CheckpointOps.release(e)
+    CheckpointOps.release(nodes)
+    CheckpointOps.release(eDeg)
     ranks
   }
 }

@@ -107,23 +107,13 @@ object BpeTrainer {
           .select(Bpe.wrapWord(col("w")).as("syms"), col("cnt"))
           .localCheckpoint(true)
         try trainDistributed(words0, numMerges)
-        finally checkpointRdds(words0).foreach(_.unpersist(blocking = false))
+        finally graft.functions.CheckpointOps.release(words0)
       }
     } finally
       // training is a bounded operation, not a handle: every block it
       // pinned (word table included) is released before returning
-      checkpointRdds(wordFreq).foreach(_.unpersist(blocking = false))
+      graft.functions.CheckpointOps.release(wordFreq)
   }
-
-  /** The persisted RDD(s) behind a localCheckpoint'd frame — tracked
-    * DIRECTLY off the checkpoint's own plan so unpersist can never
-    * touch RDDs persisted concurrently by other jobs on the shared
-    * SparkContext (a global persistent-RDD-id diff could).
-    */
-  private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }
 
   // ------------------------------------------------------------------
   // Local incremental engine
@@ -386,7 +376,7 @@ object BpeTrainer {
           if (sinceCkpt >= 8) { // truncate the replace-chain lineage
             cur = cur.localCheckpoint(true) // eager: materialized here
             val prev = curCkptRdds
-            curCkptRdds = checkpointRdds(cur)
+            curCkptRdds = graft.functions.CheckpointOps.rdds(cur)
             prev.foreach(_.unpersist(blocking = false))
             sinceCkpt = 0
           }
