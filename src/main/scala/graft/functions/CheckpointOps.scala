@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
 
 /** localCheckpoint lifecycle helpers. `Dataset.unpersist()` is a
   * silent NO-OP for a localCheckpoint'd frame — its blocks belong to
@@ -17,7 +17,7 @@ import org.apache.spark.sql.DataFrame
 object CheckpointOps {
 
   /** The persisted RDD(s) behind a localCheckpoint'd frame. */
-  def rdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+  def rdds(df: Dataset[_]): Seq[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
@@ -27,6 +27,6 @@ object CheckpointOps {
     * is truncated, so the frame is unrecomputable afterwards. Never
     * call on a frame that escapes to the caller.
     */
-  def release(df: DataFrame): Unit =
+  def release(df: Dataset[_]): Unit =
     rdds(df).foreach(_.unpersist(blocking = false))
 }

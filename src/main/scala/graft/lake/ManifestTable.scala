@@ -2191,7 +2191,7 @@ class ManifestTable(spark: SparkSession, root: String,
       }.drop(DvFileCol, DvPosCol)
       commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
         Seq(enforced(updated)))
-    } finally hits.unpersist()
+    } finally graft.functions.CheckpointOps.release(hits) // RDD-level: Dataset.unpersist no-ops on checkpoints
   }
 
   /** Shared DV commit: record `marks` (positions to kill, computed

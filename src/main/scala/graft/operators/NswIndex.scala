@@ -396,10 +396,10 @@ class NswIndex private (spark: SparkSession, val root: String,
                 math.max(1, math.min(meta.lists, NswIndex.IndexFiles)),
                 col("shard_id"))),
               strict = true, version = baseV): Unit
-          } finally existing.unpersist()
-        } finally assigned0.unpersist()
+          } finally graft.functions.CheckpointOps.release(existing)
+        } finally graft.functions.CheckpointOps.release(assigned0)
       }
-    } finally changes.unpersist()
+    } finally graft.functions.CheckpointOps.release(changes)
     // cursor advances only after the commit it describes; sub-counts
     // merge against disk so a racer's inflation is never shrunk back.
     // The pinned serve version is captured BEFORE the meta merge —

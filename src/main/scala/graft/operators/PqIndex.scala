@@ -148,7 +148,7 @@ class PqIndex private (spark: SparkSession, val root: String,
         table.deleteKeysAndAppend(Seq("vec_id" -> touched), adds,
           strict = true, version = baseV): Unit
       }
-    } finally changes.unpersist()
+    } finally graft.functions.CheckpointOps.release(changes)
     PqIndex.writeMeta(spark, root, meta.copy(sourceVersion = vTo))
     new PqIndex(spark, root, meta.copy(sourceVersion = vTo))
   }

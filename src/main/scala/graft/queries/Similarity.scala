@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryModule}
-import graft.functions.{CosineSimilarity, VectorOps}
+import graft.functions.{CheckpointOps, CosineSimilarity, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -733,7 +733,7 @@ object Similarity extends QueryModule {
           // empty cells keep their previous centroid
           cells.getOrElse((mi, ki, j), prev(mi)(ki)(j)))))
     }
-    if (lloydIters > 1) train.unpersist()
+    if (lloydIters > 1) CheckpointOps.release(train) // RDD-level: unpersist() no-ops on checkpoints
     cents
   }
 
