@@ -61,4 +61,29 @@ class GraphOpsSpec extends SparkTestBase {
     val again = SparkEntry.queries("g1_pagerank")(spark, sf)
     assert(out.exceptAll(again).count() === 0)
   }
+
+  test("iterative graph ops release superseded checkpoints (no storage pile-up)") {
+    // Regression gate for the RDD-level CheckpointOps release: each
+    // call may leave its RESULT checkpoint pinned (the returned frame
+    // IS that checkpoint — ~1 block for pageRank, ~1 for CC, ~2 for
+    // CC-star's nodes+edges), but working tables and per-round
+    // intermediates must go. Pre-fix, 3 rounds of the trio pinned
+    // ~35+ tables (every iteration's rank/label/edge copy plus edge/
+    // degree inputs); post-fix the ceiling is the results alone.
+    // Loose bound: other suites share this SparkContext.
+    import spark.implicits._
+    import graft.functions.DedupOps
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("src", "dst")
+    val before = sc.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      GraphOps.pageRank(edges, "src", "dst", iters = 7).collect()
+      DedupOps.connectedComponents(edges, "src", "dst").collect()
+      DedupOps.connectedComponentsStar(edges, "src", "dst").collect()
+    }
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 15,
+      s"iterative ops leaked checkpoints: $before -> $after")
+  }
 }
