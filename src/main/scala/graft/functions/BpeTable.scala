@@ -82,13 +82,16 @@ object BpeTable {
     val nm = flat.length / 2
     val prefix = wellFormedPrefix(flat)
     val usePq = prefix >= PqThreshold
-    if (!usePq && nm >= PqThreshold)
-      // a large table with a tiny well-formed prefix loses the
-      // O(len·log len) path entirely — worth a visible warning
+    if (nm - prefix >= PqThreshold)
+      // what hurts is a large chain-scanned SUFFIX, wherever the first
+      // violation falls: an early violation in a 64k-merge table still
+      // chain-scans ~64k merges per word even though the prefix ran
+      // the PQ — worth a visible warning either way
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"BPE merge table ($nm merges) has only a $prefix-merge " +
-          "well-formed prefix; encoding runs the full rank-order " +
-          "chain scan — correct but O(merges) per word")
+        s"BPE merge table ($nm merges) is well-formed only through " +
+          s"merge $prefix; the remaining ${nm - prefix} merges " +
+          "chain-scan per word (correct but O(suffix merges)) — " +
+          "retrain or repair the table to restore the O(log len) path")
     new BpeTable(flat, usePq, if (usePq) prefix else nm)
   }
 

@@ -224,6 +224,8 @@ object DedupOps {
       .withColumn("label", col("node"))
       .localCheckpoint(true)
     var converged = false
+    var returned = false
+    try {
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
@@ -255,10 +257,16 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter iterations; " +
           "graph diameter exceeds maxIter — raise maxIter")
-    // the final labels checkpoint is self-contained; the edge table —
-    // the big input — can be released with the result still live
-    CheckpointOps.release(edges)
+    returned = true
     labels.withColumnRenamed("label", "cluster_id")
+    } finally {
+      // exception paths (incl. the documented non-convergence throw,
+      // whose advice is "raise maxIter and retry") must not pin the
+      // edge table across retries; the final labels checkpoint is
+      // self-contained, so edges goes on success too
+      CheckpointOps.release(edges)
+      if (!returned) CheckpointOps.release(labels)
+    }
   }
 
   /** Connected components via alternating large-star / small-star
@@ -304,6 +312,8 @@ object DedupOps {
       .distinct()
       .localCheckpoint(true)
     var converged = edges.isEmpty
+    var returned = false
+    try {
     var i = 0
     while (!converged && i < maxIter) {
       // large-star: m(u) = min over Γ(u) ∪ {u}; attach larger nbrs to m
@@ -338,11 +348,19 @@ object DedupOps {
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge within $maxIter rounds; " +
           "raise maxIter (rounds grow ~logarithmically with diameter)")
+    returned = true
     // stars: every edge is (node, component-min); minima label themselves,
     // and input singletons (self-pair-only nodes) label themselves too
     val labels = edges.select(col("u").as("node"), col("v").as("cluster_id"))
     nodes.join(labels, col("n") === col("node"), "left")
       .select(col("n").as("node"),
         coalesce(col("cluster_id"), col("n")).as("cluster_id"))
+    } finally if (!returned) {
+      // the success path RETURNS a plan over nodes+edges (both stay
+      // pinned for the caller); error paths must release them so the
+      // documented raise-maxIter retry does not accumulate storage
+      CheckpointOps.release(nodes)
+      CheckpointOps.release(edges)
+    }
   }
 }

@@ -59,6 +59,8 @@ object GraphOps {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     var lastMat = ranks
+    var returned = false
+    try {
     var i = 0
     while (i < iters) {
       // O(1) driver scalar: total rank sitting on dangling nodes
@@ -92,11 +94,16 @@ object GraphOps {
       } else ranks = updated
       i += 1
     }
-    // the result is the final checkpoint — self-contained, so every
-    // working table this call pinned can be released with it live
-    CheckpointOps.release(e)
-    CheckpointOps.release(nodes)
-    CheckpointOps.release(eDeg)
+    returned = true
     ranks
+    } finally {
+      // the result is the final checkpoint — self-contained, so every
+      // working table this call pinned is released with it live; on an
+      // exception the in-flight rank checkpoint goes too
+      CheckpointOps.release(e)
+      CheckpointOps.release(nodes)
+      CheckpointOps.release(eDeg)
+      if (!returned) CheckpointOps.release(lastMat)
+    }
   }
 }

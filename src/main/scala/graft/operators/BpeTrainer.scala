@@ -338,6 +338,7 @@ object BpeTrainer {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var sinceCkpt = 0
     var exhausted = false
+    try {
     while (merges.size < numMerges && !exhausted) {
       val top = pairs.filter(_._2 >= 2).takeOrdered(1)(argmaxOrd)
       top.headOption match {
@@ -382,9 +383,14 @@ object BpeTrainer {
           }
       }
     }
-    curCkptRdds.foreach(_.unpersist(blocking = false))
-    pairs.unpersist(blocking = false)
     merges.toSeq
+    } finally {
+      // normal AND exception exits release every block this loop
+      // pinned (`pairs`/`curCkptRdds` always reference the newest
+      // generation; older ones were released as they were superseded)
+      curCkptRdds.foreach(_.unpersist(blocking = false))
+      pairs.unpersist(blocking = false)
+    }
   }
 
   /** Train and return the merge table as a DataFrame (marker rendered

@@ -388,14 +388,16 @@ class NswIndex private (spark: SparkSession, val root: String,
               NswIndex.writeMetaMergedLayout(spark, root, meta,
                 mergedSubs, cursor = None): Unit
             }
-            NswIndex.testBeforeCommit()
-            table.deleteKeysAndAppend(
-              Seq("vec_id" -> touched,
-                "shard_id" -> deleteShards.map(_.toString)),
-              Seq(rebuilt.repartitionByRange(
-                math.max(1, math.min(meta.lists, NswIndex.IndexFiles)),
-                col("shard_id"))),
-              strict = true, version = baseV): Unit
+            try {
+              NswIndex.testBeforeCommit()
+              table.deleteKeysAndAppend(
+                Seq("vec_id" -> touched,
+                  "shard_id" -> deleteShards.map(_.toString)),
+                Seq(rebuilt.repartitionByRange(
+                  math.max(1, math.min(meta.lists, NswIndex.IndexFiles)),
+                  col("shard_id"))),
+                strict = true, version = baseV): Unit
+            } finally graft.functions.CheckpointOps.release(rebuilt)
           } finally graft.functions.CheckpointOps.release(existing)
         } finally graft.functions.CheckpointOps.release(assigned0)
       }
