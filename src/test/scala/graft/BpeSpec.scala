@@ -262,6 +262,18 @@ class BpeSpec extends SparkTestBase {
     assert(BpeTable.wellFormed(flatOf(astral)))
   }
 
+  test("distributed IVM trainer matches the reference at depth (48 merges, rich vocabulary)") {
+    // the co-partitioned zipPartitions fold accumulates signed deltas
+    // over many merges — a sign error or lost delta would compound and
+    // surface as a divergence at depth that the 8-10-merge fixture
+    // gates cannot see
+    val texts = richCorpus.take(400)
+    val dist = BpeTrainer.train(texts.toDF("text"), numMerges = 48,
+      maxLocalWords = 0)
+      .map(m => (m.left, m.right, m.freq))
+    assert(dist == refTrain(texts, 48))
+  }
+
   test("distributed IVM trainer matches local on real corpus text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .orderBy("doc_id").limit(40).cache()
