@@ -287,6 +287,75 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id").asc)
   }
 
+  /** D15: survivor selection — inside each near-dup cluster keep the
+    * HIGHEST-QUALITY document (tie-break lowest doc_id), the curation
+    * policy real pipelines want (d6's min-id canonical keeps whichever
+    * copy happened to be crawled first; this keeps the best copy).
+    * Composes two already-oracle-exact legs — the d6 cluster closure
+    * and the tx_quality_score signal — so the float ranking is
+    * bit-stable cross-engine. Scale: clusters from the bounded-round
+    * CC engine, quality a narrow scan, survivor pick ONE window
+    * shuffle keyed on cluster_id.
+    */
+  def d15SurvivorPick(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = d6DupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val docs = Q.t(spark, dir, "documents")
+    val quality = docs.select(
+      col("doc_id"),
+      (lit(0.5) * least(length(col("text")).cast("double") / lit(400.0), lit(1.0))
+        + lit(0.3) * TextFunctions.stopwordRatio(col("text"))
+        + lit(0.2) * (lit(1.0) - TextFunctions.punctRatio(col("text"))))
+        .as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rk") === 1).as("is_survivor"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val d15Oracle: String =
+    """WITH RECURSIVE
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      list_zip(string_split(text,' ')[1:len(string_split(text,' '))-1],
+      |               string_split(text,' ')[2:len(string_split(text,' '))]),
+      |      p -> p[1] || ' ' || p[2])) AS s
+      |  FROM documents WHERE doc_id < 60),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.05),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b),
+      |cl AS (
+      |  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+      |sig AS (
+      |  SELECT doc_id,
+      |    0.5 * least(CAST(len(text) AS DOUBLE) / 400.0, 1.0)
+      |    + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')))
+      |    + 0.2 * (1.0 - CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |        / len(text)) AS quality
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT cl.doc_id, cl.cluster_id, sig.quality,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+      |      ORDER BY sig.quality DESC, cl.doc_id ASC) AS INT) AS rk
+      |  FROM cl JOIN sig USING (doc_id))
+      |SELECT doc_id, cluster_id, quality, rk = 1 AS is_survivor
+      |FROM ranked ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** Keep the d2 pair definition inline (sh CTE identical to d2Oracle)
     * so the closure runs over exactly the oracle-checked pair set.
     */
@@ -740,6 +809,7 @@ object Dedup extends QueryModule {
     "d12_incr_dedup" -> d12IncrementalDedup,
     "d13_prefix_jaccard" -> ((s, d) => d13PrefixJaccard(s, d)),
     "d14_er_clusters" -> d14ErClusters,
+    "d15_survivor_pick" -> d15SurvivorPick,
     "d9_triangles" -> d9Triangles,
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,
@@ -754,6 +824,7 @@ object Dedup extends QueryModule {
     "d12_incr_dedup" -> d12Oracle,
     "d13_prefix_jaccard" -> d13Oracle,
     "d14_er_clusters" -> d14Oracle,
+    "d15_survivor_pick" -> d15Oracle,
     "d1_exact_dedup" -> d1Oracle,
     "d2_jaccard_pairs" -> d2Oracle,
     "d4_simhash" -> d4Oracle,
