@@ -324,9 +324,95 @@ object DataMix extends QueryModule {
        |ORDER BY lang ASC NULLS FIRST, pack_id ASC NULLS FIRST""".stripMargin
   }
 
+  /** MIX8: the end-to-end curation recipe in ONE query — exact dedup
+    * (first doc per content hash), quality-gate (the tx_quality_score
+    * signal ≥ 0.5), then BPE-token sequence packing per language: the
+    * dedup → filter → tokenize → pack chain a pretraining data job
+    * actually runs, each leg individually hash-exact cross-engine so
+    * the whole composition stays oracle-gated. Shuffle profile at
+    * 100 TB: one hash shuffle on the content fingerprint (dedup), one
+    * window cumsum per lang (pack) — the quality gate and token count
+    * are narrow codegen'd maps between them.
+    */
+  def mix8CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Bpe, BpeTokenCount}
+    val budget = 2048
+    val wDedup = Window.partitionBy(md5(col("text").cast("binary")))
+      .orderBy(col("doc_id").asc)
+    val surv = Q.t(spark, dir, "documents")
+      .withColumn("_rn", row_number().over(wDedup))
+      .filter(col("_rn") === 1).drop("_rn")
+    val quality =
+      lit(0.5) * least(length(col("text")).cast("double") / lit(400.0), lit(1.0)) +
+        lit(0.3) * TextFunctions.stopwordRatio(col("text")) +
+        lit(0.2) * (lit(1.0) - TextFunctions.punctRatio(col("text")))
+    val keep = surv.filter(quality >= 0.5)
+    val text = coalesce(col("text"), lit(""))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keep.select(col("doc_id"), col("lang"),
+        BpeTokenCount.countCol(spark, text, Bpe.FixedMerges)
+          .cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("tokens_before") / budget))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang").asc, col("pack_id").asc)
+  }
+
+  val mix8Oracle: String = {
+    import graft.functions.Bpe
+    s"""WITH surv AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |        ORDER BY doc_id ASC NULLS FIRST) AS rn
+       |    FROM documents)
+       |  WHERE rn = 1),
+       |keep AS (
+       |  SELECT doc_id, lang, text FROM surv
+       |  WHERE 0.5 * least(CAST(len(text) AS DOUBLE) / 400.0, 1.0)
+       |    + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
+       |        w -> w IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+       |        / len(string_split(text, ' ')))
+       |    + 0.2 * (1.0 - CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |        / len(text)) >= 0.5),
+       |w AS (
+       |  SELECT doc_id, lang, coalesce(array_to_string(list_transform(
+       |    list_filter(string_split(regexp_replace(text, '[\\x00-\\x1F\\x7F]', '', 'g'), ' '), x -> x <> ''),
+       |    x -> regexp_replace(x, '([\\s\\S])', chr(1)||'\\1'||chr(1), 'g')
+       |         || chr(1)||chr(2)||chr(1)), ''), '') AS wr
+       |  FROM keep),
+       |toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST((length(e) - length(replace(e, chr(1), ''))) / 2
+       |      AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, lang,
+       |    ${Bpe.fixedMergesDuckSql("wr")} AS e FROM w)),
+       |packed AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY doc_id ASC NULLS FIRST
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+       |      AS BIGINT) AS pack_id
+       |  FROM toks)
+       |SELECT lang, pack_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM packed
+       |GROUP BY lang, pack_id
+       |ORDER BY lang ASC NULLS FIRST, pack_id ASC NULLS FIRST""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix6_temperature" -> mix6Temperature,
     "mix7_bpe_packing" -> mix7BpePacking,
+    "mix8_curation_pipeline" -> mix8CurationPipeline,
     "mix1_hash_sample" -> mix1HashSample,
     "mix2_seq_packing" -> mix2SeqPacking,
     "mix3_quality_filter" -> mix3QualityFilter,
@@ -336,6 +422,7 @@ object DataMix extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "mix6_temperature" -> mix6Oracle,
     "mix7_bpe_packing" -> mix7Oracle,
+    "mix8_curation_pipeline" -> mix8Oracle,
     "mix1_hash_sample" -> mix1Oracle,
     "mix2_seq_packing" -> mix2Oracle,
     "mix3_quality_filter" -> mix3Oracle,
