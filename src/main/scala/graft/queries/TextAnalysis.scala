@@ -131,6 +131,57 @@ object TextAnalysis extends QueryModule {
       |ORDER BY tf DESC NULLS LAST, bigram ASC NULLS FIRST
       |LIMIT 25""".stripMargin
 
+  /** F8j: Heaps-law vocabulary growth — distinct bigram TYPES vs
+    * cumulative gram occurrences over the corpus in doc_id order,
+    * checkpointed per 100-doc bucket (the tokenizer-sizing /
+    * dedup-saturation diagnostic a corpus build tracks). The naive
+    * form ("distinct over every prefix") is quadratic; attributing
+    * each type to its FIRST occurrence (min doc_id) turns it into two
+    * keyed aggregates plus a window over BUCKETS — rows = corpus/100,
+    * not corpus — the shape that survives 100 TB.
+    */
+  def txVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Q.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(bigrams(col("text"))).as("t"))
+    val firsts = toks.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+    val newv = firsts.groupBy(floor(col("fd") / 100).as("bucket"))
+      .agg(count(lit(1)).as("new_vocab"))
+    val pertok = toks.groupBy(floor(col("doc_id") / 100).as("bucket"))
+      .agg(count(lit(1)).as("n_grams"))
+    val w = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pertok.join(newv, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(col("n_grams")).over(w).as("cum_grams"),
+        sum(coalesce(col("new_vocab"), lit(0L))).over(w).as("cum_vocab"))
+      .orderBy(col("bucket").asc)
+  }
+
+  val txVocabGrowthOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    list_zip(string_split(text,' ')[1:len(string_split(text,' '))-1],
+      |             string_split(text,' ')[2:len(string_split(text,' '))]),
+      |    p -> p[1] || ' ' || p[2])) AS t
+      |  FROM documents),
+      |firsts AS (
+      |  SELECT t, MIN(doc_id) AS fd FROM toks GROUP BY t),
+      |newv AS (
+      |  SELECT CAST(floor(fd / 100) AS BIGINT) AS bucket,
+      |    COUNT(*) AS new_vocab
+      |  FROM firsts GROUP BY 1),
+      |pertok AS (
+      |  SELECT CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+      |    COUNT(*) AS n_grams
+      |  FROM toks GROUP BY 1)
+      |SELECT p.bucket,
+      |  CAST(SUM(p.n_grams) OVER (ORDER BY p.bucket ASC NULLS FIRST
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_grams,
+      |  CAST(SUM(COALESCE(n.new_vocab, 0)) OVER (ORDER BY p.bucket ASC NULLS FIRST
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      |FROM pertok p LEFT JOIN newv n ON p.bucket = n.bucket
+      |ORDER BY p.bucket ASC NULLS FIRST""".stripMargin
+
   /** F8e: content fingerprints — md5 is oracle-checked; the native
     * rolling-hash Expression is engine-specific and covered by
     * TextFunctionsSpec instead.
@@ -636,6 +687,7 @@ object TextAnalysis extends QueryModule {
     "tx_quality_score" -> txQualityScore,
     "tx_lang_id" -> txLangId,
     "tx_bigrams" -> txBigrams,
+    "tx_vocab_growth" -> txVocabGrowth,
     "tx_fingerprint" -> txFingerprint,
     "tx_tfidf" -> txTfIdf)
 
@@ -651,6 +703,7 @@ object TextAnalysis extends QueryModule {
     "tx_quality_score" -> txQualityScoreOracle,
     "tx_lang_id" -> txLangIdOracle,
     "tx_bigrams" -> txBigramsOracle,
+    "tx_vocab_growth" -> txVocabGrowthOracle,
     "tx_fingerprint" -> txFingerprintOracle,
     "tx_tfidf" -> txTfIdfOracle)
 }
