@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exclusive prefix sum (running total) — the scalable
+  * replacement for `Window.partitionBy(lowCardKey).orderBy(ord)` cumsum.
+  *
+  * The naive one-window form sorts EVERY row of a partition key in a
+  * single task; with a low-cardinality, Zipf-skewed key (language,
+  * event type) that is most of a 100 TB corpus in one task. This
+  * operator computes the identical integer result in two distributed
+  * passes over order-range buckets:
+  *
+  *  1. bucket each row by a fixed range split of the order column
+  *     (`_psb = (ord - lo) / width`), and compute the WITHIN-bucket
+  *     exclusive running sum with a window partitioned by
+  *     (part..., _psb) — many bounded-size tasks, not one per key;
+  *  2. aggregate per-bucket totals (a partial agg OVER THE WINDOW
+  *     OUTPUT — Catalyst reuses the exchange, so the input is scanned
+  *     and shuffled ONCE), cumsum them per key over the tiny
+  *     (key × buckets) frame, and broadcast the resulting exclusive
+  *     bucket offsets back: `out = bucket_offset + within_bucket_sum`.
+  *
+  * Exactness: the sums are integer (LongType), so the regrouping is
+  * bit-identical to the single-window form — oracles are unchanged.
+  * The bucket count is purely physical: any deterministic split of the
+  * order domain yields the same result, so `targetBuckets` trades
+  * per-bucket sort size (range/width rows) against offset-frame size
+  * (key × buckets rows, must broadcast). The default 256 holds to
+  * ~10^8 rows per key; at 10^10+ rows raise it to ~2^16 (offsets stay
+  * a few MB). Range split assumes a roughly dense order column (true
+  * for the corpus doc_id); for sparse/skewed domains substitute
+  * equi-depth boundaries from `approxQuantile` — the result is
+  * bucket-invariant either way.
+  *
+  * Driver state: one `min/max` aggregate of the order column (2 longs).
+  */
+object PrefixSum {
+
+  /** Append exclusive running-sum columns to `df`.
+    *
+    * @param df        input frame; NOT re-ordered (join output order is
+    *                  unspecified, as with any shuffle)
+    * @param partCols  running-sum restart keys (may be empty = global)
+    * @param ordCol    total-order column within a key (LONG-castable;
+    *                  must be unique per key for a well-defined ROWS
+    *                  frame, as with the one-window form)
+    * @param vals      (valueColumn → outputColumn) pairs; values are
+    *                  summed as LONG, nulls contribute 0
+    * @param statsOf   optional frame to take the order-domain min/max
+    *                  from — pass the RAW table when `df` is an
+    *                  expensive derived frame (any superset range is
+    *                  valid; buckets just come out sparser)
+    * @param targetBuckets number of order-range buckets (physical knob)
+    */
+  def exclusive(
+      df: DataFrame,
+      partCols: Seq[String],
+      ordCol: String,
+      vals: Seq[(String, String)],
+      statsOf: Option[DataFrame] = None,
+      targetBuckets: Int = 256): DataFrame = {
+    val stats = statsOf.getOrElse(df)
+      .agg(min(col(ordCol).cast("long")), max(col(ordCol).cast("long")))
+      .head()
+    if (stats.isNullAt(0)) { // empty input: nothing to sum
+      return vals.foldLeft(df) { case (d, (_, out)) =>
+        d.withColumn(out, lit(0L)) }
+    }
+    val lo = stats.getLong(0)
+    val hi = stats.getLong(1)
+    val width = math.max(1L, (hi - lo) / targetBuckets + 1)
+
+    val part: Seq[Column] = partCols.map(col)
+    val bucketed = df.withColumn(
+      "_psb", ((col(ordCol).cast("long") - lit(lo)) / lit(width)).cast("long"))
+
+    // pass 1: within-bucket exclusive running sum (distributed: one
+    // task per (key, bucket), each sorting at most `width` rows)
+    val wIn = Window.partitionBy(part :+ col("_psb"): _*)
+      .orderBy(col(ordCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIn = vals.zipWithIndex.foldLeft(bucketed) {
+      case (d, ((v, _), i)) =>
+        d.withColumn(s"_in$i",
+          coalesce(sum(col(v).cast("long")).over(wIn), lit(0L)))
+    }
+
+    // pass 2: per-bucket totals = the LAST row's inclusive sum,
+    // `max_by(_in + value, ord)` — max_by evaluates AT the max-ord row
+    // (sign-independent), and because the expression references both
+    // the window output and the raw value, Catalyst can neither push
+    // the agg below the window into a second scan nor prune the two
+    // branches differently: when `df` is pre-projected to exactly
+    // (part, ord, values) — as the packing queries do — both branches
+    // canonicalize to the same exchange and the plan shows ONE shuffle
+    // of df + a ReusedExchange. The tiny (key × buckets) totals frame
+    // is then cumsum'd per key and broadcast back.
+    def bt(i: Int) = {
+      val (v, _) = vals(i)
+      max_by(col(s"_in$i") + coalesce(col(v).cast("long"), lit(0L)),
+        col(ordCol)).as(s"_bt$i")
+    }
+    val totals = withIn.groupBy(part :+ col("_psb"): _*)
+      .agg(bt(0), vals.indices.tail.map(bt): _*)
+    val wOff = Window.partitionBy(part: _*).orderBy(col("_psb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // offsets keys are re-aliased (`_k*`) so the offs↔withIn self-join
+    // has no ambiguous attributes to warn about or mis-resolve
+    val offs = vals.indices.foldLeft(totals) { (d, i) =>
+      d.withColumn(s"_off$i",
+        coalesce(sum(col(s"_bt$i")).over(wOff), lit(0L)))
+    }.select(partCols.map(c => col(c).as(s"_k_$c")) ++
+      (col("_psb").as("_k__psb") +:
+        vals.indices.map(i => col(s"_off$i"))): _*)
+
+    // null-safe join keys: a null partition key is its own group under
+    // window semantics, so it must match its offsets row too
+    val joinCond = (partCols :+ "_psb")
+      .map(c => col(c) <=> col(s"_k_$c")).reduce(_ && _)
+    val joined = withIn.join(broadcast(offs), joinCond)
+    val withOut = vals.zipWithIndex.foldLeft(joined) {
+      case (d, ((_, out), i)) =>
+        d.withColumn(out, col(s"_off$i") + col(s"_in$i"))
+    }
+    withOut.select(df.columns.map(col) ++ vals.map(v => col(v._2)): _*)
+  }
+}

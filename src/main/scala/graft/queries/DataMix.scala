@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryModule}
 import graft.functions.TextFunctions
+import graft.operators.PrefixSum
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,8 +16,11 @@ import org.apache.spark.sql.functions._
   * must select the SAME documents), and what makes them oracle-able.
   *
   * Scale notes: mix1/mix3 are narrow projections + window ranks
-  * (one shuffle on lang); mix2 is one window cumsum + one partial-agg
-  * shuffle. No driver-side state, no RNG seeds to coordinate.
+  * (one shuffle on lang); the packing family (mix2/mix7/mix8) runs its
+  * running token sum through [[graft.operators.PrefixSum]]'s two-pass
+  * bucketed cumsum — never a per-language window over raw rows — plus
+  * one partial-agg shuffle. No driver-side state beyond PrefixSum's
+  * 2-long range probe, no RNG seeds to coordinate.
   */
 object DataMix extends QueryModule {
 
@@ -68,16 +72,19 @@ object DataMix extends QueryModule {
     * is floor(tokens-before-it / budget) (streaming concat-then-chunk,
     * the standard pretraining packing). Output is the per-pack manifest
     * a downstream tokenizer job would consume.
+    *
+    * The running token sum is [[graft.operators.PrefixSum]]'s two-pass
+    * distributed cumsum, NOT a per-language window over raw rows —
+    * `lang` is low-cardinality and Zipf-skewed, so the one-window form
+    * would sort most of a 100 TB corpus in a single task.
     */
   def mix2SeqPacking(spark: SparkSession, dir: String): DataFrame = {
     val budget = 2048
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Q.t(spark, dir, "documents")
+    val counted = Q.t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    PrefixSum.exclusive(counted, Seq("lang"), "doc_id",
+        Seq("n_tokens" -> "tokens_before"))
       .withColumn("pack_id", floor(col("tokens_before") / budget))
       .groupBy(col("lang"), col("pack_id"))
       .agg(
@@ -265,22 +272,21 @@ object DataMix extends QueryModule {
     * pretraining job actually runs downstream of tokenizer training.
     * The count leg is hash-exact cross-engine (the oracle replays the
     * identical replace chain), so the whole train→encode→pack
-    * composition stays oracle-gated. Same shuffle shape as mix2 (one
-    * window cumsum per lang + one partial agg); the BPE count is a
-    * narrow codegen'd map — zero added shuffles.
+    * composition stays oracle-gated. Same shuffle shape as mix2 (the
+    * two-pass [[graft.operators.PrefixSum]] cumsum + one partial agg);
+    * the BPE count is a narrow codegen'd map — zero added shuffles
+    * (the stats pass prunes to a doc_id-only scan).
     */
   def mix7BpePacking(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{Bpe, BpeTokenCount}
     val budget = 2048
     val text = coalesce(col("text"), lit(""))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Q.t(spark, dir, "documents")
+    val counted = Q.t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         BpeTokenCount.countCol(spark, text, Bpe.FixedMerges)
           .cast("long").as("n_tokens"))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    PrefixSum.exclusive(counted, Seq("lang"), "doc_id",
+        Seq("n_tokens" -> "tokens_before"))
       .withColumn("pack_id", floor(col("tokens_before") / budget))
       .groupBy(col("lang"), col("pack_id"))
       .agg(
@@ -330,9 +336,12 @@ object DataMix extends QueryModule {
     * dedup → filter → tokenize → pack chain a pretraining data job
     * actually runs, each leg individually hash-exact cross-engine so
     * the whole composition stays oracle-gated. Shuffle profile at
-    * 100 TB: one hash shuffle on the content fingerprint (dedup), one
-    * window cumsum per lang (pack) — the quality gate and token count
-    * are narrow codegen'd maps between them.
+    * 100 TB: one hash shuffle on the content fingerprint (dedup, a
+    * HIGH-cardinality window key — fine), then the two-pass
+    * [[graft.operators.PrefixSum]] cumsum for the pack (bucketed from
+    * the RAW table's doc_id range, so the stats pass never re-runs the
+    * dedup) — the quality gate and token count are narrow codegen'd
+    * maps between them.
     */
   def mix8CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{Bpe, BpeTokenCount}
@@ -348,13 +357,12 @@ object DataMix extends QueryModule {
         lit(0.2) * (lit(1.0) - TextFunctions.punctRatio(col("text")))
     val keep = surv.filter(quality >= 0.5)
     val text = coalesce(col("text"), lit(""))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    keep.select(col("doc_id"), col("lang"),
-        BpeTokenCount.countCol(spark, text, Bpe.FixedMerges)
-          .cast("long").as("n_tokens"))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val counted = keep.select(col("doc_id"), col("lang"),
+      BpeTokenCount.countCol(spark, text, Bpe.FixedMerges)
+        .cast("long").as("n_tokens"))
+    PrefixSum.exclusive(counted, Seq("lang"), "doc_id",
+        Seq("n_tokens" -> "tokens_before"),
+        statsOf = Some(Q.t(spark, dir, "documents")))
       .withColumn("pack_id", floor(col("tokens_before") / budget))
       .groupBy(col("lang"), col("pack_id"))
       .agg(

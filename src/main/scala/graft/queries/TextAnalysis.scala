@@ -137,25 +137,32 @@ object TextAnalysis extends QueryModule {
     * dedup-saturation diagnostic a corpus build tracks). The naive
     * form ("distinct over every prefix") is quadratic; attributing
     * each type to its FIRST occurrence (min doc_id) turns it into two
-    * keyed aggregates plus a window over BUCKETS — rows = corpus/100,
-    * not corpus — the shape that survives 100 TB.
+    * keyed aggregates plus a cumsum over BUCKETS — rows = corpus/100,
+    * not corpus — computed with [[graft.operators.PrefixSum]]'s
+    * two-pass bucketed form rather than a single-task global window,
+    * so even the reduced frame never funnels through one task.
     */
   def txVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
     val toks = Q.t(spark, dir, "documents")
       .select(col("doc_id"), explode(bigrams(col("text"))).as("t"))
     val firsts = toks.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
     val newv = firsts.groupBy(floor(col("fd") / 100).as("bucket"))
       .agg(count(lit(1)).as("new_vocab"))
-    val pertok = toks.groupBy(floor(col("doc_id") / 100).as("bucket"))
-      .agg(count(lit(1)).as("n_grams"))
-    val w = Window.orderBy(col("bucket").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pertok.join(newv, Seq("bucket"), "left")
+    val joined = pertokJoin(toks, newv)
+    PrefixSum.exclusive(joined, Seq.empty, "bucket",
+        Seq("n_grams" -> "_gb", "nv" -> "_vb"))
       .select(col("bucket"),
-        sum(col("n_grams")).over(w).as("cum_grams"),
-        sum(coalesce(col("new_vocab"), lit(0L))).over(w).as("cum_vocab"))
+        (col("_gb") + col("n_grams")).as("cum_grams"),
+        (col("_vb") + col("nv")).as("cum_vocab"))
       .orderBy(col("bucket").asc)
   }
+
+  private def pertokJoin(toks: DataFrame, newv: DataFrame): DataFrame =
+    toks.groupBy(floor(col("doc_id") / 100).as("bucket"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(newv, Seq("bucket"), "left")
+      .withColumn("nv", coalesce(col("new_vocab"), lit(0L)))
 
   val txVocabGrowthOracle: String =
     """WITH toks AS (

@@ -205,4 +205,37 @@ class PlanShapeSpec extends SparkTestBase {
     // and it actually executes correctly
     assert(joined.collect().map(_.getLong(1)).sum > 0)
   }
+
+  test("mix2: packing cumsum windows are bucketed, input shuffled once") {
+    // The running token sum must NEVER be a Window.partitionBy(lang)
+    // over raw per-doc rows — lang is low-cardinality + Zipf-skewed,
+    // so that plan funnels most of a 100 TB corpus through one task.
+    // PrefixSum's two-pass form instead windows on (lang, _psb range
+    // bucket); the per-bucket totals agg rides the SAME exchange.
+    val df = SparkEntry.queries("mix2_seq_packing")(spark, sf)
+    df.collect() // finalize AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    val windowSpecs = p.linesIterator
+      .filter(l => l.contains("Window ") && l.contains("windowspecdefinition"))
+      .toSeq
+    val rawCumsum = windowSpecs.filter(l =>
+      l.contains("n_tokens") && !l.contains("_psb"))
+    assert(rawCumsum.isEmpty,
+      s"per-doc cumsum window not bucket-partitioned:\n${rawCumsum.mkString("\n")}")
+    assert(p.contains("_psb"), "expected PrefixSum bucket key in plan:\n" + p)
+    assert(p.contains("ReusedExchange"),
+      "bucket-totals agg should reuse the window exchange (one shuffle of the corpus):\n" + p)
+  }
+
+  test("mix8: same bucketed-cumsum guarantee on the full curation pipeline") {
+    val df = SparkEntry.queries("mix8_curation_pipeline")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val rawCumsum = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("windowspecdefinition") &&
+        l.contains("n_tokens") && !l.contains("_psb")).toSeq
+    assert(rawCumsum.isEmpty,
+      s"per-doc cumsum window not bucket-partitioned:\n${rawCumsum.mkString("\n")}")
+    assert(p.contains("_psb"), p)
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.PrefixSum
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PrefixSum (two-pass distributed cumsum) ≡ the single-window form —
+  * the exact-integer regrouping invariant the packing family
+  * (mix2/mix7/mix8, tx_vocab_growth) relies on.
+  */
+class PrefixSumSpec extends SparkTestBase {
+  quiet()
+  import spark.implicits._
+
+  private def naive(part: Seq[String], ord: String, v: String) = {
+    val w = (if (part.isEmpty) Window.partitionBy()
+             else Window.partitionBy(part.map(col): _*))
+      .orderBy(col(ord).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    coalesce(sum(col(v)).over(w), lit(0L))
+  }
+
+  test("matches single-window cumsum on a skewed keyed frame") {
+    // one dominant key (the Zipf shape that motivates the operator),
+    // sparse ords, and many buckets relative to rows
+    val rows = (0L until 500L).map { i =>
+      val k = if (i % 10 < 8) "en" else if (i % 10 == 8) "de" else "fr"
+      (k, i * 7 + (i % 3), i % 13)
+    }
+    val df = rows.toDF("lang", "doc_id", "n")
+    val got = PrefixSum.exclusive(df, Seq("lang"), "doc_id",
+        Seq("n" -> "before"), targetBuckets = 16)
+      .select("lang", "doc_id", "before")
+    val want = df.select(col("lang"), col("doc_id"),
+      naive(Seq("lang"), "doc_id", "n").as("before"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("global (no partition keys) + multiple value columns") {
+    val df = (0L until 100L).map(i => (i, i % 5, i % 7))
+      .toDF("ord", "a", "b")
+    val got = PrefixSum.exclusive(df, Seq.empty, "ord",
+        Seq("a" -> "ca", "b" -> "cb"), targetBuckets = 8)
+      .select("ord", "ca", "cb")
+    val want = df.select(col("ord"),
+      naive(Nil, "ord", "a").as("ca"), naive(Nil, "ord", "b").as("cb"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("null values contribute zero, like sum-over-window") {
+    val df = Seq(("x", 1L, Some(5L)), ("x", 2L, None), ("x", 3L, Some(2L)),
+      ("x", 4L, None), ("x", 5L, Some(1L)))
+      .toDF("k", "ord", "n")
+    val got = PrefixSum.exclusive(df, Seq("k"), "ord", Seq("n" -> "before"),
+        targetBuckets = 3)
+      .orderBy("ord").select("before").as[Long].collect()
+    assert(got.toSeq == Seq(0L, 5L, 5L, 7L, 7L))
+  }
+
+  test("statsOf superset range and empty input") {
+    val base = (0L until 1000L).map(i => ("k", i, 1L)).toDF("k", "ord", "n")
+    val filtered = base.filter(col("ord") % 100 === 0) // sparse in range
+    val got = PrefixSum.exclusive(filtered, Seq("k"), "ord",
+        Seq("n" -> "before"), statsOf = Some(base), targetBuckets = 16)
+      .orderBy("ord").select("before").as[Long].collect()
+    assert(got.toSeq == (0L until 10L))
+
+    val empty = base.filter(lit(false))
+    val e = PrefixSum.exclusive(empty, Seq("k"), "ord", Seq("n" -> "before"))
+    assert(e.columns.contains("before") && e.count() == 0)
+  }
+
+  test("single bucket degenerates to the plain window result") {
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 3L), ("b", 1L, 4L))
+      .toDF("k", "ord", "n")
+    val got = PrefixSum.exclusive(df, Seq("k"), "ord", Seq("n" -> "before"),
+        targetBuckets = 1)
+      .orderBy("k", "ord").select("before").as[Long].collect()
+    assert(got.toSeq == Seq(0L, 2L, 0L))
+  }
+}
