@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed trailing-N-row window aggregate — the scalable
+  * replacement for `Window.partitionBy(lowCardKey).orderBy(ord)
+  * .rowsBetween(-n, -1)` over raw rows (one task per key: at 100 TB
+  * the dominant event type is most of the table sorted in a single
+  * task).
+  *
+  * A trailing frame of N rows needs only N rows of carry-in across any
+  * split point, so the plan is:
+  *
+  *  1. range-bucket each key's rows on a monotone numeric image of the
+  *     order (e.g. epoch seconds); equal bucket values stay together,
+  *     so bucket order is consistent with row order;
+  *  2. greedy-merge adjacent buckets (driver-side, over the tiny
+  *     per-bucket count frame) so every group except possibly a key's
+  *     only group holds ≥ N rows — the invariant that makes one
+  *     group's tail a sufficient carry for the next group;
+  *  3. tag each group's last N rows as carry rows for the NEXT group,
+  *     union them in, run the trailing window partitioned by
+  *     (key, group) — many bounded tasks — and drop the carries.
+  *
+  * The result is row-identical to the single-window form: a row's
+  * trailing N predecessors are either in its own group or among the
+  * previous group's ≥ N carried tail rows.
+  *
+  * Driver state: the per-(key, bucket) count frame — at most
+  * |keys| × targetBuckets rows (enforced ≤ 1e6). The operator exists
+  * for LOW-cardinality keys; high-cardinality keys don't need it.
+  */
+object BucketedRolling {
+
+  /** Append `outCol` = agg over the trailing `n` rows (exclusive of
+    * the current row) per `partCols` in `(rangeCol, tieCols)` order.
+    *
+    * @param rangeCol numeric column, monotone non-decreasing in the
+    *                 intended row order (ties allowed — tied rows
+    *                 share a bucket); used for both range bucketing
+    *                 and the primary sort key
+    * @param tieCols  remaining order columns; (rangeCol, tieCols) must
+    *                 totally order rows within a key
+    * @param agg      window aggregate over the value column, e.g.
+    *                 `max(_)` / `min(_)` / `sum(_)`
+    */
+  def trailing(
+      df: DataFrame,
+      partCols: Seq[String],
+      rangeCol: Column,
+      tieCols: Seq[String],
+      valCol: String,
+      n: Int,
+      agg: Column => Column,
+      outCol: String,
+      targetBuckets: Int = 64): DataFrame = {
+    require(n >= 1, s"trailing frame must be at least 1 row, got $n")
+    val part = partCols.map(col)
+    val ranged = df.withColumn("_brv", rangeCol.cast("long"))
+    val stats = ranged.agg(min(col("_brv")), max(col("_brv"))).head()
+    if (stats.isNullAt(0)) {
+      return df.withColumn(outCol, lit(null).cast(df.schema(valCol).dataType))
+    }
+    val lo = stats.getLong(0)
+    val width = math.max(1L, (stats.getLong(1) - lo) / targetBuckets + 1)
+    // null range values sort first under ASC NULLS FIRST, so they get
+    // the minimal bucket; float-division bucket edges are monotone
+    // (IEEE division is monotone), which is all bucketing needs
+    val bucketed = ranged.withColumn("_brb",
+      coalesce(((col("_brv") - lit(lo)) / lit(width)).cast("long"),
+        lit(Long.MinValue)))
+
+    // per-(key, bucket) counts: a distributed agg collapsed to a
+    // metadata-scale frame (≤ |keys| × targetBuckets rows, enforced)
+    val counts = bucketed.groupBy(part :+ col("_brb"): _*)
+      .agg(count(lit(1)).as("_bn"))
+      .collect()
+    require(counts.length <= 1000000,
+      s"BucketedRolling count frame too large (${counts.length}): " +
+        "this operator is for low-cardinality keys")
+
+    // greedy merge per key: scan buckets in order, close a group once
+    // it holds >= n rows; a short final remainder folds into the
+    // previous group, so every group except a key's ONLY group has
+    // >= n rows (the carry-sufficiency invariant)
+    val k = partCols.length
+    val byKey = counts.groupBy(r => (0 until k).map(r.get).toSeq)
+    val mapping = byKey.iterator.flatMap { case (key, rows) =>
+      val buckets = rows.map(r => (r.getLong(k), r.getLong(k + 1)))
+        .sortBy(_._1)
+      val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var cur = List.empty[Long]
+      var curN = 0L
+      buckets.foreach { case (b, cnt) =>
+        cur = b :: cur; curN += cnt
+        if (curN >= n) { groups += cur.reverse; cur = Nil; curN = 0 }
+      }
+      if (cur.nonEmpty) {
+        if (groups.nonEmpty) groups(groups.length - 1) ++= cur.reverse
+        else groups += cur.reverse
+      }
+      val nGroups = groups.length
+      groups.iterator.zipWithIndex.flatMap { case (bs, g) =>
+        bs.map(b => (key, b, g.toLong, nGroups.toLong))
+      }
+    }.toSeq
+
+    // (key, bucket) -> (group, n_groups) lookup frame, broadcast; its
+    // key columns carry `_mk_` names so the join is unambiguous, and
+    // the match is null-safe (a null key is its own window group)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val mapSchema = StructType(
+      partCols.map(c => df.schema(c).copy(name = s"_mk_$c")) ++ Seq(
+        StructField("_mb", LongType), StructField("_brg", LongType),
+        StructField("_brng", LongType)))
+    val mapDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(mapping.map { case (key, b, g, ng) =>
+        org.apache.spark.sql.Row.fromSeq(key ++ Seq(b, g, ng)) }, 1),
+      mapSchema)
+    val grouped0 = bucketed.join(broadcast(mapDf),
+      (partCols.map(c => col(c) <=> col(s"_mk_$c")) :+
+        (col("_brb") <=> col("_mb"))).reduce(_ && _))
+      .drop("_mb").drop(partCols.map(c => s"_mk_$c"): _*)
+
+    // carry rows: each group's last n rows, re-tagged to the next
+    // group (dropped for a key's final group)
+    val wTail = Window.partitionBy(part :+ col("_brg"): _*)
+      .orderBy(col("_brv").desc +: tieCols.map(col(_).desc): _*)
+    val carries = grouped0
+      .withColumn("_brt", row_number().over(wTail))
+      .filter(col("_brt") <= n && col("_brg") < col("_brng") - 1)
+      .drop("_brt")
+      .withColumn("_brg", col("_brg") + 1)
+      .withColumn("_brc", lit(1))
+    val unioned = grouped0.withColumn("_brc", lit(0)).unionByName(carries)
+
+    val wRoll = Window.partitionBy(part :+ col("_brg"): _*)
+      .orderBy(col("_brv").asc +: tieCols.map(col(_).asc): _*)
+      .rowsBetween(-n, -1)
+    unioned
+      .withColumn(outCol, agg(col(valCol)).over(wRoll))
+      .filter(col("_brc") === 0)
+      .select(df.columns.map(col) :+ col(outCol): _*)
+  }
+}

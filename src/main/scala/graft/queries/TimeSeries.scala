@@ -153,14 +153,20 @@ object TimeSeries extends QueryModule {
     * trailing-24-row maximum for their event_type (the rolling-extrema
     * anomaly flag; min/max frames are order-independent, so the oracle
     * is exact where rolling mean/std would not be).
+    *
+    * The rolling max runs through [[graft.operators.BucketedRolling]]
+    * — (event_type, time-range-bucket) windows with a 24-row carry-in
+    * from each bucket's predecessor — NOT a per-type window over raw
+    * rows: event_type is low-cardinality, so the one-window form sorts
+    * most of the table in a single task at 100 TB.
     */
   def ts3Extrema(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-      .rowsBetween(-24, -1)
-    Q.t(spark, dir, "events")
-      .select(col("event_type"), col("event_id"), col("ts"), col("value"),
-        max(col("value")).over(w).as("hi24"))
+    import graft.operators.BucketedRolling
+    val ev = Q.t(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+    BucketedRolling.trailing(ev, Seq("event_type"),
+        unix_micros(col("ts").cast("timestamp")), Seq("event_id"),
+        "value", 24, max, "hi24")
       .filter(col("hi24").isNotNull && col("value") > col("hi24"))
       .orderBy(col("event_type").asc, col("ts").asc, col("event_id").asc)
   }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.BucketedRolling
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BucketedRolling (bucket + carry-in trailing window) ≡ the
+  * single-window form — the row-identity invariant ts3_extrema relies
+  * on, exercised across bucket-boundary and short-bucket shapes.
+  */
+class BucketedRollingSpec extends SparkTestBase {
+  quiet()
+  import spark.implicits._
+
+  private def naive(df: org.apache.spark.sql.DataFrame, n: Int) = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ord").asc, col("tie").asc)
+      .rowsBetween(-n, -1)
+    df.withColumn("want", max(col("v")).over(w))
+  }
+
+  private def check(rows: Seq[(String, Long, Long, Double)], n: Int,
+      buckets: Int): Unit = {
+    val df = rows.toDF("k", "ord", "tie", "v")
+    val got = BucketedRolling.trailing(df, Seq("k"), col("ord"),
+      Seq("tie"), "v", n, max, "got", targetBuckets = buckets)
+    val j = got.join(naive(df, n), Seq("k", "ord", "tie", "v"))
+    assert(j.count() == rows.length)
+    val bad = j.filter(!(col("got") <=> col("want"))).collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("matches single-window trailing max across bucket boundaries") {
+    val rows = (0L until 400L).map { i =>
+      val k = if (i % 5 < 4) "hot" else "cold"
+      (k, i * 3, i, math.sin(i.toDouble) * 100)
+    }
+    check(rows, 24, 16)
+  }
+
+  test("buckets shorter than the frame trigger greedy merging") {
+    // 200 rows over a huge sparse range with 64 target buckets: most
+    // buckets hold ~3 rows < n=24, so correctness depends on the
+    // greedy >=n merge invariant
+    val rows = (0L until 200L).map(i => ("k", i * i * 7, i, (i % 17).toDouble))
+    check(rows, 24, 64)
+  }
+
+  test("frame of 1 and key with fewer rows than the frame") {
+    check(Seq(("a", 1L, 0L, 5.0), ("a", 2L, 0L, 3.0), ("b", 9L, 0L, 1.0)),
+      24, 8)
+    check((0L until 50L).map(i => ("z", i, i, i.toDouble * 1.5)), 1, 10)
+  }
+
+  test("tied range values stay in one bucket and order by the tie column") {
+    val rows = (0L until 120L).map(i => ("k", i / 10, i, (i % 7).toDouble))
+    check(rows, 5, 32)
+  }
+
+  test("min aggregate and empty input") {
+    val df = (0L until 60L).map(i => ("k", i, i, (i % 9).toDouble))
+      .toDF("k", "ord", "tie", "v")
+    val got = BucketedRolling.trailing(df, Seq("k"), col("ord"), Seq("tie"),
+      "v", 7, min, "got", targetBuckets = 6)
+    val w = Window.partitionBy(col("k")).orderBy(col("ord"), col("tie"))
+      .rowsBetween(-7, -1)
+    val want = df.withColumn("want", min(col("v")).over(w))
+    val j = got.join(want, Seq("k", "ord", "tie", "v"))
+    assert(j.filter(!(col("got") <=> col("want"))).isEmpty)
+
+    val empty = df.filter(lit(false))
+    val e = BucketedRolling.trailing(empty, Seq("k"), col("ord"), Seq("tie"),
+      "v", 7, min, "got")
+    assert(e.columns.contains("got") && e.count() == 0)
+  }
+}

@@ -227,6 +227,21 @@ class PlanShapeSpec extends SparkTestBase {
       "bucket-totals agg should reuse the window exchange (one shuffle of the corpus):\n" + p)
   }
 
+  test("ts3: rolling-extrema windows are (type, group)-bucketed") {
+    // same 100 TB guarantee for the trailing-24 max: every window over
+    // event rows must be partitioned by (event_type, _brg group), never
+    // by the low-cardinality event_type alone
+    val df = SparkEntry.queries("ts3_extrema")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val rawWindows = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("windowspecdefinition") &&
+        l.contains("event_type") && !l.contains("_brg")).toSeq
+    assert(rawWindows.isEmpty,
+      s"rolling window not group-partitioned:\n${rawWindows.mkString("\n")}")
+    assert(p.contains("_brg"), p)
+  }
+
   test("mix8: same bucketed-cumsum guarantee on the full curation pipeline") {
     val df = SparkEntry.queries("mix8_curation_pipeline")(spark, sf)
     df.collect()
