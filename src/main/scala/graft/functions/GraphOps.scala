@@ -106,4 +106,77 @@ object GraphOps {
       if (!returned) CheckpointOps.release(lastMat)
     }
   }
+
+  /** Integer PageRank in parts-per-billion — the ORACLE-able variant:
+    * every operation is BIGINT floor arithmetic (contribution =
+    * `rank div deg`, damping = `(85·in) div 100`), so no
+    * float-accumulation order can perturb a single unit and the same
+    * recurrence replays bit-exactly in any SQL engine (the g1 oracle
+    * unrolls it as chained CTEs in DuckDB). Ranks drift from the float
+    * engine only by the floor losses — ≲ iters·deg ppb, spec-bounded
+    * against [[pageRank]].
+    *
+    * Contract: UNDIRECTED input (both orientations present), so there
+    * are no dangling nodes and no second rank aggregate per round —
+    * checked once with an O(1) anti-join probe. Same per-round plan
+    * and checkpoint lifecycle as [[pageRank]].
+    *
+    * @return (node, rank_ppb) for every node in the edge list.
+    */
+  def pageRankPpb(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var returned = false
+    var lastMat: DataFrame = null
+    try {
+    val n = nodes.count()
+    require(n > 0, "pageRankPpb: empty graph")
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    require(e.select(col("dst").as("node"))
+      .join(nodes, Seq("node"), "left_anti").limit(1).count() == 0,
+      "pageRankPpb requires an undirected edge list (every dst also a src)")
+    val eDeg = e.join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
+      .localCheckpoint(true)
+    try {
+      val scale = 1000000000L
+      val base = (scale * 15L / 100L) / n
+      var ranks = nodes.withColumn("rank_ppb", lit(scale / n))
+        .localCheckpoint(true)
+      lastMat = ranks
+      var i = 0
+      while (i < iters) {
+        val contribs = ranks.withColumnRenamed("node", "src")
+          .join(eDeg, Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("rank_ppb div deg")).as("in_ppb"))
+        val updated = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr("(85 * coalesce(in_ppb, CAST(0 AS BIGINT))) div 100"))
+              .as("rank_ppb"))
+        if ((i % 3 == 2) || i == iters - 1) {
+          val next = updated.localCheckpoint(true)
+          CheckpointOps.release(lastMat)
+          lastMat = next
+          ranks = next
+        } else ranks = updated
+        i += 1
+      }
+      returned = true
+      ranks
+    } finally {
+      CheckpointOps.release(eDeg)
+    }
+    } finally {
+      CheckpointOps.release(e)
+      CheckpointOps.release(nodes)
+      if (!returned && lastMat != null) CheckpointOps.release(lastMat)
+    }
+  }
 }

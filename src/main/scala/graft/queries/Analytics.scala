@@ -442,7 +442,67 @@ object Analytics extends QueryModule {
       .orderBy(col("event_type").asc, col("day").asc)
   }
 
+  /** G1-exact: PageRank over the co-purchase graph in integer
+    * parts-per-billion ([[graft.functions.GraphOps.pageRankPpb]]) —
+    * the oracle-able variant of the float engine: every step is
+    * BIGINT floor arithmetic, so the DuckDB oracle replays the
+    * identical recurrence as five unrolled CTE stages and matches
+    * hash-exactly. Edges: parts co-ordered in ≥2 distinct orders
+    * (both orientations, so the graph is undirected and dangling-free
+    * by construction). Scale shape: the pair build is fn3's bounded
+    * self-join; each rank round is one equi-join + one keyed sum.
+    */
+  def g1PageRankExact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraphOps
+    val items = Q.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("s"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("d")),
+        Seq("l_orderkey"))
+      .filter(col("s") < col("d"))
+      .groupBy(col("s"), col("d"))
+      .agg(count(lit(1)).as("pn"))
+      .filter(col("pn") >= 2)
+      .select("s", "d")
+    val edges = pairs.unionByName(
+      pairs.select(col("d").as("s"), col("s").as("d")))
+    GraphOps.pageRankPpb(edges, "s", "d", iters = 5)
+      .orderBy(col("node").asc)
+  }
+
+  val g1Oracle: String = {
+    def step(i: Int) =
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    CAST(bs.base + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT)
+         |      AS rank_ppb
+         |  FROM nodes nd CROSS JOIN bs
+         |  LEFT JOIN (
+         |    SELECT e.d AS node, SUM(p.rank_ppb // dg.deg) AS s
+         |    FROM r${i - 1} p JOIN deg dg ON p.node = dg.node
+         |    JOIN edges e ON e.s = p.node
+         |    GROUP BY 1) m ON nd.node = m.node)""".stripMargin
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS s, b.l_partkey AS d
+       |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |edges AS (SELECT s, d FROM pairs
+       |          UNION ALL SELECT d AS s, s AS d FROM pairs),
+       |nodes AS (SELECT DISTINCT s AS node FROM edges),
+       |deg AS (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |bs AS (SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS r0,
+       |              CAST(150000000 // COUNT(*) AS BIGINT) AS base
+       |       FROM nodes),
+       |r0 AS (SELECT node, r0 AS rank_ppb FROM nodes CROSS JOIN bs),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |SELECT node, rank_ppb FROM r5
+       |ORDER BY node ASC NULLS FIRST""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_pagerank_exact" -> g1PageRankExact,
     "pr2_skew_report" -> pr2SkewReport,
     "pr3_eqdepth" -> pr3EqdepthHist,
     "fn5_pattern" -> fn5Pattern,
@@ -468,6 +528,7 @@ object Analytics extends QueryModule {
       |ORDER BY 1 ASC NULLS FIRST, 2 ASC NULLS FIRST""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "g1_pagerank_exact" -> g1Oracle,
     "fn7_wau_sketch" -> fn7Oracle,
     "pr3_eqdepth" -> pr3Oracle,
     "fn5_pattern" -> fn5Oracle,

@@ -333,8 +333,49 @@ object Joins extends QueryModule {
        |GROUP BY l_suppkey, s_name
        |ORDER BY l_suppkey ASC NULLS FIRST""".stripMargin
 
+  /** J11: full outer join — the symmetric-diff report (customers'
+    * order activity in 1996 vs 1997: retained / churned / added, with
+    * both-sides-unmatched rows surfaced). The one legitimate home of
+    * FullOuter in the engine: BOTH inputs are already per-key
+    * aggregates (bounded by |customers|), so the join is between two
+    * reduced frames hash-partitioned on the same key — never a
+    * full-outer shuffle of raw fact rows (the MERGE path deliberately
+    * avoids that shape, `lake/Merge.scala`).
+    */
+  def j11FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    def feed(yr: Int) = Q.t(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as(s"n_$yr"),
+        Q.dsum(col("o_totalprice")).as(s"spend_$yr"))
+    feed(1996).join(feed(1997), Seq("o_custkey"), "full_outer")
+      .withColumn("status",
+        when(col("n_1996").isNull, lit("added"))
+          .when(col("n_1997").isNull, lit("churned"))
+          .otherwise(lit("retained")))
+      .orderBy(col("o_custkey").asc)
+  }
+
+  val j11Oracle: String =
+    s"""WITH a AS (
+       |  SELECT o_custkey, COUNT(*) AS n_1996,
+       |    ${Q.sql.dsum("o_totalprice")} AS spend_1996
+       |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+       |b AS (
+       |  SELECT o_custkey, COUNT(*) AS n_1997,
+       |    ${Q.sql.dsum("o_totalprice")} AS spend_1997
+       |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)
+       |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+       |  n_1996, spend_1996, n_1997, spend_1997,
+       |  CASE WHEN n_1996 IS NULL THEN 'added'
+       |       WHEN n_1997 IS NULL THEN 'churned'
+       |       ELSE 'retained' END AS status
+       |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+       |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j9_null_safe" -> j9NullSafe,
+    "j11_full_outer" -> j11FullOuter,
     "j10_skew_split" -> j10SkewSplit,
     "j1_inner_join" -> j1InnerJoin,
     "j2_broadcast_join" -> j2BroadcastJoin,
@@ -349,6 +390,7 @@ object Joins extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "j10_skew_split" -> j10Oracle,
+    "j11_full_outer" -> j11Oracle,
     "j1_inner_join" -> j1Oracle,
     "j2_broadcast_join" -> j2Oracle,
     "j3_left_outer" -> j3Oracle,

@@ -62,6 +62,35 @@ class GraphOpsSpec extends SparkTestBase {
     assert(out.exceptAll(again).count() === 0)
   }
 
+  test("pageRankPpb tracks the float engine within floor-loss tolerance") {
+    import spark.implicits._
+    // undirected, degree-diverse graph: star + a path tail
+    val und = ((1L to 8L).flatMap(l => Seq((0L, l), (l, 0L))) ++
+      Seq((8L, 9L), (9L, 8L), (9L, 10L), (10L, 9L))).toDF("s", "d")
+    val ppb = GraphOps.pageRankPpb(und, "s", "d", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flt = GraphOps.pageRank(und, "s", "d", 0.85, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppb.keySet === flt.keySet)
+    // each round floors one division per in-edge plus the damping
+    // product: cumulative drift stays far under 1e-5 of total mass
+    ppb.foreach { case (n, v) =>
+      assert(math.abs(v / 1e9 - flt(n)) < 1e-5, s"node $n: $v vs ${flt(n)}")
+    }
+    // deterministic across runs (bit-exact, not just close)
+    val again = GraphOps.pageRankPpb(und, "s", "d", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === ppb)
+  }
+
+  test("pageRankPpb rejects a directed edge list") {
+    import spark.implicits._
+    val directed = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankPpb(directed, "s", "d")
+    }
+  }
+
   test("iterative graph ops release superseded checkpoints (no storage pile-up)") {
     // Regression gate for the RDD-level CheckpointOps release: each
     // call may leave its RESULT checkpoint pinned (the returned frame
