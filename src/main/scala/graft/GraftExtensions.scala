@@ -59,5 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: defensive re-normalization in composed cleaning
     // pipelines collapses to one pass (idempotent kernel)
     ext.injectOptimizerRule(_ => graft.plans.GraftRules.CollapseNormalize)
+    // storage-partitioned scans (ManifestTable.readBucketed) — also
+    // self-registered via experimental.extraStrategies on first use
+    ext.injectPlannerStrategy(_ => graft.plans.BucketedScanStrategy)
   }
 }

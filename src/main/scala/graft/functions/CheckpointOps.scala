@@ -16,6 +16,8 @@ import org.apache.spark.sql.Dataset
   */
 object CheckpointOps {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The persisted RDD(s) behind a localCheckpoint'd frame. */
   def rdds(df: Dataset[_]): Seq[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collect {
@@ -26,7 +28,22 @@ object CheckpointOps {
     * only once nothing will read `df` again: the checkpoint's lineage
     * is truncated, so the frame is unrecomputable afterwards. Never
     * call on a frame that escapes to the caller.
+    *
+    * PRECONDITION: `df` must be a direct localCheckpoint or a thin
+    * projection over exactly ONE checkpoint. This releases EVERY
+    * LogicalRDD leaf in the plan — on a composite frame (say, a join
+    * of a superseded checkpoint with some still-live checkpointed
+    * input) it would silently unpersist the live input too. All
+    * engine call sites keep that discipline; a multi-leaf call logs a
+    * warning so a future composite-frame mistake surfaces in the
+    * driver log instead of as a mystery recompute failure.
     */
-  def release(df: Dataset[_]): Unit =
-    rdds(df).foreach(_.unpersist(blocking = false))
+  def release(df: Dataset[_]): Unit = {
+    val rs = rdds(df)
+    if (rs.length > 1) logger.warn(
+      s"CheckpointOps.release on a plan with ${rs.length} LogicalRDD " +
+        "leaves — releasing ALL of them; if any leaf is still live " +
+        "elsewhere this is a caller bug (see scaladoc precondition)")
+    rs.foreach(_.unpersist(blocking = false))
+  }
 }

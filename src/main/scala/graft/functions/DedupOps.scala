@@ -213,6 +213,12 @@ object DedupOps {
     * executors, becomes the bottleneck). Fixpoint exit by changed
     * count (the standard distributed-CC pattern, e.g. GraphFrames).
     * `pairs` carries (aCol, bCol) edges.
+    *
+    * The returned frame is SELF-CONTAINED: one localCheckpoint, all
+    * working tables already released. It stays pinned until the caller
+    * runs `CheckpointOps.release` on it — do so once consumed in a
+    * long-lived session (same contract as [[connectedComponentsStar]]
+    * and [[GraphOps.pageRank]]).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -225,6 +231,10 @@ object DedupOps {
       .localCheckpoint(true)
     var converged = false
     var returned = false
+    // the round's freshly materialized checkpoint, tracked from the
+    // instant it exists so a failure between checkpoint and adoption
+    // (e.g. the convergence count throwing) can't orphan its blocks
+    var inFlight: DataFrame = null
     try {
     var i = 0
     while (!converged && i < maxIter) {
@@ -240,12 +250,14 @@ object DedupOps {
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(true) // O(diameter) materializations, flat lineage
+      inFlight = updated
       val changed = updated.filter(col("label") =!= col("old")).count()
       // RDD-level release — Dataset.unpersist() is a no-op on a
       // checkpointed frame (CheckpointOps); superseded rounds must
       // free their blocks now, not at context-cleaner whim
       CheckpointOps.release(labels)
       labels = updated.drop("old")
+      inFlight = null
       converged = changed == 0
       i += 1
     }
@@ -265,7 +277,10 @@ object DedupOps {
       // edge table across retries; the final labels checkpoint is
       // self-contained, so edges goes on success too
       CheckpointOps.release(edges)
-      if (!returned) CheckpointOps.release(labels)
+      if (!returned) {
+        CheckpointOps.release(labels)
+        if (inFlight ne null) CheckpointOps.release(inFlight)
+      }
     }
   }
 
@@ -295,7 +310,10 @@ object DedupOps {
     * Fixpoint when a full round leaves the edge set unchanged — at
     * that point every edge is (node, component-min), i.e. the label
     * assignment itself. Same localCheckpoint lineage truncation and
-    * same throw-at-cap contract as the label-propagation form.
+    * same throw-at-cap contract as the label-propagation form, and the
+    * same result contract: the returned frame is one self-contained
+    * checkpoint (nodes/edges released on success) that the caller
+    * should `CheckpointOps.release` once consumed.
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
@@ -313,6 +331,9 @@ object DedupOps {
       .localCheckpoint(true)
     var converged = edges.isEmpty
     var returned = false
+    // in-flight round checkpoint, tracked so a failure in the fixpoint
+    // probe can't orphan the freshly materialized edge set
+    var inFlight: DataFrame = null
     try {
     var i = 0
     while (!converged && i < maxIter) {
@@ -336,31 +357,38 @@ object DedupOps {
         .unionByName(smallMin.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
+      inFlight = next
       // fixpoint: both sets are distinct + canonical, so equality is
       // count match + empty difference (two cheap keyed jobs)
       converged = next.count() == edges.count() &&
         next.except(edges).isEmpty
       CheckpointOps.release(edges) // RDD-level; Dataset.unpersist no-ops
       edges = next
+      inFlight = null
       i += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge within $maxIter rounds; " +
           "raise maxIter (rounds grow ~logarithmically with diameter)")
-    returned = true
     // stars: every edge is (node, component-min); minima label themselves,
-    // and input singletons (self-pair-only nodes) label themselves too
+    // and input singletons (self-pair-only nodes) label themselves too.
+    // Materialize the result so it is SELF-CONTAINED (one checkpoint,
+    // like connectedComponents' labels) and nodes+edges release here on
+    // success instead of staying pinned for the caller's lifetime.
     val labels = edges.select(col("u").as("node"), col("v").as("cluster_id"))
-    nodes.join(labels, col("n") === col("node"), "left")
+    val out = nodes.join(labels, col("n") === col("node"), "left")
       .select(col("n").as("node"),
         coalesce(col("cluster_id"), col("n")).as("cluster_id"))
-    } finally if (!returned) {
-      // the success path RETURNS a plan over nodes+edges (both stay
-      // pinned for the caller); error paths must release them so the
+      .localCheckpoint(true)
+    returned = true
+    out
+    } finally {
+      // error paths additionally release the working tables so the
       // documented raise-maxIter retry does not accumulate storage
       CheckpointOps.release(nodes)
       CheckpointOps.release(edges)
+      if (!returned && (inFlight ne null)) CheckpointOps.release(inFlight)
     }
   }
 }

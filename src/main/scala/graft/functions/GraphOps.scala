@@ -31,6 +31,9 @@ object GraphOps {
     * the production choice when rounds are budgeted ahead of time.
     *
     * @return (node, rank) — one row per node appearing in any edge.
+    *         Self-contained (one localCheckpoint, working tables
+    *         released); `CheckpointOps.release` it once consumed in a
+    *         long-lived session.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       damping: Double = 0.85, iters: Int = 10): DataFrame = {

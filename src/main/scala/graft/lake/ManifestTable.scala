@@ -358,6 +358,80 @@ class ManifestTable(spark: SparkSession, root: String,
     withDeclared(readEntries(entriesOf(v)))
   }
 
+  /** L22b: bucket-partitioned read that REPORTS its partitioning —
+    * the storage-partitioned-join surface. A table declared with a
+    * `bucket(n, c)` transform already lays files out by
+    * `pmod(hash(c), n)`, which IS Spark's `HashPartitioning(c, n)`
+    * partition id; this read exposes one RDD partition per bucket
+    * through [[graft.plans.BucketedTableScan]], so joining two tables
+    * bucketed the same way on the bucket key plans with NO Exchange on
+    * either side (local sort + merge join per bucket) — the
+    * Delta/Iceberg bucketed-layout answer to the recurring fact⋈fact
+    * shuffle. Row set and schema are identical to [[read]] (hidden
+    * columns dropped, renames applied, declared columns null-filled);
+    * parallelism is one task per bucket, so pick `n` for the target
+    * concurrency at write time.
+    *
+    * Refuses when the snapshot carries deletion vectors: the DV
+    * anti-join would break the per-bucket partition contract — run
+    * REORG PURGE first.
+    */
+  def readBucketed(srcCol: String): DataFrame = {
+    val t = transforms.collectFirst {
+      case b: PartitionTransform.BucketOf if b.src == srcCol => b
+    }.getOrElse(throw new IllegalArgumentException(
+      s"readBucketed($srcCol): no bucket(n, $srcCol) transform declared " +
+        s"(partitionSpec: ${transforms.map(_.spec).mkString(", ")})"))
+    val entries = entriesOf(latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root")))
+    require(entries.forall(e => !e.stats.contains(DvKey)),
+      s"readBucketed($srcCol): snapshot has deletion vectors; " +
+        "REORG PURGE before bucketed-join reads")
+    if (entries.isEmpty) return read()
+
+    val marker = s"${t.name}="
+    val groups = Array.fill(t.n)(Seq.newBuilder[String])
+    entries.foreach { e =>
+      val b = e.rel.split('/').collectFirst {
+        case seg if seg.startsWith(marker) =>
+          Entry.dec(seg.stripPrefix(marker)).toInt
+      }.getOrElse(throw new IllegalStateException(
+        s"readBucketed: ${e.rel} is not under a ${t.name}= directory"))
+      groups(b) += new Path(root, e.rel).toString
+    }
+
+    val schema = read().schema
+    val build: Seq[String] => DataFrame = { files =>
+      val raw = readFiles(files)
+      val derived = raw.columns.filter(_.startsWith(PartitionTransform.Prefix))
+      val visible = withDeclared(toLogicalRename(
+        if (derived.isEmpty) raw else raw.drop(derived.toIndexedSeq: _*)))
+      // align to the full-table schema: a bucket whose files predate a
+      // schema evolution may lack late columns (null-filled) or carry
+      // a narrower merged type (cast)
+      val have = visible.columns.toSet
+      val aligned = schema.fields.filterNot(f => have.contains(f.name))
+        .foldLeft(visible)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      aligned.select(schema.fields
+        .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    }
+
+    // rename refuses on transform sources, so the physical source name
+    // IS the surfaced column name
+    val attrs = schema.fields.map(f =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        f.name, f.dataType, nullable = true)()).toIndexedSeq
+    // honest size stats for join selection: O(files) driver statting,
+    // the same cost class as the manifest listing itself
+    val bytes = entries.map(e =>
+      BigInt(fs.getFileStatus(new Path(root, e.rel)).getLen)).sum
+    graft.plans.BucketedScanStrategy.ensureRegistered(spark)
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark,
+      graft.plans.BucketedTableScan(attrs, srcCol, t.n,
+        groups.map(_.result()).toIndexedSeq, bytes, build))
+  }
+
   /** Entry-level read: scan the entries' files and anti-join out any
     * deletion-vector positions they reference. The (file-basename,
     * row_index) pair is a permanent row id — data files are immutable

@@ -34,20 +34,40 @@ object Merge {
 
   /** Keyed upsert; schemas must match and `updates` must carry at most
     * ONE row per key (a feed with several versions of a key would
-    * insert both — compact it first with [[latestPerKey]]).
+    * QUIETLY insert all of them — the anti join drops the matched
+    * target once, the union appends every source row; compact first
+    * with [[latestPerKey]], or pass `strict = true` to pay one small
+    * aggregate job that fails fast on a contract-violating feed).
     * `updates ∪ (base ANTI-JOIN update keys)`: matched targets are
     * dropped by the anti join and replaced by their source rows
     * (source wins, NULLs included), unmatched targets survive the
     * anti, unmatched sources insert via the union.
     */
-  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      strict: Boolean = false): DataFrame = {
     // align by NAME: a partitioned table reads back with the partition
     // column moved to the end, so positional alignment would corrupt
     require(base.columns.toSet == updates.columns.toSet,
       s"schema mismatch: ${base.columns.toSeq} vs ${updates.columns.toSeq}")
     val cols = base.columns.toSeq
     val s0 = updates.select(cols.map(col): _*)
+    if (strict) requireUniqueKeys(s0, keys)
     keptTargets(base, s0, keys).unionAll(s0)
+  }
+
+  /** Fail fast when a feed carries several rows for one key — the
+    * contract both merge forms assume. One keyed aggregate over the
+    * FEED only (the small side), never the target.
+    */
+  private def requireUniqueKeys(s0: DataFrame, keys: Seq[String]): Unit = {
+    val dup = s0.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      "merge feed carries multiple rows per key (e.g. key " +
+        keys.map(k => s"$k=${dup.head.get(dup.head.fieldIndex(k))}")
+          .mkString(", ") +
+        "); compact with Merge.latestPerKey before merging")
   }
 
   /** Default tombstone column name for [[applyCdc]] feeds. */
@@ -68,12 +88,14 @@ object Merge {
     * the non-tombstone source rows come back through the union.
     */
   def applyCdc(base: DataFrame, updates: DataFrame,
-      keys: Seq[String], deleteCol: String = DeleteCol): DataFrame = {
+      keys: Seq[String], deleteCol: String = DeleteCol,
+      strict: Boolean = false): DataFrame = {
     require(base.columns.toSet + deleteCol == updates.columns.toSet,
       s"updates must be base schema + $deleteCol: " +
         s"${base.columns.toSeq} vs ${updates.columns.toSeq}")
     val cols = base.columns.toSeq
     val s0 = updates.select((cols :+ deleteCol).map(col): _*)
+    if (strict) requireUniqueKeys(s0, keys)
     val inserts = s0.filter(!coalesce(col(deleteCol), lit(false)))
       .select(cols.map(col): _*)
     keptTargets(base, s0, keys).unionAll(inserts)

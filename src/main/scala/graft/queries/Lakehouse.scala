@@ -134,6 +134,98 @@ object Lakehouse extends QueryModule {
        |                  ELSE o_totalprice END AS p FROM orders)
        |ORDER BY version ASC NULLS FIRST""".stripMargin
 
+  /** L28: name-based SQL through the DSv2 catalog
+    * ([[graft.sql.GraftCatalog]]) — the Glue/Athena query-by-name
+    * surface: write orders as a governed table, then run plain SQL
+    * against `graft_cat.gold.orders` (current + `VERSION AS OF 0`)
+    * with a name-based self-join. The oracle replays the same
+    * arithmetic over the raw table, proving the catalog path reads
+    * the identical governed snapshot.
+    */
+  def l28CatalogSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l28_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", scratch)
+
+    val orders = Q.t(spark, dir, "orders")
+    val mt = new ManifestTable(spark, s"$scratch/gold/orders")
+    mt.write(orders, "overwrite") // v0
+    mt.write(orders.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L), "append") // v1
+
+    spark.sql(
+      """SELECT cur.o_orderpriority,
+        |  COUNT(*) AS n_now,
+        |  MIN(v0.n_before) AS n_before
+        |FROM graft_cat.gold.orders cur
+        |CROSS JOIN (
+        |  SELECT o_orderpriority AS pri, COUNT(*) AS n_before
+        |  FROM graft_cat.gold.orders VERSION AS OF 0
+        |  GROUP BY 1) v0
+        |WHERE cur.o_orderpriority = v0.pri
+        |GROUP BY 1
+        |ORDER BY 1 ASC NULLS FIRST""".stripMargin)
+  }
+
+  val l28Oracle: String =
+    """WITH appended AS (
+      |  SELECT o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT o_orderpriority FROM orders WHERE o_orderkey % 101 = 0)
+      |SELECT a.o_orderpriority,
+      |  COUNT(*) AS n_now,
+      |  MIN(b.n_before) AS n_before
+      |FROM appended a
+      |JOIN (SELECT o_orderpriority AS pri, COUNT(*) AS n_before
+      |      FROM orders GROUP BY 1) b
+      |  ON a.o_orderpriority = b.pri
+      |GROUP BY 1
+      |ORDER BY 1 ASC NULLS FIRST""".stripMargin
+
+  /** L22b: storage-partitioned join — write orders and lineitem as
+    * `bucket(8, key)` tables, then join through
+    * [[ManifestTable.readBucketed]]: both scans report their
+    * HashPartitioning, so the fact⋈fact join plans with NO exchange
+    * on either side (BucketedJoinSpec asserts the plan; this row
+    * proves the RESULT against the plain-join oracle). The recurring
+    * orders⋈order_items edge of the reference star, shuffled zero
+    * times per run instead of twice.
+    */
+  def l22bBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l22b_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+
+    val o = Q.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Q.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ta = new ManifestTable(spark, s"$scratch/orders",
+      partitionSpec = Seq("bucket(8,o_orderkey)"))
+    ta.write(o, "overwrite")
+    val tb = new ManifestTable(spark, s"$scratch/lineitem",
+      partitionSpec = Seq("bucket(8,l_orderkey)"))
+    tb.write(li, "overwrite")
+
+    ta.readBucketed("o_orderkey")
+      .join(tb.readBucketed("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), Q.dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  val l22bOracle: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  ${Q.sql.dsum("l_quantity")} AS qty
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1
+       |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** L6: exact dedup — keep the first doc per (lang, source) via
     * row_number (the scalable keyed form; full-content-hash variant in
     * the text module).
@@ -347,6 +439,8 @@ object Lakehouse extends QueryModule {
     "l1_merge_delete" -> l1MergeDelete,
     "l3_time_travel" -> l3TimeTravel,
     "l15_dv_roundtrip" -> l15DvRoundtrip,
+    "l28_catalog_select" -> l28CatalogSelect,
+    "l22b_bucketed_join" -> l22bBucketedJoin,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
@@ -357,6 +451,8 @@ object Lakehouse extends QueryModule {
     "l8_change_feed" -> l8Oracle,
     "l1_merge_delete" -> l1MergeDeleteOracle,
     "l3_time_travel" -> l3Oracle,
+    "l28_catalog_select" -> l28Oracle,
+    "l22b_bucketed_join" -> l22bOracle,
     "l15_dv_roundtrip" -> l15Oracle,
     "l6_exact_dedup" -> l6Oracle)
 }

@@ -1,0 +1,330 @@
+package graft.sql
+
+import java.util
+
+import graft.lake.ManifestTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Name-based SQL over governed [[ManifestTable]]s — the Glue-catalog
+  * surface of the reference (`glue_infra.py:146-153` lists
+  * `retail_lakehouse_db` tables; Athena queries them BY NAME) as a
+  * Spark DataSource V2 `TableCatalog`:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.lakehouse",
+  *     "graft.sql.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.lakehouse.root", "/lake")
+  *   spark.sql("SELECT * FROM lakehouse.silver.orders")          // latest
+  *   spark.sql("SELECT * FROM lakehouse.silver.orders VERSION AS OF 2")
+  *   spark.sql("SHOW TABLES IN lakehouse.silver")
+  * }}}
+  *
+  * Layout: a namespace is a directory under the configured root; a
+  * table is a directory containing a `_graft_log` manifest. Reads go
+  * through [[ManifestTable.read]], so every governed behavior —
+  * deletion vectors, declared schema, hidden partitioning, time
+  * travel — applies identically to path-based and name-based access.
+  *
+  * Scan path: the table's ScanBuilder takes DSv2 column pruning and
+  * filter pushdown, applies both to the inner DataFrame, and hands
+  * Spark a [[V1Scan]] over the optimized sub-plan — Catalyst compiles
+  * that sub-plan with the same parquet pushdown/pruning as a direct
+  * `read()`, so name-based access costs one extra Row conversion pass
+  * and nothing else at the scan.
+  *
+  * Spark caches catalog plugin instances per session on first use
+  * (standard CatalogManager behavior), so set the `.root` conf BEFORE
+  * the first query that names the catalog; a later conf change does
+  * not re-initialize an already-resolved catalog.
+  *
+  * Writes stay on the explicit surfaces (`ManifestTable` API,
+  * `CALL graft.*` procedures): the catalog creates/drops/renames
+  * table directories but deliberately does not register a DSv2 write
+  * path — commit semantics (optimistic concurrency, WAP branches)
+  * don't reduce to blind INSERTs. `alterTable` is likewise routed to
+  * the declared-schema surface (L26).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"GraftCatalog '$name' requires spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(namespace: Array[String], leaf: String = ""): Path = {
+    val segs = namespace.toSeq ++ (if (leaf.isEmpty) Nil else Seq(leaf))
+    segs.foldLeft(new Path(root))((p, s) => new Path(p, s))
+  }
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_graft_log"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace).toSeq)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(isTableDir)
+      .map(p => Identifier.of(namespace, p.getName))
+      .sortBy(_.name())
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident.namespace(), ident.name())
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    new GraftSqlTable(ident, dir.toString, None, None)
+  }
+
+  /** `VERSION AS OF n` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    loadTable(ident) // existence check
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft table version must be an integer, got '$version'")
+    }
+    new GraftSqlTable(ident, dirOf(ident.namespace(), ident.name()).toString,
+      Some(v), None)
+  }
+
+  /** `TIMESTAMP AS OF ts` time travel (micros since epoch). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    loadTable(ident)
+    new GraftSqlTable(ident, dirOf(ident.namespace(), ident.name()).toString,
+      None, Some(timestamp / 1000L))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "CREATE TABLE partitioning goes through the table_config surface " +
+        "(ManifestTable partitionSpec); create unpartitioned here")
+    val dir = dirOf(ident.namespace(), ident.name())
+    if (isTableDir(dir)) throw new TableAlreadyExistsException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    new ManifestTable(spark, dir.toString).write(empty, "overwrite")
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE routes through the declared-schema surface " +
+        "(SchemaRegistry / CALL graft.evolve_schema)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident.namespace(), ident.name())
+    isTableDir(dir) && fs.delete(dir, true)
+  }
+
+  /** Spark hands `RENAME TO`'s target identifier through unresolved —
+    * `c.ns.t2` arrives as namespace ["c","ns"] — so strip a leading
+    * catalog-name segment (a real namespace named like the catalog
+    * would be ambiguous; don't do that).
+    */
+  private def stripCatalog(ident: Identifier): Identifier =
+    if (ident.namespace().headOption.contains(catalogName))
+      Identifier.of(ident.namespace().drop(1), ident.name())
+    else ident
+
+  override def renameTable(oldId: Identifier, newId: Identifier): Unit = {
+    val oldIdent = stripCatalog(oldId)
+    val newIdent = stripCatalog(newId)
+    val from = dirOf(oldIdent.namespace(), oldIdent.name())
+    if (!isTableDir(from)) throw new NoSuchTableException(
+      (catalogName +: oldIdent.namespace().toSeq :+ oldIdent.name()))
+    val to = dirOf(newIdent.namespace(), newIdent.name())
+    if (isTableDir(to)) throw new TableAlreadyExistsException(
+      (catalogName +: newIdent.namespace().toSeq :+ newIdent.name()))
+    fs.mkdirs(to.getParent)
+    if (!fs.rename(from, to)) throw new IllegalStateException(
+      s"rename $from -> $to failed")
+  }
+
+  // ---- namespaces: directories under the root ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(new Path(root))) Array.empty
+    else fs.listStatus(new Path(root)).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTableDir).filterNot(_.getName.startsWith("_"))
+      .map(p => Array(p.getName)).sortBy(_.head)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val dir = dirOf(namespace)
+      if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+        (catalogName +: namespace).toSeq)
+      fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+        .filterNot(isTableDir).filterNot(_.getName.startsWith("_"))
+        .map(p => namespace :+ p.getName).sortBy(_.mkString("."))
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(dirOf(namespace))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      (catalogName +: namespace).toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(dirOf(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace metadata is immutable")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = dirOf(namespace)
+    if (!fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(dir, true)
+  }
+}
+
+/** A governed manifest table resolved by name: reads delegate to
+  * [[ManifestTable.read]] (DV-aware, declared schema), optionally
+  * pinned to a version or timestamp by the catalog's time-travel
+  * loadTable.
+  */
+private[sql] class GraftSqlTable(ident: Identifier, root: String,
+    version: Option[Int], asOfMs: Option[Long])
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private[sql] lazy val df: DataFrame = {
+    val mt = ManifestTable.forRoot(spark, root)
+    (version, asOfMs) match {
+      case (Some(v), _) => mt.read(Some(v))
+      case (_, Some(ms)) => mt.readAsOf(ms)
+      case _ => mt.read()
+    }
+  }
+
+  override def name(): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def schema(): StructType = df.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put(TableCatalog.PROP_LOCATION, root)
+    version.foreach(v => m.put("graft.versionAsOf", v.toString))
+    asOfMs.foreach(ms => m.put("graft.timestampAsOfMs", ms.toString))
+    m
+  }
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(df)
+}
+
+/** DSv2 pruning/pushdown applied onto the inner DataFrame, compiled
+  * through a [[V1Scan]]: accepted filters and the pruned projection
+  * become part of the sub-plan, where Catalyst pushes them to the
+  * parquet scans exactly as a path-based read would.
+  */
+private[sql] class GraftScanBuilder(df: DataFrame) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = df.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) =
+      filters.partition(f => GraftScanBuilder.toColumn(f).isDefined)
+    accepted = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val filtered = accepted.flatMap(GraftScanBuilder.toColumn)
+      .foldLeft(df)((d, c) => d.filter(c))
+    val pruned = filtered.select(
+      required.fields.map(f => col(f.name)).toSeq: _*)
+    new GraftV1Scan(pruned, required)
+  }
+}
+
+private[sql] object GraftScanBuilder {
+  /** Translate a V1 source filter to a Column; None = not translatable
+    * (the builder returns it as residual and Spark re-evaluates it
+    * post-scan — always safe).
+    */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(not)
+    case _ => None
+  }
+}
+
+private[sql] class GraftV1Scan(prepared: DataFrame, schema: StructType)
+    extends V1Scan {
+  override def readSchema(): StructType = schema
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = prepared.schema
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        prepared.rdd
+    }.asInstanceOf[T]
+}

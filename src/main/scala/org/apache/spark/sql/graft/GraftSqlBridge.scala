@@ -18,4 +18,13 @@ object GraftSqlBridge {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Wrap a custom LogicalPlan (e.g. graft.plans.BucketedTableScan) as
+    * a DataFrame — `Dataset.ofRows` is `private[sql]`, same shim
+    * rationale as above.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

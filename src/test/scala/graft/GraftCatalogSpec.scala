@@ -1,0 +1,127 @@
+package graft
+
+import graft.lake.ManifestTable
+import org.apache.spark.sql.functions._
+
+/** DSv2 TableCatalog surface (the Glue query-by-name contract): name
+  * resolution, SHOW TABLES parity, VERSION/TIMESTAMP AS OF time
+  * travel, DV-aware reads through the catalog, and pushdown through
+  * the V1Scan bridge.
+  */
+class GraftCatalogSpec extends SparkTestBase {
+  quiet()
+  import spark.implicits._
+
+  private val lakeRoot =
+    s"${sys.props("java.io.tmpdir")}/graft_cat_lake_${System.nanoTime()}"
+
+  private def mt(path: String) = new ManifestTable(spark, path)
+
+  override def withFixture(test: NoArgTest) = {
+    spark.conf.set("spark.sql.catalog.gcat_spec", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat_spec.root", lakeRoot)
+    super.withFixture(test)
+  }
+
+  private lazy val setup: Unit = {
+    val orders = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0))
+      .toDF("order_id", "status", "amount")
+    val t = mt(s"$lakeRoot/silver/orders")
+    t.write(orders, "overwrite") // v0
+    t.write(Seq((4L, "C", 40.0)).toDF("order_id", "status", "amount"),
+      "append") // v1
+    val t2 = mt(s"$lakeRoot/silver/returns")
+    t2.write(Seq((9L, "R")).toDF("order_id", "reason"), "overwrite")
+  }
+
+  test("name-based SELECT matches the path-based read") {
+    setup
+    val byName = spark.sql("SELECT * FROM gcat_spec.silver.orders")
+    val byPath = mt(s"$lakeRoot/silver/orders").read()
+    assert(byName.exceptAll(byPath).isEmpty && byPath.exceptAll(byName).isEmpty)
+    assert(byName.count() === 4)
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF match read(version)/readAsOf") {
+    setup
+    val v0 = spark.sql("SELECT * FROM gcat_spec.silver.orders VERSION AS OF 0")
+    val want = mt(s"$lakeRoot/silver/orders").read(Some(0))
+    assert(v0.exceptAll(want).isEmpty && want.exceptAll(v0).isEmpty)
+    assert(v0.count() === 3)
+    // a timestamp far in the future resolves to the latest version
+    val ts = spark.sql(
+      "SELECT * FROM gcat_spec.silver.orders TIMESTAMP AS OF '2100-01-01'")
+    assert(ts.count() === 4)
+  }
+
+  test("SHOW TABLES round-trips the directory layout") {
+    setup
+    val names = spark.sql("SHOW TABLES IN gcat_spec.silver")
+      .select("tableName").as[String].collect().sorted
+    assert(names.toSeq === Seq("orders", "returns"))
+    assert(spark.sql("SHOW NAMESPACES IN gcat_spec")
+      .select("namespace").as[String].collect().contains("silver"))
+  }
+
+  test("deletion vectors apply through name-based reads") {
+    setup
+    val t = mt(s"$lakeRoot/silver/dv_orders")
+    t.write(Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("id", "s"), "overwrite")
+    t.delete(col("id") === 2L)
+    val got = spark.sql("SELECT id FROM gcat_spec.silver.dv_orders ORDER BY id")
+      .as[Long].collect()
+    assert(got.toSeq === Seq(1L, 3L))
+  }
+
+  test("filter and projection push into the inner scan; aggregates work") {
+    setup
+    val n = spark.sql(
+      "SELECT count(*) FROM gcat_spec.silver.orders WHERE status = 'A'")
+      .as[Long].head()
+    assert(n === 2L)
+    val df = spark.sql(
+      "SELECT order_id FROM gcat_spec.silver.orders WHERE amount > 15.0")
+    assert(df.as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
+    // the pushed filter reaches the scan: plan carries it below the
+    // V1 relation (RowDataSourceScanExec shows PushedFilters)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("amount"), p)
+  }
+
+  test("joins between catalog tables and temp views") {
+    setup
+    Seq((1L, "x"), (4L, "y")).toDF("order_id", "tag")
+      .createOrReplaceTempView("tags")
+    val j = spark.sql(
+      """SELECT o.order_id, t.tag FROM gcat_spec.silver.orders o
+        |JOIN tags t USING (order_id) ORDER BY o.order_id""".stripMargin)
+    assert(j.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x"), (4L, "y")))
+  }
+
+  test("CREATE / DROP / RENAME TABLE manage table directories") {
+    setup
+    spark.sql(
+      "CREATE TABLE gcat_spec.silver.fresh (id BIGINT, v STRING)")
+    assert(spark.sql("SELECT * FROM gcat_spec.silver.fresh").count() === 0)
+    // the created table is a real ManifestTable: API writes land in it
+    mt(s"$lakeRoot/silver/fresh")
+      .write(Seq((1L, "a")).toDF("id", "v"), "append")
+    assert(spark.sql("SELECT * FROM gcat_spec.silver.fresh").count() === 1)
+    spark.sql(
+      "ALTER TABLE gcat_spec.silver.fresh RENAME TO gcat_spec.silver.fresh2")
+    assert(spark.sql("SELECT * FROM gcat_spec.silver.fresh2").count() === 1)
+    spark.sql("DROP TABLE gcat_spec.silver.fresh2")
+    assert(!spark.catalog.tableExists("gcat_spec.silver.fresh2"))
+  }
+
+  test("missing table and namespace raise the standard errors") {
+    setup
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gcat_spec.silver.nope").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SHOW TABLES IN gcat_spec.no_such_zone").collect()
+    }
+  }
+}

@@ -43,6 +43,20 @@ class LakeSpec extends SparkTestBase {
     assert(changedCols.count() === 8)
   }
 
+  test("L1: strict merge rejects a feed with several rows per key") {
+    val dupFeed = updated.unionByName(updated.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(orders, dupFeed, Seq("order_id"), strict = true)
+    }
+    assert(e.getMessage.contains("multiple rows per key"))
+    // non-strict keeps the documented (quiet) behavior: both rows land
+    assert(Merge.upsert(orders, dupFeed, Seq("order_id")).count() ===
+      orders.count() + 1)
+    // a clean feed passes the strict check unchanged
+    assert(Merge.upsert(orders, updated, Seq("order_id"), strict = true)
+      .count() === orders.count())
+  }
+
   test("L1: merge is idempotent (re-apply is a no-op)") {
     val once = Merge.upsert(orders, updated, Seq("order_id"))
     val twice = Merge.upsert(once, updated, Seq("order_id"))

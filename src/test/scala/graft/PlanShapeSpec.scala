@@ -49,7 +49,11 @@ class PlanShapeSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("FullOuter"), "merge regressed to a full-outer join:\n" + p)
     assert(p.contains("LeftAnti"), p)
-    assert(p.contains("BroadcastHashJoin"), "small feed should broadcast:\n" + p)
+    // the broadcast claim depends on autoBroadcastJoinThreshold and AQE
+    // runtime stats; the structural invariant above must survive a
+    // config tweak, so only assert broadcast when broadcasting is on
+    if (spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+      assert(p.contains("BroadcastHashJoin"), "small feed should broadcast:\n" + p)
   }
 
   test("a1: aggregation is two-phase (partial + final)") {
