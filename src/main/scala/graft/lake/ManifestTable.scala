@@ -400,21 +400,40 @@ class ManifestTable(spark: SparkSession, root: String,
       groups(b) += new Path(root, e.rel).toString
     }
 
-    val schema = read().schema
-    val build: Seq[String] => DataFrame = { files =>
-      val raw = readFiles(files)
-      val derived = raw.columns.filter(_.startsWith(PartitionTransform.Prefix))
+    // ONE schema-inference pass over the full file set; per-bucket
+    // reads pin this schema (no per-bucket footer re-scan), and the
+    // visible schema derives from the same frame without a second pass
+    val rawDf = readFiles(entries.map(e => new Path(root, e.rel).toString))
+    val rawSchema = rawDf.schema
+    val derivedAll =
+      rawSchema.fieldNames.filter(_.startsWith(PartitionTransform.Prefix))
+    val schema = withDeclared(toLogicalRename(
+      if (derivedAll.isEmpty) rawDf
+      else rawDf.drop(derivedAll.toIndexedSeq: _*))).schema
+    val keyType = schema(srcCol).dataType
+    val nb = t.n
+    val build: (Seq[String], Int) => DataFrame = { (files, b) =>
+      val raw = readFiles(files, pinnedSchema = Some(rawSchema))
+      // per-row placement integrity: every row must hash into its
+      // group's bucket under the SURFACED key type — catches bucket-key
+      // type drift across appends (hash(5: int) != hash(5L: long)),
+      // where a silently mis-co-partitioned join would drop rows
+      val guarded = raw.filter(
+        when(pmod(hash(col(srcCol).cast(keyType)), lit(nb)) === lit(b),
+          lit(true))
+          .otherwise(raise_error(lit(
+            s"readBucketed($srcCol): row hashes outside bucket $b — " +
+              "bucket-key type drift across appends or corrupt layout; " +
+              "rewrite the table with a consistent key type"))))
       val visible = withDeclared(toLogicalRename(
-        if (derived.isEmpty) raw else raw.drop(derived.toIndexedSeq: _*)))
-      // align to the full-table schema: a bucket whose files predate a
-      // schema evolution may lack late columns (null-filled) or carry
-      // a narrower merged type (cast)
-      val have = visible.columns.toSet
-      val aligned = schema.fields.filterNot(f => have.contains(f.name))
-        .foldLeft(visible)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
-      aligned.select(schema.fields
-        .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        if (derivedAll.isEmpty) guarded
+        else guarded.drop(derivedAll.toIndexedSeq: _*)))
+      // the pinned rawSchema read null-fills columns a bucket's older
+      // files lack and widens narrower file types, and withDeclared
+      // adds declared-only columns — so every schema field is present
+      // at its final type; this select only fixes the OUTPUT ORDER to
+      // match the scan's declared attributes
+      visible.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
 
     // rename refuses on transform sources, so the physical source name
@@ -486,16 +505,21 @@ class ManifestTable(spark: SparkSession, root: String,
     * requires every path to live under its basePath; each group reads
     * under its own basePath and the groups union by name.
     */
-  private def readFiles(files: Seq[String], withPos: Boolean = false): DataFrame = {
+  private def readFiles(files: Seq[String], withPos: Boolean = false,
+      pinnedSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val groups = files.groupBy { f =>
       val i = f.lastIndexOf("/data/")
       if (i >= 0) f.substring(0, i + "/data".length) else dataDir.toString
     }
     groups.toSeq.sortBy(_._1).map { case (bp, fs) =>
-      val df = spark.read
-        .option("basePath", bp)
-        .option("mergeSchema", "true")
-        .parquet(fs: _*)
+      // a pinned schema (from one inference pass over the full file
+      // set) skips the per-call mergeSchema footer scan — the
+      // bucketed read path calls this once PER BUCKET
+      val reader = spark.read.option("basePath", bp)
+      val df = pinnedSchema match {
+        case Some(s) => reader.schema(s).parquet(fs: _*)
+        case None => reader.option("mergeSchema", "true").parquet(fs: _*)
+      }
       // (basename, row_index) is the engine's permanent row id for
       // deletion vectors: basenames are uuid-minted so they never
       // collide across partitions, clones, or rewrites

@@ -60,11 +60,17 @@ object BucketedRolling {
     val part = partCols.map(col)
     val ranged = df.withColumn("_brv", rangeCol.cast("long"))
     val stats = ranged.agg(min(col("_brv")), max(col("_brv"))).head()
-    if (stats.isNullAt(0)) {
+    if (stats.isNullAt(0) && df.isEmpty) {
       return df.withColumn(outCol, lit(null).cast(df.schema(valCol).dataType))
     }
-    val lo = stats.getLong(0)
-    val width = math.max(1L, (stats.getLong(1) - lo) / targetBuckets + 1)
+    // all-null range on a NON-empty frame: lo/width are arbitrary (every
+    // row coalesces into the MinValue bucket → one group per key, the
+    // plain-window degenerate case) — still row-identical, never a
+    // silently-null output
+    val lo = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val width =
+      if (stats.isNullAt(0)) 1L
+      else math.max(1L, (stats.getLong(1) - lo) / targetBuckets + 1)
     // null range values sort first under ASC NULLS FIRST, so they get
     // the minimal bucket; float-division bucket edges are monotone
     // (IEEE division is monotone), which is all bucketing needs

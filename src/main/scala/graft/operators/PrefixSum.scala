@@ -62,10 +62,18 @@ object PrefixSum {
       vals: Seq[(String, String)],
       statsOf: Option[DataFrame] = None,
       targetBuckets: Int = 256): DataFrame = {
-    val stats = statsOf.getOrElse(df)
+    def rangeOf(d: DataFrame) = d
       .agg(min(col(ordCol).cast("long")), max(col(ordCol).cast("long")))
       .head()
-    if (stats.isNullAt(0)) { // empty input: nothing to sum
+    // an empty/ord-null statsOf frame must NOT be conflated with an
+    // empty df (all-zero sums would be silently wrong): fall back to
+    // df's own range, and only short-circuit when df itself is empty
+    val stats = statsOf.map(rangeOf).filterNot(_.isNullAt(0))
+      .getOrElse(rangeOf(df))
+    if (stats.isNullAt(0)) {
+      require(df.isEmpty,
+        s"PrefixSum: order column '$ordCol' is null on every row — " +
+          "the running sum needs a total order")
       return vals.foldLeft(df) { case (d, (_, out)) =>
         d.withColumn(out, lit(0L)) }
     }

@@ -37,8 +37,10 @@ case class BucketedTableScan(
     sizeInBytes: BigInt,
     // driver-only: doExecute resolves the per-bucket DataFrames before
     // any task ships; plan trees serialize into task closures, so the
-    // ManifestTable-capturing builder must not ride along
-    @transient build: Seq[String] => DataFrame) extends LeafNode {
+    // ManifestTable-capturing builder must not ride along. Args:
+    // (bucket's files, bucket id) — the id feeds the per-row placement
+    // integrity check
+    @transient build: (Seq[String], Int) => DataFrame) extends LeafNode {
   require(fileGroups.length == numBuckets,
     s"expected $numBuckets file groups, got ${fileGroups.length}")
 
@@ -92,15 +94,16 @@ case class BucketedScanExec(scan: BucketedTableScan)
   override protected def doExecute(): RDD[InternalRow] = {
     val sc = session.sparkContext
     val names = scan.output.map(_.name)
-    val perBucket: Seq[RDD[InternalRow]] = scan.fileGroups.map { files =>
-      if (files.isEmpty) sc.parallelize(Seq.empty[InternalRow], 1)
-      else {
-        import org.apache.spark.sql.functions.col
-        // select in declared order so rows line up with `output`
-        val df = scan.build(files).select(names.map(col): _*)
-        df.queryExecution.toRdd.coalesce(1)
+    val perBucket: Seq[RDD[InternalRow]] =
+      scan.fileGroups.zipWithIndex.map { case (files, b) =>
+        if (files.isEmpty) sc.parallelize(Seq.empty[InternalRow], 1)
+        else {
+          import org.apache.spark.sql.functions.col
+          // select in declared order so rows line up with `output`
+          val df = scan.build(files, b).select(names.map(col): _*)
+          df.queryExecution.toRdd.coalesce(1)
+        }
       }
-    }
     sc.union(perBucket)
   }
 

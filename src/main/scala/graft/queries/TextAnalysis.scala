@@ -150,8 +150,13 @@ object TextAnalysis extends QueryModule {
     val newv = firsts.groupBy(floor(col("fd") / 100).as("bucket"))
       .agg(count(lit(1)).as("new_vocab"))
     val joined = pertokJoin(toks, newv)
+    // statsOf: the bucket range from a doc_id-only scan of the raw
+    // table — without it the stats probe would re-execute the full
+    // bigram explode + aggregations a second time
+    val statsOf = Q.t(spark, dir, "documents")
+      .select(floor(col("doc_id") / 100).as("bucket"))
     PrefixSum.exclusive(joined, Seq.empty, "bucket",
-        Seq("n_grams" -> "_gb", "nv" -> "_vb"))
+        Seq("n_grams" -> "_gb", "nv" -> "_vb"), statsOf = Some(statsOf))
       .select(col("bucket"),
         (col("_gb") + col("n_grams")).as("cum_grams"),
         (col("_vb") + col("nv")).as("cum_vocab"))

@@ -6,9 +6,10 @@ import graft.lake.ManifestTable
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
@@ -47,12 +48,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the first query that names the catalog; a later conf change does
   * not re-initialize an already-resolved catalog.
   *
-  * Writes stay on the explicit surfaces (`ManifestTable` API,
-  * `CALL graft.*` procedures): the catalog creates/drops/renames
-  * table directories but deliberately does not register a DSv2 write
-  * path — commit semantics (optimistic concurrency, WAP branches)
-  * don't reduce to blind INSERTs. `alterTable` is likewise routed to
-  * the declared-schema surface (L26).
+  * SQL DML: `INSERT INTO` / `INSERT OVERWRITE` commit through the
+  * same `ManifestTable.write` append/overwrite path (a V1Write
+  * bridge), and `DELETE FROM ... WHERE` routes to the deletion-vector
+  * `delete` — so CTAS, INSERT and DELETE are plain SQL. The richer
+  * commit protocols (MERGE, WAP branches, optimistic-concurrency
+  * retries) stay on the `CALL graft.*` / API surfaces where their
+  * semantics are explicit; `alterTable` is likewise routed to the
+  * declared-schema surface (L26). Time-travel-pinned tables
+  * (VERSION/TIMESTAMP AS OF) refuse writes and deletes.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -80,9 +84,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isTableDir(p: Path): Boolean =
     fs.exists(new Path(p, "_graft_log"))
 
+  /** No namespace segment may be a table directory — a table nested
+    * inside a table would be invisible to SHOW NAMESPACES and read as
+    * data by table maintenance. One walk, shared by every surface that
+    * validates or creates namespace paths.
+    */
+  private def firstTableAncestor(
+      namespace: Array[String]): Option[Array[String]] =
+    namespace.indices
+      .find(i => isTableDir(dirOf(namespace.take(i + 1))))
+      .map(i => namespace.take(i + 1))
+
+  private def requireNoTableAncestor(namespace: Array[String]): Unit =
+    firstTableAncestor(namespace).foreach { prefix =>
+      throw new IllegalArgumentException(
+        s"'${prefix.mkString(".")}' is a table, not a namespace — " +
+          "tables cannot nest inside tables")
+    }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = dirOf(namespace)
-    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
       (catalogName +: namespace).toSeq)
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       .filter(isTableDir)
@@ -121,6 +143,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(partitions.isEmpty,
       "CREATE TABLE partitioning goes through the table_config surface " +
         "(ManifestTable partitionSpec); create unpartitioned here")
+    requireNoTableAncestor(ident.namespace())
     val dir = dirOf(ident.namespace(), ident.name())
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (catalogName +: ident.namespace().toSeq :+ ident.name()))
@@ -153,6 +176,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldId: Identifier, newId: Identifier): Unit = {
     val oldIdent = stripCatalog(oldId)
     val newIdent = stripCatalog(newId)
+    requireNoTableAncestor(newIdent.namespace())
     val from = dirOf(oldIdent.namespace(), oldIdent.name())
     if (!isTableDir(from)) throw new NoSuchTableException(
       (catalogName +: oldIdent.namespace().toSeq :+ oldIdent.name()))
@@ -176,7 +200,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespace.isEmpty) listNamespaces()
     else {
       val dir = dirOf(namespace)
-      if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
         (catalogName +: namespace).toSeq)
       fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
         .filterNot(isTableDir).filterNot(_.getName.startsWith("_"))
@@ -184,7 +208,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || fs.exists(dirOf(namespace))
+    namespace.isEmpty ||
+      (fs.exists(dirOf(namespace)) && firstTableAncestor(namespace).isEmpty)
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] = {
@@ -195,6 +220,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
+    requireNoTableAncestor(namespace)
     fs.mkdirs(dirOf(namespace))
     ()
   }
@@ -221,7 +247,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 private[sql] class GraftSqlTable(ident: Identifier, root: String,
     version: Option[Int], asOfMs: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -240,7 +266,46 @@ private[sql] class GraftSqlTable(ident: Identifier, root: String,
   override def schema(): StructType = df.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  private def requireWritable(op: String): Unit =
+    require(version.isEmpty && asOfMs.isEmpty,
+      s"$op on a time-travel-pinned table snapshot is not allowed")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      requireWritable("INSERT")
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          (data: DataFrame, overwriteFlag: Boolean) => {
+            val mode =
+              if (overwrite || overwriteFlag) "overwrite" else "append"
+            ManifestTable.forRoot(data.sparkSession, root).write(data, mode)
+            ()
+          }
+      }
+    }
+
+  /** DELETE FROM ... WHERE — deletion-vector deletes through the
+    * governed path; predicates Spark can hand down as V1 filters and
+    * we can translate become the delete condition (canDeleteWhere
+    * refuses the rest, so Spark falls back to an error instead of a
+    * wrong partial delete).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireWritable("DELETE")
+    val cond = filters.toSeq.flatMap(GraftScanBuilder.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    ManifestTable.forRoot(spark, root).delete(cond)
+    ()
+  }
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()

@@ -100,6 +100,60 @@ class BucketedJoinSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { dv.readBucketed("k") }
   }
 
+  private def messageChain(t: Throwable): String =
+    if (t == null) "" else s"${t.getMessage}\n${messageChain(t.getCause)}"
+
+  test("bucket-key type drift across appends fails loudly, never silently") {
+    // v0 buckets by hash of k: INT, the append by hash of k: LONG —
+    // the same value can land in different buckets, so a reported
+    // HashPartitioning would be a lie. The schema-inference pass
+    // refuses the int/long mix before the per-row guard is even
+    // reached — either way the failure is loud, never missing rows
+    val mt = new ManifestTable(spark, scratch("drift"),
+      partitionSpec = Seq("bucket(4,k)"))
+    mt.write((1 to 50).map(k => (k, k)).toDF("k", "x"), "overwrite")
+    mt.write((51L to 80L).map(k => (k, k)).toDF("k", "x"), "append")
+    val e = intercept[Exception] { mt.readBucketed("k").collect() }
+    val chain = messageChain(e)
+    assert(chain.contains("MERGE") || chain.contains("convert") ||
+      chain.contains("hashes outside bucket"), chain)
+  }
+
+  test("placement guard catches same-type corruption inside a bucket") {
+    // overwrite one bucket file IN PLACE with rows whose keys hash to
+    // other buckets (schema unchanged, manifest unchanged) — only the
+    // per-row placement check can see this, and a silent miss would
+    // surface as dropped join rows under the reported partitioning
+    val root = scratch("corrupt")
+    val mt = new ManifestTable(spark, root, partitionSpec = Seq("bucket(4,k)"))
+    mt.write((1L to 40L).map(k => (k, k)).toDF("k", "x"), "overwrite")
+
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val target = Files.walk(Paths.get(root)).iterator().asScala
+      .find(p => p.toString.contains("_graft_p_bucket4_k=") &&
+        p.toString.endsWith(".parquet"))
+      .getOrElse(fail("no bucket data file found"))
+    val dirBucket = target.getParent.getFileName.toString
+      .split('=').last.toInt
+    val wrong = spark.range(100, 160)
+      .select(col("id").as("k"), col("id").as("x"))
+      .withColumn("b", pmod(hash(col("k")), lit(4)))
+      .filter(col("b") =!= lit(dirBucket)).drop("b").limit(5)
+    val tmp = scratch("corrupt_tmp")
+    wrong.coalesce(1).write.parquet(tmp)
+    val part = Files.walk(Paths.get(tmp)).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(part, target, StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS checksum sidecar so the tamper is invisible to
+    // everything except the placement guard
+    Files.deleteIfExists(
+      target.getParent.resolve(s".${target.getFileName}.crc"))
+
+    val e = intercept[Exception] { mt.readBucketed("k").collect() }
+    assert(messageChain(e).contains("hashes outside bucket"), messageChain(e))
+  }
+
   test("appends land in the same buckets; join stays exchange-free") {
     val a = mkTable("app", 4, (1L to 60L).map(k => (k, k)).toDF("k", "x"), "k")
     a.write((61L to 90L).map(k => (k, k)).toDF("k", "x"), "append")

@@ -57,6 +57,21 @@ class BucketedRollingSpec extends SparkTestBase {
     check(rows, 5, 32)
   }
 
+  test("all-null range column still matches the single-window form") {
+    // nulls sort first under ASC NULLS FIRST in both forms; the
+    // operator must degrade to one group per key, not emit nulls
+    val df = Seq(("k", 0L, 5.0), ("k", 1L, 2.0), ("k", 2L, 9.0))
+      .toDF("k", "tie", "v")
+      .withColumn("ord", lit(null).cast("long"))
+    val got = BucketedRolling.trailing(df, Seq("k"), col("ord"), Seq("tie"),
+      "v", 2, max, "got", targetBuckets = 4)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ord").asc, col("tie").asc).rowsBetween(-2, -1)
+    val want = df.withColumn("want", max(col("v")).over(w))
+    val j = got.join(want, Seq("k", "tie", "v"))
+    assert(j.count() === 3 && j.filter(!(col("got") <=> col("want"))).isEmpty)
+  }
+
   test("min aggregate and empty input") {
     val df = (0L until 60L).map(i => ("k", i, i, (i % 9).toDouble))
       .toDF("k", "ord", "tie", "v")

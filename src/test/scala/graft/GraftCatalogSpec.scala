@@ -115,6 +115,51 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(!spark.catalog.tableExists("gcat_spec.silver.fresh2"))
   }
 
+  test("INSERT INTO / INSERT OVERWRITE / DELETE FROM / CTAS via SQL") {
+    setup
+    spark.sql("CREATE TABLE gcat_spec.silver.dml (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gcat_spec.silver.dml VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gcat_spec.silver.dml VALUES (3, 'c')")
+    assert(spark.sql("SELECT * FROM gcat_spec.silver.dml").count() === 3)
+    spark.sql("DELETE FROM gcat_spec.silver.dml WHERE id = 2")
+    assert(spark.sql("SELECT id FROM gcat_spec.silver.dml ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L))
+    spark.sql("INSERT OVERWRITE gcat_spec.silver.dml VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM gcat_spec.silver.dml")
+      .as[Long].collect().toSeq === Seq(9L))
+    // the SQL commits are governed versions: time travel sees history
+    assert(spark.sql(
+      "SELECT * FROM gcat_spec.silver.dml VERSION AS OF 1").count() === 2)
+    // CTAS: create + populate through the same write path
+    spark.sql(
+      """CREATE TABLE gcat_spec.silver.ctas AS
+        |SELECT * FROM gcat_spec.silver.orders WHERE status = 'A'""".stripMargin)
+    assert(spark.sql("SELECT * FROM gcat_spec.silver.ctas").count() === 2)
+  }
+
+  test("writes and deletes refuse on a time-travel-pinned snapshot") {
+    setup
+    val e = intercept[Exception] {
+      spark.sql(
+        "INSERT INTO gcat_spec.silver.orders VERSION AS OF 0 VALUES (7, 'X', 1.0)")
+    }
+    assert(e != null)
+  }
+
+  test("tables cannot nest inside tables") {
+    setup
+    // silver.orders is a TABLE: it must not act as a namespace
+    val e = intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE gcat_spec.silver.orders.inner (id BIGINT)")
+    }
+    assert(e.getMessage.contains("cannot nest") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+    intercept[Exception] {
+      spark.sql("CREATE NAMESPACE gcat_spec.silver.orders.ns")
+    }
+  }
+
   test("missing table and namespace raise the standard errors") {
     setup
     intercept[Exception] {

@@ -70,6 +70,24 @@ class PrefixSumSpec extends SparkTestBase {
     assert(e.columns.contains("before") && e.count() == 0)
   }
 
+  test("empty statsOf frame falls back to df's own range, never zeros") {
+    val df = Seq(("k", 1L, 5L), ("k", 2L, 3L)).toDF("k", "ord", "n")
+    val emptyStats = df.filter(lit(false))
+    val got = PrefixSum.exclusive(df, Seq("k"), "ord", Seq("n" -> "before"),
+        statsOf = Some(emptyStats))
+      .orderBy("ord").select("before").as[Long].collect()
+    assert(got.toSeq == Seq(0L, 5L))
+  }
+
+  test("all-null order column on a non-empty frame fails loudly") {
+    val df = Seq(("k", 5L), ("k", 3L)).toDF("k", "n")
+      .withColumn("ord", lit(null).cast("long"))
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.exclusive(df, Seq("k"), "ord", Seq("n" -> "before"))
+    }
+    assert(e.getMessage.contains("null on every row"))
+  }
+
   test("single bucket degenerates to the plain window result") {
     val df = Seq(("a", 1L, 2L), ("a", 2L, 3L), ("b", 1L, 4L))
       .toDF("k", "ord", "n")
