@@ -417,7 +417,60 @@ object DataMix extends QueryModule {
        |ORDER BY lang ASC NULLS FIRST, pack_id ASC NULLS FIRST""".stripMargin
   }
 
+  /** MIX9: data-constrained epoch schedule — the repeat-factor plan a
+    * token-budgeted pretraining run computes when sources are smaller
+    * than their budget share (the Muennighoff et al. 2023
+    * data-constrained regime, integer form): each source gets an equal
+    * integer share of the budget; its epoch count is the least e with
+    * e·n_tokens ≥ share, capped at 4 (the diminishing-returns cap);
+    * served = min(share, epochs·n_tokens), so a source too small even
+    * at 4 epochs under-delivers VISIBLY. All integer floor/ceil math —
+    * bit-reproducible and hash-exact cross-engine; both regimes
+    * (cap-bound and share-bound) occur at the chosen budget.
+    *
+    * Scale: one map-side-combined agg to (source) grain + a broadcast
+    * of the 1-row source count — nothing else touches the corpus.
+    */
+  def mix9EpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 120000L
+    val toks = Q.t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+    val ns = toks.agg(count(lit(1)).as("n_sources"))
+    val planned = toks.crossJoin(broadcast(ns))
+      .withColumn("share", expr(s"$budget div n_sources"))
+      .withColumn("epochs",
+        least(lit(4L), expr("(share + n_tokens - 1) div n_tokens")))
+      .withColumn("served_tokens",
+        least(col("share"), col("epochs") * col("n_tokens")))
+    planned.select(col("source"), col("n_docs"), col("n_tokens"),
+        col("epochs"), col("served_tokens"))
+      .orderBy(col("source").asc)
+  }
+
+  val mix9Oracle: String =
+    """WITH toks AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |ns AS (SELECT COUNT(*) AS n_sources FROM toks),
+      |plan AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(120000 // n_sources AS BIGINT) AS share
+      |  FROM toks CROSS JOIN ns)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(LEAST(4, (share + n_tokens - 1) // n_tokens) AS BIGINT)
+      |    AS epochs,
+      |  CAST(LEAST(share,
+      |    LEAST(4, (share + n_tokens - 1) // n_tokens) * n_tokens)
+      |    AS BIGINT) AS served_tokens
+      |FROM plan
+      |ORDER BY source ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix9_epoch_schedule" -> mix9EpochSchedule,
     "mix6_temperature" -> mix6Temperature,
     "mix7_bpe_packing" -> mix7BpePacking,
     "mix8_curation_pipeline" -> mix8CurationPipeline,
@@ -433,6 +486,7 @@ object DataMix extends QueryModule {
     "mix8_curation_pipeline" -> mix8Oracle,
     "mix1_hash_sample" -> mix1Oracle,
     "mix2_seq_packing" -> mix2Oracle,
+    "mix9_epoch_schedule" -> mix9Oracle,
     "mix3_quality_filter" -> mix3Oracle,
     "mix4_quota_sample" -> mix4Oracle,
     "mix5_stratified_split" -> mix5Oracle)
