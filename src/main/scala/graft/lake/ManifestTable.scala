@@ -441,10 +441,23 @@ class ManifestTable(spark: SparkSession, root: String,
     val attrs = schema.fields.map(f =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         f.name, f.dataType, nullable = true)()).toIndexedSeq
-    // honest size stats for join selection: O(files) driver statting,
-    // the same cost class as the manifest listing itself
-    val bytes = entries.map(e =>
-      BigInt(fs.getFileStatus(new Path(root, e.rel)).getLen)).sum
+    // honest size stats for join selection: one listStatus per bucket
+    // DIRECTORY (O(buckets) driver RPCs — the same cost class as the
+    // manifest listing), never one getFileStatus per file, which on an
+    // object store would be thousands of serial HEAD requests before
+    // the query even plans. A file missing from its directory listing
+    // (corrupt layout) falls back to a direct stat so the read fails
+    // with the real error rather than a silent size of zero.
+    val bytes = entries.groupBy(e => new Path(root, e.rel).getParent)
+      .iterator.map { case (dir, es) =>
+        val lens = fs.listStatus(dir).iterator
+          .map(st => st.getPath.getName -> st.getLen).toMap
+        es.iterator.map { e =>
+          val name = new Path(e.rel).getName
+          BigInt(lens.getOrElse(name,
+            fs.getFileStatus(new Path(root, e.rel)).getLen))
+        }.sum
+      }.sum
     graft.plans.BucketedScanStrategy.ensureRegistered(spark)
     org.apache.spark.sql.graft.GraftSqlBridge.ofRows(spark,
       graft.plans.BucketedTableScan(attrs, srcCol, t.n,

@@ -45,6 +45,9 @@ object BucketedRolling {
     *                 totally order rows within a key
     * @param agg      window aggregate over the value column, e.g.
     *                 `max(_)` / `min(_)` / `sum(_)`
+    * @param maxDriverRows cap on the driver-side (key × bucket) count
+    *                 frame — checked with a limit probe before the
+    *                 collect, so exceeding it throws rather than OOMs
     */
   def trailing(
       df: DataFrame,
@@ -55,7 +58,8 @@ object BucketedRolling {
       n: Int,
       agg: Column => Column,
       outCol: String,
-      targetBuckets: Int = 64): DataFrame = {
+      targetBuckets: Int = 64,
+      maxDriverRows: Int = 1000000): DataFrame = {
     require(n >= 1, s"trailing frame must be at least 1 row, got $n")
     val part = partCols.map(col)
     val ranged = df.withColumn("_brv", rangeCol.cast("long"))
@@ -68,23 +72,26 @@ object BucketedRolling {
     // plain-window degenerate case) — still row-identical, never a
     // silently-null output
     val lo = if (stats.isNullAt(0)) 0L else stats.getLong(0)
-    val width =
-      if (stats.isNullAt(0)) 1L
-      else math.max(1L, (stats.getLong(1) - lo) / targetBuckets + 1)
+    val hi = if (stats.isNullAt(0)) 0L else stats.getLong(1)
     // null range values sort first under ASC NULLS FIRST, so they get
-    // the minimal bucket; float-division bucket edges are monotone
-    // (IEEE division is monotone), which is all bucketing needs
+    // the minimal bucket; RangeBuckets guarantees the mapping is
+    // monotone even when the range domain spans more than Long.MaxValue
+    // (plain `_brv - lo` long math would wrap and scramble bucket order)
     val bucketed = ranged.withColumn("_brb",
-      coalesce(((col("_brv") - lit(lo)) / lit(width)).cast("long"),
+      coalesce(RangeBuckets.bucketExpr(col("_brv"), lo, hi, targetBuckets),
         lit(Long.MinValue)))
 
     // per-(key, bucket) counts: a distributed agg collapsed to a
-    // metadata-scale frame (≤ |keys| × targetBuckets rows, enforced)
+    // metadata-scale frame (≤ |keys| × targetBuckets rows). The bound
+    // is enforced BEFORE unbounded driver materialization: the limit
+    // probe collects at most maxDriverRows + 1 rows, so a
+    // high-cardinality misuse throws instead of OOMing the driver
     val counts = bucketed.groupBy(part :+ col("_brb"): _*)
       .agg(count(lit(1)).as("_bn"))
+      .limit(maxDriverRows + 1)
       .collect()
-    require(counts.length <= 1000000,
-      s"BucketedRolling count frame too large (${counts.length}): " +
+    require(counts.length <= maxDriverRows,
+      s"BucketedRolling count frame exceeds $maxDriverRows rows: " +
         "this operator is for low-cardinality keys")
 
     // greedy merge per key: scan buckets in order, close a group once

@@ -79,11 +79,10 @@ object PrefixSum {
     }
     val lo = stats.getLong(0)
     val hi = stats.getLong(1)
-    val width = math.max(1L, (hi - lo) / targetBuckets + 1)
 
     val part: Seq[Column] = partCols.map(col)
-    val bucketed = df.withColumn(
-      "_psb", ((col(ordCol).cast("long") - lit(lo)) / lit(width)).cast("long"))
+    val bucketed = df.withColumn("_psb",
+      RangeBuckets.bucketExpr(col(ordCol).cast("long"), lo, hi, targetBuckets))
 
     // pass 1: within-bucket exclusive running sum (distributed: one
     // task per (key, bucket), each sorting at most `width` rows)

@@ -40,9 +40,19 @@ case class BucketedTableScan(
     // ManifestTable-capturing builder must not ride along. Args:
     // (bucket's files, bucket id) — the id feeds the per-row placement
     // integrity check
-    @transient build: (Seq[String], Int) => DataFrame) extends LeafNode {
+    @transient build: (Seq[String], Int) => DataFrame) extends LeafNode
+    with org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation {
   require(fileGroups.length == numBuckets,
     s"expected $numBuckets file groups, got ${fileGroups.length}")
+
+  /** Self-joins/unions of one readBucketed frame: DeduplicateRelations
+    * can only re-instance leaves that implement MultiInstanceRelation
+    * (as LogicalRDD and every built-in scan do); without this a
+    * `d.as("a").join(d.as("b"), …)` fails analysis on conflicting
+    * attribute ids.
+    */
+  override def newInstance(): BucketedTableScan =
+    copy(output = output.map(_.newInstance()))
 
   /** Real on-disk bytes (from the manifest's file statuses), so join
     * selection sees honest sizes. A tiny bucketed side may then plan
@@ -65,11 +75,22 @@ object BucketedScanStrategy extends SparkStrategy {
     case _ => Nil
   }
 
-  /** Runtime registration — safe to call repeatedly. */
+  /** Runtime registration — safe to call repeatedly. Synchronized on
+    * `spark.experimental` because `extraStrategies` is a plain
+    * read-modify-write: two concurrent first-time `readBucketed` calls
+    * would otherwise lose one append (or duplicate the strategy). A
+    * third-party component mutating `extraStrategies` WITHOUT holding
+    * the same monitor can still race — Spark's API offers no atomic
+    * update — which is why [[graft.GraftExtensions]] injection at
+    * session build remains the recommended path; this runtime hook is
+    * the fallback for sessions built without the extension.
+    */
   def ensureRegistered(spark: SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(BucketedScanStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ BucketedScanStrategy
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(BucketedScanStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ BucketedScanStrategy
+      }
     }
 }
 

@@ -143,6 +143,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(partitions.isEmpty,
       "CREATE TABLE partitioning goes through the table_config surface " +
         "(ManifestTable partitionSpec); create unpartitioned here")
+    // reject — never silently drop — properties the catalog cannot
+    // honor: tables live under <root>/<ns>/<name> (a LOCATION clause
+    // would otherwise land data somewhere other than declared),
+    // storage is always the governed parquet manifest layout, and
+    // comments/TBLPROPERTIES have no manifest home yet. Spark itself
+    // injects `owner`; that one is accepted.
+    properties.forEach { (k, v) =>
+      k match {
+        case TableCatalog.PROP_OWNER => ()
+        case TableCatalog.PROP_PROVIDER =>
+          require(v == null || v.equalsIgnoreCase("parquet") ||
+            v.equalsIgnoreCase("graft"),
+            s"USING $v is not supported: graft tables are always the " +
+              "governed parquet manifest layout")
+        case _ => throw new UnsupportedOperationException(
+          s"CREATE TABLE property '$k' is not supported by this " +
+            "catalog (tables are managed under the catalog root; " +
+            "LOCATION/EXTERNAL/COMMENT/TBLPROPERTIES would be " +
+            "silently ignored, so they are refused)")
+      }
+    }
     requireNoTableAncestor(ident.namespace())
     val dir = dirOf(ident.namespace(), ident.name())
     if (isTableDir(dir)) throw new TableAlreadyExistsException(

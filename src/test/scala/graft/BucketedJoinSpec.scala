@@ -89,6 +89,22 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(got.rdd.getNumPartitions === 16)
   }
 
+  test("self-join of one readBucketed frame analyzes and is correct") {
+    // DeduplicateRelations needs the scan leaf to be a
+    // MultiInstanceRelation to re-instance one branch's attribute ids;
+    // without it this exact query throws a conflicting-references
+    // AnalysisException while the same query through read() works
+    val df = Seq((1L, "a"), (2L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
+    val mt = mkTable("selfjoin", 4, df, "k")
+    val d = mt.readBucketed("k")
+    val pairs = d.as("a").join(d.as("b"), col("a.k") === col("b.k"))
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+    // 2 singleton keys contribute 1 pair each; key 2 contributes 4
+    assert(pairs.count() === 6)
+    val union = d.unionByName(d)
+    assert(union.count() === df.count() * 2)
+  }
+
   test("refuses without a bucket transform and with deletion vectors") {
     val mt = new ManifestTable(spark, scratch("plain"))
     mt.write(Seq((1L, "x")).toDF("k", "v"), "overwrite")

@@ -88,4 +88,32 @@ class BucketedRollingSpec extends SparkTestBase {
       "v", 7, min, "got")
     assert(e.columns.contains("got") && e.count() == 0)
   }
+
+  test("range domain spanning more than Long.MaxValue (signed hashes)") {
+    // lo near Long.MinValue and hi near Long.MaxValue: `hi - lo` and
+    // `_brv - lo` wrap under long arithmetic, which before the
+    // RangeBuckets decimal regime assigned later rows to SMALLER
+    // bucket ids — carry-forward then ran in the wrong order and the
+    // trailing aggregates silently diverged from the single-window
+    // form (fail-on-revert verified)
+    val ords = Seq(Long.MinValue + 9, Long.MinValue / 3, -77L, 0L, 4242L,
+      Long.MaxValue / 5, Long.MaxValue / 2, Long.MaxValue - 11)
+    val rows = ords.zipWithIndex.map { case (o, i) =>
+      ("k", o, i.toLong, ((i * 37) % 11).toDouble)
+    }
+    check(rows, 3, 4)
+  }
+
+  test("driver count-frame cap throws before materializing") {
+    // 40 distinct keys with maxDriverRows = 10: the limit probe must
+    // reject the misuse loudly instead of collecting the whole
+    // (key × bucket) frame onto the driver
+    val df = (0L until 40L).map(i => (s"k$i", i, i, 1.0))
+      .toDF("k", "ord", "tie", "v")
+    val ex = intercept[IllegalArgumentException] {
+      BucketedRolling.trailing(df, Seq("k"), col("ord"), Seq("tie"),
+        "v", 2, max, "got", targetBuckets = 4, maxDriverRows = 10)
+    }
+    assert(ex.getMessage.contains("count frame exceeds"))
+  }
 }

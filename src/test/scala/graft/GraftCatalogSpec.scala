@@ -115,6 +115,33 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(!spark.catalog.tableExists("gcat_spec.silver.fresh2"))
   }
 
+  test("CREATE TABLE refuses LOCATION/COMMENT/TBLPROPERTIES loudly") {
+    setup
+    // the catalog manages paths under its root: a LOCATION (or any
+    // property it cannot persist) must be rejected, never silently
+    // dropped with the data landing somewhere other than declared
+    val loc = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat_spec.silver.elsewhere (id BIGINT) " +
+        s"LOCATION '${sys.props("java.io.tmpdir")}/gcat_elsewhere'")
+    }
+    assert(messageChain(loc).contains("not supported"))
+    val props = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat_spec.silver.withprops (id BIGINT) " +
+        "TBLPROPERTIES ('k' = 'v')")
+    }
+    assert(messageChain(props).contains("not supported"))
+    assert(!spark.catalog.tableExists("gcat_spec.silver.elsewhere"))
+    assert(!spark.catalog.tableExists("gcat_spec.silver.withprops"))
+    // USING the storage the engine actually provides is accepted
+    spark.sql(
+      "CREATE TABLE gcat_spec.silver.up (id BIGINT) USING parquet")
+    assert(spark.sql("SELECT * FROM gcat_spec.silver.up").count() === 0)
+  }
+
+  private def messageChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
   test("INSERT INTO / INSERT OVERWRITE / DELETE FROM / CTAS via SQL") {
     setup
     spark.sql("CREATE TABLE gcat_spec.silver.dml (id BIGINT, v STRING)")

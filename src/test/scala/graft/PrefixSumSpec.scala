@@ -57,6 +57,24 @@ class PrefixSumSpec extends SparkTestBase {
     assert(got.toSeq == Seq(0L, 5L, 5L, 7L, 7L))
   }
 
+  test("order domain spanning more than Long.MaxValue (signed hashes)") {
+    // a signed 64-bit hash/fingerprint used as the total order: lo near
+    // Long.MinValue and hi near Long.MaxValue, so hi - lo WRAPS under
+    // long arithmetic. Before the RangeBuckets decimal regime this
+    // collapsed width to garbage and mapped non-negative ords to
+    // NEGATIVE buckets sorting BEFORE the negative ords' buckets —
+    // silently wrong running sums (fail-on-revert verified)
+    val ords = Seq(Long.MinValue + 5, Long.MinValue / 2, -1000L, 0L,
+      12345L, Long.MaxValue / 2, Long.MaxValue - 3)
+    val df = ords.zipWithIndex.map { case (o, i) => ("k", o, (i + 1).toLong) }
+      .toDF("k", "ord", "n")
+    val got = PrefixSum.exclusive(df, Seq("k"), "ord", Seq("n" -> "before"),
+        targetBuckets = 4)
+      .orderBy("ord").select("before").as[Long].collect()
+    // exclusive running sums of 1..7 in ord order
+    assert(got.toSeq == Seq(0L, 1L, 3L, 6L, 10L, 15L, 21L))
+  }
+
   test("statsOf superset range and empty input") {
     val base = (0L until 1000L).map(i => ("k", i, 1L)).toDF("k", "ord", "n")
     val filtered = base.filter(col("ord") % 100 === 0) // sparse in range
