@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * operator computes the identical integer result in two distributed
   * passes over order-range buckets:
   *
-  *  1. bucket each row by a fixed range split of the order column
-  *     (`_psb = (ord - lo) / width`), and compute the WITHIN-bucket
-  *     exclusive running sum with a window partitioned by
-  *     (part..., _psb) — many bounded-size tasks, not one per key;
+  *  1. bucket each row by a fixed range split of a LONG image of the
+  *     order (`_psb` from [[RangeBuckets]]), and compute the
+  *     WITHIN-bucket exclusive running sum with a window partitioned
+  *     by (part..., _psb) — many bounded-size tasks, not one per key;
   *  2. aggregate per-bucket totals (a partial agg OVER THE WINDOW
   *     OUTPUT — Catalyst reuses the exchange, so the input is scanned
   *     and shuffled ONCE), cumsum them per key over the tiny
@@ -30,16 +30,18 @@ import org.apache.spark.sql.functions._
   * per-bucket sort size (range/width rows) against offset-frame size
   * (key × buckets rows, must broadcast). The default 256 holds to
   * ~10^8 rows per key; at 10^10+ rows raise it to ~2^16 (offsets stay
-  * a few MB). Range split assumes a roughly dense order column (true
-  * for the corpus doc_id); for sparse/skewed domains substitute
-  * equi-depth boundaries from `approxQuantile` — the result is
-  * bucket-invariant either way.
+  * a few MB). Range split assumes a roughly dense range image (true
+  * for the corpus doc_id and for hash-valued orders); for
+  * sparse/skewed domains substitute equi-depth boundaries from
+  * `approxQuantile` — the result is bucket-invariant either way.
   *
-  * Driver state: one `min/max` aggregate of the order column (2 longs).
+  * Driver state: one `min/max` aggregate of the range image (2 longs),
+  * or nothing when the caller states the range (`knownRange`).
   */
 object PrefixSum {
 
-  /** Append exclusive running-sum columns to `df`.
+  /** Append exclusive running-sum columns to `df` — single LONG order
+    * column form.
     *
     * @param df        input frame; NOT re-ordered (join output order is
     *                  unspecified, as with any shuffle)
@@ -61,54 +63,93 @@ object PrefixSum {
       ordCol: String,
       vals: Seq[(String, String)],
       statsOf: Option[DataFrame] = None,
+      targetBuckets: Int = 256): DataFrame =
+    exclusiveOrdered(df, partCols, Seq(col(ordCol).asc),
+      col(ordCol).cast("long"), vals,
+      statsOf = statsOf.map(d => d.select(col(ordCol).cast("long"))),
+      targetBuckets = targetBuckets)
+
+  /** General form: composite order plus an explicit LONG range image.
+    *
+    * `orderCols` carry their own direction (e.g. `col("q").desc,
+    * col("id").asc`) and must totally order rows within a key.
+    * `rangeCol` is any LONG expression computable on `df` that is
+    * MONOTONE NON-DECREASING along the `orderCols` order — e.g.
+    * `floor((1 - quality) * 2^20)` for a quality-descending order, or
+    * the integer hash behind a hash-ordered sample. Rows only need to
+    * land in order-consistent buckets; ties in `rangeCol` are fine
+    * (tied rows share a bucket and the within-bucket window orders
+    * them), and a null `rangeCol` row goes to the nulls-first bucket —
+    * consistent with an `orderCols` order that sorts those rows first.
+    *
+    * @param knownRange (lo, hi) of `rangeCol` when the caller knows it
+    *                   statically (a scaled [0,1] score, a 32-bit
+    *                   hash): skips the min/max probe job entirely
+    * @param statsOf    single-column LONG frame to probe min/max from
+    *                   instead of `df` (cheapest-superset rule; see
+    *                   `exclusive`)
+    */
+  def exclusiveOrdered(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[Column],
+      rangeCol: Column,
+      vals: Seq[(String, String)],
+      knownRange: Option[(Long, Long)] = None,
+      statsOf: Option[DataFrame] = None,
       targetBuckets: Int = 256): DataFrame = {
-    def rangeOf(d: DataFrame) = d
-      .agg(min(col(ordCol).cast("long")), max(col(ordCol).cast("long")))
-      .head()
-    // an empty/ord-null statsOf frame must NOT be conflated with an
-    // empty df (all-zero sums would be silently wrong): fall back to
-    // df's own range, and only short-circuit when df itself is empty
-    val stats = statsOf.map(rangeOf).filterNot(_.isNullAt(0))
-      .getOrElse(rangeOf(df))
-    if (stats.isNullAt(0)) {
-      require(df.isEmpty,
-        s"PrefixSum: order column '$ordCol' is null on every row — " +
-          "the running sum needs a total order")
-      return vals.foldLeft(df) { case (d, (_, out)) =>
-        d.withColumn(out, lit(0L)) }
+    require(orderCols.nonEmpty, "PrefixSum: orderCols must be non-empty")
+    def rangeOf(d: DataFrame, c: Column) =
+      d.agg(min(c), max(c)).head()
+    val (lo, hi) = knownRange.getOrElse {
+      // an empty/all-null statsOf frame must NOT be conflated with an
+      // empty df (all-zero sums would be silently wrong): fall back to
+      // df's own range, and only short-circuit when df itself is empty
+      val stats = statsOf.map(d => rangeOf(d, col(d.columns.head)))
+        .filterNot(_.isNullAt(0))
+        .getOrElse(rangeOf(df, rangeCol))
+      if (stats.isNullAt(0)) {
+        require(df.isEmpty,
+          "PrefixSum: the range image is null on every row — " +
+            "the running sum needs a total order (or pass knownRange)")
+        return vals.foldLeft(df) { case (d, (_, out)) =>
+          d.withColumn(out, lit(0L)) }
+      }
+      (stats.getLong(0), stats.getLong(1))
     }
-    val lo = stats.getLong(0)
-    val hi = stats.getLong(1)
 
     val part: Seq[Column] = partCols.map(col)
-    val bucketed = df.withColumn("_psb",
-      RangeBuckets.bucketExpr(col(ordCol).cast("long"), lo, hi, targetBuckets))
+    val bucketed = df.withColumn(
+      "_psb", RangeBuckets.bucketExpr(rangeCol, lo, hi, targetBuckets))
 
     // pass 1: within-bucket exclusive running sum (distributed: one
-    // task per (key, bucket), each sorting at most `width` rows)
-    val wIn = Window.partitionBy(part :+ col("_psb"): _*)
-      .orderBy(col(ordCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withIn = vals.zipWithIndex.foldLeft(bucketed) {
+    // task per (key, bucket), each sorting at most a bucket's rows),
+    // plus the within-bucket row number that pass 2's max_by keys on
+    val wSpec = Window.partitionBy(part :+ col("_psb"): _*)
+      .orderBy(orderCols: _*)
+    val wIn = wSpec.rowsBetween(Window.unboundedPreceding, -1)
+    val withIn0 = vals.zipWithIndex.foldLeft(bucketed) {
       case (d, ((v, _), i)) =>
         d.withColumn(s"_in$i",
           coalesce(sum(col(v).cast("long")).over(wIn), lit(0L)))
     }
+    val withIn = withIn0.withColumn("_psrn", row_number().over(wSpec))
 
     // pass 2: per-bucket totals = the LAST row's inclusive sum,
-    // `max_by(_in + value, ord)` — max_by evaluates AT the max-ord row
-    // (sign-independent), and because the expression references both
-    // the window output and the raw value, Catalyst can neither push
-    // the agg below the window into a second scan nor prune the two
-    // branches differently: when `df` is pre-projected to exactly
-    // (part, ord, values) — as the packing queries do — both branches
-    // canonicalize to the same exchange and the plan shows ONE shuffle
-    // of df + a ReusedExchange. The tiny (key × buckets) totals frame
-    // is then cumsum'd per key and broadcast back.
+    // `max_by(_in + value, _psrn)` — max_by evaluates AT the last row
+    // of the bucket's order, and because the expression references the
+    // window outputs (_in, _psrn) and the raw value, Catalyst can
+    // neither push the agg below the window into a second scan nor
+    // prune the two branches differently: when `df` is pre-projected
+    // to exactly (part, order sources, values) — as the packing
+    // queries do — both branches canonicalize to the same exchange and
+    // the plan shows ONE shuffle of df + a ReusedExchange. The tiny
+    // (key × buckets) totals frame is then cumsum'd per key and
+    // broadcast back.
     def bt(i: Int) = {
       val (v, _) = vals(i)
       max_by(col(s"_in$i") + coalesce(col(v).cast("long"), lit(0L)),
-        col(ordCol)).as(s"_bt$i")
+        col("_psrn")).as(s"_bt$i")
     }
     val totals = withIn.groupBy(part :+ col("_psb"): _*)
       .agg(bt(0), vals.indices.tail.map(bt): _*)
@@ -132,6 +173,29 @@ object PrefixSum {
       case (d, ((_, out), i)) =>
         d.withColumn(out, col(s"_off$i") + col(s"_in$i"))
     }
-    withOut.select(df.columns.map(col) ++ vals.map(v => col(v._2)): _*)
+    withOut.select(df.columns.map(col).toIndexedSeq ++
+      vals.map(v => col(v._2)): _*)
+  }
+
+  /** Distributed per-key row number (1-based) in `orderCols` order —
+    * `row_number().over(Window.partitionBy(lowCardKey))` without the
+    * one-task-per-key sort: the exclusive prefix COUNT plus one.
+    * Same contracts as [[exclusiveOrdered]].
+    */
+  def rowNumber(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[Column],
+      rangeCol: Column,
+      outCol: String,
+      knownRange: Option[(Long, Long)] = None,
+      targetBuckets: Int = 256): DataFrame = {
+    require(!df.columns.contains("_psone"),
+      "PrefixSum.rowNumber: input already has a _psone column")
+    val counted = exclusiveOrdered(df.withColumn("_psone", lit(1L)),
+      partCols, orderCols, rangeCol, Seq("_psone" -> outCol),
+      knownRange = knownRange, targetBuckets = targetBuckets)
+    counted.withColumn(outCol, (col(outCol) + 1L).cast("int"))
+      .drop("_psone")
   }
 }

@@ -376,24 +376,41 @@ object Aggregates extends QueryModule {
   def a13QuantileExact(spark: SparkSession, dir: String): DataFrame = {
     val o = Q.t(spark, dir, "orders").filter(col("o_orderkey") % 101 === 0)
       .select(col("o_orderstatus"), col("o_totalprice"))
-    def quantiles(ranked: DataFrame, key: org.apache.spark.sql.Column) =
-      ranked.groupBy(key.as("o_orderstatus"))
+    // NOT a row_number window: o_orderstatus has 3 values (plus one
+    // GLOBAL rank), so the window form sorts the whole sampled frame
+    // in single tasks at scale. Exact ranks reduce to prefix COUNTS
+    // over the price order: min price with rn ≥ t ⟺ min price whose
+    // cumulative count ≥ t (row numbers within a tied-price group are
+    // consecutive, and the aggregate is tie-insensitive). So: reduce
+    // to (status, price) grain — map-side combined — then the
+    // distributed two-pass prefix sum of the counts, then one tiny
+    // threshold aggregate. Bit-identical to the window form.
+    val grain = o.groupBy(col("o_orderstatus"), col("o_totalprice"))
+      .agg(count(lit(1)).as("c"))
+    def quantiles(df: DataFrame, parts: Seq[String]): DataFrame = {
+      val cum = graft.operators.PrefixSum.exclusive(
+        df, parts, "o_totalprice", Seq("c" -> "cum0"))
+      val nDf =
+        if (parts.isEmpty) df.agg(sum(col("c")).as("n"))
+        else df.groupBy(parts.map(col): _*).agg(sum(col("c")).as("n"))
+      val joined =
+        if (parts.isEmpty) cum.crossJoin(broadcast(nDf))
+        else cum.join(broadcast(nDf), parts)
+      val keyCols =
+        if (parts.isEmpty) Seq(lit("TOTAL").as("o_orderstatus"))
+        else parts.map(col)
+      joined
+        .withColumn("cin", col("cum0") + col("c"))
+        .groupBy(keyCols: _*)
         .agg(max(col("n")).as("n"),
-          min(when(col("rn") >= ceil(lit(0.5) * col("n")),
+          min(when(col("cin") >= ceil(lit(0.5) * col("n")),
             col("o_totalprice"))).as("p50"),
-          min(when(col("rn") >= ceil(lit(0.95) * col("n")),
+          min(when(col("cin") >= ceil(lit(0.95) * col("n")),
             col("o_totalprice"))).as("p95"))
-    val W = org.apache.spark.sql.expressions.Window
-    val per = quantiles(
-      o.withColumn("rn", row_number().over(W
-          .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))))
-        .withColumn("n", count(lit(1)).over(W
-          .partitionBy(col("o_orderstatus")))),
-      col("o_orderstatus"))
+    }
+    val per = quantiles(grain, Seq("o_orderstatus"))
     val tot = quantiles(
-      o.withColumn("rn", row_number().over(W.orderBy(col("o_totalprice"))))
-        .withColumn("n", count(lit(1)).over(W.partitionBy())),
-      lit("TOTAL"))
+      grain.groupBy(col("o_totalprice")).agg(sum(col("c")).as("c")), Nil)
     per.unionByName(tot)
       .select(col("o_orderstatus"), col("n"), col("p50"), col("p95"))
       .orderBy(col("o_orderstatus").asc)

@@ -124,11 +124,24 @@ object DataMix extends QueryModule {
     val punct = TextFunctions.punctRatio(col("text"))
     val lenScore = least(length(col("text")).cast("double") / lit(400.0), lit(1.0))
     val quality = lit(0.5) * lenScore + lit(0.3) * sw + lit(0.2) * (lit(1.0) - punct)
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("quality").desc, col("doc_id").asc)
-    Q.t(spark, dir, "documents")
-      .withColumn("quality", quality)
-      .withColumn("pr", percent_rank().over(w))
+    // percent_rank = (rn-1)/(n-1) with rn, n computed WITHOUT a
+    // per-language window over raw doc rows (lang is low-cardinality):
+    // the distributed two-pass row number ordered (quality desc,
+    // doc_id), range-imaged by floor((1-quality)·2^20) — monotone along
+    // the descending-quality order, statically bounded so no probe job
+    // — plus a tiny per-lang count broadcast back. Both divisions are
+    // the same exact-integer-to-double ops the window form performs,
+    // so the filter is bit-identical.
+    val base = Q.t(spark, dir, "documents").withColumn("quality", quality)
+    val ranked = graft.operators.PrefixSum.rowNumber(base, Seq("lang"),
+      Seq(col("quality").desc, col("doc_id").asc),
+      floor((lit(1.0) - col("quality")) * lit(1048576.0)).cast("long"),
+      "rn", knownRange = Some((0L, 1048576L)))
+    val n = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(n), Seq("lang"))
+      .withColumn("pr",
+        when(col("n") === 1, lit(0.0)).otherwise(
+          (col("rn") - 1).cast("double") / (col("n") - 1).cast("double")))
       .filter(col("pr") <= 0.5)
       .select(col("doc_id"), col("lang"), col("quality"))
       .orderBy(col("doc_id").asc)
@@ -161,6 +174,12 @@ object DataMix extends QueryModule {
     */
   def mix4QuotaSample(spark: SparkSession, dir: String): DataFrame = {
     val n = 40
+    // constant-quota rank filters are natively distributed: Spark's
+    // InferWindowGroupLimit runs a PARTIAL per-input-partition top-40
+    // before the exchange, so the per-lang sort never sees the raw
+    // corpus (plan-asserted in PlanShapeSpec). Contrast mix6, whose
+    // per-source quota is JOINED in (non-constant) — that one needs
+    // the PrefixSum two-pass rank.
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("u").asc, col("doc_id").asc)
     Q.t(spark, dir, "documents")
@@ -240,9 +259,15 @@ object DataMix extends QueryModule {
     val quo = wts.crossJoin(tot)
       .withColumn("q", expr(s"($target * w) div wsum"))
       .select(col("source"), col("q"))
-    val wr = Window.partitionBy(col("source"))
-      .orderBy(col("u").asc, col("doc_id").asc)
-    docs.withColumn("rk", row_number().over(wr))
+    // rank by (u, doc_id) per source WITHOUT a per-source window sort
+    // (source is low-cardinality): u is hash/2^32 with the hash an
+    // exact 32-bit integer, so floor(u·2^32) recovers it losslessly —
+    // a known-range LONG image for the distributed two-pass row number
+    val ranked = graft.operators.PrefixSum.rowNumber(docs, Seq("source"),
+      Seq(col("u").asc, col("doc_id").asc),
+      floor(col("u") * lit(4294967296.0)).cast("long"), "rk",
+      knownRange = Some((0L, 4294967295L)))
+    ranked
       .join(broadcast(quo), Seq("source"))
       .filter(col("rk") <= col("q"))
       .select(col("doc_id"), col("source"), col("rk"), col("q"))

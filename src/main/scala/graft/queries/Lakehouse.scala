@@ -226,19 +226,21 @@ object Lakehouse extends QueryModule {
        |GROUP BY 1
        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin
 
-  /** L6: exact dedup — keep the first doc per (lang, source) via
-    * row_number (the scalable keyed form; full-content-hash variant in
-    * the text module).
+  /** L6: exact dedup — keep the first doc per (lang, source). NOT a
+    * `row_number() = 1` window: (lang, source) is low-cardinality, so
+    * that window sorts the dominant cell's whole corpus share in ONE
+    * task at scale. "First per key" is just an argmin — `min_by` with
+    * map-side partial aggregation, one bounded shuffle of one row per
+    * (key, map task), no sort anywhere.
     */
-  def l6ExactDedup(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(col("doc_id").asc)
+  def l6ExactDedup(spark: SparkSession, dir: String): DataFrame =
     Q.t(spark, dir, "documents")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("doc_id", "lang", "source", "n_chars")
+      .groupBy(col("lang"), col("source"))
+      .agg(min_by(struct(col("doc_id"), col("n_chars")), col("doc_id"))
+        .as("first"))
+      .select(col("first.doc_id").as("doc_id"), col("lang"),
+        col("source"), col("first.n_chars").as("n_chars"))
       .orderBy(col("doc_id").asc)
-  }
 
   val l6Oracle: String =
     """SELECT doc_id, lang, source, n_chars

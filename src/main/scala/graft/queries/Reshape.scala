@@ -73,17 +73,29 @@ object Reshape extends QueryModule {
     * varying row counts.
     */
   def w3RangeByValue(spark: SparkSession, dir: String): DataFrame = {
+    // a RANGE frame's peers share identical frames, so the per-row
+    // window value is a function of (priority, day) alone — compute it
+    // on the DAY-GRAIN frame (priorities × days, calendar-bounded —
+    // it does NOT grow with corpus size) and broadcast-join it back,
+    // instead of sorting all raw orders per 5-value priority in single
+    // tasks. Decimal partial sums are exact, so per-day totals summed
+    // over the day window are bit-identical to the raw-row window.
+    val rows = Q.t(spark, dir, "orders")
+      .withColumn("ord_day",
+        datediff(col("o_orderdate"), lit("1992-01-01").cast(DateType)))
+    val dayAgg = rows.groupBy(col("o_orderpriority"), col("ord_day"))
+      .agg(sum(col("o_totalprice").cast(Q.Dec)).as("day_total"),
+        count(lit(1)).as("day_n"))
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("ord_day"))
       .rangeBetween(-3, 0)
-    Q.t(spark, dir, "orders")
-      .withColumn("ord_day",
-        datediff(col("o_orderdate"), lit("1992-01-01").cast(DateType)))
+    val trail = dayAgg.select(col("o_orderpriority"), col("ord_day"),
+      sum(col("day_total")).over(w).cast(DoubleType).as("trail3d_total"),
+      sum(col("day_n")).over(w).as("trail3d_n"))
+    rows.join(broadcast(trail), Seq("o_orderpriority", "ord_day"))
       .select(
         col("o_orderkey"), col("o_orderpriority"), col("ord_day"),
-        sum(col("o_totalprice").cast(Q.Dec)).over(w)
-          .cast(DoubleType).as("trail3d_total"),
-        count(lit(1)).over(w).as("trail3d_n"))
+        col("trail3d_total"), col("trail3d_n"))
       .orderBy(col("o_orderkey").asc)
   }
 

@@ -23,6 +23,12 @@ object Windows extends QueryModule {
     val rev = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
       .agg(Q.revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    // brand is ~25 values while parts scale with the corpus — but a
+    // constant-k rank filter is the one low-cardinality-window shape
+    // Spark already distributes natively: InferWindowGroupLimit plans
+    // a PARTIAL per-input-partition top-3 before the exchange, so the
+    // final per-brand sort sees ≤ 3·(map tasks) rows, never the raw
+    // frame (plan-asserted in PlanShapeSpec)
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("revenue").desc, col("p_partkey").asc)
     rev.withColumn("rn", row_number().over(w))
@@ -113,15 +119,44 @@ object Windows extends QueryModule {
       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin
 
-  /** W4: ntile / percent_rank / cume_dist — customer value quartiles. */
+  /** W4: ntile / percent_rank / cume_dist — customer value quartiles.
+    *
+    * NOT a `Window.orderBy(...)` global window: that plans an Exchange
+    * to a SINGLE partition and sorts every customer in one task. Under
+    * a total order with a unique tiebreak, all three functions are
+    * pure expressions of (rn, n): rank = rn (no peers), percent_rank =
+    * (rn-1)/(n-1), cume_dist = rn/n, and ntile is the standard
+    * first-(n mod k)-tiles-get-one-extra integer split. rn comes from
+    * the distributed two-pass prefix count ([[graft.operators
+    * .PrefixSum]], range-imaged by floor(-acctbal) — monotone along
+    * the descending balance order); n is one broadcast scalar. The
+    * divisions are the same exact-integer-to-double ops the window
+    * functions perform, so results are bit-identical.
+    */
   def w4Ntile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    Q.t(spark, dir, "customer")
-      .select(
-        col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(w).as("value_quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+    val base = Q.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val ranked = graft.operators.PrefixSum.rowNumber(base, Nil,
+      Seq(col("c_acctbal").desc, col("c_custkey").asc),
+      floor(-col("c_acctbal")).cast("long"), "rn")
+    val nDf = base.agg(count(lit(1)).as("n"))
+    val k = 4
+    ranked.crossJoin(broadcast(nDf))
+      .withColumn("_q", expr(s"n div $k"))
+      .withColumn("_r", expr(s"n % $k"))
+      .withColumn("value_quartile",
+        when(col("rn") <= col("_r") * (col("_q") + 1),
+          expr("(rn - 1) div (_q + 1)") + 1)
+          .otherwise(col("_r") +
+            expr("(rn - 1 - _r * (_q + 1)) div _q") + 1)
+          .cast("int"))
+      .withColumn("pct_rank",
+        when(col("n") === 1, lit(0.0)).otherwise(
+          (col("rn") - 1).cast("double") / (col("n") - 1).cast("double")))
+      .withColumn("cume",
+        col("rn").cast("double") / col("n").cast("double"))
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("value_quartile"), col("pct_rank"), col("cume"))
       .orderBy(col("c_custkey").asc)
   }
 

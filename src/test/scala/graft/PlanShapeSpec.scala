@@ -257,4 +257,83 @@ class PlanShapeSpec extends SparkTestBase {
       s"per-doc cumsum window not bucket-partitioned:\n${rawCumsum.mkString("\n")}")
     assert(p.contains("_psb"), p)
   }
+
+  private def executedPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def rawKeyWindows(p: String, key: String, bucket: String) =
+    p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("windowspecdefinition") &&
+        l.contains(key) && !l.contains(bucket)).toSeq
+
+  test("mix3/mix6: rank windows are range-bucketed, never bare lang/source") {
+    // same 100 TB guarantee for the ranking family: a percent-rank /
+    // row-number over raw docs must window on (key, _psb), never the
+    // low-cardinality key alone
+    val p3 = executedPlanOf("mix3_quality_filter")
+    assert(rawKeyWindows(p3, "lang", "_psb").isEmpty &&
+      p3.contains("_psb"), p3)
+    val p6 = executedPlanOf("mix6_temperature")
+    assert(rawKeyWindows(p6, "source", "_psb").isEmpty &&
+      p6.contains("_psb"), p6)
+  }
+
+  test("a13 exact quantiles: rank windows are range-bucketed") {
+    // both the per-status and the GLOBAL rank must ride (…, _psb)
+    // windows over the price-grain frame — a global row_number over
+    // raw rows is the single-task sort the exact form used to pay
+    val p = executedPlanOf("a13_quantile_exact")
+    val bare = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("windowspecdefinition") &&
+        !l.contains("_psb")).toSeq
+    assert(bare.isEmpty, s"un-bucketed window:\n${bare.mkString("\n")}")
+    assert(p.contains("_psb"), p)
+  }
+
+  test("w1/mix4: constant-k rank filters get partial WindowGroupLimit") {
+    // the one low-cardinality-window shape Spark distributes natively:
+    // InferWindowGroupLimit must plan a PARTIAL per-input-partition
+    // top-k in front of the exchange, so the final per-key sort sees
+    // ≤ k·(map tasks) rows — if this ever stops firing (regression,
+    // non-constant quota, frame change), the queries must move to the
+    // PrefixSum/bucketed form like mix3/mix6
+    val p1 = executedPlanOf("w1_rank_topn")
+    assert(p1.contains("WindowGroupLimit") && p1.contains("Partial"), p1)
+    val p4 = executedPlanOf("mix4_quota_sample")
+    assert(p4.contains("WindowGroupLimit") && p4.contains("Partial"), p4)
+  }
+
+  test("w4 ntile: no single-partition global window") {
+    // ntile/percent_rank/cume_dist over ALL customers must never plan
+    // the global Window (Exchange SinglePartition + one-task sort);
+    // the distributed form's only windows are PrefixSum's bucketed ones
+    val p = executedPlanOf("w4_ntile")
+    val bare = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("windowspecdefinition") &&
+        !l.contains("_psb")).toSeq
+    assert(bare.isEmpty, s"un-bucketed window:\n${bare.mkString("\n")}")
+    assert(p.contains("_psb"), p)
+  }
+
+  test("l6 exact dedup: first-per-key is an aggregate, not a window") {
+    val p = executedPlanOf("l6_exact_dedup")
+    assert(!p.contains("windowspecdefinition"),
+      "l6 must not sort per (lang, source) in a window:\n" + p)
+    assert(p.contains("min_by") && p.contains("partial_min_by"), p)
+  }
+
+  test("w3 range frame: windows the day grain, joins back broadcast") {
+    val p = executedPlanOf("w3_range_by_value")
+    // the window's input must be the (priority, day) aggregate —
+    // partial aggregation present — and rows rejoin via broadcast
+    assert(p.contains("HashAggregate") && p.contains("ord_day"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val windowLines = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("windowspecdefinition")).toSeq
+    assert(windowLines.forall(_.contains("day_total")),
+      s"window must aggregate day totals, not raw rows:\n${windowLines.mkString("\n")}")
+  }
 }

@@ -57,6 +57,39 @@ class PrefixSumSpec extends SparkTestBase {
     assert(got.toSeq == Seq(0L, 5L, 5L, 7L, 7L))
   }
 
+  test("exclusiveOrdered: composite desc order + knownRange matches naive") {
+    // the mix3 shape: rank by (score desc, id asc) with the range
+    // image floor((1-score)·K) — monotone along the descending order —
+    // and a statically known range (no probe job)
+    val rows = (0L until 300L).map { i =>
+      val k = if (i % 4 < 3) "en" else "fr"
+      (k, i, ((i * 31) % 97).toDouble / 97.0)
+    }
+    val df = rows.toDF("k", "id", "score")
+    val got = graft.operators.PrefixSum.rowNumber(df, Seq("k"),
+        Seq(col("score").desc, col("id").asc),
+        floor((lit(1.0) - col("score")) * lit(1024.0)).cast("long"),
+        "rn", knownRange = Some((0L, 1024L)), targetBuckets = 16)
+      .select("k", "id", "rn")
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("score").desc, col("id").asc)
+    val want = df.select(col("k"), col("id"),
+      row_number().over(w).as("rn"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("exclusiveOrdered: tied range image values share a bucket safely") {
+    // many rows collapsing to one range value: the within-bucket
+    // window alone must order them
+    val df = (0L until 50L).map(i => ("k", i, 7L, 1L))
+      .toDF("k", "id", "r", "n")
+    val got = graft.operators.PrefixSum.exclusiveOrdered(df, Seq("k"),
+        Seq(col("id").asc), col("r"), Seq("n" -> "before"),
+        knownRange = Some((0L, 10L)), targetBuckets = 4)
+      .orderBy("id").select("before").as[Long].collect()
+    assert(got.toSeq == (0L until 50L).toSeq)
+  }
+
   test("order domain spanning more than Long.MaxValue (signed hashes)") {
     // a signed 64-bit hash/fingerprint used as the total order: lo near
     // Long.MinValue and hi near Long.MaxValue, so hi - lo WRAPS under
