@@ -88,6 +88,15 @@ object PrefixSum {
     * @param statsOf    single-column LONG frame to probe min/max from
     *                   instead of `df` (cheapest-superset rule; see
     *                   `exclusive`)
+    * @param nullImageLast where a NULL `rangeCol` bucket sorts among
+    *                   the offsets: false (default) = first, matching
+    *                   an `orderCols` order that sorts its null rows
+    *                   FIRST (asc nulls-first, the Spark asc default);
+    *                   true = last, matching desc nulls-last (the
+    *                   Spark desc default). MUST agree with where
+    *                   `orderCols` actually place the null-image rows
+    *                   — a mismatch silently shifts every rank/sum
+    *                   after them
     */
   def exclusiveOrdered(
       df: DataFrame,
@@ -97,7 +106,8 @@ object PrefixSum {
       vals: Seq[(String, String)],
       knownRange: Option[(Long, Long)] = None,
       statsOf: Option[DataFrame] = None,
-      targetBuckets: Int = 256): DataFrame = {
+      targetBuckets: Int = 256,
+      nullImageLast: Boolean = false): DataFrame = {
     require(orderCols.nonEmpty, "PrefixSum: orderCols must be non-empty")
     def rangeOf(d: DataFrame, c: Column) =
       d.agg(min(c), max(c)).head()
@@ -153,7 +163,9 @@ object PrefixSum {
     }
     val totals = withIn.groupBy(part :+ col("_psb"): _*)
       .agg(bt(0), vals.indices.tail.map(bt): _*)
-    val wOff = Window.partitionBy(part: _*).orderBy(col("_psb").asc)
+    val psbOrder =
+      if (nullImageLast) col("_psb").asc_nulls_last else col("_psb").asc
+    val wOff = Window.partitionBy(part: _*).orderBy(psbOrder)
       .rowsBetween(Window.unboundedPreceding, -1)
     // offsets keys are re-aliased (`_k*`) so the offs↔withIn self-join
     // has no ambiguous attributes to warn about or mis-resolve
@@ -189,12 +201,14 @@ object PrefixSum {
       rangeCol: Column,
       outCol: String,
       knownRange: Option[(Long, Long)] = None,
-      targetBuckets: Int = 256): DataFrame = {
+      targetBuckets: Int = 256,
+      nullImageLast: Boolean = false): DataFrame = {
     require(!df.columns.contains("_psone"),
       "PrefixSum.rowNumber: input already has a _psone column")
     val counted = exclusiveOrdered(df.withColumn("_psone", lit(1L)),
       partCols, orderCols, rangeCol, Seq("_psone" -> outCol),
-      knownRange = knownRange, targetBuckets = targetBuckets)
+      knownRange = knownRange, targetBuckets = targetBuckets,
+      nullImageLast = nullImageLast)
     counted.withColumn(outCol, (col(outCol) + 1L).cast("int"))
       .drop("_psone")
   }

@@ -393,9 +393,13 @@ object Aggregates extends QueryModule {
       val nDf =
         if (parts.isEmpty) df.agg(sum(col("c")).as("n"))
         else df.groupBy(parts.map(col): _*).agg(sum(col("c")).as("n"))
+          .select(parts.map(c => col(c).as(s"_n_$c")) :+ col("n"): _*)
+      // null-safe: a null status is its own group under window
+      // semantics, so its count row must match too
       val joined =
         if (parts.isEmpty) cum.crossJoin(broadcast(nDf))
-        else cum.join(broadcast(nDf), parts)
+        else cum.join(broadcast(nDf),
+          parts.map(c => col(c) <=> col(s"_n_$c")).reduce(_ && _))
       val keyCols =
         if (parts.isEmpty) Seq(lit("TOTAL").as("o_orderstatus"))
         else parts.map(col)

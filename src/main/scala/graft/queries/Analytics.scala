@@ -289,10 +289,13 @@ object Analytics extends QueryModule {
     val grouped = Q.t(spark, dir, "orders")
       .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("c"))
     val tot = grouped.agg(sum(col("c")).as("N"))
-    val wBelow = Window.orderBy(col("v").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    grouped.crossJoin(tot)
-      .withColumn("f", coalesce(sum(col("c")).over(wBelow), lit(0L)))
+    // rows-below is a GLOBAL cumsum: as a Window.orderBy it plans
+    // Exchange SinglePartition over the distinct-value frame, which at
+    // scale is nearly the row count (prices are continuous) — the
+    // same shape a13 sheds. PrefixSum computes the identical exclusive
+    // prefix count distributed.
+    graft.operators.PrefixSum.exclusive(grouped, Nil, "v", Seq("c" -> "f"))
+      .crossJoin(broadcast(tot))
       .withColumn("bin",
         least(expr(s"(f * $bins) div N"), lit(bins - 1L)).cast("int"))
       .groupBy(col("bin"))

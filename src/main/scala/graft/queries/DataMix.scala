@@ -132,13 +132,20 @@ object DataMix extends QueryModule {
     // — plus a tiny per-lang count broadcast back. Both divisions are
     // the same exact-integer-to-double ops the window form performs,
     // so the filter is bit-identical.
+    // null-handling parity with the window form: `desc` defaults to
+    // NULLS LAST, so a null quality (null text) must ALSO bucket last
+    // (nullImageLast) — and a NaN quality (empty text: 0/0 ratio)
+    // sorts FIRST under desc while its image casts to 0, the first
+    // bucket: consistent. The count join is null-safe so a null lang
+    // stays its own group, as the window's partitionBy treats it.
     val base = Q.t(spark, dir, "documents").withColumn("quality", quality)
     val ranked = graft.operators.PrefixSum.rowNumber(base, Seq("lang"),
       Seq(col("quality").desc, col("doc_id").asc),
       floor((lit(1.0) - col("quality")) * lit(1048576.0)).cast("long"),
-      "rn", knownRange = Some((0L, 1048576L)))
+      "rn", knownRange = Some((0L, 1048576L)), nullImageLast = true)
     val n = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    ranked.join(broadcast(n), Seq("lang"))
+      .withColumnRenamed("lang", "_n_lang")
+    ranked.join(broadcast(n), col("lang") <=> col("_n_lang"))
       .withColumn("pr",
         when(col("n") === 1, lit(0.0)).otherwise(
           (col("rn") - 1).cast("double") / (col("n") - 1).cast("double")))

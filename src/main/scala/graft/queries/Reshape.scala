@@ -89,10 +89,16 @@ object Reshape extends QueryModule {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("ord_day"))
       .rangeBetween(-3, 0)
-    val trail = dayAgg.select(col("o_orderpriority"), col("ord_day"),
+    // null-safe join back: null-priority / null-day rows are their own
+    // window groups in the raw form, so they must rejoin their own
+    // day-grain rows rather than silently dropping
+    val trail = dayAgg.select(
+      col("o_orderpriority").as("_t_prio"), col("ord_day").as("_t_day"),
       sum(col("day_total")).over(w).cast(DoubleType).as("trail3d_total"),
       sum(col("day_n")).over(w).as("trail3d_n"))
-    rows.join(broadcast(trail), Seq("o_orderpriority", "ord_day"))
+    rows.join(broadcast(trail),
+        col("o_orderpriority") <=> col("_t_prio") &&
+          col("ord_day") <=> col("_t_day"))
       .select(
         col("o_orderkey"), col("o_orderpriority"), col("ord_day"),
         col("trail3d_total"), col("trail3d_n"))

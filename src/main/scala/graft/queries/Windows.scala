@@ -136,9 +136,17 @@ object Windows extends QueryModule {
   def w4Ntile(spark: SparkSession, dir: String): DataFrame = {
     val base = Q.t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_acctbal"))
+    // range image ordered like `c_acctbal DESC NULLS LAST`: NaN is the
+    // Spark-greatest double (sorts FIRST under desc) → explicit least
+    // sentinel; ±Infinity clamp keeps floor(-x) inside the sentinel
+    // band; null → null image, bucketed LAST via nullImageLast. The
+    // sentinels only stretch the probed range when such rows exist.
+    val image = when(isnan(col("c_acctbal")), lit(-4000000000000000000L))
+      .otherwise(least(greatest(floor(-col("c_acctbal")), lit(-2.0e18)),
+        lit(2.0e18)).cast("long"))
     val ranked = graft.operators.PrefixSum.rowNumber(base, Nil,
       Seq(col("c_acctbal").desc, col("c_custkey").asc),
-      floor(-col("c_acctbal")).cast("long"), "rn")
+      image, "rn", nullImageLast = true)
     val nDf = base.agg(count(lit(1)).as("n"))
     val k = 4
     ranked.crossJoin(broadcast(nDf))

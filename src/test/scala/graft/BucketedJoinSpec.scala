@@ -116,9 +116,6 @@ class BucketedJoinSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { dv.readBucketed("k") }
   }
 
-  private def messageChain(t: Throwable): String =
-    if (t == null) "" else s"${t.getMessage}\n${messageChain(t.getCause)}"
-
   test("bucket-key type drift across appends fails loudly, never silently") {
     // v0 buckets by hash of k: INT, the append by hash of k: LONG —
     // the same value can land in different buckets, so a reported

@@ -138,10 +138,6 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM gcat_spec.silver.up").count() === 0)
   }
 
-  private def messageChain(t: Throwable): String =
-    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
-
   test("INSERT INTO / INSERT OVERWRITE / DELETE FROM / CTAS via SQL") {
     setup
     spark.sql("CREATE TABLE gcat_spec.silver.dml (id BIGINT, v STRING)")

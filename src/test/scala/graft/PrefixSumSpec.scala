@@ -78,6 +78,24 @@ class PrefixSumSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("rowNumber nullImageLast: null scores rank last like desc nulls-last") {
+    // a null score yields a null range image; under the Spark `desc`
+    // default (NULLS LAST) those rows must rank AFTER every scored row
+    // — without nullImageLast the null bucket's offsets accumulate
+    // first and every rank in the key silently shifts (the review-pass
+    // bug in the mix3 rewrite)
+    val df = Seq(("k", 1L, Some(0.9)), ("k", 2L, None), ("k", 3L, Some(0.5)),
+      ("k", 4L, None), ("k", 5L, Some(0.7)))
+      .toDF("k", "id", "score")
+    val got = graft.operators.PrefixSum.rowNumber(df, Seq("k"),
+        Seq(col("score").desc, col("id").asc),
+        floor((lit(1.0) - col("score")) * lit(64.0)).cast("long"),
+        "rn", knownRange = Some((0L, 64L)), nullImageLast = true)
+      .orderBy("id").select("rn").as[Int].collect()
+    // score order: 0.9 (id1), 0.7 (id5), 0.5 (id3), then nulls id2, id4
+    assert(got.toSeq == Seq(1, 4, 3, 5, 2))
+  }
+
   test("exclusiveOrdered: tied range image values share a bucket safely") {
     // many rows collapsing to one range value: the within-bucket
     // window alone must order them

@@ -18,4 +18,12 @@ trait SparkTestBase extends AnyFunSuite {
   val sf: String = "/root/testdata/sf0.001"
 
   def quiet(): Unit = spark.sparkContext.setLogLevel("WARN")
+
+  /** All messages down an exception's cause chain — Spark wraps domain
+    * errors (SparkException → ExecutionException → the real one), so
+    * asserting on a single getMessage is flaky across layers.
+    */
+  def messageChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
 }
