@@ -387,9 +387,15 @@ object Aggregates extends QueryModule {
     // threshold aggregate. Bit-identical to the window form.
     val grain = o.groupBy(col("o_orderstatus"), col("o_totalprice"))
       .agg(count(lit(1)).as("c"))
+    // statsOf = the RAW single-column projection: the grain's price
+    // range IS the raw range, and probing the grain frame would
+    // re-execute the aggregate (the stats-probe-over-derived-lineage
+    // trap) — a columnar min/max over raw orders is far cheaper
+    val priceStats = Q.t(spark, dir, "orders").select(col("o_totalprice"))
     def quantiles(df: DataFrame, parts: Seq[String]): DataFrame = {
       val cum = graft.operators.PrefixSum.exclusive(
-        df, parts, "o_totalprice", Seq("c" -> "cum0"))
+        df, parts, "o_totalprice", Seq("c" -> "cum0"),
+        statsOf = Some(priceStats))
       val nDf =
         if (parts.isEmpty) df.agg(sum(col("c")).as("n"))
         else df.groupBy(parts.map(col): _*).agg(sum(col("c")).as("n"))

@@ -294,7 +294,10 @@ object Analytics extends QueryModule {
     // scale is nearly the row count (prices are continuous) — the
     // same shape a13 sheds. PrefixSum computes the identical exclusive
     // prefix count distributed.
-    graft.operators.PrefixSum.exclusive(grouped, Nil, "v", Seq("c" -> "f"))
+    // statsOf = raw projection: probing `grouped` would re-run the agg
+    graft.operators.PrefixSum.exclusive(grouped, Nil, "v", Seq("c" -> "f"),
+        statsOf = Some(Q.t(spark, dir, "orders")
+          .select(col("o_totalprice").as("v"))))
       .crossJoin(broadcast(tot))
       .withColumn("bin",
         least(expr(s"(f * $bins) div N"), lit(bins - 1L)).cast("int"))
