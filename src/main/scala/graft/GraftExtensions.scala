@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // OPTIMIZE/VACUUM/RESTORE/DESCRIBE over manifest tables); every
     // other statement delegates to the stock parser untouched
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // plain-SQL UPDATE / MERGE INTO over catalog-resolved manifest
+    // tables: lower the resolved plans onto the DV merge-on-read
+    // paths (updateWhere / mergeInto) — see graft.sql.GraftDmlRules
+    ext.injectResolutionRule(session => graft.sql.GraftDmlRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine",

@@ -2297,12 +2297,165 @@ class ManifestTable(spark: SparkSession, root: String,
     // set and append a different one — silent loss or duplication
     val hits = live.filter(predicate).localCheckpoint(true)
     try {
-      val updated = set.foldLeft(hits) { case (df, (c, expr0)) =>
-        df.withColumn(c, expr0)
-      }.drop(DvFileCol, DvPosCol)
+      // ANSI UPDATE semantics: every assignment sees the OLD row — one
+      // simultaneous select, not a sequential withColumn fold (which
+      // would feed later assignments the NEW value of earlier ones:
+      // `SET a = b, b = a` must swap, not duplicate). Assignment keys
+      // must name existing columns; a typo'd key would otherwise
+      // silently ADD a column and fail later at commit schema checks.
+      val cols = hits.columns.filterNot(Set(DvFileCol, DvPosCol)).toSeq
+      val unknown = set.keys.filterNot(cols.contains).toSeq.sorted
+      require(unknown.isEmpty,
+        s"UPDATE assigns unknown column(s): ${unknown.mkString(", ")}")
+      val updated = hits.select(
+        cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
       commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
         Seq(enforced(updated)))
     } finally graft.functions.CheckpointOps.release(hits) // RDD-level: Dataset.unpersist no-ops on checkpoints
+  }
+
+  /** General `MERGE INTO` via deletion vectors (merge-on-read): ONE
+    * commit that DV-marks the matched targets an applying clause
+    * updates or deletes and appends the updated copies plus the
+    * not-matched inserts — cost O(matched + inserted rows) and one
+    * manifest delta, never a table rewrite (the Delta/Iceberg
+    * copy-on-read MERGE shape; at 100 TB a CDC batch touches the
+    * files holding matched rows' entries, not partitions). Supports
+    * the full three-sided statement with arbitrary (non-equi) join
+    * conditions and conditional clauses, first-match-wins:
+    *
+    *   WHEN MATCHED [AND c]               THEN UPDATE SET ... | DELETE
+    *   WHEN NOT MATCHED [AND c]           THEN INSERT ...
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
+    *
+    * `source` column names must be DISJOINT from the table's logical
+    * columns ([[graft.sql.GraftDmlRules]] renames the source side
+    * before lowering; Scala callers rename explicitly) so `on` and
+    * clause expressions can refer to both sides by plain name. A row
+    * no clause applies to is untouched. A target row with more than
+    * one APPLYING matched source row is the standard MERGE cardinality
+    * violation and throws — compact the feed first
+    * ([[Merge.latestPerKey]]). A merge where nothing matches and
+    * nothing inserts is a version no-op. Keyed equality upserts with a
+    * unique feed can also use [[Merge.upsert]] + [[write]] (full
+    * rewrite — better when MOST rows change; this path wins when a
+    * small fraction does).
+    */
+  def mergeInto(source: DataFrame, on: Column,
+      matched: Seq[MergeMatchedClause] = Nil,
+      notMatched: Seq[MergeInsertClause] = Nil,
+      notMatchedBySource: Seq[MergeMatchedClause] = Nil): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "MERGE needs at least one clause")
+    val entries = entriesOf(v0)
+    val files = entries.map(e => new Path(root, e.rel).toString)
+    val withPos =
+      if (files.isEmpty) read()
+        .withColumn(DvFileCol, lit(null).cast("string"))
+        .withColumn(DvPosCol, lit(null).cast("long"))
+      else toLogicalRename(readFiles(files, withPos = true))
+    val live = dvOf(entries).fold(withPos)(dv =>
+      withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
+    val targetCols = live.columns.filterNot(Set(DvFileCol, DvPosCol)).toSeq
+    val overlap = source.columns.toSet
+      .intersect(targetCols.toSet + DvFileCol + DvPosCol)
+    require(overlap.isEmpty, "MERGE source columns collide with target " +
+      s"columns: ${overlap.toSeq.sorted.mkString(", ")} — rename the " +
+      "source side first")
+    def requireKnown(what: String, keys: Iterable[String]): Unit = {
+      val bad = keys.filterNot(targetCols.contains).toSeq.sorted
+      require(bad.isEmpty,
+        s"$what assigns unknown column(s): ${bad.mkString(", ")}")
+    }
+    matched.foreach {
+      case MergeUpdateClause(_, set) =>
+        requireKnown("WHEN MATCHED UPDATE", set.keys)
+      case _ => ()
+    }
+    notMatchedBySource.foreach {
+      case MergeUpdateClause(_, set) =>
+        requireKnown("WHEN NOT MATCHED BY SOURCE UPDATE", set.keys)
+      case _ => ()
+    }
+    notMatched.foreach(c =>
+      requireKnown("WHEN NOT MATCHED INSERT", c.values.keys))
+
+    // first-match-wins clause index; -1 = no clause applies (NULL
+    // conditions are "does not apply", like SQL WHEN ... AND)
+    val armCol = "_graft_merge_arm"
+    def tagged(df: DataFrame, conds: Seq[Option[Column]]): DataFrame =
+      df.withColumn(armCol, conds.zipWithIndex.foldRight(lit(-1)) {
+        case ((c, i), els) => when(
+          coalesce(c.getOrElse(lit(true)).cast("boolean"), lit(false)),
+          lit(i)).otherwise(els)
+      })
+    // matched/by-source hit sets materialize EXACTLY once (eager
+    // checkpoint): marks and updated copies must come from the same
+    // rows or a nondeterministic source/condition could kill one row
+    // set and append another — silent loss or duplication (same
+    // discipline as updateWhere)
+    val matchedHits =
+      if (matched.isEmpty) None
+      else Some(tagged(live.join(source, on, "inner"),
+        matched.map(_.condition))
+        .filter(col(armCol) >= 0).localCheckpoint(true))
+    val bySourceHits =
+      if (notMatchedBySource.isEmpty) None
+      else Some(tagged(live.join(source, on, "left_anti"),
+        notMatchedBySource.map(_.condition))
+        .filter(col(armCol) >= 0).localCheckpoint(true))
+    val insertRows =
+      if (notMatched.isEmpty) None
+      else {
+        val unmatched = tagged(source.join(live, on, "left_anti"),
+          notMatched.map(_.condition))
+        Some(notMatched.zipWithIndex.map { case (c, i) =>
+          unmatched.filter(col(armCol) === i).select(targetCols.map { t =>
+            c.values.get(t).map(_.as(t)).getOrElse(
+              lit(null).cast(live.schema(t).dataType).as(t))
+          }: _*)
+        }.reduce(_ unionAll _).localCheckpoint(true))
+      }
+    val allCheckpoints =
+      matchedHits.toSeq ++ bySourceHits.toSeq ++ insertRows.toSeq
+    try {
+      matchedHits.foreach { h =>
+        val dup = h.groupBy(col(DvFileCol), col(DvPosCol))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+          .limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          "MERGE cardinality violation: a target row (file=" +
+            s"${dup.head.get(0)}, pos=${dup.head.get(1)}) matches " +
+            "multiple source rows with an applying WHEN MATCHED " +
+            "clause; deduplicate the source (e.g. Merge.latestPerKey)")
+      }
+      // bounded probes on cached checkpoint blocks — a merge that
+      // matches nothing and inserts nothing must NOT bump the version
+      // (the delete/update no-op contract)
+      val haveMarks =
+        (matchedHits.toSeq ++ bySourceHits.toSeq).exists(!_.isEmpty)
+      val haveInserts = insertRows.exists(!_.isEmpty)
+      if (!haveMarks && !haveInserts) return v0
+      def updatedCopies(hitsOpt: Option[DataFrame],
+          clauses: Seq[MergeMatchedClause]): Seq[DataFrame] =
+        hitsOpt.toSeq.flatMap { h =>
+          clauses.zipWithIndex.collect {
+            case (MergeUpdateClause(_, set), i) =>
+              h.filter(col(armCol) === i).select(
+                targetCols.map(t => set.getOrElse(t, col(t)).as(t)): _*)
+          }
+        }
+      val adds = (updatedCopies(matchedHits, matched) ++
+        updatedCopies(bySourceHits, notMatchedBySource) ++
+        insertRows.toSeq).map(enforced)
+      val marks = (matchedHits.toSeq ++ bySourceHits.toSeq)
+        .map(_.select(col(DvFileCol), col(DvPosCol)))
+        .reduceOption(_ unionAll _)
+        .getOrElse(live.limit(0).select(col(DvFileCol), col(DvPosCol)))
+      commitDv(v0, entries, marks, adds, appendWithoutMarks = true)
+    } finally allCheckpoints.foreach(graft.functions.CheckpointOps.release)
   }
 
   /** Shared DV commit: record `marks` (positions to kill, computed

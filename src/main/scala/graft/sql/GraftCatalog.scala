@@ -266,9 +266,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * pinned to a version or timestamp by the catalog's time-travel
   * loadTable.
   */
-private[sql] class GraftSqlTable(ident: Identifier, root: String,
-    version: Option[Int], asOfMs: Option[Long])
+private[sql] class GraftSqlTable(ident: Identifier,
+    private[sql] val root: String, version: Option[Int],
+    asOfMs: Option[Long])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** True when this handle is a VERSION/TIMESTAMP AS OF snapshot —
+    * DML (UPDATE/MERGE, like INSERT/DELETE) must refuse it.
+    */
+  private[sql] def pinned: Boolean = version.nonEmpty || asOfMs.nonEmpty
 
   private def spark: SparkSession = SparkSession.active
 

@@ -27,4 +27,13 @@ object GraftSqlBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Wrap a catalyst Expression as a user-facing Column —
+    * `ExpressionUtils.column` is `private[sql]`; the DML lowering rule
+    * (graft.sql.GraftDmlRules) uses it to carry rebound UPDATE/MERGE
+    * clause expressions into DataFrame operations.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Plain-SQL `UPDATE` / `MERGE INTO` over catalog tables — the
+  * GraftDmlRules lowering onto updateWhere / mergeInto: ANSI
+  * simultaneous assignments, three-sided merge clauses with
+  * first-match-wins, source-name disambiguation, cardinality
+  * violation, no-op version contract, and loud refusal of the shapes
+  * the lowering does not support.
+  */
+class SqlRowLevelDmlSpec extends SparkTestBase {
+  quiet()
+
+  private val lakeRoot =
+    s"${sys.props("java.io.tmpdir")}/graft_rldml_${System.nanoTime()}"
+
+  /** A session with GraftExtensions on the shared context (the base
+    * test session predates the extensions) — same pattern as
+    * SqlDmlSpec, plus the DSv2 catalog pointed at this suite's root.
+    */
+  lazy val s: SparkSession = {
+    spark.sparkContext
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ss = SparkSession.builder()
+        .master("local[8]")
+        .appName("graft-rldml")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      ss.conf.set("spark.sql.catalog.rldml", "graft.sql.GraftCatalog")
+      ss.conf.set("spark.sql.catalog.rldml.root", lakeRoot)
+      ss
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  private def mt(name: String) =
+    graft.lake.ManifestTable.forRoot(s, s"$lakeRoot/db/$name")
+
+  /** Fresh 4-row table under the catalog; returns its SQL name. */
+  private def fresh(name: String): String = {
+    import s.implicits._
+    val df = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0),
+      (4L, "C", 40.0)).toDF("id", "status", "amount")
+    new graft.lake.ManifestTable(s, s"$lakeRoot/db/$name")
+      .write(df, "overwrite")
+    s"rldml.db.$name"
+  }
+
+  private def rows(t: String): Seq[(Long, String, Double)] = {
+    import s.implicits._
+    s.sql(s"SELECT * FROM $t").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+  }
+
+  test("UPDATE ... SET ... WHERE lowers to a DV merge-on-read commit") {
+    val t = fresh("upd1")
+    val v = s.sql(s"UPDATE $t SET amount = amount * 2 WHERE status = 'A'")
+      .first().getInt(0)
+    assert(v === 1, "one commit on top of the initial write")
+    assert(rows(t) === Seq((1L, "A", 20.0), (2L, "B", 20.0),
+      (3L, "A", 60.0), (4L, "C", 40.0)))
+    // merge-on-read: the pre-update snapshot is intact (time travel)
+    assert(mt("upd1").read(Some(0)).filter(col("amount") === 10.0)
+      .count() === 1)
+    // int literal into a double column: store-assignment cast
+    s.sql(s"UPDATE $t SET amount = 7 WHERE id = 4")
+    assert(rows(t).find(_._1 == 4L).get._3 === 7.0)
+  }
+
+  test("UPDATE assignments are simultaneous (ANSI): SET a=b, b=a swaps") {
+    import s.implicits._
+    val root = s"$lakeRoot/db/swap"
+    new graft.lake.ManifestTable(s, root)
+      .write(Seq((1L, 5.0, 9.0)).toDF("id", "a", "b"), "overwrite")
+    s.sql(s"UPDATE rldml.db.swap SET a = b, b = a")
+    val r = s.sql("SELECT a, b FROM rldml.db.swap").first()
+    assert(r.getDouble(0) === 9.0 && r.getDouble(1) === 5.0,
+      "later assignments must see the OLD row, not earlier results")
+  }
+
+  test("UPDATE with a subquery condition is refused loudly") {
+    val t = fresh("updsub")
+    val e = intercept[Exception] {
+      s.sql(s"UPDATE $t SET amount = 0 " +
+        s"WHERE id IN (SELECT id FROM $t WHERE status = 'A')")
+    }
+    assert(messageChain(e).contains("subqueries are not supported"))
+  }
+
+  test("UPDATE on a non-graft table still raises Spark's standard error") {
+    import s.implicits._
+    Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("rldml_plain")
+    val e = intercept[Exception] {
+      s.sql("UPDATE rldml_plain SET v = 'y'")
+    }
+    assert(!messageChain(e).contains("graft"),
+      s"must be the stock error, got: ${messageChain(e)}")
+  }
+
+  test("MERGE INTO: matched update + not-matched insert, same col names") {
+    import s.implicits._
+    val t = fresh("m1")
+    // source shares every column name with the target — the lowering's
+    // positional rename must disambiguate
+    Seq((2L, "B", 200.0), (9L, "Z", 90.0))
+      .toDF("id", "status", "amount").createOrReplaceTempView("m1_src")
+    val v = s.sql(
+      s"""MERGE INTO $t AS t USING m1_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET amount = s.amount
+         |WHEN NOT MATCHED THEN INSERT (id, status, amount)
+         |  VALUES (s.id, s.status, s.amount)""".stripMargin)
+      .first().getInt(0)
+    assert(v === 1)
+    assert(rows(t) === Seq((1L, "A", 10.0), (2L, "B", 200.0),
+      (3L, "A", 30.0), (4L, "C", 40.0), (9L, "Z", 90.0)))
+    // pre-merge snapshot intact; the merge appended, never rewrote
+    assert(mt("m1").read(Some(0)).count() === 4)
+  }
+
+  test("MERGE conditional arms are first-match-wins; DELETE arm marks") {
+    import s.implicits._
+    val t = fresh("m2")
+    Seq((1L, 100.0), (2L, 0.0), (3L, 300.0))
+      .toDF("sid", "samount").createOrReplaceTempView("m2_src")
+    s.sql(
+      s"""MERGE INTO $t USING m2_src ON id = sid
+         |WHEN MATCHED AND samount = 0 THEN DELETE
+         |WHEN MATCHED AND id = 1 THEN UPDATE SET amount = samount
+         |WHEN MATCHED THEN UPDATE SET status = 'M'
+         |""".stripMargin)
+    assert(rows(t) === Seq((1L, "A", 100.0), (3L, "M", 30.0),
+      (4L, "C", 40.0)),
+      "id=2 deleted, id=1 hit arm 2 only (first match wins), id=3 arm 3")
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE delete/update arms") {
+    import s.implicits._
+    val t = fresh("m3")
+    Seq(1L, 2L).toDF("sid").createOrReplaceTempView("m3_src")
+    s.sql(
+      s"""MERGE INTO $t USING m3_src ON id = sid
+         |WHEN MATCHED THEN UPDATE SET status = 'K'
+         |WHEN NOT MATCHED BY SOURCE AND id = 3 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'G'
+         |""".stripMargin)
+    assert(rows(t) === Seq((1L, "K", 10.0), (2L, "K", 20.0),
+      (4L, "G", 40.0)))
+  }
+
+  test("MERGE with a non-equi ON condition") {
+    import s.implicits._
+    val t = fresh("m4")
+    Seq((0L, 25.0)).toDF("lo", "hi").createOrReplaceTempView("m4_src")
+    s.sql(
+      s"""MERGE INTO $t USING m4_src ON id > lo AND amount < hi
+         |WHEN MATCHED THEN UPDATE SET status = 'R'
+         |""".stripMargin)
+    assert(rows(t) === Seq((1L, "R", 10.0), (2L, "R", 20.0),
+      (3L, "A", 30.0), (4L, "C", 40.0)))
+  }
+
+  test("MERGE partial INSERT column list fills NULL") {
+    import s.implicits._
+    val t = fresh("m5")
+    Seq(7L).toDF("sid").createOrReplaceTempView("m5_src")
+    s.sql(
+      s"""MERGE INTO $t USING m5_src ON id = sid
+         |WHEN NOT MATCHED THEN INSERT (id) VALUES (sid)""".stripMargin)
+    val r = s.sql(s"SELECT * FROM $t WHERE id = 7").first()
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("MERGE cardinality violation throws; no partial commit") {
+    import s.implicits._
+    val t = fresh("m6")
+    val v0 = mt("m6").latestVersion.get
+    Seq((1L, 1.0), (1L, 2.0)).toDF("sid", "samount")
+      .createOrReplaceTempView("m6_src")
+    val e = intercept[Exception] {
+      s.sql(
+        s"""MERGE INTO $t USING m6_src ON id = sid
+           |WHEN MATCHED THEN UPDATE SET amount = samount""".stripMargin)
+    }
+    assert(messageChain(e).contains("cardinality violation"))
+    assert(mt("m6").latestVersion.get === v0, "no version published")
+    assert(rows(t).find(_._1 == 1L).get._3 === 10.0)
+  }
+
+  test("MERGE matching nothing and inserting nothing is a version no-op") {
+    import s.implicits._
+    val t = fresh("m7")
+    val v0 = mt("m7").latestVersion.get
+    Seq(99L).toDF("sid").createOrReplaceTempView("m7_src")
+    val v = s.sql(
+      s"""MERGE INTO $t USING m7_src ON id = sid
+         |WHEN MATCHED THEN DELETE""".stripMargin).first().getInt(0)
+    assert(v === v0 && mt("m7").latestVersion.get === v0)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION is refused loudly") {
+    import s.implicits._
+    val t = fresh("m8")
+    Seq(1L).toDF("sid").createOrReplaceTempView("m8_src")
+    val e = intercept[Exception] {
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $t USING m8_src ON id = sid
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(messageChain(e).contains("SCHEMA EVOLUTION"))
+  }
+
+  test("self-merge: the target is its own (aggregated) source") {
+    import s.implicits._
+    val t = fresh("m9")
+    // delete every row whose amount is below the table's own mean
+    s.sql(
+      s"""MERGE INTO $t USING
+         |  (SELECT avg(amount) AS mean FROM $t) m ON amount < mean
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(rows(t) === Seq((3L, "A", 30.0), (4L, "C", 40.0)))
+  }
+
+  test("mergeInto API: insert-only merge into an empty table") {
+    import s.implicits._
+    s.sql("CREATE TABLE rldml.db.m10 (id BIGINT, v STRING)")
+    val src = Seq((5L, "x")).toDF("sid", "sv")
+    val tab = mt("m10")
+    val v = tab.mergeInto(src, col("id") === col("sid"),
+      notMatched = Seq(graft.lake.MergeInsertClause(None,
+        Map("id" -> col("sid"), "v" -> col("sv")))))
+    assert(v === tab.latestVersion.get)
+    assert(tab.read().count() === 1)
+  }
+}
