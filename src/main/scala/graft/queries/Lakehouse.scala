@@ -185,6 +185,151 @@ object Lakehouse extends QueryModule {
       |GROUP BY 1
       |ORDER BY 1 ASC NULLS FIRST""".stripMargin
 
+  /** A sibling session on the shared context with GraftExtensions —
+    * the plain-SQL DML statements (UPDATE / MERGE INTO) need the
+    * lowering rule injected at session build, and the driver's
+    * Verify/Bench session is built without extensions. Cached: Bench
+    * re-runs queries adaptively, and sessions are not free.
+    */
+  @volatile private var dmlSessionCache: SparkSession = _
+  private def dmlSession(base: SparkSession): SparkSession = synchronized {
+    if (dmlSessionCache == null) {
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try dmlSessionCache = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions",
+          base.conf.get("spark.sql.shuffle.partitions"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      finally {
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    }
+    dmlSessionCache
+  }
+
+  /** One catalog root shared by every DML query: Spark caches a
+    * catalog plugin instance per session at FIRST use (root re-sets
+    * are ignored), so per-query roots under one catalog name would
+    * silently cross-wire — each query gets its own table directory
+    * under the shared root instead.
+    */
+  private def dmlScratch(s: SparkSession, table: String): String = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_lake_dml_${ProcessHandle.current().pid()}"
+    s.conf.set("spark.sql.catalog.graft_dml", "graft.sql.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_dml.root", root)
+    val tableDir = s"$root/gold/$table"
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    tableDir
+  }
+
+  /** L29: plain-SQL `UPDATE ... SET ... WHERE` on a catalog table —
+    * the GraftDmlRules lowering onto the DV merge-on-read
+    * updateWhere (no data file rewritten; the pre-update snapshot
+    * stays readable). The oracle replays the assignment as a CASE
+    * over the raw orders (doubling is exact in binary, so the
+    * row-level compare is bit-exact).
+    */
+  def l29SqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val s = dmlSession(spark)
+    new ManifestTable(s, dmlScratch(s, "orders_l29"))
+      .write(Q.t(s, dir, "orders"), "overwrite")
+    s.sql(
+      """UPDATE graft_dml.gold.orders_l29
+        |SET o_totalprice = o_totalprice * 2, o_orderpriority = '1-URGENT'
+        |WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 0""".stripMargin)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM graft_dml.gold.orders_l29
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)
+  }
+
+  val l29Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 7 = 0
+      |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderdate,
+      |  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 7 = 0
+      |       THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
+  /** L30: plain-SQL three-sided `MERGE INTO` on a catalog table —
+    * conditional DELETE / UPDATE matched arms (first-match-wins), a
+    * conditional INSERT arm, and a NOT MATCHED BY SOURCE arm, lowered
+    * onto ManifestTable.mergeInto: one DV commit, marks + appends,
+    * O(matched + inserted). The oracle replays the same decision
+    * table as three set-operation branches over the raw orders.
+    */
+  def l30SqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val s = dmlSession(spark)
+    new ManifestTable(s, dmlScratch(s, "orders_l30"))
+      .write(Q.t(s, dir, "orders"), "overwrite")
+    Q.t(s, dir, "orders").createOrReplaceTempView("l30_orders_raw")
+    s.sql(
+      """SELECT o_orderkey AS k, o_custkey AS s_cust,
+        |       o_orderstatus AS s_status, o_totalprice * 2 AS s_price,
+        |       o_orderdate AS s_date, o_orderpriority AS s_pri
+        |FROM l30_orders_raw WHERE o_orderkey % 13 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+        |       o_totalprice, o_orderdate, o_orderpriority
+        |FROM l30_orders_raw WHERE o_orderkey % 17 = 0""".stripMargin)
+      .createOrReplaceTempView("l30_feed")
+    s.sql(
+      """MERGE INTO graft_dml.gold.orders_l30 t USING l30_feed s
+        |ON t.o_orderkey = s.k
+        |WHEN MATCHED AND s.s_status = 'F' THEN DELETE
+        |WHEN MATCHED THEN UPDATE
+        |  SET o_totalprice = s.s_price, o_orderpriority = '1-URGENT'
+        |WHEN NOT MATCHED AND s.s_pri <> '5-LOW' THEN INSERT
+        |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |   o_orderdate, o_orderpriority)
+        |  VALUES (s.k, s.s_cust, s.s_status, s.s_price, s.s_date, s.s_pri)
+        |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 1000 = 0 THEN
+        |  UPDATE SET o_orderpriority = '9-RESIDUAL'""".stripMargin)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM graft_dml.gold.orders_l30
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)
+  }
+
+  val l30Oracle: String =
+    """WITH feed AS (
+      |  SELECT o_orderkey AS k, o_custkey AS s_cust,
+      |         o_orderstatus AS s_status, o_totalprice * 2 AS s_price,
+      |         o_orderdate AS s_date, o_orderpriority AS s_pri
+      |  FROM orders WHERE o_orderkey % 13 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+      |         o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 17 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       o_orderdate, o_orderpriority FROM (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderdate,
+      |         CASE WHEN o_orderkey % 1000 = 0 THEN '9-RESIDUAL'
+      |              ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders WHERE o_orderkey NOT IN (SELECT k FROM feed)
+      |  UNION ALL
+      |  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, s.s_price,
+      |         t.o_orderdate, '1-URGENT'
+      |  FROM orders t JOIN feed s ON t.o_orderkey = s.k
+      |  WHERE t.o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT s.k, s.s_cust, s.s_status, s.s_price, s.s_date, s.s_pri
+      |  FROM feed s
+      |  WHERE s.k NOT IN (SELECT o_orderkey FROM orders)
+      |    AND s.s_pri <> '5-LOW')
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
   /** L22b: storage-partitioned join — write orders and lineitem as
     * `bucket(8, key)` tables, then join through
     * [[ManifestTable.readBucketed]]: both scans report their
@@ -443,6 +588,8 @@ object Lakehouse extends QueryModule {
     "l15_dv_roundtrip" -> l15DvRoundtrip,
     "l28_catalog_select" -> l28CatalogSelect,
     "l22b_bucketed_join" -> l22bBucketedJoin,
+    "l29_sql_update" -> l29SqlUpdate,
+    "l30_sql_merge" -> l30SqlMerge,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
@@ -455,6 +602,8 @@ object Lakehouse extends QueryModule {
     "l3_time_travel" -> l3Oracle,
     "l28_catalog_select" -> l28Oracle,
     "l22b_bucketed_join" -> l22bOracle,
+    "l29_sql_update" -> l29Oracle,
+    "l30_sql_merge" -> l30Oracle,
     "l15_dv_roundtrip" -> l15Oracle,
     "l6_exact_dedup" -> l6Oracle)
 }
