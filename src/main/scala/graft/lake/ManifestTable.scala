@@ -2260,17 +2260,51 @@ class ManifestTable(spark: SparkSession, root: String,
   private def deleteFromWith(v0: Int, all: Seq[Entry], candidates: Seq[Entry],
       matcher: DataFrame => DataFrame): Int = {
     if (candidates.isEmpty) return v0
-    val files = candidates.map(e => new Path(root, e.rel).toString)
-    // logical names for the caller's predicate; DV marker columns are
-    // reserved and never mapped
-    val withPos = toLogicalRename(readFiles(files, withPos = true))
-    // only LIVE rows: re-deleting an already-deleted row must not
-    // inflate counts (the union below would dedup it anyway, but the
-    // no-op check must see a true no-op)
-    val live = dvOf(candidates).fold(withPos)(dv =>
-      withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
-    val hits = matcher(live).select(col(DvFileCol), col(DvPosCol))
+    val hits = matcher(liveWithPos(candidates))
+      .select(col(DvFileCol), col(DvPosCol))
     commitDv(v0, all, hits, Seq.empty)
+  }
+
+  /** The LIVE rows of `entries` with their permanent (file, pos) row
+    * ids: logical column names for caller predicates (DV marker
+    * columns are reserved and never mapped) and already-deleted rows
+    * anti-joined out — re-deleting a dead row must not inflate counts,
+    * and updates/merges must never resurrect one. The shared preamble
+    * of every row-level mutation (delete / update / merge).
+    */
+  private def liveWithPos(entries: Seq[Entry]): DataFrame = {
+    val files = entries.map(e => new Path(root, e.rel).toString)
+    val withPos =
+      if (files.isEmpty) read()
+        .withColumn(DvFileCol, lit(null).cast("string"))
+        .withColumn(DvPosCol, lit(null).cast("long"))
+      else toLogicalRename(readFiles(files, withPos = true))
+    dvOf(entries).fold(withPos)(dv =>
+      withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
+  }
+
+  /** Resolve assignment-map keys against `cols` with the session
+    * resolver (case-insensitive under the default
+    * spark.sql.caseSensitive=false — `CALL graft.update` hands user-
+    * typed names straight through) and normalize each to the actual
+    * column name; loud on unknown, ambiguous, or twice-assigned keys.
+    */
+  private def resolveSetKeys(what: String, cols: Seq[String],
+      set: Map[String, Column]): Map[String, Column] = {
+    val resolver = spark.sessionState.conf.resolver
+    val pairs = set.toSeq.map { case (k, v) =>
+      val hits = cols.filter(c => resolver(c, k))
+      if (hits.isEmpty) throw new IllegalArgumentException(
+        s"$what assigns unknown column(s): $k")
+      if (hits.size > 1) throw new IllegalArgumentException(
+        s"$what: ambiguous column $k matches ${hits.mkString(", ")}")
+      hits.head -> v
+    }
+    val dup = pairs.groupBy(_._1).collect { case (n, ps) if ps.size > 1 => n }
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"$what: column(s) assigned more than once: " +
+        dup.toSeq.sorted.mkString(", "))
+    pairs.toMap
   }
 
   /** L16: row-level UPDATE via deletion vectors — `UPDATE ... SET ...
@@ -2287,10 +2321,7 @@ class ManifestTable(spark: SparkSession, root: String,
     val entries = entriesOf(v0)
     if (entries.isEmpty) return v0
     require(set.nonEmpty, "updateWhere needs at least one assignment")
-    val files = entries.map(e => new Path(root, e.rel).toString)
-    val withPos = toLogicalRename(readFiles(files, withPos = true))
-    val live = dvOf(entries).fold(withPos)(dv =>
-      withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
+    val live = liveWithPos(entries)
     // materialize the matched row set EXACTLY once (eager checkpoint):
     // the marks and the appended copies must come from the same rows,
     // or a nondeterministic predicate/assignment could kill one row
@@ -2300,15 +2331,13 @@ class ManifestTable(spark: SparkSession, root: String,
       // ANSI UPDATE semantics: every assignment sees the OLD row — one
       // simultaneous select, not a sequential withColumn fold (which
       // would feed later assignments the NEW value of earlier ones:
-      // `SET a = b, b = a` must swap, not duplicate). Assignment keys
-      // must name existing columns; a typo'd key would otherwise
-      // silently ADD a column and fail later at commit schema checks.
+      // `SET a = b, b = a` must swap, not duplicate). Keys resolve
+      // case-insensitively to existing columns; a typo'd key would
+      // otherwise silently ADD a column and fail later at commit.
       val cols = hits.columns.filterNot(Set(DvFileCol, DvPosCol)).toSeq
-      val unknown = set.keys.filterNot(cols.contains).toSeq.sorted
-      require(unknown.isEmpty,
-        s"UPDATE assigns unknown column(s): ${unknown.mkString(", ")}")
+      val setN = resolveSetKeys("UPDATE", cols, set)
       val updated = hits.select(
-        cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
+        cols.map(c => setN.getOrElse(c, col(c)).as(c)): _*)
       commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
         Seq(enforced(updated)))
     } finally graft.functions.CheckpointOps.release(hits) // RDD-level: Dataset.unpersist no-ops on checkpoints
@@ -2350,41 +2379,48 @@ class ManifestTable(spark: SparkSession, root: String,
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "MERGE needs at least one clause")
     val entries = entriesOf(v0)
-    val files = entries.map(e => new Path(root, e.rel).toString)
-    val withPos =
-      if (files.isEmpty) read()
-        .withColumn(DvFileCol, lit(null).cast("string"))
-        .withColumn(DvPosCol, lit(null).cast("long"))
-      else toLogicalRename(readFiles(files, withPos = true))
-    val live = dvOf(entries).fold(withPos)(dv =>
-      withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
+    val live = liveWithPos(entries)
     val targetCols = live.columns.filterNot(Set(DvFileCol, DvPosCol)).toSeq
+    val armCol = "_graft_merge_arm"
     val overlap = source.columns.toSet
       .intersect(targetCols.toSet + DvFileCol + DvPosCol)
     require(overlap.isEmpty, "MERGE source columns collide with target " +
       s"columns: ${overlap.toSeq.sorted.mkString(", ")} — rename the " +
       "source side first")
-    def requireKnown(what: String, keys: Iterable[String]): Unit = {
-      val bad = keys.filterNot(targetCols.contains).toSeq.sorted
-      require(bad.isEmpty,
-        s"$what assigns unknown column(s): ${bad.mkString(", ")}")
+    val armClash = (targetCols ++ source.columns).filter(_ == armCol)
+    require(armClash.isEmpty,
+      s"column name $armCol is reserved by MERGE — rename it first")
+    // normalize clause maps: keys resolved (case-insensitively) to the
+    // actual target column, values cast to the column's type — a
+    // mismatched insert/update type would otherwise write a data file
+    // whose schema no longer merges with the table's (unreadable
+    // after a successful commit)
+    def normalize(what: String, set: Map[String, Column]) =
+      resolveSetKeys(what, targetCols, set).map { case (k, v) =>
+        k -> v.cast(live.schema(k).dataType)
+      }
+    val matchedN = matched.map {
+      case MergeUpdateClause(c, set) =>
+        MergeUpdateClause(c, normalize("WHEN MATCHED UPDATE", set))
+      case d => d
     }
-    matched.foreach {
-      case MergeUpdateClause(_, set) =>
-        requireKnown("WHEN MATCHED UPDATE", set.keys)
-      case _ => ()
+    val bySourceN = notMatchedBySource.map {
+      case MergeUpdateClause(c, set) => MergeUpdateClause(c,
+        normalize("WHEN NOT MATCHED BY SOURCE UPDATE", set))
+      case d => d
     }
-    notMatchedBySource.foreach {
-      case MergeUpdateClause(_, set) =>
-        requireKnown("WHEN NOT MATCHED BY SOURCE UPDATE", set.keys)
-      case _ => ()
-    }
-    notMatched.foreach(c =>
-      requireKnown("WHEN NOT MATCHED INSERT", c.values.keys))
+    val notMatchedN = notMatched.map(c => MergeInsertClause(c.condition,
+      normalize("WHEN NOT MATCHED INSERT", c.values)))
+    // the source materializes EXACTLY once: three independent joins
+    // read it (matched inner, insert anti, by-source anti) — a
+    // nondeterministic source (sample/rand/LIMIT) evaluated per join
+    // could mark a target row AND miss its replacement, or insert a
+    // feed row it also applied as an update (the per-hit-set
+    // checkpoints below only protect within one set)
+    val src = source.localCheckpoint(true)
 
     // first-match-wins clause index; -1 = no clause applies (NULL
     // conditions are "does not apply", like SQL WHEN ... AND)
-    val armCol = "_graft_merge_arm"
     def tagged(df: DataFrame, conds: Seq[Option[Column]]): DataFrame =
       df.withColumn(armCol, conds.zipWithIndex.foldRight(lit(-1)) {
         case ((c, i), els) => when(
@@ -2397,28 +2433,28 @@ class ManifestTable(spark: SparkSession, root: String,
     // set and append another — silent loss or duplication (same
     // discipline as updateWhere)
     val matchedHits =
-      if (matched.isEmpty) None
-      else Some(tagged(live.join(source, on, "inner"),
-        matched.map(_.condition))
+      if (matchedN.isEmpty) None
+      else Some(tagged(live.join(src, on, "inner"),
+        matchedN.map(_.condition))
         .filter(col(armCol) >= 0).localCheckpoint(true))
     val bySourceHits =
-      if (notMatchedBySource.isEmpty) None
-      else Some(tagged(live.join(source, on, "left_anti"),
-        notMatchedBySource.map(_.condition))
+      if (bySourceN.isEmpty) None
+      else Some(tagged(live.join(src, on, "left_anti"),
+        bySourceN.map(_.condition))
         .filter(col(armCol) >= 0).localCheckpoint(true))
     val insertRows =
-      if (notMatched.isEmpty) None
+      if (notMatchedN.isEmpty) None
       else {
-        val unmatched = tagged(source.join(live, on, "left_anti"),
-          notMatched.map(_.condition))
-        Some(notMatched.zipWithIndex.map { case (c, i) =>
+        val unmatched = tagged(src.join(live, on, "left_anti"),
+          notMatchedN.map(_.condition))
+        Some(notMatchedN.zipWithIndex.map { case (c, i) =>
           unmatched.filter(col(armCol) === i).select(targetCols.map { t =>
             c.values.get(t).map(_.as(t)).getOrElse(
               lit(null).cast(live.schema(t).dataType).as(t))
           }: _*)
         }.reduce(_ unionAll _).localCheckpoint(true))
       }
-    val allCheckpoints =
+    val allCheckpoints = Seq(src) ++
       matchedHits.toSeq ++ bySourceHits.toSeq ++ insertRows.toSeq
     try {
       matchedHits.foreach { h =>
@@ -2447,8 +2483,8 @@ class ManifestTable(spark: SparkSession, root: String,
                 targetCols.map(t => set.getOrElse(t, col(t)).as(t)): _*)
           }
         }
-      val adds = (updatedCopies(matchedHits, matched) ++
-        updatedCopies(bySourceHits, notMatchedBySource) ++
+      val adds = (updatedCopies(matchedHits, matchedN) ++
+        updatedCopies(bySourceHits, bySourceN) ++
         insertRows.toSeq).map(enforced)
       val marks = (matchedHits.toSeq ++ bySourceHits.toSeq)
         .map(_.select(col(DvFileCol), col(DvPosCol)))

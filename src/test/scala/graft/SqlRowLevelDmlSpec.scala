@@ -231,6 +231,48 @@ class SqlRowLevelDmlSpec extends SparkTestBase {
     assert(rows(t) === Seq((3L, "A", 30.0), (4L, "C", 40.0)))
   }
 
+  test("updateWhere resolves assignment keys case-insensitively") {
+    fresh("ci1")
+    val tab = mt("ci1")
+    tab.updateWhere(col("id") === 1L, Map("AMOUNT" -> lit(99.0)))
+    assert(tab.read().filter(col("id") === 1L).select("amount")
+      .first().getDouble(0) === 99.0)
+    val e = intercept[IllegalArgumentException] {
+      tab.updateWhere(col("id") === 1L, Map("nope" -> lit(0.0)))
+    }
+    assert(e.getMessage.contains("unknown column"))
+  }
+
+  test("mergeInto API casts clause values to the column type") {
+    import s.implicits._
+    fresh("cast1")
+    val tab = mt("cast1")
+    // INT literal into a DOUBLE column: without the cast the appended
+    // file's schema would no longer merge with the table's
+    tab.mergeInto(Seq(9L).toDF("sid"), col("id") === col("sid"),
+      notMatched = Seq(graft.lake.MergeInsertClause(None,
+        Map("id" -> col("sid"), "amount" -> lit(1)))))
+    tab.mergeInto(Seq(1L).toDF("sid2"), col("id") === col("sid2"),
+      matched = Seq(graft.lake.MergeUpdateClause(None,
+        Map("amount" -> lit(2)))))
+    val got = tab.read().filter(col("id").isin(1L, 9L))
+      .select("id", "amount").collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2.0), (9L, 1.0)))
+  }
+
+  test("mergeInto refuses a source column named _graft_merge_arm") {
+    import s.implicits._
+    fresh("arm1")
+    val e = intercept[IllegalArgumentException] {
+      mt("arm1").mergeInto(
+        Seq((1L, 0)).toDF("sid", "_graft_merge_arm"),
+        col("id") === col("sid"),
+        matched = Seq(graft.lake.MergeDeleteClause(None)))
+    }
+    assert(e.getMessage.contains("reserved by MERGE"))
+  }
+
   test("mergeInto API: insert-only merge into an empty table") {
     import s.implicits._
     s.sql("CREATE TABLE rldml.db.m10 (id BIGINT, v STRING)")
