@@ -184,6 +184,12 @@ class ManifestTable(spark: SparkSession, root: String,
   private val partCols: Seq[String] =
     identityPartCols ++ transforms.map(_.name)
 
+  /** Declared layout, for catalog surfaces that report partitioning:
+    * (identity partition columns, transform specs like `bucket(8,c)`).
+    */
+  def declaredPartitioning: (Seq[String], Seq[String]) =
+    (identityPartCols, transforms.map(_.spec))
+
   /** Add any missing derived partition columns (no-op for identity
     * tables and for frames already carrying them — derivation is
     * deterministic, so recomputing can never disagree with dirs).
@@ -1678,6 +1684,20 @@ class ManifestTable(spark: SparkSession, root: String,
         .asInstanceOf[StructType]
       finally in.close()
     }
+  }
+
+  /** Bootstrap schema declaration — CREATE TABLE's contract that an
+    * EMPTY table still reads (and accepts INSERTs) with its full
+    * schema: a partitioned empty write lands zero parquet files, so
+    * without a declaration the scan would surface zero columns.
+    * Merges with any existing declaration (idempotent re-create).
+    */
+  def declareSchema(st: StructType): Unit = {
+    val cur = declaredColumns
+    val have = cur.fieldNames.toSet
+    val merged = StructType(
+      cur.fields ++ st.fields.filterNot(f => have.contains(f.name)))
+    writeDeclared(merged)
   }
 
   private def writeDeclared(st: StructType): Unit = {

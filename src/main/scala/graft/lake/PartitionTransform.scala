@@ -54,6 +54,13 @@ object PartitionTransform {
     def derive(c: Column, dt: DataType): Column = trunc(to_date(c), "month")
   }
 
+  case class YearsOf(src: String) extends PartitionTransform {
+    val name = s"${Prefix}years_$src"
+    val spec = s"years($src)"
+    val monotonic = true
+    def derive(c: Column, dt: DataType): Column = trunc(to_date(c), "year")
+  }
+
   case class HoursOf(src: String) extends PartitionTransform {
     val name = s"${Prefix}hours_$src"
     val spec = s"hours($src)"
@@ -104,12 +111,13 @@ object PartitionTransform {
       (fn.toLowerCase, parts) match {
         case ("days", Array(c)) => DaysOf(c)
         case ("months", Array(c)) => MonthsOf(c)
+        case ("years", Array(c)) => YearsOf(c)
         case ("hours", Array(c)) => HoursOf(c)
         case ("bucket", Array(n, c)) => BucketOf(n.toInt, c)
         case ("truncate", Array(w, c)) => TruncateOf(w.toInt, c)
         case _ => throw new IllegalArgumentException(
           s"unknown partition transform: $s (supported: days(c), " +
-            "months(c), hours(c), bucket(n,c), truncate(w,c))")
+            "months(c), years(c), hours(c), bucket(n,c), truncate(w,c))")
       }
     case other => throw new IllegalArgumentException(
       s"malformed partition transform: '$other' — expected fn(args)")

@@ -140,9 +140,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "CREATE TABLE partitioning goes through the table_config surface " +
-        "(ManifestTable partitionSpec); create unpartitioned here")
+    val (idCols, specs) = GraftCatalog.translatePartitioning(partitions)
     // reject — never silently drop — properties the catalog cannot
     // honor: tables live under <root>/<ns>/<name> (a LOCATION clause
     // would otherwise land data somewhere other than declared),
@@ -170,7 +168,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       (catalogName +: ident.namespace().toSeq :+ ident.name()))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    new ManifestTable(spark, dir.toString).write(empty, "overwrite")
+    // the empty bootstrap write persists the table_config sidecar, so
+    // every later writer (name-based INSERT, path-based forRoot) lays
+    // data out by the declared partitioning; the schema declaration
+    // makes the EMPTY table read (and accept INSERTs) with its full
+    // schema — a partitioned empty write lands zero parquet files
+    val boot = new ManifestTable(spark, dir.toString,
+      partitionCols = idCols, partitionSpec = specs)
+    boot.write(empty, "overwrite")
+    boot.declareSchema(schema)
     loadTable(ident)
   }
 
@@ -261,6 +267,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
+object GraftCatalog {
+
+  /** DSv2 `PARTITIONED BY` transforms → ManifestTable layout:
+    * identity columns plus the transform-spec vocabulary
+    * ([[graft.lake.PartitionTransform]] — days/months/years/hours/
+    * bucket/truncate, the Iceberg hidden-partitioning set). Anything
+    * else is refused loudly — a silently dropped transform would lay
+    * data out flat while the user believes it partitioned. (The
+    * transform case classes are `private[sql]`, so the pattern match
+    * lives in the [[org.apache.spark.sql.graft.GraftSqlBridge]] shim.)
+    */
+  private[sql] def translatePartitioning(
+      partitions: Array[Transform]): (Seq[String], Seq[String]) =
+    org.apache.spark.sql.graft.GraftSqlBridge
+      .translatePartitioning(partitions)
+
+  /** The reverse mapping, for `Table.partitioning()` reporting. */
+  private[sql] def reportPartitioning(idCols: Seq[String],
+      specs: Seq[String]): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val Fn = """(\w+)\s*\(\s*([^)]*)\)""".r
+    (idCols.map(Expressions.identity) ++ specs.map {
+      case Fn(fn, args) =>
+        val a = args.split(',').map(_.trim)
+        fn.toLowerCase match {
+          case "bucket" => Expressions.bucket(a(0).toInt, a(1))
+          case "days" => Expressions.days(a(0))
+          case "months" => Expressions.months(a(0))
+          case "years" => Expressions.years(a(0))
+          case "hours" => Expressions.hours(a(0))
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.literal(a(0).toInt), Expressions.column(a(1)))
+        }
+    }).toArray
+  }
+}
+
 /** A governed manifest table resolved by name: reads delegate to
   * [[ManifestTable.read]] (DV-aware, declared schema), optionally
   * pinned to a version or timestamp by the catalog's time-travel
@@ -342,6 +385,19 @@ private[sql] class GraftSqlTable(ident: Identifier,
     m
   }
 
+  override def partitioning(): Array[Transform] = {
+    val (idCols, specs) =
+      ManifestTable.forRoot(spark, root).declaredPartitioning
+    GraftCatalog.reportPartitioning(idCols, specs)
+  }
+
+  /** Reader-option time travel (`spark.read.option("versionAsOf", 2)
+    * .table("cat.ns.t")`, the Delta convention) needs NO handling
+    * here: Spark recognizes the `versionAsOf`/`timestampAsOf` options
+    * as a TimeTravelSpec and routes them through the catalog's
+    * versioned `loadTable` — the same pinned handle as SQL
+    * `VERSION AS OF` (GraftCatalogSpec proves the equivalence).
+    */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(df)

@@ -28,6 +28,57 @@ object GraftSqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** DSv2 `PARTITIONED BY` transforms → (identity columns, graft
+    * transform specs). The transform case classes (IdentityTransform,
+    * BucketTransform, …) are `private[sql]`, hence the shim home.
+    * Unsupported shapes are refused loudly — a silently dropped
+    * transform would lay data out flat while the user believes it
+    * partitioned.
+    */
+  def translatePartitioning(
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform])
+      : (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.connector.expressions._
+    def one(refs: Seq[NamedReference], what: String): String = {
+      require(refs.length == 1, s"$what: exactly one column expected")
+      val parts = refs.head.fieldNames()
+      require(parts.length == 1,
+        s"$what: nested partition column ${parts.mkString(".")} is not supported")
+      parts.head
+    }
+    val idCols = Seq.newBuilder[String]
+    val specs = Seq.newBuilder[String]
+    partitions.foreach {
+      case IdentityTransform(ref) =>
+        idCols += one(Seq(ref), "PARTITIONED BY")
+      case BucketTransform(n, cols, sorted) =>
+        require(sorted.isEmpty,
+          "SORTED BY bucket transforms are not supported")
+        specs += s"bucket($n,${one(cols, "bucket")})"
+      case DaysTransform(ref) => specs += s"days(${one(Seq(ref), "days")})"
+      case MonthsTransform(ref) =>
+        specs += s"months(${one(Seq(ref), "months")})"
+      case YearsTransform(ref) =>
+        specs += s"years(${one(Seq(ref), "years")})"
+      case HoursTransform(ref) =>
+        specs += s"hours(${one(Seq(ref), "hours")})"
+      case t: ApplyTransform if t.name.equalsIgnoreCase("truncate") =>
+        t.args.toSeq match {
+          case scala.collection.Seq(lit: Literal[_], ref: NamedReference) =>
+            specs += s"truncate(${lit.value()},${one(Seq(ref), "truncate")})"
+          case scala.collection.Seq(ref: NamedReference, lit: Literal[_]) =>
+            specs += s"truncate(${lit.value()},${one(Seq(ref), "truncate")})"
+          case other => throw new UnsupportedOperationException(
+            s"truncate transform with args $other is not supported")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"PARTITIONED BY ${other.describe()} is not supported " +
+          "(supported: identity columns, bucket(n,c), days/months/" +
+          "years/hours(c), truncate(w,c))")
+    }
+    (idCols.result(), specs.result())
+  }
+
   /** Wrap a catalyst Expression as a user-facing Column —
     * `ExpressionUtils.column` is `private[sql]`; the DML lowering rule
     * (graft.sql.GraftDmlRules) uses it to carry rebound UPDATE/MERGE

@@ -115,6 +115,61 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(!spark.catalog.tableExists("gcat_spec.silver.fresh2"))
   }
 
+  test("CREATE TABLE PARTITIONED BY lays data out by the declared spec") {
+    setup
+    spark.sql(
+      """CREATE TABLE gcat_spec.silver.pt
+        |  (id BIGINT, status STRING, ts TIMESTAMP)
+        |PARTITIONED BY (status, bucket(4, id), days(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO gcat_spec.silver.pt VALUES
+        |  (1, 'A', TIMESTAMP '2024-06-01 10:00:00'),
+        |  (2, 'B', TIMESTAMP '2024-06-02 11:00:00')""".stripMargin)
+    assert(spark.sql("SELECT * FROM gcat_spec.silver.pt").count() === 2)
+    // the bootstrap persisted the layout: hive dirs carry the identity
+    // column AND the hidden transform columns
+    val fs = new org.apache.hadoop.fs.Path(lakeRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = new org.apache.hadoop.fs.Path(s"$lakeRoot/silver/pt/data")
+    val top = fs.listStatus(dataDir).map(_.getPath.getName).sorted
+    assert(top.toSeq === Seq("status=A", "status=B"), top.toSeq)
+    val under = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dataDir, "status=A"))
+      .map(_.getPath.getName)
+    assert(under.exists(_.startsWith("_graft_p_bucket4_id=")), under.toSeq)
+    // partitioning() reports the declared layout back through DSv2
+    val parts = spark.sessionState.catalogManager.catalog("gcat_spec")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("silver"), "pt")).partitioning().map(_.describe()).toSeq
+    assert(parts.length === 3 && parts.contains("status"), parts)
+    // an unsupported transform is refused, never silently dropped
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat_spec.silver.badpt (id BIGINT) " +
+        "PARTITIONED BY (foo(id))")
+    }
+    assert(messageChain(e).toLowerCase.contains("not supported"), messageChain(e))
+    assert(!spark.catalog.tableExists("gcat_spec.silver.badpt"))
+  }
+
+  test("reader options versionAsOf/timestampAsOf time-travel by name") {
+    setup
+    val byOpt = spark.read.option("versionAsOf", "0")
+      .table("gcat_spec.silver.orders")
+    val want = mt(s"$lakeRoot/silver/orders").read(Some(0))
+    assert(byOpt.exceptAll(want).isEmpty && want.exceptAll(byOpt).isEmpty)
+    val byTs = spark.read.option("timestampAsOf", "2100-01-01")
+      .table("gcat_spec.silver.orders")
+    assert(byTs.count() === 4) // far future = latest
+    val both = intercept[Exception] {
+      spark.read.option("versionAsOf", "0")
+        .option("timestampAsOf", "2100-01-01")
+        .table("gcat_spec.silver.orders").count()
+    }
+    assert(messageChain(both).toLowerCase.contains("both"),
+      messageChain(both))
+  }
+
   test("CREATE TABLE refuses LOCATION/COMMENT/TBLPROPERTIES loudly") {
     setup
     // the catalog manages paths under its root: a LOCATION (or any
