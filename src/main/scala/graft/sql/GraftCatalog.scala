@@ -312,7 +312,8 @@ object GraftCatalog {
 private[sql] class GraftSqlTable(ident: Identifier,
     private[sql] val root: String, version: Option[Int],
     asOfMs: Option[Long])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   /** True when this handle is a VERSION/TIMESTAMP AS OF snapshot —
     * DML (UPDATE/MERGE, like INSERT/DELETE) must refuse it.
@@ -375,6 +376,19 @@ private[sql] class GraftSqlTable(ident: Identifier,
       .reduceOption(_ && _).getOrElse(lit(true))
     ManifestTable.forRoot(spark, root).delete(cond)
     ()
+  }
+
+  /** `TRUNCATE TABLE` — a governed overwrite with an empty frame: the
+    * emptied state is one more VERSION, so the pre-truncate data stays
+    * time-travelable (and RESTOREable), exactly like every other
+    * mutation on a manifest table.
+    */
+  override def truncateTable(): Boolean = {
+    requireWritable("TRUNCATE")
+    val mt = ManifestTable.forRoot(spark, root)
+    val cur = mt.read()
+    mt.write(cur.limit(0), "overwrite")
+    true
   }
 
   override def properties(): util.Map[String, String] = {

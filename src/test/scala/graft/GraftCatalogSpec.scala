@@ -170,6 +170,19 @@ class GraftCatalogSpec extends SparkTestBase {
       messageChain(both))
   }
 
+  test("TRUNCATE TABLE empties by name; old data stays time-travelable") {
+    setup
+    val t = mt(s"$lakeRoot/silver/tr1")
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "overwrite")
+    spark.sql("TRUNCATE TABLE gcat_spec.silver.tr1")
+    assert(spark.sql("SELECT * FROM gcat_spec.silver.tr1").count() === 0)
+    // schema survives the empty state; the pre-truncate version reads
+    assert(spark.sql("SELECT id FROM gcat_spec.silver.tr1").columns
+      .toSeq === Seq("id"))
+    assert(spark.sql(
+      "SELECT * FROM gcat_spec.silver.tr1 VERSION AS OF 0").count() === 2)
+  }
+
   test("CREATE TABLE refuses LOCATION/COMMENT/TBLPROPERTIES loudly") {
     setup
     // the catalog manages paths under its root: a LOCATION (or any
