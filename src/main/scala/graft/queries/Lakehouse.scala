@@ -272,15 +272,22 @@ object Lakehouse extends QueryModule {
     new ManifestTable(s, dmlScratch(s, "orders_l30"))
       .write(Q.t(s, dir, "orders"), "overwrite")
     Q.t(s, dir, "orders").createOrReplaceTempView("l30_orders_raw")
+    // the insert-branch keys shift past max(o_orderkey), derived from
+    // the data: a fixed offset would collide with real keys at larger
+    // scales (make_sf1 clones orders with +10M-per-clone key offsets),
+    // turning intended inserts into matches and tripping the
+    // cardinality check
     s.sql(
       """SELECT o_orderkey AS k, o_custkey AS s_cust,
         |       o_orderstatus AS s_status, o_totalprice * 2 AS s_price,
         |       o_orderdate AS s_date, o_orderpriority AS s_pri
         |FROM l30_orders_raw WHERE o_orderkey % 13 = 0
         |UNION ALL
-        |SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+        |SELECT o_orderkey + m.mx, o_custkey, o_orderstatus,
         |       o_totalprice, o_orderdate, o_orderpriority
-        |FROM l30_orders_raw WHERE o_orderkey % 17 = 0""".stripMargin)
+        |FROM l30_orders_raw CROSS JOIN
+        |  (SELECT max(o_orderkey) + 1 AS mx FROM l30_orders_raw) m
+        |WHERE o_orderkey % 17 = 0""".stripMargin)
       .createOrReplaceTempView("l30_feed")
     s.sql(
       """MERGE INTO graft_dml.gold.orders_l30 t USING l30_feed s
@@ -308,9 +315,11 @@ object Lakehouse extends QueryModule {
       |         o_orderdate AS s_date, o_orderpriority AS s_pri
       |  FROM orders WHERE o_orderkey % 13 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+      |  SELECT o_orderkey + m.mx, o_custkey, o_orderstatus,
       |         o_totalprice, o_orderdate, o_orderpriority
-      |  FROM orders WHERE o_orderkey % 17 = 0)
+      |  FROM orders CROSS JOIN
+      |    (SELECT max(o_orderkey) + 1 AS mx FROM orders) m
+      |  WHERE o_orderkey % 17 = 0)
       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
       |       o_orderdate, o_orderpriority FROM (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
