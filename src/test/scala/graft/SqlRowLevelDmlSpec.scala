@@ -231,6 +231,27 @@ class SqlRowLevelDmlSpec extends SparkTestBase {
     assert(rows(t) === Seq((3L, "A", 30.0), (4L, "C", 40.0)))
   }
 
+  test("MERGE commit shape: appends + DV marks, zero files rewritten") {
+    import s.implicits._
+    val t = fresh("shape1")
+    Seq((2L, 200.0), (9L, 90.0)).toDF("sid", "samount")
+      .createOrReplaceTempView("shape1_src")
+    s.sql(
+      s"""MERGE INTO $t USING shape1_src ON id = sid
+         |WHEN MATCHED THEN UPDATE SET amount = samount
+         |WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (sid, samount)
+         |""".stripMargin)
+    // the merge version is a pure delta: new files for the updated
+    // copy + insert, DV sidecar re-points, NOTHING removed — the
+    // O(matched + inserted) commit contract at any table size
+    val h = mt("shape1").history()
+      .orderBy(col("version").desc).first()
+    assert(h.getAs[Long]("files_removed") === 0L,
+      s"merge must never rewrite existing data files: $h")
+    assert(h.getAs[Long]("files_added") > 0L)
+    assert(h.getAs[Long]("dv_deleted_rows") === 1L, s"one matched mark: $h")
+  }
+
   test("updateWhere resolves assignment keys case-insensitively") {
     fresh("ci1")
     val tab = mt("ci1")
