@@ -180,10 +180,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE routes through the declared-schema surface " +
-        "(SchemaRegistry / CALL graft.evolve_schema)")
+  /** ALTER TABLE by name, routed to the declared-schema surface
+    * (L26/L23): ADD COLUMNS (metadata-only — typed NULL until data
+    * arrives, then mergeSchema takes over) and RENAME COLUMN (logical
+    * mapping, no file rewrite). DROP COLUMN is refused with guidance:
+    * the engine's policy is the reference's Glue DEPRECATE_IN_DATABASE
+    * — data is never dropped — and silently keeping a "dropped" column
+    * readable would be worse than saying so.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident.namespace(), ident.name())
+    if (!isTableDir(dir)) throw new NoSuchTableException(
+      (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    val mt = ManifestTable.forRoot(spark, dir.toString)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "ADD COLUMNS: nested columns are not supported")
+        require(add.position() == null,
+          "ADD COLUMNS: FIRST/AFTER positioning is not supported")
+        require(add.isNullable,
+          "ADD COLUMNS: a NOT NULL column cannot be added to existing " +
+            "rows (no backfill value)")
+        mt.addColumns(
+          s"`${add.fieldNames().head}` ${add.dataType().sql}")
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "RENAME COLUMN: nested columns are not supported")
+        mt.renameColumn(ren.fieldNames().head, ren.newName())
+      case del: TableChange.DeleteColumn =>
+        throw new UnsupportedOperationException(
+          s"DROP COLUMN ${del.fieldNames().mkString(".")}: the engine " +
+            "never drops data (Glue DEPRECATE_IN_DATABASE policy) — " +
+            "use CALL graft.deprecate_columns to soft-delete in the " +
+            "declared schema")
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported by this catalog")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident.namespace(), ident.name())

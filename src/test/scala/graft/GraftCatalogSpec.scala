@@ -170,6 +170,27 @@ class GraftCatalogSpec extends SparkTestBase {
       messageChain(both))
   }
 
+  test("ALTER TABLE ADD COLUMNS / RENAME COLUMN route to declared schema") {
+    setup
+    val t = mt(s"$lakeRoot/silver/alt1")
+    t.write(Seq((1L, 10.0)).toDF("id", "amount"), "overwrite")
+    spark.sql(
+      "ALTER TABLE gcat_spec.silver.alt1 ADD COLUMNS (note STRING)")
+    val r = spark.sql(
+      "SELECT id, note FROM gcat_spec.silver.alt1").first()
+    assert(r.getLong(0) === 1L && r.isNullAt(1),
+      "added column surfaces as typed NULL immediately")
+    spark.sql(
+      "ALTER TABLE gcat_spec.silver.alt1 RENAME COLUMN amount TO amt")
+    assert(spark.sql("SELECT amt FROM gcat_spec.silver.alt1")
+      .first().getDouble(0) === 10.0)
+    // DROP refuses with the deprecate guidance — data is never dropped
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat_spec.silver.alt1 DROP COLUMN amt")
+    }
+    assert(messageChain(e).contains("deprecate"), messageChain(e))
+  }
+
   test("TRUNCATE TABLE empties by name; old data stays time-travelable") {
     setup
     val t = mt(s"$lakeRoot/silver/tr1")
