@@ -2355,7 +2355,14 @@ class ManifestTable(spark: SparkSession, root: String,
       // case-insensitively to existing columns; a typo'd key would
       // otherwise silently ADD a column and fail later at commit.
       val cols = hits.columns.filterNot(Set(DvFileCol, DvPosCol)).toSeq
-      val setN = resolveSetKeys("UPDATE", cols, set)
+      // values cast to the column's type (ANSI store assignment), the
+      // same normalization MERGE applies: `SET amount = 99.0` hands a
+      // DECIMAL(3,1) literal at a DOUBLE column — written uncast, the
+      // copy's parquet schema no longer merges with the table's and
+      // the table is unreadable after a successful commit
+      val setN = resolveSetKeys("UPDATE", cols, set).map { case (k, v) =>
+        k -> v.cast(hits.schema(k).dataType)
+      }
       val updated = hits.select(
         cols.map(c => setN.getOrElse(c, col(c)).as(c)): _*)
       commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
