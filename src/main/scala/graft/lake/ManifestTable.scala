@@ -1116,7 +1116,10 @@ class ManifestTable(spark: SparkSession, root: String,
     * relative to the table root. Files land under data/ preserving
     * hive-style partition dirs when the table is partitioned.
     */
-  private def writeDataFiles(df: DataFrame): Seq[String] = {
+  private def writeDataFiles(df: DataFrame,
+      fileTag: Option[String] = None): Seq[String] = {
+    fileTag.foreach(t => require(t.matches("[A-Za-z0-9_\\-.]+"),
+      s"bad file tag: $t"))
     val stage = new Path(root, s".stage-${UUID.randomUUID()}")
     try {
       // optimized write (the Delta optimizeWrite pattern): without the
@@ -1144,7 +1147,8 @@ class ManifestTable(spark: SparkSession, root: String,
           val name = st.getPath.getName
           if (st.isDirectory) walk(st.getPath, s"$relPrefix$name/")
           else if (name.endsWith(".parquet")) {
-            val rel = s"data/$relPrefix${UUID.randomUUID()}.parquet"
+            val rel =
+              s"data/$relPrefix${fileTag.getOrElse("")}${UUID.randomUUID()}.parquet"
             val dest = new Path(root, rel)
             fs.mkdirs(dest.getParent)
             if (!fs.rename(st.getPath, dest))
@@ -1167,8 +1171,17 @@ class ManifestTable(spark: SparkSession, root: String,
     * blind adds — they rebase onto ANY concurrent commit and never
     * conflict (the stream-sink + nightly-job coexistence case).
     */
-  def write(df: DataFrame, mode: String = "overwrite"): Int = {
-    val newFiles = newEntries(writeDataFiles(enforced(df)))
+  def write(df: DataFrame, mode: String = "overwrite"): Int =
+    write(df, mode, None)
+
+  /** As [[write]], with every data file's name prefixed by `fileTag` —
+    * a commit-atomic marker the streaming sink uses for replay
+    * detection ([[hasCommittedFileTag]]): the tag exists in the current
+    * snapshot if and only if the tagged commit happened.
+    */
+  private[graft] def write(df: DataFrame, mode: String,
+      fileTag: Option[String]): Int = {
+    val newFiles = newEntries(writeDataFiles(enforced(df), fileTag))
     mode match {
       case "append" =>
         val base = latestVersion.map(entriesOf).getOrElse(Seq.empty)
@@ -1176,6 +1189,43 @@ class ManifestTable(spark: SparkSession, root: String,
       case "overwrite" => commit(newFiles)
       case m => throw new IllegalArgumentException(s"mode $m")
     }
+  }
+
+  /** True when any file of the CURRENT snapshot carries `tag` as a
+    * file-name prefix. Driver-side O(files) — one manifest resolution,
+    * the cost every read pays.
+    */
+  private[graft] def hasCommittedFileTag(tag: String): Boolean =
+    latestVersion.exists(v => entriesOf(v).exists { e =>
+      e.rel.substring(e.rel.lastIndexOf('/') + 1).startsWith(tag)
+    })
+
+  /** Last batch id the streaming sink committed for `queryId`, from the
+    * txn sidecar (written AFTER each commit — see GraftTableSink for
+    * the two-layer exactly-once argument).
+    */
+  private[graft] def streamTxnBatch(queryId: String): Option[Long] = {
+    val p = streamTxnPath(queryId)
+    if (!fs.exists(p)) None
+    else readLogLines(p).headOption.flatMap(_.trim.toLongOption)
+  }
+
+  /** Record `batchId` as committed for `queryId` (atomic rename). */
+  private[graft] def recordStreamTxn(queryId: String, batchId: Long): Unit = {
+    val tmp = new Path(logDir, s".tmp-txn-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    val dest = streamTxnPath(queryId)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"stream txn write failed at $dest")
+    }
+  }
+
+  private def streamTxnPath(queryId: String): Path = {
+    require(queryId.matches("[A-Za-z0-9_\\-]+"), s"bad query id: $queryId")
+    new Path(logDir, s"stream-txn-$queryId")
   }
 
   // ---- Write-audit-publish: staged branches (the Iceberg WAP flow) ----

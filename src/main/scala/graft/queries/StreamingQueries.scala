@@ -78,13 +78,61 @@ object StreamingQueries extends QueryModule {
       |GROUP BY user_id, session_id
       |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin
 
+  /** T12b: events streamed through the graft-table SINK with
+    * Trigger.AvailableNow, drained TWICE from one checkpoint (the
+    * second drain must add nothing — exactly-once across a restart),
+    * then the governed table is read back and aggregated. The oracle
+    * replays the aggregate over the raw events: equality proves full
+    * row fidelity through the sink's batch-rewrap path AND that the
+    * replayed drain was a no-op. Scale: one governed append of the
+    * streamed rows; the second drain costs one manifest listing.
+    */
+  def t12SinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_stream_t12_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+    val root = s"$scratch/sink_table"
+    val src = s"$dir/events.parquet"
+    // the file stream source lists a DIRECTORY; the testdata table is a
+    // single file — stage a copy into a scratch inbox (raw byte copy)
+    val inbox = new org.apache.hadoop.fs.Path(s"$scratch/inbox")
+    fs.mkdirs(inbox)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(src),
+      fs, new org.apache.hadoop.fs.Path(inbox, "events.parquet"),
+      false, spark.sessionState.newHadoopConf())
+    val schema = spark.read.parquet(src).schema
+    def drain(): Unit = spark.readStream.schema(schema)
+      .parquet(inbox.toString)
+      .writeStream
+      .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    drain()
+    drain() // restart from the same checkpoint: must be a no-op
+    graft.lake.ManifestTable.forRoot(spark, root).read()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("value_sum"))
+      .orderBy(col("event_type").asc)
+  }
+
+  val t12Oracle: String =
+    s"""SELECT event_type, COUNT(*) AS n, ${Q.sql.dsum("value")} AS value_sum
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY event_type ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t2_tumbling_window" -> t2Tumbling,
     "t3_sliding_window" -> t3Sliding,
-    "t3_session_window" -> t3Session)
+    "t3_session_window" -> t3Session,
+    "t12_sink_roundtrip" -> t12SinkRoundtrip)
 
   override def oracles: Map[String, String] = Map(
     "t2_tumbling_window" -> t2Oracle,
     "t3_sliding_window" -> t3SlidingOracle,
-    "t3_session_window" -> t3SessionOracle)
+    "t3_session_window" -> t3SessionOracle,
+    "t12_sink_roundtrip" -> t12Oracle)
 }

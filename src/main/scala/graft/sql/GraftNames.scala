@@ -1,0 +1,72 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+
+/** One table-address vocabulary for every non-SELECT surface.
+  *
+  * The DSv2 catalog gives `SELECT`/DML a NAME for each governed table,
+  * but the `CALL graft.*` procedures and the `graft-table` streaming
+  * source were still addressed by filesystem root — so the moment a
+  * user graduated from queries to maintenance (`OPTIMIZE`, `VACUUM`,
+  * `RESTORE`) or to tailing a table, they had to know where the
+  * catalog had put it. This resolver closes that seam: an address is
+  * either
+  *
+  *   - a filesystem path (contains `/` — used verbatim), or
+  *   - a dotted catalog name `cat.ns….table`, resolved through the
+  *     session's registered [[GraftCatalog]] to the table directory
+  *     the catalog manages (`<root>/<ns…>/<table>`).
+  *
+  * Resolution is strict: a dotted name whose head is not a registered
+  * GraftCatalog, or that names no existing table, fails loudly — it is
+  * never silently treated as a relative path (a typo'd name would
+  * otherwise create a fresh empty table in the working directory and
+  * "succeed").
+  *
+  * Scale: resolution is two driver-side filesystem `exists` calls (the
+  * catalog's own table check); nothing is scanned.
+  */
+object GraftNames {
+
+  /** True when `address` can only be a path: qualified URIs and
+    * anything with a directory separator.
+    */
+  private def isPath(address: String): Boolean =
+    address.contains('/') || address.contains('\\')
+
+  /** Resolve a table address (path or `cat.ns….table` name) to the
+    * manifest-table root directory. Paths pass through verbatim.
+    */
+  def resolveRoot(spark: SparkSession, address: String): String = {
+    if (isPath(address) || !address.contains('.')) address
+    else {
+      val parts = address.split('.')
+      val cat = try {
+        spark.sessionState.catalogManager.catalog(parts.head)
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"table address '$address' looks like a catalog name but " +
+            s"'${parts.head}' is not a registered catalog " +
+            "(set spark.sql.catalog." + parts.head + " = " +
+            "graft.sql.GraftCatalog, or pass a filesystem root)", e)
+      }
+      cat match {
+        case g: GraftCatalog =>
+          val ident = Identifier.of(parts.tail.init, parts.last)
+          g.loadTable(ident) match {
+            case t: GraftSqlTable => t.root
+            case other => throw new IllegalArgumentException(
+              s"'$address' resolved to unexpected table ${other.getClass}")
+          }
+        case other: TableCatalog => throw new IllegalArgumentException(
+          s"catalog '${parts.head}' is ${other.getClass.getName}, not a " +
+            "graft.sql.GraftCatalog — only graft catalogs expose " +
+            "manifest roots")
+        case other => throw new IllegalArgumentException(
+          s"catalog '${parts.head}' (${other.getClass.getName}) is not " +
+            "a table catalog")
+      }
+    }
+  }
+}

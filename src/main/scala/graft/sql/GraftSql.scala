@@ -39,7 +39,10 @@ import org.apache.spark.sql.types._
   *   CALL graft.bpe_merges('/lake/tokenizer', 0)
   * }}}
   *
-  * Tables are addressed by root path; configuration (partition tuple,
+  * Tables are addressed by root path OR — same vocabulary as the
+  * SELECT/DML surface — by registered-catalog name
+  * (`CALL graft.optimize('lakehouse.silver.orders', 4)`), resolved
+  * through [[GraftNames.resolveRoot]]. Configuration (partition tuple,
   * zone-map/bloom columns) comes from the table_config sidecar via
   * [[ManifestTable.forRoot]], so a partitioned merge issued from SQL
   * scopes to touched partitions exactly like the Scala API.
@@ -223,7 +226,10 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
     if (args.length > i) num(i) else dflt
 
   override def run(session: SparkSession): Seq[Row] = {
-    def table = ManifestTable.forRoot(session, str(0))
+    // every procedure's table argument takes a path OR a catalog name
+    // (`cat.ns.table`) — same vocabulary as SELECT/DML (GraftNames)
+    def root0 = GraftNames.resolveRoot(session, str(0))
+    def table = ManifestTable.forRoot(session, root0)
     def versionRow(v: Int) = Seq(Row(v))
     proc match {
       case "write" =>
@@ -239,10 +245,13 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
           if (args.length > 3) {
             val asked = str(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
             if (existing.latestVersion.isEmpty)
-              new ManifestTable(session, str(0), partitionCols = asked)
+              new ManifestTable(session, root0, partitionCols = asked)
             else {
-              val current = existing.describeDetail()
-                .first().getAs[Seq[String]]("partition_columns")
+              // getSeq, not getAs[Seq[…]]: a collected Row holds a
+              // mutable ArraySeq and the immutable-Seq cast throws CCE
+              val detail = existing.describeDetail().first()
+              val current = detail.getSeq[String](
+                detail.fieldIndex("partition_columns"))
               if (current == asked) existing
               else throw new IllegalArgumentException(
                 s"graft.write: table ${str(0)} partitions on " +
@@ -409,7 +418,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
           .getOrElse(throw new IllegalArgumentException(
             s"no PQ index at ${str(0)}; run graft.pq_build first"))
         val refreshed = idx.refreshFrom(
-          ManifestTable.forRoot(session, str(1)), str(2), str(3))
+          ManifestTable.forRoot(session,
+            GraftNames.resolveRoot(session, str(1))), str(2), str(3))
         versionRow(refreshed.sourceVersion)
       case "pq_query" =>
         // pq_query(indexRoot, corpusView, probesView, vecCol
@@ -453,7 +463,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
           .getOrElse(throw new IllegalArgumentException(
             s"no NSW index at ${str(0)}; run graft.nsw_build first"))
         val refreshed = idx.refreshFrom(
-          ManifestTable.forRoot(session, str(1)), str(2), str(3))
+          ManifestTable.forRoot(session,
+            GraftNames.resolveRoot(session, str(1))), str(2), str(3))
         versionRow(refreshed.sourceVersion)
       case "nsw_query" =>
         // nsw_query(indexRoot, probesView, vecCol [, topk, ef,

@@ -3,10 +3,11 @@ package graft.streaming
 import graft.lake.ManifestTable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Version-number offset for the table stream: commit `v` means
@@ -42,30 +43,78 @@ case class GraftTableOffset(version: Int) extends Offset {
   * appends, never rescanning history.
   */
 class GraftTableSourceProvider extends StreamSourceProvider
-    with RelationProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
-  private def rootOf(parameters: Map[String, String]): String =
-    parameters.get("root").orElse(parameters.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft-table source requires .option(\"root\", <table root>)"))
+  /** The table address: `.option("root", <path>)` (or `path`), or —
+    * same vocabulary as the `CALL graft.*` procedures — a catalog name
+    * via `.option("table", "cat.ns.t")`, resolved through the session's
+    * registered GraftCatalog (graft.sql.GraftNames).
+    */
+  private def rootOf(spark: SparkSession,
+      parameters: Map[String, String]): String =
+    parameters.get("table")
+      .map(graft.sql.GraftNames.resolveRoot(spark, _))
+      .orElse(parameters.get("root").orElse(parameters.get("path"))
+        .map(graft.sql.GraftNames.resolveRoot(spark, _)))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-table source requires .option(\"root\", <table root>) " +
+          "or .option(\"table\", <cat.ns.table>)"))
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val mt = ManifestTable.forRoot(sqlContext.sparkSession, rootOf(parameters))
+    val mt = ManifestTable.forRoot(sqlContext.sparkSession,
+      rootOf(sqlContext.sparkSession, parameters))
     (shortName(), schema.getOrElse(mt.read().schema))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftTableSource(sqlContext.sparkSession, rootOf(parameters),
+    new GraftTableSource(sqlContext.sparkSession,
+      rootOf(sqlContext.sparkSession, parameters),
       parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
         .exists(_.equalsIgnoreCase("true")),
       parameters.get("maxversionspertrigger")
         .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toInt))
+
+  /** T12b: a ManifestTable as a STREAMING SINK — the
+    * `df.writeStream.format("graft-table")` surface (Delta's
+    * `.format("delta")`/`toTable` role), completing the format's two
+    * directions. Append mode only: each micro-batch is one governed
+    * APPEND commit (blind add — coexists with concurrent batch
+    * writers), so downstream `graft-table` SOURCES tail the sink's
+    * output with their append-only contract intact. Keyed upserts,
+    * IVM, and index maintenance stay on the explicit foreachBatch
+    * sinks ([[Streams.mergeSink]] etc.), whose replay contracts are
+    * per-operator.
+    *
+    * Exactly-once across restarts, two layers: (1) every data file of
+    * batch N is name-tagged `txn-<queryId>-<N>-` — the tag is IN the
+    * commit, so "did batch N land?" is answered atomically by the
+    * current snapshot; (2) a txn sidecar (`_graft_log/stream-txn-…`)
+    * records the last committed batch id right after each commit. A
+    * replayed batch is skipped when either layer remembers it. The
+    * only at-least-once window: a crash between commit and sidecar
+    * write AND a compaction that rewrote the tagged files away before
+    * restart — run OPTIMIZE outside restart recovery or use mergeSink
+    * for keyed idempotence if that window matters.
+    *
+    * A `.partitionBy(...)` on the writer configures a FRESH table's
+    * layout; on an existing table it must match the declared tuple
+    * (a conflicting spec refuses, same contract as `CALL graft.write`).
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-table sink supports Append output mode only, got $outputMode" +
+        " (use Streams.mergeSink/ivmSink for keyed upsert semantics)")
+    new GraftTableSink(sqlContext.sparkSession,
+      rootOf(sqlContext.sparkSession, parameters), partitionColumns)
+  }
 
   /** BATCH read (the `spark.read.format("delta")` surface):
     * `.option("versionAsOf", n)` / `.option("timestampAsOf", ts)` time
@@ -74,7 +123,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
     */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val mt = ManifestTable.forRoot(sqlContext.sparkSession, rootOf(parameters))
+    val mt = ManifestTable.forRoot(sqlContext.sparkSession,
+      rootOf(sqlContext.sparkSession, parameters))
     def opt(k: String) =
       parameters.get(k.toLowerCase).orElse(parameters.get(k))
     val df = (opt("versionAsOf"), opt("timestampAsOf")) match {
@@ -90,6 +140,53 @@ class GraftTableSourceProvider extends StreamSourceProvider
       private def sqlContext0 = df.sparkSession.sqlContext
     }
   }
+}
+
+/** The append sink behind `writeStream.format("graft-table")` — see
+  * [[GraftTableSourceProvider.createSink]] for the contract.
+  */
+class GraftTableSink(spark: SparkSession, root: String,
+    partitionColumns: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private def table: ManifestTable = {
+    val existing = ManifestTable.forRoot(spark, root)
+    if (partitionColumns.isEmpty) existing
+    else if (existing.latestVersion.isEmpty)
+      new ManifestTable(spark, root, partitionCols = partitionColumns)
+    else {
+      // getSeq, not getAs[Seq[…]]: a collected Row holds a mutable
+      // ArraySeq, and the checked cast to immutable Seq throws CCE
+      val detail = existing.describeDetail().first()
+      val current =
+        detail.getSeq[String](detail.fieldIndex("partition_columns"))
+      require(current == partitionColumns,
+        s"graft-table sink: table $root partitions on " +
+          s"(${current.mkString(", ")}); cannot stream with " +
+          s"partitionBy(${partitionColumns.mkString(", ")})")
+      existing
+    }
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val queryId = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.graft.GraftSqlBridge.streamingQueryIdKey))
+      .getOrElse("q")
+    val tag = s"txn-$queryId-$batchId-"
+    val mt = table
+    // replay? layer 1: the sidecar remembers a later-or-equal batch;
+    // layer 2: the tagged files are in the current snapshot
+    if (mt.streamTxnBatch(queryId).exists(_ >= batchId) ||
+        mt.hasCommittedFileTag(tag)) return
+    // the incoming frame is streaming-flagged; rewrap its physical
+    // rows as a batch frame before handing to the batch write path
+    val batchDf = org.apache.spark.sql.graft.GraftSqlBridge
+      .batchDataFrame(data.sparkSession, data)
+    mt.write(batchDf, "append", Some(tag))
+    mt.recordStreamTxn(queryId, batchId)
+  }
+
+  override def toString: String = s"GraftTableSink[$root]"
 }
 
 class GraftTableSource(spark: SparkSession, root: String,

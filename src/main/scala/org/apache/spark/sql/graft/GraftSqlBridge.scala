@@ -19,6 +19,23 @@ object GraftSqlBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** The inverse direction: a V1 `Sink.addBatch` receives a
+    * streaming-flagged DataFrame that batch writers reject — rewrap its
+    * physical rows as a plain batch frame (what Spark's own
+    * FileStreamSink does before handing off to FileFormatWriter).
+    */
+  def batchDataFrame(spark: SparkSession, data: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
+        isStreaming = false)
+
+  /** The local property key StreamExecution sets on the driver for the
+    * duration of a streaming query — the stable per-checkpoint query id
+    * the sink uses as its transaction app id.
+    */
+  def streamingQueryIdKey: String =
+    org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY
+
   /** Wrap a custom LogicalPlan (e.g. graft.plans.BucketedTableScan) as
     * a DataFrame — `Dataset.ofRows` is `private[sql]`, same shim
     * rationale as above.

@@ -556,4 +556,61 @@ class StreamingSpec extends SparkTestBase {
       .groupBy("item").count().filter(col("count") > 1).count()
     assert(perItemShards === 0)
   }
+
+  test("T12b: graft-table stream sink appends exactly once across replays") {
+    import spark.implicits._
+    import graft.streaming.{GraftTableSink, GraftTableSourceProvider}
+    val root = scratch("t12b_table")
+    val inbox = scratch("t12b_inbox")
+    val ckpt = scratch("t12b_ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(inbox)
+    def drain(): Unit = spark.readStream
+      .schema("id LONG, v STRING").parquet(inbox)
+      .writeStream
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("checkpointLocation", ckpt)
+      .partitionBy("v")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    drain()
+    val mt = ManifestTable.forRoot(spark, root)
+    assert(mt.read().count() === 2)
+    // the writer's partitionBy configured the FRESH table's layout
+    val detail = mt.describeDetail().first()
+    assert(detail.getSeq[String](
+      detail.fieldIndex("partition_columns")) === Seq("v"))
+    // restart from the same checkpoint with no new data: no duplicates
+    drain()
+    assert(mt.read().count() === 2)
+    // new data flows incrementally (and reads back by value)
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(inbox)
+    drain()
+    assert(mt.read().count() === 3)
+    assert(mt.read().filter(col("id") === 3L).select("v")
+      .as[String].head() === "c")
+    // replay protection, both layers, via a direct sink handle: the
+    // same (queryId, batchId) must commit once even when the sidecar
+    // is gone (the commit-atomic file-tag layer)
+    val sink = new GraftTableSink(spark, root, Nil)
+    val batch = Seq((9L, "z")).toDF("id", "v")
+    val v0 = mt.latestVersion.get
+    sink.addBatch(100L, batch)
+    assert(mt.read().count() === 4)
+    sink.addBatch(100L, batch) // sidecar layer skips
+    val txn = new org.apache.hadoop.fs.Path(root, "_graft_log/stream-txn-q")
+    txn.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(txn, false) // forget the sidecar
+    sink.addBatch(100L, batch) // file-tag layer still skips
+    assert(mt.read().count() === 4)
+    assert(mt.latestVersion.get === v0 + 1,
+      "exactly one commit for the three addBatch(100) calls")
+    // a conflicting partitionBy on the EXISTING table refuses loudly
+    val bad = new GraftTableSink(spark, root, Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      bad.addBatch(101L, batch)
+    }
+    assert(messageChain(e).contains("partitions on"))
+  }
 }
