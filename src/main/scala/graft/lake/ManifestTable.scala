@@ -107,6 +107,33 @@ object ManifestTable {
       partitionSpec = list("partition_spec"))
   }
 
+  /** [[forRoot]] with a caller-supplied identity partition tuple:
+    * `asked` configures a FRESH table's layout; an existing table's
+    * config sidecar wins — a conflicting tuple refuses rather than
+    * silently writing a second hive layout into the same data dir
+    * (which leaves the table unreadable under partition discovery).
+    * One create-or-validate contract shared by the `CALL graft.write`
+    * procedure and the streaming sink.
+    */
+  def forRootWithPartitions(spark: SparkSession, root: String,
+      asked: Seq[String]): ManifestTable = {
+    val existing = forRoot(spark, root)
+    if (asked.isEmpty) existing
+    else if (existing.latestVersion.isEmpty)
+      new ManifestTable(spark, root, partitionCols = asked)
+    else {
+      // getSeq, not getAs[Seq[…]]: a collected Row holds a mutable
+      // ArraySeq and the immutable-Seq cast throws CCE
+      val detail = existing.describeDetail().first()
+      val current =
+        detail.getSeq[String](detail.fieldIndex("partition_columns"))
+      require(current == asked,
+        s"table $root partitions on (${current.mkString(", ")}); " +
+          s"cannot write with (${asked.mkString(", ")})")
+      existing
+    }
+  }
+
   /** Deletion-vector sidecar schema / scan-side row-id column names. */
   private[lake] val DvFileCol = "_graft_dv_file"
   private[lake] val DvPosCol = "_graft_dv_pos"
@@ -1210,17 +1237,26 @@ class ManifestTable(spark: SparkSession, root: String,
     else readLogLines(p).headOption.flatMap(_.trim.toLongOption)
   }
 
-  /** Record `batchId` as committed for `queryId` (atomic rename). */
+  /** Record `batchId` as committed for `queryId`. Rename-FIRST (a
+    * local-FS rename overwrites atomically); only when the filesystem
+    * refuses a rename onto an existing destination (HDFS semantics)
+    * does the delete-then-rename fallback run — so the no-sidecar
+    * window is not a normal-path step but a crash inside the fallback,
+    * and even then the commit-atomic file-tag layer still answers
+    * replays. Failed attempts never leak their temp file.
+    */
   private[graft] def recordStreamTxn(queryId: String, batchId: Long): Unit = {
     val tmp = new Path(logDir, s".tmp-txn-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
     val dest = streamTxnPath(queryId)
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(s"stream txn write failed at $dest")
-    }
+    try {
+      if (!fs.rename(tmp, dest)) {
+        fs.delete(dest, false)
+        if (!fs.rename(tmp, dest))
+          throw new IllegalStateException(s"stream txn write failed at $dest")
+      }
+    } finally fs.delete(tmp, false): Unit
   }
 
   private def streamTxnPath(queryId: String): Path = {
@@ -3038,6 +3074,12 @@ class ManifestTable(spark: SparkSession, root: String,
           if (v.forall(_.isDigit) && dropped.contains(v.toInt))
             fs.delete(st.getPath, false)
         }
+        // temp files stranded by a crash mid-atomic-rename (txn
+        // sidecars, branch/tag staging) — old enough that no writer
+        // can still be mid-rename; vacuum is their only cleanup path
+        if (name.startsWith(".tmp-") &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, false): Unit
       }
     }
     deleted.toSeq

@@ -240,25 +240,11 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         // hive layout into the same data dir (which leaves the table
         // unreadable under Spark partition discovery).
         val source = session.table(str(1))
-        val existing = table
         val mt =
-          if (args.length > 3) {
-            val asked = str(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-            if (existing.latestVersion.isEmpty)
-              new ManifestTable(session, root0, partitionCols = asked)
-            else {
-              // getSeq, not getAs[Seq[…]]: a collected Row holds a
-              // mutable ArraySeq and the immutable-Seq cast throws CCE
-              val detail = existing.describeDetail().first()
-              val current = detail.getSeq[String](
-                detail.fieldIndex("partition_columns"))
-              if (current == asked) existing
-              else throw new IllegalArgumentException(
-                s"graft.write: table ${str(0)} partitions on " +
-                  s"(${current.mkString(", ")}); cannot write with " +
-                  s"(${asked.mkString(", ")})")
-            }
-          } else existing
+          if (args.length > 3)
+            ManifestTable.forRootWithPartitions(session, root0,
+              str(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          else table
         versionRow(mt.write(source, str(2)))
       case "merge" =>
         // merge(root, sourceView, keysCsv [, deleteCol])
@@ -362,9 +348,12 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         // evolution policy (the crawler-refresh step); rows report the
         // applied diff
         val t = table
+        // default name from the RESOLVED root, not the raw address —
+        // 'cat.silver.orders' and '/lake/silver/orders' must register
+        // the same table under the same name ('orders')
         val name =
           if (args.length > 2) str(2)
-          else new org.apache.hadoop.fs.Path(str(0)).getName
+          else new org.apache.hadoop.fs.Path(root0).getName
         val reg = new graft.meta.SchemaRegistry(session, str(1))
         val diff = reg.register(name, t.read().schema)
         diff.added.map(Row("added", _, "")) ++

@@ -47,17 +47,19 @@ class GraftTableSourceProvider extends StreamSourceProvider
 
   override def shortName(): String = "graft-table"
 
-  /** The table address: `.option("root", <path>)` (or `path`), or —
-    * same vocabulary as the `CALL graft.*` procedures — a catalog name
-    * via `.option("table", "cat.ns.t")`, resolved through the session's
-    * registered GraftCatalog (graft.sql.GraftNames).
+  /** The table address: `.option("root", <path>)` (or `path`) used
+    * VERBATIM — or a catalog name via `.option("table", "cat.ns.t")`,
+    * resolved through the session's registered GraftCatalog
+    * (graft.sql.GraftNames). Names ride only the `table` option:
+    * resolving `root` too would break slash-less dotted relative paths
+    * and let a coincidentally-named catalog silently redirect an
+    * existing pipeline's path.
     */
   private def rootOf(spark: SparkSession,
       parameters: Map[String, String]): String =
     parameters.get("table")
       .map(graft.sql.GraftNames.resolveRoot(spark, _))
-      .orElse(parameters.get("root").orElse(parameters.get("path"))
-        .map(graft.sql.GraftNames.resolveRoot(spark, _)))
+      .orElse(parameters.get("root").orElse(parameters.get("path")))
       .getOrElse(throw new IllegalArgumentException(
         "graft-table source requires .option(\"root\", <table root>) " +
           "or .option(\"table\", <cat.ns.table>)"))
@@ -113,7 +115,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
       s"graft-table sink supports Append output mode only, got $outputMode" +
         " (use Streams.mergeSink/ivmSink for keyed upsert semantics)")
     new GraftTableSink(sqlContext.sparkSession,
-      rootOf(sqlContext.sparkSession, parameters), partitionColumns)
+      rootOf(sqlContext.sparkSession, parameters), partitionColumns,
+      parameters.get("txnappid").orElse(parameters.get("txnAppId")))
   }
 
   /** BATCH read (the `spark.read.format("delta")` surface):
@@ -146,44 +149,46 @@ class GraftTableSourceProvider extends StreamSourceProvider
   * [[GraftTableSourceProvider.createSink]] for the contract.
   */
 class GraftTableSink(spark: SparkSession, root: String,
-    partitionColumns: Seq[String])
+    partitionColumns: Seq[String], txnAppId: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
-  private def table: ManifestTable = {
-    val existing = ManifestTable.forRoot(spark, root)
-    if (partitionColumns.isEmpty) existing
-    else if (existing.latestVersion.isEmpty)
-      new ManifestTable(spark, root, partitionCols = partitionColumns)
-    else {
-      // getSeq, not getAs[Seq[…]]: a collected Row holds a mutable
-      // ArraySeq, and the checked cast to immutable Seq throws CCE
-      val detail = existing.describeDetail().first()
-      val current =
-        detail.getSeq[String](detail.fieldIndex("partition_columns"))
-      require(current == partitionColumns,
-        s"graft-table sink: table $root partitions on " +
-          s"(${current.mkString(", ")}); cannot stream with " +
-          s"partitionBy(${partitionColumns.mkString(", ")})")
-      existing
-    }
-  }
+  /** Resolved ONCE: the partition tuple is fixed for the query's
+    * lifetime, so the create-or-validate check must not cost a
+    * describeDetail collect per micro-batch. Lazy (not eager) because
+    * a fresh table only comes into being at the first batch.
+    */
+  private lazy val table: ManifestTable =
+    ManifestTable.forRootWithPartitions(spark, root, partitionColumns)
+
+  /** Transaction namespace for replay detection: the explicit
+    * `.option("txnAppId", …)`, else the streaming query id
+    * StreamExecution set on this thread. NO silent fallback — two
+    * writers defaulting into one shared namespace would drop each
+    * other's batches without an error.
+    */
+  private def appId: String = txnAppId
+    .orElse(Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.graft.GraftSqlBridge.streamingQueryIdKey)))
+    .getOrElse(throw new IllegalStateException(
+      "graft-table sink: no streaming query id on this thread — when " +
+        "calling addBatch outside a streaming query, pass " +
+        ".option(\"txnAppId\", <id>) (distinct writers sharing a " +
+        "default namespace would silently skip each other's batches)"))
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val queryId = Option(spark.sparkContext.getLocalProperty(
-      org.apache.spark.sql.graft.GraftSqlBridge.streamingQueryIdKey))
-      .getOrElse("q")
-    val tag = s"txn-$queryId-$batchId-"
+    val id = appId
+    val tag = s"txn-$id-$batchId-"
     val mt = table
     // replay? layer 1: the sidecar remembers a later-or-equal batch;
     // layer 2: the tagged files are in the current snapshot
-    if (mt.streamTxnBatch(queryId).exists(_ >= batchId) ||
+    if (mt.streamTxnBatch(id).exists(_ >= batchId) ||
         mt.hasCommittedFileTag(tag)) return
     // the incoming frame is streaming-flagged; rewrap its physical
     // rows as a batch frame before handing to the batch write path
     val batchDf = org.apache.spark.sql.graft.GraftSqlBridge
       .batchDataFrame(data.sparkSession, data)
     mt.write(batchDf, "append", Some(tag))
-    mt.recordStreamTxn(queryId, batchId)
+    mt.recordStreamTxn(id, batchId)
   }
 
   override def toString: String = s"GraftTableSink[$root]"

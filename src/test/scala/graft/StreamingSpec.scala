@@ -590,10 +590,17 @@ class StreamingSpec extends SparkTestBase {
     assert(mt.read().count() === 3)
     assert(mt.read().filter(col("id") === 3L).select("v")
       .as[String].head() === "c")
+    // outside a streaming query, addBatch must demand an explicit txn
+    // id — a silent shared default would let writers skip each other
+    val anon = new GraftTableSink(spark, root, Nil)
+    val eId = intercept[IllegalStateException] {
+      anon.addBatch(50L, Seq((8L, "y")).toDF("id", "v"))
+    }
+    assert(messageChain(eId).contains("txnAppId"))
     // replay protection, both layers, via a direct sink handle: the
-    // same (queryId, batchId) must commit once even when the sidecar
+    // same (appId, batchId) must commit once even when the sidecar
     // is gone (the commit-atomic file-tag layer)
-    val sink = new GraftTableSink(spark, root, Nil)
+    val sink = new GraftTableSink(spark, root, Nil, Some("q"))
     val batch = Seq((9L, "z")).toDF("id", "v")
     val v0 = mt.latestVersion.get
     sink.addBatch(100L, batch)
@@ -607,7 +614,7 @@ class StreamingSpec extends SparkTestBase {
     assert(mt.latestVersion.get === v0 + 1,
       "exactly one commit for the three addBatch(100) calls")
     // a conflicting partitionBy on the EXISTING table refuses loudly
-    val bad = new GraftTableSink(spark, root, Seq("id"))
+    val bad = new GraftTableSink(spark, root, Seq("id"), Some("q2"))
     val e = intercept[IllegalArgumentException] {
       bad.addBatch(101L, batch)
     }
