@@ -107,30 +107,32 @@ object ManifestTable {
       partitionSpec = list("partition_spec"))
   }
 
-  /** [[forRoot]] with a caller-supplied identity partition tuple:
-    * `asked` configures a FRESH table's layout; an existing table's
-    * config sidecar wins — a conflicting tuple refuses rather than
-    * silently writing a second hive layout into the same data dir
-    * (which leaves the table unreadable under partition discovery).
-    * One create-or-validate contract shared by the `CALL graft.write`
-    * procedure and the streaming sink.
+  /** [[forRoot]] with a caller-supplied identity partition tuple.
+    * `None` = no opinion (the sink without `partitionBy`) — the config
+    * sidecar rules. `Some(cols)` = an EXPLICIT tuple (possibly empty):
+    * it configures a FRESH table's layout, and against an existing
+    * table it must match the declared tuple — a conflict refuses
+    * rather than silently writing a second hive layout into the same
+    * data dir (which leaves the table unreadable under partition
+    * discovery). One create-or-validate contract shared by the
+    * `CALL graft.write` procedure and the streaming sink; validation
+    * is a pure config-sidecar read — no Spark job.
     */
   def forRootWithPartitions(spark: SparkSession, root: String,
-      asked: Seq[String]): ManifestTable = {
+      asked: Option[Seq[String]]): ManifestTable = {
     val existing = forRoot(spark, root)
-    if (asked.isEmpty) existing
-    else if (existing.latestVersion.isEmpty)
-      new ManifestTable(spark, root, partitionCols = asked)
-    else {
-      // getSeq, not getAs[Seq[…]]: a collected Row holds a mutable
-      // ArraySeq and the immutable-Seq cast throws CCE
-      val detail = existing.describeDetail().first()
-      val current =
-        detail.getSeq[String](detail.fieldIndex("partition_columns"))
-      require(current == asked,
-        s"table $root partitions on (${current.mkString(", ")}); " +
-          s"cannot write with (${asked.mkString(", ")})")
-      existing
+    asked match {
+      case None => existing
+      case Some(cols) if existing.latestVersion.isEmpty =>
+        if (cols.isEmpty) existing
+        else new ManifestTable(spark, root, partitionCols = cols)
+      case Some(cols) =>
+        val (idCols, specs) = existing.declaredPartitioning
+        val current = idCols ++ specs.map(PartitionTransform.parse(_).name)
+        require(current == cols,
+          s"table $root partitions on (${current.mkString(", ")}); " +
+            s"cannot write with (${cols.mkString(", ")})")
+        existing
     }
   }
 
@@ -3074,12 +3076,17 @@ class ManifestTable(spark: SparkSession, root: String,
           if (v.forall(_.isDigit) && dropped.contains(v.toInt))
             fs.delete(st.getPath, false)
         }
-        // temp files stranded by a crash mid-atomic-rename (txn
-        // sidecars, branch/tag staging) — old enough that no writer
-        // can still be mid-rename; vacuum is their only cleanup path
-        if (name.startsWith(".tmp-") &&
-            st.getModificationTime < cutoff)
-          fs.delete(st.getPath, false): Unit
+      }
+    }
+    // temp files stranded by a crash mid-atomic-rename (txn sidecars,
+    // branch/tag staging) — old enough that no writer can still be
+    // mid-rename; vacuum is their only cleanup path. Reported and
+    // dryRun-aware like the data/DV sweeps.
+    if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".tmp-") && st.getModificationTime < cutoff) {
+        if (!dryRun) fs.delete(st.getPath, false)
+        deleted += st.getPath.toString
       }
     }
     deleted.toSeq

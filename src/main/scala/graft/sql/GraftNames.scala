@@ -35,6 +35,28 @@ object GraftNames {
   private def isPath(address: String): Boolean =
     address.contains('/') || address.contains('\\')
 
+  /** Guard for PATH-ONLY options (the source/sink `root`/`path`):
+    * values pass through verbatim, except that a slash-less dotted
+    * value whose head names a registered [[GraftCatalog]] is ambiguous
+    * — the user almost certainly meant the name — and refuses with
+    * guidance rather than silently creating a fresh table at a literal
+    * relative path while the governed table goes untouched.
+    */
+  def requireUnambiguousPath(spark: SparkSession, address: String): String = {
+    if (!isPath(address) && address.contains('.')) {
+      val head = address.split('.').head
+      val namesGraftCatalog = try {
+        spark.sessionState.catalogManager.catalog(head)
+          .isInstanceOf[GraftCatalog]
+      } catch { case _: Exception => false }
+      require(!namesGraftCatalog,
+        s"option value '$address' is ambiguous: '$head' is a registered " +
+          "graft catalog — pass catalog names via .option(\"table\", …), " +
+          s"or make the path unambiguous (e.g. ./$address)")
+    }
+    address
+  }
+
   /** Resolve a table address (path or `cat.ns….table` name) to the
     * manifest-table root directory. Paths pass through verbatim.
     */

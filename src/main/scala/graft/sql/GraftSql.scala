@@ -240,10 +240,13 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         // hive layout into the same data dir (which leaves the table
         // unreadable under Spark partition discovery).
         val source = session.table(str(1))
+        // a PRESENT 4th arg is an explicit tuple — even '' (meaning
+        // "unpartitioned"), which must refuse against a partitioned
+        // table, not silently defer to the sidecar
         val mt =
           if (args.length > 3)
             ManifestTable.forRootWithPartitions(session, root0,
-              str(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+              Some(str(3).split(',').map(_.trim).filter(_.nonEmpty).toSeq))
           else table
         versionRow(mt.write(source, str(2)))
       case "merge" =>

@@ -59,7 +59,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): String =
     parameters.get("table")
       .map(graft.sql.GraftNames.resolveRoot(spark, _))
-      .orElse(parameters.get("root").orElse(parameters.get("path")))
+      .orElse(parameters.get("root").orElse(parameters.get("path"))
+        .map(graft.sql.GraftNames.requireUnambiguousPath(spark, _)))
       .getOrElse(throw new IllegalArgumentException(
         "graft-table source requires .option(\"root\", <table root>) " +
           "or .option(\"table\", <cat.ns.table>)"))
@@ -152,13 +153,19 @@ class GraftTableSink(spark: SparkSession, root: String,
     partitionColumns: Seq[String], txnAppId: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
-  /** Resolved ONCE: the partition tuple is fixed for the query's
-    * lifetime, so the create-or-validate check must not cost a
-    * describeDetail collect per micro-batch. Lazy (not eager) because
-    * a fresh table only comes into being at the first batch.
+  // validate the user-facing option HERE with its own name — passed
+  // through raw it would die deep in streamTxnPath as 'bad query id'
+  txnAppId.foreach(id => require(id.matches("[A-Za-z0-9_\\-]+"),
+    s"bad txnAppId '$id': use letters, digits, '_' or '-'"))
+
+  /** Resolved per batch, validation included: the create-or-validate
+    * check is a pure config-sidecar read (no Spark job), and re-reading
+    * each batch means a mid-stream partition-layout evolution is picked
+    * up (no opinion) or refused loudly (explicit partitionBy) instead
+    * of silently appending the stale layout.
     */
-  private lazy val table: ManifestTable =
-    ManifestTable.forRootWithPartitions(spark, root, partitionColumns)
+  private def table: ManifestTable = ManifestTable.forRootWithPartitions(
+    spark, root, if (partitionColumns.isEmpty) None else Some(partitionColumns))
 
   /** Transaction namespace for replay detection: the explicit
     * `.option("txnAppId", …)`, else the streaming query id
@@ -177,7 +184,12 @@ class GraftTableSink(spark: SparkSession, root: String,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val id = appId
-    val tag = s"txn-$id-$batchId-"
+    // the id's LENGTH rides in the tag so no (id, batch) pair can be a
+    // string prefix of another's files: ids may contain '-' (query
+    // UUIDs do), and without the length, appId 'q' batch 1 would
+    // prefix-match appId 'q-1' batch 5's committed files and silently
+    // skip a live batch
+    val tag = s"txn${id.length}-$id-$batchId-"
     val mt = table
     // replay? layer 1: the sidecar remembers a later-or-equal batch;
     // layer 2: the tagged files are in the current snapshot

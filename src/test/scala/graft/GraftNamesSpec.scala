@@ -79,6 +79,18 @@ class GraftNamesSpec extends SparkTestBase {
     intercept[Exception] {
       GraftNames.resolveRoot(spark, "gname_spec.silver.missing")
     }
+    // the path-only guard: a slash-less dotted 'root' that names a
+    // registered graft catalog is ambiguous and refuses with guidance
+    // (a plain relative dotted path passes through)
+    val e3 = intercept[IllegalArgumentException] {
+      spark.readStream
+        .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+        .option("root", "gname_spec.silver.orders")
+        .load()
+    }
+    assert(messageChain(e3).contains("ambiguous"))
+    assert(GraftNames.requireUnambiguousPath(spark, "events.v2")
+      === "events.v2")
   }
 
   test("CALL procedures accept catalog names (maintenance ≡ by-root)") {

@@ -619,5 +619,30 @@ class StreamingSpec extends SparkTestBase {
       bad.addBatch(101L, batch)
     }
     assert(messageChain(e).contains("partitions on"))
+    // prefix-overlapping app ids must not see each other's batches:
+    // appId 'q' batch 1 vs appId 'q-1' batch 5 — without the id length
+    // in the tag, 'txn-q-1-' would prefix-match 'txn-q-1-5-…' files
+    // and silently skip a live batch
+    val sA = new GraftTableSink(spark, root, Nil, Some("q-1"))
+    sA.addBatch(5L, Seq((20L, "w")).toDF("id", "v"))
+    assert(mt.read().count() === 5)
+    val sB = new GraftTableSink(spark, root, Nil, Some("q"))
+    sB.addBatch(1L, Seq((21L, "x")).toDF("id", "v"))
+    assert(mt.read().count() === 6, "batch must commit, not replay-skip")
+    // a malformed txnAppId refuses at construction, by its own name
+    val eBad = intercept[IllegalArgumentException] {
+      new GraftTableSink(spark, root, Nil, Some("my.app"))
+    }
+    assert(messageChain(eBad).contains("txnAppId"))
+    // stranded atomic-rename temp files are vacuumed: visible in
+    // dryRun output, gone after the real run
+    val strand = new org.apache.hadoop.fs.Path(root, "_graft_log/.tmp-txn-dead")
+    val fsx = strand.getFileSystem(spark.sessionState.newHadoopConf())
+    fsx.create(strand, true).close()
+    val wouldDelete = mt.vacuum(retain = 100, dryRun = true, minAgeMs = 0)
+    assert(wouldDelete.exists(_.endsWith(".tmp-txn-dead")))
+    assert(fsx.exists(strand), "dryRun must not delete")
+    mt.vacuum(retain = 100, minAgeMs = 0)
+    assert(!fsx.exists(strand))
   }
 }
