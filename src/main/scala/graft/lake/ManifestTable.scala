@@ -2382,11 +2382,17 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   private def liveWithPos(entries: Seq[Entry]): DataFrame = {
     val files = entries.map(e => new Path(root, e.rel).toString)
+    // withDeclared on the file read: row-level DML (UPDATE/MERGE/
+    // DELETE) matches and assigns against the LOGICAL schema — a
+    // declared-only column from ALTER TABLE ADD COLUMNS resolves at
+    // analysis (read() carries it), so the mutation path must carry
+    // it too or `SET note = 'x'` dies here on a column the analyzer
+    // accepted (the read() branch already includes it)
     val withPos =
       if (files.isEmpty) read()
         .withColumn(DvFileCol, lit(null).cast("string"))
         .withColumn(DvPosCol, lit(null).cast("long"))
-      else toLogicalRename(readFiles(files, withPos = true))
+      else withDeclared(toLogicalRename(readFiles(files, withPos = true)))
     dvOf(entries).fold(withPos)(dv =>
       withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
   }

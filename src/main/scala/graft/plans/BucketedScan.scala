@@ -87,7 +87,14 @@ object BucketedScanStrategy extends SparkStrategy {
     */
   def ensureRegistered(spark: SparkSession): Unit =
     spark.experimental.synchronized {
-      if (!spark.experimental.extraStrategies.contains(BucketedScanStrategy)) {
+      // planner.strategies covers BOTH registration channels — an
+      // extensions-built session already injected the strategy, and
+      // appending it to extraStrategies too would run it twice per
+      // query (duplicate BucketedScanExec candidates, wasted planning)
+      val present =
+        spark.sessionState.planner.strategies.contains(BucketedScanStrategy) ||
+          spark.experimental.extraStrategies.contains(BucketedScanStrategy)
+      if (!present) {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ BucketedScanStrategy
       }

@@ -390,7 +390,12 @@ object Lakehouse extends QueryModule {
   def l6ExactDedup(spark: SparkSession, dir: String): DataFrame =
     Q.t(spark, dir, "documents")
       .groupBy(col("lang"), col("source"))
-      .agg(min_by(struct(col("doc_id"), col("n_chars")), col("doc_id"))
+      // ordering key wrapped in a struct: min_by SKIPS rows whose
+      // ordering expression is NULL, but the oracle's ROW_NUMBER uses
+      // NULLS FIRST — (isnotnull, doc_id) restores that order (false
+      // sorts before true) while the struct itself is never null
+      .agg(min_by(struct(col("doc_id"), col("n_chars")),
+        struct(col("doc_id").isNotNull.as("nn"), col("doc_id").as("k")))
         .as("first"))
       .select(col("first.doc_id").as("doc_id"), col("lang"),
         col("source"), col("first.n_chars").as("n_chars"))

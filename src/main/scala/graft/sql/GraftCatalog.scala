@@ -202,6 +202,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(add.isNullable,
           "ADD COLUMNS: a NOT NULL column cannot be added to existing " +
             "rows (no backfill value)")
+        // same reject-never-silently-drop policy as CREATE TABLE: a
+        // comment has no declared-schema home, so accepting it would
+        // silently discard it
+        require(add.comment() == null,
+          "ADD COLUMNS: column COMMENT is not supported (it would be " +
+            "silently ignored, so it is refused)")
         mt.addColumns(
           s"`${add.fieldNames().head}` ${add.dataType().sql}")
       case ren: TableChange.RenameColumn =>
@@ -422,6 +428,12 @@ private[sql] class GraftSqlTable(ident: Identifier,
     requireWritable("TRUNCATE")
     val mt = ManifestTable.forRoot(spark, root)
     val cur = mt.read()
+    // declare the schema BEFORE the empty overwrite: a PARTITIONED
+    // empty write lands zero parquet files, so a table whose schema
+    // only ever lived in data files (created by the sink or CALL
+    // graft.write, which never declare) would otherwise read back —
+    // and refuse INSERTs — with zero columns
+    mt.declareSchema(cur.schema)
     mt.write(cur.limit(0), "overwrite")
     true
   }

@@ -64,6 +64,10 @@ object GraftNames {
     if (isPath(address) || !address.contains('.')) address
     else {
       val parts = address.split('.')
+      // split drops trailing empties: 'cat.' → ["cat"], which would
+      // crash on .init below instead of failing with guidance
+      require(parts.length >= 2 && parts.forall(_.nonEmpty),
+        s"malformed table name '$address': expected cat.ns….table")
       val cat = try {
         spark.sessionState.catalogManager.catalog(parts.head)
       } catch {

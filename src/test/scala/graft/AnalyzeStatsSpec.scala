@@ -105,21 +105,7 @@ class AnalyzeStatsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     val t = new ManifestTable(spark, root)
     t.write((1 to 300).map(i => (i.toLong, s"v${i % 13}")).toDF("id", "tag"), "overwrite")
 
-    val sqlSpark: SparkSession = {
-      val prevDefault = SparkSession.getDefaultSession
-      val prevActive = SparkSession.getActiveSession
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      try SparkSession.builder().master("local[8]")
-        .appName("graft-analyze-sql")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions).getOrCreate()
-      finally {
-        prevDefault.foreach(SparkSession.setDefaultSession)
-        prevActive.foreach(SparkSession.setActiveSession)
-      }
-    }
+    val sqlSpark: SparkSession = extensionsSession("graft-analyze-sql")
     val row = sqlSpark.sql(s"CALL graft.analyze('$root')").first()
     assert(row.getInt(0) === t.latestVersion.get)
     assert(row.getLong(1) === 300L)

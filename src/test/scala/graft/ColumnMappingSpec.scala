@@ -182,21 +182,7 @@ class ColumnMappingSpec extends SparkTestBase {
     val root = scratch("sql")
     new ManifestTable(spark, root)
       .write(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), "overwrite")
-    val sqlSpark: SparkSession = {
-      val prevDefault = SparkSession.getDefaultSession
-      val prevActive = SparkSession.getActiveSession
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      try SparkSession.builder().master("local[8]")
-        .appName("graft-colmap-sql")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions).getOrCreate()
-      finally {
-        prevDefault.foreach(SparkSession.setDefaultSession)
-        prevActive.foreach(SparkSession.setActiveSession)
-      }
-    }
+    val sqlSpark: SparkSession = extensionsSession("graft-colmap-sql")
     sqlSpark.sql(s"CALL graft.rename_column('$root', 'tag', 'label')").collect()
     // an independent instance (fresh read of the sidecar) sees it
     val t2 = ManifestTable.forRoot(spark, root)

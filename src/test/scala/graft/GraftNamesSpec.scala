@@ -14,29 +14,7 @@ import org.apache.spark.sql.functions._
 class GraftNamesSpec extends SparkTestBase {
   quiet()
 
-  /** Extensions session for the CALL surface — same pattern as
-    * SqlDmlSpec (the shared base session predates the extensions).
-    */
-  lazy val sqlSpark: SparkSession = {
-    spark.sparkContext
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      SparkSession.builder()
-        .master("local[8]")
-        .appName("graft-names")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-    } finally {
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
-    }
-  }
+  lazy val sqlSpark: SparkSession = extensionsSession("graft-names")
 
   private val lakeRoot =
     s"${sys.props("java.io.tmpdir")}/graft_names_lake_${System.nanoTime()}"
@@ -79,6 +57,12 @@ class GraftNamesSpec extends SparkTestBase {
     intercept[Exception] {
       GraftNames.resolveRoot(spark, "gname_spec.silver.missing")
     }
+    // a malformed one-segment dotted address (trailing dot) refuses
+    // with guidance, not a raw empty-array crash
+    val eM = intercept[IllegalArgumentException] {
+      GraftNames.resolveRoot(spark, "gname_spec.")
+    }
+    assert(messageChain(eM).contains("malformed table name"))
     // the path-only guard: a slash-less dotted 'root' that names a
     // registered graft catalog is ambiguous and refuses with guidance
     // (a plain relative dotted path passes through)

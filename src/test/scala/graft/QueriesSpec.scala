@@ -53,4 +53,22 @@ class QueriesSpec extends SparkTestBase {
     val sizes = res.map(_.getLong(1))
     assert(sizes.max - sizes.min <= 1)
   }
+
+  test("l6 first-per-key keeps NULLS FIRST parity with its oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a NULL doc_id must WIN its group (the oracle's ROW_NUMBER orders
+    // doc_id ASC NULLS FIRST; a bare min_by would skip the null key) —
+    // stage a mini documents table and run the real query
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_l6_nulls_${System.nanoTime()}"
+    Seq((Option(7L), "en", "web", 10L), (None: Option[Long], "en", "web", 20L),
+      (Option(3L), "de", "web", 30L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Lakehouse.l6ExactDedup(spark, dir)
+      .orderBy(col("lang"))
+      .collect().map(r => (r.isNullAt(0), r.getString(1), r.getLong(3)))
+    assert(got.toSeq === Seq((false, "de", 30L), (true, "en", 20L)),
+      s"null doc_id must win the en group: ${got.mkString(", ")}")
+  }
 }

@@ -26,4 +26,30 @@ trait SparkTestBase extends AnyFunSuite {
   def messageChain(t: Throwable): String =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  /** A sibling session on the SAME SparkContext, built with
+    * GraftExtensions (the shared base session predates them) — the
+    * CALL-surface suites' session. Default/active session pointers
+    * are saved and restored so other suites are untouched.
+    */
+  def extensionsSession(appName: String): SparkSession = {
+    spark.sparkContext // force base session/context creation first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      SparkSession.builder()
+        .master("local[8]")
+        .appName(appName)
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }

@@ -11,30 +11,7 @@ import org.apache.spark.sql.functions._
 class SqlDmlSpec extends SparkTestBase {
   quiet()
 
-  /** A second session on the SAME SparkContext, built with the
-    * extensions (the base test session predates them). Default/active
-    * session pointers are restored so other suites are untouched.
-    */
-  lazy val sqlSpark: SparkSession = {
-    spark.sparkContext // force base session/context creation first
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      SparkSession.builder()
-        .master("local[8]")
-        .appName("graft-sql-dml")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-    } finally {
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
-    }
-  }
+  lazy val sqlSpark: SparkSession = extensionsSession("graft-sql-dml")
 
   private def scratch(name: String): String = {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_sqldml_$name"

@@ -21,27 +21,10 @@ class SqlRowLevelDmlSpec extends SparkTestBase {
     * SqlDmlSpec, plus the DSv2 catalog pointed at this suite's root.
     */
   lazy val s: SparkSession = {
-    spark.sparkContext
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val ss = SparkSession.builder()
-        .master("local[8]")
-        .appName("graft-rldml")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-      ss.conf.set("spark.sql.catalog.rldml", "graft.sql.GraftCatalog")
-      ss.conf.set("spark.sql.catalog.rldml.root", lakeRoot)
-      ss
-    } finally {
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
-    }
+    val ss = extensionsSession("graft-rldml")
+    ss.conf.set("spark.sql.catalog.rldml", "graft.sql.GraftCatalog")
+    ss.conf.set("spark.sql.catalog.rldml.root", lakeRoot)
+    ss
   }
 
   private def mt(name: String) =
@@ -304,5 +287,56 @@ class SqlRowLevelDmlSpec extends SparkTestBase {
         Map("id" -> col("sid"), "v" -> col("sv")))))
     assert(v === tab.latestVersion.get)
     assert(tab.read().count() === 1)
+  }
+
+  test("row-level DML sees declared-only columns (ALTER ADD COLUMNS)") {
+    val t = fresh("declared1")
+    s.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)")
+    // UPDATE assigns a column that exists only in the declared schema
+    s.sql(s"UPDATE $t SET note = 'flagged' WHERE status = 'A'")
+    val notes = s.sql(s"SELECT id, note FROM $t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(notes(1L) === Some("flagged") && notes(3L) === Some("flagged"))
+    assert(notes(2L) === None && notes(4L) === None)
+    // DELETE matches on it
+    s.sql(s"DELETE FROM $t WHERE note = 'flagged'")
+    assert(s.sql(s"SELECT count(*) FROM $t").first().getLong(0) === 2L)
+    // MERGE inserts into it
+    import s.implicits._
+    Seq((9L, "D", 90.0, "new")).toDF("sid", "sstatus", "samount", "snote")
+      .createOrReplaceTempView("decl_feed")
+    s.sql(
+      s"""MERGE INTO $t USING decl_feed ON id = sid
+         |WHEN NOT MATCHED THEN
+         |  INSERT (id, status, amount, note)
+         |  VALUES (sid, sstatus, samount, snote)""".stripMargin)
+    assert(s.sql(s"SELECT note FROM $t WHERE id = 9").first()
+      .getString(0) === "new")
+    // a column COMMENT has no declared-schema home: refused loudly,
+    // never silently dropped (same policy as CREATE TABLE)
+    val e = intercept[Exception] {
+      s.sql(s"ALTER TABLE $t ADD COLUMNS (c2 STRING COMMENT 'audit')")
+    }
+    assert(messageChain(e).contains("COMMENT"))
+  }
+
+  test("TRUNCATE on a writer-created partitioned table keeps the schema") {
+    import s.implicits._
+    // created by a plain partitioned write — no CREATE TABLE, so the
+    // schema lives only in data files until TRUNCATE declares it
+    new graft.lake.ManifestTable(s, s"$lakeRoot/db/trunc_p",
+      partitionCols = Seq("status"))
+      .write(Seq((1L, "A", 10.0)).toDF("id", "status", "amount"),
+        "overwrite")
+    s.sql("TRUNCATE TABLE rldml.db.trunc_p")
+    val emptied = s.sql("SELECT * FROM rldml.db.trunc_p")
+    assert(emptied.count() === 0)
+    assert(emptied.columns.sorted.toSeq === Seq("amount", "id", "status"),
+      "the empty partitioned overwrite must not erase the schema")
+    // explicit column list: hive-layout reads order partition columns
+    // LAST, so the declared order is (id, amount, status)
+    s.sql("INSERT INTO rldml.db.trunc_p (id, status, amount) " +
+      "VALUES (2, 'B', 20.0)")
+    assert(s.sql("SELECT id FROM rldml.db.trunc_p").first().getLong(0) === 2L)
   }
 }
