@@ -87,14 +87,13 @@ object BucketedScanStrategy extends SparkStrategy {
     */
   def ensureRegistered(spark: SparkSession): Unit =
     spark.experimental.synchronized {
-      // planner.strategies covers BOTH registration channels — an
-      // extensions-built session already injected the strategy, and
-      // appending it to extraStrategies too would run it twice per
-      // query (duplicate BucketedScanExec candidates, wasted planning)
-      val present =
-        spark.sessionState.planner.strategies.contains(BucketedScanStrategy) ||
-          spark.experimental.extraStrategies.contains(BucketedScanStrategy)
-      if (!present) {
+      // planner.strategies covers BOTH registration channels
+      // (extraStrategies is its prefix; extension-injected strategies
+      // follow) — an extensions-built session already injected the
+      // strategy, and appending it to extraStrategies too would run it
+      // twice per query (duplicate candidates, wasted planning)
+      if (!spark.sessionState.planner.strategies
+          .contains(BucketedScanStrategy)) {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ BucketedScanStrategy
       }

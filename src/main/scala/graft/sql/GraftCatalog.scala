@@ -163,6 +163,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     }
     requireNoTableAncestor(ident.namespace())
+    // COLUMN comments have no declared-schema home either — the
+    // null-fill read path drops field metadata, so an accepted comment
+    // would silently vanish; refuse, matching the table-level policy
+    schema.fields.foreach { f =>
+      require(f.getComment().isEmpty,
+        s"CREATE TABLE column '${f.name}': COMMENT is not supported " +
+          "(it would be silently ignored, so it is refused)")
+    }
     val dir = dirOf(ident.namespace(), ident.name())
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (catalogName +: ident.namespace().toSeq :+ ident.name()))
@@ -428,12 +436,17 @@ private[sql] class GraftSqlTable(ident: Identifier,
     requireWritable("TRUNCATE")
     val mt = ManifestTable.forRoot(spark, root)
     val cur = mt.read()
-    // declare the schema BEFORE the empty overwrite: a PARTITIONED
-    // empty write lands zero parquet files, so a table whose schema
-    // only ever lived in data files (created by the sink or CALL
-    // graft.write, which never declare) would otherwise read back —
-    // and refuse INSERTs — with zero columns
-    mt.declareSchema(cur.schema)
+    // PARTITIONED tables only: their empty overwrite lands zero
+    // parquet files, so a table whose schema only ever lived in data
+    // files (created by the sink or CALL graft.write, which never
+    // declare) would read back — and refuse INSERTs — with zero
+    // columns; declaring BEFORE the write keeps it. An unpartitioned
+    // empty overwrite writes one schema-bearing footer, so it is NOT
+    // declared — declaring is one-way (declared columns refuse
+    // rename_column), a cost worth paying only where the alternative
+    // is an unreadable table.
+    val (idCols, specs) = mt.declaredPartitioning
+    if (idCols.nonEmpty || specs.nonEmpty) mt.declareSchema(cur.schema)
     mt.write(cur.limit(0), "overwrite")
     true
   }

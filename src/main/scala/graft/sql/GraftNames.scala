@@ -44,7 +44,9 @@ object GraftNames {
     */
   def requireUnambiguousPath(spark: SparkSession, address: String): String = {
     if (!isPath(address) && address.contains('.')) {
-      val head = address.split('.').head
+      // limit -1 keeps empty segments ('.': ["",""]); head is then ""
+      // and never names a catalog, so bare dots pass through verbatim
+      val head = address.split("\\.", -1).head
       val namesGraftCatalog = try {
         spark.sessionState.catalogManager.catalog(head)
           .isInstanceOf[GraftCatalog]
@@ -63,9 +65,11 @@ object GraftNames {
   def resolveRoot(spark: SparkSession, address: String): String = {
     if (isPath(address) || !address.contains('.')) address
     else {
-      val parts = address.split('.')
-      // split drops trailing empties: 'cat.' → ["cat"], which would
-      // crash on .init below instead of failing with guidance
+      // limit -1 keeps trailing empty segments — a plain split drops
+      // them, so 'cat.ns.' would silently collapse to table 'ns' in
+      // the ROOT namespace (a DIFFERENT table than anything the user
+      // named) instead of failing here
+      val parts = address.split("\\.", -1)
       require(parts.length >= 2 && parts.forall(_.nonEmpty),
         s"malformed table name '$address': expected cat.ns….table")
       val cat = try {

@@ -57,12 +57,18 @@ class GraftNamesSpec extends SparkTestBase {
     intercept[Exception] {
       GraftNames.resolveRoot(spark, "gname_spec.silver.missing")
     }
-    // a malformed one-segment dotted address (trailing dot) refuses
-    // with guidance, not a raw empty-array crash
-    val eM = intercept[IllegalArgumentException] {
-      GraftNames.resolveRoot(spark, "gname_spec.")
-    }
-    assert(messageChain(eM).contains("malformed table name"))
+    // malformed dotted addresses refuse with guidance, not a raw
+    // crash — and a MULTI-segment trailing dot must not silently
+    // collapse to a different table ('cat.ns.' ↛ root-level 'ns')
+    Seq("gname_spec.", "gname_spec.silver.", "gname_spec..orders")
+      .foreach { bad =>
+        val eM = intercept[IllegalArgumentException] {
+          GraftNames.resolveRoot(spark, bad)
+        }
+        assert(messageChain(eM).contains("malformed table name"), bad)
+      }
+    // bare-dot path values pass the ambiguity guard verbatim
+    assert(GraftNames.requireUnambiguousPath(spark, ".") === ".")
     // the path-only guard: a slash-less dotted 'root' that names a
     // registered graft catalog is ambiguous and refuses with guidance
     // (a plain relative dotted path passes through)

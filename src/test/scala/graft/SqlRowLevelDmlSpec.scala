@@ -338,5 +338,20 @@ class SqlRowLevelDmlSpec extends SparkTestBase {
     s.sql("INSERT INTO rldml.db.trunc_p (id, status, amount) " +
       "VALUES (2, 'B', 20.0)")
     assert(s.sql("SELECT id FROM rldml.db.trunc_p").first().getLong(0) === 2L)
+    // an UNPARTITIONED truncate must NOT declare (declaring is
+    // one-way: declared columns refuse rename_column) — the empty
+    // overwrite's own parquet footer keeps the schema
+    val tu = fresh("trunc_u")
+    s.sql(s"TRUNCATE TABLE $tu")
+    assert(s.sql(s"SELECT * FROM $tu").columns.sorted.toSeq
+      === Seq("amount", "id", "status"))
+    mt("trunc_u").renameColumn("status", "state") // still a data column
+    assert(mt("trunc_u").read().columns.contains("state"))
+    // a column COMMENT on CREATE TABLE refuses loudly too (it would
+    // silently vanish through the null-fill read path)
+    val eC = intercept[Exception] {
+      s.sql("CREATE TABLE rldml.db.ccmt (c1 STRING COMMENT 'audit')")
+    }
+    assert(messageChain(eC).contains("COMMENT"))
   }
 }
