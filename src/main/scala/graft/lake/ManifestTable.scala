@@ -468,7 +468,8 @@ class ManifestTable(spark: SparkSession, root: String,
       // adds declared-only columns — so every schema field is present
       // at its final type; this select only fixes the OUTPUT ORDER to
       // match the scan's declared attributes
-      visible.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      visible.select(
+        schema.fieldNames.map(graft.functions.Cols.quoted).toIndexedSeq: _*)
     }
 
     // rename refuses on transform sources, so the physical source name

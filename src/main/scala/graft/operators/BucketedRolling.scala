@@ -62,9 +62,47 @@ object BucketedRolling {
       maxDriverRows: Int = 1000000): DataFrame = {
     require(n >= 1, s"trailing frame must be at least 1 row, got $n")
     val part = partCols.map(col)
-    val ranged = df.withColumn("_brv", rangeCol.cast("long"))
+    // materialize the input ONCE: the operator executes its lineage
+    // several times (range probe, count collect, final window) — with
+    // a nondeterministic input (sample/rand/limit upstream),
+    // re-execution could shift rows across buckets AFTER the
+    // (key, bucket) -> group map was collected, and the inner join to
+    // the map would then silently drop them. The eager localCheckpoint
+    // pins one row set for every pass (and pays for itself by not
+    // re-running an expensive upstream lineage three times). The
+    // returned frame reads the checkpoint's blocks, so they are NOT
+    // released here — the context cleaner reclaims them once the
+    // caller drops the frame; the throw paths release eagerly.
+    val ranged = df.withColumn("_brv", rangeCol.cast("long")).localCheckpoint()
+    try {
+      trailingOn(ranged, part, partCols, tieCols, valCol,
+        n, agg, outCol, targetBuckets, maxDriverRows)
+    } catch {
+      case t: Throwable =>
+        graft.functions.CheckpointOps.release(ranged)
+        throw t
+    }
+  }
+
+  /** Body of [[trailing]] over the already-checkpointed `ranged`
+    * frame (input columns plus the `_brv` long range image); every
+    * probe, collect, and the returned plan read the same materialized
+    * row set.
+    */
+  private def trailingOn(
+      ranged: DataFrame,
+      part: Seq[Column],
+      partCols: Seq[String],
+      tieCols: Seq[String],
+      valCol: String,
+      n: Int,
+      agg: Column => Column,
+      outCol: String,
+      targetBuckets: Int,
+      maxDriverRows: Int): DataFrame = {
+    val df = ranged.drop("_brv")
     val stats = ranged.agg(min(col("_brv")), max(col("_brv"))).head()
-    if (stats.isNullAt(0) && df.isEmpty) {
+    if (stats.isNullAt(0) && ranged.isEmpty) {
       return df.withColumn(outCol, lit(null).cast(df.schema(valCol).dataType))
     }
     // all-null range on a NON-empty frame: lo/width are arbitrary (every
@@ -156,6 +194,6 @@ object BucketedRolling {
     unioned
       .withColumn(outCol, agg(col(valCol)).over(wRoll))
       .filter(col("_brc") === 0)
-      .select(df.columns.map(col) :+ col(outCol): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col(outCol): _*)
   }
 }

@@ -125,9 +125,11 @@ case class BucketedScanExec(scan: BucketedTableScan)
       scan.fileGroups.zipWithIndex.map { case (files, b) =>
         if (files.isEmpty) sc.parallelize(Seq.empty[InternalRow], 1)
         else {
-          import org.apache.spark.sql.functions.col
           // select in declared order so rows line up with `output`
-          val df = scan.build(files, b).select(names.map(col): _*)
+          // (quoted: a physical name with a dot must not parse as
+          // struct access)
+          val df = scan.build(files, b)
+            .select(names.map(graft.functions.Cols.quoted): _*)
           df.queryExecution.toRdd.coalesce(1)
         }
       }

@@ -184,7 +184,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val boot = new ManifestTable(spark, dir.toString,
       partitionCols = idCols, partitionSpec = specs)
     boot.write(empty, "overwrite")
-    boot.declareSchema(schema)
+    // declared-schema policy mirrors truncateTable: declare ONLY when
+    // partitioned (a partitioned empty overwrite lands zero parquet
+    // files, so an undeclared new table would read back — and refuse
+    // INSERTs — with zero columns). An unpartitioned empty overwrite
+    // writes one schema-bearing footer, and declaring is one-way
+    // (declared columns refuse RENAME COLUMN), so an unconditional
+    // declaration would break ALTER TABLE RENAME COLUMN on every
+    // SQL-created table for no benefit.
+    if (idCols.nonEmpty || specs.nonEmpty) boot.declareSchema(schema)
     loadTable(ident)
   }
 
@@ -309,6 +317,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       cascade: Boolean): Boolean = {
     val dir = dirOf(namespace)
     if (!fs.exists(dir)) return false
+    // same guard as createNamespace/renameTable: a table directory (or
+    // a path inside one) must never be deletable as a "namespace" — a
+    // direct dropNamespace(tablePath, cascade = true) call would
+    // otherwise remove a governed table. SQL DROP NAMESPACE happens to
+    // be safe only because Spark checks namespaceExists first; the
+    // catalog method itself must hold the invariant.
+    requireNoTableAncestor(namespace)
     if (!cascade && fs.listStatus(dir).nonEmpty)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
@@ -416,12 +431,16 @@ private[sql] class GraftSqlTable(ident: Identifier,
     * refuses the rest, so Spark falls back to an error instead of a
     * wrong partial delete).
     */
+  private lazy val topLevelNames: Set[String] = df.schema.fieldNames.toSet
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+    filters.forall(f =>
+      GraftScanBuilder.toColumn(f, topLevelNames).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable("DELETE")
-    val cond = filters.toSeq.flatMap(GraftScanBuilder.toColumn)
+    val cond = filters.toSeq
+      .flatMap(GraftScanBuilder.toColumn(_, topLevelNames))
       .reduceOption(_ && _).getOrElse(lit(true))
     ManifestTable.forRoot(spark, root).delete(cond)
     ()
@@ -487,10 +506,11 @@ private[sql] class GraftScanBuilder(df: DataFrame) extends ScanBuilder
 
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = df.schema
+  private val topLevel: Set[String] = df.schema.fieldNames.toSet
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) =
-      filters.partition(f => GraftScanBuilder.toColumn(f).isDefined)
+      filters.partition(f => GraftScanBuilder.toColumn(f, topLevel).isDefined)
     accepted = ok
     residual
   }
@@ -501,40 +521,59 @@ private[sql] class GraftScanBuilder(df: DataFrame) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan = {
-    val filtered = accepted.flatMap(GraftScanBuilder.toColumn)
+    val filtered = accepted.flatMap(GraftScanBuilder.toColumn(_, topLevel))
       .foldLeft(df)((d, c) => d.filter(c))
     val pruned = filtered.select(
-      required.fields.map(f => col(f.name)).toSeq: _*)
+      required.fields.map(f => GraftScanBuilder.quoted(f.name)).toSeq: _*)
     new GraftV1Scan(pruned, required)
   }
 }
 
 private[sql] object GraftScanBuilder {
+
+  /** A physical column name as a single-identifier Column — see
+    * [[graft.functions.Cols.quoted]] (plain `col(name)` would parse a
+    * dotted name as struct-field access).
+    */
+  def quoted(name: String): Column = graft.functions.Cols.quoted(name)
+
   /** Translate a V1 source filter to a Column; None = not translatable
     * (the builder returns it as residual and Spark re-evaluates it
     * post-scan — always safe).
+    *
+    * `topLevel` is the table's top-level field-name set: an attribute
+    * naming a physical column verbatim (even one containing dots)
+    * resolves as a quoted single identifier; anything else — a
+    * pre-quoted or genuinely nested reference — falls back to parsed
+    * resolution, which is exactly what those forms need.
     */
-  def toColumn(f: Filter): Option[Column] = f match {
-    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
-    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
-    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case sources.LessThan(a, v) => Some(col(a) < lit(v))
-    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case sources.IsNull(a) => Some(col(a).isNull)
-    case sources.IsNotNull(a) => Some(col(a).isNotNull)
-    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case sources.StringContains(a, v) => Some(col(a).contains(v))
-    case sources.AlwaysTrue() => Some(lit(true))
-    case sources.AlwaysFalse() => Some(lit(false))
-    case sources.And(l, r) =>
-      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
-    case sources.Or(l, r) =>
-      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
-    case sources.Not(c) => toColumn(c).map(not)
-    case _ => None
+  def toColumn(f: Filter, topLevel: Set[String]): Option[Column] = {
+    def attr(name: String): Column =
+      if (topLevel(name)) quoted(name) else col(name)
+    f match {
+      case sources.EqualTo(a, v) => Some(attr(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(attr(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(attr(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(attr(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(attr(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(attr(a) <= lit(v))
+      case sources.In(a, vs) => Some(attr(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(attr(a).isNull)
+      case sources.IsNotNull(a) => Some(attr(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(attr(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(attr(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(attr(a).contains(v))
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case sources.And(l, r) =>
+        for (lc <- toColumn(l, topLevel); rc <- toColumn(r, topLevel))
+          yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- toColumn(l, topLevel); rc <- toColumn(r, topLevel))
+          yield lc || rc
+      case sources.Not(c) => toColumn(c, topLevel).map(not)
+      case _ => None
+    }
   }
 }
 

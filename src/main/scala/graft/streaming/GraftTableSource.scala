@@ -269,7 +269,8 @@ class GraftTableSource(spark: SparkSession, root: String,
       if (d.columns.contains(f.name)) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
-    val projected = withAll.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val projected = withAll.select(
+      schema.fieldNames.map(graft.functions.Cols.quoted).toIndexedSeq: _*)
     // batch DataFrames from Source.getBatch must carry the isStreaming
     // flag or the incremental planner rejects them — same call Spark's
     // FileStreamSource makes (see GraftSqlBridge for why the shim)

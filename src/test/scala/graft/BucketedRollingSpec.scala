@@ -104,6 +104,38 @@ class BucketedRollingSpec extends SparkTestBase {
     check(rows, 3, 4)
   }
 
+  test("input lineage executes exactly once (nondeterministic inputs)") {
+    // trailing() runs several passes (range probe, count collect,
+    // final window). Before the eager localCheckpoint it re-executed
+    // the input lineage for each — with a nondeterministic input
+    // (sample/rand/limit upstream) the re-executed rows could land in
+    // buckets missing from the collected (key,bucket)->group map and
+    // the inner join silently dropped them. The accumulator counts
+    // input-row evaluations: exactly one per row means one
+    // materialization feeds every pass (fail-on-revert: without the
+    // checkpoint the count is >= 2x the row count).
+    val acc = spark.sparkContext.longAccumulator("rolling_input_rows")
+    val tick = udf { (i: Long) => acc.add(1L); i }
+    val df = spark.range(300)
+      .select(col("id").as("tie"), lit("k").as("k"),
+        tick(col("id")).as("ord"), (col("id") % 13).cast("double").as("v"))
+    val got = BucketedRolling.trailing(df, Seq("k"), col("ord"), Seq("tie"),
+      "v", 5, max, "got", targetBuckets = 8)
+    assert(got.count() === 300)
+    assert(acc.value === 300L,
+      s"input lineage ran ${acc.value / 300.0}x — trailing() must " +
+        "materialize the input once before collecting the bucket map")
+    // and a genuinely nondeterministic order column must never lose
+    // rows to a stale bucket map
+    val nondet = spark.range(500)
+      .select(col("id").as("tie"), lit("k").as("k"),
+        (rand() * 1e6).cast("long").as("ord"),
+        (col("id") % 7).cast("double").as("v"))
+    val r = BucketedRolling.trailing(nondet, Seq("k"), col("ord"), Seq("tie"),
+      "v", 24, max, "got", targetBuckets = 16)
+    assert(r.count() === 500, "nondeterministic input rows were dropped")
+  }
+
   test("driver count-frame cap throws before materializing") {
     // 40 distinct keys with maxDriverRows = 10: the limit probe must
     // reject the misuse loudly instead of collecting the whole

@@ -281,4 +281,68 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql("SHOW TABLES IN gcat_spec.no_such_zone").collect()
     }
   }
+
+  test("RENAME COLUMN works on a SQL-created (unpartitioned) table") {
+    setup
+    // createTable used to declare the schema unconditionally, and
+    // declared columns refuse renameColumn — so ALTER TABLE RENAME
+    // COLUMN failed on every table created via SQL CREATE TABLE even
+    // though alterTable advertises rename support (fail-on-revert:
+    // re-add the unconditional declareSchema and this test fails).
+    // The unpartitioned empty overwrite writes a schema-bearing
+    // footer, so no declaration is needed to keep the table readable.
+    spark.sql("CREATE TABLE gcat_spec.silver.rc (id BIGINT, amount DOUBLE)")
+    assert(spark.sql("SELECT * FROM gcat_spec.silver.rc").columns.toSeq ===
+      Seq("id", "amount"), "empty SQL-created table reads its full schema")
+    spark.sql("INSERT INTO gcat_spec.silver.rc VALUES (1, 10.0)")
+    spark.sql("ALTER TABLE gcat_spec.silver.rc RENAME COLUMN amount TO amt")
+    assert(spark.sql("SELECT amt FROM gcat_spec.silver.rc")
+      .first().getDouble(0) === 10.0)
+    // partitioned tables keep the declaration (a partitioned empty
+    // overwrite lands zero files — without it the table is unreadable)
+    // so their rename refuses with the declared-column policy error
+    spark.sql("CREATE TABLE gcat_spec.silver.rcp (id BIGINT, s STRING) " +
+      "PARTITIONED BY (s)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat_spec.silver.rcp RENAME COLUMN id TO i2")
+    }
+    assert(messageChain(e).contains("declared"), messageChain(e))
+  }
+
+  test("a column whose name contains a dot survives scan, pushdown, DML") {
+    setup
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a.b", LongType),
+      StructField("v", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "x"), Row(2L, "y"), Row(3L, "z"))), schema)
+    mt(s"$lakeRoot/silver/dotted").write(df, "overwrite")
+    // projection + pushed filter on the dotted name: col("a.b") would
+    // parse as struct access on `a` and fail resolution
+    val got = spark.sql(
+      "SELECT `a.b` FROM gcat_spec.silver.dotted WHERE `a.b` >= 2 " +
+        "ORDER BY `a.b`")
+    assert(got.as[Long].collect().toSeq === Seq(2L, 3L))
+    // DELETE translation goes through the same attribute resolution
+    spark.sql("DELETE FROM gcat_spec.silver.dotted WHERE `a.b` = 2")
+    assert(spark.sql("SELECT `a.b` FROM gcat_spec.silver.dotted ORDER BY `a.b`")
+      .as[Long].collect().toSeq === Seq(1L, 3L))
+  }
+
+  test("dropNamespace refuses a table path even when called directly") {
+    setup
+    val t = mt(s"$lakeRoot/silver/guard_me")
+    t.write(Seq((1L, "a")).toDF("id", "v"), "overwrite")
+    val cat = spark.sessionState.catalogManager.catalog("gcat_spec")
+      .asInstanceOf[graft.sql.GraftCatalog]
+    // the SQL surface is safe only because Spark checks
+    // namespaceExists first; the catalog method itself must refuse a
+    // cascade-delete of a governed table addressed as a "namespace"
+    val e = intercept[IllegalArgumentException] {
+      cat.dropNamespace(Array("silver", "guard_me"), true)
+    }
+    assert(e.getMessage.contains("table"), e.getMessage)
+    assert(spark.sql("SELECT * FROM gcat_spec.silver.guard_me").count() === 1)
+  }
 }
