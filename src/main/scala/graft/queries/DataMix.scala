@@ -501,7 +501,70 @@ object DataMix extends QueryModule {
       |FROM plan
       |ORDER BY source ASC NULLS FIRST""".stripMargin
 
+  /** MIX10: length-bucketed batch planning — group docs into
+    * power-of-two token-length buckets and pack each bucket into
+    * fixed-size batches in doc_id order: the padded-batch schedule a
+    * fine-tuning/eval job runs so each batch pads only to its own
+    * max length (batching similar lengths is the standard answer to
+    * padding waste). Reports each batch's pad length (its max token
+    * count) and the padding the schedule pays.
+    *
+    * Scale: the length bucket is LOW-cardinality (~log2(max tokens)
+    * values, Zipf-heavy), so the per-bucket row number is the
+    * two-pass [[graft.operators.PrefixSum]] distributed cumsum —
+    * never a per-bucket window over raw doc rows. The bucket id is
+    * pure integer math (`length(bin(n)) - 1`, i.e. floor(log2 n)
+    * without the float log whose rounding could drift cross-engine),
+    * so the whole plan is bit-exact against the oracle.
+    */
+  def mix10LengthBatching(spark: SparkSession, dir: String): DataFrame = {
+    val batch = 32L
+    val counted = Q.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+          .cast("long").as("n_tokens"))
+      .withColumn("len_bucket",
+        (length(bin(col("n_tokens"))) - 1).cast("long"))
+      .withColumn("one", lit(1L))
+    PrefixSum.exclusive(counted, Seq("len_bucket"), "doc_id",
+        Seq("one" -> "rows_before"))
+      .withColumn("batch_id", floor(col("rows_before") / batch))
+      .groupBy(col("len_bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("pad_len"),
+        sum(col("n_tokens")).as("batch_tokens"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("pad_len") - col("batch_tokens"))
+      .orderBy(col("len_bucket").asc, col("batch_id").asc)
+  }
+
+  val mix10Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS len_bucket
+      |  FROM toks),
+      |rn AS (
+      |  SELECT doc_id, n_tokens, len_bucket,
+      |    ROW_NUMBER() OVER (PARTITION BY len_bucket
+      |      ORDER BY doc_id ASC NULLS FIRST) - 1 AS rb
+      |  FROM b)
+      |SELECT len_bucket, CAST(rb // 32 AS BIGINT) AS batch_id,
+      |  COUNT(*) AS n_docs, MAX(n_tokens) AS pad_len,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+      |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+      |    AS padding_waste
+      |FROM rn
+      |GROUP BY len_bucket, batch_id
+      |ORDER BY len_bucket ASC NULLS FIRST, batch_id ASC NULLS FIRST"""
+      .stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix10_length_batching" -> mix10LengthBatching,
     "mix9_epoch_schedule" -> mix9EpochSchedule,
     "mix6_temperature" -> mix6Temperature,
     "mix7_bpe_packing" -> mix7BpePacking,
@@ -513,6 +576,7 @@ object DataMix extends QueryModule {
     "mix5_stratified_split" -> mix5StratifiedSplit)
 
   override def oracles: Map[String, String] = Map(
+    "mix10_length_batching" -> mix10Oracle,
     "mix6_temperature" -> mix6Oracle,
     "mix7_bpe_packing" -> mix7Oracle,
     "mix8_curation_pipeline" -> mix8Oracle,
