@@ -189,6 +189,106 @@ object Dedup extends QueryModule {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** D3b: ORACLE-EXACT MinHash LSH — the d3 plan with every hash an
+    * md5-derived 60-bit integer (the d4/tx_winnow technique) instead
+    * of xxhash64, so the signatures, band keys, candidate set and
+    * Jaccard scores all reproduce bit-for-bit in DuckDB: the one
+    * approximate-dedup family member whose END-TO-END candidate
+    * generation is oracle-gated, not just spec/rows-gated. k = 8
+    * slots in 4 bands of 2 (md5 costs ~an order more than xxhash64
+    * per hash; the production-rate form stays d3). Scale shape is
+    * d3's: explode + min aggregate for signatures (map-side
+    * combined), an equi-join on (band, key) — never all-pairs — and
+    * the d2-style inverted-index exact verify.
+    */
+  def d3bMinhashExact(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val rpb = 2
+    val bands = k / rpb
+    val docs = Q.t(spark, dir, "documents")
+    val inv = docs.select(col("doc_id"),
+      explode(DedupOps.shingles(col("text"))).as("s"))
+    def mh(i: Int) = expr(
+      s"cast(conv(substring(md5(cast(concat('$i:', s) AS binary)), " +
+        "1, 15), 16, 10) AS bigint)")
+    val mins = (0 until k).map(i => min(mh(i)).as(s"m$i"))
+    val sig = inv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slots = (b * rpb until (b + 1) * rpb).map(i => s"m$i")
+        .mkString(", ")
+      struct(lit(b).as("band"), expr(
+        s"cast(conv(substring(md5(cast(concat_ws(',', $slots) " +
+          "AS binary)), 1, 15), 16, 10) AS bigint)").as("key"))
+    }
+    val banded = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bk"))
+    val cands = banded.select(col("doc_id").as("id_a"), col("bk"))
+      .join(banded.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(inv.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+      .join(inv.select(col("doc_id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    cands.join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        coalesce(col("i"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("i"), lit(0L)))
+            .cast("double"))
+      .select("id_a", "id_b", "jaccard")
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  val d3bOracle: String = {
+    val sigCols = (0 until 8)
+      .map(i => s"MAX(CASE WHEN i = $i THEN m END) AS m$i").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5(" +
+        s"CAST(m${2 * b} AS VARCHAR) || ',' || CAST(m${2 * b + 1} AS " +
+        "VARCHAR)), 1, 15)) AS BIGINT) AS key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_zip(string_split(text,' ')[1:len(string_split(text,' '))-1],
+       |               string_split(text,' ')[2:len(string_split(text,' '))]),
+       |      p -> p[1] || ' ' || p[2])) AS s
+       |  FROM documents),
+       |inv AS (SELECT doc_id, unnest(s) AS s FROM sh),
+       |slots AS (
+       |  SELECT doc_id, g.i AS i,
+       |    MIN(CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || s),
+       |      1, 15)) AS BIGINT)) AS m
+       |  FROM inv CROSS JOIN UNNEST(generate_series(0, 7)) AS g(i)
+       |  GROUP BY doc_id, g.i),
+       |sig AS (SELECT doc_id, $sigCols FROM slots GROUP BY doc_id),
+       |banded AS ($bands),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a AS ia, c.id_b AS ib, COUNT(*) AS cnt
+       |  FROM cands c
+       |  JOIN inv x ON x.doc_id = c.id_a
+       |  JOIN inv y ON y.doc_id = c.id_b AND y.s = x.s
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(COALESCE(t.cnt, 0) AS DOUBLE)
+       |    / CAST(sa.n + sb.n - COALESCE(t.cnt, 0) AS DOUBLE) AS jaccard
+       |FROM cands c
+       |LEFT JOIN inter t ON c.id_a = t.ia AND c.id_b = t.ib
+       |JOIN sizes sa ON sa.doc_id = c.id_a
+       |JOIN sizes sb ON sb.doc_id = c.id_b
+       |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+  }
+
   /** D4: SimHash fingerprints (Charikar, STOC'02): per-token hash
     * bits vote ±1 per position, the sign vector IS the fingerprint;
     * near-dups land within small Hamming distance. ORACLE-EXACT: token
@@ -814,6 +914,7 @@ object Dedup extends QueryModule {
     "d1_exact_dedup" -> d1ExactContent,
     "d2_jaccard_pairs" -> d2JaccardPairs,
     "d3_minhash_lsh" -> d3MinhashLsh,
+    "d3b_minhash_exact" -> d3bMinhashExact,
     "d4_simhash" -> d4Simhash,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "d6_dup_clusters" -> d6DupClusters,
@@ -827,6 +928,7 @@ object Dedup extends QueryModule {
     "d15_survivor_pick" -> d15Oracle,
     "d1_exact_dedup" -> d1Oracle,
     "d2_jaccard_pairs" -> d2Oracle,
+    "d3b_minhash_exact" -> d3bOracle,
     "d4_simhash" -> d4Oracle,
     "d5_embedding_neardup" -> d5Oracle,
     "d6_dup_clusters" -> d6Oracle,
