@@ -170,6 +170,52 @@ object Lakehouse extends QueryModule {
         |ORDER BY 1 ASC NULLS FIRST""".stripMargin)
   }
 
+  /** L31: metadata-only COUNT(*) — the manifest's write-time per-file
+    * row counts (plus DV mark counts) answer a global count with ZERO
+    * data IO, at the latest version and at time-travel pins alike
+    * (the Delta/Iceberg metadata-count shortcut; plan-asserted
+    * aggregate pushdown in GraftCatalogSpec). The oracle replays the
+    * same overwrite→append→DV-delete arithmetic on the raw table, so
+    * every counted path (base, appended slice, DV-subtracted rows)
+    * is independently checked.
+    */
+  def l31MetaCount(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l31_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+    // own catalog name: the session CACHES catalog instances per name
+    // on first use, so reusing l28's graft_cat would pin l28's root
+    spark.conf.set("spark.sql.catalog.graft_cat31", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat31.root", scratch)
+
+    val orders = Q.t(spark, dir, "orders")
+    val mt = new ManifestTable(spark, s"$scratch/gold/orders")
+    mt.write(orders, "overwrite") // v0
+    mt.write(orders.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L), "append") // v1
+    mt.delete(col("o_orderkey") % 17 === 0) // v2: DV marks, no rewrite
+
+    spark.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM graft_cat31.gold.orders) AS n_now,
+        |  (SELECT COUNT(*) FROM graft_cat31.gold.orders VERSION AS OF 1)
+        |    AS n_v1,
+        |  (SELECT COUNT(*) FROM graft_cat31.gold.orders VERSION AS OF 0)
+        |    AS n_v0""".stripMargin)
+  }
+
+  val l31Oracle: String =
+    """WITH appended AS (
+      |  SELECT o_orderkey FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000 FROM orders WHERE o_orderkey % 101 = 0)
+      |SELECT
+      |  (SELECT COUNT(*) FROM appended WHERE o_orderkey % 17 <> 0) AS n_now,
+      |  (SELECT COUNT(*) FROM appended) AS n_v1,
+      |  (SELECT COUNT(*) FROM orders) AS n_v0
+      |ORDER BY n_now ASC NULLS FIRST""".stripMargin
+
   val l28Oracle: String =
     """WITH appended AS (
       |  SELECT o_orderpriority FROM orders
@@ -601,6 +647,7 @@ object Lakehouse extends QueryModule {
     "l3_time_travel" -> l3TimeTravel,
     "l15_dv_roundtrip" -> l15DvRoundtrip,
     "l28_catalog_select" -> l28CatalogSelect,
+    "l31_meta_count" -> l31MetaCount,
     "l22b_bucketed_join" -> l22bBucketedJoin,
     "l29_sql_update" -> l29SqlUpdate,
     "l30_sql_merge" -> l30SqlMerge,
@@ -615,6 +662,7 @@ object Lakehouse extends QueryModule {
     "l1_merge_delete" -> l1MergeDeleteOracle,
     "l3_time_travel" -> l3Oracle,
     "l28_catalog_select" -> l28Oracle,
+    "l31_meta_count" -> l31Oracle,
     "l22b_bucketed_join" -> l22bOracle,
     "l29_sql_update" -> l29Oracle,
     "l30_sql_merge" -> l30Oracle,

@@ -8,7 +8,8 @@ import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources
@@ -491,9 +492,22 @@ private[sql] class GraftSqlTable(ident: Identifier,
     * versioned `loadTable` — the same pinned handle as SQL
     * `VERSION AS OF` (GraftCatalogSpec proves the equivalence).
     */
+  /** Manifest-metadata row count for THIS handle's snapshot (latest,
+    * VERSION AS OF, or TIMESTAMP AS OF) — Some only when every live
+    * file carries the write-time `#n` count stat.
+    */
+  private[sql] def metaCount: Option[Long] = {
+    val mt = ManifestTable.forRoot(spark, root)
+    (version, asOfMs) match {
+      case (Some(v), _) => mt.metadataRowCount(Some(v))
+      case (_, Some(ms)) => mt.metadataRowCountAsOf(ms)
+      case _ => mt.metadataRowCount()
+    }
+  }
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(df)
+    new GraftScanBuilder(df, () => metaCount)
 }
 
 /** DSv2 pruning/pushdown applied onto the inner DataFrame, compiled
@@ -501,12 +515,43 @@ private[sql] class GraftSqlTable(ident: Identifier,
   * become part of the sub-plan, where Catalyst pushes them to the
   * parquet scans exactly as a path-based read would.
   */
-private[sql] class GraftScanBuilder(df: DataFrame) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+private[sql] class GraftScanBuilder(df: DataFrame,
+    metaCount: () => Option[Long] = () => None) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = df.schema
   private val topLevel: Set[String] = df.schema.fieldNames.toSet
+  private var pushedCount: Option[(Int, Long)] = None
+
+  /** COUNT(*) answered from manifest metadata — no data scan at all
+    * (`SELECT count(*) FROM cat.ns.t` on a 100 TB table reads the
+    * manifest, not the table). Pushed only when it is EXACTLY
+    * answerable: a global (no GROUP BY) aggregate of CountStar terms,
+    * no accepted pushed filters (a filter changes the count), and
+    * every live file carrying the write-time `#n` row-count stat
+    * (DV-deleted rows subtract via the recorded mark counts).
+    * Anything else refuses and Spark plans the ordinary scan-side
+    * aggregate — never a wrong fast path.
+    */
+  private def countStarOnly(agg: Aggregation): Boolean =
+    accepted.isEmpty && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countStarOnly(agg) && metaCount().isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!countStarOnly(agg)) return false
+    metaCount() match {
+      case Some(n) =>
+        pushedCount = Some((agg.aggregateExpressions().length, n))
+        true
+      case None => false
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) =
@@ -520,12 +565,25 @@ private[sql] class GraftScanBuilder(df: DataFrame) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val filtered = accepted.flatMap(GraftScanBuilder.toColumn(_, topLevel))
-      .foldLeft(df)((d, c) => d.filter(c))
-    val pruned = filtered.select(
-      required.fields.map(f => GraftScanBuilder.quoted(f.name)).toSeq: _*)
-    new GraftV1Scan(pruned, required)
+  override def build(): Scan = pushedCount match {
+    case Some((width, n)) =>
+      // one literal row straight from the manifest count; Spark
+      // projects it as the final result (complete pushdown)
+      val spark = df.sparkSession
+      val schema = StructType((0 until width).map(i =>
+        org.apache.spark.sql.types.StructField(
+          s"count(*)${if (i == 0) "" else s"_$i"}",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val row = org.apache.spark.sql.Row.fromSeq(Seq.fill(width)(n))
+      val prepared = spark.createDataFrame(
+        java.util.Collections.singletonList(row), schema)
+      new GraftV1Scan(prepared, schema)
+    case None =>
+      val filtered = accepted.flatMap(GraftScanBuilder.toColumn(_, topLevel))
+        .foldLeft(df)((d, c) => d.filter(c))
+      val pruned = filtered.select(
+        required.fields.map(f => GraftScanBuilder.quoted(f.name)).toSeq: _*)
+      new GraftV1Scan(pruned, required)
   }
 }
 

@@ -330,6 +330,63 @@ class GraftCatalogSpec extends SparkTestBase {
       .as[Long].collect().toSeq === Seq(1L, 3L))
   }
 
+  test("COUNT(*) answers from manifest metadata, never a data scan") {
+    setup
+    val t = mt(s"$lakeRoot/silver/cnt")
+    t.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      "overwrite") // v0
+    t.write(Seq((4L, "d")).toDF("id", "v"), "append") // v1
+    t.delete(col("id") === 2L) // v2: DV marks must subtract
+    val q = spark.sql("SELECT count(*) FROM gcat_spec.silver.cnt")
+    assert(q.as[Long].head() === 3L)
+    // the pushed count plans as a literal metadata row: the scan
+    // reports the pushed aggregate and there is NO aggregate operator
+    // (complete pushdown), hence no data scan at all
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    // version pins count at the pinned snapshot
+    assert(spark.sql(
+      "SELECT count(*) FROM gcat_spec.silver.cnt VERSION AS OF 0")
+      .as[Long].head() === 3L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gcat_spec.silver.cnt VERSION AS OF 1")
+      .as[Long].head() === 4L)
+    // anything the metadata cannot answer EXACTLY falls back to the
+    // real scan: filtered count and grouped count stay correct
+    val filtered = spark.sql(
+      "SELECT count(*) FROM gcat_spec.silver.cnt WHERE id >= 3")
+    assert(filtered.as[Long].head() === 2L)
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("HashAggregate"), "filtered count must scan + aggregate")
+    assert(spark.sql(
+      "SELECT v, count(*) AS n FROM gcat_spec.silver.cnt GROUP BY v")
+      .count() === 3L)
+    // legacy snapshot (a manifest file written before the #n stat):
+    // strip the count fields and the count falls back to the scan —
+    // still correct, never a wrong fast path
+    val fs = new org.apache.hadoop.fs.Path(lakeRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new org.apache.hadoop.fs.Path(s"$lakeRoot/silver/cnt/_graft_log")
+    fs.listStatus(logDir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".manifest") || p.getName.endsWith(".delta"))
+      .foreach { p =>
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val stripped = text.replaceAll("\t%23n=[^\t\n]*", "")
+        fs.delete(new org.apache.hadoop.fs.Path(p.getParent,
+          s".${p.getName}.crc"), false)
+        val out = fs.create(p, true)
+        try out.write(stripped.getBytes("UTF-8")) finally out.close()
+      }
+    val legacy = spark.sql("SELECT count(*) FROM gcat_spec.silver.cnt")
+    assert(legacy.as[Long].head() === 3L)
+    assert(legacy.queryExecution.executedPlan.toString
+      .contains("HashAggregate"),
+      "legacy snapshot without #n must fall back to scanning")
+  }
+
   test("dropNamespace refuses a table path even when called directly") {
     setup
     val t = mt(s"$lakeRoot/silver/guard_me")

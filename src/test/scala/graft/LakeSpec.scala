@@ -599,4 +599,31 @@ class LakeSpec extends SparkTestBase {
     }
     assert(mt.branches.isEmpty, "failed stage must not leave a branch marker")
   }
+
+  test("metadataRowCount: exact across append, DV delete, time travel") {
+    import spark.implicits._
+    val dir = scratch("meta_count")
+    val mt = new graft.lake.ManifestTable(spark, dir)
+    mt.write((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      "overwrite") // v0
+    assert(mt.metadataRowCount() === Some(10L))
+    mt.write((11L to 13L).map(i => (i, s"v$i")).toDF("id", "v"),
+      "append") // v1
+    assert(mt.metadataRowCount() === Some(13L))
+    mt.delete(col("id") <= 4L) // v2: DV marks, no file rewrite
+    assert(mt.metadataRowCount() === Some(9L))
+    assert(mt.metadataRowCount() === Some(mt.read().count()),
+      "metadata count must equal the scanned count exactly")
+    // pinned versions see their own snapshots
+    assert(mt.metadataRowCount(Some(0)) === Some(10L))
+    assert(mt.metadataRowCount(Some(1)) === Some(13L))
+    // compaction / purge keep counts consistent (files rewritten,
+    // footer counts re-recorded)
+    mt.reorgPurge()
+    assert(mt.metadataRowCount() === Some(9L))
+    // asOf far future = latest; before the first commit = None
+    assert(mt.metadataRowCountAsOf(System.currentTimeMillis() + 1000000L)
+      === Some(9L))
+    assert(mt.metadataRowCountAsOf(0L) === None)
+  }
 }
