@@ -425,13 +425,19 @@ class ManifestTable(spark: SparkSession, root: String,
     } catch { case _: NumberFormatException => None }
   }
 
-  /** [[metadataRowCount]] at the newest version committed at or
-    * before `tsMillis` (the `timestampAsOf` pin); None when no such
-    * version exists — the caller's scan then raises the real error.
+  /** The newest version committed at or before `tsMillis` — the
+    * snapshot a `timestampAsOf` pin resolves to ([[readAsOf]] raises
+    * when this is None).
+    */
+  def versionAtOrBefore(tsMillis: Long): Option[Int] =
+    versions.filter(commitTimeOf(_) <= tsMillis).lastOption
+
+  /** [[metadataRowCount]] at the [[versionAtOrBefore]] snapshot; None
+    * when no such version exists — the caller's scan then raises the
+    * real error.
     */
   def metadataRowCountAsOf(tsMillis: Long): Option[Long] =
-    versions.filter(commitTimeOf(_) <= tsMillis).lastOption
-      .flatMap(v => metadataRowCount(Some(v)))
+    versionAtOrBefore(tsMillis).flatMap(v => metadataRowCount(Some(v)))
 
   /** L22b: bucket-partitioned read that REPORTS its partitioning —
     * the storage-partitioned-join surface. A table declared with a
@@ -903,24 +909,32 @@ class ManifestTable(spark: SparkSession, root: String,
 
   /** Attach each NEW file's exact row count (the parquet footer's
     * record count — authoritative metadata, no data pages read) as the
-    * `#n` stats entry. One ranged footer read per new file of THIS
-    * commit, driver-side — the same O(new files) cost class as the
-    * commit's own file writes, paid once at write time so COUNT(*)
-    * never has to touch data again ([[metadataRowCount]]). Kept out of
-    * the distributed stats job deliberately: the bloom leg explodes
-    * rows k-fold there, so an in-pass count would couple correctness
-    * to the explode shape, while the footer is exact by construction.
+    * `#n` stats entry, paid once at write time so COUNT(*) never has
+    * to touch data again ([[metadataRowCount]]). One ranged footer
+    * read per new file of THIS commit, fanned out over driver threads
+    * so a wide append pays ~max latency, not Σ latency, of its footer
+    * round trips — cheaper than the alternative (a distributed
+    * `groupBy(input_file_name).count()` job re-reads the data pages
+    * just written). Kept out of the distributed stats job
+    * deliberately: the bloom leg explodes rows k-fold there, so an
+    * in-pass count would couple correctness to the explode shape,
+    * while the footer is exact by construction.
     */
   private def withFooterCounts(entries: Seq[Entry]): Seq[Entry] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val conf = spark.sessionState.newHadoopConf()
-    entries.map { e =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new Path(root, e.rel), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val n = try r.getRecordCount finally r.close()
-      e.copy(stats = e.stats + (ManifestTable.CountKey ->
-        ColStats(n.toString, n.toString, "C")))
-    }
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(entries) { e =>
+      Future {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(root, e.rel), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try r.getRecordCount finally r.close()
+        e.copy(stats = e.stats + (ManifestTable.CountKey ->
+          ColStats(n.toString, n.toString, "C")))
+      }
+    }, Duration.Inf)
   }
 
   /** Bloom bit positions of a value (engine side): double hashing

@@ -66,28 +66,34 @@ object BucketedRolling {
     // several times (range probe, count collect, final window) — with
     // a nondeterministic input (sample/rand/limit upstream),
     // re-execution could shift rows across buckets AFTER the
-    // (key, bucket) -> group map was collected, and the inner join to
-    // the map would then silently drop them. The eager localCheckpoint
-    // pins one row set for every pass (and pays for itself by not
-    // re-running an expensive upstream lineage three times). The
-    // returned frame reads the checkpoint's blocks, so they are NOT
-    // released here — the context cleaner reclaims them once the
-    // caller drops the frame; the throw paths release eagerly.
-    val ranged = df.withColumn("_brv", rangeCol.cast("long")).localCheckpoint()
+    // (key, bucket) -> group map was collected, and the joined rows
+    // would then disagree with the map. persist (NOT localCheckpoint)
+    // pins one row set for every pass while staying RECOMPUTABLE — an
+    // evicted or lost block recomputes from lineage instead of
+    // failing the job, and MEMORY_AND_DISK spills rather than pinning
+    // a 100 TB input in executor memory; it also pays for itself by
+    // not re-running an expensive upstream lineage three times. The
+    // standard cache-for-stability caveat applies: if a block of a
+    // NONDETERMINISTIC input is lost and recomputed, its rows may
+    // drift — the group join below turns any row that drifts out of
+    // the collected bucket map into a loud error, never a silent
+    // drop. Blocks release on failure here; on success the context
+    // cleaner reclaims them once the caller drops the frame.
+    val ranged = df.withColumn("_brv", rangeCol.cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       trailingOn(ranged, part, partCols, tieCols, valCol,
         n, agg, outCol, targetBuckets, maxDriverRows)
     } catch {
       case t: Throwable =>
-        graft.functions.CheckpointOps.release(ranged)
+        ranged.unpersist(blocking = false)
         throw t
     }
   }
 
-  /** Body of [[trailing]] over the already-checkpointed `ranged`
-    * frame (input columns plus the `_brv` long range image); every
-    * probe, collect, and the returned plan read the same materialized
-    * row set.
+  /** Body of [[trailing]] over the already-persisted `ranged` frame
+    * (input columns plus the `_brv` long range image); every probe,
+    * collect, and the returned plan read the same cached row set.
     */
   private def trailingOn(
       ranged: DataFrame,
@@ -171,9 +177,18 @@ object BucketedRolling {
       spark.sparkContext.parallelize(mapping.map { case (key, b, g, ng) =>
         org.apache.spark.sql.Row.fromSeq(key ++ Seq(b, g, ng)) }, 1),
       mapSchema)
+    // LEFT join + loud guard, not an inner join: a row whose bucket is
+    // missing from the collected map (possible only if a lost block of
+    // a nondeterministic input recomputed differently after the map
+    // was collected) must fail the query, never silently vanish
     val grouped0 = bucketed.join(broadcast(mapDf),
       (partCols.map(c => col(c) <=> col(s"_mk_$c")) :+
-        (col("_brb") <=> col("_mb"))).reduce(_ && _))
+        (col("_brb") <=> col("_mb"))).reduce(_ && _), "left")
+      .withColumn("_brg",
+        when(col("_brg").isNotNull, col("_brg")).otherwise(raise_error(lit(
+          "BucketedRolling: row landed in a bucket absent from the " +
+            "collected map — a nondeterministic input re-executed after " +
+            "a lost cache block; make the input deterministic and retry"))))
       .drop("_mb").drop(partCols.map(c => s"_mk_$c"): _*)
 
     // carry rows: each group's last n rows, re-tagged to the next
@@ -194,6 +209,7 @@ object BucketedRolling {
     unioned
       .withColumn(outCol, agg(col(valCol)).over(wRoll))
       .filter(col("_brc") === 0)
-      .select(df.columns.toIndexedSeq.map(col) :+ col(outCol): _*)
+      .select(df.columns.toIndexedSeq.map(graft.functions.Cols.quoted) :+
+        col(outCol): _*)
   }
 }

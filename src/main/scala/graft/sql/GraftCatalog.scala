@@ -387,13 +387,28 @@ private[sql] class GraftSqlTable(ident: Identifier,
 
   private def spark: SparkSession = SparkSession.active
 
-  private[sql] lazy val df: DataFrame = {
-    val mt = ManifestTable.forRoot(spark, root)
-    (version, asOfMs) match {
-      case (Some(v), _) => mt.read(Some(v))
-      case (_, Some(ms)) => mt.readAsOf(ms)
-      case _ => mt.read()
-    }
+  private lazy val mtable = ManifestTable.forRoot(spark, root)
+
+  /** The ONE snapshot this handle serves, resolved at first access:
+    * a user pin verbatim, a timestamp pin's resolved version, or —
+    * for an unpinned handle — the latest version AT RESOLUTION TIME.
+    * Everything the handle answers (scan, schema, and the metadata
+    * COUNT(*) fast path) reads this same version, so a concurrent
+    * commit between analysis and aggregate pushdown can never make
+    * the pushed count disagree with the scan it replaced.
+    */
+  private lazy val snapshotVersion: Option[Int] = (version, asOfMs) match {
+    case (Some(v), _) => Some(v)
+    case (_, Some(ms)) => mtable.versionAtOrBefore(ms)
+    case _ => mtable.latestVersion
+  }
+
+  private[sql] lazy val df: DataFrame = (version, asOfMs) match {
+    // a timestamp before the first commit: raise readAsOf's standard
+    // error (snapshotVersion is None there); read(None) likewise
+    // raises the standard no-versions error for an empty root
+    case (_, Some(ms)) if snapshotVersion.isEmpty => mtable.readAsOf(ms)
+    case _ => mtable.read(snapshotVersion)
   }
 
   override def name(): String =
@@ -492,18 +507,13 @@ private[sql] class GraftSqlTable(ident: Identifier,
     * versioned `loadTable` — the same pinned handle as SQL
     * `VERSION AS OF` (GraftCatalogSpec proves the equivalence).
     */
-  /** Manifest-metadata row count for THIS handle's snapshot (latest,
-    * VERSION AS OF, or TIMESTAMP AS OF) — Some only when every live
-    * file carries the write-time `#n` count stat.
+  /** Manifest-metadata row count for THIS handle's pinned snapshot —
+    * the same [[snapshotVersion]] `df` reads, never re-resolved at
+    * pushdown time. Some only when every live file carries the
+    * write-time `#n` count stat.
     */
-  private[sql] def metaCount: Option[Long] = {
-    val mt = ManifestTable.forRoot(spark, root)
-    (version, asOfMs) match {
-      case (Some(v), _) => mt.metadataRowCount(Some(v))
-      case (_, Some(ms)) => mt.metadataRowCountAsOf(ms)
-      case _ => mt.metadataRowCount()
-    }
-  }
+  private[sql] def metaCount: Option[Long] =
+    snapshotVersion.flatMap(v => mtable.metadataRowCount(Some(v)))
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -525,6 +535,12 @@ private[sql] class GraftScanBuilder(df: DataFrame,
   private val topLevel: Set[String] = df.schema.fieldNames.toSet
   private var pushedCount: Option[(Int, Long)] = None
 
+  // resolved once per scan build: Spark probes supportCompletePushDown
+  // and pushAggregation separately, and each metaCount() re-reads the
+  // manifest log — cache so planning pays one resolution (it also
+  // guarantees both probes see the same answer)
+  private lazy val cachedMetaCount: Option[Long] = metaCount()
+
   /** COUNT(*) answered from manifest metadata — no data scan at all
     * (`SELECT count(*) FROM cat.ns.t` on a 100 TB table reads the
     * manifest, not the table). Pushed only when it is EXACTLY
@@ -541,11 +557,11 @@ private[sql] class GraftScanBuilder(df: DataFrame,
       agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    countStarOnly(agg) && metaCount().isDefined
+    countStarOnly(agg) && cachedMetaCount.isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (!countStarOnly(agg)) return false
-    metaCount() match {
+    cachedMetaCount match {
       case Some(n) =>
         pushedCount = Some((agg.aggregateExpressions().length, n))
         true

@@ -106,14 +106,15 @@ class BucketedRollingSpec extends SparkTestBase {
 
   test("input lineage executes exactly once (nondeterministic inputs)") {
     // trailing() runs several passes (range probe, count collect,
-    // final window). Before the eager localCheckpoint it re-executed
-    // the input lineage for each — with a nondeterministic input
-    // (sample/rand/limit upstream) the re-executed rows could land in
-    // buckets missing from the collected (key,bucket)->group map and
-    // the inner join silently dropped them. The accumulator counts
-    // input-row evaluations: exactly one per row means one
-    // materialization feeds every pass (fail-on-revert: without the
-    // checkpoint the count is >= 2x the row count).
+    // final window). Before the persist it re-executed the input
+    // lineage for each — with a nondeterministic input (sample/rand/
+    // limit upstream) the re-executed rows could land in buckets
+    // missing from the collected (key,bucket)->group map and the
+    // group join dropped them silently (it now raises instead — see
+    // the left-join guard). The accumulator counts input-row
+    // evaluations: exactly one per row means one materialization
+    // feeds every pass (fail-on-revert: without the persist the
+    // count is >= 2x the row count).
     val acc = spark.sparkContext.longAccumulator("rolling_input_rows")
     val tick = udf { (i: Long) => acc.add(1L); i }
     val df = spark.range(300)
