@@ -645,11 +645,10 @@ class ManifestTable(spark: SparkSession, root: String,
     * before `tsMillis`. Throws if the table's first commit is later.
     */
   def readAsOf(tsMillis: Long): DataFrame = {
-    val vs = versions
-    val v = vs.filter(commitTimeOf(_) <= tsMillis).lastOption
+    val v = versionAtOrBefore(tsMillis)
       .getOrElse(throw new IllegalArgumentException(
         s"no version at or before $tsMillis (first commit: " +
-          s"${vs.headOption.map(commitTimeOf).getOrElse("none")})"))
+          s"${versions.headOption.map(commitTimeOf).getOrElse("none")})"))
     read(Some(v))
   }
 
@@ -927,12 +926,17 @@ class ManifestTable(spark: SparkSession, root: String,
     implicit val ec: ExecutionContext = ExecutionContext.global
     Await.result(Future.traverse(entries) { e =>
       Future {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(root, e.rel), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val n = try r.getRecordCount finally r.close()
-        e.copy(stats = e.stats + (ManifestTable.CountKey ->
-          ColStats(n.toString, n.toString, "C")))
+        // blocking{}: footer reads are blocking IO — tell the shared
+        // fork-join pool so it spawns compensating threads instead of
+        // capping fan-out at #cores and starving other pool users
+        scala.concurrent.blocking {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(root, e.rel), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val n = try r.getRecordCount finally r.close()
+          e.copy(stats = e.stats + (ManifestTable.CountKey ->
+            ColStats(n.toString, n.toString, "C")))
+        }
       }
     }, Duration.Inf)
   }

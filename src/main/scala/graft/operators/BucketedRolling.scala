@@ -61,39 +61,63 @@ object BucketedRolling {
       targetBuckets: Int = 64,
       maxDriverRows: Int = 1000000): DataFrame = {
     require(n >= 1, s"trailing frame must be at least 1 row, got $n")
-    val part = partCols.map(col)
-    // materialize the input ONCE: the operator executes its lineage
-    // several times (range probe, count collect, final window) — with
-    // a nondeterministic input (sample/rand/limit upstream),
-    // re-execution could shift rows across buckets AFTER the
-    // (key, bucket) -> group map was collected, and the joined rows
-    // would then disagree with the map. persist (NOT localCheckpoint)
-    // pins one row set for every pass while staying RECOMPUTABLE — an
-    // evicted or lost block recomputes from lineage instead of
-    // failing the job, and MEMORY_AND_DISK spills rather than pinning
-    // a 100 TB input in executor memory; it also pays for itself by
-    // not re-running an expensive upstream lineage three times. The
-    // standard cache-for-stability caveat applies: if a block of a
-    // NONDETERMINISTIC input is lost and recomputed, its rows may
-    // drift — the group join below turns any row that drifts out of
-    // the collected bucket map into a loud error, never a silent
-    // drop. Blocks release on failure here; on success the context
-    // cleaner reclaims them once the caller drops the frame.
-    val ranged = df.withColumn("_brv", rangeCol.cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val part = partCols.map(graft.functions.Cols.quoted)
+    // The operator executes its lineage several times (range probe,
+    // count collect, final window), and correctness REQUIRES every
+    // pass to see the same rows as the collected (key,bucket)->group
+    // map. Two regimes:
+    //
+    //  - DETERMINISTIC input (the common case — ts3 reads a table
+    //    scan): re-execution is consistent by construction, so the
+    //    lineage simply runs per pass. No storage pinned, no
+    //    lineage truncation — an executor loss recomputes as usual,
+    //    and a 100 TB input never lands in executor storage.
+    //
+    //  - NONDETERMINISTIC input (rand/sample/limit upstream):
+    //    re-execution could shift rows across buckets after the map
+    //    was collected, so the input is pinned ONCE with an eager
+    //    localCheckpoint. Blocks release on the failure path here and
+    //    via the context cleaner once the caller drops the returned
+    //    frame (checkpoint RDDs are cleaner-tracked; a Dataset-level
+    //    persist would sit in the CacheManager forever). The cost —
+    //    storage for the input, fail-stop instead of recompute on a
+    //    lost block — is the price of a stable row set; fail-stop is
+    //    the SAFE direction, a recompute could silently drift. The
+    //    group join's raise_error guard backstops any residual drift
+    //    into an unmapped bucket.
+    // classified on `base` so a nondeterministic rangeCol (not just a
+    // nondeterministic input frame) also routes to the pinned regime
+    val base = df.withColumn("_brv", rangeCol.cast("long"))
+    val ranged = if (isDeterministic(base)) base else base.localCheckpoint()
     try {
       trailingOn(ranged, part, partCols, tieCols, valCol,
         n, agg, outCol, targetBuckets, maxDriverRows)
     } catch {
       case t: Throwable =>
-        ranged.unpersist(blocking = false)
+        if (ranged ne base) graft.functions.CheckpointOps.release(ranged)
         throw t
     }
   }
 
-  /** Body of [[trailing]] over the already-persisted `ranged` frame
-    * (input columns plus the `_brv` long range image); every probe,
-    * collect, and the returned plan read the same cached row set.
+  /** True when re-executing `df`'s lineage is guaranteed to produce
+    * the same rows: no nondeterministic expressions anywhere in the
+    * plan, and no row-set-unstable operators (sample, limit — their
+    * output can vary with partition order across executions).
+    */
+  private def isDeterministic(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sample}
+    df.queryExecution.analyzed.collectFirst {
+      case s: Sample => s
+      case l: LocalLimit => l
+      case l: GlobalLimit => l
+      case p if p.expressions.exists(e => e.exists(!_.deterministic)) => p
+    }.isEmpty
+  }
+
+  /** Body of [[trailing]] over the `ranged` frame (input columns
+    * plus the `_brv` long range image) — re-execution-stable by
+    * construction: either a deterministic lineage or an eager
+    * localCheckpoint (see the regime note in [[trailing]]).
     */
   private def trailingOn(
       ranged: DataFrame,
@@ -182,7 +206,8 @@ object BucketedRolling {
     // a nondeterministic input recomputed differently after the map
     // was collected) must fail the query, never silently vanish
     val grouped0 = bucketed.join(broadcast(mapDf),
-      (partCols.map(c => col(c) <=> col(s"_mk_$c")) :+
+      (partCols.map(c => graft.functions.Cols.quoted(c) <=>
+        graft.functions.Cols.quoted(s"_mk_$c")) :+
         (col("_brb") <=> col("_mb"))).reduce(_ && _), "left")
       .withColumn("_brg",
         when(col("_brg").isNotNull, col("_brg")).otherwise(raise_error(lit(
@@ -194,7 +219,8 @@ object BucketedRolling {
     // carry rows: each group's last n rows, re-tagged to the next
     // group (dropped for a key's final group)
     val wTail = Window.partitionBy(part :+ col("_brg"): _*)
-      .orderBy(col("_brv").desc +: tieCols.map(col(_).desc): _*)
+      .orderBy(col("_brv").desc +:
+        tieCols.map(graft.functions.Cols.quoted(_).desc): _*)
     val carries = grouped0
       .withColumn("_brt", row_number().over(wTail))
       .filter(col("_brt") <= n && col("_brg") < col("_brng") - 1)
@@ -204,12 +230,13 @@ object BucketedRolling {
     val unioned = grouped0.withColumn("_brc", lit(0)).unionByName(carries)
 
     val wRoll = Window.partitionBy(part :+ col("_brg"): _*)
-      .orderBy(col("_brv").asc +: tieCols.map(col(_).asc): _*)
+      .orderBy(col("_brv").asc +:
+        tieCols.map(graft.functions.Cols.quoted(_).asc): _*)
       .rowsBetween(-n, -1)
     unioned
-      .withColumn(outCol, agg(col(valCol)).over(wRoll))
+      .withColumn(outCol, agg(graft.functions.Cols.quoted(valCol)).over(wRoll))
       .filter(col("_brc") === 0)
       .select(df.columns.toIndexedSeq.map(graft.functions.Cols.quoted) :+
-        col(outCol): _*)
+        graft.functions.Cols.quoted(outCol): _*)
   }
 }

@@ -106,17 +106,19 @@ class BucketedRollingSpec extends SparkTestBase {
 
   test("input lineage executes exactly once (nondeterministic inputs)") {
     // trailing() runs several passes (range probe, count collect,
-    // final window). Before the persist it re-executed the input
-    // lineage for each — with a nondeterministic input (sample/rand/
-    // limit upstream) the re-executed rows could land in buckets
-    // missing from the collected (key,bucket)->group map and the
-    // group join dropped them silently (it now raises instead — see
-    // the left-join guard). The accumulator counts input-row
-    // evaluations: exactly one per row means one materialization
-    // feeds every pass (fail-on-revert: without the persist the
-    // count is >= 2x the row count).
+    // final window); a NONDETERMINISTIC input must be materialized
+    // once (eager localCheckpoint) or the re-executed rows could land
+    // in buckets missing from the collected (key,bucket)->group map
+    // and the group join dropped them silently (the left-join guard
+    // now raises on that residual path). The accumulator counts
+    // input-row evaluations: exactly one per row means one
+    // materialization feeds every pass (fail-on-revert: without the
+    // checkpoint the count is >= 2x the row count). The udf is marked
+    // nondeterministic so the operator classifies the input into the
+    // pinned regime — a deterministic lineage deliberately re-executes
+    // instead of pinning 100 TB into executor storage.
     val acc = spark.sparkContext.longAccumulator("rolling_input_rows")
-    val tick = udf { (i: Long) => acc.add(1L); i }
+    val tick = udf { (i: Long) => acc.add(1L); i }.asNondeterministic()
     val df = spark.range(300)
       .select(col("id").as("tie"), lit("k").as("k"),
         tick(col("id")).as("ord"), (col("id") % 13).cast("double").as("v"))
