@@ -923,22 +923,28 @@ class ManifestTable(spark: SparkSession, root: String,
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val conf = spark.sessionState.newHadoopConf()
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.traverse(entries) { e =>
+    // a BOUNDED dedicated pool, not ExecutionContext.global: the
+    // global fork-join pool either caps blocking IO at #cores (and
+    // starves its other users) or — under blocking{} — spawns up to
+    // 256 compensating threads, enough to exhaust an object-store
+    // client's connection pool on a wide commit. 32 concurrent footer
+    // reads is a safe ceiling below default S3A connection limits.
+    val par = math.min(32, math.max(8,
+      Runtime.getRuntime.availableProcessors()))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.traverse(entries) { e =>
       Future {
-        // blocking{}: footer reads are blocking IO — tell the shared
-        // fork-join pool so it spawns compensating threads instead of
-        // capping fan-out at #cores and starving other pool users
-        scala.concurrent.blocking {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new Path(root, e.rel), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val n = try r.getRecordCount finally r.close()
-          e.copy(stats = e.stats + (ManifestTable.CountKey ->
-            ColStats(n.toString, n.toString, "C")))
-        }
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(root, e.rel), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try r.getRecordCount finally r.close()
+        e.copy(stats = e.stats + (ManifestTable.CountKey ->
+          ColStats(n.toString, n.toString, "C")))
       }
     }, Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** Bloom bit positions of a value (engine side): double hashing

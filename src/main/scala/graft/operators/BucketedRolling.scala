@@ -69,9 +69,13 @@ object BucketedRolling {
     //
     //  - DETERMINISTIC input (the common case — ts3 reads a table
     //    scan): re-execution is consistent by construction, so the
-    //    lineage simply runs per pass. No storage pinned, no
-    //    lineage truncation — an executor loss recomputes as usual,
-    //    and a 100 TB input never lands in executor storage.
+    //    lineage simply runs per pass (2 probe passes + 2 reads in
+    //    the final union job — the honest cost of not pinning; a
+    //    caller whose upstream lineage is expensive can persist it
+    //    BEFORE calling and keep control of the release). No storage
+    //    pinned, no lineage truncation — an executor loss recomputes
+    //    as usual, and a 100 TB input never lands in executor
+    //    storage.
     //
     //  - NONDETERMINISTIC input (rand/sample/limit upstream):
     //    re-execution could shift rows across buckets after the map
@@ -100,17 +104,37 @@ object BucketedRolling {
   }
 
   /** True when re-executing `df`'s lineage is guaranteed to produce
-    * the same rows: no nondeterministic expressions anywhere in the
-    * plan, and no row-set-unstable operators (sample, limit — their
-    * output can vary with partition order across executions).
+    * the same ROWS. Checks, through subquery plans too
+    * (`collectWithSubqueries` — a TABLESAMPLE inside a scalar
+    * subquery is just as unstable as one at the top):
+    *
+    *  - nondeterministic expressions anywhere (rand, uuid,
+    *    monotonically_increasing_id, nondeterministic UDFs);
+    *  - row-set-unstable operators: Sample, LocalLimit/GlobalLimit/
+    *    Offset (which rows pass depends on partition arrival order),
+    *    Deduplicate (WHICH duplicate survives is order-dependent);
+    *  - order-dependent aggregates First/Last (their value varies
+    *    with shuffle fetch order even on deterministic data).
+    *
+    * The list is deliberately CONSERVATIVE-by-enumeration: anything
+    * it matches is pinned; an exotic order-dependent construct it
+    * misses can be handled by the caller pre-materializing (persist/
+    * localCheckpoint) before calling [[trailing]] — the group join's
+    * raise_error guard still catches cross-bucket drift loudly.
     */
   private def isDeterministic(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sample}
-    df.queryExecution.analyzed.collectFirst {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{First, Last}
+    import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, GlobalLimit, LocalLimit, Offset, Sample}
+    df.queryExecution.analyzed.collectWithSubqueries {
       case s: Sample => s
       case l: LocalLimit => l
       case l: GlobalLimit => l
-      case p if p.expressions.exists(e => e.exists(!_.deterministic)) => p
+      case o: Offset => o
+      case d: Deduplicate => d
+      case p if p.expressions.exists(e => e.exists {
+        case _: First | _: Last => true
+        case other => !other.deterministic
+      }) => p
     }.isEmpty
   }
 

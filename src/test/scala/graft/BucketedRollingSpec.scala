@@ -139,6 +139,26 @@ class BucketedRollingSpec extends SparkTestBase {
     assert(r.count() === 500, "nondeterministic input rows were dropped")
   }
 
+  test("row-set-unstable plans (dropDuplicates) also pin the input") {
+    // Deduplicate has only deterministic EXPRESSIONS, but WHICH
+    // duplicate survives depends on shuffle arrival order — the
+    // classifier must treat it as unstable and materialize once
+    // (fail-on-revert: drop the Deduplicate case from isDeterministic
+    // and the lineage runs >= 2x, acc >= 600)
+    val acc = spark.sparkContext.longAccumulator("rolling_dedup_rows")
+    val tick = udf { (i: Long) => acc.add(1L); i }
+    val df = spark.range(300)
+      .select(tick(col("id")).as("tie"), lit("k").as("k"),
+        col("id").as("ord"), (col("id") % 13).cast("double").as("v"))
+      .dropDuplicates("tie")
+    val got = BucketedRolling.trailing(df, Seq("k"), col("ord"), Seq("tie"),
+      "v", 5, max, "got", targetBuckets = 8)
+    assert(got.count() === 300)
+    assert(acc.value === 300L,
+      s"dropDuplicates input evaluated ${acc.value / 300.0}x — " +
+        "row-set-unstable plans must be checkpointed")
+  }
+
   test("driver count-frame cap throws before materializing") {
     // 40 distinct keys with maxDriverRows = 10: the limit probe must
     // reject the misuse loudly instead of collecting the whole
