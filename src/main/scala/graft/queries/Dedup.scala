@@ -194,16 +194,21 @@ object Dedup extends QueryModule {
     * of xxhash64, so the signatures, band keys, candidate set and
     * Jaccard scores all reproduce bit-for-bit in DuckDB: the one
     * approximate-dedup family member whose END-TO-END candidate
-    * generation is oracle-gated, not just spec/rows-gated. k = 8
-    * slots in 4 bands of 2 (md5 costs ~an order more than xxhash64
-    * per hash; the production-rate form stays d3). Scale shape is
-    * d3's: explode + min aggregate for signatures (map-side
-    * combined), an equi-join on (band, key) — never all-pairs — and
-    * the d2-style inverted-index exact verify.
+    * generation is oracle-gated, not just spec/rows-gated. Same
+    * parameters as production d3 (k = 16 slots, 4 bands of 4): the
+    * md5 signature pass costs ~2× the k=8 variant, but 4-row bands
+    * collide at ~j^4 instead of j^2, which keeps the candidate set —
+    * and the exact-verify join behind it — small under heavy
+    * duplication (the k=8 form measured 7× linear on the 10×-clone
+    * sf1 corpus purely from band-collision fan-out; this form's
+    * candidates match d3's). Scale shape is d3's: explode + min
+    * aggregate for signatures (map-side combined), an equi-join on
+    * (band, key) — never all-pairs — and the d2-style inverted-index
+    * exact verify.
     */
   def d3bMinhashExact(spark: SparkSession, dir: String): DataFrame = {
-    val k = 8
-    val rpb = 2
+    val k = 16
+    val rpb = 4
     val bands = k / rpb
     val docs = Q.t(spark, dir, "documents")
     val inv = docs.select(col("doc_id"),
@@ -245,12 +250,13 @@ object Dedup extends QueryModule {
   }
 
   val d3bOracle: String = {
-    val sigCols = (0 until 8)
+    val sigCols = (0 until 16)
       .map(i => s"MAX(CASE WHEN i = $i THEN m END) AS m$i").mkString(", ")
     val bands = (0 until 4).map { b =>
+      val slots = (4 * b until 4 * b + 4)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5(" +
-        s"CAST(m${2 * b} AS VARCHAR) || ',' || CAST(m${2 * b + 1} AS " +
-        "VARCHAR)), 1, 15)) AS BIGINT) AS key FROM sig"
+        s"$slots), 1, 15)) AS BIGINT) AS key FROM sig"
     }.mkString("\nUNION ALL\n")
     s"""WITH sh AS (
        |  SELECT doc_id,
@@ -264,7 +270,7 @@ object Dedup extends QueryModule {
        |  SELECT doc_id, g.i AS i,
        |    MIN(CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || s),
        |      1, 15)) AS BIGINT)) AS m
-       |  FROM inv CROSS JOIN UNNEST(generate_series(0, 7)) AS g(i)
+       |  FROM inv CROSS JOIN UNNEST(generate_series(0, 15)) AS g(i)
        |  GROUP BY doc_id, g.i),
        |sig AS (SELECT doc_id, $sigCols FROM slots GROUP BY doc_id),
        |banded AS ($bands),
