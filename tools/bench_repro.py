@@ -26,7 +26,7 @@ def main(a_path, b_path, out_path, note=""):
         return xs[int(0.9 * (len(xs) - 1))]
     out = {
         "what": ("two back-to-back full-suite runs at sf0.1, 32 cpus, "
-                 "adaptive sampling per query (round 13)"),
+                 "adaptive sampling per query (round 14)"),
         "total_a_sec": round(a["value"], 1),
         "total_b_sec": round(b["value"], 1),
         "total_ratio": round(b["value"] / a["value"], 3),
