@@ -563,7 +563,76 @@ object DataMix extends QueryModule {
       |ORDER BY len_bucket ASC NULLS FIRST, batch_id ASC NULLS FIRST"""
       .stripMargin
 
+  /** MIX11: soft dedup — instead of hard-dropping every non-survivor
+    * of a near-dup cluster (d15), keep each member with probability
+    * 1/|cluster|, so the EXPECTED surviving mass of every distinct
+    * content is exactly one copy while which copy survives stays
+    * unbiased (the rehydration-friendly policy large-corpus curation
+    * uses when near-dups differ in usable ways — formatting, source
+    * mix). Deterministic: the coin is mix1's md5-uniform on doc_id,
+    * so reruns keep the same docs and the whole query — LSH pairs
+    * (d3b's md5-exact form, J ≥ 0.5), connected components, cluster
+    * sizes, weights, coins — reproduces bit-for-bit in the oracle.
+    *
+    * Scale: pairs from the banded LSH equi-join (never all-pairs),
+    * clusters from the bounded-round CC engine, sizes one keyed agg
+    * on cluster_id (high-cardinality), the coin a narrow projection.
+    * Nothing here windows or sorts a low-cardinality key.
+    */
+  def mix11SoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.d3bMinhashExact(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+    val cl = graft.functions.DedupOps
+      .connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val member = Q.t(spark, dir, "documents")
+      .select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = member.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    member.join(sizes, Seq("cluster_id"))
+      .withColumn("weight", lit(1.0) / col("csize"))
+      .withColumn("keep", hashUniform(col("doc_id")) < col("weight"))
+      .select(col("doc_id"), col("cluster_id"), col("csize"),
+        col("weight"), col("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val mix11Oracle: String =
+    s"""WITH RECURSIVE ${Dedup.d3bCtes},
+       |dup_pairs AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cands c
+       |  LEFT JOIN inter t ON c.id_a = t.ia AND c.id_b = t.ib
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b
+       |  WHERE CAST(COALESCE(t.cnt, 0) AS DOUBLE)
+       |      / CAST(sa.n + sb.n - COALESCE(t.cnt, 0) AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM dup_pairs
+       |  UNION SELECT id_b, id_a FROM dup_pairs),
+       |reach(node, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b),
+       |cl AS (
+       |  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+       |  GROUP BY node),
+       |member AS (
+       |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+       |csz AS (
+       |  SELECT cluster_id, COUNT(*) AS csize FROM member
+       |  GROUP BY cluster_id)
+       |SELECT m.doc_id, m.cluster_id, c.csize,
+       |  1.0 / c.csize AS weight,
+       |  ${hashUniformSql("m.doc_id")} < 1.0 / c.csize AS keep
+       |FROM member m JOIN csz c USING (cluster_id)
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix11_softdedup" -> mix11SoftDedup,
     "mix10_length_batching" -> mix10LengthBatching,
     "mix9_epoch_schedule" -> mix9EpochSchedule,
     "mix6_temperature" -> mix6Temperature,
@@ -576,6 +645,7 @@ object DataMix extends QueryModule {
     "mix5_stratified_split" -> mix5StratifiedSplit)
 
   override def oracles: Map[String, String] = Map(
+    "mix11_softdedup" -> mix11Oracle,
     "mix10_length_batching" -> mix10Oracle,
     "mix6_temperature" -> mix6Oracle,
     "mix7_bpe_packing" -> mix7Oracle,

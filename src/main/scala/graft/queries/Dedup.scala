@@ -249,7 +249,12 @@ object Dedup extends QueryModule {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
-  val d3bOracle: String = {
+  /** The d3b pipeline as a reusable CTE body (no WITH keyword): sh,
+    * inv, slots, sig, banded, cands, sizes, inter. mix11's oracle
+    * embeds it so the soft-dedup closure runs over exactly the
+    * oracle-checked LSH candidate set.
+    */
+  private[queries] val d3bCtes: String = {
     val sigCols = (0 until 16)
       .map(i => s"MAX(CASE WHEN i = $i THEN m END) AS m$i").mkString(", ")
     val bands = (0 until 4).map { b =>
@@ -258,7 +263,7 @@ object Dedup extends QueryModule {
       s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5(" +
         s"$slots), 1, 15)) AS BIGINT) AS key FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
        |      list_zip(string_split(text,' ')[1:len(string_split(text,' '))-1],
@@ -284,7 +289,11 @@ object Dedup extends QueryModule {
        |  FROM cands c
        |  JOIN inv x ON x.doc_id = c.id_a
        |  JOIN inv y ON y.doc_id = c.id_b AND y.s = x.s
-       |  GROUP BY c.id_a, c.id_b)
+       |  GROUP BY c.id_a, c.id_b)""".stripMargin
+  }
+
+  val d3bOracle: String =
+    s"""WITH $d3bCtes
        |SELECT c.id_a, c.id_b,
        |  CAST(COALESCE(t.cnt, 0) AS DOUBLE)
        |    / CAST(sa.n + sb.n - COALESCE(t.cnt, 0) AS DOUBLE) AS jaccard
@@ -293,7 +302,6 @@ object Dedup extends QueryModule {
        |JOIN sizes sa ON sa.doc_id = c.id_a
        |JOIN sizes sb ON sb.doc_id = c.id_b
        |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
-  }
 
   /** D4: SimHash fingerprints (Charikar, STOC'02): per-token hash
     * bits vote ±1 per position, the sign vector IS the fingerprint;
