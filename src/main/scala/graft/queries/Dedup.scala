@@ -206,13 +206,22 @@ object Dedup extends QueryModule {
     * (band, key) — never all-pairs — and the d2-style inverted-index
     * exact verify.
     */
-  def d3bMinhashExact(spark: SparkSession, dir: String): DataFrame = {
+  /** Exploded distinct word-bigram shingles: (doc_id, s). */
+  private def shingleInv(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(DedupOps.shingles(col("text"))).as("s"))
+
+  /** md5-exact MinHash band keys from a shingle inverted list —
+    * k = 16 slots, 4 bands of 4 (production d3's parameters; 4-row
+    * bands collide at ~j^4, which is what keeps the candidate set
+    * small under heavy duplication). Every hash is an md5-derived
+    * 60-bit integer so DuckDB reproduces the keys bit-for-bit.
+    * Returns (doc_id, bk = struct(band, key)).
+    */
+  private def md5BandKeys(inv: DataFrame): DataFrame = {
     val k = 16
     val rpb = 4
     val bands = k / rpb
-    val docs = Q.t(spark, dir, "documents")
-    val inv = docs.select(col("doc_id"),
-      explode(DedupOps.shingles(col("text"))).as("s"))
     def mh(i: Int) = expr(
       s"cast(conv(substring(md5(cast(concat('$i:', s) AS binary)), " +
         "1, 15), 16, 10) AS bigint)")
@@ -225,8 +234,13 @@ object Dedup extends QueryModule {
         s"cast(conv(substring(md5(cast(concat_ws(',', $slots) " +
           "AS binary)), 1, 15), 16, 10) AS bigint)").as("key"))
     }
-    val banded = sig.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+  }
+
+  def d3bMinhashExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(spark, dir, "documents")
+    val inv = shingleInv(docs)
+    val banded = md5BandKeys(inv)
     val cands = banded.select(col("doc_id").as("id_a"), col("bk"))
       .join(banded.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
@@ -302,6 +316,158 @@ object Dedup extends QueryModule {
        |JOIN sizes sa ON sa.doc_id = c.id_a
        |JOIN sizes sb ON sb.doc_id = c.id_b
        |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+
+  /** D16: incremental near-dup dedup — the arriving-batch-vs-corpus
+    * LSH pass: for every batch document, does it NEAR-duplicate (J ≥
+    * 0.5) anything already in the corpus, and if so what is its best
+    * match? d12 answers this for EXACT duplicates via a fingerprint
+    * anti-join; a re-crawl that appended a banner or fixed a typo
+    * slips through d12 and is caught here. Corpus = doc_id % 10 ≠ 0;
+    * batch = the rest plus one-word-perturbed re-crawls of every
+    * corpus doc with doc_id % 7 = 1 (the realistic near-dup source).
+    *
+    * Scale shape — why this is not "run d3b over corpus ∪ batch":
+    * the corpus side of the band-key equi-join is exactly the
+    * persisted LSH INDEX a production pipeline maintains — built once,
+    * appended per ingest (band keys are per-doc, so index maintenance
+    * is O(batch)) — and is NEVER re-shuffled against itself: corpus×
+    * corpus pairs are not recomputed, only batch×corpus collisions
+    * surface. The batch side is ingest-sized and broadcasts. The
+    * exact-verify co-count join then touches only candidate corpus
+    * docs, not the corpus. All hashes are the md5-exact kernel, so
+    * candidates, Jaccard scores, and best-match picks reproduce
+    * bit-for-bit in the oracle.
+    */
+  def d16IncrLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Q.t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .unionByName(corpus.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" extraword")).as("text")))
+    val corpusInv = shingleInv(corpus)
+    val batchInv = shingleInv(batch)
+    // the persisted-index leg: per-corpus-doc band keys
+    val corpusBanded = md5BandKeys(corpusInv)
+    val batchBanded = md5BandKeys(batchInv)
+    val cands = batchBanded.select(col("doc_id").as("batch_id"), col("bk"))
+      .join(corpusBanded.select(col("doc_id").as("corpus_id"), col("bk")),
+        Seq("bk"))
+      .select("batch_id", "corpus_id").distinct()
+    val inter = cands
+      .join(batchInv.select(col("doc_id").as("batch_id"), col("s")),
+        Seq("batch_id"))
+      .join(corpusInv.select(col("doc_id").as("corpus_id"), col("s")),
+        Seq("corpus_id", "s"))
+      .groupBy(col("batch_id"), col("corpus_id")).agg(count(lit(1)).as("i"))
+    val bSizes = batchInv.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_b"))
+      .withColumnRenamed("doc_id", "batch_id")
+    val cSizes = corpusInv.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_c"))
+      .withColumnRenamed("doc_id", "corpus_id")
+    val scored = cands.join(inter, Seq("batch_id", "corpus_id"), "left")
+      .join(bSizes, Seq("batch_id")).join(cSizes, Seq("corpus_id"))
+      .withColumn("j",
+        coalesce(col("i"), lit(0L)).cast("double") /
+          (col("n_b") + col("n_c") - coalesce(col("i"), lit(0L)))
+            .cast("double"))
+      .filter(col("j") >= 0.5)
+    val w = Window.partitionBy(col("batch_id"))
+      .orderBy(col("j").desc, col("corpus_id").asc)
+    val best = scored
+      .withColumn("nm", count(lit(1)).over(Window.partitionBy(col("batch_id"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    batch.select(col("doc_id"))
+      .join(best.select(col("batch_id").as("doc_id"), col("nm"),
+        col("corpus_id").as("best_match"), col("j").as("best_jaccard")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        col("best_match"), col("best_jaccard"),
+        col("nm").isNull.as("is_new"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Per-side md5-LSH CTE chain for the d16 oracle: shingles,
+    * inverted list, minhash slots, signature, band keys — identical
+    * math to [[md5BandKeys]], prefixed so two sides coexist.
+    */
+  private def md5LshCtesSql(src: String, p: String): String = {
+    val sigCols = (0 until 16)
+      .map(i => s"MAX(CASE WHEN i = $i THEN m END) AS m$i").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val slots = (4 * b until 4 * b + 4)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5(" +
+        s"$slots), 1, 15)) AS BIGINT) AS key FROM ${p}sig"
+    }.mkString("\nUNION ALL\n")
+    s"""${p}sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_zip(string_split(text,' ')[1:len(string_split(text,' '))-1],
+       |               string_split(text,' ')[2:len(string_split(text,' '))]),
+       |      p -> p[1] || ' ' || p[2])) AS s
+       |  FROM $src),
+       |${p}inv AS (SELECT doc_id, unnest(s) AS s FROM ${p}sh),
+       |${p}slots AS (
+       |  SELECT doc_id, g.i AS i,
+       |    MIN(CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || s),
+       |      1, 15)) AS BIGINT)) AS m
+       |  FROM ${p}inv CROSS JOIN UNNEST(generate_series(0, 15)) AS g(i)
+       |  GROUP BY doc_id, g.i),
+       |${p}sig AS (SELECT doc_id, $sigCols FROM ${p}slots GROUP BY doc_id),
+       |${p}banded AS ($bands)""".stripMargin
+  }
+
+  val d16Oracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text || ' extraword' FROM documents
+       |  WHERE doc_id % 10 <> 0 AND doc_id % 7 = 1),
+       |${md5LshCtesSql("corpus", "c_")},
+       |${md5LshCtesSql("batch", "b_")},
+       |cands AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM b_banded b JOIN c_banded c
+       |    ON b.band = c.band AND b.key = c.key),
+       |bsz AS (SELECT doc_id, COUNT(*) AS n FROM b_inv GROUP BY doc_id),
+       |csz AS (SELECT doc_id, COUNT(*) AS n FROM c_inv GROUP BY doc_id),
+       |inter AS (
+       |  SELECT cd.batch_id, cd.corpus_id, COUNT(*) AS cnt
+       |  FROM cands cd
+       |  JOIN b_inv x ON x.doc_id = cd.batch_id
+       |  JOIN c_inv y ON y.doc_id = cd.corpus_id AND y.s = x.s
+       |  GROUP BY cd.batch_id, cd.corpus_id),
+       |scored AS (
+       |  SELECT cd.batch_id, cd.corpus_id,
+       |    CAST(COALESCE(t.cnt, 0) AS DOUBLE)
+       |      / CAST(sb.n + sc.n - COALESCE(t.cnt, 0) AS DOUBLE) AS j
+       |  FROM cands cd
+       |  LEFT JOIN inter t
+       |    ON cd.batch_id = t.batch_id AND cd.corpus_id = t.corpus_id
+       |  JOIN bsz sb ON sb.doc_id = cd.batch_id
+       |  JOIN csz sc ON sc.doc_id = cd.corpus_id
+       |  WHERE CAST(COALESCE(t.cnt, 0) AS DOUBLE)
+       |      / CAST(sb.n + sc.n - COALESCE(t.cnt, 0) AS DOUBLE) >= 0.5),
+       |best AS (
+       |  SELECT batch_id, corpus_id, j,
+       |    COUNT(*) OVER (PARTITION BY batch_id) AS nm,
+       |    ROW_NUMBER() OVER (PARTITION BY batch_id
+       |      ORDER BY j DESC, corpus_id ASC) AS rk
+       |  FROM scored)
+       |SELECT b.doc_id,
+       |  CAST(COALESCE(bb.nm, 0) AS BIGINT) AS n_matches,
+       |  bb.corpus_id AS best_match, bb.j AS best_jaccard,
+       |  bb.batch_id IS NULL AS is_new
+       |FROM batch b
+       |LEFT JOIN (SELECT * FROM best WHERE rk = 1) bb
+       |  ON b.doc_id = bb.batch_id
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   /** D4: SimHash fingerprints (Charikar, STOC'02): per-token hash
     * bits vote ±1 per position, the sign vector IS the fingerprint;
@@ -929,6 +1095,7 @@ object Dedup extends QueryModule {
     "d2_jaccard_pairs" -> d2JaccardPairs,
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d3b_minhash_exact" -> d3bMinhashExact,
+    "d16_incr_lsh" -> d16IncrLsh,
     "d4_simhash" -> d4Simhash,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "d6_dup_clusters" -> d6DupClusters,
@@ -943,6 +1110,7 @@ object Dedup extends QueryModule {
     "d1_exact_dedup" -> d1Oracle,
     "d2_jaccard_pairs" -> d2Oracle,
     "d3b_minhash_exact" -> d3bOracle,
+    "d16_incr_lsh" -> d16Oracle,
     "d4_simhash" -> d4Oracle,
     "d5_embedding_neardup" -> d5Oracle,
     "d6_dup_clusters" -> d6Oracle,
