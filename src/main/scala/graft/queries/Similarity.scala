@@ -396,8 +396,11 @@ object Similarity extends QueryModule {
     * (8 tables × 4 sign bits, hyperplanes derived deterministically
     * from xxhash64, data-independent). A vector lands in one bucket
     * per table; probes compare only against same-(table,bucket)
-    * vectors, candidates deduped across tables. Engine-specific
-    * hashing → rows-only check; recall asserted in LlmOpsSpec.
+    * vectors, candidates deduped across tables. ORACLE-EXACT (round
+    * 14): the planes are data-independent driver-side constants, so
+    * the oracle embeds them as round-trip double literals and
+    * re-derives signatures → buckets → candidates → re-rank
+    * independently; recall additionally asserted in LlmOpsSpec.
     */
   def s2LshAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Q.t(spark, dir, "embeddings")
@@ -507,8 +510,12 @@ object Similarity extends QueryModule {
     * (scale, ARRAY<TINYINT>) = 8× smaller than double vectors (the
     * memory/IO knob a 100 TB vector store turns first); probes stay
     * full-precision, corpus vectors are dequantized on the fly inside
-    * the scan (codegen HOFs, no shuffle of the wide column). Rounding
-    * noise → rows-only check; recall vs exact asserted in LlmOpsSpec.
+    * the scan (codegen HOFs, no shuffle of the wide column).
+    * ORACLE-EXACT (round 14): every step is order-independent or a
+    * sequential left-fold in doubles — max-abs scale, half-away
+    * rounding to int8, dequantize multiply, the d5-proven fold
+    * cosine — so DuckDB reproduces scores and ranks bit-for-bit;
+    * recall vs exact additionally asserted in LlmOpsSpec.
     */
   def s5QuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Q.t(spark, dir, "embeddings")
@@ -1131,10 +1138,87 @@ object Similarity extends QueryModule {
     idx.query(probes, topK = 3, ef = 64)
   }
 
+  private def s5DotSql(x: String, y: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($x, $y), " +
+      "p -> p[1] * p[2])), (a, b) -> a + b)"
+
+  val s5Oracle: String = {
+    val cos = s"round(${s5DotSql("q.q_v", "d.dv")} / " +
+      s"(sqrt(${s5DotSql("q.q_v", "q.q_v")}) * " +
+      s"sqrt(${s5DotSql("d.dv", "d.dv")})), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+       |c AS (SELECT vec_id,
+       |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v
+       |  FROM e),
+       |d AS (SELECT vec_id,
+       |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+       |       ELSE list_transform(v, x -> round(x / scale) * scale) END
+       |    AS dv
+       |  FROM c),
+       |scored AS (
+       |  SELECT q.q_id, d.vec_id, $cos AS sim
+       |  FROM d CROSS JOIN q WHERE d.vec_id <> q.q_id),
+       |rk AS (
+       |  SELECT q_id, vec_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id ASC) AS INT) AS rn
+       |  FROM scored)
+       |SELECT q_id, rn, vec_id AS neighbor, sim FROM rk WHERE rn <= 3
+       |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+  }
+
+  /** s2's oracle: the 32 hyperplanes are data-independent constants
+    * (driver-side [[LshPlanes.planeComponentValue]]), so they embed as
+    * double literals (shortest round-trip form — parses back to the
+    * identical bits) and DuckDB re-derives signatures, buckets,
+    * candidates and the re-rank independently: the same left-fold dot
+    * the plan uses, so every sign bit matches exactly.
+    */
+  val s2Oracle: String = {
+    def lits(i: Int): String = (0 until LshPlanes.dims)
+      .map(j => java.lang.Double.toString(LshPlanes.planeComponentValue(i, j)))
+      .mkString("[", ", ", "]")
+    def dotP(p: Int): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip(v, ${lits(p)}), " +
+        "q -> q[1] * q[2])), (a, b) -> a + b)"
+    val tables = (0 until LshPlanes.nTables).map { t =>
+      val bucket = (0 until LshPlanes.planesPerTable).map { p =>
+        s"(CASE WHEN ${dotP(t * LshPlanes.planesPerTable + p)} > 0 " +
+          s"THEN 1 ELSE 0 END) * ${1 << p}"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    val cos = s"round(${s5DotSql("q.v", "x.v")} / " +
+      s"(sqrt(${s5DotSql("q.v", "q.v")}) * sqrt(${s5DotSql("x.v", "x.v")})), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bucketed AS ($tables),
+       |pb AS (SELECT vec_id AS q_id, tbl, bucket FROM bucketed
+       |       WHERE vec_id < 10),
+       |cands AS (
+       |  SELECT DISTINCT p.q_id, b.vec_id
+       |  FROM bucketed b JOIN pb p ON b.tbl = p.tbl AND b.bucket = p.bucket
+       |  WHERE b.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id, $cos AS sim
+       |  FROM cands c
+       |  JOIN e x ON x.vec_id = c.vec_id
+       |  JOIN e q ON q.vec_id = c.q_id),
+       |rk AS (
+       |  SELECT q_id, vec_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id ASC) AS INT) AS rn
+       |  FROM scored)
+       |SELECT q_id, rn, vec_id AS neighbor, sim FROM rk WHERE rn <= 3
+       |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Oracle,
     "s10_hybrid_rrf" -> s10Oracle,
     "s11_knn_graph" -> s11Oracle,
+    "s2_lsh_ann" -> s2Oracle,
+    "s5_quantized_topk" -> s5Oracle,
     "s6_matryoshka_topk" -> s6Oracle)
 }
 
