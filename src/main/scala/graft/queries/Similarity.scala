@@ -435,14 +435,21 @@ object Similarity extends QueryModule {
     * quantizer: K seed vectors (every stride-th vec_id) act as list
     * centroids; every vector joins its nearest seed's list (one
     * broadcast pass, N×K fused-cosine evals — linear build cost);
-    * probes search only their `nprobe` nearest lists. Rows-only check;
-    * recall vs brute force asserted in LlmOpsSpec.
+    * probes search only their `nprobe` nearest lists. ORACLE-EXACT
+    * (round 14): the seed pick, fold-cosine assignment argmax, and
+    * rounded re-rank are all deterministic double math, so DuckDB
+    * re-derives lists, probes and the final ranking independently;
+    * recall vs brute force additionally asserted in LlmOpsSpec.
     */
   def s4IvfAnn(spark: SparkSession, dir: String,
       k: Int = 16, nprobe: Int = 4): DataFrame = {
     val emb = Q.t(spark, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-    val seeds = emb.filter(col("vec_id") % 31 === 0).limit(k)
+    // orderBy before limit: a bare LIMIT over a distributed scan picks
+    // whichever k rows arrive first — nondeterministic the moment the
+    // corpus spans more than one input split
+    val seeds = emb.filter(col("vec_id") % 31 === 0)
+      .orderBy(col("vec_id").asc).limit(k)
       .select(col("vec_id").as("list_id"), col("v").as("seed_v"))
 
     def nearestLists(vecs: DataFrame, n: Int, idCol: String): DataFrame = {
@@ -1213,11 +1220,45 @@ object Similarity extends QueryModule {
        |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
   }
 
+  val s4Oracle: String = {
+    def cosOf(a: String, b: String): String =
+      s"${s5DotSql(a, b)} / (sqrt(${s5DotSql(a, a)}) * sqrt(${s5DotSql(b, b)}))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS list_id, v AS seed_v FROM e
+       |  WHERE vec_id % 31 = 0 ORDER BY vec_id ASC LIMIT 16),
+       |seed_scored AS (
+       |  SELECT e.vec_id, e.v, s.list_id,
+       |    ${cosOf("e.v", "s.seed_v")} AS seed_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosOf("e.v", "s.seed_v")} DESC, s.list_id ASC)
+       |      AS seed_rn
+       |  FROM e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, v, list_id FROM seed_scored WHERE seed_rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, v AS q_v, list_id
+       |  FROM seed_scored WHERE vec_id < 10 AND seed_rn <= 4),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    round(${cosOf("p.q_v", "a.v")}, 6) AS sim
+       |  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.q_id),
+       |rk AS (
+       |  SELECT q_id, vec_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id ASC) AS INT) AS rn
+       |  FROM scored)
+       |SELECT q_id, rn, vec_id AS neighbor, sim FROM rk WHERE rn <= 3
+       |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Oracle,
     "s10_hybrid_rrf" -> s10Oracle,
     "s11_knn_graph" -> s11Oracle,
     "s2_lsh_ann" -> s2Oracle,
+    "s4_ivf_ann" -> s4Oracle,
     "s5_quantized_topk" -> s5Oracle,
     "s6_matryoshka_topk" -> s6Oracle)
 }
