@@ -425,6 +425,58 @@ class ManifestTable(spark: SparkSession, root: String,
     } catch { case _: NumberFormatException => None }
   }
 
+  /** Exact metadata-only MIN/MAX of a zone-mapped column: the global
+    * extremum is the extremum of the per-file zone-map bounds, read
+    * from the manifest alone — zero data IO, the stats-read shortcut
+    * Delta/Iceberg serve MIN/MAX from. Some((min, max, kind)) ONLY
+    * when exactly answerable; None (caller scans normally) whenever
+    * any of these holds:
+    *  - the column has no zone map, or any live file lacks its stat
+    *    (an unstatted file is indistinguishable from an all-null one);
+    *  - any live file carries deletion vectors (a DV'd row could BE
+    *    the extremum);
+    *  - numeric stats that do not parse as finite decimals (NaN/
+    *    Infinity floats — their ordering is not the stats ordering);
+    *  - the snapshot has no files (SQL MIN of an empty table is NULL,
+    *    which a plain empty scan already answers).
+    * Values are the recorded stat strings in the column's stat domain
+    * (`kind` as in the zone maps: "N" numeric, "S" lexicographic);
+    * min/max over files folds with the same comparator pruning uses.
+    */
+  def metadataMinMax(c: String,
+      version: Option[Int] = None): Option[(String, String, String)] = {
+    val pc = toPhysical(c) // stats keys are recorded physical
+    if (!allStatsCols.contains(pc)) return None
+    val v = version.orElse(latestVersion)
+    if (v.isEmpty) return None
+    val entries = entriesOf(v.get)
+    if (entries.isEmpty) return None
+    if (entries.exists(_.stats.contains(DvKey))) return None
+    val stats = entries.map(_.stats.get(pc))
+    if (stats.exists(_.isEmpty)) return None
+    val ss = stats.map(_.get)
+    val kinds = ss.map(_.kind).distinct
+    if (kinds.sizeIs != 1 || (kinds.head != "N" && kinds.head != "S"))
+      return None
+    val kind = kinds.head
+    def numeric(s: String): Boolean =
+      try { new java.math.BigDecimal(s); true }
+      catch { case _: NumberFormatException => false }
+    if (kind == "N" && ss.exists(s => !numeric(s.mn) || !numeric(s.mx)))
+      return None
+    // the cross-file fold below compares with String.compareTo (UTF-16
+    // code units) while the per-file stats were ordered by Spark in
+    // UTF-8 bytes; the two orders agree only on ASCII — refuse the
+    // moment any bound leaves that common domain (dates' ISO strings
+    // always pass)
+    def ascii(s: String): Boolean = s.forall(_ < 0x80)
+    if (kind == "S" && ss.exists(s => !ascii(s.mn) || !ascii(s.mx)))
+      return None
+    val mn = ss.map(_.mn).reduce((a, b) => if (statCmp(a, b, kind) <= 0) a else b)
+    val mx = ss.map(_.mx).reduce((a, b) => if (statCmp(a, b, kind) >= 0) a else b)
+    Some((mn, mx, kind))
+  }
+
   /** The newest version committed at or before `tsMillis` — the
     * snapshot a `timestampAsOf` pin resolves to ([[readAsOf]] raises
     * when this is None).

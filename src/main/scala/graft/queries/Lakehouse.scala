@@ -205,6 +205,61 @@ object Lakehouse extends QueryModule {
         |    AS n_v0""".stripMargin)
   }
 
+  /** L32: metadata-only MIN/MAX — the zone-map companion to l31's
+    * metadata COUNT(*): global extrema of long, double and ASCII
+    * string columns (and a VERSION AS OF pin) answered from the
+    * manifest's per-file stats, zero data IO
+    * ([[graft.lake.ManifestTable.metadataMinMax]]; plan shape and
+    * every refusal path — filters, DVs, non-ASCII, legacy stats —
+    * asserted in GraftCatalogSpec).
+    */
+  def l32MetaMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l32_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+    spark.conf.set("spark.sql.catalog.graft_cat32", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat32.root", scratch)
+
+    val orders = Q.t(spark, dir, "orders")
+    val mt = new ManifestTable(spark, s"$scratch/gold/orders",
+      statsCols = Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
+    mt.write(orders, "overwrite") // v0
+    mt.write(orders.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L), "append") // v1
+
+    spark.sql(
+      """SELECT
+        |  (SELECT MIN(o_orderkey) FROM graft_cat32.gold.orders) AS min_key,
+        |  (SELECT MAX(o_orderkey) FROM graft_cat32.gold.orders) AS max_key,
+        |  (SELECT MIN(o_totalprice) FROM graft_cat32.gold.orders)
+        |    AS min_price,
+        |  (SELECT MAX(o_totalprice) FROM graft_cat32.gold.orders)
+        |    AS max_price,
+        |  (SELECT MIN(o_orderpriority) FROM graft_cat32.gold.orders)
+        |    AS min_prio,
+        |  (SELECT MAX(o_orderpriority) FROM graft_cat32.gold.orders)
+        |    AS max_prio,
+        |  (SELECT MAX(o_orderkey) FROM graft_cat32.gold.orders
+        |     VERSION AS OF 0) AS max_key_v0""".stripMargin)
+  }
+
+  val l32Oracle: String =
+    """WITH appended AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 101 = 0)
+      |SELECT
+      |  (SELECT MIN(o_orderkey) FROM appended) AS min_key,
+      |  (SELECT MAX(o_orderkey) FROM appended) AS max_key,
+      |  (SELECT MIN(o_totalprice) FROM appended) AS min_price,
+      |  (SELECT MAX(o_totalprice) FROM appended) AS max_price,
+      |  (SELECT MIN(o_orderpriority) FROM appended) AS min_prio,
+      |  (SELECT MAX(o_orderpriority) FROM appended) AS max_prio,
+      |  (SELECT MAX(o_orderkey) FROM orders) AS max_key_v0
+      |ORDER BY min_key ASC NULLS FIRST""".stripMargin
+
   val l31Oracle: String =
     """WITH appended AS (
       |  SELECT o_orderkey FROM orders
@@ -648,6 +703,7 @@ object Lakehouse extends QueryModule {
     "l15_dv_roundtrip" -> l15DvRoundtrip,
     "l28_catalog_select" -> l28CatalogSelect,
     "l31_meta_count" -> l31MetaCount,
+    "l32_meta_minmax" -> l32MetaMinMax,
     "l22b_bucketed_join" -> l22bBucketedJoin,
     "l29_sql_update" -> l29SqlUpdate,
     "l30_sql_merge" -> l30SqlMerge,
@@ -663,6 +719,7 @@ object Lakehouse extends QueryModule {
     "l3_time_travel" -> l3Oracle,
     "l28_catalog_select" -> l28Oracle,
     "l31_meta_count" -> l31Oracle,
+    "l32_meta_minmax" -> l32Oracle,
     "l22b_bucketed_join" -> l22bOracle,
     "l29_sql_update" -> l29Oracle,
     "l30_sql_merge" -> l30Oracle,

@@ -4,11 +4,12 @@ import java.util
 
 import graft.lake.ManifestTable
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
@@ -515,9 +516,16 @@ private[sql] class GraftSqlTable(ident: Identifier,
   private[sql] def metaCount: Option[Long] =
     snapshotVersion.flatMap(v => mtable.metadataRowCount(Some(v)))
 
+  /** Manifest zone-map MIN/MAX for this handle's pinned snapshot —
+    * logical-to-physical column mapping and every exactness guard live
+    * in [[graft.lake.ManifestTable.metadataMinMax]].
+    */
+  private[sql] def metaMinMax(c: String): Option[(String, String, String)] =
+    snapshotVersion.flatMap(v => mtable.metadataMinMax(c, Some(v)))
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(df, () => metaCount)
+    new GraftScanBuilder(df, () => metaCount, metaMinMax)
 }
 
 /** DSv2 pruning/pushdown applied onto the inner DataFrame, compiled
@@ -526,48 +534,123 @@ private[sql] class GraftSqlTable(ident: Identifier,
   * parquet scans exactly as a path-based read would.
   */
 private[sql] class GraftScanBuilder(df: DataFrame,
-    metaCount: () => Option[Long] = () => None) extends ScanBuilder
+    metaCount: () => Option[Long] = () => None,
+    metaMinMax: String => Option[(String, String, String)] = _ => None)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.types._
 
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = df.schema
   private val topLevel: Set[String] = df.schema.fieldNames.toSet
-  private var pushedCount: Option[(Int, Long)] = None
+  private var pushedAgg: Option[(StructType, Row)] = None
 
   // resolved once per scan build: Spark probes supportCompletePushDown
   // and pushAggregation separately, and each metaCount() re-reads the
   // manifest log — cache so planning pays one resolution (it also
   // guarantees both probes see the same answer)
   private lazy val cachedMetaCount: Option[Long] = metaCount()
+  private val cachedMinMax =
+    scala.collection.mutable.Map.empty[String, Option[(String, String, String)]]
+  private def minMaxOf(c: String): Option[(String, String, String)] =
+    cachedMinMax.getOrElseUpdate(c, metaMinMax(c))
 
-  /** COUNT(*) answered from manifest metadata — no data scan at all
-    * (`SELECT count(*) FROM cat.ns.t` on a 100 TB table reads the
-    * manifest, not the table). Pushed only when it is EXACTLY
-    * answerable: a global (no GROUP BY) aggregate of CountStar terms,
-    * no accepted pushed filters (a filter changes the count), and
-    * every live file carrying the write-time `#n` row-count stat
-    * (DV-deleted rows subtract via the recorded mark counts).
+  /** COUNT(*)/MIN/MAX answered from manifest metadata — no data scan
+    * at all (`SELECT count(*), min(k), max(k) FROM cat.ns.t` on a
+    * 100 TB table reads the manifest, not the table: counts from the
+    * write-time `#n` row stats, extrema from the zone maps). Pushed
+    * only when EXACTLY answerable: a global (no GROUP BY) aggregate,
+    * no accepted pushed filters, every term a CountStar (complete
+    * `#n` coverage, DV marks subtracted) or a MIN/MAX over a column
+    * whose zone maps cover every live file with no DVs present and
+    * whose stat string parses back to the column's type losslessly.
     * Anything else refuses and Spark plans the ordinary scan-side
     * aggregate — never a wrong fast path.
     */
-  private def countStarOnly(agg: Aggregation): Boolean =
-    accepted.isEmpty && agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().nonEmpty &&
-      agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
-
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    countStarOnly(agg) && cachedMetaCount.isDefined
-
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    if (!countStarOnly(agg)) return false
-    cachedMetaCount match {
-      case Some(n) =>
-        pushedCount = Some((agg.aggregateExpressions().length, n))
-        true
-      case None => false
+  private def exactAgg(agg: Aggregation): Option[(StructType, Row)] = {
+    if (accepted.nonEmpty || !agg.groupByExpressions().isEmpty ||
+      agg.aggregateExpressions().isEmpty) return None
+    val terms = agg.aggregateExpressions().toSeq.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        cachedMetaCount.map(n =>
+          (StructField(if (i == 0) "count(*)" else s"count(*)_$i",
+            LongType, nullable = false), n: Any))
+      case (m: Min, i) =>
+        minMaxTerm(m.column, isMin = true, i)
+      case (m: Max, i) =>
+        minMaxTerm(m.column, isMin = false, i)
+      case _ => None
+    }
+    if (terms.exists(_.isEmpty)) None
+    else {
+      val fields = terms.map(_.get._1)
+      Some((StructType(fields), Row.fromSeq(terms.map(_.get._2))))
     }
   }
+
+  /** One MIN/MAX term when exactly answerable: a plain top-level
+    * column reference whose manifest extremum parses back to the
+    * column's Spark type bit-losslessly ([[parseStat]]); None refuses
+    * the whole pushdown.
+    */
+  private def minMaxTerm(ref: org.apache.spark.sql.connector.expressions.Expression,
+      isMin: Boolean, i: Int): Option[(StructField, Any)] = {
+    val name = ref match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    for {
+      c <- name
+      field <- df.schema.fields.find(_.name == c)
+      (mn, mx, kind) <- minMaxOf(c)
+      value <- parseStat(if (isMin) mn else mx, field.dataType, kind)
+    } yield {
+      val base = s"${if (isMin) "min" else "max"}($c)"
+      (StructField(if (i == 0) base else s"${base}_$i",
+        field.dataType, nullable = false), value)
+    }
+  }
+
+  /** Stat string → typed value, ONLY where the round trip is exact:
+    * integral/float/decimal types from numeric-kind stats (Spark's
+    * cast-to-string is the shortest round-trip form), dates from
+    * their ISO strings, ASCII-only strings (the manifest's
+    * lexicographic fold is byte order; non-ASCII UTF-16 vs UTF-8
+    * order diverges, so refuse). Everything else — timestamps
+    * (session-zone rendering), booleans from legacy stats, nested
+    * types — refuses.
+    */
+  private def parseStat(s: String, dt: DataType, kind: String): Option[Any] =
+    try dt match {
+      case ByteType if kind == "N" => Some(s.toByte)
+      case ShortType if kind == "N" => Some(s.toShort)
+      case IntegerType if kind == "N" => Some(s.toInt)
+      case LongType if kind == "N" => Some(s.toLong)
+      case FloatType if kind == "N" => Some(s.toFloat)
+      case DoubleType if kind == "N" => Some(s.toDouble)
+      case d: DecimalType if kind == "N" =>
+        Some(new java.math.BigDecimal(s).setScale(d.scale))
+      case DateType if kind == "S" => Some(java.sql.Date.valueOf(s))
+      case StringType if kind == "S" && s.forall(_ < 0x80) => Some(s)
+      case _ => None
+    } catch {
+      // NumberFormatException/Date parse (IllegalArgument) and a
+      // decimal setScale that would need rounding (Arithmetic) both
+      // mean "not losslessly representable" — refuse, never coerce
+      case _: IllegalArgumentException | _: ArithmeticException => None
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    exactAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    exactAgg(agg) match {
+      case some @ Some(_) => pushedAgg = some; true
+      case None => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) =
@@ -581,16 +664,11 @@ private[sql] class GraftScanBuilder(df: DataFrame,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = pushedCount match {
-    case Some((width, n)) =>
-      // one literal row straight from the manifest count; Spark
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) =>
+      // one literal row straight from the manifest stats; Spark
       // projects it as the final result (complete pushdown)
       val spark = df.sparkSession
-      val schema = StructType((0 until width).map(i =>
-        org.apache.spark.sql.types.StructField(
-          s"count(*)${if (i == 0) "" else s"_$i"}",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-      val row = org.apache.spark.sql.Row.fromSeq(Seq.fill(width)(n))
       val prepared = spark.createDataFrame(
         java.util.Collections.singletonList(row), schema)
       new GraftV1Scan(prepared, schema)

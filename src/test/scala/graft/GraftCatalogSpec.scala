@@ -387,6 +387,54 @@ class GraftCatalogSpec extends SparkTestBase {
       "legacy snapshot without #n must fall back to scanning")
   }
 
+  test("MIN/MAX answer from zone maps; anything inexact falls back") {
+    setup
+    val t = new ManifestTable(spark, s"$lakeRoot/silver/mm",
+      statsCols = Seq("id", "price", "tag"))
+    t.write(Seq((5L, 2.5, "b"), (1L, 9.75, "a"), (3L, 0.5, "c"))
+      .toDF("id", "price", "tag"), "overwrite") // v0
+    t.write(Seq((9L, -1.25, "d")).toDF("id", "price", "tag"), "append") // v1
+    // long + double + ASCII string extrema and count, one statement,
+    // answered entirely from the manifest: complete pushdown, no
+    // aggregate operator, no data scan
+    val q = spark.sql(
+      "SELECT min(id), max(id), min(price), max(price), min(tag), " +
+        "max(tag), count(*) FROM gcat_spec.silver.mm")
+    assert(q.collect().toSeq.map(_.toSeq) ===
+      Seq(Seq(1L, 9L, -1.25, 9.75, "a", "d", 4L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    // version pin answers from the pinned snapshot's manifest
+    assert(spark.sql(
+      "SELECT max(id), min(price) FROM gcat_spec.silver.mm VERSION AS OF 0")
+      .collect().toSeq.map(_.toSeq) === Seq(Seq(5L, 0.5)))
+    // a filter makes the extremum non-metadata — falls back, stays right
+    val filtered = spark.sql(
+      "SELECT max(id) FROM gcat_spec.silver.mm WHERE price > 0")
+    assert(filtered.as[Long].head() === 5L)
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("HashAggregate"), "filtered extremum must scan")
+    // a DV'd row could BE the extremum: after DELETE the pushdown
+    // refuses (count alone would still push; the min term vetoes all)
+    t.delete(col("id") === 9L)
+    val afterDv = spark.sql(
+      "SELECT min(id), max(id), count(*) FROM gcat_spec.silver.mm")
+    assert(afterDv.collect().toSeq.map(_.toSeq) === Seq(Seq(1L, 5L, 3L)))
+    assert(afterDv.queryExecution.executedPlan.toString
+      .contains("HashAggregate"), "DV snapshot must scan for extrema")
+    // non-ASCII string stats refuse (UTF-16 vs UTF-8 order diverges)
+    val u = new ManifestTable(spark, s"$lakeRoot/silver/mm_uni",
+      statsCols = Seq("s"))
+    u.write(Seq(("café"), ("zz")).toDF("s"), "overwrite")
+    val uq = spark.sql("SELECT max(s) FROM gcat_spec.silver.mm_uni")
+    assert(uq.as[String].head() === "zz")
+    // string aggregates plan as SortAggregate — assert the real
+    // aggregation ran, i.e. no complete pushdown happened
+    assert(uq.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "non-ASCII string stats must scan")
+  }
+
   test("dropNamespace refuses a table path even when called directly") {
     setup
     val t = mt(s"$lakeRoot/silver/guard_me")
