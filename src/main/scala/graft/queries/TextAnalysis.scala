@@ -616,6 +616,43 @@ object TextAnalysis extends QueryModule {
     graft.operators.BpeTrainer.trainDf(
       spark, Q.t(spark, dir, "documents"), numMerges = 16)
 
+  /** TX-UNI1: unigram-LM tokenizer TRAINING
+    * ([[graft.operators.UnigramTrainer]], the SentencePiece unigram
+    * model) — seed substring vocabulary pruned through deterministic
+    * hard-EM Viterbi rounds; integer expected counts make the result
+    * bit-reproducible at any parallelism. Iterative → spec-gated
+    * (UnigramSpec: serial-reference EQUALITY, determinism, coverage,
+    * planted-motif learning, round-trip), rows-only here. Top 60
+    * pieces by (count desc, piece asc).
+    */
+  def txUnigramTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramTrainer.trainDf(
+      spark, Q.t(spark, dir, "documents"), targetVocab = 400, topN = 60,
+      emRounds = 2, seedSize = 4000)
+
+  /** TX-UNI2: unigram tokenizer pipeline — train a vocabulary, encode
+    * the corpus with it, report per-language compression (chars vs
+    * unigram pieces); the unigram counterpart of tx_bpe_pipeline.
+    * Spec-gated (train-dependent), rows-only.
+    */
+  def txUnigramPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramTrainer
+    val docs = Q.t(spark, dir, "documents")
+    val vocab = UnigramTrainer.train(docs, targetVocab = 400,
+      emRounds = 2, seedSize = 4000)
+    val counts = UnigramTrainer.encodeCounts(docs, vocab)
+    docs.select(col("doc_id"), col("lang"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"))
+      .join(counts, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_pieces")).as("total_pieces"))
+      .withColumn("compression",
+        col("total_chars").cast("double") / col("total_pieces"))
+      .orderBy(col("lang").asc)
+  }
+
   /** TX-BPE3: end-to-end tokenizer pipeline — train 12 merges, encode
     * the corpus with them, report per-language compression (chars vs
     * BPE tokens). Spec-gated like TX-BPE1 (train-dependent).
@@ -688,6 +725,8 @@ object TextAnalysis extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_chunk" -> txChunk,
     "tx_bpe_train" -> txBpeTrain,
+    "tx_unigram_train" -> txUnigramTrain,
+    "tx_unigram_pipeline" -> txUnigramPipeline,
     "tx_bpe_encode" -> txBpeEncode,
     "tx_bpe_pipeline" -> txBpePipeline,
     "tx_normalize" -> txNormalize,
