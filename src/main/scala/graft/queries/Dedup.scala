@@ -241,6 +241,12 @@ object Dedup extends QueryModule {
     val docs = Q.t(spark, dir, "documents")
     val inv = shingleInv(docs)
     val banded = md5BandKeys(inv)
+    // the candidate pair list is referenced twice below (co-count join
+    // + final assembly), but BOTH references prune to the same
+    // projection, so Catalyst's exchange reuse already materializes
+    // the signature pipeline once — a localCheckpoint here adds a
+    // materialization for a dedup the engine already performs
+    // (measured: no win, within co-run variance)
     val cands = banded.select(col("doc_id").as("id_a"), col("bk"))
       .join(banded.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
@@ -346,14 +352,21 @@ object Dedup extends QueryModule {
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat(col("text"), lit(" extraword")).as("text")))
     val corpusInv = shingleInv(corpus)
-    val batchInv = shingleInv(batch)
+    // the batch side is ingest-sized and referenced three times (band
+    // keys, co-count, sizes) — materialize once; the corpus side
+    // stays streamed (at 100 TB it cannot be pinned, and each of its
+    // references is one scan of the persisted index/corpus)
+    val batchInv = shingleInv(batch).localCheckpoint(true)
     // the persisted-index leg: per-corpus-doc band keys
     val corpusBanded = md5BandKeys(corpusInv)
     val batchBanded = md5BandKeys(batchInv)
+    // referenced twice below (co-count + scoring): checkpoint so the
+    // band-key join runs once — bounded (batch×corpus collisions)
     val cands = batchBanded.select(col("doc_id").as("batch_id"), col("bk"))
       .join(corpusBanded.select(col("doc_id").as("corpus_id"), col("bk")),
         Seq("bk"))
       .select("batch_id", "corpus_id").distinct()
+      .localCheckpoint(true)
     val inter = cands
       .join(batchInv.select(col("doc_id").as("batch_id"), col("s")),
         Seq("batch_id"))
