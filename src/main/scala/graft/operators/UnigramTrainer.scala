@@ -277,6 +277,21 @@ object UnigramTrainer {
     }.sortBy(e => (-e.count, e.piece)).toSeq
   }
 
+  /** A vocabulary from fixed (piece, count) pairs — the serving-side
+    * entry point when the vocabulary is an artifact rather than
+    * trained in-query. Same probability math as training's M-step.
+    */
+  def fixedVocab(counts: Seq[(String, Long)]): Seq[VocabEntry] = {
+    val logTotal = math.log(totalMass(counts.map(_._2)))
+    counts.map { case (p, c) =>
+      VocabEntry(p, c, math.log(eff(c)) - logTotal)
+    }
+  }
+
+  /** The unknown-single-char floor log-prob for a fixed vocabulary. */
+  def floorLogProbFor(counts: Seq[(String, Long)]): Double =
+    math.log(0.5) - math.log(totalMass(counts.map(_._2)))
+
   /** Query-shaped train: top `topN` vocabulary entries as a DataFrame
     * (piece, count, log_prob rounded to 6).
     */

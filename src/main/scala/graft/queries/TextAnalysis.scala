@@ -653,6 +653,116 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("lang").asc)
   }
 
+  /** Fixed demo vocabulary for the oracle-exact unigram ENCODE: the
+    * serving path takes the vocabulary as an artifact, so a literal
+    * (piece, count) table makes the whole Viterbi segmentation
+    * replayable cross-engine. Letters cover English; other scripts
+    * fall to the unknown-single-char floor (still deterministic).
+    */
+  private val uniDemoVocab: Seq[(String, Long)] =
+    "abcdefghijklmnopqrstuvwxyz".map(c => c.toString -> 100L) ++ Seq(
+      "the" -> 900L, "and" -> 800L, "ing" -> 700L, "tion" -> 600L,
+      "of" -> 520L, "to" -> 510L, "in" -> 500L, "an" -> 450L,
+      "er" -> 420L, "th" -> 400L, "re" -> 380L, "ed" -> 360L,
+      "es" -> 350L, "en" -> 340L, "on" -> 330L, "or" -> 310L,
+      "at" -> 300L, "is" -> 290L, "it" -> 280L, "ent" -> 260L,
+      "ation" -> 240L, "ly" -> 230L, "ness" -> 220L, "ers" -> 210L)
+
+  /** TX-UNI3: unigram ENCODE with a fixed vocabulary — ORACLE-EXACT:
+    * the Viterbi DP is bounded (words ≤ 24 chars, pieces ≤ 8), so the
+    * oracle unrolls it position by position — each dp stage an argmax
+    * over ≤ 8 predecessor stages with the same (score desc, piece-len
+    * desc) tie rule — and every score is the same left-to-right chain
+    * of double adds the Scala DP computes: segmentations, piece
+    * counts, everything reproduces bit-for-bit. Words over 24 chars
+    * or containing non-BMP code points are excluded on BOTH sides
+    * (Java indexes UTF-16 units, DuckDB code points — they agree only
+    * on BMP). Per-doc integer totals only (cross-word float sums
+    * would be accumulation-order-dependent).
+    */
+  def txUnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramTrainer
+    import spark.implicits._
+    val entries = UnigramTrainer.fixedVocab(uniDemoVocab)
+    val floor = UnigramTrainer.floorLogProbFor(uniDemoVocab)
+    val table = new java.util.HashMap[String, java.lang.Double](entries.size * 2)
+    entries.foreach(e => table.put(e.piece, e.logProb))
+    val bcast = spark.sparkContext.broadcast(table)
+    Q.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(graft.functions.Bpe.sanitize(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 1 && length(col("w")) <= 24 &&
+        !col("w").rlike("[\\x{10000}-\\x{10FFFF}]"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val t = bcast.value
+        it.map { case (id, w) =>
+          (id, UnigramTrainer.segment(w, t, 8, floor).length.toLong)
+        }
+      }
+      .toDF("doc_id", "np")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txUnigramEncodeOracle: String = {
+    import graft.operators.UnigramTrainer
+    val entries = UnigramTrainer.fixedVocab(uniDemoVocab)
+    val floor =
+      java.lang.Double.toString(UnigramTrainer.floorLogProbFor(uniDemoVocab))
+    val vocabVals = entries.map(e =>
+      s"('${e.piece}', CAST(${java.lang.Double.toString(e.logProb)} AS DOUBLE))")
+      .mkString(",\n    ")
+    val maxW = 24
+    val maxL = 8
+    val stages = (1 to maxW).map { i =>
+      val branches = (1 to math.min(maxL, i)).map { l =>
+        val sub = s"substr(w.w, ${i - l + 1}, $l)"
+        if (l == 1)
+          s"SELECT d.doc_id, d.wi, d.score + COALESCE(v.lp, $floor) AS score, " +
+            s"d.n + 1 AS n, 1 AS plen\n" +
+            s"  FROM dp${i - 1} d JOIN words w ON w.doc_id = d.doc_id " +
+            s"AND w.wi = d.wi AND len(w.w) >= $i\n" +
+            s"  LEFT JOIN vocab v ON v.piece = $sub"
+        else
+          s"SELECT d.doc_id, d.wi, d.score + v.lp AS score, " +
+            s"d.n + 1 AS n, $l AS plen\n" +
+            s"  FROM dp${i - l} d JOIN words w ON w.doc_id = d.doc_id " +
+            s"AND w.wi = d.wi AND len(w.w) >= $i\n" +
+            s"  JOIN vocab v ON v.piece = $sub"
+      }.mkString("\n  UNION ALL\n  ")
+      s"cand$i AS (\n  $branches),\n" +
+        s"dp$i AS MATERIALIZED (\n" +
+        s"  SELECT doc_id, wi, score, n FROM (\n" +
+        s"    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, wi\n" +
+        s"      ORDER BY score DESC, plen DESC) AS rn FROM cand$i)\n" +
+        s"  WHERE rn = 1)"
+    }.mkString(",\n")
+    val done = (1 to maxW).map(i =>
+      s"SELECT d.doc_id, d.wi, d.n FROM dp$i d JOIN words w " +
+        s"ON w.doc_id = d.doc_id AND w.wi = d.wi AND len(w.w) = $i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT doc_id, g.i AS wi, t[g.i] AS w
+       |  FROM (SELECT doc_id,
+       |          string_split(regexp_replace(text, '[\\x00-\\x1F\\x7F]', '', 'g'), ' ') AS t
+       |        FROM documents),
+       |       UNNEST(generate_series(1, len(t))) AS g(i)
+       |  WHERE len(t[g.i]) >= 1 AND len(t[g.i]) <= 24
+       |    AND NOT regexp_matches(t[g.i], '[\\x{10000}-\\x{10FFFF}]')),
+       |vocab(piece, lp) AS (VALUES
+       |    $vocabVals),
+       |dp0 AS MATERIALIZED (SELECT doc_id, wi, CAST(0.0 AS DOUBLE) AS score, 0 AS n
+       |        FROM words),
+       |$stages,
+       |done AS (
+       |  $done)
+       |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n) AS BIGINT) AS n_pieces
+       |FROM done GROUP BY doc_id
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
+
   /** TX-BPE3: end-to-end tokenizer pipeline — train 12 merges, encode
     * the corpus with them, report per-language compression (chars vs
     * BPE tokens). Spec-gated like TX-BPE1 (train-dependent).
@@ -726,6 +836,7 @@ object TextAnalysis extends QueryModule {
     "tx_chunk" -> txChunk,
     "tx_bpe_train" -> txBpeTrain,
     "tx_unigram_train" -> txUnigramTrain,
+    "tx_unigram_encode" -> txUnigramEncode,
     "tx_unigram_pipeline" -> txUnigramPipeline,
     "tx_bpe_encode" -> txBpeEncode,
     "tx_bpe_pipeline" -> txBpePipeline,
@@ -745,6 +856,7 @@ object TextAnalysis extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "tx_chunk" -> txChunkOracle,
     "tx_bpe_encode" -> txBpeEncodeOracle,
+    "tx_unigram_encode" -> txUnigramEncodeOracle,
     "tx_normalize" -> txNormalizeOracle,
     "tx_winnow" -> txWinnowOracle,
     "tx_lm_score" -> txLmScoreOracle,
