@@ -443,8 +443,8 @@ class ManifestTable(spark: SparkSession, root: String,
     * (`kind` as in the zone maps: "N" numeric, "S" lexicographic);
     * min/max over files folds with the same comparator pruning uses.
     */
-  def metadataMinMax(c: String,
-      version: Option[Int] = None): Option[(String, String, String)] = {
+  def metadataMinMax(c: String, version: Option[Int] = None,
+      boundOk: String => Boolean = _ => true): Option[(String, String, String)] = {
     val pc = toPhysical(c) // stats keys are recorded physical
     if (!allStatsCols.contains(pc)) return None
     val v = version.orElse(latestVersion)
@@ -471,6 +471,12 @@ class ManifestTable(spark: SparkSession, root: String,
     // always pass)
     def ascii(s: String): Boolean = s.forall(_ < 0x80)
     if (kind == "S" && ss.exists(s => !ascii(s.mn) || !ascii(s.mx)))
+      return None
+    // caller-supplied PER-FILE bound validation (e.g. the catalog's
+    // date guard): validating only the folded extremum is too late —
+    // a bound that breaks the stat ordering (a 5-digit-year date
+    // whose ISO string sorts below '9999-…') corrupts the fold itself
+    if (ss.exists(s => !boundOk(s.mn) || !boundOk(s.mx)))
       return None
     val mn = ss.map(_.mn).reduce((a, b) => if (statCmp(a, b, kind) <= 0) a else b)
     val mx = ss.map(_.mx).reduce((a, b) => if (statCmp(a, b, kind) >= 0) a else b)

@@ -274,31 +274,8 @@ object Dedup extends QueryModule {
     * embeds it so the soft-dedup closure runs over exactly the
     * oracle-checked LSH candidate set.
     */
-  private[queries] val d3bCtes: String = {
-    val sigCols = (0 until 16)
-      .map(i => s"MAX(CASE WHEN i = $i THEN m END) AS m$i").mkString(", ")
-    val bands = (0 until 4).map { b =>
-      val slots = (4 * b until 4 * b + 4)
-        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, CAST(('0x' || substr(md5(" +
-        s"$slots), 1, 15)) AS BIGINT) AS key FROM sig"
-    }.mkString("\nUNION ALL\n")
-    s"""sh AS (
-       |  SELECT doc_id,
-       |    list_distinct(list_transform(
-       |      list_zip(string_split(text,' ')[1:len(string_split(text,' '))-1],
-       |               string_split(text,' ')[2:len(string_split(text,' '))]),
-       |      p -> p[1] || ' ' || p[2])) AS s
-       |  FROM documents),
-       |inv AS (SELECT doc_id, unnest(s) AS s FROM sh),
-       |slots AS (
-       |  SELECT doc_id, g.i AS i,
-       |    MIN(CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || s),
-       |      1, 15)) AS BIGINT)) AS m
-       |  FROM inv CROSS JOIN UNNEST(generate_series(0, 15)) AS g(i)
-       |  GROUP BY doc_id, g.i),
-       |sig AS (SELECT doc_id, $sigCols FROM slots GROUP BY doc_id),
-       |banded AS ($bands),
+  private[queries] val d3bCtes: String =
+    s"""${md5LshCtesSql("documents", "")},
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b
@@ -310,7 +287,6 @@ object Dedup extends QueryModule {
        |  JOIN inv x ON x.doc_id = c.id_a
        |  JOIN inv y ON y.doc_id = c.id_b AND y.s = x.s
        |  GROUP BY c.id_a, c.id_b)""".stripMargin
-  }
 
   val d3bOracle: String =
     s"""WITH $d3bCtes

@@ -1183,8 +1183,15 @@ object Similarity extends QueryModule {
     * the plan uses, so every sign bit matches exactly.
     */
   val s2Oracle: String = {
+    // string-cast form: a BARE decimal literal parses as DECIMAL first
+    // in DuckDB and the DECIMAL→DOUBLE conversion can land 1 ulp off
+    // strtod (measured on 108 of the 1001 possible plane values);
+    // CAST('…' AS DOUBLE) parses the shortest-round-trip string
+    // directly to the identical bits
     def lits(i: Int): String = (0 until LshPlanes.dims)
-      .map(j => java.lang.Double.toString(LshPlanes.planeComponentValue(i, j)))
+      .map(j => "CAST('" +
+        java.lang.Double.toString(LshPlanes.planeComponentValue(i, j)) +
+        "' AS DOUBLE)")
       .mkString("[", ", ", "]")
     def dotP(p: Int): String =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip(v, ${lits(p)}), " +

@@ -709,10 +709,11 @@ object TextAnalysis extends QueryModule {
   val txUnigramEncodeOracle: String = {
     import graft.operators.UnigramTrainer
     val entries = UnigramTrainer.fixedVocab(uniDemoVocab)
-    val floor =
-      java.lang.Double.toString(UnigramTrainer.floorLogProbFor(uniDemoVocab))
+    val floor = "CAST('" +
+      java.lang.Double.toString(UnigramTrainer.floorLogProbFor(uniDemoVocab)) +
+      "' AS DOUBLE)"
     val vocabVals = entries.map(e =>
-      s"('${e.piece}', CAST(${java.lang.Double.toString(e.logProb)} AS DOUBLE))")
+      s"('${e.piece}', CAST('${java.lang.Double.toString(e.logProb)}' AS DOUBLE))")
       .mkString(",\n    ")
     val maxW = 24
     val maxL = 8

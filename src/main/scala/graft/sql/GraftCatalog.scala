@@ -517,11 +517,23 @@ private[sql] class GraftSqlTable(ident: Identifier,
     snapshotVersion.flatMap(v => mtable.metadataRowCount(Some(v)))
 
   /** Manifest zone-map MIN/MAX for this handle's pinned snapshot —
-    * logical-to-physical column mapping and every exactness guard live
-    * in [[graft.lake.ManifestTable.metadataMinMax]].
+    * logical-to-physical column mapping and the shared exactness
+    * guards live in [[graft.lake.ManifestTable.metadataMinMax]]; the
+    * type-aware PER-FILE bound guard rides in from here. DateType:
+    * ISO strings order chronologically only for 4-digit years (a
+    * year-10000 bound sorts BELOW '9999-…' and would corrupt the
+    * fold), and `java.sql.Date.valueOf` shifts dates in the 1582
+    * Gregorian transition — both refuse.
     */
-  private[sql] def metaMinMax(c: String): Option[(String, String, String)] =
-    snapshotVersion.flatMap(v => mtable.metadataMinMax(c, Some(v)))
+  private[sql] def metaMinMax(c: String): Option[(String, String, String)] = {
+    val boundOk: String => Boolean =
+      df.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.DateType) =>
+          s => s.matches("""\d{4}-\d{2}-\d{2}""") && s >= "1583-01-01"
+        case _ => _ => true
+      }
+    snapshotVersion.flatMap(v => mtable.metadataMinMax(c, Some(v), boundOk))
+  }
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =

@@ -435,6 +435,36 @@ class GraftCatalogSpec extends SparkTestBase {
       "non-ASCII string stats must scan")
   }
 
+  test("metadata MIN/MAX date guard: 5-digit years refuse, 4-digit push") {
+    setup
+    import java.time.LocalDate
+    // ISO strings order chronologically only for 4-digit years: a
+    // year-10000 stat ('+10000-…') sorts BELOW '9999-…', so the fold
+    // would pick the wrong max — the guard must force a real scan
+    val t = new ManifestTable(spark, s"$lakeRoot/silver/mm_dates",
+      statsCols = Seq("d"))
+    t.write(Seq(Tuple1(LocalDate.of(9999, 12, 31))).toDF("d"), "overwrite")
+    t.write(Seq(Tuple1(LocalDate.of(10000, 1, 1))).toDF("d"), "append")
+    // compare through a SQL cast: java.sql.Date.toString renders a
+    // year-10000 date as '0000-01-01' (4-char year buffer)
+    val q = spark.sql(
+      "SELECT CAST(max(d) AS STRING) FROM gcat_spec.silver.mm_dates")
+    assert(q.as[String].head() === "+10000-01-01")
+    assert(q.queryExecution.executedPlan.toString.contains("Aggregate"),
+      "5-digit-year date stats must scan")
+    // ordinary dates answer from the manifest
+    val t2 = new ManifestTable(spark, s"$lakeRoot/silver/mm_dates2",
+      statsCols = Seq("d"))
+    t2.write(Seq(Tuple1(LocalDate.of(2024, 1, 2)),
+      Tuple1(LocalDate.of(2023, 5, 6))).toDF("d"), "overwrite")
+    val q2 = spark.sql(
+      "SELECT min(d), max(d) FROM gcat_spec.silver.mm_dates2")
+    assert(q2.collect().head.toSeq.map(_.toString) ===
+      Seq("2023-05-06", "2024-01-02"))
+    assert(q2.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"), "4-digit-year dates must push")
+  }
+
   test("dropNamespace refuses a table path even when called directly") {
     setup
     val t = mt(s"$lakeRoot/silver/guard_me")
