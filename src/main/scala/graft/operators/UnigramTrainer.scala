@@ -132,6 +132,9 @@ object UnigramTrainer {
       seedSize: Int = DefaultSeedSize,
       shrink: Double = DefaultShrink): Seq[VocabEntry] = {
     require(targetVocab >= 1, "unigramTrain: targetVocab must be >= 1")
+    require(shrink > 0.0 && shrink < 1.0,
+      "unigramTrain: shrink must be in (0, 1) — the prune loop runs " +
+        "until the vocabulary reaches targetVocab")
     val spark = docs.sparkSession
     import spark.implicits._
     val wf = wordFreq(docs, textCol).localCheckpoint(true)
@@ -173,9 +176,15 @@ object UnigramTrainer {
       .takeOrdered(seedSize)(Ordering.by { case (p, c) => (-c, p) })
     var vocab: Array[(String, Long)] = singles ++ multiTop
 
-    // ---- hard-EM rounds ----------------------------------------------
+    // ---- hard-EM rounds: at least emRounds, then keep pruning until
+    // the vocabulary actually REACHES the target (each round shrinks
+    // strictly while above it, and the single-char floor bounds the
+    // minimum, so this terminates; `emRounds` alone would stop at
+    // ~seedSize·shrink^emRounds and silently ignore targetVocab) ----
+    val floorSize = vocab.count(_._1.length == 1)
+    val stopSize = math.max(targetVocab, floorSize)
     var round = 0
-    while (round < emRounds) {
+    while (round < emRounds || vocab.length > stopSize) {
       val total = totalMass(vocab.map(_._2))
       val logTotal = math.log(total)
       val floorLogp = math.log(0.5) - logTotal
@@ -245,8 +254,10 @@ object UnigramTrainer {
       .sortBy { case (p, c) => (-c, p) }.take(seedSize)
     var vocab: Array[(String, Long)] = singles ++ multiTop
 
+    val floorSize = vocab.count(_._1.length == 1)
+    val stopSize = math.max(targetVocab, floorSize)
     var round = 0
-    while (round < emRounds) {
+    while (round < emRounds || vocab.length > stopSize) {
       val total = totalMass(vocab.map(_._2))
       val logTotal = math.log(total)
       val floorLogp = math.log(0.5) - logTotal
@@ -320,19 +331,22 @@ object UnigramTrainer {
     val total = totalMass(vocab.map(_.count))
     val logTotal = math.log(total)
     val floorLogp = math.log(0.5) - logTotal
+    // the vocabulary rides the task closure, NOT a managed broadcast:
+    // the returned frame is lazy, so a broadcast made here could never
+    // be destroyed and would accrete per invocation (the s7PqAnn
+    // lesson — measured ≥5× bench regressions from leaked broadcasts);
+    // closure state is GC'd with the job
     val table = new java.util.HashMap[String, java.lang.Double](vocab.length * 2)
     vocab.foreach(e => table.put(e.piece, e.logProb))
-    val bcast = spark.sparkContext.broadcast(table)
     val mpl = maxPieceLen
     docs.select(col(idCol).cast("long"),
         split(Bpe.sanitize(col(textCol)), " ").as("ws"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
-        val t = bcast.value
         it.map { case (id, ws) =>
           var n = 0L
           ws.foreach { w =>
-            if (w.nonEmpty) n += segment(w, t, mpl, floorLogp).length
+            if (w.nonEmpty) n += segment(w, table, mpl, floorLogp).length
           }
           (id, n)
         }

@@ -189,23 +189,6 @@ object Dedup extends QueryModule {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
-  /** D3b: ORACLE-EXACT MinHash LSH — the d3 plan with every hash an
-    * md5-derived 60-bit integer (the d4/tx_winnow technique) instead
-    * of xxhash64, so the signatures, band keys, candidate set and
-    * Jaccard scores all reproduce bit-for-bit in DuckDB: the one
-    * approximate-dedup family member whose END-TO-END candidate
-    * generation is oracle-gated, not just spec/rows-gated. Same
-    * parameters as production d3 (k = 16 slots, 4 bands of 4): the
-    * md5 signature pass costs ~2× the k=8 variant, but 4-row bands
-    * collide at ~j^4 instead of j^2, which keeps the candidate set —
-    * and the exact-verify join behind it — small under heavy
-    * duplication (the k=8 form measured 7× linear on the 10×-clone
-    * sf1 corpus purely from band-collision fan-out; this form's
-    * candidates match d3's). Scale shape is d3's: explode + min
-    * aggregate for signatures (map-side combined), an equi-join on
-    * (band, key) — never all-pairs — and the d2-style inverted-index
-    * exact verify.
-    */
   /** Exploded distinct word-bigram shingles: (doc_id, s). */
   private def shingleInv(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -237,6 +220,23 @@ object Dedup extends QueryModule {
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
   }
 
+  /** D3b: ORACLE-EXACT MinHash LSH — the d3 plan with every hash an
+    * md5-derived 60-bit integer (the d4/tx_winnow technique) instead
+    * of xxhash64, so the signatures, band keys, candidate set and
+    * Jaccard scores all reproduce bit-for-bit in DuckDB: the one
+    * approximate-dedup family member whose END-TO-END candidate
+    * generation is oracle-gated, not just spec/rows-gated. Same
+    * parameters as production d3 (k = 16 slots, 4 bands of 4): the
+    * md5 signature pass costs ~2× the k=8 variant, but 4-row bands
+    * collide at ~j^4 instead of j^2, which keeps the candidate set —
+    * and the exact-verify join behind it — small under heavy
+    * duplication (the k=8 form measured 7× linear on the 10×-clone
+    * sf1 corpus purely from band-collision fan-out; this form's
+    * candidates match d3's). Scale shape is d3's: explode + min
+    * aggregate for signatures (map-side combined), an equi-join on
+    * (band, key) — never all-pairs — and the d2-style inverted-index
+    * exact verify.
+    */
   def d3bMinhashExact(spark: SparkSession, dir: String): DataFrame = {
     val docs = Q.t(spark, dir, "documents")
     val inv = shingleInv(docs)

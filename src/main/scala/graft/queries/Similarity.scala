@@ -403,8 +403,15 @@ object Similarity extends QueryModule {
     * independently; recall additionally asserted in LlmOpsSpec.
     */
   def s2LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    // explicit well-formed-vector precondition, mirrored verbatim in
+    // the oracle: a NULL element nulls the sign-bit fold and a NaN
+    // poisons it, and the two engines disagree on what those become
+    // downstream (struct-key joins vs CASE WHEN NaN > 0). Wrong-DIM
+    // vectors still throw via the LshBuckets guard — this filter
+    // must not silently swallow them
     val emb = Q.t(spark, dir, "embeddings")
       .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .filter(!exists(col("v"), x => x.isNull || isnan(x)))
     // candidate generation and dedup run on NARROW (id, bucket) rows —
     // the cross-table distinct must not shuffle 64-dim vectors; they
     // re-attach after dedup (corpus side by equi-join, probe side by
@@ -1205,7 +1212,9 @@ object Similarity extends QueryModule {
     }.mkString("\nUNION ALL\n")
     val cos = s"round(${s5DotSql("q.v", "x.v")} / " +
       s"(sqrt(${s5DotSql("q.v", "q.v")}) * sqrt(${s5DotSql("x.v", "x.v")})), 6)"
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE len(list_filter(embedding::DOUBLE[],
+       |                     x -> x IS NULL OR isnan(x))) = 0),
        |bucketed AS ($tables),
        |pb AS (SELECT vec_id AS q_id, tbl, bucket FROM bucketed
        |       WHERE vec_id < 10),

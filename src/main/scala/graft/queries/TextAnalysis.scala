@@ -685,9 +685,11 @@ object TextAnalysis extends QueryModule {
     import spark.implicits._
     val entries = UnigramTrainer.fixedVocab(uniDemoVocab)
     val floor = UnigramTrainer.floorLogProbFor(uniDemoVocab)
+    // closure-captured, not broadcast: a lazy frame can never destroy
+    // a broadcast it makes (the s7PqAnn leak lesson); 50 entries ride
+    // the task closure for free
     val table = new java.util.HashMap[String, java.lang.Double](entries.size * 2)
     entries.foreach(e => table.put(e.piece, e.logProb))
-    val bcast = spark.sparkContext.broadcast(table)
     Q.t(spark, dir, "documents")
       .select(col("doc_id"),
         explode(split(graft.functions.Bpe.sanitize(col("text")), " ")).as("w"))
@@ -695,9 +697,8 @@ object TextAnalysis extends QueryModule {
         !col("w").rlike("[\\x{10000}-\\x{10FFFF}]"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val t = bcast.value
         it.map { case (id, w) =>
-          (id, UnigramTrainer.segment(w, t, 8, floor).length.toLong)
+          (id, UnigramTrainer.segment(w, table, 8, floor).length.toLong)
         }
       }
       .toDF("doc_id", "np")

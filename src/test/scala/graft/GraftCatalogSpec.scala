@@ -423,16 +423,20 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(afterDv.collect().toSeq.map(_.toSeq) === Seq(Seq(1L, 5L, 3L)))
     assert(afterDv.queryExecution.executedPlan.toString
       .contains("HashAggregate"), "DV snapshot must scan for extrema")
-    // non-ASCII string stats refuse (UTF-16 vs UTF-8 order diverges)
+    // non-ASCII string stats refuse (UTF-16 vs UTF-8 order diverges):
+    // U+FFFD sorts ABOVE U+10000 in UTF-16 code units (FFFD > D800)
+    // but BELOW it in UTF-8 bytes (EF < F0) — two files so the
+    // cross-file fold would pick the WRONG max if the guard regressed
     val u = new ManifestTable(spark, s"$lakeRoot/silver/mm_uni",
       statsCols = Seq("s"))
-    u.write(Seq(("café"), ("zz")).toDF("s"), "overwrite")
+    u.write(Seq(("�")).toDF("s"), "overwrite")
+    u.write(Seq(("𐀀")).toDF("s"), "append")
     val uq = spark.sql("SELECT max(s) FROM gcat_spec.silver.mm_uni")
-    assert(uq.as[String].head() === "zz")
-    // string aggregates plan as SortAggregate — assert the real
-    // aggregation ran, i.e. no complete pushdown happened
-    assert(uq.queryExecution.executedPlan.toString.contains("Aggregate"),
-      "non-ASCII string stats must scan")
+    assert(uq.as[String].head() === "𐀀",
+      "Spark string max is UTF-8 byte order")
+    assert(!uq.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"),
+      "non-ASCII string stats must refuse the metadata pushdown")
   }
 
   test("metadata MIN/MAX date guard: 5-digit years refuse, 4-digit push") {
