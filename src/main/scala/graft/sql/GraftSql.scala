@@ -37,6 +37,8 @@ import org.apache.spark.sql.types._
   *   CALL graft.bpe_train('docs_view', 'text', 16)
   *   CALL graft.bpe_save('/lake/tokenizer', 'docs_view', 'text', 16)
   *   CALL graft.bpe_merges('/lake/tokenizer', 0)
+  *   CALL graft.unigram_save('/lake/uni_vocab', 'docs_view', 'text', 400)
+  *   CALL graft.unigram_vocab('/lake/uni_vocab')
   * }}}
   *
   * Tables are addressed by root path OR — same vocabulary as the
@@ -209,6 +211,9 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       attr("rank", IntegerType), attr("left", StringType),
       attr("right", StringType), attr("merged", StringType),
       attr("freq", LongType))
+    case "unigram_train" | "unigram_vocab" => Seq(
+      attr("piece", StringType), attr("count", LongType),
+      attr("log_prob", DoubleType))
     case _ => Seq(attr("version", IntegerType))
   }
 
@@ -508,6 +513,34 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
             col("merged"), col("freq").cast("long"))
           .orderBy(col("rank").asc)
           .collect().toSeq
+      case "unigram_train" =>
+        // unigram_train(corpusView, textCol [, targetVocab]) — learn
+        // a unigram-LM vocabulary; rows out (bounded: target + the
+        // single-char coverage floor), (count desc, piece asc) order
+        graft.operators.UnigramTrainer
+          .train(session.table(str(0)).select(col(str(1)).as("text")),
+            optNum(2, 400).toInt)
+          .map(e => Row(e.piece, e.count,
+            math.rint(e.logProb * 1e6) / 1e6))
+      case "unigram_save" =>
+        // unigram_save(root, corpusView, textCol [, targetVocab]) —
+        // train and PERSIST the vocabulary as a versioned manifest
+        // table (the bpe_save contract: a retrain is an overwrite
+        // commit, old vocabularies time-travel)
+        val df = graft.operators.UnigramTrainer.trainDf(session,
+          session.table(str(1)).select(col(str(2)).as("text")),
+          optNum(3, 400).toInt, topN = Int.MaxValue)
+        versionRow(table.write(df, "overwrite"))
+      case "unigram_vocab" =>
+        // unigram_vocab(root [, version]) — read a persisted
+        // vocabulary, optionally time-traveled (bounded: vocab size)
+        val t = table
+        val at = if (args.length > 1) Some(num(1).toInt) else None
+        t.read(at)
+          .select(col("piece"), col("count").cast("long"),
+            col("log_prob").cast("double"))
+          .orderBy(col("count").desc, col("piece").asc)
+          .collect().toSeq
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure graft.$other; known: write, merge, delete, " +
@@ -519,7 +552,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
             "schema_register, generated_add, generated_drop, " +
             "pq_build, pq_refresh, pq_query, " +
             "nsw_build, nsw_refresh, nsw_query, " +
-            "bpe_train, bpe_save, bpe_merges")
+            "bpe_train, bpe_save, bpe_merges, " +
+            "unigram_train, unigram_save, unigram_vocab")
     }
   }
 }

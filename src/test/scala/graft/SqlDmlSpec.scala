@@ -405,6 +405,38 @@ class SqlDmlSpec extends SparkTestBase {
     assert(old.toSeq === viaApi)
   }
 
+  test("unigram lifecycle through SQL: unigram_train, _save, _vocab") {
+    val root = scratch("unigram")
+    val docs = Q.t(sqlSpark, sf, "documents").orderBy("doc_id").limit(60)
+    docs.createOrReplaceTempView("sql_uni_docs")
+    // train-via-SQL equals the Scala surface entry for entry
+    val viaSql = sqlSpark
+      .sql("CALL graft.unigram_train('sql_uni_docs', 'text', 50)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val viaApi = graft.operators.UnigramTrainer
+      .train(docs, targetVocab = 50)
+      .map(e => (e.piece, e.count))
+    assert(viaSql.toSeq === viaApi)
+    // persist: version 0, read back in (count desc, piece asc) order
+    val v0 = sqlSpark
+      .sql(s"CALL graft.unigram_save('$root', 'sql_uni_docs', 'text', 50)")
+      .first().getInt(0)
+    val stored = sqlSpark.sql(s"CALL graft.unigram_vocab('$root')")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(stored.toSeq === viaApi)
+    // retrain to a different target → overwrite commit; the OLD
+    // vocabulary is still readable by version
+    val v1 = sqlSpark
+      .sql(s"CALL graft.unigram_save('$root', 'sql_uni_docs', 'text', 30)")
+      .first().getInt(0)
+    assert(v1 == v0 + 1)
+    assert(sqlSpark.sql(s"CALL graft.unigram_vocab('$root')").count() <
+      stored.length)
+    val old = sqlSpark.sql(s"CALL graft.unigram_vocab('$root', $v0)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(old.toSeq === viaApi)
+  }
+
   test("malformed CALLs fail loudly, not silently") {
     intercept[Exception] {
       sqlSpark.sql("CALL graft.nosuch('/tmp/x')").collect()
