@@ -303,6 +303,12 @@ object UnigramTrainer {
   def floorLogProbFor(counts: Seq[(String, Long)]): Double =
     math.log(0.5) - math.log(totalMass(counts.map(_._2)))
 
+  /** Display rounding for log-probs (6 places, half-even) — shared by
+    * every surface that renders a vocabulary (trainDf, the SQL CALLs)
+    * so they cannot drift apart.
+    */
+  def roundLogProb(lp: Double): Double = math.rint(lp * 1e6) / 1e6
+
   /** Query-shaped train: top `topN` vocabulary entries as a DataFrame
     * (piece, count, log_prob rounded to 6).
     */
@@ -312,8 +318,7 @@ object UnigramTrainer {
     import spark.implicits._
     train(docs, targetVocab, emRounds = emRounds, seedSize = seedSize)
       .take(topN)
-      .map(e => (e.piece, e.count,
-        math.rint(e.logProb * 1e6) / 1e6))
+      .map(e => (e.piece, e.count, roundLogProb(e.logProb)))
       .toDF("piece", "count", "log_prob")
   }
 

@@ -521,7 +521,7 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
           .train(session.table(str(0)).select(col(str(1)).as("text")),
             optNum(2, 400).toInt)
           .map(e => Row(e.piece, e.count,
-            math.rint(e.logProb * 1e6) / 1e6))
+            graft.operators.UnigramTrainer.roundLogProb(e.logProb)))
       case "unigram_save" =>
         // unigram_save(root, corpusView, textCol [, targetVocab]) —
         // train and PERSIST the vocabulary as a versioned manifest
@@ -536,11 +536,15 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         // vocabulary, optionally time-traveled (bounded: vocab size)
         val t = table
         val at = if (args.length > 1) Some(num(1).toInt) else None
+        // sort DRIVER-side with the API's own ordering: Spark's
+        // col("piece").asc is UTF-8 code-point order while the Scala
+        // surface ties-breaks with String.compareTo (UTF-16 units) —
+        // the two disagree for supplementary-plane pieces (the same
+        // U+FFFD-vs-U+10000 divergence the L32 fold guards against)
         t.read(at)
           .select(col("piece"), col("count").cast("long"),
             col("log_prob").cast("double"))
-          .orderBy(col("count").desc, col("piece").asc)
-          .collect().toSeq
+          .collect().sortBy(r => (-r.getLong(1), r.getString(0))).toSeq
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure graft.$other; known: write, merge, delete, " +
