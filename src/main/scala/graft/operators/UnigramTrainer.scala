@@ -145,6 +145,20 @@ object UnigramTrainer {
     } finally graft.functions.CheckpointOps.release(wf)
   }
 
+  /** Next vocabulary size for one prune round. `ceil(size * shrink)`
+    * alone does not guarantee progress: for any `size < 1/(1-shrink)`
+    * (e.g. sizes 2-3 at the default 0.75) the ceil rounds back up to
+    * `size` and the prune loop would spin forever when still above
+    * `stopSize`. Clamp to `size - 1` so every round above the stop
+    * size strictly shrinks, and to `stopSize` from below so the loop's
+    * exit test is reachable without overshooting the target.
+    */
+  private[graft] def shrunkSize(size: Int, stopSize: Int,
+      shrink: Double): Int =
+    if (size <= stopSize) stopSize
+    else math.max(stopSize, math.min(size - 1,
+      math.ceil(size * shrink).toLong.toInt))
+
   /** The trainer proper, over a distributed (word, freq) pair RDD. */
   private def trainFromWords(spark: SparkSession,
       words: org.apache.spark.rdd.RDD[(String, Long)], targetVocab: Int,
@@ -212,8 +226,7 @@ object UnigramTrainer {
       val multi = counts.filter(_._1.length > 1)
         .sortBy { case (p, c) => (-c, p) }
       val size = counts.length
-      val newSize = math.max(targetVocab,
-        math.ceil(size * shrink).toLong.toInt)
+      val newSize = shrunkSize(size, stopSize, shrink)
       val keepMulti = math.max(0, newSize - sgl.length)
       vocab = sgl ++ multi.take(keepMulti)
       round += 1
@@ -275,8 +288,7 @@ object UnigramTrainer {
       val sgl = counts.filter(_._1.length == 1)
       val multi = counts.filter(_._1.length > 1)
         .sortBy { case (p, c) => (-c, p) }
-      val newSize = math.max(targetVocab,
-        math.ceil(counts.length * shrink).toLong.toInt)
+      val newSize = shrunkSize(counts.length, stopSize, shrink)
       val keepMulti = math.max(0, newSize - sgl.length)
       vocab = sgl ++ multi.take(keepMulti)
       round += 1

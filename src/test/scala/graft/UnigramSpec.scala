@@ -103,4 +103,28 @@ class UnigramSpec extends SparkTestBase {
     // in exactly 2 pieces
     if (vocab.exists(_.piece == "banana")) assert(got(0)._2 === 2L)
   }
+
+  test("prune loop terminates on a tiny alphabet with targetVocab=1") {
+    // ceil(size*shrink) == size for any size < 1/(1-shrink): a 2-char
+    // alphabet seeds a 2-3 entry vocabulary that the default
+    // shrink=0.75 cannot reduce by ceil-rounding alone, so without a
+    // strict-progress clamp this loops forever (ADVICE r14). The
+    // single-char floor (2) is the true stop size.
+    val docs = toyDocs(1L -> "ab ab ab", 2L -> "ba ab")
+    val got = UnigramTrainer.train(docs, targetVocab = 1, emRounds = 2,
+      seedSize = 100)
+    assert(got.map(_.piece).filter(_.length == 1).sorted === Seq("a", "b"))
+    assert(got.length === 2)
+    // same guarantee for the serial reference (identical loop)
+    val serial = UnigramTrainer.trainSerial(
+      Seq("ab" -> 4L, "ba" -> 1L), targetVocab = 1, emRounds = 2,
+      seedSize = 100)
+    assert(got === serial)
+    // a shrink close to 1 (which require() allows) must also make
+    // strict progress each round instead of spinning
+    val slow = UnigramTrainer.trainSerial(
+      Seq("abc" -> 3L, "bc" -> 2L), targetVocab = 4, emRounds = 1,
+      seedSize = 100, shrink = 0.999)
+    assert(slow.length === 4)
+  }
 }
