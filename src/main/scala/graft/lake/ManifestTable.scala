@@ -924,11 +924,18 @@ class ManifestTable(spark: SparkSession, root: String,
     // collect_set is bounded by bloomBits) — one distributed pass over
     // the new files collects zone maps AND blooms.
     val withFile = sdf.withColumn("_f", input_file_name())
+    // posexplode (not explode) so the row COUNT can ride the same
+    // pass: position 0 marks each original row exactly once despite
+    // the k-fold bloom fan-out (null position = the explode_outer
+    // degenerate row, also one per original row)
     val rows = bloom match {
       case Some(b) =>
         withFile
-          .withColumn("_bp", explode_outer(bloomPositions(col(b))))
-      case None => withFile.withColumn("_bp", lit(null).cast("int"))
+          .select(col("*"),
+            posexplode_outer(bloomPositions(col(b))).as(Seq("_bi", "_bp")))
+      case None => withFile
+        .withColumn("_bi", lit(0))
+        .withColumn("_bp", lit(null).cast("int"))
     }
     // the bitset packs ENGINE-SIDE (mergeable OR-aggregator): the
     // driver receives one ~8 KB base64 string per file — a collect_set
@@ -939,6 +946,8 @@ class ManifestTable(spark: SparkSession, root: String,
     val aggs = present.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"mn_$c"),
       max(col(c)).cast("string").as(s"mx_$c"))) ++
+      Seq(count(when(col("_bi").isNull || col("_bi") === 0, 1))
+        .as("_cnt")) ++
       bloom.map(_ => packBits(col("_bp")).as("_bloom"))
     val byName = rows
       .groupBy(col("_f"))
@@ -951,35 +960,47 @@ class ManifestTable(spark: SparkSession, root: String,
             case _ => None // all-null column in this file: never pruned on it
           }
         }.toMap
+        val n = r.getAs[Long]("_cnt")
+        val cntStats = Map(ManifestTable.CountKey ->
+          ColStats(n.toString, n.toString, "C"))
         val bloomStats = bloom.map { b =>
           bloomKey(b) -> ColStats(
             r.getAs[String]("_bloom"),
             s"$bloomBits,$bloomHashes", "B")
         }
-        new Path(r.getString(0)).getName -> (stats ++ bloomStats)
+        new Path(r.getString(0)).getName -> (stats ++ cntStats ++ bloomStats)
       }
       .toMap
-    withFooterCounts(relFiles.map { rel =>
-      Entry(rel, byName.getOrElse(new Path(rel).getName, Map.empty))
-    })
+    // zero-row files never appear in the scan's groups; only THOSE
+    // stragglers (normally none) still pay a driver footer read
+    val missing = relFiles.filterNot(rel =>
+      byName.contains(new Path(rel).getName))
+    val footered = withFooterCounts(missing.map(Entry(_, Map.empty)))
+      .map(e => e.rel -> e).toMap
+    relFiles.map(rel => footered.getOrElse(rel,
+      Entry(rel, byName(new Path(rel).getName))))
   }
 
   /** Attach each NEW file's exact row count (the parquet footer's
     * record count — authoritative metadata, no data pages read) as the
     * `#n` stats entry, paid once at write time so COUNT(*) never has
-    * to touch data again ([[metadataRowCount]]). One ranged footer
-    * read per new file of THIS commit, fanned out over driver threads
-    * so a wide append pays ~max latency, not Σ latency, of its footer
-    * round trips — cheaper than the alternative (a distributed
-    * `groupBy(input_file_name).count()` job re-reads the data pages
-    * just written). Kept out of the distributed stats job
-    * deliberately: the bloom leg explodes rows k-fold there, so an
-    * in-pass count would couple correctness to the explode shape,
-    * while the footer is exact by construction.
+    * to touch data again ([[metadataRowCount]]). This is the FALLBACK
+    * path: tables with stats columns or blooms get `#n` from the
+    * distributed write-time stats job in [[newEntries]] (one
+    * `count(pos==0)` leg on the same single pass — executor-side, so a
+    * wide initial load never serializes footer IO through the driver);
+    * the footer pool serves only stats-less tables and zero-row
+    * stragglers. One ranged footer read per file, fanned out over a
+    * bounded driver pool, and BEST-EFFORT: a read failure or a pool
+    * that outlives the deadline (a stalled remote filesystem must not
+    * hang the commit forever) logs a warning and omits `#n` for the
+    * affected files — [[metadataRowCount]] already degrades to a scan
+    * when any entry lacks the stat.
     */
   private def withFooterCounts(entries: Seq[Entry]): Seq[Entry] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
+    if (entries.isEmpty) return entries
     val conf = spark.sessionState.newHadoopConf()
     // a BOUNDED dedicated pool, not ExecutionContext.global: the
     // global fork-join pool either caps blocking IO at #cores (and
@@ -992,6 +1013,10 @@ class ManifestTable(spark: SparkSession, root: String,
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
+    // generous but finite: 30 s of budget per batch-of-`par` plus a
+    // 5 min floor — far above healthy footer latency, small enough
+    // that one wedged read surfaces as a log line, not a hung commit
+    val deadline = math.max(300L, 30L * ((entries.size + par - 1) / par)).seconds
     try Await.result(Future.traverse(entries) { e =>
       Future {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -1000,9 +1025,21 @@ class ManifestTable(spark: SparkSession, root: String,
         val n = try r.getRecordCount finally r.close()
         e.copy(stats = e.stats + (ManifestTable.CountKey ->
           ColStats(n.toString, n.toString, "C")))
+      }.recover { case ex: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"footer row-count read failed for ${e.rel} " +
+            s"(#n omitted; COUNT(*) will scan): $ex")
+        e
       }
-    }, Duration.Inf)
-    finally pool.shutdown()
+    }, deadline)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"footer row-count reads at $root exceeded $deadline for " +
+            s"${entries.size} file(s); committing without #n stats " +
+            "(COUNT(*) will scan)")
+        entries
+    } finally pool.shutdown()
   }
 
   /** Bloom bit positions of a value (engine side): double hashing
@@ -3031,6 +3068,63 @@ class ManifestTable(spark: SparkSession, root: String,
     val post = read(Some(vTo))
     require(pre.columns.sorted.sameElements(post.columns.sorted),
       "schema changed between versions; diff by key is ambiguous")
+    diffByKey(pre, post, keys)
+  }
+
+  /** Change rows for ONE commit — `changesBetween(v-1, v, keys)` but
+    * O(changed files) instead of O(table): rows of files an adjacent
+    * version pair does NOT share (added, removed, or re-pointed with
+    * different stats — a DV delete changes the entry, not the path)
+    * are the only rows that can differ, so the keyed diff joins just
+    * those. A compaction that moves rows verbatim emits nothing; a
+    * 100 TB table pays its commit's delta per version, never a
+    * snapshot-pair shuffle. This is what the streaming change feed
+    * ([[graft.streaming.GraftTableSource]] with `readChangeFeed`)
+    * drains per trigger. Assumes `keys` are unique per version, the
+    * same contract [[changesBetween]] carries.
+    */
+  def changesAt(v: Int, keys: Seq[String]): DataFrame = {
+    require(versions.contains(v), s"no version $v at $root")
+    val preE = if (v == 0) Seq.empty[Entry] else entriesOf(v - 1)
+    val postE = entriesOf(v)
+    val preBy = preE.map(e => e.rel -> e).toMap
+    val postBy = postE.map(e => e.rel -> e).toMap
+    val changed = (preBy.keySet ++ postBy.keySet)
+      .filter(r => preBy.get(r) != postBy.get(r))
+    val preChanged = preE.filter(e => changed(e.rel))
+    val postChanged = postE.filter(e => changed(e.rel))
+    // pure-add / pure-remove commits (appends; full deletes) skip the
+    // join: with unique keys every row of a side-exclusive file set is
+    // an insert (resp. delete). The initial snapshot (v0) is the big
+    // win — one scan, no shuffle.
+    if (preChanged.isEmpty && postChanged.isEmpty)
+      return withDeclared(readEntries(postE)).limit(0)
+        .withColumn("_change_type", lit("insert"))
+    if (preChanged.isEmpty)
+      return withDeclared(readEntries(postChanged))
+        .withColumn("_change_type", lit("insert"))
+    if (postChanged.isEmpty)
+      return withDeclared(readEntries(preChanged))
+        .withColumn("_change_type", lit("delete"))
+    val pre = withDeclared(readEntries(preChanged))
+    val post = withDeclared(readEntries(postChanged))
+    // a column added by this commit's files is null on the pre side
+    // (same null-fill contract the streaming append path uses)
+    val allCols = (pre.schema ++ post.schema.filterNot(f =>
+      pre.columns.contains(f.name))).toSeq
+    def pad(df: DataFrame) = allCols.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    diffByKey(pad(pre), pad(post), keys)
+  }
+
+  /** Keyed row-level diff of two same-schema frames — the CDF kernel
+    * shared by [[changesBetween]] (snapshot pair) and [[changesAt]]
+    * (changed files of one commit).
+    */
+  private def diffByKey(pre: DataFrame, post: DataFrame,
+      keys: Seq[String]): DataFrame = {
     val cols = pre.columns.toSeq
     val preK = pre.select(cols.map(col): _*)
     val postK = post.select(cols.map(col): _*)

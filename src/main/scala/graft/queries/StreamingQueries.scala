@@ -124,15 +124,93 @@ object StreamingQueries extends QueryModule {
        |GROUP BY 1
        |ORDER BY event_type ASC NULLS FIRST""".stripMargin
 
+  /** T13: the change-data-feed STREAM — orders landed as a governed
+    * table (v0), hit with a keyed MERGE (updates + inserts, v1) and a
+    * DV DELETE (v2), then drained through
+    * `readStream.option("readChangeFeed", true)` from a fresh
+    * checkpoint: one AvailableNow batch unions the three versions'
+    * keyed diffs (`_change_type`, `_commit_version`). The oracle
+    * reconstructs the exact change history from the raw orders table —
+    * equality proves the per-commit O(changed-files) diff, the
+    * insert/update/delete typing, and that non-append commits flow as
+    * data instead of killing the stream. Scale: each version's diff
+    * touches only that commit's changed files; a catch-up drain costs
+    * the backlog's delta, never a snapshot pair per version.
+    */
+  def t13CdfStream(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_stream_t13_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+    val root = s"$scratch/cdf_table"
+    val orders = Q.t(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val mt = new graft.lake.ManifestTable(spark, root)
+    mt.write(orders, "overwrite") // v0
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(orders.filter(col("o_orderkey") % 503 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    mt.merge(updates, Seq("o_orderkey")) // v1
+    mt.delete(col("o_orderkey") % 15 === 0) // v2 (DV marks)
+    spark.readStream
+      .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("readChangeFeed", "true")
+      .option("keys", "o_orderkey")
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", s"$scratch/out")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    spark.read.parquet(s"$scratch/out")
+      .orderBy(col("o_orderkey").asc, col("_commit_version").asc,
+        col("_change_type").asc)
+  }
+
+  /** The change history t13 must stream: v0 = every row as insert; v1
+    * = the merge's update pairs (%97 keys) and fresh inserts (%503
+    * keys shifted +10M); v2 = deletes of the keys %15 == 0 AT THE v1
+    * STATE — original keys carry their possibly-updated price, and a
+    * shifted insert dies when (k+10000000) % 15 = 0, i.e. k % 15 = 5.
+    */
+  val t13Oracle: String =
+    """SELECT o_orderkey, o_totalprice, _change_type, _commit_version FROM (
+      |  SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+      |         CAST(0 AS BIGINT) AS _commit_version
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, 'update_preimage', 1
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1000.0, 'update_postimage', 1
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice, 'insert', 1
+      |  FROM orders WHERE o_orderkey % 503 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+      |              ELSE o_totalprice END, 'delete', 2
+      |  FROM orders WHERE o_orderkey % 15 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_totalprice, 'delete', 2
+      |  FROM orders WHERE o_orderkey % 503 = 0 AND o_orderkey % 15 = 5)
+      |ORDER BY o_orderkey ASC NULLS FIRST, _commit_version ASC NULLS FIRST,
+      |  _change_type ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t2_tumbling_window" -> t2Tumbling,
     "t3_sliding_window" -> t3Sliding,
     "t3_session_window" -> t3Session,
-    "t12_sink_roundtrip" -> t12SinkRoundtrip)
+    "t12_sink_roundtrip" -> t12SinkRoundtrip,
+    "t13_cdf_stream" -> t13CdfStream)
 
   override def oracles: Map[String, String] = Map(
     "t2_tumbling_window" -> t2Oracle,
     "t3_sliding_window" -> t3SlidingOracle,
     "t3_session_window" -> t3SessionOracle,
-    "t12_sink_roundtrip" -> t12Oracle)
+    "t12_sink_roundtrip" -> t12Oracle,
+    "t13_cdf_stream" -> t13Oracle)
 }

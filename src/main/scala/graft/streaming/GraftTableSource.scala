@@ -29,6 +29,16 @@ case class GraftTableOffset(version: Int) extends Offset {
   * can keep — or are skipped with `ignoreChanges=true` (newly-added
   * files still flow; at-least-once on rewrites).
   *
+  * T13: with `.option("readChangeFeed", "true")` (+ `.option("keys",
+  * "k1,k2")`) the same stream becomes a CHANGE DATA FEED — the Delta
+  * `readStream.option("readChangeFeed", true)` surface: each trigger
+  * emits per-commit keyed diffs (`_change_type` insert /
+  * update_preimage / update_postimage / delete, `_commit_version`)
+  * instead of appended rows, so MERGE/UPDATE/DELETE commits propagate
+  * as data rather than killing the reader. `startingVersion` (default
+  * 0 = full-history replay as inserts; `"latest"` = new commits only)
+  * anchors a fresh checkpoint.
+  *
   * Usage:
   * {{{
   *   spark.readStream
@@ -65,12 +75,52 @@ class GraftTableSourceProvider extends StreamSourceProvider
         "graft-table source requires .option(\"root\", <table root>) " +
           "or .option(\"table\", <cat.ns.table>)"))
 
+  /** CDF mode flag + its key columns: `.option("readChangeFeed",
+    * "true")` turns the stream into a CHANGE feed (T13) — each trigger
+    * emits L8-style `_change_type` rows for the new versions instead
+    * of appended rows, so MERGE/UPDATE/DELETE commits flow downstream
+    * as data rather than killing an append-only reader. The keyed diff
+    * needs the table's row identity: `.option("keys", "k1,k2")`.
+    */
+  private def changeFeedKeys(
+      parameters: Map[String, String]): Option[Seq[String]] = {
+    val on = parameters.get("readchangefeed")
+      .orElse(parameters.get("readChangeFeed"))
+      .exists(_.equalsIgnoreCase("true"))
+    if (!on) None
+    else Some(parameters.get("keys").map(_.split(",").map(_.trim).toSeq
+      .filter(_.nonEmpty)).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "readChangeFeed requires .option(\"keys\", \"k1,k2\") — the " +
+          "change feed is a keyed row diff per commit")))
+  }
+
+  /** First version the change feed emits (its initial batch covers
+    * `[startingVersion, latest]`). Default 0 — the stream opens with
+    * the v0 snapshot as inserts, so a fresh checkpoint replays the
+    * table's full history exactly once; `"latest"` skips history and
+    * emits only post-subscription commits.
+    */
+  private def startingVersion(spark: SparkSession,
+      parameters: Map[String, String]): Int =
+    parameters.get("startingversion").orElse(parameters.get("startingVersion"))
+      .map {
+        case s if s.equalsIgnoreCase("latest") =>
+          ManifestTable.forRoot(spark, rootOf(spark, parameters))
+            .latestVersion.map(_ + 1).getOrElse(0)
+        case s => s.toInt
+      }.getOrElse(0)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val mt = ManifestTable.forRoot(sqlContext.sparkSession,
       rootOf(sqlContext.sparkSession, parameters))
-    (shortName(), schema.getOrElse(mt.read().schema))
+    val base = schema.getOrElse(mt.read().schema)
+    val out =
+      if (changeFeedKeys(parameters).isEmpty) base
+      else GraftTableSource.cdfSchema(base)
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -81,7 +131,9 @@ class GraftTableSourceProvider extends StreamSourceProvider
       parameters.get("ignorechanges").orElse(parameters.get("ignoreChanges"))
         .exists(_.equalsIgnoreCase("true")),
       parameters.get("maxversionspertrigger")
-        .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toInt))
+        .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toInt),
+      changeFeedKeys(parameters),
+      startingVersion(sqlContext.sparkSession, parameters))
 
   /** T12b: a ManifestTable as a STREAMING SINK — the
     * `df.writeStream.format("graft-table")` surface (Delta's
@@ -208,12 +260,21 @@ class GraftTableSink(spark: SparkSession, root: String,
 
 class GraftTableSource(spark: SparkSession, root: String,
     ignoreChanges: Boolean,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    cdfKeys: Option[Seq[String]] = None,
+    cdfStartVersion: Int = 0)
     extends Source with SupportsTriggerAvailableNow {
 
   private def table: ManifestTable = ManifestTable.forRoot(spark, root)
 
-  override val schema: StructType = table.read().schema
+  /** The table's row schema; the stream's output schema appends the
+    * change-feed metadata columns in CDF mode.
+    */
+  private val baseSchema: StructType = table.read().schema
+
+  override val schema: StructType =
+    if (cdfKeys.isDefined) GraftTableSource.cdfSchema(baseSchema)
+    else baseSchema
 
   // Trigger.AvailableNow pins the target offset at start; the stream
   // drains to it and stops even while writers keep committing
@@ -261,8 +322,11 @@ class GraftTableSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val vTo = versionOf(end)
-    val df0 = table.addedBetween(start.map(versionOf), vTo,
-      failOnChange = !ignoreChanges)
+    val df0 = cdfKeys match {
+      case Some(keys) => cdfBatch(start.map(versionOf), vTo, keys)
+      case None => table.addedBetween(start.map(versionOf), vTo,
+        failOnChange = !ignoreChanges)
+    }
     // pin column set + order to the source schema (a later append may
     // carry evolved columns; missing ones null-fill)
     val withAll = schema.fields.foldLeft(df0) { (d, f) =>
@@ -278,9 +342,54 @@ class GraftTableSource(spark: SparkSession, root: String,
       spark, projected.queryExecution.toRdd, schema)
   }
 
+  /** T13: one change-feed micro-batch — the union of per-version keyed
+    * diffs for `(from, vTo]`, each stamped with its `_commit_version`.
+    * Per version the diff touches only that commit's changed files
+    * ([[ManifestTable.changesAt]]), so a trigger costs the backlog's
+    * delta, never a snapshot pair; `maxVersionsPerTrigger` bounds how
+    * many version diffs one batch unions (both the catch-up scan size
+    * and the plan width). Replays are exact: the same (from, vTo]
+    * range always diffs the same committed manifests.
+    */
+  private def cdfBatch(from: Option[Int], vTo: Int,
+      keys: Seq[String]): DataFrame = {
+    val mt = table
+    val vFrom = from.getOrElse(cdfStartVersion - 1)
+    val parts = (vFrom + 1 to vTo).map { v =>
+      mt.changesAt(v, keys)
+        .withColumn("_commit_version", lit(v.toLong))
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        schema)
+    else parts.map { df =>
+      // pad each version's frame to the full CDF schema before the
+      // union — adjacent versions may straddle a schema evolution
+      val padded = schema.fields.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      padded.select(
+        schema.fieldNames.map(graft.functions.Cols.quoted).toIndexedSeq: _*)
+    }.reduce(_.unionByName(_))
+  }
+
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftTableSource[$root]"
+}
+
+object GraftTableSource {
+  /** Change-feed output schema: the table's columns plus the Delta-CDF
+    * metadata pair (`_change_type` string, `_commit_version` long).
+    */
+  def cdfSchema(base: StructType): StructType = StructType(
+    base.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = true) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true))
 }

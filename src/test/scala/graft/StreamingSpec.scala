@@ -645,4 +645,120 @@ class StreamingSpec extends SparkTestBase {
     mt.vacuum(retain = 100, minAgeMs = 0)
     assert(!fsx.exists(strand))
   }
+
+  test("T13: change-feed stream equals batch changesBetween replay across merge+delete") {
+    import graft.streaming.GraftTableSourceProvider
+    val root = scratch("t13_table")
+    val outDir = scratch("t13_out")
+    val ckpt = scratch("t13_ckpt")
+    val orders = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 3 === 0)
+    val mt = new ManifestTable(spark, root)
+    mt.write(base, "overwrite") // v0
+
+    def drain(): Unit = spark.readStream
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("readChangeFeed", "true")
+      .option("keys", "o_orderkey")
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+
+    // batch 1: the v0 snapshot arrives as inserts
+    drain()
+    val snap = spark.read.parquet(outDir)
+    assert(snap.count() === base.count())
+    assert(snap.filter(col("_change_type") =!= "insert").count() === 0)
+    assert(snap.filter(col("_commit_version") =!= 0L).count() === 0)
+
+    // v1: MERGE (updates + fresh inserts) — would KILL an append-only
+    // reader; the change feed must keep flowing. v2: DV delete.
+    val updates = base.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .unionByName(orders.filter(col("o_orderkey") % 503 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    mt.merge(updates, Seq("o_orderkey")) // v1
+    mt.delete(col("o_orderkey") % 15 === 0) // v2 (DV marks)
+    drain()
+
+    // streamed feed ≡ batch changesBetween replay, version by version
+    val streamed = spark.read.parquet(outDir)
+    val replay = (0 to 2).map { v =>
+      (if (v == 0) mt.read(Some(0)).withColumn("_change_type", lit("insert"))
+       else mt.changesBetween(v - 1, v, Seq("o_orderkey")))
+        .withColumn("_commit_version", lit(v.toLong))
+    }.reduce(_.unionByName(_)).select(streamed.columns.map(col): _*)
+    assert(streamed.exceptAll(replay).count() === 0)
+    assert(replay.exceptAll(streamed).count() === 0)
+    assert(streamed.count() === replay.count())
+    // the O(changed-files) per-commit diff equals the snapshot-pair
+    // diff for every version of the sequence
+    (1 to 2).foreach { v =>
+      val fast = mt.changesAt(v, Seq("o_orderkey"))
+      val full = mt.changesBetween(v - 1, v, Seq("o_orderkey"))
+      assert(fast.exceptAll(full).count() === 0)
+      assert(full.exceptAll(fast).count() === 0)
+    }
+    // sanity on content: the merge produced paired update rows and the
+    // delete produced delete rows
+    val types = streamed.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types.getOrElse("update_preimage", 0L) ===
+      types.getOrElse("update_postimage", 0L))
+    assert(types.getOrElse("update_preimage", 0L) > 0L)
+    assert(types.getOrElse("delete", 0L) > 0L)
+
+    // restart from the same checkpoint: exactly-once, nothing new
+    drain()
+    assert(spark.read.parquet(outDir).count() === streamed.count())
+
+    // startingVersion=latest: a fresh subscription skips history and
+    // sees only commits made after it started
+    val out2 = scratch("t13_out2")
+    val ckpt2 = scratch("t13_ckpt2")
+    def drainLatest(): Unit = spark.readStream
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("readChangeFeed", "true")
+      .option("keys", "o_orderkey")
+      .option("startingVersion", "latest")
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", out2)
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    // pin the schema: the first drain may land zero files (nothing to
+    // infer from)
+    val cdfSchema = graft.streaming.GraftTableSource.cdfSchema(
+      mt.read().schema)
+    drainLatest()
+    assert(spark.read.schema(cdfSchema).parquet(out2).count() === 0,
+      "latest skips history")
+    mt.delete(col("o_orderkey") % 16 === 0) // v3
+    drainLatest()
+    val late = spark.read.schema(cdfSchema).parquet(out2)
+    val v3 = mt.changesAt(3, Seq("o_orderkey"))
+      .withColumn("_commit_version", lit(3L))
+      .select(late.columns.map(col): _*)
+    assert(late.exceptAll(v3).count() === 0)
+    assert(v3.exceptAll(late).count() === 0)
+
+    // keys are mandatory in CDF mode
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream
+        .format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root)
+        .option("readChangeFeed", "true")
+        .load()
+    }
+    assert(messageChain(e).contains("keys"))
+  }
 }
