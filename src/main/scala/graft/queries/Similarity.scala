@@ -392,6 +392,151 @@ object Similarity extends QueryModule {
        |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
   }
 
+  /** S10b: hybrid retrieval with a REAL BM25 keyword leg (k1=1.2,
+    * b=0.75 — tf saturation + idf + length normalization) fused with
+    * the unchanged cosine vector leg by reciprocal-rank fusion. The
+    * whole score is FIXED-POINT so the oracle is hash-exact with no
+    * float-accumulation caveat:
+    *
+    *  - `idf_ppm = lnppm(2N+2) − lnppm(2df+1)` where
+    *    `lnppm(x) = floor(ln(x)·10⁶)` is evaluated ONLY on integer
+    *    arguments — `(N−df+0.5)/(df+0.5)+1` reduces exactly to the
+    *    integer ratio `(2N+2)/(2df+1)`. floor(ln(int)·10⁶) was
+    *    verified floor-identical between the JVM and DuckDB over the
+    *    ENTIRE reachable domain (x ≤ 4.2M, every integer — 0
+    *    mismatches), so the quantized idf is cross-engine exact by
+    *    finite enumeration, not by hoping two libm's agree (they
+    *    don't: 54/2M raw-bit mismatches).
+    *  - tf saturation is exact int64 rational arithmetic: with
+    *    avgdl = L/N the BM25 denominator tf + k1(1−b+b·dl/avgdl)
+    *    scales by 10⁶ into `10·tf·10⁶ + 3·10⁶ + 9·dlr_ppm`,
+    *    `dlr_ppm = (dl·N·10⁶) div L`; tf is capped at 20 000 (where
+    *    saturation is already ≈(k1+1)) to bound the numerator under
+    *    2⁶³.
+    *  - per-(query, doc) scores are INTEGER sums of integer terms —
+    *    order-independent, exact at any parallelism.
+    *
+    * Scale shape: one tf agg, one df agg, one doc-length agg (all
+    * map-side combined); query terms enriched with df vocab-side then
+    * broadcast onto the corpus tf table (the inverted-index equi-join
+    * — candidates only, never all pairs); one keyed integer agg; the
+    * per-query top-k rides InferWindowGroupLimit. Same shuffle classes
+    * as s10.
+    */
+  def s10bBm25Rrf(spark: SparkSession, dir: String): DataFrame = {
+    val legK = 20
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val probesV = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val wV = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val vLeg = emb.join(broadcast(probesV), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
+      .withColumn("rv", row_number().over(wV))
+      .filter(col("rv") <= legK)
+      .select(col("q_id"), col("vec_id").as("id"), col("rv"))
+
+    def lnppm(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    val docsTk = Q.t(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("tks"))
+    val toks = docsTk.select(col("doc_id"), explode(col("tks")).as("t"))
+    val tf = toks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l"))
+    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // enrich the (tiny) query-term set with df BEFORE touching the
+    // corpus-scale tf table — one vocab-keyed join, then one broadcast
+    // equi-join does candidate generation
+    val qTerms = docsTk.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), explode(array_distinct(col("tks"))).as("t"))
+      .join(dfT, Seq("t"))
+    val kLeg = tf.join(broadcast(qTerms), Seq("t"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_ppm",
+        lnppm(lit(2L) * col("n") + lit(2L)) - lnppm(lit(2L) * col("df") + lit(1L)))
+      .withColumn("dlr_ppm", expr("(dl * n * 1000000L) div l"))
+      .withColumn("tfc", least(col("tf"), lit(20000L)))
+      .withColumn("term_ppm", expr(
+        "(idf_ppm * 22L * tfc * 1000000L) div (10L * tfc * 1000000L + 3000000L + 9L * dlr_ppm)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("term_ppm")).as("bm25_ppm"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bm25_ppm").desc, col("doc_id").asc)))
+      .filter(col("rk") <= legK)
+      .select(col("q_id"), col("doc_id").as("id"), col("rk"), col("bm25_ppm"))
+
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+    vLeg.join(kLeg, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0)))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("rn"), col("id").as("neighbor"),
+        col("rrf_score"), col("bm25_ppm"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
+  val s10bOracle: String = {
+    val dot = (x: String, y: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($x, $y), p -> p[1] * p[2])), (a, b) -> a + b)"
+    val cos = s"round(${dot("q.v", "c.v")} / (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("c.v", "c.v")})), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |v_scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS id, $cos AS sim
+       |  FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+       |v_leg AS (
+       |  SELECT q_id, id, rv FROM (
+       |    SELECT q_id, id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC NULLS LAST, id ASC NULLS FIRST) AS rv
+       |    FROM v_scored) WHERE rv <= 20),
+       |tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, t),
+       |dlt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dlt),
+       |dfv AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+       |qt AS (SELECT DISTINCT doc_id AS q_id, t FROM tk WHERE doc_id < 5),
+       |term AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    ((CAST(floor(ln(CAST(2 * n + 2 AS DOUBLE)) * 1e6) AS BIGINT)
+       |       - CAST(floor(ln(CAST(2 * df + 1 AS DOUBLE)) * 1e6) AS BIGINT))
+       |      * 22 * LEAST(tf.tf, 20000) * 1000000)
+       |    // (10 * LEAST(tf.tf, 20000) * 1000000 + 3000000
+       |        + 9 * ((dl * n * 1000000) // l)) AS term_ppm
+       |  FROM tf JOIN qt USING (t) JOIN dfv USING (t)
+       |    JOIN dlt ON dlt.doc_id = tf.doc_id CROSS JOIN st
+       |  WHERE tf.doc_id != qt.q_id),
+       |kscore AS (
+       |  SELECT q_id, doc_id, CAST(SUM(term_ppm) AS BIGINT) AS bm25_ppm
+       |  FROM term GROUP BY q_id, doc_id),
+       |k_leg AS (
+       |  SELECT q_id, id, rk, bm25_ppm FROM (
+       |    SELECT q_id, doc_id AS id, bm25_ppm, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id
+       |      ORDER BY bm25_ppm DESC NULLS LAST, doc_id ASC NULLS FIRST) AS rk
+       |    FROM kscore) WHERE rk <= 20),
+       |fused AS (
+       |  SELECT COALESCE(v.q_id, k.q_id) AS q_id, COALESCE(v.id, k.id) AS id,
+       |    COALESCE(CAST(1 AS DOUBLE) / (60 + rv), 0.0)
+       |      + COALESCE(CAST(1 AS DOUBLE) / (60 + rk), 0.0) AS rrf_score,
+       |    k.bm25_ppm AS bm25_ppm
+       |  FROM v_leg v FULL OUTER JOIN k_leg k
+       |    ON v.q_id = k.q_id AND v.id = k.id)
+       |SELECT q_id, rn, id AS neighbor, rrf_score, bm25_ppm FROM (
+       |  SELECT q_id, id, rrf_score, bm25_ppm,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_score DESC NULLS LAST, id ASC NULLS FIRST) AS INT) AS rn
+       |  FROM fused)
+       |WHERE rn <= 10
+       |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+  }
+
   /** S2: LSH-bucketed ANN — multi-table random-hyperplane LSH
     * (8 tables × 4 sign bits, hyperplanes derived deterministically
     * from xxhash64, data-independent). A vector lands in one bucket
@@ -1106,6 +1251,7 @@ object Similarity extends QueryModule {
     "s8_ivfpq_ann" -> ((s, d) => s8IvfPqAnn(s, d)),
     "s9_pq_persisted" -> ((s, d) => s9PqPersisted(s, d)),
     "s10_hybrid_rrf" -> s10HybridRrf,
+    "s10b_bm25_rrf" -> s10bBm25Rrf,
     "s11_knn_graph" -> ((s, d) => s11KnnGraphAuto(s, d)),
     "s12_mmr" -> ((s, d) => s12Mmr(s, d)),
     "s13_nsw_ann" -> s13NswAnn)
@@ -1272,6 +1418,7 @@ object Similarity extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Oracle,
     "s10_hybrid_rrf" -> s10Oracle,
+    "s10b_bm25_rrf" -> s10bOracle,
     "s11_knn_graph" -> s11Oracle,
     "s2_lsh_ann" -> s2Oracle,
     "s4_ivf_ann" -> s4Oracle,
