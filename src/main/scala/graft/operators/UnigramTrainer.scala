@@ -304,6 +304,19 @@ object UnigramTrainer {
     * entry point when the vocabulary is an artifact rather than
     * trained in-query. Same probability math as training's M-step.
     */
+  /** Serving-side lookup state: the piece → log-prob hash table plus
+    * the out-of-vocabulary single-char floor (log 0.5 − log total
+    * mass). Shared by [[encodeCounts]] and the SQL expression
+    * ([[graft.functions.UnigramEncodeCount]]) so the two surfaces use
+    * one source of truth.
+    */
+  def encodeTable(vocab: Seq[VocabEntry]): (java.util.HashMap[String, java.lang.Double], Double) = {
+    val floorLogp = math.log(0.5) - math.log(totalMass(vocab.map(_.count)))
+    val table = new java.util.HashMap[String, java.lang.Double](vocab.length * 2)
+    vocab.foreach(e => table.put(e.piece, e.logProb))
+    (table, floorLogp)
+  }
+
   def fixedVocab(counts: Seq[(String, Long)]): Seq[VocabEntry] = {
     val logTotal = math.log(totalMass(counts.map(_._2)))
     counts.map { case (p, c) =>
@@ -345,16 +358,12 @@ object UnigramTrainer {
       maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val total = totalMass(vocab.map(_.count))
-    val logTotal = math.log(total)
-    val floorLogp = math.log(0.5) - logTotal
     // the vocabulary rides the task closure, NOT a managed broadcast:
     // the returned frame is lazy, so a broadcast made here could never
     // be destroyed and would accrete per invocation (the s7PqAnn
     // lesson — measured ≥5× bench regressions from leaked broadcasts);
     // closure state is GC'd with the job
-    val table = new java.util.HashMap[String, java.lang.Double](vocab.length * 2)
-    vocab.foreach(e => table.put(e.piece, e.logProb))
+    val (table, floorLogp) = encodeTable(vocab)
     val mpl = maxPieceLen
     docs.select(col(idCol).cast("long"),
         split(Bpe.sanitize(col(textCol)), " ").as("ws"))

@@ -39,6 +39,8 @@ import org.apache.spark.sql.types._
   *   CALL graft.bpe_merges('/lake/tokenizer', 0)
   *   CALL graft.unigram_save('/lake/uni_vocab', 'docs_view', 'text', 400)
   *   CALL graft.unigram_vocab('/lake/uni_vocab')
+  *   CALL graft.unigram_bind('/lake/uni_vocab')
+  *   -- then: SELECT graft_unigram_encode(text) FROM docs_view
   * }}}
   *
   * Tables are addressed by root path OR — same vocabulary as the
@@ -214,6 +216,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
     case "unigram_train" | "unigram_vocab" => Seq(
       attr("piece", StringType), attr("count", LongType),
       attr("log_prob", DoubleType))
+    case "unigram_bind" => Seq(
+      attr("version", IntegerType), attr("bound_pieces", IntegerType))
     case _ => Seq(attr("version", IntegerType))
   }
 
@@ -545,6 +549,21 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
           .select(col("piece"), col("count").cast("long"),
             col("log_prob").cast("double"))
           .collect().sortBy(r => (-r.getLong(1), r.getString(0))).toSeq
+      case "unigram_bind" =>
+        // unigram_bind(root [, version]) — capture a PERSISTED
+        // vocabulary in graft_unigram_encode(text)'s closure so
+        // serving is plain SQL over any view. Log-probs are
+        // recomputed from the integer counts (fixedVocab), not read
+        // from the rounded log_prob column, so SQL encode ≡
+        // encodeCounts exactly. Bounded: vocab-sized collect.
+        val t = table
+        val at =
+          if (args.length > 1) Some(num(1).toInt) else t.latestVersion
+        val counts = t.read(at)
+          .select(col("piece"), col("count").cast("long"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val n = graft.functions.UnigramEncodeCount.bind(session, counts)
+        Seq(Row(at.getOrElse(-1), n))
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure graft.$other; known: write, merge, delete, " +
@@ -557,7 +576,7 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
             "pq_build, pq_refresh, pq_query, " +
             "nsw_build, nsw_refresh, nsw_query, " +
             "bpe_train, bpe_save, bpe_merges, " +
-            "unigram_train, unigram_save, unigram_vocab")
+            "unigram_train, unigram_save, unigram_vocab, unigram_bind")
     }
   }
 }

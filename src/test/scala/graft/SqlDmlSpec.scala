@@ -437,6 +437,45 @@ class SqlDmlSpec extends SparkTestBase {
     assert(old.toSeq === viaApi)
   }
 
+  test("unigram_bind serves SQL encode equal to encodeCounts, entry for entry") {
+    val root = scratch("unigram_bind")
+    val docs = Q.t(sqlSpark, sf, "documents").orderBy("doc_id").limit(80)
+    docs.createOrReplaceTempView("sql_unib_docs")
+    sqlSpark.sql(
+      s"CALL graft.unigram_save('$root', 'sql_unib_docs', 'text', 60)")
+    // bind the persisted vocabulary (latest version) into the one-arg
+    // SQL function
+    val bound = sqlSpark.sql(s"CALL graft.unigram_bind('$root')").first()
+    assert(bound.getInt(1) > 0, "bind reports the vocabulary size")
+    val viaSql = sqlSpark.sql(
+      "SELECT doc_id, graft_unigram_encode(text) AS n_pieces " +
+        "FROM sql_unib_docs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the Dataset surface on the SAME persisted counts (log-probs
+    // recomputed from integer counts on both paths)
+    val counts = graft.lake.ManifestTable.forRoot(sqlSpark, root).read()
+      .select("piece", "count")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaApi = graft.operators.UnigramTrainer
+      .encodeCounts(docs, graft.operators.UnigramTrainer.fixedVocab(counts))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    assert(viaSql.exists(_._2 > 0L), "non-trivial piece counts")
+    // a rebind after a retrain picks up the NEW vocabulary
+    sqlSpark.sql(
+      s"CALL graft.unigram_save('$root', 'sql_unib_docs', 'text', 20)")
+    val rebound = sqlSpark.sql(s"CALL graft.unigram_bind('$root')").first()
+    assert(rebound.getInt(0) === bound.getInt(0) + 1, "binds the new version")
+    // binding an explicit OLD version restores the old answers
+    sqlSpark.sql(s"CALL graft.unigram_bind('$root', ${bound.getInt(0)})")
+    val viaSqlOld = sqlSpark.sql(
+      "SELECT doc_id, graft_unigram_encode(text) AS n_pieces " +
+        "FROM sql_unib_docs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSqlOld.toSeq === viaApi.toSeq)
+  }
+
   test("malformed CALLs fail loudly, not silently") {
     intercept[Exception] {
       sqlSpark.sql("CALL graft.nosuch('/tmp/x')").collect()
