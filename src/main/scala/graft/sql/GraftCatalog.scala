@@ -60,7 +60,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * declared-schema surface (L26). Time-travel-pinned tables
   * (VERSION/TIMESTAMP AS OF) refuse writes and deletes.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -330,6 +331,195 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
     fs.delete(dir, true)
+  }
+
+  // ---- persistent views: a `_graft_views` sidecar per namespace ----
+  //
+  // The DSv2 ViewCatalog surface: each view is one java.util.Properties
+  // file (JDK-native escaping handles multi-line SQL) holding the view
+  // text, the catalog/namespace it was defined under, the analyzed
+  // output schema, and column metadata. The `_` prefix keeps the
+  // sidecar out of SHOW NAMESPACES (same rule as _graft_log). Views
+  // pin SEMANTICS at read time, not create time: the stored SQL is
+  // re-resolved on every reference, so a view over a versioned table
+  // tracks the table's latest version (an AS OF in the view text pins
+  // explicitly) — the Athena/Glue behavior the reference's consumers
+  // expect, and it survives sessions because the sidecar lives next to
+  // the data.
+
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+
+  private def viewsDir(namespace: Array[String]): Path =
+    new Path(dirOf(namespace), "_graft_views")
+
+  private def viewPath(ident: Identifier): Path =
+    new Path(viewsDir(ident.namespace()), ident.name() + ".properties")
+
+  private def viewExistsPath(ident: Identifier): Boolean =
+    fs.exists(viewPath(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(
+      (catalogName +: ns).toSeq)
+    val dir = viewsDir(ns)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".properties"))
+      .map(n => Identifier.of(ns, n.stripSuffix(".properties")))
+      .sortBy(_.name())
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    viewExistsPath(ident)
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExistsPath(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        Identifier.of(catalogName +: ident.namespace(), ident.name()))
+    val props = new java.util.Properties()
+    val in = fs.open(viewPath(ident))
+    try props.load(new java.io.InputStreamReader(in, "UTF-8"))
+    finally in.close()
+    GraftView(ident, props)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    requireNoTableAncestor(ident.namespace())
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(
+        (catalogName +: ident.namespace().toSeq))
+    if (viewExistsPath(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(
+          Identifier.of(catalogName +: ident.namespace(), ident.name()))
+    if (isTableDir(dirOf(ident.namespace(), ident.name())))
+      throw new TableAlreadyExistsException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    writeView(ident, GraftView.toProperties(info))
+    loadView(ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    if (!viewExistsPath(ident) && !orCreate)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        Identifier.of(catalogName +: ident.namespace(), ident.name()))
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(
+        (catalogName +: ident.namespace().toSeq))
+    writeView(ident, GraftView.toProperties(info))
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident).asInstanceOf[GraftView]
+    val props = v.props
+    changes.foreach {
+      case s: ViewChange.SetProperty =>
+        props.setProperty("p." + s.property(), s.value())
+      case r: ViewChange.RemoveProperty =>
+        props.remove("p." + r.property())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported view change: $other")
+    }
+    writeView(ident, props)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewExistsPath(ident) && fs.delete(viewPath(ident), false)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = stripCatalog(oldIdent)
+    val to = stripCatalog(newIdent)
+    if (!viewExistsPath(from))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        Identifier.of(catalogName +: from.namespace(), from.name()))
+    if (viewExistsPath(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(
+          Identifier.of(catalogName +: to.namespace(), to.name()))
+    if (!namespaceExists(to.namespace()))
+      throw new NoSuchNamespaceException(
+        (catalogName +: to.namespace().toSeq))
+    fs.mkdirs(viewsDir(to.namespace()))
+    if (!fs.rename(viewPath(from), viewPath(to)))
+      throw new IllegalStateException(
+        s"rename view ${from.name()} -> ${to.name()} failed")
+  }
+
+  /** Atomic single-file publish: write a temp sibling, rename over. */
+  private def writeView(ident: Identifier,
+      props: java.util.Properties): Unit = {
+    val dir = viewsDir(ident.namespace())
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try props.store(new java.io.OutputStreamWriter(out, "UTF-8"),
+      s"graft view ${ident.name()}")
+    finally out.close()
+    val dest = viewPath(ident)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"view publish $dest failed")
+  }
+}
+
+/** A persisted view: thin accessor over its Properties file. Array
+  * fields are NUL-joined with a count prefix so empty strings and
+  * empty arrays round-trip unambiguously; user properties carry a
+  * `p.` key prefix.
+  */
+private[sql] case class GraftView(ident: Identifier,
+    props: java.util.Properties)
+    extends org.apache.spark.sql.connector.catalog.View {
+
+  private def arr(key: String): Array[String] = {
+    val n = props.getProperty(key + ".n", "0").toInt
+    if (n == 0) Array.empty
+    else props.getProperty(key, "").split("\u0000", -1).ensuring(_.length == n)
+  }
+
+  override def name(): String = ident.name()
+  override def query(): String = props.getProperty("sql")
+  override def currentCatalog(): String = props.getProperty("currentCatalog")
+  override def currentNamespace(): Array[String] = arr("currentNamespace")
+  override def schema(): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(props.getProperty("schema"))
+      .asInstanceOf[StructType]
+  override def queryColumnNames(): Array[String] = arr("queryColumnNames")
+  override def columnAliases(): Array[String] = arr("columnAliases")
+  override def columnComments(): Array[String] = arr("columnComments")
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    props.stringPropertyNames().forEach { k =>
+      if (k.startsWith("p.")) m.put(k.substring(2), props.getProperty(k))
+    }
+    m
+  }
+}
+
+private[sql] object GraftView {
+  def toProperties(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): java.util.Properties = {
+    val p = new java.util.Properties()
+    def put(key: String, v: Array[String]): Unit = {
+      val a = Option(v).getOrElse(Array.empty[String])
+      p.setProperty(key + ".n", a.length.toString)
+      if (a.nonEmpty) p.setProperty(key, a.mkString("\u0000"))
+    }
+    p.setProperty("sql", info.sql())
+    p.setProperty("currentCatalog", info.currentCatalog())
+    put("currentNamespace", info.currentNamespace())
+    p.setProperty("schema", info.schema().json)
+    put("queryColumnNames", info.queryColumnNames())
+    put("columnAliases", info.columnAliases())
+    put("columnComments", info.columnComments())
+    Option(info.properties()).foreach(_.forEach((k, v) =>
+      p.setProperty("p." + k, v)))
+    p
   }
 }
 
