@@ -38,11 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CALL graft.<proc>(...) procedure surface (MERGE/DELETE/UPDATE/
     // OPTIMIZE/VACUUM/RESTORE/DESCRIBE over manifest tables); every
     // other statement delegates to the stock parser untouched
-    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(delegate, session))
     // plain-SQL UPDATE / MERGE INTO over catalog-resolved manifest
     // tables: lower the resolved plans onto the DV merge-on-read
     // paths (updateWhere / mergeInto) — see graft.sql.GraftDmlRules
     ext.injectResolutionRule(session => graft.sql.GraftDmlRule(session))
+    // persistent SQL views over GraftCatalog (CREATE/SELECT/SHOW/DROP
+    // VIEW) — the DSv2 ViewCatalog wiring Spark core does not ship;
+    // see graft.sql.GraftViewRule
+    ext.injectResolutionRule(session => graft.sql.GraftViewRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine",

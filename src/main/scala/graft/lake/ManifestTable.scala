@@ -149,6 +149,18 @@ object ManifestTable {
   private[lake] val DvFileCol = "_graft_dv_file"
   private[lake] val DvPosCol = "_graft_dv_pos"
 
+  /** A file's LAYOUT SIGNATURE: the ordered hive partition-column
+    * names its relative path carries (outermost first). After a lazy
+    * [[ManifestTable.setPartitionSpec]] the signature identifies which
+    * partition spec a file was written under — hive dir values escape
+    * '=' ([[org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    * .escapePathName]]), so the first '=' always ends the column name,
+    * and uuid-minted data filenames never contain one.
+    */
+  private[lake] def layoutColsOf(rel: String): Seq[String] =
+    rel.split("/").dropRight(1).toSeq
+      .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+
   /** The salt's own xxhash64 — the seed of every value's second bloom
     * hash. Constant per process; computed once.
     */
@@ -247,6 +259,23 @@ class ManifestTable(spark: SparkSession, root: String,
       case Some(t) if !df.columns.contains(c) =>
         t.derive(col(t.src), df.schema(t.src).dataType)
       case _ => col(c)
+    }
+
+  /** [[partValueExpr]] generalized to ANY layout signature column —
+    * including hidden columns of a PREVIOUS partition spec (parsed
+    * back from their names) and identity columns renamed after they
+    * left the spec (mapped physical → logical). What per-signature
+    * merge scoping evaluates after a lazy [[setPartitionSpec]].
+    */
+  private def partValueExprFor(df: DataFrame, c: String): Column =
+    transforms.find(_.name == c).orElse(PartitionTransform.fromName(c)) match {
+      case Some(t) if !df.columns.contains(c) =>
+        val src = columnMapping.getOrElse(t.src, t.src)
+        t.derive(col(src), df.schema(src).dataType)
+      case _ =>
+        val name = if (df.columns.contains(c)) c
+          else columnMapping.getOrElse(c, c)
+        col(name)
     }
 
   /** All zone-map columns: the legacy single `statsCol` plus any
@@ -535,7 +564,9 @@ class ManifestTable(spark: SparkSession, root: String,
         case seg if seg.startsWith(marker) =>
           Entry.dec(seg.stripPrefix(marker)).toInt
       }.getOrElse(throw new IllegalStateException(
-        s"readBucketed: ${e.rel} is not under a ${t.name}= directory"))
+        s"readBucketed: ${e.rel} is not under a ${t.name}= directory — " +
+          "it predates the bucket spec (lazy setPartitionSpec); " +
+          "compact() to migrate the layout first"))
       groups(b) += new Path(root, e.rel).toString
     }
 
@@ -660,18 +691,30 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   private def readFiles(files: Seq[String], withPos: Boolean = false,
       pinnedSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // group by (basePath, LAYOUT SIGNATURE): after a lazy
+    // setPartitionSpec a snapshot mixes files laid out under different
+    // partition specs, and Spark's partition discovery refuses a file
+    // set whose hive directory schemas conflict — so each layout reads
+    // under its own discovery pass and the groups union by name (a
+    // partition column one group recovers from dirs lives in the other
+    // group's files as ordinary data, so no column is ever null-filled
+    // wrongly)
     val groups = files.groupBy { f =>
       val i = f.lastIndexOf("/data/")
-      if (i >= 0) f.substring(0, i + "/data".length) else dataDir.toString
+      val bp = if (i >= 0) f.substring(0, i + "/data".length) else dataDir.toString
+      val rel =
+        if (f.startsWith(bp)) f.substring(math.min(bp.length + 1, f.length))
+        else new Path(f).getName
+      (bp, ManifestTable.layoutColsOf(rel).mkString("/"))
     }
-    groups.toSeq.sortBy(_._1).map { case (bp, fs) =>
+    groups.toSeq.sortBy(_._1).map { case ((bp, _), paths) =>
       // a pinned schema (from one inference pass over the full file
       // set) skips the per-call mergeSchema footer scan — the
       // bucketed read path calls this once PER BUCKET
       val reader = spark.read.option("basePath", bp)
       val df = pinnedSchema match {
-        case Some(s) => reader.schema(s).parquet(fs: _*)
-        case None => reader.option("mergeSchema", "true").parquet(fs: _*)
+        case Some(s) => reader.schema(s).parquet(paths: _*)
+        case None => reader.option("mergeSchema", "true").parquet(paths: _*)
       }
       // (basename, row_index) is the engine's permanent row id for
       // deletion vectors: basenames are uuid-minted so they never
@@ -774,22 +817,70 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def evolvePartitionSpec(newIdentityCols: Seq[String],
       newTransformSpecs: Seq[String] = Nil): ManifestTable = {
-    val v0 = latestVersion.getOrElse(
-      throw new IllegalStateException(s"evolvePartitionSpec: no versions at $root"))
-    val parsed = newTransformSpecs.map(PartitionTransform.parse)
-    val current = read(Some(v0))
-    val needed = newIdentityCols ++ parsed.map(_.src)
-    val missing = needed.filterNot(current.columns.contains)
-    require(missing.isEmpty,
-      s"evolvePartitionSpec: column(s) not in table: ${missing.mkString(", ")}")
-    val renamed = needed.filter(c => toPhysical(c) != c)
-    require(renamed.isEmpty,
-      s"evolvePartitionSpec: renamed column(s) cannot partition: ${renamed.mkString(", ")}")
+    val (v0, current) = validateNewSpec("evolvePartitionSpec",
+      newIdentityCols, newTransformSpecs)
     val evolved = new ManifestTable(spark, root, None, statsCol, statsCols,
       bloomCol, bloomBits, bloomHashes, newIdentityCols, newTransformSpecs)
     evolved.rewriteSnapshot(Some(v0), current)
     evolved.writeConfigFile(replaceExisting = true)
     evolved
+  }
+
+  /** LAZY partition-spec evolution — the Iceberg headline: change the
+    * layout of a LIVE table without touching a byte of data. The new
+    * spec is persisted to the config sidecar only; existing files keep
+    * their old layout, every commit from here lays out by the new one,
+    * and the mixed snapshot stays fully functional because each file's
+    * own path IS its spec ([[PartitionTransform.fromName]]):
+    *
+    *  - scans union the layouts ([[readFiles]] groups by signature);
+    *  - [[readPartitionEq]]/[[readPartitionRange]] prune each file by
+    *    its OWN spec's transform (old daily files by `days`, new
+    *    hourly files by `hours`);
+    *  - [[merge]] scopes touched partitions per signature, and its
+    *    rewrites land under the new spec — as do [[compact]]/
+    *    [[compactSmall]]/[[reorgPurge]] — so the table migrates
+    *    progressively, paying O(touched) per op, never O(table);
+    *  - path-exact ops that cannot scope a foreign layout
+    *    ([[overwritePartitionValues]], [[readBucketed]]) refuse the
+    *    mixed state with migration guidance instead of guessing.
+    *
+    * [[evolvePartitionSpec]] is the eager alternative (one O(table)
+    * rewrite, never a mixed state); this is the form that survives a
+    * 100 TB table, at the cost of mixed-layout snapshots until
+    * compaction or churn migrates the tail. Returns a NEW instance
+    * configured with the new layout; the receiver keeps its old view
+    * and should be discarded. Time travel is unaffected (readers key
+    * on paths, not config).
+    */
+  def setPartitionSpec(newIdentityCols: Seq[String],
+      newTransformSpecs: Seq[String] = Nil): ManifestTable = {
+    validateNewSpec("setPartitionSpec", newIdentityCols, newTransformSpecs)
+    val evolved = new ManifestTable(spark, root, None, statsCol, statsCols,
+      bloomCol, bloomBits, bloomHashes, newIdentityCols, newTransformSpecs)
+    evolved.writeConfigFile(replaceExisting = true)
+    evolved
+  }
+
+  /** Shared validation for a new partition spec: the table must have a
+    * version (the spec change is observable), every referenced column
+    * must exist, and none may sit behind a rename (hive paths bake
+    * physical names). Returns the pinned version and its frame.
+    */
+  private def validateNewSpec(op: String, newIdentityCols: Seq[String],
+      newTransformSpecs: Seq[String]): (Int, DataFrame) = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"$op: no versions at $root"))
+    val parsed = newTransformSpecs.map(PartitionTransform.parse)
+    val current = read(Some(v0))
+    val needed = newIdentityCols ++ parsed.map(_.src)
+    val missing = needed.filterNot(current.columns.contains)
+    require(missing.isEmpty,
+      s"$op: column(s) not in table: ${missing.mkString(", ")}")
+    val renamed = needed.filter(c => toPhysical(c) != c)
+    require(renamed.isEmpty,
+      s"$op: renamed column(s) cannot partition: ${renamed.mkString(", ")}")
+    (v0, current)
   }
 
   /** A version is taken if EITHER file form exists — a checkpoint
@@ -1263,50 +1354,98 @@ class ManifestTable(spark: SparkSession, root: String,
 
   private def srcType(srcCol: String) = read().schema(srcCol).dataType
 
+  /** Multi-spec pruning kernel: each file is tested against every
+    * transform ON `srcCol` that ITS OWN path carries
+    * ([[PartitionTransform.fromName]] parses the hidden hive column
+    * back to its transform) — after a lazy [[setPartitionSpec]],
+    * old-spec files prune by THEIR transform and current files by the
+    * current one, in the same pass. A file carrying no segment on
+    * `srcCol` is kept (never wrongly skipped), so pruning degrades to
+    * a scan, never to row loss. `test(t, pathValue)` decides keep for
+    * one carried segment value (`pathValue` is null for the hive
+    * default partition).
+    */
+  private def pruneBySpecs(entries: Seq[Entry], srcCol: String)(
+      test: (PartitionTransform, String) => Boolean): Seq[Entry] = {
+    val logicalOf = columnMapping // physical -> logical, loaded once
+    val parsed =
+      scala.collection.mutable.Map.empty[String, Option[PartitionTransform]]
+    def transformOf(c: String): Option[PartitionTransform] =
+      parsed.getOrElseUpdate(c, PartitionTransform.fromName(c)
+        .filter(t => logicalOf.getOrElse(t.src, t.src) == srcCol))
+    entries.filter { e =>
+      ManifestTable.layoutColsOf(e.rel).forall { c =>
+        transformOf(c) match {
+          case Some(t) => partValueOf(e.rel, c).forall(pv => test(t, pv))
+          case None => true
+        }
+      }
+    }
+  }
+
+  private def pruneEq(entries: Seq[Entry], srcCol: String,
+      value: String): Seq[Entry] = {
+    val dt = srcType(srcCol)
+    // one tiny local projection per DISTINCT transform, not per file
+    val derived = scala.collection.mutable.Map.empty[String, String]
+    def tv(t: PartitionTransform): String =
+      derived.getOrElseUpdate(t.name, derivedValueOf(t, value, dt))
+    pruneBySpecs(entries, srcCol)((t, pv) => pv == tv(t))
+  }
+
   /** Point lookup through a partition transform: scan only the files
-    * whose derived partition matches `transform(value)`, then apply
-    * the exact residual predicate on the source column. A
-    * `bucket(1024, user_id)` table answers a user lookup from 1/1024th
-    * of its files with zero index structures.
+    * whose derived partition matches `transform(value)` — each file
+    * under its OWN spec's transform — then apply the exact residual
+    * predicate on the source column. A `bucket(1024, user_id)` table
+    * answers a user lookup from 1/1024th of its files with zero index
+    * structures.
     */
   def readPartitionEq(srcCol: String, value: String): DataFrame = {
-    val t = transformFor(srcCol)
+    transformFor(srcCol) // contract: the current spec partitions on srcCol
     val dt = srcType(srcCol)
-    val tv = derivedValueOf(t, value, dt)
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
-    val entries = entriesOf(v).filter(e =>
-      partValueOf(e.rel, t.name).forall(_ == tv))
+    val entries = pruneEq(entriesOf(v), srcCol, value)
     if (entries.isEmpty) read(Some(v)).filter(lit(false))
     else readEntries(entries).filter(col(srcCol) === lit(value).cast(dt))
   }
 
   /** Range scan through a MONOTONIC partition transform (`days`,
     * `months`, `hours`, `truncate`): scan only files whose derived
-    * partition intersects `[transform(lo), transform(hi)]`, with the
-    * exact residual on the source column. Bucket transforms refuse —
-    * hashing destroys ordering.
+    * partition intersects `[transform(lo), transform(hi)]` under the
+    * file's OWN spec, with the exact residual on the source column.
+    * Bucket transforms refuse as the current spec (hashing destroys
+    * ordering); an old-spec bucket segment simply cannot prune and its
+    * files are kept.
     */
   def readPartitionRange(srcCol: String, lo: String, hi: String): DataFrame = {
-    val t = transformFor(srcCol)
-    require(t.monotonic,
-      s"${t.spec} is not ordering-preserving; range pruning would be wrong")
+    val cur = transformFor(srcCol)
+    require(cur.monotonic,
+      s"${cur.spec} is not ordering-preserving; range pruning would be wrong")
     val dt = srcType(srcCol)
-    val (tlo, thi) = (derivedValueOf(t, lo, dt), derivedValueOf(t, hi, dt))
-    val numeric = t match {
-      case PartitionTransform.TruncateOf(_, _) => dt match {
-        case org.apache.spark.sql.types.StringType => false
-        case _ => true
-      }
-      case _ => false // date-shaped strings compare lexicographically
-    }
-    def le(a: String, b: String): Boolean =
+    case class Bounds(lo: String, hi: String, numeric: Boolean)
+    val cache = scala.collection.mutable.Map.empty[String, Bounds]
+    def boundsOf(t: PartitionTransform): Bounds =
+      cache.getOrElseUpdate(t.name, Bounds(
+        derivedValueOf(t, lo, dt), derivedValueOf(t, hi, dt),
+        t match {
+          case PartitionTransform.TruncateOf(_, _) => dt match {
+            case org.apache.spark.sql.types.StringType => false
+            case _ => true
+          }
+          case _ => false // date-shaped strings compare lexicographically
+        }))
+    def le(numeric: Boolean)(a: String, b: String): Boolean =
       if (numeric) a.toDouble <= b.toDouble else a <= b
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
-    val entries = entriesOf(v).filter(e =>
-      partValueOf(e.rel, t.name).forall(pv =>
-        pv != null && le(tlo, pv) && le(pv, thi)))
+    val entries = pruneBySpecs(entriesOf(v), srcCol) { (t, pv) =>
+      if (!t.monotonic) true
+      else {
+        val b = boundsOf(t)
+        pv != null && le(b.numeric)(b.lo, pv) && le(b.numeric)(pv, b.hi)
+      }
+    }
     if (entries.isEmpty) read(Some(v)).filter(lit(false))
     else readEntries(entries)
       .filter(col(srcCol) >= lit(lo).cast(dt) && col(srcCol) <= lit(hi).cast(dt))
@@ -1315,11 +1454,10 @@ class ManifestTable(spark: SparkSession, root: String,
   /** Files a [[readPartitionEq]] would scan — the pruning audit hook
     * (what a spec asserts shrank). */
   def prunedFilesPartitionEq(srcCol: String, value: String): Seq[String] = {
-    val t = transformFor(srcCol)
-    val tv = derivedValueOf(t, value, srcType(srcCol))
+    transformFor(srcCol)
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
-    entriesOf(v).filter(e => partValueOf(e.rel, t.name).forall(_ == tv))
+    pruneEq(entriesOf(v), srcCol, value)
       .map(e => new Path(root, e.rel).toString)
   }
 
@@ -1580,8 +1718,21 @@ class ManifestTable(spark: SparkSession, root: String,
       val pv = partValueExpr(df, c)
       if (v == null) pv.isNull else pv.cast("string") === lit(v)
     }.reduce(_ && _))
-    val newFiles = newEntries(writeDataFiles(enforced(slice)))
     val base = latestVersion.map(entriesOf).getOrElse(Seq.empty)
+    // path-exact contract (checked BEFORE any data write): every live
+    // file must carry the CURRENT layout's segments, or the target
+    // tuple cannot be matched against it. After a lazy
+    // setPartitionSpec, files of the old spec refuse loudly (a silent
+    // carry-forward would leave their rows of the replaced tuple
+    // alive — duplication on the very next read)
+    val foreign = base.filter(e =>
+      ManifestTable.layoutColsOf(e.rel) != partCols)
+    require(foreign.isEmpty,
+      s"overwritePartitionValues: ${foreign.size} file(s) predate the " +
+        s"current partition spec (e.g. ${foreign.headOption.map(_.rel).getOrElse("")}); " +
+        "compact() or evolvePartitionSpec to migrate the layout first, " +
+        "or use merge/delete which scope per-spec")
+    val newFiles = newEntries(writeDataFiles(enforced(slice)))
     def inPart(e: Entry): Boolean =
       partCols.zip(values).forall { case (c, v) => inPartition(e.rel, c, v) }
     // partition-scoped delta: concurrent commits to OTHER partitions
@@ -1657,7 +1808,6 @@ class ManifestTable(spark: SparkSession, root: String,
     val noop = upsertDelta.isEmpty && deleteHits.forall(_.isEmpty)
     if (noop) return latestVersion.get
     if (partCols.nonEmpty) {
-        val cs = partCols
         // touched = partition TUPLES the changed rows land in ∪ tuples
         // currently holding any CHANGED key (covers deletes + partition
         // moves). Keys come from upsertDelta + tombstones, NOT the raw
@@ -1668,46 +1818,80 @@ class ManifestTable(spark: SparkSession, root: String,
           deletes.fold(uk)(d => uk.union(d.select(keys.map(col): _*))).distinct()
         }
         val currentOfFed = base.join(changedKeys, keys, "left_semi")
-        def tupleOf(df: DataFrame) =
-          df.select(cs.map(c => partValueExpr(df, c).cast("string")): _*)
-        val touched: Set[Seq[String]] = tupleOf(upsertDelta)
-          .union(tupleOf(currentOfFed))
-          .distinct()
-          .collect() // bounded: distinct touched partition tuples
-          .map(r => cs.indices.map(i =>
-            if (r.isNullAt(i)) null else r.getString(i)): Seq[String])
-          .toSet
+        val baseEntries = entriesOf(v0)
+        // PER LAYOUT SIGNATURE: after a lazy setPartitionSpec the
+        // snapshot mixes files from different specs, and each file must
+        // be scoped by the tuple ITS OWN path carries — touched tuples
+        // are computed under every signature present (usually one, two
+        // right after an evolution), and a file is removed iff its own
+        // signature's tuple is touched. All rows of a hive-partitioned
+        // file share its dir tuple, so rewriting EXACTLY the removed
+        // files' rows (readEntries below) both carries every untouched
+        // row and migrates rewritten rows to the current layout.
+        val signatures = (baseEntries.map(e =>
+          ManifestTable.layoutColsOf(e.rel)).toSet + partCols).toSeq
+        def tuplesFor(sig: Seq[String]): Set[Seq[String]] =
+          if (sig.isEmpty) Set(Seq.empty) // legacy unpartitioned files
+          else {
+            def tupleOf(df: DataFrame) =
+              df.select(sig.map(c =>
+                partValueExprFor(df, c).cast("string")): _*)
+            tupleOf(upsertDelta)
+              .union(tupleOf(currentOfFed))
+              .distinct()
+              .collect() // bounded: distinct touched partition tuples
+              .map(r => sig.indices.map(i =>
+                if (r.isNullAt(i)) null else r.getString(i)): Seq[String])
+              .toSet
+          }
+        val touchedBySig = scala.collection.mutable.Map(
+          signatures.map(s => s -> tuplesFor(s)): _*)
+        def inTouchedPartition(e: Entry): Boolean = {
+          val sig = ManifestTable.layoutColsOf(e.rel)
+          // getOrElseUpdate: a concurrent writer's new files can carry
+          // a signature the base snapshot didn't (it evolved the spec
+          // mid-flight); computed once, before upsertDelta unpersists
+          touchedBySig.getOrElseUpdate(sig, tuplesFor(sig)).exists(t =>
+            sig.zip(t).forall { case (c, v) => inPartition(e.rel, c, v) })
+        }
+        val removed = baseEntries.filter(inTouchedPartition)
         // NULL is a legal partition value on any level (hive default
         // partition): each tuple predicate tests it explicitly — an
         // equality/isin would never match and rows landing in / moving
         // out of the null partition would be silently dropped
         // derived-value comparisons resolve source types against the
         // base schema (updates must be merge-compatible with it anyway)
-        def tuplePred(t: Seq[String]): Column =
-          cs.zip(t).map { case (c, v) =>
-            val pv = partValueExpr(base, c)
+        def tuplePred(df: DataFrame, sig: Seq[String], t: Seq[String]): Column =
+          sig.zip(t).map { case (c, v) =>
+            val pv = partValueExprFor(df, c)
             if (v == null) pv.isNull else pv.cast("string") === lit(v)
           }.reduce(_ && _)
-        val inTouched = touched.toSeq.map(tuplePred)
-          .reduceOption(_ || _).getOrElse(lit(false))
-        val touchedBase = base.filter(inTouched)
+        def inTouchedAny(df: DataFrame): Column =
+          touchedBySig.toSeq.flatMap { case (sig, ts) =>
+            if (sig.isEmpty) Nil else ts.toSeq.map(tuplePred(df, sig, _))
+          }.reduceOption(_ || _).getOrElse(lit(false))
+        // the rewrite set = exactly the removed files' rows (their
+        // untouched-under-the-current-spec rows must be carried too —
+        // an old coarser partition rewrites whole); resolve() keeps
+        // base rows whose keys the feed doesn't change. An insert-only
+        // merge into fresh partitions removes nothing — filter(false)
+        // keeps the schema where readEntries(Nil) could not
+        val touchedBase =
+          if (removed.isEmpty) base.filter(lit(false))
+          else withGenerated(withDeclared(readEntries(removed)))
         // tombstones bypass the partition filter: they match by KEY and
         // their own partition-column values may not reflect the base row's
         val touchedUpdates = deleteCol match {
-          case Some(d) => updates.filter(coalesce(col(d), lit(false)) || inTouched)
-          case None => updates.filter(inTouched)
+          case Some(d) =>
+            updates.filter(coalesce(col(d), lit(false)) || inTouchedAny(updates))
+          case None => updates.filter(inTouchedAny(updates))
         }
         val merged = resolve(touchedBase, touchedUpdates)
         val newFiles = newEntries(writeDataFiles(enforced(merged)))
-        def inTouchedPartition(e: Entry): Boolean =
-          touched.exists(t =>
-            cs.zip(t).forall { case (c, v) => inPartition(e.rel, c, v) })
-        val baseEntries = entriesOf(v0)
         // delta = rewrite of the touched partitions only: a concurrent
         // merge/append to OTHER partitions rebases and both commits
         // land; concurrent changes inside a touched partition conflict
-        commitDelta(baseEntries,
-          baseEntries.filter(inTouchedPartition).map(_.rel).toSet,
+        commitDelta(baseEntries, removed.map(_.rel).toSet,
           newFiles, conflictsWith = inTouchedPartition)
     } else {
         rewriteSnapshot(Some(v0), enforced(resolve(base, updates)))

@@ -101,6 +101,29 @@ object PartitionTransform {
 
   private val Fn = """(\w+)\s*\(\s*([^)]*)\)""".r
 
+  private val CalName = s"^$Prefix(days|months|years|hours)_(.+)$$".r
+  private val BucketName = s"^${Prefix}bucket(\\d+)_(.+)$$".r
+  private val TruncName = s"^${Prefix}trunc(\\d+)_(.+)$$".r
+
+  /** Reverse of [[PartitionTransform.name]]: parse a hidden hive
+    * column back to its transform. The derived column name embeds the
+    * transform kind and source, so a file's own path IS its partition
+    * spec — after a lazy [[graft.lake.ManifestTable.setPartitionSpec]]
+    * the pruning and scoping paths recover each file's spec from here
+    * instead of assuming the table's current one (the Iceberg
+    * per-file spec-id, carried by the layout rather than a manifest
+    * field). None for a name that is not a derived layout column.
+    */
+  def fromName(hiveCol: String): Option[PartitionTransform] = hiveCol match {
+    case BucketName(n, src) => Some(BucketOf(n.toInt, src))
+    case TruncName(w, src) => Some(TruncateOf(w.toInt, src))
+    case CalName("days", src) => Some(DaysOf(src))
+    case CalName("months", src) => Some(MonthsOf(src))
+    case CalName("years", src) => Some(YearsOf(src))
+    case CalName("hours", src) => Some(HoursOf(src))
+    case _ => None
+  }
+
   /** Parse a declaration: `days(ts)`, `months(ts)`, `hours(ts)`,
     * `bucket(16,id)`, `truncate(4,name)`. A bare column name is NOT a
     * transform — identity partitioning uses `partitionCols` directly.

@@ -440,6 +440,103 @@ object Lakehouse extends QueryModule {
       |    AND s.s_pri <> '5-LOW')
       |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** L33: persistent SQL views ([[graft.sql.GraftViewRule]] over the
+    * ViewCatalog side of [[graft.sql.GraftCatalog]]) — `CREATE OR
+    * REPLACE VIEW cat.ns.v (cols) AS SELECT …` persisted in the
+    * `_graft_views` sidecar, read back BY NAME with read-time
+    * semantics: the table is appended AFTER the view is created, and
+    * the view must see the new rows (the Athena/Glue view contract;
+    * session-survival and SHOW/DROP round-trips are spec-gated in
+    * GraftViewSpec). The oracle replays the view text over the
+    * append-unioned raw orders.
+    */
+  def l33SqlView(spark: SparkSession, dir: String): DataFrame = {
+    val s = dmlSession(spark)
+    val root = dmlScratch(s, "orders_l33")
+    val mt = new ManifestTable(s, root)
+    mt.write(Q.t(s, dir, "orders"), "overwrite")
+    s.sql(
+      s"""CREATE OR REPLACE VIEW graft_dml.gold.prio_rollup_l33
+         |  (pri, n, total) AS
+         |SELECT o_orderpriority, COUNT(*),
+         |       ${Q.sql.dsum("o_totalprice")}
+         |FROM graft_dml.gold.orders_l33
+         |WHERE o_orderkey % 3 = 0
+         |GROUP BY o_orderpriority""".stripMargin)
+    // mutate AFTER create — views resolve at read time, so the view
+    // must reflect this append (×3 keys stay inside the view's filter)
+    mt.write(Q.t(s, dir, "orders").filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") * 3), "append")
+    s.sql(
+      """SELECT pri, n, total FROM graft_dml.gold.prio_rollup_l33
+        |ORDER BY pri ASC NULLS FIRST""".stripMargin)
+  }
+
+  val l33Oracle: String =
+    s"""WITH appended AS (
+       |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey * 3, o_orderpriority, o_totalprice
+       |  FROM orders WHERE o_orderkey % 101 = 0)
+       |SELECT o_orderpriority AS pri, COUNT(*) AS n,
+       |       ${Q.sql.dsum("o_totalprice")} AS total
+       |FROM appended
+       |WHERE o_orderkey % 3 = 0
+       |GROUP BY 1
+       |ORDER BY 1 ASC NULLS FIRST""".stripMargin
+
+  /** L34: LAZY partition-spec evolution
+    * ([[graft.lake.ManifestTable.setPartitionSpec]]) — the Iceberg
+    * change-the-layout-without-rewriting headline, end to end on one
+    * table: monthly layout → lazy switch to daily → append under the
+    * new spec → a MERGE whose touched keys span BOTH layouts (scoped
+    * per file by the file's OWN spec; its rewrites migrate to daily) →
+    * a transform range read over the still-mixed snapshot, pruning old
+    * files by `months` and new files by `days`. The oracle replays the
+    * update arithmetic and the date window over raw orders — if any
+    * layout path dropped, duplicated, or mis-pruned a file, the
+    * aggregate could not match. File-level scoping/pruning assertions
+    * are spec-gated in PartitionTransformSpec.
+    */
+  def l34SpecEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${sys.props("java.io.tmpdir")}/graft_lake_l34_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(fsPath, true)
+
+    val orders = Q.t(spark, dir, "orders")
+    val t0 = new ManifestTable(spark, s"$scratch/orders",
+      partitionSpec = Seq("months(o_orderdate)"))
+    t0.write(orders.filter(col("o_orderkey") % 2 === 0), "overwrite")
+    val t1 = t0.setPartitionSpec(Nil, Seq("days(o_orderdate)"))
+    t1.write(orders.filter(col("o_orderkey") % 2 =!= 0), "append")
+    // touched keys live in old monthly AND new daily files; the date
+    // window keeps the touched set narrow so the snapshot STAYS mixed
+    // for the read below
+    t1.merge(orders.filter(col("o_orderkey") % 91 === 0
+        && col("o_orderdate").between("1995-04-01", "1995-04-30"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey"))
+    t1.readPartitionRange("o_orderdate", "1995-03-01", "1995-06-30")
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("pri").asc)
+  }
+
+  val l34Oracle: String =
+    s"""SELECT o_orderpriority AS pri, COUNT(*) AS n,
+       |       ${Q.sql.dsum("p")} AS total
+       |FROM (
+       |  SELECT o_orderpriority, o_orderdate,
+       |         CASE WHEN o_orderkey % 91 = 0
+       |                AND o_orderdate BETWEEN DATE '1995-04-01'
+       |                                    AND DATE '1995-04-30'
+       |              THEN o_totalprice * 2 ELSE o_totalprice END AS p
+       |  FROM orders)
+       |WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-06-30'
+       |GROUP BY 1
+       |ORDER BY 1 ASC NULLS FIRST""".stripMargin
+
   /** L22b: storage-partitioned join — write orders and lineitem as
     * `bucket(8, key)` tables, then join through
     * [[ManifestTable.readBucketed]]: both scans report their
@@ -707,6 +804,8 @@ object Lakehouse extends QueryModule {
     "l22b_bucketed_join" -> l22bBucketedJoin,
     "l29_sql_update" -> l29SqlUpdate,
     "l30_sql_merge" -> l30SqlMerge,
+    "l33_sql_view" -> l33SqlView,
+    "l34_spec_evolution" -> l34SpecEvolution,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
@@ -723,6 +822,8 @@ object Lakehouse extends QueryModule {
     "l22b_bucketed_join" -> l22bOracle,
     "l29_sql_update" -> l29Oracle,
     "l30_sql_merge" -> l30Oracle,
+    "l33_sql_view" -> l33Oracle,
+    "l34_spec_evolution" -> l34Oracle,
     "l15_dv_roundtrip" -> l15Oracle,
     "l6_exact_dedup" -> l6Oracle)
 }

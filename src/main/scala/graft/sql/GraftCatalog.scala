@@ -177,6 +177,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = dirOf(ident.namespace(), ident.name())
     if (isTableDir(dir)) throw new TableAlreadyExistsException(
       (catalogName +: ident.namespace().toSeq :+ ident.name()))
+    // a name must never be both a table and a view — whichever rule
+    // resolved first would win silently (createView holds the mirror
+    // guard)
+    if (viewExistsPath(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(
+          Identifier.of(catalogName +: ident.namespace(), ident.name()))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // the empty bootstrap write persists the table_config sidecar, so

@@ -53,9 +53,18 @@ import org.apache.spark.sql.types._
   * Statements that don't match the CALL pattern delegate verbatim to
   * the stock parser — zero interference with regular Spark SQL.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(delegate: ParserInterface,
+    session: org.apache.spark.sql.SparkSession = null) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSql.parseCall(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftSql.parseCall(sqlText).getOrElse {
+      val plan = delegate.parsePlan(sqlText)
+      // CREATE/DROP/SHOW VIEW targeting a graft catalog must divert
+      // BEFORE analysis (ResolveSessionCatalog throws
+      // MISSING_CATALOG_ABILITY for view commands on any non-session
+      // catalog); everything else passes through untouched
+      if (session == null) plan
+      else GraftViewRules.interceptParsed(session, plan)
+    }
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -390,6 +399,16 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
           else Seq.empty
         val t = table.evolvePartitionSpec(csv(1), csv(2))
         versionRow(t.latestVersion.getOrElse(-1))
+      case "set_partition_spec" =>
+        // set_partition_spec(root, identityColsCsv [, transformSpecsCsv])
+        // — LAZY spec change: config-only, zero data movement; old
+        // files keep their layout and prune/scope by it, new commits
+        // lay out by the new spec ('' for no identity columns)
+        def specCsv(i: Int): Seq[String] =
+          if (args.length > i) str(i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          else Seq.empty
+        val t = table.setPartitionSpec(specCsv(1), specCsv(2))
+        versionRow(t.latestVersion.getOrElse(-1))
       case "rename_column" =>
         // rename_column(root, old, new) — metadata-only, no rewrite
         val t = table
@@ -571,6 +590,7 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
             "describe_history, describe_detail, describe_files, " +
             "constraint_add, constraint_drop, constraints, analyze, " +
             "describe_stats, rename_column, evolve_partition, " +
+            "set_partition_spec, " +
             "add_columns, deprecate_columns, describe_schema, " +
             "schema_register, generated_add, generated_drop, " +
             "pq_build, pq_refresh, pq_query, " +

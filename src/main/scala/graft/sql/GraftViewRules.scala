@@ -1,0 +1,317 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.AliasIdentifier
+import org.apache.spark.sql.catalyst.analysis.{CurrentNamespace, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, Project, ShowViews, SubqueryAlias, UnaryCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+/** Persistent SQL views over [[GraftCatalog]] — the analyzer wiring
+  * Spark core does not ship: the DSv2 `ViewCatalog` interface exists
+  * (and [[GraftCatalog]] implements it, persisting each view as a
+  * properties file in a `_graft_views` sidecar next to the data), but
+  * as of Spark 4.x no built-in rule routes `CREATE VIEW` / relation
+  * resolution / `SHOW VIEWS` / `DROP VIEW` to a V2 view catalog — the
+  * same gap Iceberg fills with its own extension rules. This rule is
+  * that wiring, injected by [[graft.GraftExtensions]]:
+  *
+  *  - `CREATE [OR REPLACE] VIEW cat.ns.v AS SELECT …` → persisted
+  *    through `ViewCatalog.createView`/`replaceView` with the view
+  *    text, the session's current catalog/namespace (the resolution
+  *    context unqualified names in the text need later), the analyzed
+  *    output schema, and any user column aliases/comments;
+  *  - `SELECT … FROM cat.ns.v` → the analyzer's table lookup misses
+  *    (views are not tables), leaving the relation unresolved; this
+  *    rule then substitutes the STORED TEXT, re-parsed and re-resolved
+  *    on every reference — views pin semantics at READ time, so a view
+  *    over a governed table tracks the table's latest version (an
+  *    `AS OF` in the view text pins explicitly), the Athena/Glue
+  *    behavior the reference's consumers expect;
+  *  - `SHOW VIEWS IN cat.ns` / `DROP VIEW cat.ns.v` → catalog calls.
+  *
+  * Unqualified relation names inside the stored text are qualified
+  * with the view's CREATE-time catalog/namespace before resolution, so
+  * a view reads the tables its author named regardless of the reading
+  * session's defaults. A view whose text references itself (possible
+  * via CREATE OR REPLACE) is refused at read time; longer reference
+  * cycles exhaust the analyzer's fixed-point iteration budget and fail
+  * analysis rather than hanging. `ALTER VIEW` keeps its stock Spark
+  * (session-catalog) meaning; graft views are immutable-by-replace.
+  */
+case class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftViewRules._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u @ UnresolvedRelation(parts, _, false) =>
+        lookupView(session, parts) match {
+          case Some((catName, cat, ident)) => expand(session, catName, cat, ident)
+          case None => u
+        }
+      case s: GraftCreateViewStatement if s.query.resolved =>
+        lowerCreate(session, s)
+    }
+}
+
+/** Parse-time intermediate for `CREATE VIEW` on a graft catalog: the
+  * parser swap-in ([[GraftViewRules.interceptParsed]]) must happen
+  * BEFORE analysis — `ResolveSessionCatalog` throws
+  * MISSING_CATALOG_ABILITY for view commands on any non-session
+  * catalog, so a resolution rule would never see the stock
+  * `CreateView` — but the view's output schema needs the ANALYZED
+  * query, so this node keeps the query as its child for the fixed
+  * point to resolve; [[GraftViewRule]] then lowers it onto the eager
+  * [[GraftCreateViewCommand]].
+  */
+case class GraftCreateViewStatement(cat: GraftCatalog, ident: Identifier,
+    userSpecifiedColumns: Seq[(String, Option[String])],
+    comment: Option[String], properties: Map[String, String],
+    originalText: Option[String], query: LogicalPlan,
+    allowExisting: Boolean, replace: Boolean) extends UnaryCommand {
+  override def child: LogicalPlan = query
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GraftCreateViewStatement = copy(query = newChild)
+}
+
+object GraftViewRules {
+
+  /** Parser-level rewrite of the three view commands when their target
+    * resolves to a graft catalog (explicitly `cat.ns.v`, or relative
+    * to a graft CURRENT catalog); everything else — session-catalog
+    * views, temp views (which parse to CreateViewCommand and are never
+    * seen here; a 1-part DROP VIEW naming a temp view is explicitly
+    * left alone) — passes through to stock Spark untouched.
+    */
+  def interceptParsed(session: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan match {
+      case c: CreateView => c.child match {
+        case UnresolvedIdentifier(parts, _) =>
+          catalogAndIdent(session, parts) match {
+            case Some((cat, ident)) =>
+              GraftCreateViewStatement(cat, ident, c.userSpecifiedColumns,
+                c.comment, c.properties, c.originalText, c.query,
+                c.allowExisting, c.replace)
+            case None => c
+          }
+        case _ => c
+      }
+      case d @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
+        val isTemp = parts.size == 1 &&
+          session.sessionState.catalog.isTempView(parts)
+        if (isTemp) d
+        else catalogAndIdent(session, parts) match {
+          case Some((cat, ident)) =>
+            GraftDropViewCommand(cat, ident, ifExists, d.output)
+          case None => d
+        }
+      case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output) =>
+        catalogAndNamespace(session, parts) match {
+          case Some((cat, ns)) => GraftShowViewsCommand(cat, ns, pattern, output)
+          case None => s
+        }
+      case s @ ShowViews(CurrentNamespace, pattern, output) =>
+        session.sessionState.catalogManager.currentCatalog match {
+          case g: GraftCatalog => GraftShowViewsCommand(g,
+            session.sessionState.catalogManager.currentNamespace.toSeq,
+            pattern, output)
+          case _ => s
+        }
+      case other => other
+    }
+
+  /** Spark's catalog-and-identifier resolution, restricted to graft
+    * catalogs: a leading catalog-name segment wins; otherwise the
+    * current catalog (1-part names land in the current namespace).
+    */
+  private def catalogAndIdent(session: SparkSession,
+      parts: Seq[String]): Option[(GraftCatalog, Identifier)] = {
+    val mgr = session.sessionState.catalogManager
+    def asGraft(name: String): Option[GraftCatalog] =
+      try mgr.catalog(name) match {
+        case g: GraftCatalog => Some(g)
+        case _ => None
+      } catch { case _: Exception => None }
+    if (parts.size >= 2 && asGraft(parts.head).isDefined)
+      asGraft(parts.head).map(cat =>
+        (cat, Identifier.of(parts.tail.init.toArray, parts.last)))
+    else mgr.currentCatalog match {
+      case g: GraftCatalog =>
+        val ident = if (parts.size == 1)
+          Identifier.of(mgr.currentNamespace, parts.head)
+        else Identifier.of(parts.init.toArray, parts.last)
+        Some((g, ident))
+      case _ => None
+    }
+  }
+
+  private def catalogAndNamespace(session: SparkSession,
+      parts: Seq[String]): Option[(GraftCatalog, Seq[String])] = {
+    val mgr = session.sessionState.catalogManager
+    val byName =
+      if (parts.isEmpty) None
+      else try mgr.catalog(parts.head) match {
+        case g: GraftCatalog => Some((g, parts.tail))
+        case _ => None
+      } catch { case _: Exception => None }
+    byName.orElse(mgr.currentCatalog match {
+      case g: GraftCatalog => Some((g, parts))
+      case _ => None
+    })
+  }
+
+  /** (catalog name, catalog, view identifier) when `parts` names a
+    * stored graft view — either fully qualified (`cat.ns.v`) or
+    * relative to the session's current catalog when that is a
+    * GraftCatalog. Single-part names never match (temp views and the
+    * session catalog own that namespace).
+    */
+  private[sql] def lookupView(session: SparkSession,
+      parts: Seq[String]): Option[(String, GraftCatalog, Identifier)] = {
+    if (parts.size < 2) return None
+    val mgr = session.sessionState.catalogManager
+    def asGraft(name: String): Option[GraftCatalog] =
+      try mgr.catalog(name) match {
+        case g: GraftCatalog => Some(g)
+        case _ => None
+      } catch { case _: Exception => None }
+    val qualified = asGraft(parts.head).flatMap { cat =>
+      val ident = Identifier.of(parts.tail.init.toArray, parts.last)
+      if (cat.viewExists(ident)) Some((parts.head, cat, ident)) else None
+    }
+    qualified.orElse {
+      mgr.currentCatalog match {
+        case g: GraftCatalog =>
+          val ident = Identifier.of(parts.init.toArray, parts.last)
+          if (g.viewExists(ident)) Some((g.name(), g, ident)) else None
+        case _ => None
+      }
+    }
+  }
+
+  /** The stored text, re-parsed with unqualified names bound to the
+    * view's CREATE-time context, wrapped in the stored column aliases
+    * and the view's own alias.
+    */
+  private[sql] def expand(session: SparkSession, catName: String,
+      cat: GraftCatalog, ident: Identifier): LogicalPlan = {
+    val v = cat.loadView(ident)
+    val parsed = session.sessionState.sqlParser.parsePlan(v.query)
+    // the Substitution batch already ran for the OUTER statement, so a
+    // WITH clause inside the stored text must be substituted here —
+    // and BEFORE qualification, so CTE names resolve as CTE refs
+    // instead of being qualified into table lookups
+    val substituted =
+      org.apache.spark.sql.catalyst.analysis.CTESubstitution(parsed)
+    val ctxCat = v.currentCatalog
+    val ctxNs = v.currentNamespace.toSeq
+    val mgr = session.sessionState.catalogManager
+    def isCatalogName(n: String): Boolean =
+      try { mgr.catalog(n); true } catch { case _: Exception => false }
+    val qualified = substituted.transformWithSubqueries {
+      case UnresolvedRelation(ps, opts, false)
+          if ps.size == 1 || (ps.size == 2 && !isCatalogName(ps.head)) =>
+        val full = if (ps.size == 1) ctxCat +: ctxNs :+ ps.head
+          else ctxCat +: ps
+        UnresolvedRelation(full, opts, isStreaming = false)
+    }
+    val self = (catName +: ident.namespace().toSeq :+ ident.name())
+      .map(_.toLowerCase)
+    qualified.foreach {
+      case UnresolvedRelation(ps, _, _)
+          if ps.map(_.toLowerCase) == self =>
+        throw new UnsupportedOperationException(
+          s"recursive graft view ${self.mkString(".")}: the stored text " +
+            "references the view itself (CREATE OR REPLACE re-resolves " +
+            "at read time, so self-reference can never terminate)")
+      case _ => ()
+    }
+    val aliased =
+      if (v.columnAliases() == null || v.columnAliases().isEmpty) qualified
+      else Project(
+        v.queryColumnNames().zip(v.columnAliases()).toIndexedSeq.map {
+          case (q, a) => Alias(UnresolvedAttribute.quoted(q), a)()
+        }, qualified)
+    SubqueryAlias(
+      AliasIdentifier(ident.name(), catName +: ident.namespace().toSeq),
+      aliased)
+  }
+
+  private[sql] def lowerCreate(session: SparkSession,
+      s: GraftCreateViewStatement): LogicalPlan = {
+    val sql = s.originalText.getOrElse(throw new UnsupportedOperationException(
+      "CREATE VIEW on a graft catalog requires the literal view text " +
+        "(Dataset.createTempView-style plans have no SQL to persist)"))
+    val querySchema = StructType(s.query.schema.fields)
+    require(s.userSpecifiedColumns.isEmpty ||
+      s.userSpecifiedColumns.size == querySchema.size,
+      s"CREATE VIEW column list has ${s.userSpecifiedColumns.size} names " +
+        s"but the query produces ${querySchema.size} columns")
+    val mgr = session.sessionState.catalogManager
+    val aliases = s.userSpecifiedColumns.map(_._1)
+    val schema =
+      if (aliases.isEmpty) querySchema
+      else StructType(querySchema.fields.zip(aliases).map {
+        case (f, a) => f.copy(name = a)
+      })
+    val props = s.properties ++
+      s.comment.map(ViewCatalog.PROP_COMMENT -> _)
+    val info = new ViewInfo(s.ident, sql,
+      mgr.currentCatalog.name(), mgr.currentNamespace,
+      schema, querySchema.fieldNames,
+      aliases.toArray,
+      s.userSpecifiedColumns.map(_._2.orNull).toArray,
+      { val m = new java.util.HashMap[String, String]()
+        props.foreach { case (k, vv) => m.put(k, vv) }
+        m })
+    GraftCreateViewCommand(s.cat, info, s.allowExisting, s.replace)
+  }
+}
+
+/** Eager CREATE VIEW against the graft view catalog. */
+case class GraftCreateViewCommand(cat: GraftCatalog, info: ViewInfo,
+    allowExisting: Boolean, replace: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (allowExisting && cat.viewExists(info.ident())) Nil
+    else {
+      if (replace) cat.replaceView(info, orCreate = true)
+      else cat.createView(info)
+      Nil
+    }
+  }
+}
+
+/** Eager DROP VIEW; honors IF EXISTS. */
+case class GraftDropViewCommand(cat: GraftCatalog, ident: Identifier,
+    ifExists: Boolean, override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dropped = cat.dropView(ident)
+    if (!dropped && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        Identifier.of(cat.name() +: ident.namespace(), ident.name()))
+    Nil
+  }
+}
+
+/** SHOW VIEWS IN cat.ns — namespace, viewName, isTemporary rows, with
+  * the stock `*`/`|` pattern filter.
+  */
+case class GraftShowViewsCommand(cat: GraftCatalog, namespace: Seq[String],
+    pattern: Option[String], override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val names = cat.listViews(namespace: _*).map(_.name()).toSeq
+    val kept = pattern match {
+      case Some(p) =>
+        org.apache.spark.sql.catalyst.util.StringUtils
+          .filterPattern(names, p)
+      case None => names
+    }
+    kept.sorted.map(n => Row(namespace.mkString("."), n, false))
+  }
+}

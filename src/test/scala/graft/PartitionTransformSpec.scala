@@ -190,6 +190,180 @@ class PartitionTransformSpec extends SparkTestBase {
     assert(!t1.read().columns.exists(_.startsWith(PartitionTransform.Prefix)))
   }
 
+  test("setPartitionSpec: lazy daily→hourly — old and new files each prune by their OWN spec") {
+    val root = scratch("lazyevolve")
+    val old = eventsDf.filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+    val fresh = eventsDf.filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp"))
+    val t0 = new ManifestTable(spark, root, partitionSpec = Seq("days(ts)"))
+    t0.write(old, "overwrite")
+    val filesBefore = t0.filesDf().collect().map(_.getString(0)).toSet
+
+    // config-only: zero data movement, no new version
+    val t1 = t0.setPartitionSpec(Nil, Seq("hours(ts)"))
+    assert(t1.latestVersion === t0.latestVersion)
+    assert(t1.filesDf().collect().map(_.getString(0)).toSet === filesBefore)
+
+    // new commits land the NEW layout; old files keep the old one
+    t1.write(fresh, "append")
+    val files = t1.filesDf().collect().map(_.getString(0))
+    assert(files.exists(_.contains("_graft_p_days_ts=")), "old layout kept")
+    assert(files.exists(_.contains("_graft_p_hours_ts=")), "new layout used")
+
+    // mixed-layout scan: exact, hidden columns stay hidden
+    val out = t1.read()
+    assert(!out.columns.exists(_.startsWith(PartitionTransform.Prefix)))
+    assert(out.count() === 300)
+    assert(out.exceptAll(eventsDf).count() === 0)
+    assert(eventsDf.exceptAll(out).count() === 0)
+
+    // a day-1 lookup prunes NEW hourly files entirely (their hour can't
+    // match) and old daily files down to day 1
+    val day1 = t1.prunedFilesPartitionEq("ts", "2024-01-01 06:15:00")
+    assert(day1.nonEmpty &&
+      day1.forall(_.contains("_graft_p_days_ts=2024-01-01")),
+      s"day-1 lookup scanned: ${day1.mkString(", ")}")
+    // a day-3 lookup prunes old daily files entirely (days 1-2 only)
+    // and hourly files down to the ONE matching hour
+    val hour = t1.prunedFilesPartitionEq("ts", "2024-01-03 08:15:00")
+    assert(hour.nonEmpty &&
+      hour.forall(_.contains("_graft_p_hours_ts=2024-01-03-08")),
+      s"day-3 lookup scanned: ${hour.mkString(", ")}")
+
+    // point + range reads stay exact across the spec boundary
+    val gotEq = t1.readPartitionEq("ts", "2024-01-03 08:15:00")
+    val wantEq = eventsDf.filter(col("ts") === lit("2024-01-03 08:15:00").cast("timestamp"))
+    assert(gotEq.exceptAll(wantEq).count() === 0 && wantEq.exceptAll(gotEq).count() === 0)
+    val wantR = eventsDf.filter(
+      col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp")
+        && col("ts") <= lit("2024-01-03 05:59:59").cast("timestamp"))
+    val gotR = t1.readPartitionRange("ts", "2024-01-02 00:00:00", "2024-01-03 05:59:59")
+    assert(gotR.exceptAll(wantR).count() === 0 && wantR.exceptAll(gotR).count() === 0)
+
+    // forRoot round-trips the lazy spec
+    val (idc, specs) = ManifestTable.forRoot(spark, root).declaredPartitioning
+    assert(idc.isEmpty && specs === Seq("hours(ts)"))
+  }
+
+  test("merge on a mixed-layout table scopes each file by its own spec and migrates rewrites") {
+    val root = scratch("lazymerge")
+    val old = eventsDf.filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+    val fresh = eventsDf.filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp"))
+    val t0 = new ManifestTable(spark, root, partitionSpec = Seq("days(ts)"))
+    t0.write(old, "overwrite")
+    val t1 = t0.setPartitionSpec(Nil, Seq("hours(ts)"))
+    t1.write(fresh, "append")
+    val before = t1.filesDf().collect().map(_.getString(0)).toSet
+
+    // event 0 lives on day 1 (old daily file); event 2 on day 3 hour 2
+    // (new hourly file) — the merge must rewrite exactly the day-1
+    // daily file and the hour-2 hourly file
+    val upd = eventsDf.filter(col("event_id").isin(0L, 2L))
+      .withColumn("payload", lit("UPDATED"))
+    t1.merge(upd, Seq("event_id"))
+    val after = t1.filesDf().collect().map(_.getString(0)).toSet
+
+    val day1Seg = "_graft_p_days_ts=2024-01-01"
+    val hourSeg = "_graft_p_hours_ts=2024-01-03-02"
+    assert(before.filter(_.contains(day1Seg)).intersect(after).isEmpty,
+      "touched old-spec day partition rewritten")
+    assert(before.filter(_.contains(hourSeg)).intersect(after).isEmpty,
+      "touched new-spec hour partition rewritten")
+    assert(before.filterNot(f => f.contains(day1Seg) || f.contains(hourSeg))
+      .subsetOf(after), "every other file carried by reference")
+    // rewrites land under the CURRENT spec — progressive migration
+    assert(after.diff(before).nonEmpty &&
+      after.diff(before).forall(_.contains("_graft_p_hours_ts=")),
+      s"rewrites not migrated: ${after.diff(before).mkString(", ")}")
+
+    val want = eventsDf.withColumn("payload",
+      when(col("event_id").isin(0L, 2L), "UPDATED").otherwise(col("payload")))
+    assert(t1.read().exceptAll(want).count() === 0)
+    assert(want.exceptAll(t1.read()).count() === 0)
+  }
+
+  test("compaction migrates a mixed-layout table to the current spec; path-exact ops refuse until then") {
+    val root = scratch("lazycompact")
+    val old = eventsDf.filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+    val fresh = eventsDf.filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp"))
+    val t0 = new ManifestTable(spark, root, partitionSpec = Seq("days(ts)"))
+    t0.write(old, "overwrite")
+    val t1 = t0.setPartitionSpec(Nil, Seq("hours(ts)"))
+    t1.write(fresh, "append")
+
+    // path-exact partition overwrite refuses the mixed state loudly
+    val err = intercept[IllegalArgumentException] {
+      t1.overwritePartitionValues(fresh, Seq("2024-01-03-02"))
+    }
+    assert(err.getMessage.contains("predate the current partition spec"))
+
+    // compact() rewrites everything under the current spec
+    t1.compact(targetFiles = 4)
+    val files = t1.filesDf().collect().map(_.getString(0))
+    assert(files.forall(_.contains("_graft_p_hours_ts=")),
+      s"unmigrated files: ${files.filterNot(_.contains("_graft_p_hours_ts=")).mkString(", ")}")
+    assert(t1.read().count() === 300)
+    assert(t1.read().exceptAll(eventsDf).count() === 0)
+    // homogeneous again: hourly pruning applies to every file
+    val hour = t1.prunedFilesPartitionEq("ts", "2024-01-01 06:15:00")
+    assert(hour.nonEmpty &&
+      hour.forall(_.contains("_graft_p_hours_ts=2024-01-01-06")))
+    // and the path-exact overwrite works again
+    t1.overwritePartitionValues(
+      eventsDf.filter(col("ts") === lit("2024-01-03 02:15:00").cast("timestamp"))
+        .withColumn("payload", lit("REPLACED")),
+      Seq("2024-01-03-02"))
+    assert(t1.read().filter(col("payload") === "REPLACED").count() ===
+      eventsDf.filter(col("ts") === lit("2024-01-03 02:15:00").cast("timestamp")).count())
+  }
+
+  test("insert-only merge into a fresh partition removes nothing and keeps the schema") {
+    val root = scratch("insertonly")
+    val t = new ManifestTable(spark, root, partitionSpec = Seq("days(ts)"))
+    t.write(eventsDf.filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp")),
+      "overwrite")
+    val before = t.filesDf().collect().map(_.getString(0)).toSet
+    // feed = ONLY new keys, all landing on a day with no existing files:
+    // the merge's removed set is empty, and the rewrite frame must keep
+    // the table schema (a bare empty readEntries would lose it)
+    val fresh = eventsDf.filter(col("ts") >= lit("2024-01-03 00:00:00").cast("timestamp"))
+      .withColumn("event_id", col("event_id") + 5000L)
+    t.merge(fresh, Seq("event_id"))
+    val after = t.filesDf().collect().map(_.getString(0)).toSet
+    assert(before.subsetOf(after), "no existing file rewritten")
+    assert(t.read().count() === 300)
+    assert(t.read().filter(col("event_id") >= 5000L).count() === fresh.count())
+  }
+
+  test("SQL surface: CALL graft.set_partition_spec is config-only; refusals mirror the API") {
+    val root = scratch("lazysql")
+    new ManifestTable(spark, root, partitionSpec = Seq("days(ts)"))
+      .write(eventsDf, "overwrite")
+    val sqlSpark: org.apache.spark.sql.SparkSession =
+      extensionsSession("graft-lazy-spec-sql")
+    val v = sqlSpark.sql(s"CALL graft.set_partition_spec('$root', '', 'months(ts)')")
+      .first().getInt(0)
+    assert(v === ManifestTable.forRoot(spark, root).latestVersion.get,
+      "lazy spec change commits no new version")
+    val (_, specs) = ManifestTable.forRoot(spark, root).declaredPartitioning
+    assert(specs === Seq("months(ts)"))
+    // unknown column refuses
+    val err = intercept[Exception] {
+      sqlSpark.sql(s"CALL graft.set_partition_spec('$root', '', 'days(nope)')").collect()
+    }
+    assert(messageChain(err).contains("not in table"))
+  }
+
+  test("transform name round-trips through fromName (the per-file spec identity)") {
+    val specs = Seq("days(ts)", "months(event_ts)", "years(ts)", "hours(ts)",
+      "bucket(16,user_id)", "truncate(4,name)")
+    specs.foreach { s =>
+      val t = PartitionTransform.parse(s)
+      assert(PartitionTransform.fromName(t.name) === Some(t), s"round-trip of $s")
+    }
+    assert(PartitionTransform.fromName("region") === None)
+    assert(PartitionTransform.fromName("_graft_p_zap_x") === None)
+  }
+
   test("transform parsing round-trips; malformed specs refuse") {
     val specs = Seq("days(ts)", "months(ts)", "hours(ts)",
       "bucket(16,id)", "truncate(4,name)")
