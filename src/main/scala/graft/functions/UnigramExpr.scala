@@ -104,45 +104,58 @@ object UnigramEncodeCount {
     flat.grouped(2).map(p => (p(0), p(1).toLong)).toSeq
   }
 
-  /** Register `graft_unigram_encode(text, vocabWire [, maxPieceLen])`.
-    * [[bind]] layers the one-argument persisted-vocabulary form on
-    * top of this.
+  /** Per-session bound vocabulary for the 1-argument form — looked up
+    * AT RESOLUTION TIME by the single unified registration, so
+    * [[register]] and [[bind]] can never clobber each other's arity
+    * (they used to race for one function name; whichever registered
+    * last broke the other surface). Weak keys: an entry dies with its
+    * session.
     */
-  def register(spark: SparkSession): Unit =
+  private val boundVocab = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (Seq[(String, Long)], Int)]())
+
+  /** Register `graft_unigram_encode`: `(text, vocabWire [, maxPieceLen])`
+    * always works; plain `(text)` works once [[bind]] stored a
+    * vocabulary for this session.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_unigram_encode",
-      exprs => {
-        require(exprs.length == 2 || exprs.length == 3,
-          s"graft_unigram_encode expects 2-3 arguments, got ${exprs.length}")
-        require(exprs(1).foldable,
-          "graft_unigram_encode: vocabulary must be a literal")
-        val wire = exprs(1).eval(null)
-        require(wire != null, "graft_unigram_encode: vocabulary is null")
-        val mpl =
-          if (exprs.length < 3) UnigramTrainer.DefaultMaxPieceLen
-          else {
-            require(exprs(2).foldable,
-              "graft_unigram_encode: maxPieceLen must be a literal")
-            exprs(2).eval(null).asInstanceOf[Number].intValue()
-          }
-        UnigramEncodeCount(exprs.head, parseWire(wire.toString), mpl)
+      exprs => exprs.length match {
+        case 1 =>
+          val b = boundVocab.get(spark)
+          require(b != null,
+            "graft_unigram_encode(text) requires a bound vocabulary — " +
+              "CALL graft.unigram_bind(root) first, or pass " +
+              "(text, vocabWire [, maxPieceLen])")
+          UnigramEncodeCount(exprs.head, b._1, b._2)
+        case 2 | 3 =>
+          require(exprs(1).foldable,
+            "graft_unigram_encode: vocabulary must be a literal")
+          val wire = exprs(1).eval(null)
+          require(wire != null, "graft_unigram_encode: vocabulary is null")
+          val mpl =
+            if (exprs.length < 3) UnigramTrainer.DefaultMaxPieceLen
+            else {
+              require(exprs(2).foldable,
+                "graft_unigram_encode: maxPieceLen must be a literal")
+              exprs(2).eval(null).asInstanceOf[Number].intValue()
+            }
+          UnigramEncodeCount(exprs.head, parseWire(wire.toString), mpl)
+        case n => throw new IllegalArgumentException(
+          s"graft_unigram_encode expects 1-3 arguments, got $n")
       },
       "scala_udf")
+  }
 
   /** Bind a vocabulary so plain `graft_unigram_encode(text)` works in
-    * SQL: a one-argument registration with the (piece, count) table
-    * closure-captured. Returns the vocabulary size.
+    * SQL for this session (rebinding replaces it). Returns the
+    * vocabulary size.
     */
   def bind(spark: SparkSession, counts: Seq[(String, Long)],
       maxPieceLen: Int = UnigramTrainer.DefaultMaxPieceLen): Int = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_unigram_encode",
-      exprs => {
-        require(exprs.length == 1,
-          s"graft_unigram_encode (bound) expects 1 argument, got ${exprs.length}")
-        UnigramEncodeCount(exprs.head, counts, maxPieceLen)
-      },
-      "scala_udf")
+    boundVocab.put(spark, (counts, maxPieceLen))
+    register(spark)
     counts.size
   }
 

@@ -1101,14 +1101,22 @@ class ManifestTable(spark: SparkSession, root: String,
     // reads is a safe ceiling below default S3A connection limits.
     val par = math.min(32, math.max(8,
       Runtime.getRuntime.availableProcessors()))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    // DAEMON threads + shutdownNow: a read wedged on a stalled remote
+    // filesystem must neither survive as a non-daemon thread blocking
+    // JVM exit nor keep running after the commit gave up on it
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-footer-count")
+        t.setDaemon(true)
+        t
+      })
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     // generous but finite: 30 s of budget per batch-of-`par` plus a
     // 5 min floor — far above healthy footer latency, small enough
     // that one wedged read surfaces as a log line, not a hung commit
     val deadline = math.max(300L, 30L * ((entries.size + par - 1) / par)).seconds
-    try Await.result(Future.traverse(entries) { e =>
+    val futures = entries.map { e =>
       Future {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new Path(root, e.rel), conf)
@@ -1122,15 +1130,23 @@ class ManifestTable(spark: SparkSession, root: String,
             s"(#n omitted; COUNT(*) will scan): $ex")
         e
       }
-    }, deadline)
-    catch {
-      case _: java.util.concurrent.TimeoutException =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"footer row-count reads at $root exceeded $deadline for " +
-            s"${entries.size} file(s); committing without #n stats " +
-            "(COUNT(*) will scan)")
-        entries
-    } finally pool.shutdown()
+    }
+    // harvest per future against ONE shared deadline: counts that
+    // completed are kept even when a straggler times out — only the
+    // wedged file loses its #n (an all-or-nothing Await would discard
+    // every completed read on one timeout)
+    val deadlineAt = System.nanoTime() + deadline.toNanos
+    try futures.zip(entries).map { case (f, e) =>
+      val left = math.max(0L, deadlineAt - System.nanoTime()).nanos
+      try Await.result(f, left)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"footer row-count read for ${e.rel} exceeded the $deadline " +
+              "commit budget; committing it without #n (COUNT(*) will scan)")
+          e
+      }
+    } finally pool.shutdownNow()
   }
 
   /** Bloom bit positions of a value (engine side): double hashing

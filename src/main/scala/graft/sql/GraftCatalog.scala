@@ -416,6 +416,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(
         (catalogName +: ident.namespace().toSeq))
+    // same never-both-table-and-view guard as createView/createTable:
+    // OR REPLACE must not shadow an existing table either
+    if (isTableDir(dirOf(ident.namespace(), ident.name())))
+      throw new TableAlreadyExistsException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name()))
     writeView(ident, GraftView.toProperties(info))
     loadView(ident)
   }
@@ -487,6 +492,9 @@ private[sql] case class GraftView(ident: Identifier,
     val n = props.getProperty(key + ".n", "0").toInt
     if (n == 0) Array.empty
     else props.getProperty(key, "").split("\u0000", -1).ensuring(_.length == n)
+      // elements are marker-prefixed ("n" = null, "v"+value) so a NULL
+      // column comment round-trips as null, not the string "null"
+      .map(e => if (e == "n") null else e.stripPrefix("v"))
   }
 
   override def name(): String = ident.name()
@@ -515,7 +523,10 @@ private[sql] object GraftView {
     def put(key: String, v: Array[String]): Unit = {
       val a = Option(v).getOrElse(Array.empty[String])
       p.setProperty(key + ".n", a.length.toString)
-      if (a.nonEmpty) p.setProperty(key, a.mkString("\u0000"))
+      if (a.nonEmpty) p.setProperty(key,
+        // marker prefix: "n" = null element (column comments may be),
+        // "v"+value otherwise — mkString would render null as "null"
+        a.map(e => if (e == null) "n" else "v" + e).mkString("\u0000"))
     }
     p.setProperty("sql", info.sql())
     p.setProperty("currentCatalog", info.currentCatalog())

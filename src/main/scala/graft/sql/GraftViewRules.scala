@@ -124,69 +124,81 @@ object GraftViewRules {
       case other => other
     }
 
+  /** A registered catalog plugin by name, None when unregistered. */
+  private def catalogNamed(session: SparkSession, name: String)
+      : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
+    try Some(session.sessionState.catalogManager.catalog(name))
+    catch { case _: Exception => None }
+
   /** Spark's catalog-and-identifier resolution, restricted to graft
-    * catalogs: a leading catalog-name segment wins; otherwise the
-    * current catalog (1-part names land in the current namespace).
+    * catalogs: a leading catalog-name segment wins — and if that
+    * segment names a registered NON-graft catalog the command is NOT
+    * ours (it must pass through to stock Spark, never be re-homed
+    * under a graft current catalog); otherwise the current catalog
+    * (1-part names land in the current namespace).
     */
   private def catalogAndIdent(session: SparkSession,
       parts: Seq[String]): Option[(GraftCatalog, Identifier)] = {
     val mgr = session.sessionState.catalogManager
-    def asGraft(name: String): Option[GraftCatalog] =
-      try mgr.catalog(name) match {
-        case g: GraftCatalog => Some(g)
+    val headCatalog =
+      if (parts.size >= 2) catalogNamed(session, parts.head) else None
+    headCatalog match {
+      case Some(g: GraftCatalog) =>
+        Some((g, Identifier.of(parts.tail.init.toArray, parts.last)))
+      case Some(_) => None // explicit non-graft catalog: not ours
+      case None => mgr.currentCatalog match {
+        case g: GraftCatalog =>
+          val ident = if (parts.size == 1)
+            Identifier.of(mgr.currentNamespace, parts.head)
+          else Identifier.of(parts.init.toArray, parts.last)
+          Some((g, ident))
         case _ => None
-      } catch { case _: Exception => None }
-    if (parts.size >= 2 && asGraft(parts.head).isDefined)
-      asGraft(parts.head).map(cat =>
-        (cat, Identifier.of(parts.tail.init.toArray, parts.last)))
-    else mgr.currentCatalog match {
-      case g: GraftCatalog =>
-        val ident = if (parts.size == 1)
-          Identifier.of(mgr.currentNamespace, parts.head)
-        else Identifier.of(parts.init.toArray, parts.last)
-        Some((g, ident))
-      case _ => None
+      }
     }
   }
 
   private def catalogAndNamespace(session: SparkSession,
       parts: Seq[String]): Option[(GraftCatalog, Seq[String])] = {
     val mgr = session.sessionState.catalogManager
-    val byName =
-      if (parts.isEmpty) None
-      else try mgr.catalog(parts.head) match {
-        case g: GraftCatalog => Some((g, parts.tail))
+    val headCatalog =
+      if (parts.isEmpty) None else catalogNamed(session, parts.head)
+    headCatalog match {
+      case Some(g: GraftCatalog) => Some((g, parts.tail))
+      case Some(_) => None // explicit non-graft catalog: not ours
+      case None => mgr.currentCatalog match {
+        case g: GraftCatalog => Some((g, parts))
         case _ => None
-      } catch { case _: Exception => None }
-    byName.orElse(mgr.currentCatalog match {
-      case g: GraftCatalog => Some((g, parts))
-      case _ => None
-    })
+      }
+    }
   }
 
   /** (catalog name, catalog, view identifier) when `parts` names a
-    * stored graft view — either fully qualified (`cat.ns.v`) or
-    * relative to the session's current catalog when that is a
-    * GraftCatalog. Single-part names never match (temp views and the
-    * session catalog own that namespace).
+    * stored graft view — fully qualified (`cat.ns.v`) or relative to a
+    * graft CURRENT catalog (including a bare 1-part name, provided no
+    * temp view shadows it: temp views always win, Spark's precedence).
+    * A leading registered non-graft catalog never matches. The
+    * `viewExists` probe is one filesystem existence check per
+    * unresolved relation per fixed-point iteration — the same cost
+    * class as DSv2's own uncached per-iteration `loadTable` probe, and
+    * not cacheable across statements without going stale against
+    * other sessions' CREATE/DROP VIEW.
     */
   private[sql] def lookupView(session: SparkSession,
       parts: Seq[String]): Option[(String, GraftCatalog, Identifier)] = {
-    if (parts.size < 2) return None
     val mgr = session.sessionState.catalogManager
-    def asGraft(name: String): Option[GraftCatalog] =
-      try mgr.catalog(name) match {
-        case g: GraftCatalog => Some(g)
-        case _ => None
-      } catch { case _: Exception => None }
-    val qualified = asGraft(parts.head).flatMap { cat =>
-      val ident = Identifier.of(parts.tail.init.toArray, parts.last)
-      if (cat.viewExists(ident)) Some((parts.head, cat, ident)) else None
-    }
-    qualified.orElse {
-      mgr.currentCatalog match {
-        case g: GraftCatalog =>
-          val ident = Identifier.of(parts.init.toArray, parts.last)
+    val headCatalog =
+      if (parts.size >= 2) catalogNamed(session, parts.head) else None
+    headCatalog match {
+      case Some(g: GraftCatalog) =>
+        val ident = Identifier.of(parts.tail.init.toArray, parts.last)
+        if (g.viewExists(ident)) Some((parts.head, g, ident)) else None
+      case Some(_) => None // explicit non-graft catalog: not ours
+      case None => mgr.currentCatalog match {
+        case g: GraftCatalog
+            if !session.sessionState.catalog.isTempView(parts) =>
+          val ident = if (parts.size == 1)
+            Identifier.of(mgr.currentNamespace, parts.head)
+          else Identifier.of(parts.init.toArray, parts.last)
           if (g.viewExists(ident)) Some((g.name(), g, ident)) else None
         case _ => None
       }

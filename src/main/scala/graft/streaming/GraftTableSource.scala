@@ -267,6 +267,20 @@ class GraftTableSource(spark: SparkSession, root: String,
 
   private def table: ManifestTable = ManifestTable.forRoot(spark, root)
 
+  // a numeric startingVersion beyond the table's next commit would be
+  // SILENTLY violated: the first batch is empty, the offset commits at
+  // the current latest, and every later version — including the ones
+  // the user asked to skip — flows. Refuse up front (Delta's
+  // startingVersion contract); "latest" resolves to latest+1 and is
+  // always valid.
+  if (cdfKeys.isDefined) {
+    val latest = ManifestTable.forRoot(spark, root).latestVersion.getOrElse(-1)
+    require(cdfStartVersion <= latest + 1,
+      s"startingVersion $cdfStartVersion is beyond the table's next " +
+        s"commit (latest version: $latest) — versions committed later " +
+        "would bypass the skip; use 'latest' to start at the next commit")
+  }
+
   /** The table's row schema; the stream's output schema appends the
     * change-feed metadata columns in CDF mode.
     */

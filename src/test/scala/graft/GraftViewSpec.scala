@@ -144,6 +144,56 @@ class GraftViewSpec extends SparkTestBase {
     s2.sql("DROP VIEW gview.silver.ctx_view")
   }
 
+  test("explicit non-graft catalogs pass through; bare names resolve under a graft current catalog") {
+    setup
+    val s1 = freshSession("h")
+    s1.sql("USE gview.silver")
+    try {
+      // view commands naming the SESSION catalog explicitly are NOT
+      // ours — they must reach stock Spark, not be re-homed into gview
+      s1.sql("SHOW VIEWS IN spark_catalog.default").collect() // must not throw
+      s1.sql("DROP VIEW IF EXISTS spark_catalog.default.no_such_view") // no-op
+      // a BARE view name works end to end under the graft current
+      // catalog: create, SELECT unqualified, drop
+      s1.sql("CREATE VIEW bare_v AS SELECT order_id FROM orders WHERE amount > 15.0")
+      assert(s1.sql("SELECT * FROM bare_v").count() ===
+        s1.sql("SELECT * FROM gview.silver.bare_v").count())
+      // a temp view SHADOWS the stored view (Spark precedence)
+      s1.range(3).toDF("order_id").createOrReplaceTempView("bare_v")
+      assert(s1.sql("SELECT * FROM bare_v").count() === 3)
+      s1.catalog.dropTempView("bare_v")
+      s1.sql("DROP VIEW bare_v")
+      assert(!new org.apache.hadoop.fs.Path(s"$lakeRoot/silver/_graft_views/bare_v.properties")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(new org.apache.hadoop.fs.Path(
+          s"$lakeRoot/silver/_graft_views/bare_v.properties")))
+    } finally s1.sql("USE spark_catalog.default")
+  }
+
+  test("OR REPLACE cannot shadow a table; column comments round-trip null") {
+    setup
+    val s1 = freshSession("i")
+    // CREATE OR REPLACE VIEW over an existing TABLE name refuses (the
+    // bare-CREATE guard alone left replaceView as a hole)
+    val err = intercept[Exception] {
+      s1.sql("CREATE OR REPLACE VIEW gview.silver.orders AS SELECT 1 AS one")
+    }
+    assert(messageChain(err).toLowerCase.contains("already exists"))
+    // a comment-less column round-trips as NULL, not the string "null"
+    s1.sql("""CREATE VIEW gview.silver.commented
+             |  (oid COMMENT 'the id', amt) AS
+             |SELECT order_id, amount FROM gview.silver.orders""".stripMargin)
+    val cat = new graft.sql.GraftCatalog()
+    cat.initialize("gview_check",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("root", lakeRoot)))
+    val v = cat.loadView(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("silver"), "commented"))
+    assert(v.columnComments().toSeq === Seq("the id", null))
+    assert(v.columnAliases().toSeq === Seq("oid", "amt"))
+    s1.sql("DROP VIEW gview.silver.commented")
+  }
+
   test("views compose: WITH clauses inside the text; views over views; recursion refuses") {
     setup
     val s1 = freshSession("g")

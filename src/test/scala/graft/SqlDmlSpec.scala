@@ -474,6 +474,22 @@ class SqlDmlSpec extends SparkTestBase {
         "FROM sql_unib_docs ORDER BY doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(viaSqlOld.toSeq === viaApi.toSeq)
+    // the Column API (which re-registers the function) must NOT break
+    // the bound one-argument SQL form: both surfaces share ONE
+    // registration that dispatches on arity
+    val viaCol = docs.select(col("doc_id"),
+      graft.functions.UnigramEncodeCount.countCol(sqlSpark, col("text"), counts)
+        .as("n_pieces"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaCol.toSeq === viaApi.toSeq)
+    sqlSpark.sql(s"CALL graft.unigram_bind('$root', ${bound.getInt(0)})")
+    val viaSqlAfterCol = sqlSpark.sql(
+      "SELECT doc_id, graft_unigram_encode(text) AS n_pieces " +
+        "FROM sql_unib_docs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSqlAfterCol.toSeq === viaApi.toSeq,
+      "countCol's registration must not clobber the bound 1-arg form")
   }
 
   test("malformed CALLs fail loudly, not silently") {

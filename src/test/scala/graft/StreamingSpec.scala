@@ -760,5 +760,27 @@ class StreamingSpec extends SparkTestBase {
         .load()
     }
     assert(messageChain(e).contains("keys"))
+
+    // a numeric startingVersion beyond the next commit refuses up
+    // front — silently committing the offset at the current latest
+    // would later emit the very versions the user asked to skip
+    val out3 = scratch("t13_out3")
+    val ckpt3 = scratch("t13_ckpt3")
+    val beyond = intercept[Exception] {
+      spark.readStream
+        .format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root)
+        .option("readChangeFeed", "true")
+        .option("keys", "o_orderkey")
+        .option("startingVersion", "99")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", out3)
+        .option("checkpointLocation", ckpt3)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(messageChain(beyond).contains("beyond the table's next commit"))
   }
 }
