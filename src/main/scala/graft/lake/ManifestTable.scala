@@ -1833,7 +1833,11 @@ class ManifestTable(spark: SparkSession, root: String,
           val uk = upsertDelta.select(keys.map(col): _*)
           deletes.fold(uk)(d => uk.union(d.select(keys.map(col): _*))).distinct()
         }
-        val currentOfFed = base.join(changedKeys, keys, "left_semi")
+        // cached: tuplesFor runs one tuple-projection job PER layout
+        // signature (two right after a lazy spec evolution), and each
+        // would otherwise recompute this base-wide semi-join
+        val currentOfFed = base.join(changedKeys, keys, "left_semi").cache()
+        try {
         val baseEntries = entriesOf(v0)
         // PER LAYOUT SIGNATURE: after a lazy setPartitionSpec the
         // snapshot mixes files from different specs, and each file must
@@ -1909,6 +1913,7 @@ class ManifestTable(spark: SparkSession, root: String,
         // land; concurrent changes inside a touched partition conflict
         commitDelta(baseEntries, removed.map(_.rel).toSet,
           newFiles, conflictsWith = inTouchedPartition)
+        } finally currentOfFed.unpersist()
     } else {
         rewriteSnapshot(Some(v0), enforced(resolve(base, updates)))
     }

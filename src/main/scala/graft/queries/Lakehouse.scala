@@ -504,7 +504,13 @@ object Lakehouse extends QueryModule {
     fsPath.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(fsPath, true)
 
+    // one YEAR of orders: a days() layout over the full 7-year table
+    // would mint ~2400 near-empty files at bench scale — the small-file
+    // anti-pattern compaction exists to undo, and pure noise for what
+    // this row proves (mixed-layout scoping + pruning). 365 daily
+    // partitions is the realistic churn-window shape.
     val orders = Q.t(spark, dir, "orders")
+      .filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
     val t0 = new ManifestTable(spark, s"$scratch/orders",
       partitionSpec = Seq("months(o_orderdate)"))
     t0.write(orders.filter(col("o_orderkey") % 2 === 0), "overwrite")
@@ -532,7 +538,8 @@ object Lakehouse extends QueryModule {
        |                AND o_orderdate BETWEEN DATE '1995-04-01'
        |                                    AND DATE '1995-04-30'
        |              THEN o_totalprice * 2 ELSE o_totalprice END AS p
-       |  FROM orders)
+       |  FROM orders
+       |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31')
        |WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-06-30'
        |GROUP BY 1
        |ORDER BY 1 ASC NULLS FIRST""".stripMargin
