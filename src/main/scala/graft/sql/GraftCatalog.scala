@@ -453,6 +453,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(
           Identifier.of(catalogName +: to.namespace(), to.name()))
+    // the never-both-table-and-view guard, on the rename TARGET too
+    if (isTableDir(dirOf(to.namespace(), to.name())))
+      throw new TableAlreadyExistsException(
+        (catalogName +: to.namespace().toSeq :+ to.name()))
     if (!namespaceExists(to.namespace()))
       throw new NoSuchNamespaceException(
         (catalogName +: to.namespace().toSeq))

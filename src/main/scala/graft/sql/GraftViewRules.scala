@@ -2,9 +2,9 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.AliasIdentifier
-import org.apache.spark.sql.catalyst.analysis.{CurrentNamespace, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{CurrentNamespace, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, Project, ShowViews, SubqueryAlias, UnaryCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, Project, RenameTable, ShowViews, SubqueryAlias, UnaryCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -55,6 +55,8 @@ case class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
       case s: GraftCreateViewStatement if s.query.resolved =>
         lowerCreate(session, s)
+      case s: GraftAlterViewAsStatement if s.query.resolved =>
+        lowerAlterAs(session, s)
     }
 }
 
@@ -76,6 +78,20 @@ case class GraftCreateViewStatement(cat: GraftCatalog, ident: Identifier,
   override def child: LogicalPlan = query
   override protected def withNewChildInternal(
       newChild: LogicalPlan): GraftCreateViewStatement = copy(query = newChild)
+}
+
+/** Parse-time intermediate for `ALTER VIEW ... AS` — same child-query
+  * analysis contract as [[GraftCreateViewStatement]]: the new text
+  * replaces the definition (column list resets to the query's own,
+  * the resolution context re-captures the CURRENT session defaults —
+  * Spark's ALTER VIEW AS semantics), while user properties and the
+  * comment carry over from the stored view.
+  */
+case class GraftAlterViewAsStatement(cat: GraftCatalog, ident: Identifier,
+    originalText: String, query: LogicalPlan) extends UnaryCommand {
+  override def child: LogicalPlan = query
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): GraftAlterViewAsStatement = copy(query = newChild)
 }
 
 object GraftViewRules {
@@ -120,6 +136,35 @@ object GraftViewRules {
             session.sessionState.catalogManager.currentNamespace.toSeq,
             pattern, output)
           case _ => s
+        }
+      // ALTER VIEW ... AS: only when the target IS a stored graft view
+      // (temp views keep Spark's semantics; a missing name falls
+      // through to the stock not-found error)
+      case a @ AlterViewAs(UnresolvedView(parts, _, _, _), text, query) =>
+        val isTemp = parts.size == 1 &&
+          session.sessionState.catalog.isTempView(parts)
+        if (isTemp) a
+        else catalogAndIdent(session, parts) match {
+          case Some((cat, ident)) if cat.viewExists(ident) =>
+            GraftAlterViewAsStatement(cat, ident, text, query)
+          case _ => a
+        }
+      // ALTER VIEW ... RENAME TO: both names must land in the SAME
+      // graft catalog (cross-catalog renames refuse loudly)
+      case r @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true)
+          if !(parts.size == 1 &&
+            session.sessionState.catalog.isTempView(parts)) =>
+        catalogAndIdent(session, parts) match {
+          case Some((cat, ident)) if cat.viewExists(ident) =>
+            catalogAndIdent(session, newName) match {
+              case Some((cat2, toIdent)) if cat2.name() == cat.name() =>
+                GraftRenameViewCommand(cat, ident, toIdent)
+              case _ => throw new UnsupportedOperationException(
+                s"RENAME VIEW ${parts.mkString(".")}: the new name " +
+                  s"${newName.mkString(".")} must stay inside catalog " +
+                  s"${cat.name()}")
+            }
+          case _ => r
         }
       case other => other
     }
@@ -281,6 +326,37 @@ object GraftViewRules {
         props.foreach { case (k, vv) => m.put(k, vv) }
         m })
     GraftCreateViewCommand(s.cat, info, s.allowExisting, s.replace)
+  }
+
+  private[sql] def lowerAlterAs(session: SparkSession,
+      s: GraftAlterViewAsStatement): LogicalPlan = {
+    val mgr = session.sessionState.catalogManager
+    val old = s.cat.loadView(s.ident)
+    val schema = StructType(s.query.schema.fields)
+    val info = new ViewInfo(s.ident, s.originalText,
+      mgr.currentCatalog.name(), mgr.currentNamespace,
+      schema, schema.fieldNames,
+      Array.empty[String], Array.empty[String],
+      old.properties())
+    GraftAlterViewAsCommand(s.cat, info)
+  }
+}
+
+/** Eager ALTER VIEW ... AS: replace-in-place, never create. */
+case class GraftAlterViewAsCommand(cat: GraftCatalog, info: ViewInfo)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    cat.replaceView(info, orCreate = false)
+    Nil
+  }
+}
+
+/** Eager ALTER VIEW ... RENAME TO within one graft catalog. */
+case class GraftRenameViewCommand(cat: GraftCatalog, from: Identifier,
+    to: Identifier) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    cat.renameView(from, to)
+    Nil
   }
 }
 

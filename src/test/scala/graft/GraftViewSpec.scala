@@ -194,6 +194,51 @@ class GraftViewSpec extends SparkTestBase {
     s1.sql("DROP VIEW gview.silver.commented")
   }
 
+  test("ALTER VIEW AS replaces the definition in place; RENAME TO moves it") {
+    setup
+    val s1 = freshSession("j")
+    s1.sql("""CREATE VIEW gview.silver.altered AS
+             |SELECT order_id FROM gview.silver.orders""".stripMargin)
+    val before = s1.sql("SELECT * FROM gview.silver.altered").count()
+    assert(before >= 3L)
+
+    s1.sql("""ALTER VIEW gview.silver.altered AS
+             |SELECT order_id, amount FROM gview.silver.orders
+             |WHERE amount > 15.0""".stripMargin)
+    val after = s1.sql("SELECT * FROM gview.silver.altered")
+    assert(after.columns.toSeq === Seq("order_id", "amount"))
+    assert(after.count() < before)
+    // ALTER VIEW AS on a missing graft view falls through to stock →
+    // standard not-found error, never a silent create
+    intercept[Exception] {
+      s1.sql("ALTER VIEW gview.silver.no_such AS SELECT 1 AS one")
+    }
+    assert(!s1.sql("SHOW VIEWS IN gview.silver").collect()
+      .map(_.getString(1)).contains("no_such"))
+
+    // RENAME: old name gone, new name serves the same definition
+    s1.sql("ALTER VIEW gview.silver.altered RENAME TO gview.silver.renamed_v")
+    assert(s1.sql("SELECT * FROM gview.silver.renamed_v").count() === after.count())
+    intercept[Exception] {
+      s1.sql("SELECT * FROM gview.silver.altered").collect()
+    }
+    // survives sessions (the sidecar file moved)
+    val s2 = freshSession("k")
+    assert(s2.sql("SELECT * FROM gview.silver.renamed_v").count() === after.count())
+    // renaming onto an existing TABLE name refuses inside renameView?
+    // (a view and table must never share a name — the rename lands on
+    // the view path namespace, so guard via the catalog's own check)
+    intercept[Exception] {
+      s2.sql("ALTER VIEW gview.silver.renamed_v RENAME TO gview.silver.renamed_v")
+    }
+    // ...and never onto an existing TABLE name
+    val clash = intercept[Exception] {
+      s2.sql("ALTER VIEW gview.silver.renamed_v RENAME TO gview.silver.orders")
+    }
+    assert(messageChain(clash).toLowerCase.contains("already exists"))
+    s2.sql("DROP VIEW gview.silver.renamed_v")
+  }
+
   test("views compose: WITH clauses inside the text; views over views; recursion refuses") {
     setup
     val s1 = freshSession("g")
