@@ -277,6 +277,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val to = dirOf(newIdent.namespace(), newIdent.name())
     if (isTableDir(to)) throw new TableAlreadyExistsException(
       (catalogName +: newIdent.namespace().toSeq :+ newIdent.name()))
+    // the never-both-table-and-view guard on a TABLE rename's target —
+    // the mirror of renameView's table check
+    if (viewExistsPath(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(
+          Identifier.of(catalogName +: newIdent.namespace(), newIdent.name()))
     fs.mkdirs(to.getParent)
     if (!fs.rename(from, to)) throw new IllegalStateException(
       s"rename $from -> $to failed")

@@ -39,8 +39,11 @@ import org.apache.spark.sql.types.StructType
   * session's defaults. A view whose text references itself (possible
   * via CREATE OR REPLACE) is refused at read time; longer reference
   * cycles exhaust the analyzer's fixed-point iteration budget and fail
-  * analysis rather than hanging. `ALTER VIEW` keeps its stock Spark
-  * (session-catalog) meaning; graft views are immutable-by-replace.
+  * analysis rather than hanging. `ALTER VIEW … AS` replaces a stored
+  * definition in place (properties carried over) and `ALTER VIEW …
+  * RENAME TO` moves the sidecar file within the catalog; `ALTER VIEW
+  * … SET/UNSET TBLPROPERTIES` keeps its stock (session-catalog)
+  * meaning — graft view properties change via CREATE OR REPLACE.
   */
 case class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -149,21 +152,32 @@ object GraftViewRules {
             GraftAlterViewAsStatement(cat, ident, text, query)
           case _ => a
         }
-      // ALTER VIEW ... RENAME TO: both names must land in the SAME
-      // graft catalog (cross-catalog renames refuse loudly)
+      // ALTER VIEW ... RENAME TO: the new name resolves relative to
+      // the SOURCE view — a bare name keeps the source namespace (SQL
+      // RENAME semantics), a namespace-qualified name stays in the
+      // source's catalog, and an explicit DIFFERENT catalog refuses
+      // loudly; the reading session's current catalog/namespace play
+      // no part
       case r @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true)
           if !(parts.size == 1 &&
             session.sessionState.catalog.isTempView(parts)) =>
         catalogAndIdent(session, parts) match {
           case Some((cat, ident)) if cat.viewExists(ident) =>
-            catalogAndIdent(session, newName) match {
-              case Some((cat2, toIdent)) if cat2.name() == cat.name() =>
-                GraftRenameViewCommand(cat, ident, toIdent)
-              case _ => throw new UnsupportedOperationException(
-                s"RENAME VIEW ${parts.mkString(".")}: the new name " +
-                  s"${newName.mkString(".")} must stay inside catalog " +
-                  s"${cat.name()}")
+            val toParts = newName match {
+              case ps if ps.size >= 2 && ps.head == cat.name() => ps.tail
+              case ps if ps.size >= 2 &&
+                  catalogNamed(session, ps.head).exists(_.name() != cat.name()) =>
+                throw new UnsupportedOperationException(
+                  s"RENAME VIEW ${parts.mkString(".")}: the new name " +
+                    s"${newName.mkString(".")} must stay inside catalog " +
+                    s"${cat.name()}")
+              case ps => ps
             }
+            val toIdent =
+              if (toParts.size == 1)
+                Identifier.of(ident.namespace(), toParts.head)
+              else Identifier.of(toParts.init.toArray, toParts.last)
+            GraftRenameViewCommand(cat, ident, toIdent)
           case _ => r
         }
       case other => other

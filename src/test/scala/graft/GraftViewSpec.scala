@@ -236,7 +236,26 @@ class GraftViewSpec extends SparkTestBase {
       s2.sql("ALTER VIEW gview.silver.renamed_v RENAME TO gview.silver.orders")
     }
     assert(messageChain(clash).toLowerCase.contains("already exists"))
-    s2.sql("DROP VIEW gview.silver.renamed_v")
+    // a table rename onto an existing VIEW name refuses too (mirror)
+    new ManifestTable(spark, s"$lakeRoot/silver/rn_table")
+      .write(Seq((1L, "a")).toDF("id", "v"), "overwrite")
+    val clash2 = intercept[Exception] {
+      s2.sql("ALTER TABLE gview.silver.rn_table RENAME TO gview.silver.renamed_v")
+    }
+    assert(messageChain(clash2).toLowerCase.contains("already exists"))
+    // the target resolves relative to the SOURCE view, not the
+    // session's current catalog/namespace: from a non-graft current
+    // catalog, a 2-part and a bare target both stay in gview.silver
+    s2.sql("ALTER VIEW gview.silver.renamed_v RENAME TO silver.rel_v")
+    assert(s2.sql("SELECT * FROM gview.silver.rel_v").count() === after.count())
+    s2.sql("ALTER VIEW gview.silver.rel_v RENAME TO bare_renamed")
+    assert(s2.sql("SELECT * FROM gview.silver.bare_renamed").count() === after.count())
+    // an explicit different catalog refuses loudly
+    val cross = intercept[Exception] {
+      s2.sql("ALTER VIEW gview.silver.bare_renamed RENAME TO spark_catalog.default.x")
+    }
+    assert(messageChain(cross).contains("must stay inside catalog"))
+    s2.sql("DROP VIEW gview.silver.bare_renamed")
   }
 
   test("views compose: WITH clauses inside the text; views over views; recursion refuses") {
