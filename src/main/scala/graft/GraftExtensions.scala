@@ -65,6 +65,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_normalize_text",
         "graft_normalize_text(s) - NFC normalize, strip control chars, collapse whitespace, trim"),
       arity("graft_normalize_text", 1, es => TextNormalize(es.head))))
+    // L35: SQL table function over the batch change feed — Delta's
+    // `table_changes` TVF role: `SELECT * FROM graft_table_changes(
+    // '<root-or-cat.ns.table>', fromV, toV, 'k1,k2')`. Args must be
+    // literals (the table address and version range shape the plan);
+    // the returned plan is the same per-commit O(changed files) diff
+    // union the batch reader builds.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo("graft.streaming.GraftTableSource",
+        "graft_table_changes",
+        "graft_table_changes(table, from_version, to_version, keys_csv)" +
+          " - change rows (_change_type, _commit_version) for the" +
+          " inclusive commit range of a graft table"),
+      exprs => {
+        if (exprs.length != 4)
+          throw new IllegalArgumentException(
+            "graft_table_changes expects (table, from_version, " +
+              s"to_version, keys_csv), got ${exprs.length} argument(s)")
+        def lit(i: Int): Any = {
+          val e = exprs(i)
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_table_changes: argument ${i + 1} must be a literal" +
+              s" (got $e) — the table address and version range shape" +
+              " the plan")
+          e.eval()
+        }
+        def str(i: Int): String = lit(i) match {
+          case null => throw new IllegalArgumentException(
+            s"graft_table_changes: argument ${i + 1} must not be NULL")
+          case v => v.toString
+        }
+        def intArg(i: Int): Int = lit(i) match {
+          case n: Int => n
+          case n: Long => n.toInt
+          case n: Short => n.toInt
+          case n: Byte => n.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_table_changes: argument ${i + 1} must be an" +
+              s" integer version, got $other")
+        }
+        val session = org.apache.spark.sql.SparkSession.active
+        val root = graft.sql.GraftNames.resolveRoot(session, str(0))
+        val keys = str(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        graft.streaming.GraftTableSource
+          .batchChanges(session, root, keys, intArg(1), intArg(2))
+          .queryExecution.analyzed
+      }))
     // optimizer rule: defensive re-normalization in composed cleaning
     // pipelines collapses to one pass (idempotent kernel)
     ext.injectOptimizerRule(_ => graft.plans.GraftRules.CollapseNormalize)

@@ -507,8 +507,81 @@ object Analytics extends QueryModule {
        |ORDER BY node ASC NULLS FIRST""".stripMargin
   }
 
+  /** G2: BFS hop levels — shortest hop distance (≤ 4) from a
+    * deterministic source over the undirected customer↔part bipartite
+    * graph (an edge = the customer ordered the part): the
+    * "collaborative-filtering reach" traversal, and the graph family's
+    * missing primitive next to PageRank (g1), triangles (d9) and
+    * connected components (d6/mix11). Pregel-lite shape: each round is
+    * ONE frontier⋈edges equi-join + distinct + anti-join against the
+    * visited set — no all-pairs, no whole-graph collection; rounds are
+    * O(diameter) and each round's state is localCheckpointed so the
+    * lineage never compounds (the iterative-algorithm discipline g1's
+    * float engine and sub5 already follow). Part nodes are shifted
+    * +1e9 to keep the two key spaces disjoint. Hop distances are
+    * integers, so the DuckDB recursive-CTE oracle matches hash-exact.
+    */
+  def g2BfsLevels(spark: SparkSession, dir: String): DataFrame = {
+    val maxHops = 4
+    val items = Q.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val co = Q.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_partkey") + lit(1000000000L)).as("part"))
+      .distinct()
+    // both orientations; materialized ONCE — every round re-joins it
+    val und = co.select(col("cust").as("node"), col("part").as("dst"))
+      .unionByName(co.select(col("part").as("node"), col("cust").as("dst")))
+      .localCheckpoint()
+    // deterministic source: the smallest node id in the graph (a
+    // customer — custkeys sit below the +1e9 part shift). One-row
+    // aggregate frame, never collected to the driver.
+    val seed = und.agg(min(col("node")).as("node"))
+    var visited = seed.withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = visited.select("node")
+    for (d <- 1 to maxHops) {
+      val next = frontier.join(und, Seq("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select("node")
+    }
+    visited.orderBy(col("node").asc)
+  }
+
+  /** BFS truth from first principles: the recursive closure holds
+    * every (node, depth ≤ 4) pair reachable by SOME path (UNION keeps
+    * the state bounded at nodes × 5); MIN(depth) per node is the hop
+    * distance — exactly the first-visit level the frontier loop
+    * assigns.
+    */
+  val g2Oracle: String =
+    """WITH RECURSIVE co AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey + 1000000000 AS part
+      |  FROM orders o JOIN (SELECT DISTINCT l_orderkey, l_partkey
+      |                      FROM lineitem) l
+      |    ON o.o_orderkey = l.l_orderkey),
+      |und AS (SELECT cust AS node, part AS dst FROM co
+      |        UNION ALL SELECT part, cust FROM co),
+      |seed AS (SELECT MIN(node) AS node FROM und),
+      |reach(node, d) AS (
+      |  SELECT node, 0 FROM seed
+      |  UNION
+      |  SELECT u.dst, r.d + 1
+      |  FROM reach r JOIN und u ON u.node = r.node
+      |  WHERE r.d < 4)
+      |SELECT node, MIN(d) AS dist
+      |FROM reach
+      |GROUP BY node
+      |ORDER BY node ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank_exact" -> g1PageRankExact,
+    "g2_bfs_levels" -> g2BfsLevels,
     "pr2_skew_report" -> pr2SkewReport,
     "pr3_eqdepth" -> pr3EqdepthHist,
     "fn5_pattern" -> fn5Pattern,
@@ -535,6 +608,7 @@ object Analytics extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "g1_pagerank_exact" -> g1Oracle,
+    "g2_bfs_levels" -> g2Oracle,
     "fn7_wau_sketch" -> fn7Oracle,
     "pr3_eqdepth" -> pr3Oracle,
     "fn5_pattern" -> fn5Oracle,

@@ -1070,7 +1070,97 @@ object Dedup extends QueryModule {
       |WHERE n_dup_spans > 0
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** D17: exact substring-CONTAINMENT dedup — which documents' full
+    * token sequence appears verbatim as a contiguous run inside
+    * another document (truncated re-crawls, quoted-in-full posts,
+    * page-within-aggregate shells: the pairs exact-hash dedup misses
+    * because the container has extra text). Candidate generation is
+    * exact, not probabilistic: if a ⊂ b then a's FIRST word-8-gram is
+    * one of b's word-8-grams, so one inverted-index equi-join on the
+    * shared md5-60-bit gram kernel (d7's) yields a complete candidate
+    * set — at most one candidate row per (contained, container) pair,
+    * since per-container grams are distinct. Verification is a single
+    * space-guarded `contains` on the candidate pairs only.
+    *
+    * Scale: the gram index is linear in corpus tokens (d7's cost
+    * class) and the anchor side is one row per document; nothing is
+    * ever all-pairs. A boilerplate anchor gram (a hot first sentence)
+    * fans out exactly to its true candidates — that set is the
+    * answer's lower bound, not avoidable work — and AQE's skew split
+    * handles the join imbalance. Documents under 8 tokens have no
+    * anchor and are skipped (both engines agree).
+    */
+  def d17Containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val byId = docs.as[(Long, String)]
+    // inverted index: every DISTINCT word-8-gram hash per document
+    val grams = byId.mapPartitions { it =>
+      val md = graft.functions.GramHashes.newDigest()
+      it.flatMap { case (id, text) =>
+        val h = graft.functions.GramHashes.hashes(md, text, k)
+        java.util.Arrays.sort(h)
+        new Iterator[(Long, Long)] {
+          private var i = 0
+          def hasNext: Boolean = i < h.length
+          def next(): (Long, Long) = {
+            val v = h(i)
+            i += 1
+            while (i < h.length && h(i) == v) i += 1 // per-doc distinct
+            (id, v)
+          }
+        }
+      }
+    }.toDF("container_id", "gram")
+    // anchor: each document's FIRST 8-gram (absent for short docs)
+    val anchors = byId.mapPartitions { it =>
+      val md = graft.functions.GramHashes.newDigest()
+      it.flatMap { case (id, text) =>
+        val h = graft.functions.GramHashes.hashes(md, text, k)
+        if (h.isEmpty) Iterator.empty else Iterator.single((id, h(0)))
+      }
+    }.toDF("contained_id", "gram")
+    val cand = anchors.join(grams, Seq("gram"))
+      .filter(col("contained_id") =!= col("container_id"))
+      .select("contained_id", "container_id")
+    // verify candidates only: guarded contains = "a's tokens are a
+    // contiguous run of b's tokens" (guards pin word boundaries)
+    cand
+      .join(docs.select(col("doc_id").as("contained_id"),
+        col("text").as("text_a")), Seq("contained_id"))
+      .join(docs.select(col("doc_id").as("container_id"),
+        col("text").as("text_b")), Seq("container_id"))
+      .filter(contains(concat(lit(" "), col("text_b"), lit(" ")),
+        concat(lit(" "), col("text_a"), lit(" "))))
+      .select("contained_id", "container_id")
+      .orderBy(col("contained_id").asc, col("container_id").asc)
+  }
+
+  val d17Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id AS container_id,
+      |    CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(t)-7)) AS g(i)),
+      |anchors AS (
+      |  SELECT doc_id AS contained_id,
+      |    CAST(('0x' || substr(md5(array_to_string(t[1:8], ' ')), 1, 15)) AS BIGINT) AS gram
+      |  FROM toks WHERE len(t) >= 8),
+      |cand AS (
+      |  SELECT a.contained_id, g.container_id
+      |  FROM anchors a JOIN grams g USING (gram)
+      |  WHERE a.contained_id <> g.container_id)
+      |SELECT c.contained_id, c.container_id
+      |FROM cand c
+      |JOIN documents da ON da.doc_id = c.contained_id
+      |JOIN documents db ON db.doc_id = c.container_id
+      |WHERE contains(' ' || db.text || ' ', ' ' || da.text || ' ')
+      |ORDER BY contained_id ASC NULLS FIRST, container_id ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_containment" -> d17Containment,
     "d8_fuzzy_join" -> d8FuzzyJoin,
     "d10_span_dedup" -> d10SpanDedup,
     "g1_pagerank" -> g1PageRank,
@@ -1091,6 +1181,7 @@ object Dedup extends QueryModule {
     "d7_contamination" -> d7Contamination)
 
   override def oracles: Map[String, String] = Map(
+    "d17_containment" -> d17Oracle,
     "d10_span_dedup" -> d10Oracle,
     "d12_incr_dedup" -> d12Oracle,
     "d13_prefix_jaccard" -> d13Oracle,

@@ -544,6 +544,93 @@ object Lakehouse extends QueryModule {
        |GROUP BY 1
        |ORDER BY 1 ASC NULLS FIRST""".stripMargin
 
+  /** L35: BATCH change-data-feed through the SQL table function —
+    * `SELECT … FROM graft_table_changes(root, 1, 3, keys)` (Delta's
+    * `table_changes` TVF; the reader-option spelling and
+    * TVF ≡ changesBetween-replay equalities are spec-gated in
+    * StreamingSpec). The table takes a MERGE (corrections + inserts,
+    * v1), a DV UPDATE (v2) and a DV DELETE (v3); the mid-history range
+    * [1, 3] — a start t13's from-zero replay never exercises — must
+    * emit exactly those commits' keyed diffs, each version's rows read
+    * from that commit's changed files only. The oracle reconstructs
+    * the three versions' change rows from raw orders.
+    */
+  def l35CdfBatch(spark: SparkSession, dir: String): DataFrame = {
+    val s = dmlSession(spark)
+    val root = dmlScratch(s, "orders_l35")
+    val orders = Q.t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val mt = new ManifestTable(s, root)
+    mt.write(orders, "overwrite") // v0
+    val feed = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(orders.filter(col("o_orderkey") % 503 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N")))
+    mt.merge(feed, Seq("o_orderkey")) // v1
+    mt.updateWhere(col("o_orderstatus") === "P",
+      Map("o_totalprice" -> (col("o_totalprice") + 10.0))) // v2 (DV+append)
+    mt.delete(col("o_orderkey") % 15 === 0) // v3 (DV marks)
+    s.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice,
+         |       _change_type, _commit_version
+         |FROM graft_table_changes('$root', 1, 3, 'o_orderkey')
+         |ORDER BY o_orderkey ASC NULLS FIRST,
+         |  _commit_version ASC NULLS FIRST,
+         |  _change_type ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** The change history [1, 3] must contain: v1 = the merge's update
+    * pairs (%97 keys, +1000) and fresh inserts (%503 keys shifted
+    * +10M, status 'N'); v2 = the DV update's pairs for status-'P' rows
+    * at the v1 state (pre carries +1000 when also %97); v3 = deletes
+    * of keys %15 = 0 at the v2 state — original keys carry their
+    * possibly-twice-updated price, and a shifted insert dies when
+    * (k+10000000) % 15 = 0, i.e. k % 15 = 5 (never 'P', so never
+    * updated). The double-add chains parenthesize exactly as the
+    * engine computed them: (x + 1000.0) + 10.0.
+    */
+  val l35Oracle: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |       _change_type, _commit_version FROM (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |         'update_preimage' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0,
+      |         'update_postimage', 1
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'N', o_totalprice, 'insert', 1
+      |  FROM orders WHERE o_orderkey % 503 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+      |              ELSE o_totalprice END, 'update_preimage', 2
+      |  FROM orders WHERE o_orderstatus = 'P'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus,
+      |         (CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+      |               ELSE o_totalprice END) + 10.0, 'update_postimage', 2
+      |  FROM orders WHERE o_orderstatus = 'P'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderstatus = 'P'
+      |              THEN (CASE WHEN o_orderkey % 97 = 0
+      |                         THEN o_totalprice + 1000.0
+      |                         ELSE o_totalprice END) + 10.0
+      |              ELSE (CASE WHEN o_orderkey % 97 = 0
+      |                         THEN o_totalprice + 1000.0
+      |                         ELSE o_totalprice END) END,
+      |         'delete', 3
+      |  FROM orders WHERE o_orderkey % 15 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'N', o_totalprice, 'delete', 3
+      |  FROM orders WHERE o_orderkey % 503 = 0 AND o_orderkey % 15 = 5)
+      |ORDER BY o_orderkey ASC NULLS FIRST, _commit_version ASC NULLS FIRST,
+      |  _change_type ASC NULLS FIRST""".stripMargin
+
   /** L22b: storage-partitioned join — write orders and lineitem as
     * `bucket(8, key)` tables, then join through
     * [[ManifestTable.readBucketed]]: both scans report their
@@ -813,6 +900,7 @@ object Lakehouse extends QueryModule {
     "l30_sql_merge" -> l30SqlMerge,
     "l33_sql_view" -> l33SqlView,
     "l34_spec_evolution" -> l34SpecEvolution,
+    "l35_cdf_batch" -> l35CdfBatch,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
@@ -831,6 +919,7 @@ object Lakehouse extends QueryModule {
     "l30_sql_merge" -> l30Oracle,
     "l33_sql_view" -> l33Oracle,
     "l34_spec_evolution" -> l34Oracle,
+    "l35_cdf_batch" -> l35Oracle,
     "l15_dv_roundtrip" -> l15Oracle,
     "l6_exact_dedup" -> l6Oracle)
 }

@@ -99,21 +99,47 @@ class GraftTableSourceProvider extends StreamSourceProvider
     * `[startingVersion, latest]`). Default 0 — the stream opens with
     * the v0 snapshot as inserts, so a fresh checkpoint replays the
     * table's full history exactly once; `"latest"` skips history and
-    * emits only post-subscription commits.
+    * emits only post-subscription commits. T14: `startingTimestamp`
+    * (exclusive with `startingVersion`; epoch millis or a
+    * `yyyy-MM-dd HH:mm:ss[.fff]` literal) resolves to the FIRST
+    * version committed at or after the timestamp — Delta's streaming
+    * contract — or to latest+1 when every commit predates it (the
+    * subscription point is in the future of the history; only new
+    * commits flow).
     */
   private def startingVersion(spark: SparkSession,
-      parameters: Map[String, String]): Int =
-    parameters.get("startingversion").orElse(parameters.get("startingVersion"))
-      .map {
+      parameters: Map[String, String]): Int = {
+    val byV = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion"))
+    val byTs = parameters.get("startingtimestamp")
+      .orElse(parameters.get("startingTimestamp"))
+    require(byV.isEmpty || byTs.isEmpty,
+      "startingVersion and startingTimestamp cannot combine — they " +
+        "both anchor the stream's first version")
+    byTs match {
+      case Some(ts) =>
+        val millis =
+          if (ts.forall(_.isDigit)) ts.toLong
+          else java.sql.Timestamp.valueOf(ts).getTime
+        val mt = ManifestTable.forRoot(spark, rootOf(spark, parameters))
+        val vs = mt.versions
+        vs.find(v => mt.commitTimeOf(v) >= millis)
+          .getOrElse(vs.lastOption.map(_ + 1).getOrElse(0))
+      case None => byV.map {
         case s if s.equalsIgnoreCase("latest") =>
           ManifestTable.forRoot(spark, rootOf(spark, parameters))
             .latestVersion.map(_ + 1).getOrElse(0)
         case s => s.toInt
       }.getOrElse(0)
+    }
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
+    // resolve the start anchor at load time: option conflicts and
+    // malformed values fail on `.load()`, not at first trigger
+    startingVersion(sqlContext.sparkSession, parameters)
     val mt = ManifestTable.forRoot(sqlContext.sparkSession,
       rootOf(sqlContext.sparkSession, parameters))
     val base = schema.getOrElse(mt.read().schema)
@@ -175,19 +201,37 @@ class GraftTableSourceProvider extends StreamSourceProvider
   /** BATCH read (the `spark.read.format("delta")` surface):
     * `.option("versionAsOf", n)` / `.option("timestampAsOf", ts)` time
     * travel, latest version otherwise — so both halves of the
-    * DataSource story go through one format string.
+    * DataSource story go through one format string. L35: with
+    * `.option("readChangeFeed", "true")` (+ `keys`) the batch read
+    * returns CHANGE rows instead of a snapshot — Delta's batch-CDF
+    * contract: `startingVersion` (default 0) / `endingVersion`
+    * (default latest) bound the inclusive commit range, each row
+    * stamped `_change_type` / `_commit_version`.
     */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val mt = ManifestTable.forRoot(sqlContext.sparkSession,
-      rootOf(sqlContext.sparkSession, parameters))
+    val spark = sqlContext.sparkSession
+    val root = rootOf(spark, parameters)
+    val mt = ManifestTable.forRoot(spark, root)
     def opt(k: String) =
       parameters.get(k.toLowerCase).orElse(parameters.get(k))
-    val df = (opt("versionAsOf"), opt("timestampAsOf")) match {
-      case (Some(v), _) => mt.read(Some(v.toInt))
-      case (None, Some(ts)) =>
-        mt.readAsOf(java.sql.Timestamp.valueOf(ts).getTime)
-      case _ => mt.read()
+    val df = changeFeedKeys(parameters) match {
+      case Some(keys) =>
+        require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty,
+          "readChangeFeed and time travel cannot combine: the change " +
+            "range is already versioned (startingVersion/endingVersion)")
+        val to = opt("endingVersion").map(_.toInt)
+          .orElse(mt.latestVersion)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no committed versions at $root"))
+        GraftTableSource.batchChanges(spark, root, keys,
+          opt("startingVersion").map(_.toInt).getOrElse(0), to)
+      case None => (opt("versionAsOf"), opt("timestampAsOf")) match {
+        case (Some(v), _) => mt.read(Some(v.toInt))
+        case (None, Some(ts)) =>
+          mt.readAsOf(java.sql.Timestamp.valueOf(ts).getTime)
+        case _ => mt.read()
+      }
     }
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = sqlContext0
@@ -406,4 +450,50 @@ object GraftTableSource {
         org.apache.spark.sql.types.StringType, nullable = true) :+
       org.apache.spark.sql.types.StructField("_commit_version",
         org.apache.spark.sql.types.LongType, nullable = true))
+
+  /** L35: BATCH change-data-feed — the change rows for the inclusive
+    * commit range `[fromV, toV]`, each stamped `_change_type` /
+    * `_commit_version`. This is the distributed plan behind both the
+    * `spark.read.format("graft-table").option("readChangeFeed", true)`
+    * reader and the `graft_table_changes(...)` SQL table function
+    * (Delta's `table_changes` TVF role). Per version the diff reads
+    * only that commit's changed files ([[ManifestTable.changesAt]];
+    * pure add/remove commits skip the join entirely), so the cost is
+    * the range's delta — never a snapshot pair per version, and a v0
+    * start replays the initial snapshot as one scan of inserts.
+    *
+    * An out-of-range request REFUSES (Delta's contract): a `toV`
+    * beyond the latest commit would otherwise silently promise
+    * versions that do not exist yet.
+    */
+  def batchChanges(spark: SparkSession, root: String, keys: Seq[String],
+      fromV: Int, toV: Int): DataFrame = {
+    require(keys.nonEmpty, "batch change feed requires key columns — " +
+      "the change feed is a keyed row diff per commit")
+    val mt = ManifestTable.forRoot(spark, root)
+    val latest = mt.latestVersion.getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    require(fromV >= 0 && fromV <= toV && toV <= latest,
+      s"change range [$fromV, $toV] is not a valid committed range at " +
+        s"$root (latest version: $latest)")
+    val target = cdfSchema(mt.read(Some(toV)).schema)
+    (fromV to toV).map { v =>
+      val d = mt.changesAt(v, keys)
+        .withColumn("_commit_version", lit(v.toLong))
+      // a column present in an old diff but dropped by toV cannot be
+      // represented in the range's one output schema — refuse loudly
+      // rather than silently dropping its change values
+      val extra = d.columns.filterNot(target.fieldNames.contains)
+      require(extra.isEmpty,
+        s"version $v carries column(s) ${extra.mkString(", ")} absent " +
+          s"from the schema at version $toV; read the sub-ranges on " +
+          "either side of the schema change separately")
+      val padded = target.fields.foldLeft(d) { (df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      padded.select(
+        target.fieldNames.map(graft.functions.Cols.quoted).toIndexedSeq: _*)
+    }.reduce(_.unionByName(_))
+  }
 }

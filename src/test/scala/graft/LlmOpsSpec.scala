@@ -625,6 +625,28 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("d17 containment: anchor-gram candidates are COMPLETE vs brute-force guarded contains") {
+    import org.apache.spark.sql.functions._
+    val result = graft.queries.Dedup.d17Containment(spark, sf)
+      .select("contained_id", "container_id")
+    // ground truth: all-pairs guarded contains (bounded: sf0.001
+    // corpus only — the quadratic this operator exists to avoid)
+    val d = docs.select(col("doc_id"), col("text"))
+    val brute = d.select(col("doc_id").as("contained_id"),
+        col("text").as("ta"))
+      .filter(size(split(col("ta"), " ")) >= 8)
+      .crossJoin(d.select(col("doc_id").as("container_id"),
+        col("text").as("tb")))
+      .filter(col("contained_id") =!= col("container_id"))
+      .filter(contains(concat(lit(" "), col("tb"), lit(" ")),
+        concat(lit(" "), col("ta"), lit(" "))))
+      .select("contained_id", "container_id")
+    assert(result.exceptAll(brute).count() === 0, "sound: no false pairs")
+    assert(brute.exceptAll(result).count() === 0,
+      "complete: the first-8-gram anchor join misses nothing")
+    assert(result.count() > 0, "the corpus plants containment pairs")
+  }
+
   test("d13 prefix filter: candidates strictly fewer than full inverted index") {
     import org.apache.spark.sql.expressions.Window
     val t = 0.5

@@ -783,4 +783,158 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(messageChain(beyond).contains("beyond the table's next commit"))
   }
+
+  test("L35: batch readChangeFeed + graft_table_changes TVF equal changesBetween replay") {
+    import graft.streaming.{GraftTableSource, GraftTableSourceProvider}
+    val root = scratch("l35_table")
+    val orders = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 3 === 0)
+    val mt = new ManifestTable(spark, root)
+    mt.write(base, "overwrite") // v0
+    mt.merge(base.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey")) // v1
+    mt.delete(col("o_orderkey") % 15 === 0) // v2 (DV marks)
+
+    def reader(opts: (String, String)*) = {
+      val r = spark.read
+        .format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root)
+        .option("readChangeFeed", "true")
+        .option("keys", "o_orderkey")
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    }
+
+    // default range [0, latest]: v0 snapshot as inserts + each commit's
+    // keyed diff, version-stamped — exactly the changesBetween replay
+    val full = reader()
+    val replay = (0 to 2).map { v =>
+      (if (v == 0) mt.read(Some(0)).withColumn("_change_type", lit("insert"))
+       else mt.changesBetween(v - 1, v, Seq("o_orderkey")))
+        .withColumn("_commit_version", lit(v.toLong))
+    }.reduce(_.unionByName(_)).select(full.columns.map(col): _*)
+    assert(full.exceptAll(replay).count() === 0)
+    assert(replay.exceptAll(full).count() === 0)
+
+    // mid-history sub-range [1, 2] — no snapshot leg
+    val sub = reader("startingVersion" -> "1", "endingVersion" -> "2")
+    val subReplay = (1 to 2).map(v =>
+      mt.changesBetween(v - 1, v, Seq("o_orderkey"))
+        .withColumn("_commit_version", lit(v.toLong)))
+      .reduce(_.unionByName(_)).select(sub.columns.map(col): _*)
+    assert(sub.exceptAll(subReplay).count() === 0)
+    assert(subReplay.exceptAll(sub).count() === 0)
+    assert(sub.filter(col("_commit_version") === 0L).count() === 0)
+
+    // the SQL TVF is the same plan: needs an extensions session
+    val s2 = extensionsSession("graft-l35-tvf")
+    val viaTvf = s2.sql(
+      s"""SELECT * FROM graft_table_changes('$root', 1, 2, 'o_orderkey')""")
+    assert(viaTvf.exceptAll(sub).count() === 0)
+    assert(sub.exceptAll(viaTvf).count() === 0)
+
+    // helper-level equality too (what both surfaces call)
+    val helper = GraftTableSource.batchChanges(spark, root,
+      Seq("o_orderkey"), 1, 2)
+    assert(helper.exceptAll(subReplay).count() === 0)
+
+    // refusals: out-of-range end (Delta's contract — never promise
+    // versions that do not exist), inverted range, missing keys,
+    // combining CDF with time travel, non-literal TVF args
+    val beyond = intercept[IllegalArgumentException] {
+      reader("endingVersion" -> "99").collect()
+    }
+    assert(messageChain(beyond).contains("latest version"))
+    val inverted = intercept[IllegalArgumentException] {
+      reader("startingVersion" -> "2", "endingVersion" -> "1").collect()
+    }
+    assert(messageChain(inverted).contains("not a valid committed range"))
+    val noKeys = intercept[IllegalArgumentException] {
+      spark.read.format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root).option("readChangeFeed", "true").load()
+    }
+    assert(messageChain(noKeys).contains("keys"))
+    val mixed = intercept[IllegalArgumentException] {
+      reader("versionAsOf" -> "1").collect()
+    }
+    assert(messageChain(mixed).contains("time travel"))
+    val nonLiteral = intercept[Exception] {
+      s2.sql(s"SELECT * FROM graft_table_changes('$root', 1, 2, substr(rand()::string, 1, 2))")
+        .collect()
+    }
+    assert(messageChain(nonLiteral).contains("literal"))
+  }
+
+  test("T14: startingTimestamp anchors the change feed at the first commit at or after it") {
+    import graft.streaming.{GraftTableSource, GraftTableSourceProvider}
+    val root = scratch("t14_table")
+    val orders = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 5 === 0)
+    val mt = new ManifestTable(spark, root)
+    mt.write(base, "overwrite") // v0
+    // commit times come from manifest mtimes — keep the two commits a
+    // full second apart so a midpoint timestamp exists at any FS
+    // granularity
+    Thread.sleep(1200)
+    mt.delete(col("o_orderkey") % 20 === 0) // v1
+    val mid = (mt.commitTimeOf(0) + mt.commitTimeOf(1)) / 2
+    assert(mt.commitTimeOf(0) < mid && mid < mt.commitTimeOf(1))
+
+    val cdfSchema = GraftTableSource.cdfSchema(mt.read().schema)
+    def drain(out: String, ckpt: String, opts: (String, String)*): Unit = {
+      val r = spark.readStream
+        .format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root)
+        .option("readChangeFeed", "true")
+        .option("keys", "o_orderkey")
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+
+    // a timestamp strictly between the commits: v0's snapshot must be
+    // skipped, v1's diff must flow
+    val out1 = scratch("t14_out1"); val ck1 = scratch("t14_ckpt1")
+    drain(out1, ck1, "startingTimestamp" -> mid.toString)
+    val got = spark.read.schema(cdfSchema).parquet(out1)
+    assert(got.filter(col("_commit_version") === 0L).count() === 0,
+      "history before the timestamp must not replay")
+    val v1 = mt.changesAt(1, Seq("o_orderkey"))
+      .withColumn("_commit_version", lit(1L))
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(v1).count() === 0)
+    assert(v1.exceptAll(got).count() === 0)
+
+    // a timestamp after every commit: nothing flows until a NEW commit
+    val future = mt.commitTimeOf(1) + 3600L * 1000
+    val out2 = scratch("t14_out2"); val ck2 = scratch("t14_ckpt2")
+    drain(out2, ck2, "startingTimestamp" -> future.toString)
+    assert(spark.read.schema(cdfSchema).parquet(out2).count() === 0)
+    mt.delete(col("o_orderkey") % 35 === 0) // v2
+    drain(out2, ck2, "startingTimestamp" -> future.toString)
+    val late = spark.read.schema(cdfSchema).parquet(out2)
+    val v2 = mt.changesAt(2, Seq("o_orderkey"))
+      .withColumn("_commit_version", lit(2L))
+      .select(late.columns.map(col): _*)
+    assert(late.exceptAll(v2).count() === 0)
+    assert(v2.exceptAll(late).count() === 0)
+
+    // the two anchors cannot combine
+    val both = intercept[IllegalArgumentException] {
+      spark.readStream
+        .format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root)
+        .option("readChangeFeed", "true")
+        .option("keys", "o_orderkey")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", mid.toString)
+        .load()
+    }
+    assert(messageChain(both).contains("cannot combine"))
+  }
 }
