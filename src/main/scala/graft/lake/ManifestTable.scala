@@ -3397,6 +3397,77 @@ class ManifestTable(spark: SparkSession, root: String,
     commit(entriesOf(version))
   }
 
+  // ---- L36: named immutable version refs (the Iceberg TAG surface) ----
+
+  private def refFile(name: String): Path = {
+    require(name.matches("[A-Za-z0-9_\\-]+"), s"bad tag name: $name")
+    new Path(logDir, s"ref-$name")
+  }
+
+  /** Tag `version` (default: latest) as `name` — an immutable named
+    * ref (Iceberg's `CREATE TAG`): audit snapshots, model-training
+    * data pins, release baselines. Tags are refs, not copies — one
+    * tiny file in the log — and they RETAIN: [[vacuum]] keeps a tagged
+    * version's data files, DV sidecars and a standalone manifest alive
+    * past the retain horizon until the tag is dropped. Re-tagging an
+    * existing name refuses (immutability is the point; drop first).
+    */
+  def createTag(name: String, version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion.getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root")))
+    require(versions.contains(v), s"no version $v at $root")
+    val p = refFile(name)
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-ref-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // rename OVERWRITES on a local FS: serialize the exists-check +
+    // rename pair per root (the branch-staging discipline) so two
+    // same-process taggers cannot both win
+    ManifestTable.lockFor(
+      fs.makeQualified(logDir).toString + s"#ref-$name").synchronized {
+      if (fs.exists(p) || !fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"tag $name already exists at $root (tags are immutable; " +
+            "dropTag first to re-point)")
+      }
+    }
+    v
+  }
+
+  /** The version a tag points at, if the tag exists. */
+  def tagRef(name: String): Option[Int] = {
+    val p = refFile(name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** All tags, name → version, name-ordered. */
+  def tagRefs: Seq[(String, Int)] =
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("ref-")).map(_.stripPrefix("ref-")).sorted
+      .flatMap(n => tagRef(n).map(n -> _))
+
+  /** Time-travel read by tag (`VERSION AS OF '<tag>'`). */
+  def readTagged(name: String): DataFrame =
+    read(Some(tagRef(name).getOrElse(throw new IllegalArgumentException(
+      s"no tag $name at $root (tags: ${tagRefs.map(_._1).mkString(", ")})"))))
+
+  /** Drop a tag: the ref file goes now; the version's files become
+    * vacuum-eligible again (nothing is deleted here).
+    */
+  def dropTag(name: String): Unit = {
+    val p = refFile(name)
+    require(fs.exists(p), s"no tag $name at $root")
+    fs.delete(p, false): Unit
+  }
+
   /** L12: SHALLOW CLONE — create an independent table at `destRoot`
     * whose v0 references THIS table's current data files by absolute
     * path (no copy; Delta SHALLOW CLONE). The clone's own writes land
@@ -3449,7 +3520,11 @@ class ManifestTable(spark: SparkSession, root: String,
   def vacuum(retain: Int = 1, dryRun: Boolean = false,
       minAgeMs: Long = ManifestTable.DefaultVacuumMinAgeMs): Seq[String] = {
     val vs = versions
-    val keepVs = vs.takeRight(retain)
+    // named tags RETAIN their versions (Iceberg's tag-retention
+    // contract): a tagged version's files, DV sidecars and manifest
+    // survive any retain horizon until the tag is dropped
+    val taggedVs = tagRefs.map(_._2).filter(vs.contains).toSet
+    val keepVs = (vs.takeRight(retain) ++ taggedVs).distinct.sorted
     // retention horizon (the Delta deletedFileRetentionDuration
     // pattern): an unreferenced file younger than the horizon may
     // belong to an IN-FLIGHT commit — a concurrent writer stages data
@@ -3489,27 +3564,30 @@ class ManifestTable(spark: SparkSession, root: String,
       }
     }
     if (!dryRun) {
-      val dropped = vs.dropRight(retain).toSet
-      // the kept chain must stand alone: if the oldest kept version is
-      // a delta commit, materialize its resolved snapshot BESIDE the
-      // delta (the delta keeps the original commit time; entriesOf
-      // prefers the manifest) before its upstream chain is deleted
-      keepVs.headOption.foreach { oldest =>
-        if (dropped.nonEmpty && !fs.exists(manifestPath(oldest))) {
-          val resolved = entriesOf(oldest)
+      val dropped = vs.dropRight(retain).toSet -- taggedVs
+      // every kept version must stand alone once versions below it are
+      // dropped: delta commits resolve through their upstream chain, so
+      // a delta-only kept version (the oldest of the retained tail, or
+      // a TAGGED island below it) gets its resolved snapshot
+      // materialized BESIDE the delta (the delta keeps the original
+      // commit time; entriesOf prefers the manifest) before the chain
+      // is deleted
+      keepVs.foreach { kept =>
+        if (dropped.exists(_ < kept) && !fs.exists(manifestPath(kept))) {
+          val resolved = entriesOf(kept)
           val tmp = new Path(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
           val out = fs.create(tmp, false)
           try out.write(
             (resolved.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
           finally out.close()
-          if (!fs.rename(tmp, manifestPath(oldest))) {
+          if (!fs.rename(tmp, manifestPath(kept))) {
             fs.delete(tmp, false)
             // a concurrent vacuum may have materialized the same
             // checkpoint between our exists-check and rename — its
             // content is identical, so losing that race IS success
-            if (!fs.exists(manifestPath(oldest)))
+            if (!fs.exists(manifestPath(kept)))
               throw new IllegalStateException(
-                s"checkpoint materialization for v$oldest failed")
+                s"checkpoint materialization for v$kept failed")
           }
         }
       }

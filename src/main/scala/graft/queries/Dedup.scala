@@ -1159,8 +1159,74 @@ object Dedup extends QueryModule {
       |WHERE contains(' ' || db.text || ' ', ' ' || da.text || ' ')
       |ORDER BY contained_id ASC NULLS FIRST, container_id ASC NULLS FIRST""".stripMargin
 
+  /** D18: NEAR-containment dedup — the containment coefficient
+    * C(a, b) = |Sa ∩ Sb| / |Sa| over distinct bigram shingles, the
+    * ASYMMETRIC cousin of d2's Jaccard: a truncated re-crawl with a
+    * few edits scores C ≈ 1 against its source while its Jaccard can
+    * sit far below any dedup threshold (the denominators differ), and
+    * its edits defeat d17's exact form. Corpus: docs < 60 plus planted
+    * 60%-prefix truncations with one appended edit word, so the 0.8
+    * threshold has real asymmetric matches. Candidates come from the
+    * d2 inverted shingle index (lossless: C ≥ 0.8 > 0 ⟹ a shared
+    * shingle) but DIRECTIONAL (id_a ≠ id_b, not <): containment is not
+    * symmetric. Scale: identical to d2 — equi-join keyed by shingle
+    * (cardinality O(vocab)), per-pair verify on the candidate set
+    * only; the 100 TB knob is the same document-frequency cap on
+    * ultra-common shingles.
+    */
+  def d18FuzzyContainment(spark: SparkSession, dir: String): DataFrame = {
+    val base = Q.t(spark, dir, "documents")
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    val nTok = size(split(col("text"), " "))
+    val corpus = base.unionByName(
+      base.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(array_join(slice(split(col("text"), " "), lit(1),
+          greatest(ceil(nTok * 0.6), lit(8)).cast("int")), " "),
+          lit(" editword")).as("text")))
+      .select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+    val inv = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cands = inv.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(inv.select(col("doc_id").as("id_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = corpus.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = corpus.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")))
+      .filter(col("containment") >= 0.8)
+      .select("id_a", "id_b", "containment")
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  val d18Oracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |    array_to_string(t[1:GREATEST(CAST(ceil(len(t) * 0.6) AS INT), 8)], ' ')
+      |      || ' editword'
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM documents WHERE doc_id < 60)),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_zip(string_split(text,' ')[1:len(string_split(text,' '))-1],
+      |               string_split(text,' ')[2:len(string_split(text,' '))]),
+      |      p -> p[1] || ' ' || p[2])) AS s
+      |  FROM corpus)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+      |    AS containment
+      |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+      |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d17_containment" -> d17Containment,
+    "d18_fuzzy_containment" -> d18FuzzyContainment,
     "d8_fuzzy_join" -> d8FuzzyJoin,
     "d10_span_dedup" -> d10SpanDedup,
     "g1_pagerank" -> g1PageRank,
@@ -1182,6 +1248,7 @@ object Dedup extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "d17_containment" -> d17Oracle,
+    "d18_fuzzy_containment" -> d18Oracle,
     "d10_span_dedup" -> d10Oracle,
     "d12_incr_dedup" -> d12Oracle,
     "d13_prefix_jaccard" -> d13Oracle,

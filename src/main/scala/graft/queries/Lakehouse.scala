@@ -631,6 +631,41 @@ object Lakehouse extends QueryModule {
       |ORDER BY o_orderkey ASC NULLS FIRST, _commit_version ASC NULLS FIRST,
       |  _change_type ASC NULLS FIRST""".stripMargin
 
+  /** L36: named immutable tags ([[ManifestTable.createTag]], the
+    * Iceberg `CREATE TAG` surface) with VACUUM retention, end to end:
+    * v0 is tagged `baseline` through `CALL graft.tag`, the table then
+    * takes a MERGE (which rewrites the touched files) and a DV delete,
+    * and `vacuum(retain = 1)` runs — WITHOUT tag retention the rewrite
+    * victims' v0 files are unreferenced by the latest version and die,
+    * and the tag read below would lose exactly their rows. The read
+    * goes through the batch reader's `tagAsOf` pin and must equal the
+    * raw orders, byte for byte.
+    */
+  def l36TagRead(spark: SparkSession, dir: String): DataFrame = {
+    val s = dmlSession(spark)
+    val root = dmlScratch(s, "orders_l36")
+    val orders = Q.t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val mt = new ManifestTable(s, root)
+    mt.write(orders.repartition(4), "overwrite") // v0, several files
+    s.sql(s"CALL graft.tag('$root', 'baseline')")
+    mt.merge(orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+      Seq("o_orderkey")) // v1: rewrites the touched v0 files
+    mt.delete(col("o_orderkey") % 15 === 0) // v2
+    mt.vacuum(retain = 1, minAgeMs = 0)
+    s.read.format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("tagAsOf", "baseline")
+      .load()
+      .orderBy(col("o_orderkey").asc)
+  }
+
+  val l36Oracle: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
   /** L22b: storage-partitioned join — write orders and lineitem as
     * `bucket(8, key)` tables, then join through
     * [[ManifestTable.readBucketed]]: both scans report their
@@ -901,6 +936,7 @@ object Lakehouse extends QueryModule {
     "l33_sql_view" -> l33SqlView,
     "l34_spec_evolution" -> l34SpecEvolution,
     "l35_cdf_batch" -> l35CdfBatch,
+    "l36_tag_read" -> l36TagRead,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
@@ -920,6 +956,7 @@ object Lakehouse extends QueryModule {
     "l33_sql_view" -> l33Oracle,
     "l34_spec_evolution" -> l34Oracle,
     "l35_cdf_batch" -> l35Oracle,
+    "l36_tag_read" -> l36Oracle,
     "l15_dv_roundtrip" -> l15Oracle,
     "l6_exact_dedup" -> l6Oracle)
 }

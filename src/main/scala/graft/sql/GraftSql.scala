@@ -26,6 +26,9 @@ import org.apache.spark.sql.types._
   *   CALL graft.zorder('/lake/silver', 'ds,region', 8)
   *   CALL graft.vacuum('/lake/silver', 2)
   *   CALL graft.restore('/lake/silver', 3)
+ *   CALL graft.tag('/lake/silver', 'audit_2024q2', 3)
+ *   CALL graft.tags('/lake/silver')
+ *   CALL graft.drop_tag('/lake/silver', 'audit_2024q2')
   *   CALL graft.describe_history('/lake/silver')
   *   CALL graft.describe_detail('/lake/silver')
   *   CALL graft.pq_build('/lake/emb_idx', 'embeddings_view', 'embedding')
@@ -194,6 +197,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       attr("num_dv_files", LongType), attr("num_constraints", LongType))
     case "vacuum" => Seq(attr("deleted_path", StringType))
     case "wap_branches" => Seq(attr("branch", StringType))
+    case "tags" => Seq(
+      attr("tag", StringType), attr("version", IntegerType))
     case "pq_query" | "nsw_query" => Seq(
       attr("q_id", LongType), attr("rn", IntegerType),
       attr("neighbor", LongType), attr("sim", DoubleType))
@@ -313,6 +318,16 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
           .map(Row(_))
       case "restore" =>
         versionRow(table.restore(num(1).toInt))
+      case "tag" =>
+        // tag(root, name [, version]) — pin a version under an
+        // immutable name (default: latest); vacuum retains it
+        versionRow(table.createTag(str(1),
+          if (args.length > 2) Some(num(2).toInt) else None))
+      case "tags" =>
+        table.tagRefs.map { case (n, v) => Row(n, v) }
+      case "drop_tag" =>
+        table.dropTag(str(1))
+        versionRow(table.latestVersion.getOrElse(-1))
       case "describe_history" =>
         table.history().collect().toSeq
       case "describe_detail" =>
@@ -587,6 +602,7 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         throw new IllegalArgumentException(
           s"unknown procedure graft.$other; known: write, merge, delete, " +
             "update, optimize, optimize_small, zorder, vacuum, restore, " +
+            "tag, tags, drop_tag, " +
             "describe_history, describe_detail, describe_files, " +
             "constraint_add, constraint_drop, constraints, analyze, " +
             "describe_stats, rename_column, evolve_partition, " +

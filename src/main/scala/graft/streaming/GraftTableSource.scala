@@ -226,12 +226,17 @@ class GraftTableSourceProvider extends StreamSourceProvider
             s"no committed versions at $root"))
         GraftTableSource.batchChanges(spark, root, keys,
           opt("startingVersion").map(_.toInt).getOrElse(0), to)
-      case None => (opt("versionAsOf"), opt("timestampAsOf")) match {
-        case (Some(v), _) => mt.read(Some(v.toInt))
-        case (None, Some(ts)) =>
-          mt.readAsOf(java.sql.Timestamp.valueOf(ts).getTime)
-        case _ => mt.read()
-      }
+      case None =>
+        (opt("versionAsOf"), opt("timestampAsOf"), opt("tagAsOf")) match {
+          case (Some(v), None, None) => mt.read(Some(v.toInt))
+          case (None, Some(ts), None) =>
+            mt.readAsOf(java.sql.Timestamp.valueOf(ts).getTime)
+          case (None, None, Some(tag)) => mt.readTagged(tag)
+          case (None, None, None) => mt.read()
+          case _ => throw new IllegalArgumentException(
+            "versionAsOf, timestampAsOf and tagAsOf are mutually " +
+              "exclusive time-travel pins")
+        }
     }
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = sqlContext0

@@ -560,6 +560,51 @@ class LakeSpec extends SparkTestBase {
     assert(mt.read().count() === 10)
   }
 
+  test("L36: named tags pin versions and retain them through vacuum") {
+    val root = scratch("tags")
+    val mt = new ManifestTable(spark, root)
+    mt.write(orders, "overwrite") // v0
+    assert(mt.createTag("baseline") === 0) // default: latest
+    // immutable refs: re-tag, bad name, missing version all refuse
+    intercept[IllegalArgumentException] { mt.createTag("baseline") }
+    intercept[IllegalArgumentException] { mt.createTag("bad name") }
+    intercept[IllegalArgumentException] { mt.createTag("v9", Some(9)) }
+    mt.delete(col("order_id") % 5 === 0) // v1 (DV marks — delta commit)
+    val v1Count = mt.read().count()
+    assert(mt.createTag("post_delete", Some(1)) === 1)
+    mt.write(orders.limit(3), "overwrite") // v2 orphans both islands
+    assert(mt.tagRefs === Seq("baseline" -> 0, "post_delete" -> 1))
+    // vacuum(retain=1) would reap v0/v1 without tag retention; both
+    // tagged islands must survive — files, DV sidecars, and a
+    // standalone manifest for the delta-only tagged version
+    mt.vacuum(retain = 1, minAgeMs = 0)
+    assert(mt.readTagged("baseline").count() === orders.count())
+    assert(mt.readTagged("post_delete").count() === v1Count,
+      "the tagged DV version must keep its sidecar through vacuum")
+    assert(mt.read().count() === 3)
+    // the batch reader's tagAsOf pin resolves the same snapshot
+    val viaReader = spark.read
+      .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+      .option("root", root).option("tagAsOf", "baseline").load()
+    assert(viaReader.count() === orders.count())
+    // pins are mutually exclusive
+    val mixed = intercept[IllegalArgumentException] {
+      spark.read
+        .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+        .option("root", root).option("tagAsOf", "baseline")
+        .option("versionAsOf", "0").load()
+    }
+    assert(messageChain(mixed).contains("mutually exclusive"))
+    // drop → the versions become vacuum-eligible again
+    mt.dropTag("baseline")
+    mt.dropTag("post_delete")
+    intercept[IllegalArgumentException] { mt.dropTag("baseline") }
+    mt.vacuum(retain = 1, minAgeMs = 0)
+    assert(mt.read().count() === 3)
+    assert(mt.tagRefs.isEmpty)
+    intercept[IllegalArgumentException] { mt.readTagged("baseline") }
+  }
+
   test("WAP: staged branch invisible on main, audit view complete, publish rebases over concurrent appends") {
     import spark.implicits._
     val dir = scratch("wap")
