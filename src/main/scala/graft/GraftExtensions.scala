@@ -98,7 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         def intArg(i: Int): Int = lit(i) match {
           case n: Int => n
-          case n: Long => n.toInt
+          case n: Long =>
+            // SQL integer literals beyond 2^31 parse as Long — a bare
+            // toInt would wrap them into a VALID wrong range
+            if (n.isValidInt) n.toInt
+            else throw new IllegalArgumentException(
+              s"graft_table_changes: argument ${i + 1} = $n is not a" +
+                " valid version number")
           case n: Short => n.toInt
           case n: Byte => n.toInt
           case other => throw new IllegalArgumentException(

@@ -29,6 +29,14 @@ object GramHashes {
     * text has fewer than k tokens. `md` is reused across calls
     * (digest() resets it).
     */
+  /** First 15 hex chars (60 bits) of an md5 digest as a long. */
+  private def fold60(d: Array[Byte]): Long = {
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
   def hashes(md: MessageDigest, text: String, k: Int): Array[Long] = {
     val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var nSp = 0
@@ -47,13 +55,58 @@ object GramHashes {
     while (p < nGrams) {
       val off = tokStart(p)
       md.update(b, off, tokEnd(p + k - 1) - off)
-      val d = md.digest() // first 15 hex chars = 60 bits
-      var v = 0L
-      var j = 0
-      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      h(p) = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      h(p) = fold60(md.digest()) // first 15 hex chars = 60 bits
       p += 1
     }
     h
+  }
+
+  /** The FIRST k-gram's hash only — one digest over the prefix byte
+    * slice, no per-gram array: the anchor-side kernel of d17's
+    * containment join (the full-document `hashes` pass there would
+    * double the corpus MD5 work just to keep element 0). None when
+    * the text has fewer than k tokens. Bit-identical to
+    * `hashes(md, text, k)(0)` (same byte range, same fold).
+    */
+  def firstGramHash(md: MessageDigest, text: String, k: Int): Option[Long] = {
+    val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var seen = 0
+    var end = -1
+    while (i < b.length && end < 0) {
+      if (b(i) == 0x20) { seen += 1; if (seen == k) end = i }
+      i += 1
+    }
+    // end = the k-th space (gram spans tokens 0..k-1, ending before
+    // it); a text of EXACTLY k tokens has k-1 spaces and ends at EOS
+    val stop = if (end >= 0) end else if (seen == k - 1) b.length else -1
+    if (stop < 0) None
+    else {
+      md.update(b, 0, stop)
+      Some(fold60(md.digest()))
+    }
+  }
+
+  /** Per-document DISTINCT k-gram hashes as (id, hash) rows — the
+    * inverted-index build kernel shared by the contamination scan
+    * (d7) and the containment join (d17): sort + skip-equal beats
+    * hashing gram STRINGS into a set. The hashing happens eagerly at
+    * call time, so one reusable `md` per partition is safe under
+    * `Iterator.flatMap`'s interleaving.
+    */
+  def distinctHashes(md: MessageDigest, id: Long, text: String,
+      k: Int): Iterator[(Long, Long)] = {
+    val h = hashes(md, text, k)
+    java.util.Arrays.sort(h)
+    new Iterator[(Long, Long)] {
+      private var i = 0
+      def hasNext: Boolean = i < h.length
+      def next(): (Long, Long) = {
+        val v = h(i)
+        i += 1
+        while (i < h.length && h(i) == v) i += 1 // per-doc distinct
+        (id, v)
+      }
+    }
   }
 }

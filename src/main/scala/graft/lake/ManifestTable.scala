@@ -3565,15 +3565,16 @@ class ManifestTable(spark: SparkSession, root: String,
     }
     if (!dryRun) {
       val dropped = vs.dropRight(retain).toSet -- taggedVs
-      // every kept version must stand alone once versions below it are
-      // dropped: delta commits resolve through their upstream chain, so
-      // a delta-only kept version (the oldest of the retained tail, or
-      // a TAGGED island below it) gets its resolved snapshot
-      // materialized BESIDE the delta (the delta keeps the original
-      // commit time; entriesOf prefers the manifest) before the chain
-      // is deleted
+      // a kept version whose delta chain is BROKEN by the drop must
+      // stand alone: entriesOf walks v, v-1, … to the nearest manifest,
+      // so the break is exactly "v is delta-only AND v-1 is dropped" —
+      // the oldest of the retained tail, or a TAGGED island below it.
+      // Kept versions whose v-1 is also kept resolve through it (it is
+      // processed first — keepVs ascends) and MUST NOT be checkpointed:
+      // one vacuum would otherwise write up to `retain` full O(files)
+      // manifests where the delta-log design needs one
       keepVs.foreach { kept =>
-        if (dropped.exists(_ < kept) && !fs.exists(manifestPath(kept))) {
+        if (dropped.contains(kept - 1) && !fs.exists(manifestPath(kept))) {
           val resolved = entriesOf(kept)
           val tmp = new Path(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
           val out = fs.create(tmp, false)

@@ -676,19 +676,7 @@ object Dedup extends QueryModule {
       .mapPartitions { it =>
         val md = graft.functions.GramHashes.newDigest()
         it.flatMap { case (id, text) =>
-          val h = graft.functions.GramHashes.hashes(md, text, n)
-          java.util.Arrays.sort(h)
-          new Iterator[(Long, Long)] {
-            private var i = 0
-            def hasNext: Boolean = i < h.length
-            def next(): (Long, Long) = {
-              val v = h(i)
-              i += 1
-              while (i < h.length && h(i) == v) i += 1 // per-doc distinct
-              (id, v)
-            }
-          }
-        }
+          graft.functions.GramHashes.distinctHashes(md, id, text, n) }
       }.toDF("doc_id", "ngram")
     val evalG = grams.filter(col("doc_id") < 20)
       .select(col("doc_id").as("eval_id"), col("ngram"))
@@ -1096,30 +1084,18 @@ object Dedup extends QueryModule {
     val docs = Q.t(spark, dir, "documents").select(col("doc_id"), col("text"))
     val byId = docs.as[(Long, String)]
     // inverted index: every DISTINCT word-8-gram hash per document
+    // (the shared d7 kernel)
     val grams = byId.mapPartitions { it =>
       val md = graft.functions.GramHashes.newDigest()
       it.flatMap { case (id, text) =>
-        val h = graft.functions.GramHashes.hashes(md, text, k)
-        java.util.Arrays.sort(h)
-        new Iterator[(Long, Long)] {
-          private var i = 0
-          def hasNext: Boolean = i < h.length
-          def next(): (Long, Long) = {
-            val v = h(i)
-            i += 1
-            while (i < h.length && h(i) == v) i += 1 // per-doc distinct
-            (id, v)
-          }
-        }
-      }
+        graft.functions.GramHashes.distinctHashes(md, id, text, k) }
     }.toDF("container_id", "gram")
-    // anchor: each document's FIRST 8-gram (absent for short docs)
+    // anchor: each document's FIRST 8-gram (absent for short docs) —
+    // one digest over the prefix slice, not a full hashes() pass
     val anchors = byId.mapPartitions { it =>
       val md = graft.functions.GramHashes.newDigest()
       it.flatMap { case (id, text) =>
-        val h = graft.functions.GramHashes.hashes(md, text, k)
-        if (h.isEmpty) Iterator.empty else Iterator.single((id, h(0)))
-      }
+        graft.functions.GramHashes.firstGramHash(md, text, k).map(id -> _) }
     }.toDF("contained_id", "gram")
     val cand = anchors.join(grams, Seq("gram"))
       .filter(col("contained_id") =!= col("container_id"))

@@ -320,9 +320,15 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         versionRow(table.restore(num(1).toInt))
       case "tag" =>
         // tag(root, name [, version]) — pin a version under an
-        // immutable name (default: latest); vacuum retains it
+        // immutable name (default: latest); vacuum retains it. SQL
+        // integer literals arrive as Long: a bare toInt would WRAP an
+        // out-of-range value into a valid wrong version
         versionRow(table.createTag(str(1),
-          if (args.length > 2) Some(num(2).toInt) else None))
+          if (args.length > 2) {
+            val v = num(2)
+            require(v.isValidInt, s"graft.tag: $v is not a version number")
+            Some(v.toInt)
+          } else None))
       case "tags" =>
         table.tagRefs.map { case (n, v) => Row(n, v) }
       case "drop_tag" =>

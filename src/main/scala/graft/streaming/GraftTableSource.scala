@@ -119,8 +119,14 @@ class GraftTableSourceProvider extends StreamSourceProvider
     byTs match {
       case Some(ts) =>
         val millis =
-          if (ts.forall(_.isDigit)) ts.toLong
-          else java.sql.Timestamp.valueOf(ts).getTime
+          try {
+            if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLong
+            else java.sql.Timestamp.valueOf(ts).getTime
+          } catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"malformed startingTimestamp '$ts' — epoch millis or " +
+                "a yyyy-MM-dd HH:mm:ss[.fff] literal", e)
+          }
         val mt = ManifestTable.forRoot(spark, rootOf(spark, parameters))
         val vs = mt.versions
         vs.find(v => mt.commitTimeOf(v) >= millis)
@@ -129,7 +135,12 @@ class GraftTableSourceProvider extends StreamSourceProvider
         case s if s.equalsIgnoreCase("latest") =>
           ManifestTable.forRoot(spark, rootOf(spark, parameters))
             .latestVersion.map(_ + 1).getOrElse(0)
-        case s => s.toInt
+        case s => try s.toInt catch {
+          case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"malformed startingVersion '$s' — an integer version " +
+                "or 'latest'", e)
+        }
       }.getOrElse(0)
     }
   }
@@ -217,7 +228,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
       parameters.get(k.toLowerCase).orElse(parameters.get(k))
     val df = changeFeedKeys(parameters) match {
       case Some(keys) =>
-        require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty,
+        require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty
+            && opt("tagAsOf").isEmpty,
           "readChangeFeed and time travel cannot combine: the change " +
             "range is already versioned (startingVersion/endingVersion)")
         val to = opt("endingVersion").map(_.toInt)
@@ -311,7 +323,7 @@ class GraftTableSource(spark: SparkSession, root: String,
     ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Int] = None,
     cdfKeys: Option[Seq[String]] = None,
-    cdfStartVersion: Int = 0)
+    startVersion: Int = 0)
     extends Source with SupportsTriggerAvailableNow {
 
   private def table: ManifestTable = ManifestTable.forRoot(spark, root)
@@ -321,11 +333,12 @@ class GraftTableSource(spark: SparkSession, root: String,
   // the current latest, and every later version — including the ones
   // the user asked to skip — flows. Refuse up front (Delta's
   // startingVersion contract); "latest" resolves to latest+1 and is
-  // always valid.
-  if (cdfKeys.isDefined) {
+  // always valid. The anchor applies to BOTH modes: the append stream
+  // skips history the same way the change feed does.
+  locally {
     val latest = ManifestTable.forRoot(spark, root).latestVersion.getOrElse(-1)
-    require(cdfStartVersion <= latest + 1,
-      s"startingVersion $cdfStartVersion is beyond the table's next " +
+    require(startVersion <= latest + 1,
+      s"startingVersion $startVersion is beyond the table's next " +
         s"commit (latest version: $latest) — versions committed later " +
         "would bypass the skip; use 'latest' to start at the next commit")
   }
@@ -387,17 +400,17 @@ class GraftTableSource(spark: SparkSession, root: String,
     val vTo = versionOf(end)
     val df0 = cdfKeys match {
       case Some(keys) => cdfBatch(start.map(versionOf), vTo, keys)
-      case None => table.addedBetween(start.map(versionOf), vTo,
-        failOnChange = !ignoreChanges)
+      // the anchor applies to the append stream too (the Delta
+      // contract): a fresh checkpoint with startingVersion = s emits
+      // files added in (s-1, vTo] instead of the full v0 snapshot
+      case None => table.addedBetween(
+        start.map(versionOf)
+          .orElse(if (startVersion > 0) Some(startVersion - 1) else None),
+        vTo, failOnChange = !ignoreChanges)
     }
     // pin column set + order to the source schema (a later append may
     // carry evolved columns; missing ones null-fill)
-    val withAll = schema.fields.foldLeft(df0) { (d, f) =>
-      if (d.columns.contains(f.name)) d
-      else d.withColumn(f.name, lit(null).cast(f.dataType))
-    }
-    val projected = withAll.select(
-      schema.fieldNames.map(graft.functions.Cols.quoted).toIndexedSeq: _*)
+    val projected = GraftTableSource.conformTo(schema, df0)
     // batch DataFrames from Source.getBatch must carry the isStreaming
     // flag or the incremental planner rejects them — same call Spark's
     // FileStreamSource makes (see GraftSqlBridge for why the shim)
@@ -417,7 +430,7 @@ class GraftTableSource(spark: SparkSession, root: String,
   private def cdfBatch(from: Option[Int], vTo: Int,
       keys: Seq[String]): DataFrame = {
     val mt = table
-    val vFrom = from.getOrElse(cdfStartVersion - 1)
+    val vFrom = from.getOrElse(startVersion - 1)
     val parts = (vFrom + 1 to vTo).map { v =>
       mt.changesAt(v, keys)
         .withColumn("_commit_version", lit(v.toLong))
@@ -426,16 +439,10 @@ class GraftTableSource(spark: SparkSession, root: String,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
         schema)
-    else parts.map { df =>
-      // pad each version's frame to the full CDF schema before the
-      // union — adjacent versions may straddle a schema evolution
-      val padded = schema.fields.foldLeft(df) { (d, f) =>
-        if (d.columns.contains(f.name)) d
-        else d.withColumn(f.name, lit(null).cast(f.dataType))
-      }
-      padded.select(
-        schema.fieldNames.map(graft.functions.Cols.quoted).toIndexedSeq: _*)
-    }.reduce(_.unionByName(_))
+    // pad each version's frame to the full CDF schema before the
+    // union — adjacent versions may straddle a schema evolution
+    else parts.map(GraftTableSource.conformTo(schema, _))
+      .reduce(_.unionByName(_))
   }
 
   override def commit(end: Offset): Unit = ()
@@ -446,6 +453,21 @@ class GraftTableSource(spark: SparkSession, root: String,
 }
 
 object GraftTableSource {
+  /** Pin `df` to `schema`'s column set and order: missing columns
+    * null-fill at the schema's type, present ones project by quoted
+    * name — the one schema-conformance kernel behind the stream's
+    * getBatch, the CDF union, and the batch change feed.
+    */
+  private[streaming] def conformTo(schema: StructType,
+      df: DataFrame): DataFrame = {
+    val withAll = schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    withAll.select(
+      schema.fieldNames.map(graft.functions.Cols.quoted).toIndexedSeq: _*)
+  }
+
   /** Change-feed output schema: the table's columns plus the Delta-CDF
     * metadata pair (`_change_type` string, `_commit_version` long).
     */
@@ -493,12 +515,7 @@ object GraftTableSource {
         s"version $v carries column(s) ${extra.mkString(", ")} absent " +
           s"from the schema at version $toV; read the sub-ranges on " +
           "either side of the schema change separately")
-      val padded = target.fields.foldLeft(d) { (df, f) =>
-        if (df.columns.contains(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }
-      padded.select(
-        target.fieldNames.map(graft.functions.Cols.quoted).toIndexedSeq: _*)
+      conformTo(target, d)
     }.reduce(_.unionByName(_))
   }
 }

@@ -605,6 +605,28 @@ class LakeSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { mt.readTagged("baseline") }
   }
 
+  test("vacuum checkpoints only chain-broken kept versions; the delta log stays delta") {
+    val root = scratch("vac_min")
+    val mt = new ManifestTable(spark, root)
+    mt.write(orders, "overwrite") // v0 (full manifest)
+    (1 to 4).foreach(i => mt.write(orders.limit(i), "append")) // v1..v4
+    val log = new org.apache.hadoop.fs.Path(root, "_graft_log")
+    val lfs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    def hasManifest(v: Int) =
+      lfs.exists(new org.apache.hadoop.fs.Path(log, f"v$v%05d.manifest"))
+    assert(!hasManifest(2) && !hasManifest(3) && !hasManifest(4),
+      "appends are delta commits")
+    mt.vacuum(retain = 3, minAgeMs = 0) // drops v0, v1
+    assert(hasManifest(2),
+      "the chain-broken oldest kept version is checkpointed")
+    // one vacuum must write ONE checkpoint, not retain-many: kept
+    // versions resolving through a kept predecessor stay delta-only
+    assert(!hasManifest(3) && !hasManifest(4),
+      "kept versions above an intact chain must not be materialized")
+    assert(mt.read(Some(2)).count() === orders.count() + 1 + 2)
+    assert(mt.read().count() === orders.count() + 1 + 2 + 3 + 4)
+  }
+
   test("WAP: staged branch invisible on main, audit view complete, publish rebases over concurrent appends") {
     import spark.implicits._
     val dir = scratch("wap")

@@ -625,6 +625,20 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("GramHashes.firstGramHash is bit-identical to hashes(...)(0) on every token count") {
+    val md = graft.functions.GramHashes.newDigest()
+    val k = 8
+    // token counts straddling the k boundary, incl. exactly k (the
+    // gram ends at end-of-string, not at a space) and multibyte text
+    val texts = (1 to 12).map(n => (1 to n).map(i => s"tok$i").mkString(" ")) ++
+      Seq("héllo wörld " + (1 to 10).map(_.toString).mkString(" "))
+    texts.foreach { t =>
+      val full = graft.functions.GramHashes.hashes(md, t, k)
+      val first = graft.functions.GramHashes.firstGramHash(md, t, k)
+      assert(first === full.headOption, s"mismatch on '${t.take(30)}…'")
+    }
+  }
+
   test("d17 containment: anchor-gram candidates are COMPLETE vs brute-force guarded contains") {
     import org.apache.spark.sql.functions._
     val result = graft.queries.Dedup.d17Containment(spark, sf)

@@ -864,6 +864,19 @@ class StreamingSpec extends SparkTestBase {
         .collect()
     }
     assert(messageChain(nonLiteral).contains("literal"))
+    // a Long version literal beyond Int range must refuse, not wrap
+    // into a valid wrong range (4294967296.toInt == 0)
+    val overflow = intercept[Exception] {
+      s2.sql(s"SELECT * FROM graft_table_changes('$root', 0, 4294967296, 'o_orderkey')")
+        .collect()
+    }
+    assert(messageChain(overflow).contains("not a valid version"))
+    // the tagAsOf pin is time travel too: combining refuses like the
+    // other two pins
+    val tagMix = intercept[IllegalArgumentException] {
+      reader("tagAsOf" -> "sometag").collect()
+    }
+    assert(messageChain(tagMix).contains("time travel"))
   }
 
   test("T14: startingTimestamp anchors the change feed at the first commit at or after it") {
@@ -936,5 +949,52 @@ class StreamingSpec extends SparkTestBase {
         .load()
     }
     assert(messageChain(both).contains("cannot combine"))
+    // malformed anchors fail at load with the option named
+    val badTs = intercept[IllegalArgumentException] {
+      spark.readStream
+        .format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root)
+        .option("startingTimestamp", "")
+        .load()
+    }
+    assert(messageChain(badTs).contains("startingTimestamp"))
+  }
+
+  test("T14b: startingVersion anchors the APPEND stream too — no full-snapshot replay") {
+    import graft.streaming.GraftTableSourceProvider
+    val root = scratch("t14b_table")
+    val orders = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val mt = new ManifestTable(spark, root)
+    mt.write(orders.filter(col("o_orderkey") % 2 === 0), "overwrite") // v0
+    val appended = orders.filter(col("o_orderkey") % 2 === 1).limit(100)
+    mt.write(appended, "append") // v1
+    val out = scratch("t14b_out"); val ckpt = scratch("t14b_ckpt")
+    spark.readStream
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("startingVersion", "1")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() === appended.count(),
+      "v0's snapshot must be skipped; only the anchored versions flow")
+    // beyond-latest refuses for the append stream as well
+    val out2 = scratch("t14b_out2"); val ck2 = scratch("t14b_ckpt2")
+    val beyond = intercept[Exception] {
+      spark.readStream
+        .format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root)
+        .option("startingVersion", "99")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2).option("checkpointLocation", ck2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(messageChain(beyond).contains("beyond the table's next commit"))
   }
 }
