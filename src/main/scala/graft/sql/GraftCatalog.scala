@@ -122,15 +122,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(ident, dir.toString, None, None)
   }
 
-  /** `VERSION AS OF n` time travel. */
+  /** `VERSION AS OF n` time travel — or `VERSION AS OF '<tag>'`: a
+    * non-numeric version string resolves through the table's named
+    * tags (L36, the Iceberg `VERSION AS OF 'tag'` surface).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     loadTable(ident) // existence check
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft table version must be an integer, got '$version'")
-    }
-    new GraftSqlTable(ident, dirOf(ident.namespace(), ident.name()).toString,
-      Some(v), None)
+    val dir = dirOf(ident.namespace(), ident.name()).toString
+    val v =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toInt
+      else {
+        val mt = graft.lake.ManifestTable.forRoot(spark, dir)
+        mt.tagRef(version).getOrElse(throw new IllegalArgumentException(
+          s"graft table version must be an integer or a tag name; " +
+            s"no tag '$version' at $dir " +
+            s"(tags: ${mt.tagRefs.map(_._1).mkString(", ")})"))
+      }
+    new GraftSqlTable(ident, dir, Some(v), None)
   }
 
   /** `TIMESTAMP AS OF ts` time travel (micros since epoch). */

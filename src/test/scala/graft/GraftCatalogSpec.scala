@@ -54,6 +54,29 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(ts.count() === 4)
   }
 
+  test("VERSION AS OF '<tag>' resolves named tags; unknown tags refuse") {
+    setup
+    // gold namespace: the silver SHOW TABLES round-trip test pins
+    // that namespace's exact table list
+    val t = mt(s"$lakeRoot/gold/tagged")
+    t.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"), "overwrite") // v0
+    t.createTag("baseline")
+    t.write(Seq((3L, 30.0)).toDF("id", "amt"), "append") // v1
+    val byTag = spark.sql(
+      "SELECT * FROM gcat_spec.gold.tagged VERSION AS OF 'baseline'")
+    assert(byTag.count() === 2)
+    val want = t.read(Some(0))
+    assert(byTag.exceptAll(want).isEmpty && want.exceptAll(byTag).isEmpty)
+    // latest unaffected; unknown tag names the known ones in the error
+    assert(spark.sql("SELECT * FROM gcat_spec.gold.tagged").count() === 3)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM gcat_spec.gold.tagged VERSION AS OF 'nope'").collect()
+    }
+    assert(messageChain(e).contains("no tag 'nope'"))
+    assert(messageChain(e).contains("baseline"))
+  }
+
   test("SHOW TABLES round-trips the directory layout") {
     setup
     val names = spark.sql("SHOW TABLES IN gcat_spec.silver")
