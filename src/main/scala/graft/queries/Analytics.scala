@@ -579,9 +579,77 @@ object Analytics extends QueryModule {
       |GROUP BY node
       |ORDER BY node ASC NULLS FIRST""".stripMargin
 
+  /** G3: single-source WEIGHTED shortest paths — 4 Bellman-Ford
+    * relaxation rounds over the co-purchase graph (g1's edge build),
+    * edge weight = 100 div co-order-count + 1 (more co-orders ⟹
+    * closer), source = the smallest node. The min-plus counterpart to
+    * g2's hop-count BFS: distances compose by ADDITION and a longer
+    * path can win on weight, so the frontier trick doesn't apply —
+    * each round re-relaxes every labeled node (dist ∪ relaxed →
+    * min per node), the textbook distributed Bellman-Ford. All-BIGINT
+    * arithmetic ⟹ the DuckDB oracle unrolls the identical recurrence
+    * as four CTE stages and matches hash-exact (the g1 discipline).
+    * Bounded rounds are the documented semantic (4-hop-relaxed
+    * distances), exactly what the oracle replays. Scale: each round is
+    * one equi-join + one keyed min — no all-pairs, no driver state;
+    * localCheckpoint per round keeps lineage flat.
+    */
+  def g3Sssp(spark: SparkSession, dir: String): DataFrame = {
+    val items = Q.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("s"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("d")),
+        Seq("l_orderkey"))
+      .filter(col("s") < col("d"))
+      .groupBy(col("s"), col("d"))
+      .agg(count(lit(1)).as("pn"))
+      .filter(col("pn") >= 2)
+      .withColumn("w", expr("CAST(100 DIV pn AS BIGINT) + 1"))
+      .select("s", "d", "w")
+    val edges = pairs.unionByName(
+        pairs.select(col("d").as("s"), col("s").as("d"), col("w")))
+      .localCheckpoint()
+    var dist = edges.agg(min(col("s")).as("node"))
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to 4) {
+      val relaxed = dist.join(edges, dist("node") === edges("s"))
+        .select(edges("d").as("node"), (dist("dist") + edges("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy(col("node").asc)
+  }
+
+  val g3Oracle: String = {
+    def stage(i: Int) =
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.d, p.dist + e.w
+         |    FROM d${i - 1} p JOIN edges e ON e.s = p.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS s, b.l_partkey AS d,
+       |    CAST(100 // COUNT(*) AS BIGINT) + 1 AS w
+       |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |edges AS (SELECT s, d, w FROM pairs
+       |          UNION ALL SELECT d AS s, s AS d, w FROM pairs),
+       |d0 AS (SELECT MIN(s) AS node, CAST(0 AS BIGINT) AS dist FROM edges),
+       |${(1 to 4).map(stage).mkString(",\n")}
+       |SELECT node, dist FROM d4
+       |ORDER BY node ASC NULLS FIRST""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank_exact" -> g1PageRankExact,
     "g2_bfs_levels" -> g2BfsLevels,
+    "g3_sssp" -> g3Sssp,
     "pr2_skew_report" -> pr2SkewReport,
     "pr3_eqdepth" -> pr3EqdepthHist,
     "fn5_pattern" -> fn5Pattern,
@@ -609,6 +677,7 @@ object Analytics extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "g1_pagerank_exact" -> g1Oracle,
     "g2_bfs_levels" -> g2Oracle,
+    "g3_sssp" -> g3Oracle,
     "fn7_wau_sketch" -> fn7Oracle,
     "pr3_eqdepth" -> pr3Oracle,
     "fn5_pattern" -> fn5Oracle,
