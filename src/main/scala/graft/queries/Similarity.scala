@@ -648,6 +648,69 @@ object Similarity extends QueryModule {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
+  /** S14: FILTERED ANN — s4's IVF search under a metadata predicate
+    * (top-3 among vectors sharing the probe's `label`): the shape
+    * every production vector store serves, where a tenant/language/
+    * source filter rides the index probe. The filter applies at the
+    * list-serving join (post-assignment, pre-re-rank) so only
+    * same-label candidates are ever scored; at 100 TB the label is a
+    * partition or zone-map column and the lists prune BEFORE the scan
+    * (`readPartitionEq` composes with the persisted-index variants) —
+    * here the candidate-side filter is the semantics, the pruning is
+    * the deployment knob. Deterministic end to end (s4's seed pick,
+    * fold-cosine argmax, rounded re-rank), so the DuckDB oracle
+    * re-derives everything including the filter — hash-exact.
+    */
+  def s14FilteredIvf(spark: SparkSession, dir: String,
+      k: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+    val seeds = emb.filter(col("vec_id") % 31 === 0)
+      .orderBy(col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("list_id"), col("v").as("seed_v"))
+
+    // s4's assignment kernels, with the label riding the payload
+    // struct (the tie-break struct is untouched)
+    def nearestLists(vecs: DataFrame, n: Int): DataFrame = {
+      val scored = vecs.crossJoin(broadcast(seeds))
+        .withColumn("seed_sim",
+          CosineSimilarity.cosine(spark, col("v"), col("seed_v")))
+      if (n == 1) {
+        scored.groupBy(col("vec_id"))
+          .agg(max_by(
+            struct(col("v").as("v"), col("label").as("label"),
+              col("list_id").as("list_id")),
+            struct(col("seed_sim"), (-col("list_id")).as("nl"))).as("best"))
+          .select(col("vec_id"), col("best.v").as("v"),
+            col("best.label").as("label"), col("best.list_id").as("list_id"))
+      } else {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("seed_sim").desc, col("list_id").asc)
+        scored.withColumn("seed_rn", row_number().over(w))
+          .filter(col("seed_rn") <= n)
+          .drop("seed_v", "seed_sim", "seed_rn")
+      }
+    }
+
+    val assigned = nearestLists(emb, 1)
+    val probes = nearestLists(emb.filter(col("vec_id") < 10), nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("label").as("q_label"), col("list_id"))
+    val scored = assigned.join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("label") === col("q_label"))
+      .withColumn("sim", round(
+        CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("q_label"), col("rn"),
+        col("vec_id").as("neighbor"), col("sim"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   /** S3: per-label centroids via the typed Aggregator UDAF (A8/X2).
     * Float accumulation order varies by partitioning → no oracle;
     * tolerance-checked in SimilaritySpec. Output is the centroid's
@@ -1246,6 +1309,7 @@ object Similarity extends QueryModule {
     "s2_lsh_ann" -> s2LshAnn,
     "s3_centroids" -> s3Centroids,
     "s4_ivf_ann" -> ((s, d) => s4IvfAnn(s, d)),
+    "s14_filtered_ivf" -> ((s, d) => s14FilteredIvf(s, d)),
     "s5_quantized_topk" -> s5QuantizedTopK,
     "s7_pq_ann" -> ((s, d) => s7PqAnn(s, d)),
     "s8_ivfpq_ann" -> ((s, d) => s8IvfPqAnn(s, d)),
@@ -1415,7 +1479,41 @@ object Similarity extends QueryModule {
        |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
   }
 
+  val s14Oracle: String = {
+    def cosOf(a: String, b: String): String =
+      s"${s5DotSql(a, b)} / (sqrt(${s5DotSql(a, a)}) * sqrt(${s5DotSql(b, b)}))"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS list_id, v AS seed_v FROM e
+       |  WHERE vec_id % 31 = 0 ORDER BY vec_id ASC LIMIT 16),
+       |seed_scored AS (
+       |  SELECT e.vec_id, e.label, e.v, s.list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosOf("e.v", "s.seed_v")} DESC, s.list_id ASC)
+       |      AS seed_rn
+       |  FROM e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, label, v, list_id FROM seed_scored WHERE seed_rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, label AS q_label, v AS q_v, list_id
+       |  FROM seed_scored WHERE vec_id < 10 AND seed_rn <= 4),
+       |scored AS (
+       |  SELECT p.q_id, p.q_label, a.vec_id,
+       |    round(${cosOf("p.q_v", "a.v")}, 6) AS sim
+       |  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.q_id AND a.label = p.q_label),
+       |rk AS (
+       |  SELECT q_id, q_label, vec_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id ASC) AS INT) AS rn
+       |  FROM scored)
+       |SELECT q_id, q_label, rn, vec_id AS neighbor, sim FROM rk WHERE rn <= 3
+       |ORDER BY q_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "s14_filtered_ivf" -> s14Oracle,
     "s1_cosine_topk" -> s1Oracle,
     "s10_hybrid_rrf" -> s10Oracle,
     "s10b_bm25_rrf" -> s10bOracle,
