@@ -67,22 +67,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("graft_normalize_text", 1, es => TextNormalize(es.head))))
     // L35: SQL table function over the batch change feed — Delta's
     // `table_changes` TVF role: `SELECT * FROM graft_table_changes(
-    // '<root-or-cat.ns.table>', fromV, toV, 'k1,k2')`. Args must be
-    // literals (the table address and version range shape the plan);
-    // the returned plan is the same per-commit O(changed files) diff
+    // '<root-or-cat.ns.table>', fromV, toV[, 'k1,k2'])`. The 3-arg
+    // form reads KEYLESSLY (T15: write-time CDC sidecars / zero-change
+    // stamps / pure file deltas); the keys_csv arg supplies row
+    // identity for the keyed-diff fallback on pre-CDC history. Args
+    // must be literals (the table address and version range shape the
+    // plan); the returned plan is the same per-commit O(change rows)
     // union the batch reader builds.
     ext.injectTableFunction((
       FunctionIdentifier("graft_table_changes"),
       new ExpressionInfo("graft.streaming.GraftTableSource",
         "graft_table_changes",
-        "graft_table_changes(table, from_version, to_version, keys_csv)" +
+        "graft_table_changes(table, from_version, to_version[, keys_csv])" +
           " - change rows (_change_type, _commit_version) for the" +
           " inclusive commit range of a graft table"),
       exprs => {
-        if (exprs.length != 4)
+        if (exprs.length != 4 && exprs.length != 3)
           throw new IllegalArgumentException(
             "graft_table_changes expects (table, from_version, " +
-              s"to_version, keys_csv), got ${exprs.length} argument(s)")
+              s"to_version[, keys_csv]), got ${exprs.length} argument(s)")
         def lit(i: Int): Any = {
           val e = exprs(i)
           if (!e.foldable) throw new IllegalArgumentException(
@@ -113,9 +116,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         val session = org.apache.spark.sql.SparkSession.active
         val root = graft.sql.GraftNames.resolveRoot(session, str(0))
-        val keys = str(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val keysOpt =
+          if (exprs.length == 3) None
+          else {
+            val ks = str(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            if (ks.isEmpty) throw new IllegalArgumentException(
+              "graft_table_changes: keys_csv is empty — name key " +
+                "columns, or use the 3-argument form for keyless " +
+                "sidecar replay")
+            Some(ks)
+          }
         graft.streaming.GraftTableSource
-          .batchChanges(session, root, keys, intArg(1), intArg(2))
+          .batchChanges(session, root, keysOpt, intArg(1), intArg(2))
           .queryExecution.analyzed
       }))
     // optimizer rule: defensive re-normalization in composed cleaning

@@ -100,10 +100,49 @@ object Bpe {
   /** The [[FixedMerges]] replace chain as DuckDB SQL applied to
     * expression `e` — used to build the oracle query string.
     */
-  def fixedMergesDuckSql(e: String): String =
-    FixedMerges.foldLeft(e) { case (acc, (l, r)) =>
+  def fixedMergesDuckSql(e: String): String = mergesDuckSql(FixedMerges, e)
+
+  /** Any merge list's replace chain as DuckDB SQL — the generic
+    * [[applyMerges]] replay (code-point and byte alphabets alike: the
+    * bracketed form doesn't care what a symbol is made of).
+    */
+  def mergesDuckSql(merges: Seq[(String, String)], e: String): String =
+    merges.foldLeft(e) { case (acc, (l, r)) =>
       s"replace($acc, ${duckSym(l)}||${duckSym(r)}, ${duckSym(l + r)})"
     }
+
+  // ---- TX-BPE3: byte-level alphabet (the GPT-2 byte-fallback model) ----
+
+  /** One word → wrapped BYTE-symbol string: the word's UTF-8 bytes,
+    * each rendered as its UPPERCASE two-hex-digit symbol and
+    * bracketed, marker appended. The 256-symbol base alphabet covers
+    * every possible input, so byte-level BPE can never hit OOV — the
+    * byte-fallback property production tokenizers (GPT-2/LLaMA) rely
+    * on; a multi-byte code point simply starts as several byte symbols
+    * that merges may (or may not) rejoin. Spark `hex(encode(w))` and
+    * DuckDB `hex(encode(w))` both emit uppercase hex, so the wrap, the
+    * merge chain and the render replay identically cross-engine.
+    */
+  def wrapWordBytes(word: Column): Column =
+    concat(regexp_replace(hex(encode(word, "UTF-8")),
+      "([0-9A-F]{2})", B + "$1" + B), lit(B + W + B))
+
+  /** Whole sanitized text → one wrapped byte-symbol string (the
+    * byte-level [[wrapText]]).
+    */
+  def wrapTextBytes(text: Column): Column =
+    concat_ws("", transform(
+      filter(split(sanitize(text), " "), w => w =!= ""),
+      w => wrapWordBytes(w)))
+
+  /** Fixed byte-level demonstration merges — [[FixedMerges]]' pairs
+    * spelled in UTF-8 hex ('t'=74 'h'=68 'e'=65 'i'=69 'n'=6E 'a'=61
+    * 'd'=64 'r'=72 'o'=6F 's'=73), same plausible learned order.
+    */
+  val FixedByteMerges: Seq[(String, String)] = Seq(
+    ("74", "68"), ("7468", "65"), ("746865", W), ("69", "6E"),
+    ("61", "6E"), ("616E", "64"), ("616E64", W), ("65", "72"),
+    ("6F", "6E"), ("72", "65"), ("65", W), ("73", W))
 
   /** A symbol as a DuckDB bracketed-literal expression (`chr(1)` spliced
     * around/inside printable chars; the marker is `chr(2)`).

@@ -149,6 +149,15 @@ object ManifestTable {
   private[lake] val DvFileCol = "_graft_dv_file"
   private[lake] val DvPosCol = "_graft_dv_pos"
 
+  /** Change-data-feed metadata column / sidecar constants (T15). */
+  private[graft] val ChangeTypeCol = "_change_type"
+  private[lake] val CdcTagKey = "cdc"
+  /** Tag value for a commit that changed NO rows (compaction,
+    * clustering, purge, layout rewrite): the change feed emits nothing
+    * for it, keylessly.
+    */
+  private[lake] val CdcNoChanges = "none"
+
   /** A file's LAYOUT SIGNATURE: the ordered hive partition-column
     * names its relative path carries (outermost first). After a lazy
     * [[ManifestTable.setPartitionSpec]] the signature identifies which
@@ -169,6 +178,17 @@ object ManifestTable {
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
     XxHash64Function.hash(UTF8String.fromString(BloomSalt), StringType, 42L)
+  }
+
+  /** Rebuild a Hadoop Configuration from its serialized entries —
+    * executor-side FS access for distributed vacuum (Configuration is
+    * a Writable, not Serializable, so tasks get a plain Map).
+    */
+  private[lake] def confFromMap(entries: Map[String, String])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 
   /** Mergeable bitset aggregate for write-time bloom collection: OR
@@ -289,6 +309,7 @@ class ManifestTable(spark: SparkSession, root: String,
   private val logDir = new Path(root, "_graft_log")
   private val dataDir = new Path(root, "data")
   private val dvDir = new Path(root, "_graft_dv")
+  private val cdcDir = new Path(root, "_graft_cdc")
   private val DvKey = ManifestTable.DvKey
   private val DvFileCol = ManifestTable.DvFileCol
   private val DvPosCol = ManifestTable.DvPosCol
@@ -821,7 +842,7 @@ class ManifestTable(spark: SparkSession, root: String,
       newIdentityCols, newTransformSpecs)
     val evolved = new ManifestTable(spark, root, None, statsCol, statsCols,
       bloomCol, bloomBits, bloomHashes, newIdentityCols, newTransformSpecs)
-    evolved.rewriteSnapshot(Some(v0), current)
+    evolved.stampCdcNone(evolved.rewriteSnapshot(Some(v0), current))
     evolved.writeConfigFile(replaceExisting = true)
     evolved
   }
@@ -2756,9 +2777,22 @@ class ManifestTable(spark: SparkSession, root: String,
   private def deleteFromWith(v0: Int, all: Seq[Entry], candidates: Seq[Entry],
       matcher: DataFrame => DataFrame): Int = {
     if (candidates.isEmpty) return v0
-    val hits = matcher(liveWithPos(candidates))
-      .select(col(DvFileCol), col(DvPosCol))
-    commitDv(v0, all, hits, Seq.empty)
+    if (!cdcEnabled) {
+      val hits = matcher(liveWithPos(candidates))
+        .select(col(DvFileCol), col(DvPosCol))
+      return commitDv(v0, all, hits, Seq.empty)
+    }
+    // T15: the matched rows ARE the commit's change rows. Materialize
+    // the hit set exactly once so the DV marks and the recorded
+    // deletes cannot diverge under a nondeterministic predicate —
+    // the same discipline updateWhere applies.
+    val hits = matcher(liveWithPos(candidates)).localCheckpoint(true)
+    try {
+      val dataCols = hits.columns.filterNot(Set(DvFileCol, DvPosCol)).toSeq
+      commitDv(v0, all, hits.select(col(DvFileCol), col(DvPosCol)), Seq.empty,
+        cdc = Some(hits.select(dataCols.map(col): _*)
+          .withColumn(ManifestTable.ChangeTypeCol, lit("delete"))))
+    } finally graft.functions.CheckpointOps.release(hits)
   }
 
   /** The LIVE rows of `entries` with their permanent (file, pos) row
@@ -2845,10 +2879,23 @@ class ManifestTable(spark: SparkSession, root: String,
       val setN = resolveSetKeys("UPDATE", cols, set).map { case (k, v) =>
         k -> v.cast(hits.schema(k).dataType)
       }
-      val updated = hits.select(
+      val updated0 = hits.select(
         cols.map(c => setN.getOrElse(c, col(c)).as(c)): _*)
-      commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
-        Seq(enforced(updated)))
+      // T15: with CDC on, the postimages are recorded in the sidecar
+      // AND written as the appended copies — materialize them once so
+      // a nondeterministic assignment cannot record one set of rows
+      // and write another
+      val updated = if (!cdcEnabled) updated0
+        else updated0.localCheckpoint(true)
+      try {
+        val cdc = if (!cdcEnabled) None else Some(
+          hits.select(cols.map(col): _*)
+            .withColumn(ManifestTable.ChangeTypeCol, lit("update_preimage"))
+            .unionByName(updated.withColumn(
+              ManifestTable.ChangeTypeCol, lit("update_postimage"))))
+        commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
+          Seq(enforced(updated)), cdc = cdc)
+      } finally if (cdcEnabled) graft.functions.CheckpointOps.release(updated)
     } finally graft.functions.CheckpointOps.release(hits) // RDD-level: Dataset.unpersist no-ops on checkpoints
   }
 
@@ -2963,6 +3010,12 @@ class ManifestTable(spark: SparkSession, root: String,
           }: _*)
         }.reduce(_ unionAll _).localCheckpoint(true))
       }
+    val cdcOn = cdcEnabled
+    // T15: update-copy frames are recorded in the CDC sidecar AND
+    // written as appended files — checkpoint each once (CDC mode only)
+    // so a nondeterministic SET expression cannot record one set of
+    // postimages and write another
+    val copyCheckpoints = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val allCheckpoints = Seq(src) ++
       matchedHits.toSeq ++ bySourceHits.toSeq ++ insertRows.toSeq
     try {
@@ -2988,19 +3041,48 @@ class ManifestTable(spark: SparkSession, root: String,
         hitsOpt.toSeq.flatMap { h =>
           clauses.zipWithIndex.collect {
             case (MergeUpdateClause(_, set), i) =>
-              h.filter(col(armCol) === i).select(
+              val c = h.filter(col(armCol) === i).select(
                 targetCols.map(t => set.getOrElse(t, col(t)).as(t)): _*)
+              if (!cdcOn) c
+              else { val cc = c.localCheckpoint(true); copyCheckpoints += cc; cc }
           }
         }
-      val adds = (updatedCopies(matchedHits, matchedN) ++
-        updatedCopies(bySourceHits, bySourceN) ++
+      val matchedCopies = updatedCopies(matchedHits, matchedN)
+      val bySourceCopies = updatedCopies(bySourceHits, bySourceN)
+      val adds = (matchedCopies ++ bySourceCopies ++
         insertRows.toSeq).map(enforced)
+      // T15: the commit's change rows, assembled from the SAME
+      // checkpointed hit/copy/insert frames the write uses — per
+      // matched arm the preimage (update) or the dead row (delete),
+      // every update copy as a postimage, every insert row as an
+      // insert. O(changed rows), written once at commit.
+      val ct = ManifestTable.ChangeTypeCol
+      val cdc: Option[DataFrame] = if (!cdcOn) None else {
+        def pres(hitsOpt: Option[DataFrame],
+            clauses: Seq[MergeMatchedClause]): Seq[DataFrame] =
+          hitsOpt.toSeq.flatMap { h =>
+            clauses.zipWithIndex.map {
+              case (MergeUpdateClause(_, _), i) =>
+                h.filter(col(armCol) === i).select(targetCols.map(col): _*)
+                  .withColumn(ct, lit("update_preimage"))
+              case (MergeDeleteClause(_), i) =>
+                h.filter(col(armCol) === i).select(targetCols.map(col): _*)
+                  .withColumn(ct, lit("delete"))
+            }
+          }
+        (pres(matchedHits, matchedN) ++ pres(bySourceHits, bySourceN) ++
+          (matchedCopies ++ bySourceCopies)
+            .map(_.withColumn(ct, lit("update_postimage"))) ++
+          insertRows.toSeq.map(_.withColumn(ct, lit("insert"))))
+          .reduceOption(_ unionByName _)
+      }
       val marks = (matchedHits.toSeq ++ bySourceHits.toSeq)
         .map(_.select(col(DvFileCol), col(DvPosCol)))
         .reduceOption(_ unionAll _)
         .getOrElse(live.limit(0).select(col(DvFileCol), col(DvPosCol)))
-      commitDv(v0, entries, marks, adds, appendWithoutMarks = true)
-    } finally allCheckpoints.foreach(graft.functions.CheckpointOps.release)
+      commitDv(v0, entries, marks, adds, appendWithoutMarks = true, cdc = cdc)
+    } finally (allCheckpoints ++ copyCheckpoints)
+      .foreach(graft.functions.CheckpointOps.release)
   }
 
   /** Shared DV commit: record `marks` (positions to kill, computed
@@ -3016,7 +3098,8 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   private def commitDv(v0: Int, entries: Seq[Entry], marks: DataFrame,
       adds: Seq[DataFrame], conflictsWith: Entry => Boolean = _ => false,
-      appendWithoutMarks: Boolean = false): Int = {
+      appendWithoutMarks: Boolean = false,
+      cdc: Option[DataFrame] = None): Int = {
     val cached = marks.cache()
     try {
       // one bounded job: per-file NEW-mark counts (≤ one row per file)
@@ -3024,9 +3107,18 @@ class ManifestTable(spark: SparkSession, root: String,
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       if (newPerFile.isEmpty && !(appendWithoutMarks && adds.nonEmpty))
         return v0
+      // T15: persist the caller's change rows BEFORE the manifest
+      // commit (a crash in between leaks an untagged sidecar vacuum
+      // sweeps), then stamp the committed version with its sidecar —
+      // the stamp is what the keyless change feed resolves
+      val cdcRel = cdc.map(writeCdcFile)
+      def stamped(v: Int): Int = {
+        cdcRel.foreach(putVersionTag(v, ManifestTable.CdcTagKey, _))
+        v
+      }
       if (newPerFile.isEmpty)
-        return commitDelta(entries, Set.empty,
-          adds.flatMap(df => newEntries(writeDataFiles(df))), conflictsWith)
+        return stamped(commitDelta(entries, Set.empty,
+          adds.flatMap(df => newEntries(writeDataFiles(df))), conflictsWith))
       val touched = entries.filter(e =>
         newPerFile.contains(new Path(e.rel).getName))
       // absorb each touched file's PRIOR positions so its entry points
@@ -3064,7 +3156,8 @@ class ManifestTable(spark: SparkSession, root: String,
         e.copy(stats = e.stats + (DvKey -> ColStats(dvRel, n.toString, "D")))
       }
       val added = repointed ++ adds.flatMap(df => newEntries(writeDataFiles(df)))
-      commitDelta(entries, touched.map(_.rel).toSet, added, conflictsWith)
+      stamped(commitDelta(entries, touched.map(_.rel).toSet, added,
+        conflictsWith))
     } finally cached.unpersist()
   }
 
@@ -3100,30 +3193,45 @@ class ManifestTable(spark: SparkSession, root: String,
       throw new IllegalStateException(s"no versions at $root"))
     val entries = entriesOf(v0)
     val conflictsWith: Entry => Boolean = if (strict) _ => true else _ => false
-    val markDfs = deletes.flatMap { case (c, values0) =>
-      val vals = values0.filter(_ != null).distinct
-      if (vals.isEmpty || entries.isEmpty) None
-      else {
-        // the same candidate pruning + key matching as deleteKeys
-        // (one shared pipeline — the paths cannot diverge)
-        val candidates = keyCandidates(entries, toPhysical(c), vals)
-        if (candidates.isEmpty) None
+    val cdcOn = cdcEnabled
+    // T15 (CDC mode): full hit rows are both the DV marks and the
+    // recorded deletes — checkpoint each batch once so they agree
+    val hitCheckpoints = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      val hitDfs = deletes.flatMap { case (c, values0) =>
+        val vals = values0.filter(_ != null).distinct
+        if (vals.isEmpty || entries.isEmpty) None
         else {
-          val files = candidates.map(e => new Path(root, e.rel).toString)
-          val withPos = toLogicalRename(readFiles(files, withPos = true))
-          val live = dvOf(candidates).fold(withPos)(dv =>
-            withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
-          val hits = keyMatcher(c, vals)(live)
-          Some(hits.select(col(DvFileCol), col(DvPosCol)))
+          // the same candidate pruning + key matching as deleteKeys
+          // (one shared pipeline — the paths cannot diverge)
+          val candidates = keyCandidates(entries, toPhysical(c), vals)
+          if (candidates.isEmpty) None
+          else {
+            val files = candidates.map(e => new Path(root, e.rel).toString)
+            val withPos = toLogicalRename(readFiles(files, withPos = true))
+            val live = dvOf(candidates).fold(withPos)(dv =>
+              withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
+            val hits = keyMatcher(c, vals)(live)
+            if (!cdcOn) Some(hits)
+            else { val h = hits.localCheckpoint(true); hitCheckpoints += h; Some(h) }
+          }
         }
       }
-    }
-    val marks = markDfs.reduceOption(_.unionByName(_)).getOrElse(
-      // empty stand-in so commitDv's count job is trivially empty
-      spark.range(0).select(lit("").as(DvFileCol), lit(0L).as(DvPosCol)))
-    if (markDfs.isEmpty && adds.isEmpty) return v0
-    commitDv(v0, entries, marks, adds, conflictsWith,
-      appendWithoutMarks = true)
+      val marks = hitDfs.map(_.select(col(DvFileCol), col(DvPosCol)))
+        .reduceOption(_.unionByName(_)).getOrElse(
+        // empty stand-in so commitDv's count job is trivially empty
+        spark.range(0).select(lit("").as(DvFileCol), lit(0L).as(DvPosCol)))
+      if (hitDfs.isEmpty && adds.isEmpty) return v0
+      val ct = ManifestTable.ChangeTypeCol
+      val cdc: Option[DataFrame] = if (!cdcOn) None else
+        (hitDfs.map(h => h.select(h.columns
+            .filterNot(Set(DvFileCol, DvPosCol)).toSeq.map(col): _*)
+            .withColumn(ct, lit("delete"))) ++
+          adds.map(_.withColumn(ct, lit("insert"))))
+          .reduceOption(_ unionByName _)
+      commitDv(v0, entries, marks, adds, conflictsWith,
+        appendWithoutMarks = true, cdc = cdc)
+    } finally hitCheckpoints.foreach(graft.functions.CheckpointOps.release)
   }
 
   /** L5: OPTIMIZE — small-file compaction after many appends: rewrite
@@ -3137,7 +3245,7 @@ class ManifestTable(spark: SparkSession, root: String,
     val compacted =
       if (partCols.nonEmpty) df.repartition(targetFiles, partCols.map(col): _*)
       else df.repartition(targetFiles)
-    rewriteSnapshot(v0, compacted)
+    stampCdcNone(rewriteSnapshot(v0, compacted))
   }
 
   /** L5d: incremental bin-pack OPTIMIZE — the form that survives
@@ -3171,7 +3279,7 @@ class ManifestTable(spark: SparkSession, root: String,
       if (partCols.nonEmpty) packed.repartition(nOut, partCols.map(col): _*)
       else packed.repartition(nOut)
     val newFiles = newEntries(writeDataFiles(repart))
-    commitDelta(entries, small.map(_._1.rel).toSet, newFiles)
+    stampCdcNone(commitDelta(entries, small.map(_._1.rel).toSet, newFiles))
   }
 
   /** REORG PURGE — materialize soft deletes: rewrite exactly the files
@@ -3220,7 +3328,9 @@ class ManifestTable(spark: SparkSession, root: String,
         purged.repartition(math.max(1, chosen.size), partCols.map(col): _*)
       else purged.repartition(math.max(1, chosen.size))
     val newFiles = newEntries(writeDataFiles(repart))
-    commitDelta(entries, chosen.map(_.rel).toSet, newFiles)
+    // row-preserving for the FEED: dead rows stay dead, live rows move
+    // verbatim — the change feed sees nothing
+    stampCdcNone(commitDelta(entries, chosen.map(_.rel).toSet, newFiles))
   }
 
   /** L5b: cluster-compact — rewrite range-partitioned by `column` so
@@ -3231,7 +3341,8 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def optimizeBy(column: String, targetFiles: Int = 8): Int = {
     val v0 = latestVersion
-    rewriteSnapshot(v0, read(v0).repartitionByRange(targetFiles, col(column)))
+    stampCdcNone(
+      rewriteSnapshot(v0, read(v0).repartitionByRange(targetFiles, col(column))))
   }
 
   /** L5c: two-dimensional OPTIMIZE ZORDER — rewrite the table clustered
@@ -3253,10 +3364,80 @@ class ManifestTable(spark: SparkSession, root: String,
     val v0 = latestVersion
     val df = read(v0)
     val z = graft.operators.ZOrder.zValue(df, cols, bits = 4)
-    rewriteSnapshot(v0, df.withColumn("_zorder", z)
+    stampCdcNone(rewriteSnapshot(v0, df.withColumn("_zorder", z)
       .repartitionByRange(targetFiles, col("_zorder"))
       .sortWithinPartitions("_zorder")
-      .drop("_zorder"))
+      .drop("_zorder")))
+  }
+
+  /** Auto-OPTIMIZE advisor (the `CALL graft.maintenance_plan` body):
+    * read-only layout diagnosis from the manifest + file statuses —
+    * file-size histogram, deletion-vector load, leading-zone-map
+    * clustering overlap — returning ordered recommendations
+    * `(priority, action, reason, command)`. Executes NOTHING: the
+    * operator (or a scheduler) reads the plan and runs the commands.
+    * O(files) driver work, zero data IO — the same inputs
+    * `describeDetail`/`filesDf` serve. A well-laid-out table returns
+    * an empty plan.
+    */
+  def maintenancePlan(smallFileBytes: Long = 32L << 20)
+      : Seq[(Int, String, String, String)] = {
+    val v0 = latestVersion.getOrElse(return Seq.empty)
+    val entries = entriesOf(v0)
+    if (entries.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[(Int, String, String, String)]
+    // 1. small-file load: ≥ 2 files under the threshold bin-pack into
+    // fewer (compactSmall itself no-ops below that, so neither should
+    // the advice)
+    val sized = entries.map(e =>
+      e -> fs.getFileStatus(new Path(root, e.rel)).getLen)
+    val small = sized.filter(_._2 < smallFileBytes)
+    if (small.size >= 2)
+      out += ((1, "compact_small",
+        s"${small.size} of ${entries.size} file(s) are under " +
+          s"$smallFileBytes bytes (smallest ${small.map(_._2).min}); " +
+          "reads pay per-file open/footer cost",
+        s"CALL graft.optimize_small('$root', $smallFileBytes)"))
+    // 2. deletion-vector load: masked rows cost every read an
+    // anti-join; past a few percent the rewrite amortizes
+    val dvd = entries.filter(_.stats.contains(DvKey))
+    val masked = dvd.flatMap(_.stats.get(DvKey))
+      .map(s => try s.mx.toLong catch { case _: NumberFormatException => 0L })
+      .sum
+    val totalRows = {
+      val cs = entries.map(_.stats.get(ManifestTable.CountKey))
+      if (cs.exists(_.isEmpty)) None
+      else try Some(cs.map(_.get.mn.toLong).sum)
+      catch { case _: NumberFormatException => None }
+    }
+    if (masked > 0 && totalRows.forall(t => t > 0 && masked.toDouble / t >= 0.02))
+      out += ((2, "reorg_purge",
+        s"${dvd.size} file(s) carry deletion vectors masking $masked " +
+          s"row(s)${totalRows.map(t => f" (${100.0 * masked / t}%.1f%% of " +
+            "the table)").getOrElse("")}; every read pays the anti-join",
+        s"CALL graft.reorg('$root', 0.02)"))
+    // 3. clustering: if the leading zone-map column's per-file
+    // [min, max] intervals overlap heavily, range reads cannot prune —
+    // a sort/z-order rewrite restores skipping
+    allStatsCols.headOption.foreach { c =>
+      val stats = entries.map(_.stats.get(c))
+      if (entries.size > 4 && stats.forall(_.isDefined)) {
+        val kind = stats.head.get.kind
+        val sorted = stats.map(_.get).sortWith((a, b) => statCmp(a.mn, b.mn, kind) < 0)
+        val overlaps = sorted.sliding(2).count {
+          case Seq(a, b) => statCmp(b.mn, a.mx, kind) <= 0
+          case _ => false
+        }
+        if (overlaps.toDouble / (entries.size - 1) > 0.5)
+          out += ((3, "zorder",
+            s"$overlaps of ${entries.size - 1} adjacent file pairs " +
+              s"overlap on zone-map column '$c' — range reads cannot " +
+              "skip files",
+            s"CALL graft.zorder('$root', " +
+              s"'${allStatsCols.take(2).mkString(",")}')"))
+      }
+    }
+    out.result()
   }
 
   /** L8: change data feed — keyed row-level diff between two committed
@@ -3288,8 +3469,29 @@ class ManifestTable(spark: SparkSession, root: String,
     * drains per trigger. Assumes `keys` are unique per version, the
     * same contract [[changesBetween]] carries.
     */
-  def changesAt(v: Int, keys: Seq[String]): DataFrame = {
+  def changesAt(v: Int, keys: Seq[String]): DataFrame =
+    changesAt(v, Some(keys))
+
+  /** T15: the generalized form the change feed drains. Resolution
+    * order per version: (1) a write-time CDC sidecar (stamped by
+    * DML committed after [[enableCdc]]) is read directly — O(recorded
+    * change rows), no keys, no join; (2) a zero-change stamp
+    * (compaction/clustering/purge) replays as empty; (3) a pure
+    * add/remove commit replays keylessly from its file delta; (4)
+    * anything else falls back to the keyed per-commit diff — and
+    * REFUSES keylessly, naming the fix, rather than guessing row
+    * identity.
+    */
+  def changesAt(v: Int, keysOpt: Option[Seq[String]]): DataFrame = {
     require(versions.contains(v), s"no version $v at $root")
+    versionTag(v, ManifestTable.CdcTagKey) match {
+      case Some(ManifestTable.CdcNoChanges) =>
+        return withDeclared(readEntries(entriesOf(v))).limit(0)
+          .withColumn("_change_type", lit("insert"))
+      case Some(rel) =>
+        return spark.read.parquet(new Path(root, rel).toString)
+      case None => ()
+    }
     val preE = if (v == 0) Seq.empty[Entry] else entriesOf(v - 1)
     val postE = entriesOf(v)
     val preBy = preE.map(e => e.rel -> e).toMap
@@ -3321,6 +3523,11 @@ class ManifestTable(spark: SparkSession, root: String,
       if (d.columns.contains(f.name)) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
+    val keys = keysOpt.getOrElse(throw new IllegalArgumentException(
+      s"version $v at $root changed rows in place and carries no " +
+        "change-data sidecar (CDC was not enabled when it committed, " +
+        "or the commit was a snapshot rewrite) — pass keys for a " +
+        "keyed diff, or enableCdc() before such commits"))
     diffByKey(pad(pre), pad(post), keys)
   }
 
@@ -3397,6 +3604,63 @@ class ManifestTable(spark: SparkSession, root: String,
     commit(entriesOf(version))
   }
 
+  // ---- T15: write-time change-data capture (the Delta `_change_data` model) ----
+
+  private val cdcMarker = new Path(logDir, "cdc-enabled")
+
+  /** Enable write-time CDC: from here on, every row-level DML commit
+    * (DELETE / UPDATE / MERGE INTO / index refresh) persists its exact
+    * change rows to a `_graft_cdc/` sidecar at commit time — the Delta
+    * `delta.enableChangeDataFeed` contract. The change feed then
+    * replays those commits WITHOUT a `keys` option and at O(recorded
+    * change rows), never a per-version diff join; row-preserving
+    * maintenance (compaction, clustering, purge, spec rewrite) stamps
+    * a zero-change marker so it replays as nothing. Appends need no
+    * sidecar (added files ARE the inserts). The cost: DML materializes
+    * its matched rows once more to write them — O(changed rows), the
+    * price Delta pays for its change files. Commits that predate
+    * enablement (and full `write(_, "overwrite")` / `restore` /
+    * legacy-`merge` rewrites, which replace whole file sets) have no
+    * sidecar and still need `keys` to replay.
+    */
+  def enableCdc(): Unit = {
+    fs.mkdirs(logDir)
+    if (!fs.exists(cdcMarker)) {
+      val out = fs.create(cdcMarker, false)
+      try out.write("1".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Stop capturing (existing sidecars stay readable). */
+  def disableCdc(): Unit = fs.delete(cdcMarker, false): Unit
+
+  def cdcEnabled: Boolean = fs.exists(cdcMarker)
+
+  /** Persist a frame of change rows (table columns + `_change_type`)
+    * as this commit's CDC sidecar; returns the sidecar's relative
+    * path. Called BEFORE the manifest commit — a crash in between
+    * leaks an untagged sidecar that [[vacuum]] sweeps.
+    */
+  private def writeCdcFile(cdc: DataFrame): String = {
+    val rel = s"_graft_cdc/${UUID.randomUUID()}.parquet"
+    // small change sets dominate; cap the sidecar's file count like
+    // the DV path (the default 32 shuffle partitions would mint 32
+    // tiny files per DML commit; coalesce past 16 is a no-op)
+    cdc.coalesce(16).write.parquet(new Path(root, rel).toString)
+    rel
+  }
+
+  /** Stamp a freshly committed row-preserving version (compaction,
+    * clustering, purge, layout rewrite) as changing nothing, so a
+    * keyless change feed replays it as empty. Only ever stamps a
+    * version the caller just minted — never an existing one.
+    */
+  private def stampCdcNone(v: Int): Int = {
+    if (cdcEnabled) putVersionTag(v, ManifestTable.CdcTagKey,
+      ManifestTable.CdcNoChanges)
+    v
+  }
+
   // ---- L36: named immutable version refs (the Iceberg TAG surface) ----
 
   private def refFile(name: String): Path = {
@@ -3413,6 +3677,14 @@ class ManifestTable(spark: SparkSession, root: String,
     * existing name refuses (immutability is the point; drop first).
     */
   def createTag(name: String, version: Option[Int] = None): Int = {
+    // all-digit names are unreachable through SQL time travel:
+    // `VERSION AS OF '2024'` resolves digit-only strings as version
+    // numbers first (graft.sql.GraftCatalog.loadTable), so a tag
+    // named '2024' would be silently shadowed — refuse at creation
+    require(name.exists(c => c < '0' || c > '9'),
+      s"tag name '$name' is all digits — it would be shadowed by " +
+        "numeric version resolution in VERSION AS OF; include at " +
+        "least one non-digit character")
     val v = version.getOrElse(latestVersion.getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root")))
     require(versions.contains(v), s"no version $v at $root")
@@ -3422,10 +3694,16 @@ class ManifestTable(spark: SparkSession, root: String,
     val out = fs.create(tmp, false)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     // rename OVERWRITES on a local FS: serialize the exists-check +
-    // rename pair per root (the branch-staging discipline) so two
-    // same-process taggers cannot both win
+    // rename pair (the branch-staging discipline) so two same-process
+    // taggers cannot both win. ONE lock for all refs, shared with
+    // [[vacuum]]'s delete phase: a tag created mid-vacuum must either
+    // be seen by vacuum's tag re-read or wait until its deletes are
+    // done — never land between them and dangle over deleted files.
+    // (Cross-PROCESS taggers racing a vacuum are still exposed — the
+    // lock is JVM-local, the standard single-maintenance-writer
+    // caveat; schedule vacuum from one place.)
     ManifestTable.lockFor(
-      fs.makeQualified(logDir).toString + s"#ref-$name").synchronized {
+      fs.makeQualified(logDir).toString + "#refs").synchronized {
       if (fs.exists(p) || !fs.rename(tmp, p)) {
         fs.delete(tmp, false)
         throw new IllegalArgumentException(
@@ -3515,16 +3793,22 @@ class ManifestTable(spark: SparkSession, root: String,
     * touching anything (the Delta `VACUUM ... DRY RUN` safety valve —
     * the check an operator runs before an irreversible cleanup,
     * e.g. to confirm no shallow clone still references the files).
-    * Walk cost is O(files).
+    *
+    * Scale: the data-tree listing, the referenced-set anti-join and
+    * the delete phase all run as SPARK JOBS (the Delta vacuum shape) —
+    * tasks fan out over the first-level subdirectories (partition
+    * dirs), so a 10⁶–10⁷-file table lists in parallel instead of
+    * hours of serialized driver `listStatus`. Sidecar sweeps (DV, CDC)
+    * stay driver-side: they are one `listStatus` each, O(sidecars).
+    *
+    * Concurrency: the tag snapshot, referenced-set build and every
+    * delete run under the shared ref lock (see [[createTag]]) — an
+    * in-process `createTag` cannot land between the snapshot and the
+    * deletes and be left dangling. Cross-process taggers racing a
+    * vacuum are the documented single-maintenance-writer caveat.
     */
   def vacuum(retain: Int = 1, dryRun: Boolean = false,
       minAgeMs: Long = ManifestTable.DefaultVacuumMinAgeMs): Seq[String] = {
-    val vs = versions
-    // named tags RETAIN their versions (Iceberg's tag-retention
-    // contract): a tagged version's files, DV sidecars and manifest
-    // survive any retain horizon until the tag is dropped
-    val taggedVs = tagRefs.map(_._2).filter(vs.contains).toSet
-    val keepVs = (vs.takeRight(retain) ++ taggedVs).distinct.sorted
     // retention horizon (the Delta deletedFileRetentionDuration
     // pattern): an unreferenced file younger than the horizon may
     // belong to an IN-FLIGHT commit — a concurrent writer stages data
@@ -3532,37 +3816,133 @@ class ManifestTable(spark: SparkSession, root: String,
     // them leaves the winning commit unreadable. Age gates on
     // modification time; tests pass minAgeMs = 0 for immediacy.
     val cutoff = System.currentTimeMillis() - minAgeMs
-    // qualify both sides: manifest paths are scheme-less, listStatus
-    // returns fully-qualified (file:/…) paths. Staged WAP branches
-    // count as references — their files are pre-publish, not garbage.
-    val referenced = (keepVs.flatMap(filesOf) ++
-        branches.flatMap(b => branchEntries(b)
-          .map(e => new Path(root, e.rel).toString)))
-      .map(f => fs.makeQualified(new Path(f)).toString).toSet
-    val deleted = scala.collection.mutable.ArrayBuffer[String]()
-    def walk(dir: Path): Unit =
-      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet") &&
-                 st.getModificationTime < cutoff &&
-                 !referenced.contains(fs.makeQualified(st.getPath).toString)) {
-          if (!dryRun) fs.delete(st.getPath, false)
-          deleted += st.getPath.toString
+    // ---- phase 1 (no lock): distributed data-tree listing ----
+    // serializable conf snapshot for executor-side FileSystem access;
+    // a local val so task closures capture it, never `this`
+    val confMap: Map[String, String] = {
+      val c = spark.sessionState.newHadoopConf()
+      val it = c.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    import spark.implicits._
+    val listedDf: DataFrame = {
+      if (!fs.exists(dataDir))
+        Seq.empty[(String, Long)].toDF("path", "mtime")
+      else {
+        val top = fs.listStatus(dataDir).toSeq
+        val (subdirs, files) = top.partition(_.isDirectory)
+        val topRows = files.map(st =>
+          (fs.makeQualified(st.getPath).toString, st.getModificationTime))
+          .toDF("path", "mtime")
+        if (subdirs.isEmpty) topRows
+        else {
+          val dirStrs = subdirs.map(_.getPath.toString)
+          val slices = math.max(1, math.min(dirStrs.size,
+            4 * spark.sparkContext.defaultParallelism))
+          spark.sparkContext.parallelize(dirStrs, slices).flatMap { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val tfs = p.getFileSystem(ManifestTable.confFromMap(confMap))
+            val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+            def walk(q: org.apache.hadoop.fs.Path): Unit =
+              tfs.listStatus(q).foreach { st =>
+                if (st.isDirectory) walk(st.getPath)
+                else out += ((tfs.makeQualified(st.getPath).toString,
+                  st.getModificationTime))
+              }
+            walk(p)
+            out
+          }.toDF("path", "mtime").unionByName(topRows)
         }
       }
-    walk(dataDir)
-    // deletion-vector sidecars unreferenced by any kept entry go too
-    // (a sidecar is a directory written by Spark — removed whole)
-    val dvReferenced = keepVs.flatMap(v => entriesOf(v)
-        .flatMap(_.stats.get(ManifestTable.DvKey).map(_.mn)))
-      .map(r => fs.makeQualified(new Path(root, r)).toString).toSet
-    if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { st =>
-      if (st.getModificationTime < cutoff &&
-          !dvReferenced.contains(fs.makeQualified(st.getPath).toString)) {
-        if (!dryRun) fs.delete(st.getPath, true)
-        deleted += st.getPath.toString
-      }
     }
+    // materialize the listing BEFORE taking the ref lock — the lock
+    // must not be held for the long part of the job
+    val listed = listedDf.persist()
+    listed.count(): Unit
+    try {
+      ManifestTable.lockFor(
+        fs.makeQualified(logDir).toString + "#refs").synchronized {
+        val vs = versions
+        // named tags RETAIN their versions (Iceberg's tag-retention
+        // contract): a tagged version's files, DV sidecars and manifest
+        // survive any retain horizon until the tag is dropped. Read
+        // UNDER the ref lock: a concurrent in-process createTag either
+        // lands before this snapshot or waits out the deletes.
+        val taggedVs = tagRefs.map(_._2).filter(vs.contains).toSet
+        val keepVs = (vs.takeRight(retain) ++ taggedVs).distinct.sorted
+        // qualify both sides: manifest paths are scheme-less, listStatus
+        // returns fully-qualified (file:/…) paths. Staged WAP branches
+        // count as references — their files are pre-publish, not garbage.
+        val referenced = (keepVs.flatMap(filesOf) ++
+            branches.flatMap(b => branchEntries(b)
+              .map(e => new Path(root, e.rel).toString)))
+          .map(f => fs.makeQualified(new Path(f)).toString).toSet
+        // distributed anti-join: the listed tree minus the referenced
+        // set minus the too-young — the kept-files side can be the
+        // whole table's manifest, so it rides a DataFrame, not a
+        // driver set-difference loop
+        val candidates = listed
+          .filter(col("mtime") < cutoff && col("path").endsWith(".parquet"))
+          .join(referenced.toSeq.toDF("path"), Seq("path"), "left_anti")
+          .select("path").as[String].collect().toSeq
+        val deleted = scala.collection.mutable.ArrayBuffer[String]()
+        if (candidates.nonEmpty) {
+          if (dryRun) deleted ++= candidates
+          else {
+            val slices = math.max(1, math.min(candidates.size,
+              4 * spark.sparkContext.defaultParallelism))
+            deleted ++= spark.sparkContext
+              .parallelize(candidates, slices).mapPartitions { it =>
+                val conf = ManifestTable.confFromMap(confMap)
+                it.map { s =>
+                  val p = new org.apache.hadoop.fs.Path(s)
+                  p.getFileSystem(conf).delete(p, false)
+                  s
+                }
+              }.collect()
+          }
+        }
+        // deletion-vector sidecars unreferenced by any kept entry go too
+        // (a sidecar is a directory written by Spark — removed whole)
+        val dvReferenced = keepVs.flatMap(v => entriesOf(v)
+            .flatMap(_.stats.get(ManifestTable.DvKey).map(_.mn)))
+          .map(r => fs.makeQualified(new Path(root, r)).toString).toSet
+        if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { st =>
+          if (st.getModificationTime < cutoff &&
+              !dvReferenced.contains(fs.makeQualified(st.getPath).toString)) {
+            if (!dryRun) fs.delete(st.getPath, true)
+            deleted += st.getPath.toString
+          }
+        }
+        // CDC sidecars: kept versions' stamps are the live references;
+        // everything else old enough goes — dropped versions' change
+        // files and crash leaks (a commit that died between sidecar
+        // write and manifest rename)
+        val cdcReferenced = keepVs
+          .flatMap(v => versionTag(v, ManifestTable.CdcTagKey))
+          .filter(_ != ManifestTable.CdcNoChanges)
+          .map(r => fs.makeQualified(new Path(root, r)).toString).toSet
+        if (fs.exists(cdcDir)) fs.listStatus(cdcDir).foreach { st =>
+          if (st.getModificationTime < cutoff &&
+              !cdcReferenced.contains(fs.makeQualified(st.getPath).toString)) {
+            if (!dryRun) fs.delete(st.getPath, true)
+            deleted += st.getPath.toString
+          }
+        }
+        vacuumManifests(vs, keepVs, taggedVs, retain, dryRun, cutoff, deleted)
+        deleted.toSeq
+      }
+    } finally listed.unpersist(): Unit
+  }
+
+  /** The manifest/tag/tmp cleanup tail of [[vacuum]] — runs under the
+    * ref lock with the delete phase.
+    */
+  private def vacuumManifests(vs: Seq[Int], keepVs: Seq[Int],
+      taggedVs: Set[Int], retain: Int, dryRun: Boolean, cutoff: Long,
+      deleted: scala.collection.mutable.ArrayBuffer[String]): Unit = {
     if (!dryRun) {
       val dropped = vs.dropRight(retain).toSet -- taggedVs
       // a kept version whose delta chain is BROKEN by the drop must
@@ -3619,6 +3999,5 @@ class ManifestTable(spark: SparkSession, root: String,
         deleted += st.getPath.toString
       }
     }
-    deleted.toSeq
   }
 }

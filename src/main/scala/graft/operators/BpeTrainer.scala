@@ -78,10 +78,19 @@ object BpeTrainer {
 
   /** Train `numMerges` merges over `docs(textCol)`. Stops early when no
     * adjacent pair occurs twice (nothing left to compress).
+    *
+    * `byteLevel = true` trains over the 256-byte alphabet (TX-BPE3,
+    * the GPT-2 byte-fallback model): each word's base symbols are its
+    * UTF-8 bytes as uppercase hex pairs ([[Bpe.wrapWordBytes]]), so
+    * the learned vocabulary can never leave an input un-encodable —
+    * no OOV by construction. Everything else — the two-tier engine,
+    * the argmax total order, the signed-delta maintenance — is
+    * alphabet-agnostic and shared verbatim.
     */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
       maxLocalWords: Long = DefaultMaxLocalWords,
-      maxLocalSymbols: Long = DefaultMaxLocalSymbols): Seq[Merge] = {
+      maxLocalSymbols: Long = DefaultMaxLocalSymbols,
+      byteLevel: Boolean = false): Seq[Merge] = {
     require(numMerges >= 1, "bpeTrain: numMerges must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -94,17 +103,24 @@ object BpeTrainer {
 
     try {
       // tier by BOTH row count and total symbols. Spark's length()
-      // counts CODE POINTS (UTF8String.numChars), so length(w) + 1 is
-      // the trainers' exact per-word symbol count, marker included
+      // counts CODE POINTS (UTF8String.numChars) and octet_length
+      // counts UTF-8 BYTES, so each mode's `+ 1` form is the trainers'
+      // exact per-word symbol count, marker included
+      val symLen =
+        if (byteLevel) octet_length(col("w")) else length(col("w"))
       val (nWords, nSyms) = wordFreq
-        .agg(count(lit(1)), sum(length(col("w")) + lit(1)))
+        .agg(count(lit(1)), sum(symLen + lit(1)))
         .as[(Long, Option[Long])].collect().head
 
       if (nWords <= maxLocalWords && nSyms.getOrElse(0L) <= maxLocalSymbols)
-        trainLocal(wordFreq.as[(String, Long)].collect(), numMerges)
+        trainLocal(wordFreq.as[(String, Long)].collect(), numMerges,
+          byteLevel)
       else {
+        val wrap =
+          if (byteLevel) Bpe.wrapWordBytes(col("w"))
+          else Bpe.wrapWord(col("w"))
         val words0 = wordFreq
-          .select(Bpe.wrapWord(col("w")).as("syms"), col("cnt"))
+          .select(wrap.as("syms"), col("cnt"))
           .localCheckpoint(true)
         try trainDistributed(words0, numMerges)
         finally graft.functions.CheckpointOps.release(words0)
@@ -128,22 +144,36 @@ object BpeTrainer {
     * then pair-asc tie-break, stop when the best pair's count < 2.
     */
   private[graft] def trainLocal(wordCnt: Array[(String, Long)],
-      numMerges: Int): Seq[Merge] = {
+      numMerges: Int, byteLevel: Boolean = false): Seq[Merge] = {
     import scala.collection.mutable
     // one symbol per CODE POINT (surrogate pair = one symbol) — the
-    // same alphabet as Bpe.wrapWord's ([\s\S]) and the encode kernel
+    // same alphabet as Bpe.wrapWord's ([\s\S]) and the encode kernel;
+    // byte level: one symbol per UTF-8 byte as its uppercase hex pair
+    // (Bpe.wrapWordBytes' alphabet)
     val words = new Array[mutable.ArrayBuffer[String]](wordCnt.length)
     val cnts = new Array[Long](wordCnt.length)
+    val HexDigits = "0123456789ABCDEF"
     var wi = 0
     while (wi < wordCnt.length) {
       val (w, c) = wordCnt(wi)
       val syms = new mutable.ArrayBuffer[String](w.length + 1)
-      var i = 0
-      while (i < w.length) {
-        if (Character.isHighSurrogate(w.charAt(i)) && i + 1 < w.length &&
-            Character.isLowSurrogate(w.charAt(i + 1))) {
-          syms += w.substring(i, i + 2); i += 2
-        } else { syms += String.valueOf(w.charAt(i)); i += 1 }
+      if (byteLevel) {
+        val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xFF
+          syms += new String(
+            Array(HexDigits.charAt(b >> 4), HexDigits.charAt(b & 0xF)))
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < w.length) {
+          if (Character.isHighSurrogate(w.charAt(i)) && i + 1 < w.length &&
+              Character.isLowSurrogate(w.charAt(i + 1))) {
+            syms += w.substring(i, i + 2); i += 2
+          } else { syms += String.valueOf(w.charAt(i)); i += 1 }
+        }
       }
       syms += Bpe.W
       words(wi) = syms
@@ -395,11 +425,12 @@ object BpeTrainer {
 
   /** Train and return the merge table as a DataFrame (marker rendered
     * `</w>`), ordered by rank — the `tx_bpe_train` query surface.
+    * `byteLevel` trains the 256-byte alphabet (symbols are hex pairs).
     */
   def trainDf(spark: SparkSession, docs: DataFrame,
-      numMerges: Int): DataFrame = {
+      numMerges: Int, byteLevel: Boolean = false): DataFrame = {
     import spark.implicits._
-    train(docs, numMerges)
+    train(docs, numMerges, byteLevel = byteLevel)
       .map(m => (m.rank,
         m.left.replace(Bpe.W, "</w>"),
         m.right.replace(Bpe.W, "</w>"),

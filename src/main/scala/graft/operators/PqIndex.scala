@@ -61,11 +61,21 @@ class PqIndex private (spark: SparkSession, val root: String,
     * nprobe/lists fraction of the index. `emb` supplies the full
     * vectors for the exact re-rank (and must be the unit-normalized
     * corpus the index was built from).
+    *
+    * S14B: `candidates` carries a metadata predicate's `(vec_id)`
+    * allow-list into the probe — the PRE-filter of filtered ANN: it
+    * semi-joins the pruned list scan BEFORE ADC scoring, so excluded
+    * vectors never take shortlist slots (the post-filter recall trap).
+    * At scale the allow-list is itself a pruned scan of the metadata
+    * table (label as a partition/zone-map column — `readPartitionEq`/
+    * `readEq` compose), so the filter costs its own selectivity, not a
+    * corpus pass.
     */
   def query(emb: DataFrame, probes0: DataFrame,
-      nprobe: Int = 4, shortlist: Int = 30, topK: Int = 3): DataFrame =
+      nprobe: Int = 4, shortlist: Int = 30, topK: Int = 3,
+      candidates: Option[DataFrame] = None): DataFrame =
     Similarity.ivfPqQuery(spark, scanLists, seedsDf, meta.cents, emb,
-      probes0, nprobe, shortlist, topK)
+      probes0, nprobe, shortlist, topK, candidates)
 
   /** Zone-map-pruned index scan over a set of probed lists: ONE scan
     * of the files intersecting any probed list ([[ManifestTable

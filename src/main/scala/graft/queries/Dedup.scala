@@ -1160,6 +1160,12 @@ object Dedup extends QueryModule {
           greatest(ceil(nTok * 0.6), lit(8)).cast("int")), " "),
           lit(" editword")).as("text")))
       .select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+      // a doc with < 2 tokens has NO bigram shingles: its containment
+      // is 0/0 — undefined. Drop such docs from the corpus explicitly
+      // (both engines) rather than leave the definition to NaN
+      // semantics: DuckDB orders NaN above 0.8 and would emit spurious
+      // oracle rows the inverted index (correctly) never produces.
+      .filter(size(col("sh")) > 0)
     val inv = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val cands = inv.select(col("doc_id").as("id_a"), col("shingle"))
       .join(inv.select(col("doc_id").as("id_b"), col("shingle")),
@@ -1197,7 +1203,8 @@ object Dedup extends QueryModule {
       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
       |    AS containment
       |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+      |WHERE len(a.s) > 0 AND len(b.s) > 0
+      |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
       |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

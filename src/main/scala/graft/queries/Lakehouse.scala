@@ -504,13 +504,14 @@ object Lakehouse extends QueryModule {
     fsPath.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(fsPath, true)
 
-    // one YEAR of orders: a days() layout over the full 7-year table
-    // would mint ~2400 near-empty files at bench scale — the small-file
-    // anti-pattern compaction exists to undo, and pure noise for what
-    // this row proves (mixed-layout scoping + pruning). 365 daily
-    // partitions is the realistic churn-window shape.
+    // a ~90-DAY window of orders (was one year): the operator proof —
+    // mixed-layout scoping + per-spec pruning — needs files under BOTH
+    // specs and a merge/read spanning them, which 92 daily partitions
+    // demonstrate exactly as well as 365 while minting 4× fewer files;
+    // at bench scale the year form was 8.6% of total wall time, all of
+    // it local-FS file churn, not query movement.
     val orders = Q.t(spark, dir, "orders")
-      .filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+      .filter(col("o_orderdate").between("1995-03-01", "1995-05-31"))
     val t0 = new ManifestTable(spark, s"$scratch/orders",
       partitionSpec = Seq("months(o_orderdate)"))
     t0.write(orders.filter(col("o_orderkey") % 2 === 0), "overwrite")
@@ -523,7 +524,7 @@ object Lakehouse extends QueryModule {
         && col("o_orderdate").between("1995-04-01", "1995-04-30"))
       .withColumn("o_totalprice", col("o_totalprice") * 2),
       Seq("o_orderkey"))
-    t1.readPartitionRange("o_orderdate", "1995-03-01", "1995-06-30")
+    t1.readPartitionRange("o_orderdate", "1995-03-15", "1995-05-15")
       .groupBy(col("o_orderpriority").as("pri"))
       .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("total"))
       .orderBy(col("pri").asc)
@@ -539,8 +540,8 @@ object Lakehouse extends QueryModule {
        |                                    AND DATE '1995-04-30'
        |              THEN o_totalprice * 2 ELSE o_totalprice END AS p
        |  FROM orders
-       |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31')
-       |WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-06-30'
+       |  WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-05-31')
+       |WHERE o_orderdate BETWEEN DATE '1995-03-15' AND DATE '1995-05-15'
        |GROUP BY 1
        |ORDER BY 1 ASC NULLS FIRST""".stripMargin
 
@@ -665,6 +666,113 @@ object Lakehouse extends QueryModule {
     """SELECT o_orderkey, o_orderstatus, o_totalprice
       |FROM orders
       |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
+  /** L37/T15: WRITE-TIME CDC capture ([[ManifestTable.enableCdc]], the
+    * Delta `_change_data` model) — the change feed read KEYLESSLY
+    * through the 3-arg `graft_table_changes` TVF: after enablement,
+    * every DML commit persisted its exact change rows in a
+    * `_graft_cdc/` sidecar at commit time, so replay needs no row
+    * identity and costs O(recorded change rows), never a per-version
+    * diff join. The history: a DV UPDATE (v1), a DV DELETE (v2), a
+    * three-armed MERGE INTO — conditional delete, unconditional
+    * update, fresh inserts (v3) — and a compaction whose zero-change
+    * stamp must replay as NOTHING (v4). The oracle reconstructs all
+    * four commits' change rows from raw orders, replaying the
+    * double arithmetic in the engine's exact op order. The no-keys
+    * streaming read, sidecar ≡ keyed-diff equality, and the pre-CDC
+    * refusal lattice are spec-gated in StreamingSpec.
+    */
+  def l37CdcWrite(spark: SparkSession, dir: String): DataFrame = {
+    val s = dmlSession(spark)
+    val root = dmlScratch(s, "orders_l37")
+    val orders = Q.t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val mt = new ManifestTable(s, root)
+    mt.write(orders, "overwrite") // v0 (pre-CDC; excluded from the range)
+    mt.enableCdc()
+    mt.updateWhere(col("o_orderstatus") === "P",
+      Map("o_totalprice" -> (col("o_totalprice") + 10.0))) // v1: sidecar pre/post
+    mt.delete(col("o_orderkey") % 15 === 0) // v2: sidecar deletes
+    val src = orders.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("s_key"),
+        (col("o_totalprice") * 2).as("s_price"))
+      .unionByName(orders.filter(col("o_orderkey") % 503 === 0)
+        .select((col("o_orderkey") + 10000000L).as("s_key"),
+          col("o_totalprice").as("s_price")))
+    mt.mergeInto(src, col("o_orderkey") === col("s_key"),
+      matched = Seq(
+        graft.lake.MergeDeleteClause(Some(col("s_key") % 485 === 0)),
+        graft.lake.MergeUpdateClause(None,
+          Map("o_totalprice" -> col("s_price")))),
+      notMatched = Seq(graft.lake.MergeInsertClause(None, Map(
+        "o_orderkey" -> col("s_key"),
+        "o_orderstatus" -> lit("N"),
+        "o_totalprice" -> col("s_price"))))) // v3: sidecar, all three arms
+    mt.compact() // v4: zero-change stamp — replays as empty
+    s.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice,
+         |       _change_type, _commit_version
+         |FROM graft_table_changes('$root', 1, 4)
+         |ORDER BY o_orderkey ASC NULLS FIRST,
+         |  _commit_version ASC NULLS FIRST,
+         |  _change_type ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** v1 = pre/post pairs for status-'P' rows (+10.0); v2 = deletes of
+    * %15 keys at the v1 state; v3 = for matched %97 keys still alive
+    * (%15 ≠ 0): a delete when %485 = 0 (first-match-wins), else an
+    * update pair whose postimage is the RAW price doubled (the source
+    * derives from the input table, not the current state) — plus
+    * inserts of the %503 keys shifted +10M AND of the %97 keys the v2
+    * delete killed (a dead key fed to MERGE is NOT MATCHED and
+    * re-inserts: standard upsert resurrection, status 'N', doubled
+    * price); v4 = nothing (compaction moves rows verbatim).
+    */
+  val l37Oracle: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |       _change_type, _commit_version FROM (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |         'update_preimage' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version
+      |  FROM orders WHERE o_orderstatus = 'P'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0,
+      |         'update_postimage', 1
+      |  FROM orders WHERE o_orderstatus = 'P'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 10.0
+      |              ELSE o_totalprice END,
+      |         'delete', 2
+      |  FROM orders WHERE o_orderkey % 15 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 10.0
+      |              ELSE o_totalprice END,
+      |         'delete', 3
+      |  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 15 <> 0
+      |    AND o_orderkey % 485 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 10.0
+      |              ELSE o_totalprice END,
+      |         'update_preimage', 3
+      |  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 15 <> 0
+      |    AND o_orderkey % 485 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2,
+      |         'update_postimage', 3
+      |  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 15 <> 0
+      |    AND o_orderkey % 485 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'N', o_totalprice, 'insert', 3
+      |  FROM orders WHERE o_orderkey % 503 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'N', o_totalprice * 2, 'insert', 3
+      |  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 15 = 0)
+      |ORDER BY o_orderkey ASC NULLS FIRST,
+      |  _commit_version ASC NULLS FIRST,
+      |  _change_type ASC NULLS FIRST""".stripMargin
 
   /** L22b: storage-partitioned join — write orders and lineitem as
     * `bucket(8, key)` tables, then join through
@@ -937,6 +1045,7 @@ object Lakehouse extends QueryModule {
     "l34_spec_evolution" -> l34SpecEvolution,
     "l35_cdf_batch" -> l35CdfBatch,
     "l36_tag_read" -> l36TagRead,
+    "l37_cdc_write" -> l37CdcWrite,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
@@ -957,6 +1066,7 @@ object Lakehouse extends QueryModule {
     "l34_spec_evolution" -> l34Oracle,
     "l35_cdf_batch" -> l35Oracle,
     "l36_tag_read" -> l36Oracle,
+    "l37_cdc_write" -> l37Oracle,
     "l15_dv_roundtrip" -> l15Oracle,
     "l6_exact_dedup" -> l6Oracle)
 }

@@ -711,6 +711,89 @@ object Similarity extends QueryModule {
       .orderBy(col("q_id").asc, col("rn").asc)
   }
 
+  /** S14B: filtered ANN over a PERSISTED index — s14's semantics
+    * (top-3 among vectors sharing the probe's label) served from an
+    * IVF index table written to a [[graft.lake.ManifestTable]]
+    * zone-mapped on `list_id` (and `label`): the probe reads ONLY the
+    * files whose zone map intersects a probed list
+    * ([[graft.lake.ManifestTable.readRangesBy]]) — at scale, the
+    * nprobe/lists fraction of the index, with the label zone map as
+    * the second pruning knob — and the label predicate applies at the
+    * list-serving join, before any scoring (the pre-filter; excluded
+    * vectors never reach the ranking). Same deterministic kernels as
+    * s14, so the persisted detour must change NOTHING: the oracle is
+    * s14's, hash-exact — which is precisely what this row proves
+    * (write → zone-prune → filtered read loses and duplicates no
+    * rows). The PQ-coded persisted path's filtered probe (ADC +
+    * shortlist under the same allow-list pre-filter) is approximate by
+    * construction and spec-gated in PqIndexSpec.
+    */
+  def s14bFilteredIndex(spark: SparkSession, dir: String,
+      k: Int = 16, nprobe: Int = 4): DataFrame = {
+    val scratch =
+      s"${sys.props("java.io.tmpdir")}/graft_sim_s14b_${ProcessHandle.current().pid()}"
+    val fsPath = new org.apache.hadoop.fs.Path(scratch)
+    fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(fsPath, true)
+    val emb = Q.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        VectorOps.toDouble(col("embedding")).as("v"))
+    val seeds = emb.filter(col("vec_id") % 31 === 0)
+      .orderBy(col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("list_id"), col("v").as("seed_v"))
+
+    def nearestLists(vecs: DataFrame, n: Int): DataFrame = {
+      val scored = vecs.crossJoin(broadcast(seeds))
+        .withColumn("seed_sim",
+          CosineSimilarity.cosine(spark, col("v"), col("seed_v")))
+      if (n == 1) {
+        scored.groupBy(col("vec_id"))
+          .agg(max_by(
+            struct(col("v").as("v"), col("label").as("label"),
+              col("list_id").as("list_id")),
+            struct(col("seed_sim"), (-col("list_id")).as("nl"))).as("best"))
+          .select(col("vec_id"), col("best.v").as("v"),
+            col("best.label").as("label"), col("best.list_id").as("list_id"))
+      } else {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("seed_sim").desc, col("list_id").asc)
+        scored.withColumn("seed_rn", row_number().over(w))
+          .filter(col("seed_rn") <= n)
+          .drop("seed_v", "seed_sim", "seed_rn")
+      }
+    }
+
+    // build: persist the inverted lists range-partitioned by list_id —
+    // each file covers a contiguous list range, so its zone map prunes
+    // tightly on probe
+    val mt = new graft.lake.ManifestTable(spark, s"$scratch/ivf",
+      statsCol = Some("list_id"), statsCols = Seq("label"))
+    mt.write(nearestLists(emb, 1)
+      .repartitionByRange(8, col("list_id")), "overwrite")
+
+    // probe: nprobe lists per query vector; the index scan reads only
+    // those lists' files (bounded collect — nprobe × |probe batch|)
+    val probes = nearestLists(emb.filter(col("vec_id") < 10), nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("label").as("q_label"), col("list_id"))
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val index = mt.readRangesBy("list_id",
+      probedLists.map(l => (l.toString, l.toString)).toSeq)
+    val scored = index.join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("label") === col("q_label"))
+      .withColumn("sim", round(
+        CosineSimilarity.cosine(spark, col("q_v"), col("v")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("q_label"), col("rn"),
+        col("vec_id").as("neighbor"), col("sim"))
+      .orderBy(col("q_id").asc, col("rn").asc)
+  }
+
   /** S3: per-label centroids via the typed Aggregator UDAF (A8/X2).
     * Float accumulation order varies by partitioning → no oracle;
     * tolerance-checked in SimilaritySpec. Output is the centroid's
@@ -1128,10 +1211,21 @@ object Similarity extends QueryModule {
     * persisted path prunes index files to those lists, the in-memory
     * path ignores it.
     */
+  /** `candidates`: optional `(vec_id)` allow-list — the PRE-filter of
+    * filtered ANN (S14 over the persisted index): the metadata
+    * predicate's id set semi-joins into the pruned index scan BEFORE
+    * ADC scoring, so filtered-out vectors never consume shortlist
+    * slots (a post-filter would silently lose recall exactly when the
+    * filter is selective). The list is a DataFrame, not a collected
+    * set: at scale it is itself a zone-mapped scan of the metadata
+    * column, and the semi-join broadcasts or shuffles as its size
+    * dictates.
+    */
   private[graft] def ivfPqQuery(spark: SparkSession,
       indexFor: Seq[Long] => DataFrame, ivfSeeds: DataFrame,
       cents: Seq[Seq[Seq[Double]]], emb: DataFrame, probes0: DataFrame,
-      nprobe: Int, shortlist: Int, topK: Int): DataFrame = {
+      nprobe: Int, shortlist: Int, topK: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val m = cents.size
     val sub = PqDim / m
     def dotC(a: Column, b: Column): Column =
@@ -1209,7 +1303,9 @@ object Similarity extends QueryModule {
     // bounded: ≤ `lists` values — lets the persisted path prune files
     val probed = probeData.map(r => java.lang.Long.valueOf(
         r.get(2).toString).longValue()).distinct.toSeq.sorted
-    val index = indexFor(probed)
+    val index0 = indexFor(probed)
+    val index = candidates.fold(index0)(c =>
+      index0.join(c.select(col("vec_id")), Seq("vec_id"), "left_semi"))
     // ADC within the probed lists only — native fused lookup (the HOF
     // zip_with/element_at/aggregate form pays interpreted dispatch per
     // subspace on the hottest per-candidate expression)
@@ -1310,6 +1406,7 @@ object Similarity extends QueryModule {
     "s3_centroids" -> s3Centroids,
     "s4_ivf_ann" -> ((s, d) => s4IvfAnn(s, d)),
     "s14_filtered_ivf" -> ((s, d) => s14FilteredIvf(s, d)),
+    "s14b_filtered_index" -> ((s, d) => s14bFilteredIndex(s, d)),
     "s5_quantized_topk" -> s5QuantizedTopK,
     "s7_pq_ann" -> ((s, d) => s7PqAnn(s, d)),
     "s8_ivfpq_ann" -> ((s, d) => s8IvfPqAnn(s, d)),
@@ -1514,6 +1611,8 @@ object Similarity extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "s14_filtered_ivf" -> s14Oracle,
+    // the persisted detour must be invisible: same oracle as s14
+    "s14b_filtered_index" -> s14Oracle,
     "s1_cosine_topk" -> s1Oracle,
     "s10_hybrid_rrf" -> s10Oracle,
     "s10b_bm25_rrf" -> s10bOracle,

@@ -603,6 +603,60 @@ object TextAnalysis extends QueryModule {
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   }
 
+  /** TX-BPE3: BYTE-LEVEL byte-pair encoding ([[graft.functions.Bpe
+    * .wrapTextBytes]], the GPT-2 byte-fallback model) with a fixed
+    * merge list: base symbols are each word's UTF-8 bytes as uppercase
+    * hex pairs — a 256-symbol alphabet that covers EVERY input, so the
+    * tokenizer can never hit OOV (multi-byte code points start as
+    * several byte symbols that merges may rejoin). Same bracketed
+    * replace-chain encode as tx_bpe_encode, so the oracle replays the
+    * identical chain over DuckDB's `hex(encode(w))` — both engines
+    * emit uppercase hex — and the token stream is hash-exact. Narrow
+    * per-row map, embarrassingly parallel; the byte-level TRAINER
+    * (both tiers) is gated in BpeSpec against a serial reference.
+    */
+  def txBpeBytes(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    val text = coalesce(col("text"), lit(""))
+    Q.t(spark, dir, "documents")
+      .select(col("doc_id"), Bpe.wrapTextBytes(text).as("wr"))
+      .withColumn("enc", Bpe.applyMerges(col("wr"), Bpe.FixedByteMerges))
+      .select(col("doc_id"),
+        Bpe.nTokens(col("wr")).as("n_byte_syms"),
+        Bpe.nTokens(col("enc")).as("n_tokens"),
+        Bpe.render(col("enc")).as("bpe_bytes"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txBpeBytesOracle: String = {
+    import graft.functions.Bpe
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    regexp_replace(text, '[\\x00-\\x1F\\x7F]', '', 'g') AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, coalesce(array_to_string(list_transform(
+       |    list_filter(string_split(t, ' '), x -> x <> ''),
+       |    x -> regexp_replace(hex(encode(x)), '([0-9A-F]{2})',
+       |           chr(1)||'\\1'||chr(1), 'g')
+       |         || chr(1)||chr(2)||chr(1)), ''), '') AS wr
+       |  FROM s),
+       |m AS (
+       |  SELECT doc_id, wr,
+       |    ${Bpe.mergesDuckSql(Bpe.FixedByteMerges, "wr")} AS enc
+       |  FROM w)
+       |SELECT doc_id,
+       |  CAST((length(wr) - length(replace(wr, chr(1), ''))) / 2 AS INT)
+       |    AS n_byte_syms,
+       |  CAST((length(enc) - length(replace(enc, chr(1), ''))) / 2 AS INT)
+       |    AS n_tokens,
+       |  replace(array_to_string(
+       |    string_split(trim(enc, chr(1)), chr(1)||chr(1)), ' '),
+       |    chr(2), '</w>') AS bpe_bytes
+       |FROM m
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
+
   /** TX-BPE1: distributed BPE tokenizer TRAINING
     * ([[graft.operators.BpeTrainer]]) — 16 merges learned from the
     * corpus: per-iteration ONE pair-count map-reduce over the
@@ -841,6 +895,7 @@ object TextAnalysis extends QueryModule {
     "tx_unigram_encode" -> txUnigramEncode,
     "tx_unigram_pipeline" -> txUnigramPipeline,
     "tx_bpe_encode" -> txBpeEncode,
+    "tx_bpe_bytes" -> txBpeBytes,
     "tx_bpe_pipeline" -> txBpePipeline,
     "tx_normalize" -> txNormalize,
     "tx_winnow" -> txWinnow,
@@ -858,6 +913,7 @@ object TextAnalysis extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "tx_chunk" -> txChunkOracle,
     "tx_bpe_encode" -> txBpeEncodeOracle,
+    "tx_bpe_bytes" -> txBpeBytesOracle,
     "tx_unigram_encode" -> txUnigramEncodeOracle,
     "tx_normalize" -> txNormalizeOracle,
     "tx_winnow" -> txWinnowOracle,

@@ -129,15 +129,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     loadTable(ident) // existence check
     val dir = dirOf(ident.namespace(), ident.name()).toString
-    val v =
-      if (version.nonEmpty && version.forall(_.isDigit)) version.toInt
-      else {
+    // ASCII digits only ([0-9]+, not Character.isDigit — which admits
+    // non-ASCII Unicode digits), parsed as Long with an Int range
+    // check: an out-of-range numeric like '4294967296' must get the
+    // friendly "integer or tag name" error, not a raw
+    // NumberFormatException from toInt
+    val asVersion =
+      if (version.nonEmpty && version.forall(c => c >= '0' && c <= '9'))
+        try Some(version.toLong).filter(_.isValidInt).map(_.toInt)
+        catch { case _: NumberFormatException => None }
+      else None
+    val v = asVersion match {
+      case Some(n) => n
+      case None => {
         val mt = graft.lake.ManifestTable.forRoot(spark, dir)
         mt.tagRef(version).getOrElse(throw new IllegalArgumentException(
           s"graft table version must be an integer or a tag name; " +
             s"no tag '$version' at $dir " +
             s"(tags: ${mt.tagRefs.map(_._1).mkString(", ")})"))
       }
+    }
     new GraftSqlTable(ident, dir, Some(v), None)
   }
 

@@ -232,6 +232,9 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       attr("log_prob", DoubleType))
     case "unigram_bind" => Seq(
       attr("version", IntegerType), attr("bound_pieces", IntegerType))
+    case "maintenance_plan" => Seq(
+      attr("priority", IntegerType), attr("action", StringType),
+      attr("reason", StringType), attr("command", StringType))
     case _ => Seq(attr("version", IntegerType))
   }
 
@@ -334,6 +337,11 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       case "drop_tag" =>
         table.dropTag(str(1))
         versionRow(table.latestVersion.getOrElse(-1))
+      case "maintenance_plan" =>
+        // maintenance_plan(root [, small_file_bytes]) — ordered layout
+        // recommendations, read-only (the operator runs the commands)
+        table.maintenancePlan(optNum(1, 32L << 20))
+          .map { case (p, a, r, c) => Row(p, a, r, c) }
       case "describe_history" =>
         table.history().collect().toSeq
       case "describe_detail" =>

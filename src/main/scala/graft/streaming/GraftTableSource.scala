@@ -75,24 +75,27 @@ class GraftTableSourceProvider extends StreamSourceProvider
         "graft-table source requires .option(\"root\", <table root>) " +
           "or .option(\"table\", <cat.ns.table>)"))
 
-  /** CDF mode flag + its key columns: `.option("readChangeFeed",
-    * "true")` turns the stream into a CHANGE feed (T13) — each trigger
-    * emits L8-style `_change_type` rows for the new versions instead
-    * of appended rows, so MERGE/UPDATE/DELETE commits flow downstream
-    * as data rather than killing an append-only reader. The keyed diff
-    * needs the table's row identity: `.option("keys", "k1,k2")`.
+  /** CDF mode flag + its OPTIONAL key columns: `.option(
+    * "readChangeFeed", "true")` turns the stream into a CHANGE feed
+    * (T13) — each trigger emits L8-style `_change_type` rows for the
+    * new versions instead of appended rows, so MERGE/UPDATE/DELETE
+    * commits flow downstream as data rather than killing an
+    * append-only reader. `Some(None)` = CDF without keys (T15): every
+    * version replays from its write-time `_graft_cdc` sidecar, its
+    * zero-change stamp, or its pure add/remove file delta — a version
+    * that changed rows without a sidecar refuses at read with the fix
+    * named. `.option("keys", "k1,k2")` supplies row identity for the
+    * keyed-diff fallback on tables that predate [[ManifestTable
+    * .enableCdc]].
     */
-  private def changeFeedKeys(
-      parameters: Map[String, String]): Option[Seq[String]] = {
+  private def changeFeedSpec(
+      parameters: Map[String, String]): Option[Option[Seq[String]]] = {
     val on = parameters.get("readchangefeed")
       .orElse(parameters.get("readChangeFeed"))
       .exists(_.equalsIgnoreCase("true"))
     if (!on) None
     else Some(parameters.get("keys").map(_.split(",").map(_.trim).toSeq
-      .filter(_.nonEmpty)).filter(_.nonEmpty)
-      .getOrElse(throw new IllegalArgumentException(
-        "readChangeFeed requires .option(\"keys\", \"k1,k2\") — the " +
-          "change feed is a keyed row diff per commit")))
+      .filter(_.nonEmpty)).filter(_.nonEmpty))
   }
 
   /** First version the change feed emits (its initial batch covers
@@ -113,11 +116,16 @@ class GraftTableSourceProvider extends StreamSourceProvider
       .orElse(parameters.get("startingVersion"))
     val byTs = parameters.get("startingtimestamp")
       .orElse(parameters.get("startingTimestamp"))
-    require(byV.isEmpty || byTs.isEmpty,
-      "startingVersion and startingTimestamp cannot combine — they " +
-        "both anchor the stream's first version")
-    byTs match {
-      case Some(ts) =>
+    // L36 symmetry: `startingTag` anchors the stream at a NAMED
+    // immutable ref — "replay everything since the release-X pin" —
+    // the same lattice as the batch reader's tagAsOf
+    val byTag = parameters.get("startingtag")
+      .orElse(parameters.get("startingTag"))
+    require(Seq(byV, byTs, byTag).count(_.isDefined) <= 1,
+      "startingVersion, startingTimestamp and startingTag cannot " +
+        "combine — they all anchor the stream's first version")
+    (byTs, byTag) match {
+      case (Some(ts), _) =>
         val millis =
           try {
             if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLong
@@ -131,7 +139,12 @@ class GraftTableSourceProvider extends StreamSourceProvider
         val vs = mt.versions
         vs.find(v => mt.commitTimeOf(v) >= millis)
           .getOrElse(vs.lastOption.map(_ + 1).getOrElse(0))
-      case None => byV.map {
+      case (None, Some(tag)) =>
+        val mt = ManifestTable.forRoot(spark, rootOf(spark, parameters))
+        mt.tagRef(tag).getOrElse(throw new IllegalArgumentException(
+          s"no tag '$tag' at the table " +
+            s"(tags: ${mt.tagRefs.map(_._1).mkString(", ")})"))
+      case _ => byV.map {
         case s if s.equalsIgnoreCase("latest") =>
           ManifestTable.forRoot(spark, rootOf(spark, parameters))
             .latestVersion.map(_ + 1).getOrElse(0)
@@ -155,7 +168,7 @@ class GraftTableSourceProvider extends StreamSourceProvider
       rootOf(sqlContext.sparkSession, parameters))
     val base = schema.getOrElse(mt.read().schema)
     val out =
-      if (changeFeedKeys(parameters).isEmpty) base
+      if (changeFeedSpec(parameters).isEmpty) base
       else GraftTableSource.cdfSchema(base)
     (shortName(), out)
   }
@@ -169,7 +182,7 @@ class GraftTableSourceProvider extends StreamSourceProvider
         .exists(_.equalsIgnoreCase("true")),
       parameters.get("maxversionspertrigger")
         .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toInt),
-      changeFeedKeys(parameters),
+      changeFeedSpec(parameters),
       startingVersion(sqlContext.sparkSession, parameters))
 
   /** T12b: a ManifestTable as a STREAMING SINK — the
@@ -226,18 +239,58 @@ class GraftTableSourceProvider extends StreamSourceProvider
     val mt = ManifestTable.forRoot(spark, root)
     def opt(k: String) =
       parameters.get(k.toLowerCase).orElse(parameters.get(k))
-    val df = changeFeedKeys(parameters) match {
-      case Some(keys) =>
+    val df = changeFeedSpec(parameters) match {
+      case Some(keysOpt) =>
         require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty
             && opt("tagAsOf").isEmpty,
           "readChangeFeed and time travel cannot combine: the change " +
             "range is already versioned (startingVersion/endingVersion)")
-        val to = opt("endingVersion").map(_.toInt)
+        // hardened parses (advisory): a malformed bound gets the
+        // option's own name, not a bare NumberFormatException; the
+        // streaming-only 'latest' anchor is refused by name for
+        // startingVersion and accepted (≡ the default) for
+        // endingVersion
+        def versionOpt(name: String, latestOk: Boolean): Option[Int] =
+          opt(name).flatMap {
+            case s if s.equalsIgnoreCase("latest") =>
+              if (latestOk) None // ≡ unset: the table's latest version
+              else throw new IllegalArgumentException(
+                s"$name 'latest' is a streaming anchor — the batch " +
+                  "change feed needs an integer version (or omit the " +
+                  "option)")
+            case s => try Some(s.toInt) catch {
+              case e: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"malformed $name '$s' — an integer version", e)
+            }
+          }
+        // T14 symmetry for the batch side: endingTimestamp bounds the
+        // range at the LAST version committed at or before it
+        val byEndTs = opt("endingTimestamp")
+        require(byEndTs.isEmpty || opt("endingVersion").isEmpty,
+          "endingVersion and endingTimestamp cannot combine — they " +
+            "both bound the change range's end")
+        val endByTs = byEndTs.map { ts =>
+          val millis =
+            try {
+              if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLong
+              else java.sql.Timestamp.valueOf(ts).getTime
+            } catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"malformed endingTimestamp '$ts' — epoch millis or " +
+                  "a yyyy-MM-dd HH:mm:ss[.fff] literal", e)
+            }
+          mt.versionAtOrBefore(millis).getOrElse(
+            throw new IllegalArgumentException(
+              s"endingTimestamp '$ts' predates every commit at $root"))
+        }
+        val to = versionOpt("endingVersion", latestOk = true)
+          .orElse(endByTs)
           .orElse(mt.latestVersion)
           .getOrElse(throw new IllegalArgumentException(
             s"no committed versions at $root"))
-        GraftTableSource.batchChanges(spark, root, keys,
-          opt("startingVersion").map(_.toInt).getOrElse(0), to)
+        GraftTableSource.batchChanges(spark, root, keysOpt,
+          versionOpt("startingVersion", latestOk = false).getOrElse(0), to)
       case None =>
         (opt("versionAsOf"), opt("timestampAsOf"), opt("tagAsOf")) match {
           case (Some(v), None, None) => mt.read(Some(v.toInt))
@@ -322,7 +375,7 @@ class GraftTableSink(spark: SparkSession, root: String,
 class GraftTableSource(spark: SparkSession, root: String,
     ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Int] = None,
-    cdfKeys: Option[Seq[String]] = None,
+    cdfSpec: Option[Option[Seq[String]]] = None,
     startVersion: Int = 0)
     extends Source with SupportsTriggerAvailableNow {
 
@@ -349,7 +402,7 @@ class GraftTableSource(spark: SparkSession, root: String,
   private val baseSchema: StructType = table.read().schema
 
   override val schema: StructType =
-    if (cdfKeys.isDefined) GraftTableSource.cdfSchema(baseSchema)
+    if (cdfSpec.isDefined) GraftTableSource.cdfSchema(baseSchema)
     else baseSchema
 
   // Trigger.AvailableNow pins the target offset at start; the stream
@@ -398,8 +451,8 @@ class GraftTableSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val vTo = versionOf(end)
-    val df0 = cdfKeys match {
-      case Some(keys) => cdfBatch(start.map(versionOf), vTo, keys)
+    val df0 = cdfSpec match {
+      case Some(keysOpt) => cdfBatch(start.map(versionOf), vTo, keysOpt)
       // the anchor applies to the append stream too (the Delta
       // contract): a fresh checkpoint with startingVersion = s emits
       // files added in (s-1, vTo] instead of the full v0 snapshot
@@ -428,11 +481,11 @@ class GraftTableSource(spark: SparkSession, root: String,
     * range always diffs the same committed manifests.
     */
   private def cdfBatch(from: Option[Int], vTo: Int,
-      keys: Seq[String]): DataFrame = {
+      keysOpt: Option[Seq[String]]): DataFrame = {
     val mt = table
     val vFrom = from.getOrElse(startVersion - 1)
     val parts = (vFrom + 1 to vTo).map { v =>
-      mt.changesAt(v, keys)
+      mt.changesAt(v, keysOpt)
         .withColumn("_commit_version", lit(v.toLong))
     }
     if (parts.isEmpty)
@@ -494,9 +547,19 @@ object GraftTableSource {
     * versions that do not exist yet.
     */
   def batchChanges(spark: SparkSession, root: String, keys: Seq[String],
-      fromV: Int, toV: Int): DataFrame = {
-    require(keys.nonEmpty, "batch change feed requires key columns — " +
-      "the change feed is a keyed row diff per commit")
+      fromV: Int, toV: Int): DataFrame =
+    batchChanges(spark, root, Some(keys), fromV, toV)
+
+  /** Generalized form: `keysOpt = None` reads KEYLESSLY (T15) — every
+    * version in the range must resolve through its write-time CDC
+    * sidecar, its zero-change stamp, or a pure add/remove file delta;
+    * a version that changed rows without one refuses with the fix
+    * named ([[ManifestTable.changesAt]]).
+    */
+  def batchChanges(spark: SparkSession, root: String,
+      keysOpt: Option[Seq[String]], fromV: Int, toV: Int): DataFrame = {
+    require(keysOpt.forall(_.nonEmpty), "batch change feed key list " +
+      "is empty — pass key columns, or none at all for sidecar replay")
     val mt = ManifestTable.forRoot(spark, root)
     val latest = mt.latestVersion.getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
@@ -505,7 +568,7 @@ object GraftTableSource {
         s"$root (latest version: $latest)")
     val target = cdfSchema(mt.read(Some(toV)).schema)
     (fromV to toV).map { v =>
-      val d = mt.changesAt(v, keys)
+      val d = mt.changesAt(v, keysOpt)
         .withColumn("_commit_version", lit(v.toLong))
       // a column present in an old diff but dropped by toV cannot be
       // represented in the range's one output schema — refuse loudly

@@ -98,6 +98,84 @@ class BpeSpec extends SparkTestBase {
     "newest newest newest newest newest",
     "widest widest widest")
 
+  // ---- byte-level (TX-BPE3) serial reference: same trainer loop over
+  // the 256-byte alphabet (symbols = uppercase hex pairs) ----
+
+  private def byteSyms(w: String): List[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8).toList
+      .map(b => f"${b & 0xFF}%02X")
+
+  private def refTrainBytes(docs: Seq[String],
+      n: Int): Seq[(String, String, Long)] = {
+    var wc: Map[List[String], Long] = docs
+      .flatMap(_.replaceAll("[\\x00-\\x1F\\x7F]", "").split(" "))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view
+      .map { case (w, occ) => (byteSyms(w) :+ Bpe.W) -> occ.size.toLong }
+      .toMap
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = false
+    while (merges.size < n && !stop) {
+      val pc = refPairCounts(wc).filter(_._2 >= 2)
+      if (pc.isEmpty) stop = true
+      else {
+        val ((l, r), c) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((l, r, c))
+        wc = wc.toSeq
+          .map { case (syms, cnt) => refApply(syms, l, r) -> cnt }
+          .groupBy(_._1).view.map { case (k, v) => k -> v.map(_._2).sum }
+          .toMap
+      }
+    }
+    merges.toSeq
+  }
+
+  // multi-byte code points exercise the byte alphabet where it differs
+  // from code points: é = C3A9, 🎉 = F09F8E89, ß = C39F
+  private val byteFixture = fixture ++ Seq(
+    "café café café naïve", "größe größe 🎉🎉 🎉🎉")
+
+  test("byte-level local trainer matches the serial byte reference merge-for-merge") {
+    val docs = byteFixture.toDF("text")
+    val got = BpeTrainer.train(docs, numMerges = 12, byteLevel = true)
+      .map(m => (m.left, m.right, m.freq))
+    assert(got == refTrainBytes(byteFixture, 12))
+  }
+
+  test("byte-level distributed trainer matches the serial byte reference too") {
+    val docs = byteFixture.toDF("text")
+    val got = BpeTrainer.train(docs, numMerges = 12, maxLocalWords = 0,
+      byteLevel = true)
+      .map(m => (m.left, m.right, m.freq))
+    assert(got == refTrainBytes(byteFixture, 12))
+  }
+
+  test("byte-level encode: replace chain equals the serial reference; no OOV possible") {
+    val merges = refTrainBytes(byteFixture, 12).map(m => (m._1, m._2))
+    val enc = byteFixture.toDF("text")
+      .select(Bpe.render(
+        Bpe.applyMerges(Bpe.wrapTextBytes(col("text")), merges)).as("t"))
+      .as[String].collect().toSeq
+    val ref = byteFixture.map { text =>
+      text.replaceAll("[\\x00-\\x1F\\x7F]", "").split(" ")
+        .filter(_.nonEmpty).toList
+        .flatMap { w =>
+          merges.foldLeft(byteSyms(w) :+ Bpe.W) {
+            case (syms, (l, r)) => refApply(syms, l, r)
+          }
+        }.map(_.replace(Bpe.W, "</w>")).mkString(" ")
+    }
+    assert(enc == ref)
+    // byte fallback: an input wholly outside the training alphabet
+    // still encodes (to its base byte symbols) — never an OOV failure
+    val odd = Seq("Ω≈ç√∫ 你好").toDF("text")
+      .select(Bpe.render(
+        Bpe.applyMerges(Bpe.wrapTextBytes(col("text")), merges)).as("t"))
+      .as[String].head()
+    assert(odd.split(" ").forall(t =>
+      t == "</w>" || t.matches("([0-9A-F]{2})+(</w>)?")))
+  }
+
   test("fixture: first merges match the hand-derived Sennrich sequence") {
     // counts: low×5, lower×2, newest×6, widest×3
     // (e,s) occurs in newest(6)+widest(3)=9, (s,t) the same 9,

@@ -55,6 +55,46 @@ class PqIndexSpec extends SparkTestBase {
       s"zone maps failed to prune: ${one.size} of ${all.size} files for one list")
   }
 
+  test("s14b: filtered probe pre-filters the pruned scan — sound, recalls the filtered truth") {
+    val root = scratch("filtered")
+    val emb = Similarity.unitVectors(spark, sf)
+    val labels = Q.t(spark, sf, "embeddings").select(col("vec_id"), col("label"))
+    val idx = PqIndex.build(spark, emb, root, lists = 16, m = 16, k = 32)
+    val lab = labels.groupBy("label").count()
+      .orderBy(col("count").desc, col("label").asc).first().get(0)
+    val cand = labels.filter(col("label") === lab).select("vec_id")
+    val probes = emb.join(cand, Seq("vec_id"))
+      .orderBy(col("vec_id").asc).limit(3)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val res = idx.query(emb, probes, nprobe = 12, shortlist = 100, topK = 3,
+      candidates = Some(cand))
+    assert(res.count() > 0)
+    // soundness: the pre-filter is absolute — every served neighbor
+    // satisfies the predicate
+    assert(res.withColumnRenamed("neighbor", "vec_id")
+      .join(labels, Seq("vec_id"))
+      .filter(col("label") =!= lab).count() === 0)
+    // recall vs the exact filtered top-3 (brute force over the label's
+    // vectors only — the ground truth a post-filter would miss)
+    val scored = emb.join(cand, Seq("vec_id")).crossJoin(probes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        aggregate(zip_with(col("q_v"), col("v"), _ * _), lit(0.0), _ + _))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select(col("q_id"), col("vec_id").as("neighbor"))
+    val hits = res.select("q_id", "neighbor")
+      .join(exact, Seq("q_id", "neighbor")).count()
+    val truth = exact.count()
+    assert(hits.toDouble / truth >= 0.9,
+      s"filtered recall $hits/$truth under the pre-filtered probe")
+    // an all-ids allow-list IS the unfiltered query
+    assert(collectRes(idx.query(emb, probes,
+        candidates = Some(labels.select("vec_id")))) ===
+      collectRes(idx.query(emb, probes)))
+  }
+
   test("refreshFrom: appends encode with the FROZEN codebook, O(delta)") {
     val root = scratch("refresh")
     val srcRoot = scratch("refresh_src")

@@ -92,6 +92,36 @@ class SqlDmlSpec extends SparkTestBase {
       .count() === expectCount)
   }
 
+  test("maintenance_plan recommends compact_small + reorg on a messy table, nothing on a clean one") {
+    import graft.lake.ManifestTable
+    val root = scratch("advisor")
+    val orders = Q.t(sqlSpark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val mt = new ManifestTable(sqlSpark, root)
+    // stage the mess: 8 small files + a DV delete masking >2% of rows
+    mt.write(orders.repartition(8), "overwrite")
+    mt.delete(col("o_orderkey") % 3 === 0)
+    val plan = sqlSpark.sql(s"CALL graft.maintenance_plan('$root')")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(3)))
+    val actions = plan.map(_._2).toSeq
+    assert(actions.contains("compact_small"), s"plan was ${plan.toSeq}")
+    assert(actions.contains("reorg_purge"), s"plan was ${plan.toSeq}")
+    // ordered by priority, and every row carries a runnable command
+    assert(plan.map(_._1).toSeq == plan.map(_._1).toSeq.sorted)
+    assert(plan.forall(_._3.startsWith("CALL graft.")))
+    // the advisor executes nothing: same version before and after
+    val vBefore = mt.latestVersion
+    sqlSpark.sql(s"CALL graft.maintenance_plan('$root')").collect()
+    assert(mt.latestVersion === vBefore)
+    // run the advice; with a tiny small-file threshold the clean table
+    // (one packed file, no DVs) recommends NOTHING
+    mt.reorgPurge()
+    mt.compact(1)
+    val clean = sqlSpark.sql(
+      s"CALL graft.maintenance_plan('$root', 1)").collect()
+    assert(clean.isEmpty, s"clean table plan: ${clean.toSeq}")
+  }
+
   test("zorder procedure clusters and describe reflects it") {
     val root = scratch("zorder")
     Q.t(sqlSpark, sf, "orders")

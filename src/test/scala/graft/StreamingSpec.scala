@@ -751,15 +751,25 @@ class StreamingSpec extends SparkTestBase {
     assert(late.exceptAll(v3).count() === 0)
     assert(v3.exceptAll(late).count() === 0)
 
-    // keys are mandatory in CDF mode
-    val e = intercept[IllegalArgumentException] {
+    // T15: a KEYLESS change feed is legal at load time — but this
+    // table's DML predates enableCdc, so the read refuses at replay
+    // with the fix named (pass keys, or enable CDC)
+    val outK = scratch("t13_outk")
+    val ckptK = scratch("t13_ckptk")
+    val e = intercept[Exception] {
       spark.readStream
         .format(classOf[GraftTableSourceProvider].getName)
         .option("root", root)
         .option("readChangeFeed", "true")
         .load()
+        .writeStream
+        .format("parquet")
+        .option("path", outK)
+        .option("checkpointLocation", ckptK)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
     }
-    assert(messageChain(e).contains("keys"))
+    assert(messageChain(e).contains("pass keys"))
 
     // a numeric startingVersion beyond the next commit refuses up
     // front — silently committing the offset at the current latest
@@ -960,6 +970,93 @@ class StreamingSpec extends SparkTestBase {
     assert(messageChain(badTs).contains("startingTimestamp"))
   }
 
+  test("T14c: startingTag anchors streams at a named ref; endingTimestamp bounds the batch feed") {
+    import graft.streaming.GraftTableSourceProvider
+    val root = scratch("t14c_table")
+    val orders = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val mt = new ManifestTable(spark, root)
+    mt.write(orders.filter(col("o_orderkey") % 2 === 0), "overwrite") // v0
+    mt.write(orders.filter(col("o_orderkey") % 2 === 1).limit(80),
+      "append") // v1
+    mt.createTag("release-a", Some(1))
+    Thread.sleep(10) // v2's commit time must be strictly after v1's
+    mt.delete(col("o_orderkey") % 21 === 0) // v2
+
+    // STREAM anchored at the tag: replay starts at the tagged version
+    val out = scratch("t14c_out"); val ckpt = scratch("t14c_ckpt")
+    spark.readStream
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("readChangeFeed", "true")
+      .option("keys", "o_orderkey")
+      .option("startingTag", "release-a")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.filter(col("_commit_version") === 0L).count() === 0,
+      "history below the tag must not replay")
+    assert(got.filter(col("_commit_version") === 1L).count() > 0)
+    assert(got.filter(col("_commit_version") === 2L).count() > 0)
+
+    // refusal lattice mirrors T14: unknown tag at load, combined anchors
+    val noTag = intercept[IllegalArgumentException] {
+      spark.readStream
+        .format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root).option("startingTag", "nope").load()
+    }
+    assert(messageChain(noTag).contains("no tag"))
+    val both = intercept[IllegalArgumentException] {
+      spark.readStream
+        .format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root)
+        .option("startingTag", "release-a")
+        .option("startingVersion", "1").load()
+    }
+    assert(messageChain(both).contains("cannot combine"))
+
+    // BATCH endingTimestamp: bound at v1's commit — v2 must not flow
+    val sub = spark.read
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("readChangeFeed", "true")
+      .option("keys", "o_orderkey")
+      .option("startingVersion", "1")
+      .option("endingTimestamp", mt.commitTimeOf(1).toString)
+      .load()
+    assert(sub.filter(col("_commit_version") === 2L).count() === 0)
+    assert(sub.filter(col("_commit_version") === 1L).count() > 0)
+    // both end bounds refuses; a predating timestamp refuses; malformed
+    // values carry the option's name
+    def batch(opts: (String, String)*) = {
+      val r = spark.read
+        .format(classOf[GraftTableSourceProvider].getName)
+        .option("root", root)
+        .option("readChangeFeed", "true")
+        .option("keys", "o_orderkey")
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    }
+    val bothEnds = intercept[IllegalArgumentException] {
+      batch("endingVersion" -> "1", "endingTimestamp" -> "123")
+    }
+    assert(messageChain(bothEnds).contains("cannot combine"))
+    val early = intercept[IllegalArgumentException] {
+      batch("endingTimestamp" -> "1")
+    }
+    assert(messageChain(early).contains("predates every commit"))
+    val badEnd = intercept[IllegalArgumentException] {
+      batch("endingTimestamp" -> "garbage")
+    }
+    assert(messageChain(badEnd).contains("endingTimestamp"))
+    val badStart = intercept[IllegalArgumentException] {
+      batch("startingVersion" -> "latest")
+    }
+    assert(messageChain(badStart).contains("startingVersion"))
+  }
+
   test("T14b: startingVersion anchors the APPEND stream too — no full-snapshot replay") {
     import graft.streaming.GraftTableSourceProvider
     val root = scratch("t14b_table")
@@ -996,5 +1093,95 @@ class StreamingSpec extends SparkTestBase {
         .start().awaitTermination()
     }
     assert(messageChain(beyond).contains("beyond the table's next commit"))
+  }
+
+  test("T15: write-time CDC — keyless replay from sidecars equals the keyed diff") {
+    import graft.lake.{MergeDeleteClause, MergeInsertClause, MergeUpdateClause}
+    import graft.streaming.GraftTableSourceProvider
+    val root = scratch("t15_table")
+    val orders = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val mt = new ManifestTable(spark, root)
+    mt.write(orders, "overwrite") // v0
+    mt.delete(col("o_orderkey") % 40 === 0) // v1: PRE-CDC — no sidecar
+    mt.enableCdc()
+    mt.updateWhere(col("o_orderkey") % 7 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + 5.0))) // v2: sidecar
+    val src = orders.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey").as("s_key"),
+        (col("o_totalprice") * 3).as("s_price"))
+      .unionByName(orders.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 5000000L).as("s_key"),
+          col("o_totalprice").as("s_price")))
+    mt.mergeInto(src, col("o_orderkey") === col("s_key"),
+      matched = Seq(
+        MergeDeleteClause(Some(col("s_key") % 33 === 0)),
+        MergeUpdateClause(None, Map("o_totalprice" -> col("s_price")))),
+      notMatched = Seq(MergeInsertClause(None, Map(
+        "o_orderkey" -> col("s_key"),
+        "o_orderstatus" -> lit("N"),
+        "o_totalprice" -> col("s_price"))))) // v3: sidecar, all 3 arms
+    mt.compact() // v4: zero-change stamp
+    // a no-op DML with CDC on must stay a version no-op (no sidecar,
+    // no version)
+    mt.delete(col("o_orderkey") === -1L)
+    assert(mt.latestVersion.contains(4))
+
+    // sidecar replay ≡ the keyed snapshot-pair diff, version by
+    // version; v4's stamp replays empty and the diff agrees
+    (2 to 4).foreach { v =>
+      val keyless = mt.changesAt(v, None)
+      val keyed = mt.changesBetween(v - 1, v, Seq("o_orderkey"))
+        .select(keyless.columns.map(col): _*)
+      assert(keyless.exceptAll(keyed).count() === 0, s"v$v: sidecar ⊆ diff")
+      assert(keyed.exceptAll(keyless).count() === 0, s"v$v: diff ⊆ sidecar")
+    }
+    assert(mt.changesAt(4, None).count() === 0)
+
+    // v1 predates enablement: keyless refuses with the fix named;
+    // explicit keys still fall back to the per-commit diff
+    val pre = intercept[IllegalArgumentException] { mt.changesAt(1, None) }
+    assert(pre.getMessage.contains("pass keys"))
+    assert(mt.changesAt(1, Some(Seq("o_orderkey")))
+      .filter(col("_change_type") === "delete").count() > 0)
+
+    // keyless STREAM anchored at v2 drains the sidecar versions and
+    // equals the keyed replay
+    val out = scratch("t15_out"); val ckpt = scratch("t15_ckpt")
+    spark.readStream
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val replay = (2 to 4).map(v =>
+      mt.changesBetween(v - 1, v, Seq("o_orderkey"))
+        .withColumn("_commit_version", lit(v.toLong)))
+      .reduce(_.unionByName(_)).select(streamed.columns.map(col): _*)
+    assert(streamed.exceptAll(replay).count() === 0)
+    assert(replay.exceptAll(streamed).count() === 0)
+
+    // the 3-arg TVF is the keyless batch surface
+    val s2 = extensionsSession("graft-t15-tvf")
+    val viaTvf = s2.sql(
+      s"SELECT * FROM graft_table_changes('$root', 2, 4)")
+    val batchReplay = replay
+    assert(viaTvf.exceptAll(batchReplay).count() === 0)
+    assert(batchReplay.exceptAll(viaTvf).count() === 0)
+
+    // vacuum keeps the kept version's sidecars and sweeps dropped
+    // ones: after retain=1 the old change files are gone and the
+    // keyless read of a dropped version is impossible anyway (its
+    // manifest is dropped); the CURRENT version still reads
+    mt.vacuum(retain = 1, minAgeMs = 0)
+    assert(mt.read().count() > 0)
+    val cdcLeft = new java.io.File(s"$root/_graft_cdc")
+    assert(!cdcLeft.exists() || cdcLeft.listFiles().isEmpty,
+      "dropped versions' CDC sidecars are vacuumed")
   }
 }
