@@ -158,6 +158,17 @@ object ManifestTable {
     */
   private[lake] val CdcNoChanges = "none"
 
+  /** Tag value for a whole-file replacement commit (overwrite,
+    * restore, legacy partition-rewrite merge): the change feed derives
+    * the commit's changes keylessly FROM THE FILE DELTA — removed
+    * files' live rows as deletes, added files' rows as inserts (the
+    * Delta INSERT-OVERWRITE CDF representation). Exact in effect
+    * (applying it reproduces the post state) though not row-minimal
+    * for rewrites that carry rows verbatim; costs O(changed files),
+    * no sidecar written.
+    */
+  private[lake] val CdcFileDiff = "filediff"
+
   /** A file's LAYOUT SIGNATURE: the ordered hive partition-column
     * names its relative path carries (outermost first). After a lazy
     * [[ManifestTable.setPartitionSpec]] the signature identifies which
@@ -1572,7 +1583,11 @@ class ManifestTable(spark: SparkSession, root: String,
       case "append" =>
         val base = latestVersion.map(entriesOf).getOrElse(Seq.empty)
         commitDelta(base, Set.empty, newFiles)
-      case "overwrite" => commit(newFiles)
+      case "overwrite" =>
+        // T15: an overwrite's change rows ARE its file delta (fresh
+        // uuid files, nothing shared) — the keyless feed derives
+        // deletes/inserts from it, no sidecar needed
+        stampCdcFileDiff(commit(newFiles))
       case m => throw new IllegalArgumentException(s"mode $m")
     }
   }
@@ -1774,9 +1789,9 @@ class ManifestTable(spark: SparkSession, root: String,
       partCols.zip(values).forall { case (c, v) => inPartition(e.rel, c, v) }
     // partition-scoped delta: concurrent commits to OTHER partitions
     // rebase cleanly; a concurrent touch of THIS partition conflicts
-    commitDelta(base,
+    stampCdcFileDiff(commitDelta(base,
       base.filter(inPart).map(_.rel).toSet,
-      newFiles, conflictsWith = inPart)
+      newFiles, conflictsWith = inPart))
   }
 
   /** Hive-style partition directory segment for a value — Spark escapes
@@ -1932,11 +1947,12 @@ class ManifestTable(spark: SparkSession, root: String,
         // delta = rewrite of the touched partitions only: a concurrent
         // merge/append to OTHER partitions rebases and both commits
         // land; concurrent changes inside a touched partition conflict
-        commitDelta(baseEntries, removed.map(_.rel).toSet,
-          newFiles, conflictsWith = inTouchedPartition)
+        stampCdcFileDiff(commitDelta(baseEntries, removed.map(_.rel).toSet,
+          newFiles, conflictsWith = inTouchedPartition))
         } finally currentOfFed.unpersist()
     } else {
-        rewriteSnapshot(Some(v0), enforced(resolve(base, updates)))
+        stampCdcFileDiff(
+          rewriteSnapshot(Some(v0), enforced(resolve(base, updates))))
     }
     } finally upsertDelta.unpersist()
   }
@@ -3484,13 +3500,14 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def changesAt(v: Int, keysOpt: Option[Seq[String]]): DataFrame = {
     require(versions.contains(v), s"no version $v at $root")
-    versionTag(v, ManifestTable.CdcTagKey) match {
+    val cdcTag = versionTag(v, ManifestTable.CdcTagKey)
+    cdcTag match {
       case Some(ManifestTable.CdcNoChanges) =>
         return withDeclared(readEntries(entriesOf(v))).limit(0)
           .withColumn("_change_type", lit("insert"))
-      case Some(rel) =>
+      case Some(rel) if rel != ManifestTable.CdcFileDiff =>
         return spark.read.parquet(new Path(root, rel).toString)
-      case None => ()
+      case _ => () // filediff resolves below, after the file sets
     }
     val preE = if (v == 0) Seq.empty[Entry] else entriesOf(v - 1)
     val postE = entriesOf(v)
@@ -3522,6 +3539,19 @@ class ManifestTable(spark: SparkSession, root: String,
     def pad(df: DataFrame) = allCols.foldLeft(df) { (d, f) =>
       if (d.columns.contains(f.name)) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    // T15: a whole-file-replacement stamp — removed files' live rows
+    // are the deletes, added files' rows the inserts, keylessly and
+    // at O(changed files). Defensive invariant: the stamp is only
+    // ever written for commits that re-point nothing.
+    if (cdcTag.contains(ManifestTable.CdcFileDiff)) {
+      val shared = preChanged.map(_.rel).toSet
+        .intersect(postChanged.map(_.rel).toSet)
+      require(shared.isEmpty,
+        s"version $v carries a file-diff CDC stamp but re-points " +
+          s"${shared.size} file(s) — corrupted stamp; pass keys")
+      return pad(pre).withColumn("_change_type", lit("delete"))
+        .unionByName(pad(post).withColumn("_change_type", lit("insert")))
     }
     val keys = keysOpt.getOrElse(throw new IllegalArgumentException(
       s"version $v at $root changed rows in place and carries no " +
@@ -3601,7 +3631,17 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def restore(version: Int): Int = {
     require(versions.contains(version), s"no version $version at $root")
-    commit(entriesOf(version))
+    val target = entriesOf(version)
+    val curBy = latestVersion.map(entriesOf).getOrElse(Seq.empty)
+      .map(e => e.rel -> e).toMap
+    val v = commit(target)
+    // T15: a restore's changes derive keylessly from its file delta —
+    // UNLESS a shared file's entry changed across it (a DV re-point
+    // straddling the restore window: the dead-row set can't be
+    // attributed at file granularity). Then the keyed diff remains
+    // the fallback.
+    val repointed = target.filter(e => curBy.get(e.rel).exists(_ != e))
+    if (repointed.isEmpty) stampCdcFileDiff(v) else v
   }
 
   // ---- T15: write-time change-data capture (the Delta `_change_data` model) ----
@@ -3618,10 +3658,14 @@ class ManifestTable(spark: SparkSession, root: String,
     * a zero-change marker so it replays as nothing. Appends need no
     * sidecar (added files ARE the inserts). The cost: DML materializes
     * its matched rows once more to write them — O(changed rows), the
-    * price Delta pays for its change files. Commits that predate
-    * enablement (and full `write(_, "overwrite")` / `restore` /
-    * legacy-`merge` rewrites, which replace whole file sets) have no
-    * sidecar and still need `keys` to replay.
+    * price Delta pays for its change files. Whole-file-replacement
+    * commits (`write(_, "overwrite")`, `restore`, the legacy
+    * partition-rewrite `merge`) don't write a sidecar: they stamp
+    * [[ManifestTable.CdcFileDiff]] and the feed derives their changes
+    * from the file delta (removed rows → delete, added rows → insert
+    * — the Delta INSERT-OVERWRITE representation; exact in effect,
+    * coarse for rewrites carrying rows verbatim). Only commits that
+    * PREDATE enablement still need `keys` to replay.
     */
   def enableCdc(): Unit = {
     fs.mkdirs(logDir)
@@ -3658,6 +3702,18 @@ class ManifestTable(spark: SparkSession, root: String,
   private def stampCdcNone(v: Int): Int = {
     if (cdcEnabled) putVersionTag(v, ManifestTable.CdcTagKey,
       ManifestTable.CdcNoChanges)
+    v
+  }
+
+  /** Stamp a freshly committed whole-file-replacement version
+    * (overwrite / restore / legacy merge rewrite) as keylessly
+    * derivable from its file delta — see [[ManifestTable.CdcFileDiff]].
+    * Valid ONLY when no shared file was re-pointed by the commit
+    * (fresh-uuid rewrites guarantee it; restore checks explicitly).
+    */
+  private def stampCdcFileDiff(v: Int): Int = {
+    if (cdcEnabled) putVersionTag(v, ManifestTable.CdcTagKey,
+      ManifestTable.CdcFileDiff)
     v
   }
 

@@ -1184,4 +1184,51 @@ class StreamingSpec extends SparkTestBase {
     assert(!cdcLeft.exists() || cdcLeft.listFiles().isEmpty,
       "dropped versions' CDC sidecars are vacuumed")
   }
+
+  test("T15b: overwrite/restore/legacy-merge replay keylessly from their file delta") {
+    val root = scratch("t15b_table")
+    val orders = Q.t(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val a = orders.filter(col("o_orderkey") % 2 === 0)
+    val b = orders.filter(col("o_orderkey") % 3 === 0)
+    val mt = new ManifestTable(spark, root)
+    mt.write(a, "overwrite") // v0
+    mt.enableCdc()
+    mt.write(b, "overwrite") // v1: file-diff stamp, no sidecar
+    val c1 = mt.changesAt(1, None)
+    assert(c1.filter(col("_change_type") === "delete").count() === a.count())
+    assert(c1.filter(col("_change_type") === "insert").count() === b.count())
+
+    // applying a file-diff feed reproduces the post state exactly:
+    // pre ∖ deletes ∪ inserts ≡ post (multiset), for the legacy keyed
+    // merge's coarse rewrite representation too
+    def effectHolds(v: Int): Unit = {
+      val pre = mt.read(Some(v - 1))
+      val post = mt.read(Some(v))
+      val ch = mt.changesAt(v, None)
+      val dels = ch.filter(col("_change_type") === "delete")
+        .select(pre.columns.map(col): _*)
+      val ins = ch.filter(col("_change_type") === "insert")
+        .select(pre.columns.map(col): _*)
+      val applied = pre.exceptAll(dels).unionAll(ins)
+      assert(applied.exceptAll(post).count() === 0, s"v$v over-applies")
+      assert(post.exceptAll(applied).count() === 0, s"v$v under-applies")
+    }
+    mt.merge(b.limit(50)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+      Seq("o_orderkey")) // v2: legacy merge → snapshot rewrite
+    effectHolds(2)
+    mt.restore(1) // v3: DV-free restore → file-diff stamp
+    effectHolds(3)
+
+    // a restore straddling a DV re-point can NOT be derived at file
+    // granularity: no stamp, keyless refuses, keys fall back
+    mt.delete(col("o_orderkey") % 5 === 0) // v4 (exact sidecar)
+    mt.restore(3) // v5: shares v3's rels but v4 re-pointed them
+    val pre5 = intercept[IllegalArgumentException] { mt.changesAt(5, None) }
+    assert(pre5.getMessage.contains("pass keys"))
+    assert(mt.changesBetween(4, 5, Seq("o_orderkey"))
+      .filter(col("_change_type") === "insert").count() > 0,
+      "the keyed diff resurrects the un-deleted rows")
+  }
 }
