@@ -696,8 +696,11 @@ object Lakehouse extends QueryModule {
     val src = orders.filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey").as("s_key"),
         (col("o_totalprice") * 2).as("s_price"))
+      // shift well above ANY key the bench datasets mint (sf1's
+      // replicas offset keys by 10M — a +10M shift would collide there
+      // and duplicate MERGE source keys)
       .unionByName(orders.filter(col("o_orderkey") % 503 === 0)
-        .select((col("o_orderkey") + 10000000L).as("s_key"),
+        .select((col("o_orderkey") + 10000000000L).as("s_key"),
           col("o_totalprice").as("s_price")))
     mt.mergeInto(src, col("o_orderkey") === col("s_key"),
       matched = Seq(
@@ -723,7 +726,7 @@ object Lakehouse extends QueryModule {
     * (%15 ≠ 0): a delete when %485 = 0 (first-match-wins), else an
     * update pair whose postimage is the RAW price doubled (the source
     * derives from the input table, not the current state) — plus
-    * inserts of the %503 keys shifted +10M AND of the %97 keys the v2
+    * inserts of the %503 keys shifted +10¹⁰ AND of the %97 keys the v2
     * delete killed (a dead key fed to MERGE is NOT MATCHED and
     * re-inserts: standard upsert resurrection, status 'N', doubled
     * price); v4 = nothing (compaction moves rows verbatim).
@@ -765,7 +768,7 @@ object Lakehouse extends QueryModule {
       |  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 15 <> 0
       |    AND o_orderkey % 485 <> 0
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000, 'N', o_totalprice, 'insert', 3
+      |  SELECT o_orderkey + 10000000000, 'N', o_totalprice, 'insert', 3
       |  FROM orders WHERE o_orderkey % 503 = 0
       |  UNION ALL
       |  SELECT o_orderkey, 'N', o_totalprice * 2, 'insert', 3
