@@ -2900,18 +2900,22 @@ class ManifestTable(spark: SparkSession, root: String,
       // T15: with CDC on, the postimages are recorded in the sidecar
       // AND written as the appended copies — materialize them once so
       // a nondeterministic assignment cannot record one set of rows
-      // and write another
-      val updated = if (!cdcEnabled) updated0
+      // and write another. cdcEnabled snapshots ONCE (it is an
+      // fs.exists): a mid-operation enableCdc/disableCdc toggle must
+      // not split the checkpoint from its release or from the
+      // sidecar decision.
+      val cdcOn = cdcEnabled
+      val updated = if (!cdcOn) updated0
         else updated0.localCheckpoint(true)
       try {
-        val cdc = if (!cdcEnabled) None else Some(
+        val cdc = if (!cdcOn) None else Some(
           hits.select(cols.map(col): _*)
             .withColumn(ManifestTable.ChangeTypeCol, lit("update_preimage"))
             .unionByName(updated.withColumn(
               ManifestTable.ChangeTypeCol, lit("update_postimage"))))
         commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
           Seq(enforced(updated)), cdc = cdc)
-      } finally if (cdcEnabled) graft.functions.CheckpointOps.release(updated)
+      } finally if (cdcOn) graft.functions.CheckpointOps.release(updated)
     } finally graft.functions.CheckpointOps.release(hits) // RDD-level: Dataset.unpersist no-ops on checkpoints
   }
 
@@ -3211,8 +3215,12 @@ class ManifestTable(spark: SparkSession, root: String,
     val conflictsWith: Entry => Boolean = if (strict) _ => true else _ => false
     val cdcOn = cdcEnabled
     // T15 (CDC mode): full hit rows are both the DV marks and the
-    // recorded deletes — checkpoint each batch once so they agree
+    // recorded deletes, and the adds are both the written data files
+    // and the recorded inserts — checkpoint EACH once so the sidecar
+    // and the commit cannot diverge (adds may derive from a
+    // concurrently-changing source, e.g. an index refresh delta)
     val hitCheckpoints = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val addsC = if (!cdcOn) adds else adds.map(_.localCheckpoint(true))
     try {
       val hitDfs = deletes.flatMap { case (c, values0) =>
         val vals = values0.filter(_ != null).distinct
@@ -3237,17 +3245,20 @@ class ManifestTable(spark: SparkSession, root: String,
         .reduceOption(_.unionByName(_)).getOrElse(
         // empty stand-in so commitDv's count job is trivially empty
         spark.range(0).select(lit("").as(DvFileCol), lit(0L).as(DvPosCol)))
-      if (hitDfs.isEmpty && adds.isEmpty) return v0
+      if (hitDfs.isEmpty && addsC.isEmpty) return v0
       val ct = ManifestTable.ChangeTypeCol
       val cdc: Option[DataFrame] = if (!cdcOn) None else
         (hitDfs.map(h => h.select(h.columns
             .filterNot(Set(DvFileCol, DvPosCol)).toSeq.map(col): _*)
             .withColumn(ct, lit("delete"))) ++
-          adds.map(_.withColumn(ct, lit("insert"))))
+          addsC.map(_.withColumn(ct, lit("insert"))))
           .reduceOption(_ unionByName _)
-      commitDv(v0, entries, marks, adds, conflictsWith,
+      commitDv(v0, entries, marks, addsC, conflictsWith,
         appendWithoutMarks = true, cdc = cdc)
-    } finally hitCheckpoints.foreach(graft.functions.CheckpointOps.release)
+    } finally {
+      hitCheckpoints.foreach(graft.functions.CheckpointOps.release)
+      if (cdcOn) addsC.foreach(graft.functions.CheckpointOps.release)
+    }
   }
 
   /** L5: OPTIMIZE — small-file compaction after many appends: rewrite
@@ -3543,15 +3554,21 @@ class ManifestTable(spark: SparkSession, root: String,
     // T15: a whole-file-replacement stamp — removed files' live rows
     // are the deletes, added files' rows the inserts, keylessly and
     // at O(changed files). Defensive invariant: the stamp is only
-    // ever written for commits that re-point nothing.
+    // ever written for commits that re-point nothing — a violated
+    // stamp (corruption, an out-of-band tag write) must NOT brick the
+    // version: with keys the keyed diff below still answers exactly;
+    // only the keyless read has no recourse and refuses.
     if (cdcTag.contains(ManifestTable.CdcFileDiff)) {
       val shared = preChanged.map(_.rel).toSet
         .intersect(postChanged.map(_.rel).toSet)
-      require(shared.isEmpty,
+      if (shared.isEmpty)
+        return pad(pre).withColumn("_change_type", lit("delete"))
+          .unionByName(pad(post).withColumn("_change_type", lit("insert")))
+      if (keysOpt.isEmpty) throw new IllegalArgumentException(
         s"version $v carries a file-diff CDC stamp but re-points " +
-          s"${shared.size} file(s) — corrupted stamp; pass keys")
-      return pad(pre).withColumn("_change_type", lit("delete"))
-        .unionByName(pad(post).withColumn("_change_type", lit("insert")))
+          s"${shared.size} file(s) — invalid stamp; pass keys for a " +
+          "keyed diff")
+      // else: fall through to the keyed diff, which ignores the stamp
     }
     val keys = keysOpt.getOrElse(throw new IllegalArgumentException(
       s"version $v at $root changed rows in place and carries no " +
@@ -3632,15 +3649,17 @@ class ManifestTable(spark: SparkSession, root: String,
   def restore(version: Int): Int = {
     require(versions.contains(version), s"no version $version at $root")
     val target = entriesOf(version)
-    val curBy = latestVersion.map(entriesOf).getOrElse(Seq.empty)
-      .map(e => e.rel -> e).toMap
     val v = commit(target)
     // T15: a restore's changes derive keylessly from its file delta —
     // UNLESS a shared file's entry changed across it (a DV re-point
     // straddling the restore window: the dead-row set can't be
     // attributed at file granularity). Then the keyed diff remains
-    // the fallback.
-    val repointed = target.filter(e => curBy.get(e.rel).exists(_ != e))
+    // the fallback. The check compares against the ACTUAL previous
+    // version — commit() retries version races, so a concurrent
+    // commit may have landed after any pre-commit snapshot; deciding
+    // the stamp from v-1 itself cannot be raced.
+    val prevBy = entriesOf(v - 1).map(e => e.rel -> e).toMap
+    val repointed = target.filter(e => prevBy.get(e.rel).exists(_ != e))
     if (repointed.isEmpty) stampCdcFileDiff(v) else v
   }
 

@@ -94,8 +94,20 @@ class GraftTableSourceProvider extends StreamSourceProvider
       .orElse(parameters.get("readChangeFeed"))
       .exists(_.equalsIgnoreCase("true"))
     if (!on) None
-    else Some(parameters.get("keys").map(_.split(",").map(_.trim).toSeq
-      .filter(_.nonEmpty)).filter(_.nonEmpty))
+    else Some(parameters.get("keys").map { s =>
+      // keyless mode is reserved for the option being ABSENT: a keys
+      // string that names no columns ('', ' , ') is a typo, and
+      // silently degrading it to sidecar semantics would change what
+      // the feed emits (no-op update images) or surface as a
+      // confusing replay-time CDC error on pre-CDC tables — refuse
+      // like the SQL TVF's empty keys_csv does
+      val ks = s.split(",").map(_.trim).toSeq.filter(_.nonEmpty)
+      if (ks.isEmpty) throw new IllegalArgumentException(
+        "readChangeFeed keys option names no columns — pass key " +
+          "columns, or omit the option entirely for keyless sidecar " +
+          "replay")
+      ks
+    })
   }
 
   /** First version the change feed emits (its initial batch covers

@@ -1230,5 +1230,30 @@ class StreamingSpec extends SparkTestBase {
     assert(mt.changesBetween(4, 5, Seq("o_orderkey"))
       .filter(col("_change_type") === "insert").count() > 0,
       "the keyed diff resurrects the un-deleted rows")
+
+    // a VIOLATED file-diff stamp (out-of-band tag write) must not
+    // brick the version: keys fall through to the keyed diff; only
+    // the keyless read refuses, by name
+    mt.putVersionTag(4, "cdc", "filediff") // v4 re-points files (DV)
+    val keyed4 = mt.changesAt(4, Some(Seq("o_orderkey")))
+    val truth4 = mt.changesBetween(3, 4, Seq("o_orderkey"))
+      .select(keyed4.columns.map(col): _*)
+    assert(keyed4.exceptAll(truth4).count() === 0)
+    assert(truth4.exceptAll(keyed4).count() === 0)
+    val badStamp = intercept[IllegalArgumentException] {
+      mt.changesAt(4, None)
+    }
+    assert(badStamp.getMessage.contains("invalid stamp"))
+
+    // a keys option naming NO columns is a typo, not keyless mode
+    val blankKeys = intercept[IllegalArgumentException] {
+      spark.readStream
+        .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+        .option("root", root)
+        .option("readChangeFeed", "true")
+        .option("keys", " , ")
+        .load()
+    }
+    assert(messageChain(blankKeys).contains("names no columns"))
   }
 }
