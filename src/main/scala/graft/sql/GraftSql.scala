@@ -337,6 +337,14 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       case "drop_tag" =>
         table.dropTag(str(1))
         versionRow(table.latestVersion.getOrElse(-1))
+      case "enable_cdc" =>
+        // enable_cdc(root) — write-time change capture from here on
+        // (the Delta TBLPROPERTIES delta.enableChangeDataFeed role)
+        table.enableCdc()
+        versionRow(table.latestVersion.getOrElse(-1))
+      case "disable_cdc" =>
+        table.disableCdc()
+        versionRow(table.latestVersion.getOrElse(-1))
       case "maintenance_plan" =>
         // maintenance_plan(root [, small_file_bytes]) — ordered layout
         // recommendations, read-only (the operator runs the commands)

@@ -240,9 +240,11 @@ class GraftTableSourceProvider extends StreamSourceProvider
     * DataSource story go through one format string. L35: with
     * `.option("readChangeFeed", "true")` (+ `keys`) the batch read
     * returns CHANGE rows instead of a snapshot — Delta's batch-CDF
-    * contract: `startingVersion` (default 0) / `endingVersion`
-    * (default latest) bound the inclusive commit range, each row
-    * stamped `_change_type` / `_commit_version`.
+    * contract: the inclusive commit range is bounded by
+    * `startingVersion` | `startingTimestamp` | `startingTag`
+    * (default 0; the stream's anchor lattice, combine refusals
+    * included) and `endingVersion` | `endingTimestamp` (default
+    * latest), each row stamped `_change_type` / `_commit_version`.
     */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -301,8 +303,13 @@ class GraftTableSourceProvider extends StreamSourceProvider
           .orElse(mt.latestVersion)
           .getOrElse(throw new IllegalArgumentException(
             s"no committed versions at $root"))
+        // start anchors share the STREAM's resolution lattice
+        // (startingVersion | startingTimestamp | startingTag, combine
+        // refusals included) — only 'latest' is refused by name here:
+        // it is a subscription anchor, meaningless for a bounded range
+        versionOpt("startingVersion", latestOk = false)
         GraftTableSource.batchChanges(spark, root, keysOpt,
-          versionOpt("startingVersion", latestOk = false).getOrElse(0), to)
+          startingVersion(spark, parameters), to)
       case None =>
         (opt("versionAsOf"), opt("timestampAsOf"), opt("tagAsOf")) match {
           case (Some(v), None, None) => mt.read(Some(v.toInt))

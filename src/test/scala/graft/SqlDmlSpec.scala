@@ -92,6 +92,36 @@ class SqlDmlSpec extends SparkTestBase {
       .count() === expectCount)
   }
 
+  test("CDC lifecycle through SQL: enable_cdc, DML, keyless table_changes, disable_cdc") {
+    import graft.lake.ManifestTable
+    val root = scratch("cdc_sql")
+    val orders = Q.t(sqlSpark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    new ManifestTable(sqlSpark, root).write(orders, "overwrite") // v0
+    sqlSpark.sql(s"CALL graft.enable_cdc('$root')")
+    sqlSpark.sql(s"CALL graft.update('$root', 'o_orderkey % 9 = 0', " +
+      "'o_totalprice = o_totalprice + 1.0')") // v1: sidecar
+    sqlSpark.sql(s"CALL graft.delete('$root', 'o_orderkey % 11 = 0')") // v2
+    val ch = sqlSpark.sql(s"SELECT * FROM graft_table_changes('$root', 1, 2)")
+    assert(ch.filter(col("_change_type") === "update_postimage").count() > 0)
+    assert(ch.filter(col("_change_type") === "delete").count() > 0)
+    // keyless sidecar replay ≡ the keyed snapshot diff, per version
+    val mt = ManifestTable.forRoot(sqlSpark, root)
+    (1 to 2).foreach { v =>
+      val a = mt.changesAt(v, None)
+      val b = mt.changesBetween(v - 1, v, Seq("o_orderkey"))
+        .select(a.columns.map(col): _*)
+      assert(a.exceptAll(b).count() === 0, s"v$v")
+      assert(b.exceptAll(a).count() === 0, s"v$v")
+    }
+    // disable stops capture: the next DML has no sidecar and the
+    // keyless read refuses with the fix named
+    sqlSpark.sql(s"CALL graft.disable_cdc('$root')")
+    sqlSpark.sql(s"CALL graft.delete('$root', 'o_orderkey % 13 = 0')") // v3
+    val e = intercept[IllegalArgumentException] { mt.changesAt(3, None) }
+    assert(e.getMessage.contains("pass keys"))
+  }
+
   test("maintenance_plan recommends compact_small + reorg on a messy table, nothing on a clean one") {
     import graft.lake.ManifestTable
     val root = scratch("advisor")

@@ -1055,6 +1055,20 @@ class StreamingSpec extends SparkTestBase {
       batch("startingVersion" -> "latest")
     }
     assert(messageChain(badStart).contains("startingVersion"))
+
+    // batch START anchors share the stream's lattice: a timestamp
+    // resolves to the first commit at or after it, a tag to its
+    // version, and anchors refuse to combine
+    val byTs = batch("startingTimestamp" -> mt.commitTimeOf(2).toString)
+    assert(byTs.filter(col("_commit_version") < 2L).count() === 0)
+    assert(byTs.filter(col("_commit_version") === 2L).count() > 0)
+    val byTag = batch("startingTag" -> "release-a")
+    assert(byTag.filter(col("_commit_version") === 0L).count() === 0)
+    assert(byTag.filter(col("_commit_version") === 1L).count() > 0)
+    val comb = intercept[IllegalArgumentException] {
+      batch("startingTag" -> "release-a", "startingVersion" -> "1")
+    }
+    assert(messageChain(comb).contains("cannot combine"))
   }
 
   test("T14b: startingVersion anchors the APPEND stream too — no full-snapshot replay") {
