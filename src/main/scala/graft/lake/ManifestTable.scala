@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
 import java.util.UUID
@@ -3864,17 +3864,79 @@ class ManifestTable(spark: SparkSession, root: String,
 
   /** L4: VACUUM — delete data files unreferenced by the `retain` most
     * recent versions, and drop manifests older than those. Returns
-    * deleted file paths. `dryRun` lists what WOULD be deleted without
-    * touching anything (the Delta `VACUUM ... DRY RUN` safety valve —
-    * the check an operator runs before an irreversible cleanup,
-    * e.g. to confirm no shallow clone still references the files).
+    * deleted file paths — use [[vacuumCount]] when the table is large
+    * enough that the path list itself should never sit on the driver.
+    * `dryRun` lists what WOULD be deleted without touching anything
+    * (the Delta `VACUUM ... DRY RUN` safety valve — the check an
+    * operator runs before an irreversible cleanup, e.g. to confirm no
+    * shallow clone still references the files).
+    */
+  def vacuum(retain: Int = 1, dryRun: Boolean = false,
+      minAgeMs: Long = ManifestTable.DefaultVacuumMinAgeMs): Seq[String] =
+    vacuumImpl(retain, dryRun, minAgeMs) { (data, _, other) =>
+      data.collect().toSeq ++ other
+    }
+
+  /** Scale form of [[vacuum]]: identical work, but only the COUNT of
+    * deleted files crosses the driver — the referenced set, the
+    * candidate list and the deleted-path list stay distributed
+    * Datasets end-to-end. At 10⁷ files [[vacuum]]'s returned Seq is
+    * gigabytes of path strings on the driver; a maintenance job at
+    * that scale wants this form (see `graft.tools.VacuumScale` for the
+    * measured heap evidence).
+    */
+  def vacuumCount(retain: Int = 1, dryRun: Boolean = false,
+      minAgeMs: Long = ManifestTable.DefaultVacuumMinAgeMs): Long =
+    vacuumImpl(retain, dryRun, minAgeMs) { (_, dataCount, other) =>
+      dataCount + other.size
+    }
+
+  /** [[vacuumCount]] that additionally persists the deleted (or, with
+    * `dryRun`, would-be-deleted) path list as a single-column parquet
+    * table at `outPath` — the audit-trail form for big tables, written
+    * executor-to-disk without driver materialization.
+    */
+  def vacuumReport(outPath: String, retain: Int = 1,
+      dryRun: Boolean = false,
+      minAgeMs: Long = ManifestTable.DefaultVacuumMinAgeMs): Long = {
+    import spark.implicits._
+    vacuumImpl(retain, dryRun, minAgeMs) { (data, dataCount, other) =>
+      data.toDF("path")
+        .unionByName(other.toDF("path"))
+        .write.mode("overwrite").parquet(outPath)
+      dataCount + other.size
+    }
+  }
+
+  /** The vacuum engine behind [[vacuum]]/[[vacuumCount]]. `finish`
+    * receives (persisted Dataset of deleted data-file paths, its
+    * count, driver-side list of deleted sidecar/manifest/tmp paths)
+    * and shapes the caller's result; it runs before unpersist, under
+    * the ref lock.
     *
-    * Scale: the data-tree listing, the referenced-set anti-join and
-    * the delete phase all run as SPARK JOBS (the Delta vacuum shape) —
-    * tasks fan out over the first-level subdirectories (partition
-    * dirs), so a 10⁶–10⁷-file table lists in parallel instead of
-    * hours of serialized driver `listStatus`. Sidecar sweeps (DV, CDC)
-    * stay driver-side: they are one `listStatus` each, O(sidecars).
+    * Scale: NOTHING O(data files) is ever materialized on the driver.
+    *  - The data-tree listing fans out over first-level subdirs as a
+    *    Spark job (a 10⁶–10⁷-file table lists in parallel, not hours
+    *    of serialized driver `listStatus`).
+    *  - The referenced set is built by parsing the kept versions'
+    *    manifest/delta chain files IN EXECUTORS: the driver only
+    *    enumerates the chain (O(keepVs × checkpoint cadence) file
+    *    paths); a distributed groupBy folds each (kept version, rel)
+    *    to its last add/remove event — ties (a re-point's -/+ pair in
+    *    one delta) resolve to "referenced", the conservative side.
+    *  - Candidates are the listing anti-joined against that referenced
+    *    DataFrame, and the delete phase is a `mapPartitions` over the
+    *    surviving Dataset; only the count is collected.
+    * Sidecar sweeps (DV, CDC) and the manifest/tmp tail stay
+    * driver-side: they are one `listStatus` each, O(sidecars) —
+    * documented and bounded.
+    *
+    * Retention horizon (the Delta deletedFileRetentionDuration
+    * pattern): an unreferenced file younger than `minAgeMs` may belong
+    * to an IN-FLIGHT commit — a concurrent writer stages data files
+    * and DV sidecars BEFORE its manifest rename, and vacuuming them
+    * leaves the winning commit unreadable. Age gates on modification
+    * time; tests pass minAgeMs = 0 for immediacy.
     *
     * Concurrency: the tag snapshot, referenced-set build and every
     * delete run under the shared ref lock (see [[createTag]]) — an
@@ -3882,14 +3944,8 @@ class ManifestTable(spark: SparkSession, root: String,
     * deletes and be left dangling. Cross-process taggers racing a
     * vacuum are the documented single-maintenance-writer caveat.
     */
-  def vacuum(retain: Int = 1, dryRun: Boolean = false,
-      minAgeMs: Long = ManifestTable.DefaultVacuumMinAgeMs): Seq[String] = {
-    // retention horizon (the Delta deletedFileRetentionDuration
-    // pattern): an unreferenced file younger than the horizon may
-    // belong to an IN-FLIGHT commit — a concurrent writer stages data
-    // files and DV sidecars BEFORE its manifest rename, and vacuuming
-    // them leaves the winning commit unreadable. Age gates on
-    // modification time; tests pass minAgeMs = 0 for immediacy.
+  private def vacuumImpl[T](retain: Int, dryRun: Boolean, minAgeMs: Long)(
+      finish: (Dataset[String], Long, Seq[String]) => T): T = {
     val cutoff = System.currentTimeMillis() - minAgeMs
     // ---- phase 1 (no lock): distributed data-tree listing ----
     // serializable conf snapshot for executor-side FileSystem access;
@@ -3936,6 +3992,8 @@ class ManifestTable(spark: SparkSession, root: String,
     // must not be held for the long part of the job
     val listed = listedDf.persist()
     listed.count(): Unit
+    var folded: DataFrame = null
+    var matDeleted: Dataset[String] = null
     try {
       ManifestTable.lockFor(
         fs.makeQualified(logDir).toString + "#refs").synchronized {
@@ -3947,42 +4005,121 @@ class ManifestTable(spark: SparkSession, root: String,
         // lands before this snapshot or waits out the deletes.
         val taggedVs = tagRefs.map(_._2).filter(vs.contains).toSet
         val keepVs = (vs.takeRight(retain) ++ taggedVs).distinct.sorted
-        // qualify both sides: manifest paths are scheme-less, listStatus
-        // returns fully-qualified (file:/…) paths. Staged WAP branches
-        // count as references — their files are pre-publish, not garbage.
-        val referenced = (keepVs.flatMap(filesOf) ++
-            branches.flatMap(b => branchEntries(b)
-              .map(e => new Path(root, e.rel).toString)))
-          .map(f => fs.makeQualified(new Path(f)).toString).toSet
-        // distributed anti-join: the listed tree minus the referenced
-        // set minus the too-young — the kept-files side can be the
-        // whole table's manifest, so it rides a DataFrame, not a
-        // driver set-difference loop
-        val candidates = listed
-          .filter(col("mtime") < cutoff && col("path").endsWith(".parquet"))
-          .join(referenced.toSeq.toDF("path"), Seq("path"), "left_anti")
-          .select("path").as[String].collect().toSeq
-        val deleted = scala.collection.mutable.ArrayBuffer[String]()
-        if (candidates.nonEmpty) {
-          if (dryRun) deleted ++= candidates
-          else {
-            val slices = math.max(1, math.min(candidates.size,
-              4 * spark.sparkContext.defaultParallelism))
-            deleted ++= spark.sparkContext
-              .parallelize(candidates, slices).mapPartitions { it =>
-                val conf = ManifestTable.confFromMap(confMap)
-                it.map { s =>
-                  val p = new org.apache.hadoop.fs.Path(s)
-                  p.getFileSystem(conf).delete(p, false)
-                  s
-                }
-              }.collect()
+        // chain descriptors for every kept version — the same
+        // checkpoint-or-nearest-below resolution [[entriesOf]] walks,
+        // but only the FILE PATHS are enumerated driver-side; their
+        // contents are parsed in executors. Staged WAP branches count
+        // as references — their files are pre-publish, not garbage
+        // (all-adds, so they ride as pseudo-manifests).
+        val chainFiles: Seq[(Int, Int, String, Boolean)] =
+          keepVs.flatMap { v =>
+            if (fs.exists(manifestPath(v)))
+              Seq((v, v, manifestPath(v).toString, true))
+            else {
+              var s = v - 1
+              while (s >= 0 && !fs.exists(manifestPath(s))) s -= 1
+              if (s < 0) throw new IllegalStateException(
+                s"no checkpoint manifest at or below v$v under $logDir")
+              (v, s, manifestPath(s).toString, true) +:
+                (s + 1 to v).map(d => (v, d, deltaPath(d).toString, false))
+            }
+          } ++ branches.zipWithIndex.map { case (b, i) =>
+            (-1 - i, 0, branchFile(b).toString, true)
           }
-        }
-        // deletion-vector sidecars unreferenced by any kept entry go too
-        // (a sidecar is a directory written by Spark — removed whole)
-        val dvReferenced = keepVs.flatMap(v => entriesOf(v)
-            .flatMap(_.stats.get(ManifestTable.DvKey).map(_.mn)))
+        val encDv = java.net.URLEncoder.encode(ManifestTable.DvKey, "UTF-8")
+        val rootStr = root.toString
+        val events: DataFrame =
+          if (chainFiles.isEmpty)
+            Seq.empty[(Int, String, Int, Int, String)]
+              .toDF("keepV", "rel", "ver", "add", "dv")
+          else {
+            val slices = math.max(1, math.min(chainFiles.size,
+              4 * spark.sparkContext.defaultParallelism))
+            spark.sparkContext.parallelize(chainFiles, slices)
+              .flatMap { case (keepV, ver, pathStr, isManifest) =>
+                val p = new org.apache.hadoop.fs.Path(pathStr)
+                val tfs = p.getFileSystem(ManifestTable.confFromMap(confMap))
+                val in = tfs.open(p)
+                val lines =
+                  try scala.io.Source.fromInputStream(in, "UTF-8")
+                    .getLines().filter(_.nonEmpty).toList
+                  finally in.close()
+                // rel + DV ref only — zone-map stats are irrelevant to
+                // reachability, so the parse stays a cheap split
+                def parseAdd(entryLine: String): (String, String) = {
+                  val fields = entryLine.split('\t')
+                  val dv = fields.iterator.drop(1)
+                    .find(_.startsWith(encDv + "="))
+                    .map { f =>
+                      java.net.URLDecoder.decode(
+                        f.substring(encDv.length + 1).split(':')(0), "UTF-8")
+                    }.orNull
+                  (fields(0), dv)
+                }
+                lines.map { line =>
+                  if (isManifest) {
+                    val (rel, dv) = parseAdd(line)
+                    (keepV, rel, ver, 1, dv)
+                  } else if (line.startsWith("-\t"))
+                    (keepV, line.substring(2).split('\t')(0), ver, 0,
+                      null: String)
+                  else if (line.startsWith("+\t")) {
+                    val (rel, dv) = parseAdd(line.substring(2))
+                    (keepV, rel, ver, 1, dv)
+                  } else throw new IllegalStateException(
+                    s"bad delta line in $pathStr: $line")
+                }
+              }.toDF("keepV", "rel", "ver", "add", "dv")
+          }
+        // last event per (kept version, rel) wins: within a version a
+        // re-point's -/+ pair ties on `ver`, and add=1 > remove=0
+        // sorts the add on top — the conservative (keep) side
+        folded = events.groupBy("keepV", "rel")
+          .agg(max(struct(col("ver"), col("add"), col("dv"))).as("last"))
+          .filter(col("last.add") === 1)
+          .persist()
+        folded.count(): Unit
+        // qualify both sides: manifest paths are scheme-less, listStatus
+        // returns fully-qualified (file:/…) paths — done in executors,
+        // so the referenced set never exists as a driver collection
+        val refPaths = folded.select("rel").distinct().as[String]
+          .mapPartitions { it =>
+            val conf = ManifestTable.confFromMap(confMap)
+            val rootP = new org.apache.hadoop.fs.Path(rootStr)
+            val rfs = rootP.getFileSystem(conf)
+            it.map(rel => rfs.makeQualified(
+              new org.apache.hadoop.fs.Path(rootP, rel)).toString)
+          }.toDF("path")
+        // distributed anti-join: the listed tree minus the referenced
+        // set minus the too-young — then the delete phase runs
+        // DIRECTLY on the surviving Dataset; no driver round-trip
+        val survivors = listed
+          .filter(col("mtime") < cutoff && col("path").endsWith(".parquet"))
+          .join(refPaths, Seq("path"), "left_anti")
+          .select("path").as[String]
+        val deletedData =
+          if (dryRun) survivors
+          else survivors.mapPartitions { it =>
+            val conf = ManifestTable.confFromMap(confMap)
+            it.map { s =>
+              val p = new org.apache.hadoop.fs.Path(s)
+              p.getFileSystem(conf).delete(p, false)
+              s
+            }
+          }
+        // persist + count forces every delete NOW, under the lock, and
+        // pins the path list executor-side for callers that want it
+        matDeleted = deletedData.persist()
+        val dataCount = matDeleted.count()
+        // sidecar / manifest / tmp cleanup stays a driver list —
+        // O(sidecars + versions), never O(data files)
+        val deleted = scala.collection.mutable.ArrayBuffer[String]()
+        // deletion-vector sidecars unreferenced by any kept entry go
+        // too (a sidecar is a directory written by Spark — removed
+        // whole). Live DV refs come out of the SAME distributed fold —
+        // the winning add's DV stat — collected at O(live sidecars).
+        val dvReferenced = folded.filter(col("last.dv").isNotNull)
+          .select(col("last.dv")).distinct().as[String].collect()
           .map(r => fs.makeQualified(new Path(root, r)).toString).toSet
         if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { st =>
           if (st.getModificationTime < cutoff &&
@@ -4007,9 +4144,13 @@ class ManifestTable(spark: SparkSession, root: String,
           }
         }
         vacuumManifests(vs, keepVs, taggedVs, retain, dryRun, cutoff, deleted)
-        deleted.toSeq
+        finish(matDeleted, dataCount, deleted.toSeq)
       }
-    } finally listed.unpersist(): Unit
+    } finally {
+      listed.unpersist(): Unit
+      if (folded != null) folded.unpersist(): Unit
+      if (matDeleted != null) matDeleted.unpersist(): Unit
+    }
   }
 
   /** The manifest/tag/tmp cleanup tail of [[vacuum]] — runs under the

@@ -440,6 +440,67 @@ object Lakehouse extends QueryModule {
       |    AND s.s_pri <> '5-LOW')
       |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** L38: `MERGE INTO ... WITH SCHEMA EVOLUTION` — Delta autoMerge
+    * semantics via Spark's native ResolveMergeIntoSchemaEvolution
+    * against the DSv2 catalog: the feed carries a column the target
+    * lacks (`o_note`); the analyzer turns it into an AddColumn
+    * TableChange routed through [[GraftCatalog.alterTable]] → the L26
+    * declared-schema policy, then `UPDATE SET *` / `INSERT *` flow it.
+    * Pre-existing rows read typed NULL. The oracle replays the
+    * add-column-then-merge as a union over the raw orders.
+    */
+  def l38MergeEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val s = dmlSession(spark)
+    new ManifestTable(s, dmlScratch(s, "orders_l38"))
+      .write(Q.t(s, dir, "orders"), "overwrite")
+    Q.t(s, dir, "orders").createOrReplaceTempView("l38_orders_raw")
+    // matched arm doubles the price and stamps o_note; insert keys
+    // shift past max(o_orderkey) (same collision-proofing as l30)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       o_totalprice * 2 AS o_totalprice, o_orderdate,
+        |       o_orderpriority,
+        |       concat('upd-', o_orderkey) AS o_note
+        |FROM l38_orders_raw WHERE o_orderkey % 11 = 0
+        |UNION ALL
+        |SELECT o_orderkey + m.mx, o_custkey, o_orderstatus,
+        |       o_totalprice, o_orderdate, o_orderpriority,
+        |       concat('ins-', o_orderkey) AS o_note
+        |FROM l38_orders_raw CROSS JOIN
+        |  (SELECT max(o_orderkey) + 1 AS mx FROM l38_orders_raw) m
+        |WHERE o_orderkey % 19 = 0""".stripMargin)
+      .createOrReplaceTempView("l38_feed")
+    s.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_dml.gold.orders_l38 t
+        |USING l38_feed s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_note
+        |FROM graft_dml.gold.orders_l38
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin)
+  }
+
+  val l38Oracle: String =
+    """WITH feed AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+      |         concat('upd-', o_orderkey) AS o_note
+      |  FROM orders WHERE o_orderkey % 11 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + m.mx, o_custkey, o_totalprice,
+      |         concat('ins-', o_orderkey) AS o_note
+      |  FROM orders CROSS JOIN
+      |    (SELECT max(o_orderkey) + 1 AS mx FROM orders) m
+      |  WHERE o_orderkey % 19 = 0)
+      |SELECT o_orderkey, o_custkey, o_totalprice, o_note FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |         CAST(NULL AS VARCHAR) AS o_note
+      |  FROM orders WHERE o_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_note FROM feed)
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
   /** L33: persistent SQL views ([[graft.sql.GraftViewRule]] over the
     * ViewCatalog side of [[graft.sql.GraftCatalog]]) — `CREATE OR
     * REPLACE VIEW cat.ns.v (cols) AS SELECT …` persisted in the
@@ -1049,6 +1110,7 @@ object Lakehouse extends QueryModule {
     "l35_cdf_batch" -> l35CdfBatch,
     "l36_tag_read" -> l36TagRead,
     "l37_cdc_write" -> l37CdcWrite,
+    "l38_merge_evolve" -> l38MergeEvolve,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
@@ -1070,6 +1132,7 @@ object Lakehouse extends QueryModule {
     "l35_cdf_batch" -> l35Oracle,
     "l36_tag_read" -> l36Oracle,
     "l37_cdc_write" -> l37Oracle,
+    "l38_merge_evolve" -> l38Oracle,
     "l15_dv_roundtrip" -> l15Oracle,
     "l6_exact_dedup" -> l6Oracle)
 }

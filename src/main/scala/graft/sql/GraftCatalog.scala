@@ -654,10 +654,23 @@ private[sql] class GraftSqlTable(ident: Identifier,
 
   override def schema(): StructType = df.schema
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
+    // MERGE INTO ... WITH SCHEMA EVOLUTION: Spark's analyzer
+    // (ResolveMergeIntoSchemaEvolution) turns the source's new columns
+    // into AddColumn TableChanges and routes them through
+    // [[GraftCatalog.alterTable]] — i.e. the L26 declared-schema
+    // add-column policy; existing rows read typed NULL. Type CHANGES
+    // (a source column whose type widens the target's) surface as
+    // UpdateColumnType, which alterTable refuses loudly — add-only, the
+    // engine's never-mutate-written-data stance. A pinned snapshot is
+    // read-only, so it does not advertise evolution.
+    if (version.isEmpty && asOfMs.isEmpty)
+      caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION): Unit
+    caps
+  }
 
   private def requireWritable(op: String): Unit =
     require(version.isEmpty && asOfMs.isEmpty,

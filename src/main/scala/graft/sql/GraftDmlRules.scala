@@ -52,7 +52,13 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case Some((tbl, rel)) => lowerUpdate(tbl, rel, assignments, condition)
           case None => u
         }
-      case m: MergeIntoTable if m.resolved && noStarActions(m) =>
+      // !needSchemaEvolution: WITH SCHEMA EVOLUTION statements wait for
+      // Spark's ResolveMergeIntoSchemaEvolution (same fixpoint batch) to
+      // push the source's new columns through the catalog's alterTable
+      // (the L26 add-column policy) and refresh the relation — lowering
+      // before that would silently drop the evolution
+      case m: MergeIntoTable
+          if m.resolved && noStarActions(m) && !m.needSchemaEvolution =>
         graftTarget(m.targetTable) match {
           case Some((tbl, rel)) => lowerMerge(session, tbl, rel, m)
           case None => m
@@ -151,9 +157,6 @@ object GraftDmlRules {
   private[sql] def lowerMerge(session: SparkSession, tbl: GraftSqlTable,
       rel: DataSourceV2Relation, m: MergeIntoTable): LogicalPlan = {
     requireWritable(tbl, "MERGE INTO")
-    if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-      "MERGE INTO ... WITH SCHEMA EVOLUTION is not supported on graft " +
-        "tables; evolve the schema first (CALL graft.evolve_schema)")
     val ctx = s"MERGE INTO ${tbl.name()}"
     val clash = rel.output.map(_.name).filter(_.startsWith(SrcPrefix))
     if (clash.nonEmpty) throw new IllegalArgumentException(

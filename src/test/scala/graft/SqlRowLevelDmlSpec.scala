@@ -191,16 +191,73 @@ class SqlRowLevelDmlSpec extends SparkTestBase {
     assert(v === v0 && mt("m7").latestVersion.get === v0)
   }
 
-  test("MERGE WITH SCHEMA EVOLUTION is refused loudly") {
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns flow through " +
+      "the L26 add-column policy (Delta autoMerge semantics)") {
     import s.implicits._
     val t = fresh("m8")
-    Seq(1L).toDF("sid").createOrReplaceTempView("m8_src")
+    // source = target schema + a NEW column `note`
+    Seq((1L, "Z", 11.0, "hot"), (9L, "N", 90.0, "fresh"))
+      .toDF("id", "status", "amount", "note")
+      .createOrReplaceTempView("m8_src")
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $t USING m8_src ON $t.id = m8_src.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = s.sql(s"SELECT id, status, amount, note FROM $t")
+      .as[(Long, String, Double, Option[String])].collect().sortBy(_._1)
+    assert(out === Seq(
+      (1L, "Z", 11.0, Some("hot")),   // matched: full replace incl note
+      (2L, "B", 20.0, None),          // untouched legacy rows read NULL
+      (3L, "A", 30.0, None),
+      (4L, "C", 40.0, None),
+      (9L, "N", 90.0, Some("fresh")))) // insert carries the new column
+    // the evolution went through the declared-schema policy: the
+    // column is part of the table now, not a per-file artifact
+    assert(mt("m8").read(Some(0)).columns.contains("note"),
+      "time travel surfaces the declared column (typed NULL) too")
+  }
+
+  test("the same MERGE without WITH SCHEMA EVOLUTION does NOT evolve: " +
+      "star actions align to the target, explicit new-column " +
+      "assignment refuses loudly") {
+    import s.implicits._
+    val t = fresh("m8b")
+    Seq((1L, "Z", 11.0, "hot")).toDF("id", "status", "amount", "note")
+      .createOrReplaceTempView("m8b_src")
+    // star actions: standard SQL alignment — the extra source column
+    // is simply not assigned, and the schema must not change
+    s.sql(
+      s"""MERGE INTO $t USING m8b_src ON $t.id = m8b_src.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(!s.sql(s"SELECT * FROM $t").columns.contains("note"),
+      "a plain MERGE must not evolve the schema")
+    assert(rows(t).find(_._1 == 1L).get === ((1L, "Z", 11.0)))
+    // an EXPLICIT assignment to the unknown column is an analysis error
     val e = intercept[Exception] {
       s.sql(
-        s"""MERGE WITH SCHEMA EVOLUTION INTO $t USING m8_src ON id = sid
-           |WHEN MATCHED THEN DELETE""".stripMargin)
+        s"""MERGE INTO $t USING m8b_src ON $t.id = m8b_src.id
+           |WHEN MATCHED THEN UPDATE SET note = m8b_src.note""".stripMargin)
     }
-    assert(messageChain(e).contains("SCHEMA EVOLUTION"))
+    assert(!s.sql(s"SELECT * FROM $t").columns.contains("note"))
+  }
+
+  test("WITH SCHEMA EVOLUTION type conflicts are refused loudly " +
+      "(add-only policy: no silent type widening)") {
+    import s.implicits._
+    val root = s"$lakeRoot/db/m8c"
+    new graft.lake.ManifestTable(s, root)
+      .write(Seq((1L, 10)).toDF("id", "n"), "overwrite") // n: INT
+    Seq((1L, 99L)).toDF("id", "n") // n: LONG — an upcast-able widening
+      .createOrReplaceTempView("m8c_src")
+    val e = intercept[Exception] {
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO rldml.db.m8c USING m8c_src
+           |ON rldml.db.m8c.id = m8c_src.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+    assert(messageChain(e).toLowerCase.contains("not supported"),
+      s"expected the alterTable refusal, got: ${messageChain(e)}")
   }
 
   test("self-merge: the target is its own (aggregated) source") {
