@@ -66,6 +66,60 @@ object ManifestTable {
     */
   private[lake] val CountKey = "#n"
 
+  /** Stats key for a file's ROW-ID BASE (min = max = base, kind =
+    * "R"): the Delta row-tracking design. A row's stable id is
+    * `base + its parquet row index`; bases are allotted at commit
+    * time — `max(version << 40, 1 + the live high watermark)` plus the
+    * cumulative row count of the files committed before it — so ids
+    * never collide across commits, restores, or clone-then-append.
+    * Files REWRITTEN by ops that must preserve identity (update
+    * copies, compaction, purge) instead carry ids physically in
+    * [[RidPhysCol]]; reads resolve `coalesce(physical, base + index)`.
+    * Part of the on-disk format; '#'-prefixed like [[DvKey]].
+    */
+  private[lake] val RidKey = "#rid"
+
+  /** Physical column name for materialized row ids in rewritten files.
+    * Hidden from every read surface ([[readFiles]] drops it unless the
+    * caller asks); surfaces logically as [[RowIdCol]].
+    */
+  private[lake] val RidPhysCol = "_graft_rid"
+
+  /** Logical row-id column [[readWithRowId]] exposes. */
+  val RowIdCol = "_row_id"
+
+  /** Declared-schema metadata key holding a column's DEFAULT, stored
+    * as an evaluated literal's SQL (Delta's materialize-at-ALTER
+    * semantics). Part of the on-disk `declared_columns` format.
+    */
+  private[lake] val DefaultKey = "default"
+
+  /** Spark's existence-default field-metadata key: the parquet readers
+    * fill a column missing FROM A FILE with this literal (public Spark
+    * behavior since 3.4; files holding the column keep their values,
+    * explicit NULLs included).
+    */
+  private[lake] val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  private[lake] def defaultOf(
+      f: org.apache.spark.sql.types.StructField): Option[String] =
+    if (f.metadata.contains(DefaultKey))
+      Some(f.metadata.getString(DefaultKey))
+    else None
+
+  /** Cross-process ref-lock staleness horizon: a `refs.lock` whose
+    * mtime is older than this is presumed abandoned (crashed holder)
+    * and may be broken by a waiter. Live holders heartbeat the file
+    * every [[RefLockStaleMs]]/3, so only a genuinely dead process ever
+    * ages past it.
+    */
+  val RefLockStaleMs: Long = 15L * 60 * 1000
+
+  /** How long a ref mutation waits for the cross-process lock before
+    * failing loudly (a vacuum can legitimately hold it for minutes).
+    */
+  val RefLockAcquireMs: Long = 20L * 60 * 1000
+
   /** Default vacuum retention horizon: unreferenced files younger than
     * this may belong to an in-flight commit (staged before the manifest
     * rename) and are left alone. One hour covers any realistic commit
@@ -463,6 +517,31 @@ class ManifestTable(spark: SparkSession, root: String,
     withDeclared(readEntries(entriesOf(v)))
   }
 
+  /** T16 row tracking: [[read]] plus the stable [[ManifestTable
+    * .RowIdCol]] — the Delta row-id surface. Ids are allotted at
+    * commit (entry `#rid` base + parquet row index) and materialized
+    * physically when a rewrite moves rows, so they survive DV
+    * re-points, update copies, compaction, purge, restore and clone.
+    * NULL for rows whose file predates row tracking (rewrite via
+    * OPTIMIZE/REORG to adopt ids).
+    */
+  def readWithRowId(version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    withDeclared(readEntriesRid(entriesOf(v)))
+  }
+
+  /** Rewrite-side read: the snapshot with row ids under their PHYSICAL
+    * column name, ready to be written back by an identity-preserving
+    * rewrite (compact/optimize/purge).
+    */
+  private def readRidPhys(version: Option[Int]): DataFrame = {
+    val v = version.orElse(latestVersion)
+      .getOrElse(throw new IllegalStateException(s"no versions at $root"))
+    withDeclared(readEntriesRid(entriesOf(v)))
+      .withColumnRenamed(ManifestTable.RowIdCol, ManifestTable.RidPhysCol)
+  }
+
   /** Exact row count from manifest metadata alone — `Some(n)` when
     * every live file of the version carries the write-time `#n` count
     * stat; `None` (caller falls back to scanning) when any file
@@ -676,15 +755,51 @@ class ManifestTable(spark: SparkSession, root: String,
     * referenced sidecar is always exact. DV-free tables take this path
     * with zero overhead (no metadata columns, no join).
     */
-  private def readEntries(entries: Seq[Entry]): DataFrame = {
+  private def readEntries(entries: Seq[Entry]): DataFrame =
+    readEntriesOpt(entries, withRowId = false)
+
+  /** [[readEntries]] carrying the stable row id as
+    * [[ManifestTable.RowIdCol]]: `coalesce(the file's materialized
+    * [[ManifestTable.RidPhysCol]], entry base + parquet row index)`.
+    * NULL for rows whose file predates row tracking (no `#rid` stamp,
+    * no physical column) — callers that need total identity must
+    * check. The base lookup is one broadcast of (basename, base),
+    * O(files) rows like the manifest resolution that produced it.
+    */
+  private def readEntriesRid(entries: Seq[Entry]): DataFrame =
+    readEntriesOpt(entries, withRowId = true)
+
+  private def readEntriesOpt(entries: Seq[Entry],
+      withRowId: Boolean): DataFrame = {
     if (entries.isEmpty) return spark.emptyDataFrame
     val files = entries.map(e => new Path(root, e.rel).toString)
-    val raw = dvOf(entries) match {
-      case None => readFiles(files)
-      case Some(dv) =>
-        readFiles(files, withPos = true)
-          .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
-          .drop(DvFileCol, DvPosCol)
+    val raw = if (!withRowId) {
+      dvOf(entries) match {
+        case None => readFiles(files)
+        case Some(dv) =>
+          readFiles(files, withPos = true)
+            .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+            .drop(DvFileCol, DvPosCol)
+      }
+    } else {
+      import spark.implicits._
+      val withPos = readFiles(files, withPos = true, keepRid = true)
+      val bases = entries.map(e => (new Path(e.rel).getName,
+        e.stats.get(ManifestTable.RidKey).map(_.mn.toLong)))
+        .toDF(DvFileCol, "_graft_rid_base")
+      val phys =
+        if (withPos.columns.contains(ManifestTable.RidPhysCol))
+          col(ManifestTable.RidPhysCol)
+        else lit(null).cast("long")
+      val withId = withPos
+        .join(broadcast(bases), Seq(DvFileCol), "left")
+        .withColumn(ManifestTable.RowIdCol,
+          coalesce(phys, col("_graft_rid_base") + col(DvPosCol)))
+        .drop("_graft_rid_base", ManifestTable.RidPhysCol)
+      dvOf(entries)
+        .fold(withId)(dv =>
+          withId.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
+        .drop(DvFileCol, DvPosCol)
     }
     // hidden partitioning: derived layout columns never surface in a
     // scan (writers re-derive them from their sources); renamed
@@ -722,7 +837,8 @@ class ManifestTable(spark: SparkSession, root: String,
     * under its own basePath and the groups union by name.
     */
   private def readFiles(files: Seq[String], withPos: Boolean = false,
-      pinnedSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      pinnedSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      keepRid: Boolean = false): DataFrame = {
     // group by (basePath, LAYOUT SIGNATURE): after a lazy
     // setPartitionSpec a snapshot mixes files laid out under different
     // partition specs, and Spark's partition discovery refuses a file
@@ -743,19 +859,36 @@ class ManifestTable(spark: SparkSession, root: String,
       // a pinned schema (from one inference pass over the full file
       // set) skips the per-call mergeSchema footer scan — the
       // bucketed read path calls this once PER BUCKET
-      val reader = spark.read.option("basePath", bp)
       val df = pinnedSchema match {
-        case Some(s) => reader.schema(s).parquet(paths: _*)
-        case None => reader.option("mergeSchema", "true").parquet(paths: _*)
+        case Some(s) => spark.read.option("basePath", bp)
+          .schema(withExistenceDefaults(s).getOrElse(s)).parquet(paths: _*)
+        case None =>
+          val inferred = spark.read.option("basePath", bp)
+            .option("mergeSchema", "true").parquet(paths: _*)
+          withExistenceDefaults(inferred.schema) match {
+            case None => inferred
+            // L40: re-read under the default-carrying schema so files
+            // PREDATING a defaulted column fill it with the default
+            // (only when a default is declared AND surfaced — the
+            // common no-default read never pays the second open)
+            case Some(amended) => spark.read.option("basePath", bp)
+              .schema(amended).parquet(paths: _*)
+          }
       }
       // (basename, row_index) is the engine's permanent row id for
       // deletion vectors: basenames are uuid-minted so they never
       // collide across partitions, clones, or rewrites
-      if (withPos) df
+      // materialized row ids ([[ManifestTable.RidPhysCol]], written by
+      // update copies / compaction) are engine-internal: hidden from
+      // every read unless the caller resolves row identity itself
+      val noRid =
+        if (keepRid || !df.columns.contains(ManifestTable.RidPhysCol)) df
+        else df.drop(ManifestTable.RidPhysCol)
+      if (withPos) noRid
         .withColumn(DvFileCol,
           element_at(split(col("_metadata.file_path"), "/"), -1))
         .withColumn(DvPosCol, col("_metadata.row_index"))
-      else df
+      else noRid
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -936,6 +1069,40 @@ class ManifestTable(spark: SparkSession, root: String,
     won
   }
 
+  /** T16: allot row-id bases to freshly committed entries (those
+    * without a `#rid` stamp): base space starts at
+    * `max(v << 40, the live high watermark)`, each entry takes its
+    * `#n` rows. The version term keeps bases unique against every
+    * past commit of this table (a dropped file's ids stay dead: its
+    * version was smaller); the watermark term keeps clone-then-append
+    * unique against bases CARRIED IN from the source's higher-
+    * versioned history. Entries whose row count is unknown (no `#n`
+    * footer stat) stay unstamped — their rows read NULL ids rather
+    * than guessed ones.
+    */
+  private def stampRowIdBases(v: Int, added: Seq[Entry],
+      carried: Seq[Entry]): Seq[Entry] = {
+    val hwm = (carried ++ added).flatMap { e =>
+      for {
+        b <- e.stats.get(ManifestTable.RidKey).flatMap(_.mn.toLongOption)
+        n <- e.stats.get(ManifestTable.CountKey).flatMap(_.mn.toLongOption)
+      } yield b + n
+    }.maxOption.getOrElse(0L)
+    var off = math.max(v.toLong << 40, hwm)
+    added.map { e =>
+      if (e.stats.contains(ManifestTable.RidKey)) e
+      else e.stats.get(ManifestTable.CountKey)
+        .flatMap(_.mn.toLongOption) match {
+        case Some(n) =>
+          val base = off
+          off += n
+          e.copy(stats = e.stats + (ManifestTable.RidKey ->
+            ColStats(base.toString, base.toString, "R")))
+        case None => e
+      }
+    }
+  }
+
   /** Single-shot full-snapshot commit (overwrite/restore/clone — ops
     * whose intent is "the table now IS this file set", so there is
     * nothing to rebase). Loses a version-number race only in a tight
@@ -944,8 +1111,15 @@ class ManifestTable(spark: SparkSession, root: String,
   private def commit(entries: Seq[Entry]): Int = {
     var attempt = 0
     while (attempt < 5) {
-      val v = latestVersion.getOrElse(-1) + 1
-      if (tryCommit(v, entries)) return v
+      val prev = latestVersion
+      val v = prev.getOrElse(-1) + 1
+      // row-id stamping per attempt: the final version number is part
+      // of the base, and a lost race re-stamps on the next number.
+      // Restore/clone entries keep their carried stamps (identity
+      // survives); only genuinely new files draw bases.
+      val stamped = stampRowIdBases(v, entries,
+        prev.map(entriesOf).getOrElse(Seq.empty))
+      if (tryCommit(v, stamped)) return v
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -1003,15 +1177,20 @@ class ManifestTable(spark: SparkSession, root: String,
           s"concurrent writer added ${overlapping.size} file(s) overlapping " +
             s"this commit (e.g. ${overlapping.head.rel}); re-run on the new snapshot")
       val vNext = cur.getOrElse(-1) + 1
+      // row-id stamping per attempt (see [[stampRowIdBases]]): the
+      // final version is part of the base; re-pointed entries keep
+      // their carried stamp (identity survives the DV commit)
+      val stampedAdded = stampRowIdBases(vNext, added, curEntries)
       // O(delta) commit entry; full snapshot on the checkpoint cadence
       // (and for v0, which anchors every chain)
       val won =
         if (vNext == 0 || vNext % ManifestTable.CheckpointEvery == 0) {
-          val target = curEntries.filterNot(e => removed.contains(e.rel)) ++ added
+          val target = curEntries.filterNot(e => removed.contains(e.rel)) ++
+            stampedAdded
           tryCommit(vNext, target)
         } else {
           val lines = removed.toSeq.sorted.map("-\t" + _) ++
-            added.map("+\t" + _.line)
+            stampedAdded.map("+\t" + _.line)
           // a pure no-op delta still needs a line-less file? No — the
           // caller guarantees a non-empty delta (no-ops return early),
           // but guard the degenerate case with an empty payload anyway
@@ -1667,8 +1846,11 @@ class ManifestTable(spark: SparkSession, root: String,
     // rename OVERWRITES, so two same-process stagers of one branch
     // name could otherwise both pass the pre-check and both "win",
     // silently orphaning the loser's staged files
-    ManifestTable.lockFor(
-        fs.makeQualified(logDir).toString + s"#branch-$name").synchronized {
+    // the shared ref lock (not a per-name one): a branch staged
+    // mid-vacuum must wait out the delete phase — its files become
+    // vacuum-protected references the instant the marker lands, and
+    // [[withRefLock]] extends that across processes
+    withRefLock {
       if (fs.exists(bp) || !fs.rename(tmp, bp)) {
         fs.delete(tmp, false)
         throw new IllegalStateException(
@@ -1719,7 +1901,7 @@ class ManifestTable(spark: SparkSession, root: String,
   /** Abandon the branch: the marker is removed; the staged data files
     * become unreferenced and age out via [[vacuum]].
     */
-  def dropBranch(name: String): Unit = {
+  def dropBranch(name: String): Unit = withRefLock {
     require(fs.exists(branchFile(name)), s"no branch $name at $root")
     fs.delete(branchFile(name), false): Unit
   }
@@ -1942,7 +2124,8 @@ class ManifestTable(spark: SparkSession, root: String,
             updates.filter(coalesce(col(d), lit(false)) || inTouchedAny(updates))
           case None => updates.filter(inTouchedAny(updates))
         }
-        val merged = resolve(touchedBase, touchedUpdates)
+        val merged = attachRowIds(
+          resolve(touchedBase, touchedUpdates), removed, keys)
         val newFiles = newEntries(writeDataFiles(enforced(merged)))
         // delta = rewrite of the touched partitions only: a concurrent
         // merge/append to OTHER partitions rebases and both commits
@@ -1951,10 +2134,29 @@ class ManifestTable(spark: SparkSession, root: String,
           newFiles, conflictsWith = inTouchedPartition))
         } finally currentOfFed.unpersist()
     } else {
-        stampCdcFileDiff(
-          rewriteSnapshot(Some(v0), enforced(resolve(base, updates))))
+        stampCdcFileDiff(rewriteSnapshot(Some(v0), enforced(
+          attachRowIds(resolve(base, updates), entriesOf(v0), keys))))
     }
     } finally upsertDelta.unpersist()
+  }
+
+  /** T16: re-attach stable row ids to a merge's rewritten rows — each
+    * result row inherits the id of the base row holding its key (the
+    * Delta row-tracking MERGE contract: an upsert changes values, not
+    * identity); fresh keys read NULL here and draw new ids from the
+    * written file's base allotment. One keyed null-safe left join
+    * against a (keys, id) projection of just the rewritten files —
+    * parquet prunes the projection to the key columns.
+    */
+  private def attachRowIds(merged: DataFrame, idEntries: Seq[Entry],
+      keys: Seq[String]): DataFrame = {
+    if (idEntries.isEmpty) return merged
+    val proj = withDeclared(readEntriesRid(idEntries))
+      .select(keys.map(c => col(c).as(s"__graft_idk_$c")) :+
+        col(ManifestTable.RowIdCol).as(ManifestTable.RidPhysCol): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__graft_idk_$k")).reduce(_ && _)
+    merged.join(proj, cond, "left")
+      .drop(keys.map("__graft_idk_" + _): _*)
   }
 
   // ---------------------------------------------------------------- //
@@ -2242,11 +2444,46 @@ class ManifestTable(spark: SparkSession, root: String,
   def addColumns(ddl: String): Unit = {
     val add = StructType.fromDDL(ddl)
     require(add.nonEmpty, "addColumns: empty column list")
+    addDeclaredFields(add.fields.toSeq)
+  }
+
+  /** L40: ALTER TABLE ADD COLUMN ... DEFAULT — metadata-only like
+    * [[addColumns]], plus a stored DEFAULT applied to every row that
+    * PREDATES the column: declared-only reads surface the default
+    * (not NULL), and once later writes materialize the column
+    * file-by-file, files lacking it keep reading the default through
+    * the parquet reader's existence-default slot (Spark's
+    * EXISTS_DEFAULT field metadata) while explicit NULLs written to
+    * newer files stay NULL — the Delta/Iceberg column-DEFAULT
+    * contract, so downstream non-null expectations don't break on
+    * legacy rows. The expression is evaluated ONCE here and stored as
+    * a literal (Delta's materialize-at-ALTER semantics); column
+    * references refuse — a default is a constant.
+    */
+  def addColumnWithDefault(name: String, typeDdl: String,
+      defaultSql: String): Unit = {
+    val dt = StructType.fromDDL(s"`$name` $typeDdl").fields.head.dataType
+    val parsed = spark.sessionState.sqlParser.parseExpression(defaultSql)
+    require(!parsed.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]),
+      s"DEFAULT for $name references columns — a column default must " +
+        "be a constant expression")
+    val v = spark.range(1).select(expr(defaultSql).cast(dt)).head().get(0)
+    val litSql = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(v, dt).sql
+    addDeclaredFields(Seq(org.apache.spark.sql.types.StructField(
+      name, dt, nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(ManifestTable.DefaultKey, litSql).build())))
+  }
+
+  private def addDeclaredFields(
+      fields: Seq[org.apache.spark.sql.types.StructField]): Unit =
     declaredLock.synchronized {
       val cur = declaredColumns
       val logical: Set[String] =
         if (latestVersion.isDefined) read().columns.toSet else Set.empty
-      add.fields.foreach { f =>
+      fields.foreach { f =>
         require(!logical.contains(f.name) && !cur.fieldNames.contains(f.name),
           s"addColumns: column ${f.name} already exists")
         require(!columnMapping.contains(f.name),
@@ -2255,9 +2492,8 @@ class ManifestTable(spark: SparkSession, root: String,
         require(!f.name.startsWith(PartitionTransform.Prefix),
           s"addColumns: ${f.name} collides with the hidden layout prefix")
       }
-      writeDeclared(StructType(cur.fields ++ add.fields))
+      writeDeclared(StructType(cur.fields ++ fields))
     }
-  }
 
   /** DEPRECATE columns — the Glue DeleteBehavior: data is never
     * dropped; declared-only columns stop surfacing in reads (they hold
@@ -2298,7 +2534,45 @@ class ManifestTable(spark: SparkSession, root: String,
     val have = df.columns.toSet
     declaredColumns.fields
       .filterNot(f => have.contains(f.name) || isDeprecatedField(f))
-      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .foldLeft(df)((d, f) => d.withColumn(f.name,
+        // L40: a declared DEFAULT surfaces instead of NULL for rows
+        // predating the column (files HOLDING the column are the
+        // readFiles existence-default case, not this one)
+        ManifestTable.defaultOf(f)
+          .map(sql => expr(sql).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType))))
+  }
+
+  /** Declared columns carrying a DEFAULT, keyed by PHYSICAL name (the
+    * name parquet files would hold) → the stored literal SQL.
+    */
+  private def declaredDefaults: Map[String, String] =
+    declaredColumns.fields.flatMap(f =>
+      ManifestTable.defaultOf(f).map(toPhysical(f.name) -> _)).toMap
+
+  /** Amend a read schema so columns with a declared DEFAULT carry
+    * Spark's EXISTS_DEFAULT metadata — the parquet readers then fill
+    * the column for files LACKING it (rows predating the column) while
+    * files holding it keep their stored values, explicit NULLs
+    * included. None when no declared default touches the schema.
+    */
+  private def withExistenceDefaults(
+      st: StructType): Option[StructType] = {
+    val defaults = declaredDefaults
+    if (defaults.isEmpty) return None
+    var changed = false
+    val fields = st.fields.map { f =>
+      defaults.get(f.name) match {
+        case Some(sql)
+            if !f.metadata.contains(ManifestTable.ExistsDefaultKey) =>
+          changed = true
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(ManifestTable.ExistsDefaultKey, sql).build())
+        case _ => f
+      }
+    }
+    if (changed) Some(StructType(fields)) else None
   }
 
   /** DESCRIBE SCHEMA — every column with its provenance and
@@ -2602,8 +2876,9 @@ class ManifestTable(spark: SparkSession, root: String,
     entriesOf(v).map { e =>
       val len = fs.getFileStatus(new Path(root, e.rel)).getLen
       val zones = e.stats.toSeq
-        .filter { case (c, s) =>
-          c != DvKey && c != ManifestTable.CountKey && s.kind != "B" }
+        // engine keys ('#dv', '#n', '#rid') and bloom bitsets are not
+        // zone maps
+        .filter { case (c, s) => !c.startsWith("#") && s.kind != "B" }
         .sortBy(_._1)
         .map { case (c, s) => (c, s.mn, s.mx) }
       (e.rel, len, zones, e.stats.get(DvKey).map(_.mn))
@@ -2804,7 +3079,8 @@ class ManifestTable(spark: SparkSession, root: String,
     // the same discipline updateWhere applies.
     val hits = matcher(liveWithPos(candidates)).localCheckpoint(true)
     try {
-      val dataCols = hits.columns.filterNot(Set(DvFileCol, DvPosCol)).toSeq
+      val dataCols = hits.columns
+        .filterNot(Set(DvFileCol, DvPosCol, ManifestTable.RowIdCol)).toSeq
       commitDv(v0, all, hits.select(col(DvFileCol), col(DvPosCol)), Seq.empty,
         cdc = Some(hits.select(dataCols.map(col): _*)
           .withColumn(ManifestTable.ChangeTypeCol, lit("delete"))))
@@ -2830,7 +3106,26 @@ class ManifestTable(spark: SparkSession, root: String,
       if (files.isEmpty) read()
         .withColumn(DvFileCol, lit(null).cast("string"))
         .withColumn(DvPosCol, lit(null).cast("long"))
-      else withDeclared(toLogicalRename(readFiles(files, withPos = true)))
+        .withColumn(ManifestTable.RowIdCol, lit(null).cast("long"))
+      else {
+        // stable row id rides the mutation read so update/merge COPIES
+        // can materialize it ([[ManifestTable.RidPhysCol]]) — an
+        // updated row keeps its identity across the DV-mark + append
+        import spark.implicits._
+        val bases = entries.map(e => (new Path(e.rel).getName,
+          e.stats.get(ManifestTable.RidKey).map(_.mn.toLong)))
+          .toDF(DvFileCol, "_graft_rid_base")
+        val raw = readFiles(files, withPos = true, keepRid = true)
+        val phys =
+          if (raw.columns.contains(ManifestTable.RidPhysCol))
+            col(ManifestTable.RidPhysCol)
+          else lit(null).cast("long")
+        withDeclared(toLogicalRename(raw
+          .join(broadcast(bases), Seq(DvFileCol), "left")
+          .withColumn(ManifestTable.RowIdCol,
+            coalesce(phys, col("_graft_rid_base") + col(DvPosCol)))
+          .drop("_graft_rid_base", ManifestTable.RidPhysCol)))
+      }
     dvOf(entries).fold(withPos)(dv =>
       withPos.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"))
   }
@@ -2886,7 +3181,8 @@ class ManifestTable(spark: SparkSession, root: String,
       // `SET a = b, b = a` must swap, not duplicate). Keys resolve
       // case-insensitively to existing columns; a typo'd key would
       // otherwise silently ADD a column and fail later at commit.
-      val cols = hits.columns.filterNot(Set(DvFileCol, DvPosCol)).toSeq
+      val cols = hits.columns
+        .filterNot(Set(DvFileCol, DvPosCol, ManifestTable.RowIdCol)).toSeq
       // values cast to the column's type (ANSI store assignment), the
       // same normalization MERGE applies: `SET amount = 99.0` hands a
       // DECIMAL(3,1) literal at a DOUBLE column — written uncast, the
@@ -2895,8 +3191,13 @@ class ManifestTable(spark: SparkSession, root: String,
       val setN = resolveSetKeys("UPDATE", cols, set).map { case (k, v) =>
         k -> v.cast(hits.schema(k).dataType)
       }
+      // the copy materializes the row's stable id (T16 row tracking):
+      // an UPDATE changes values, not identity — the appended file
+      // carries the id physically so reads and the keyless change feed
+      // keep pairing old and new
       val updated0 = hits.select(
-        cols.map(c => setN.getOrElse(c, col(c)).as(c)): _*)
+        cols.map(c => setN.getOrElse(c, col(c)).as(c)) :+
+          col(ManifestTable.RowIdCol).as(ManifestTable.RidPhysCol): _*)
       // T15: with CDC on, the postimages are recorded in the sidecar
       // AND written as the appended copies — materialize them once so
       // a nondeterministic assignment cannot record one set of rows
@@ -2911,7 +3212,7 @@ class ManifestTable(spark: SparkSession, root: String,
         val cdc = if (!cdcOn) None else Some(
           hits.select(cols.map(col): _*)
             .withColumn(ManifestTable.ChangeTypeCol, lit("update_preimage"))
-            .unionByName(updated.withColumn(
+            .unionByName(updated.drop(ManifestTable.RidPhysCol).withColumn(
               ManifestTable.ChangeTypeCol, lit("update_postimage"))))
         commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
           Seq(enforced(updated)), cdc = cdc)
@@ -2956,10 +3257,12 @@ class ManifestTable(spark: SparkSession, root: String,
       notMatchedBySource.nonEmpty, "MERGE needs at least one clause")
     val entries = entriesOf(v0)
     val live = liveWithPos(entries)
-    val targetCols = live.columns.filterNot(Set(DvFileCol, DvPosCol)).toSeq
+    val targetCols = live.columns
+      .filterNot(Set(DvFileCol, DvPosCol, ManifestTable.RowIdCol)).toSeq
     val armCol = "_graft_merge_arm"
     val overlap = source.columns.toSet
-      .intersect(targetCols.toSet + DvFileCol + DvPosCol)
+      .intersect(targetCols.toSet + DvFileCol + DvPosCol +
+        ManifestTable.RowIdCol + ManifestTable.RidPhysCol)
     require(overlap.isEmpty, "MERGE source columns collide with target " +
       s"columns: ${overlap.toSeq.sorted.mkString(", ")} — rename the " +
       "source side first")
@@ -3061,8 +3364,12 @@ class ManifestTable(spark: SparkSession, root: String,
         hitsOpt.toSeq.flatMap { h =>
           clauses.zipWithIndex.collect {
             case (MergeUpdateClause(_, set), i) =>
+              // copies materialize the row's stable id (T16): an
+              // UPDATE arm changes values, not identity
               val c = h.filter(col(armCol) === i).select(
-                targetCols.map(t => set.getOrElse(t, col(t)).as(t)): _*)
+                targetCols.map(t => set.getOrElse(t, col(t)).as(t)) :+
+                  col(ManifestTable.RowIdCol)
+                    .as(ManifestTable.RidPhysCol): _*)
               if (!cdcOn) c
               else { val cc = c.localCheckpoint(true); copyCheckpoints += cc; cc }
           }
@@ -3092,7 +3399,8 @@ class ManifestTable(spark: SparkSession, root: String,
           }
         (pres(matchedHits, matchedN) ++ pres(bySourceHits, bySourceN) ++
           (matchedCopies ++ bySourceCopies)
-            .map(_.withColumn(ct, lit("update_postimage"))) ++
+            .map(_.drop(ManifestTable.RidPhysCol)
+              .withColumn(ct, lit("update_postimage"))) ++
           insertRows.toSeq.map(_.withColumn(ct, lit("insert"))))
           .reduceOption(_ unionByName _)
       }
@@ -3268,7 +3576,7 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def compact(targetFiles: Int = 1): Int = {
     val v0 = latestVersion
-    val df = withDerived(read(v0))
+    val df = withDerived(readRidPhys(v0))
     val compacted =
       if (partCols.nonEmpty) df.repartition(targetFiles, partCols.map(col): _*)
       else df.repartition(targetFiles)
@@ -3301,7 +3609,8 @@ class ManifestTable(spark: SparkSession, root: String,
       return v0 // nothing to pack (a single small DV-free file gains nothing)
     val totalBytes = small.map(_._2).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val packed = withDerived(readEntries(small.map(_._1))) // DV-applying read
+    val packed = withDerived(readEntriesRid(small.map(_._1)) // DV-applying read
+      .withColumnRenamed(ManifestTable.RowIdCol, ManifestTable.RidPhysCol))
     val repart =
       if (partCols.nonEmpty) packed.repartition(nOut, partCols.map(col): _*)
       else packed.repartition(nOut)
@@ -3349,7 +3658,8 @@ class ManifestTable(spark: SparkSession, root: String,
         }
       }
     if (chosen.isEmpty) return v0
-    val purged = withDerived(readEntries(chosen)) // DV-applying read
+    val purged = withDerived(readEntriesRid(chosen) // DV-applying read
+      .withColumnRenamed(ManifestTable.RowIdCol, ManifestTable.RidPhysCol))
     val repart =
       if (partCols.nonEmpty)
         purged.repartition(math.max(1, chosen.size), partCols.map(col): _*)
@@ -3368,8 +3678,8 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def optimizeBy(column: String, targetFiles: Int = 8): Int = {
     val v0 = latestVersion
-    stampCdcNone(
-      rewriteSnapshot(v0, read(v0).repartitionByRange(targetFiles, col(column))))
+    stampCdcNone(rewriteSnapshot(v0,
+      readRidPhys(v0).repartitionByRange(targetFiles, col(column))))
   }
 
   /** L5c: two-dimensional OPTIMIZE ZORDER — rewrite the table clustered
@@ -3389,7 +3699,7 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def optimizeByZ(cols: Seq[String], targetFiles: Int): Int = {
     val v0 = latestVersion
-    val df = read(v0)
+    val df = readRidPhys(v0)
     val z = graft.operators.ZOrder.zValue(df, cols, bits = 4)
     stampCdcNone(rewriteSnapshot(v0, df.withColumn("_zorder", z)
       .repartitionByRange(targetFiles, col("_zorder"))
@@ -3570,12 +3880,38 @@ class ManifestTable(spark: SparkSession, root: String,
           "keyed diff")
       // else: fall through to the keyed diff, which ignores the stamp
     }
-    val keys = keysOpt.getOrElse(throw new IllegalArgumentException(
-      s"version $v at $root changed rows in place and carries no " +
-        "change-data sidecar (CDC was not enabled when it committed, " +
-        "or the commit was a snapshot rewrite) — pass keys for a " +
-        "keyed diff, or enableCdc() before such commits"))
-    diffByKey(pad(pre), pad(post), keys)
+    keysOpt match {
+      case Some(keys) => diffByKey(pad(pre), pad(post), keys)
+      case None =>
+        // T16 row tracking: an in-place commit with no sidecar diffs
+        // by the STABLE ROW ID — re-pointed files resolve the same
+        // ids on both sides (base + row index is DV-independent), and
+        // update copies carry their old id physically, so the keyed
+        // kernel pairs pre/post exactly. Refuses (naming every fix)
+        // only when a touched file predates row tracking: NULL ids
+        // under the null-safe join would cross-match unrelated rows.
+        val preR = withDeclared(readEntriesRid(preChanged))
+        val postR = withDeclared(readEntriesRid(postChanged))
+        def hasNullIds(df: DataFrame): Boolean =
+          df.filter(col(ManifestTable.RowIdCol).isNull).limit(1)
+            .count() > 0
+        if (hasNullIds(preR) || hasNullIds(postR))
+          throw new IllegalArgumentException(
+            s"version $v at $root changed rows in place, carries no " +
+              "change-data sidecar (CDC was not enabled when it " +
+              "committed), and a touched file predates row tracking " +
+              "(no row-id stamp) — pass keys for a keyed diff, " +
+              "enableCdc() before such commits, or rewrite the file " +
+              "(compactSmall/reorgPurge) to materialize row ids")
+        val allColsR = (preR.schema ++ postR.schema.filterNot(f =>
+          preR.columns.contains(f.name))).toSeq
+        def padR(df: DataFrame) = allColsR.foldLeft(df) { (d, f) =>
+          if (d.columns.contains(f.name)) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+        diffByKey(padR(preR), padR(postR), Seq(ManifestTable.RowIdCol))
+          .drop(ManifestTable.RowIdCol)
+    }
   }
 
   /** Keyed row-level diff of two same-schema frames — the CDF kernel
@@ -3738,6 +4074,85 @@ class ManifestTable(spark: SparkSession, root: String,
 
   // ---- L36: named immutable version refs (the Iceberg TAG surface) ----
 
+  /** Cross-process ref lock (r16 verdict item 5): every ref mutation —
+    * tag create/drop, branch stage/drop, vacuum's snapshot-and-delete
+    * window — runs inside BOTH the in-JVM monitor (the fast path, as
+    * before) and a create-exclusive `refs.lock` FILE in the log dir.
+    * `FileSystem.create(path, overwrite = false)` is atomic-exclusive
+    * on every Hadoop FS, so a tagger in another PROCESS now WAITS for
+    * a running vacuum instead of racing its delete phase (the
+    * previously documented single-maintenance-writer caveat).
+    *
+    * Liveness: the holder heartbeats the file's mtime every
+    * [[ManifestTable.RefLockStaleMs]]/3; a lock whose mtime ages past
+    * the horizon belonged to a crashed process and is BROKEN by
+    * rename-to-tombstone (rename is atomic — of N concurrent breakers
+    * exactly one wins; the losers loop back to the create race), so an
+    * abandoned lock costs one TTL, never a deadlock. Acquisition fails
+    * loudly after [[ManifestTable.RefLockAcquireMs]].
+    */
+  private def withRefLock[T](body: => T): T =
+    ManifestTable.lockFor(
+      fs.makeQualified(logDir).toString + "#refs").synchronized {
+      fs.mkdirs(logDir)
+      val lockPath = new Path(logDir, "refs.lock")
+      val deadline = System.currentTimeMillis() +
+        ManifestTable.RefLockAcquireMs
+      var held = false
+      while (!held) {
+        try {
+          val out = fs.create(lockPath, false) // atomic-exclusive
+          try out.write(
+            s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}"
+              .getBytes("UTF-8"))
+          finally out.close()
+          held = true
+        } catch {
+          case _: java.io.IOException =>
+            val st =
+              try Some(fs.getFileStatus(lockPath))
+              catch { case _: java.io.FileNotFoundException => None }
+            st match {
+              case Some(s) if System.currentTimeMillis() -
+                  s.getModificationTime > ManifestTable.RefLockStaleMs =>
+                // presumed-dead holder: break by atomic rename — only
+                // one breaker wins; either way re-enter the create race
+                val tomb = new Path(logDir,
+                  s".tmp-broken-lock-${UUID.randomUUID()}")
+                try { if (fs.rename(lockPath, tomb)) fs.delete(tomb, false): Unit }
+                catch { case _: java.io.IOException => () }
+              case _ =>
+                if (System.currentTimeMillis() > deadline)
+                  throw new IllegalStateException(
+                    s"ref lock at $lockPath held past the " +
+                      s"${ManifestTable.RefLockAcquireMs} ms acquire " +
+                      "budget — a foreign maintenance writer is stuck " +
+                      "or its host died mid-heartbeat; inspect and " +
+                      "delete the lock file if so")
+                Thread.sleep(50)
+            }
+        }
+      }
+      // heartbeat so a LONG vacuum is never mistaken for a dead holder
+      @volatile var stop = false
+      val beat = new Thread(() => {
+        while (!stop) {
+          try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+          val napMs = math.max(1000L, ManifestTable.RefLockStaleMs / 3)
+          var slept = 0L
+          while (!stop && slept < napMs) { Thread.sleep(200); slept += 200 }
+        }
+      }, "graft-ref-lock-heartbeat")
+      beat.setDaemon(true)
+      beat.start()
+      try body finally {
+        stop = true
+        beat.join()
+        fs.delete(lockPath, false): Unit
+      }
+    }
+
   private def refFile(name: String): Path = {
     require(name.matches("[A-Za-z0-9_\\-]+"), s"bad tag name: $name")
     new Path(logDir, s"ref-$name")
@@ -3769,16 +4184,14 @@ class ManifestTable(spark: SparkSession, root: String,
     val out = fs.create(tmp, false)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     // rename OVERWRITES on a local FS: serialize the exists-check +
-    // rename pair (the branch-staging discipline) so two same-process
-    // taggers cannot both win. ONE lock for all refs, shared with
-    // [[vacuum]]'s delete phase: a tag created mid-vacuum must either
-    // be seen by vacuum's tag re-read or wait until its deletes are
-    // done — never land between them and dangle over deleted files.
-    // (Cross-PROCESS taggers racing a vacuum are still exposed — the
-    // lock is JVM-local, the standard single-maintenance-writer
-    // caveat; schedule vacuum from one place.)
-    ManifestTable.lockFor(
-      fs.makeQualified(logDir).toString + "#refs").synchronized {
+    // rename pair (the branch-staging discipline) so two taggers
+    // cannot both win. ONE lock for all refs, shared with [[vacuum]]'s
+    // delete phase: a tag created mid-vacuum must either be seen by
+    // vacuum's tag re-read or wait until its deletes are done — never
+    // land between them and dangle over deleted files. [[withRefLock]]
+    // extends the guarantee across PROCESSES via the create-exclusive
+    // refs.lock file (r16 verdict item 5).
+    withRefLock {
       if (fs.exists(p) || !fs.rename(tmp, p)) {
         fs.delete(tmp, false)
         throw new IllegalArgumentException(
@@ -3815,7 +4228,7 @@ class ManifestTable(spark: SparkSession, root: String,
   /** Drop a tag: the ref file goes now; the version's files become
     * vacuum-eligible again (nothing is deleted here).
     */
-  def dropTag(name: String): Unit = {
+  def dropTag(name: String): Unit = withRefLock {
     val p = refFile(name)
     require(fs.exists(p), s"no tag $name at $root")
     fs.delete(p, false): Unit
@@ -3995,8 +4408,7 @@ class ManifestTable(spark: SparkSession, root: String,
     var folded: DataFrame = null
     var matDeleted: Dataset[String] = null
     try {
-      ManifestTable.lockFor(
-        fs.makeQualified(logDir).toString + "#refs").synchronized {
+      withRefLock {
         val vs = versions
         // named tags RETAIN their versions (Iceberg's tag-retention
         // contract): a tagged version's files, DV sidecars and manifest

@@ -501,6 +501,86 @@ object Lakehouse extends QueryModule {
       |  SELECT o_orderkey, o_custkey, o_totalprice, o_note FROM feed)
       |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** L39: row tracking (T16) — stable `_row_id`s make a NEVER-CDC
+    * table keylessly diffable: updateWhere + delete commit in place
+    * (DV marks + id-carrying copies), then the change feed replays
+    * BOTH commits with `keys = None` — identity comes from the row
+    * ids alone. The oracle replays the same two DML statements
+    * relationally over the raw orders.
+    */
+  def l39RowIds(spark: SparkSession, dir: String): DataFrame = {
+    val root = dmlScratch(spark, "orders_l39")
+    val mt = new ManifestTable(spark, root)
+    mt.write(Q.t(spark, dir, "orders"), "overwrite") // v0
+    mt.updateWhere(col("o_orderkey") % 9 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") * 3))) // v1, no CDC
+    mt.delete(col("o_orderkey") % 23 === 0) // v2, no CDC
+    val feed = (1 to 2).map(v => mt.changesAt(v, None)
+      .withColumn("_v", lit(v))).reduce(_ unionByName _)
+    feed.select(col("_v"), col("_change_type"), col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("_v").asc, col("o_orderkey").asc_nulls_first,
+        col("_change_type").asc_nulls_first)
+  }
+
+  val l39Oracle: String =
+    """WITH upd AS (SELECT * FROM orders WHERE o_orderkey % 9 = 0),
+      |post AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 3
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 1 AS _v, 'update_preimage' AS _change_type,
+      |         o_orderkey, o_custkey, o_totalprice FROM upd
+      |  UNION ALL
+      |  SELECT 1, 'update_postimage', o_orderkey, o_custkey,
+      |         o_totalprice * 3 FROM upd
+      |  UNION ALL
+      |  SELECT 2, 'delete', o_orderkey, o_custkey, o_totalprice
+      |  FROM post WHERE o_orderkey % 23 = 0)
+      |ORDER BY _v ASC, o_orderkey ASC NULLS FIRST,
+      |         _change_type ASC NULLS FIRST""".stripMargin
+
+  /** L40: DEFAULT values on evolved columns — `ALTER TABLE ADD COLUMN
+    * ... DEFAULT`: rows in files PREDATING the column read the stored
+    * default (Spark's parquet existence-default slot), rows written
+    * after carry their own values — explicit NULLs included, the
+    * distinction a read-time `coalesce` could never make. The oracle
+    * replays the mixed old/new-file table relationally.
+    */
+  def l40DefaultEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val root = dmlScratch(spark, "orders_l40")
+    val mt = new ManifestTable(spark, root)
+    mt.write(Q.t(spark, dir, "orders"), "overwrite") // v0: no o_channel
+    mt.addColumnWithDefault("o_channel", "STRING", "'web'")
+    Q.t(spark, dir, "orders").createOrReplaceTempView("l40_orders_raw")
+    // new-file rows carry explicit values INCLUDING NULLs (which must
+    // stay NULL — only missing-from-file rows take the default); keys
+    // shift past max like l30/l38
+    mt.write(spark.sql(
+      """SELECT o_orderkey + m.mx AS o_orderkey, o_custkey,
+        |       o_orderstatus, o_totalprice, o_orderdate,
+        |       o_orderpriority,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN 'store' END AS o_channel
+        |FROM l40_orders_raw CROSS JOIN
+        |  (SELECT max(o_orderkey) + 1 AS mx FROM l40_orders_raw) m
+        |WHERE o_orderkey % 17 = 0""".stripMargin), "append")
+    mt.read().select("o_orderkey", "o_totalprice", "o_channel")
+      .orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
+  val l40Oracle: String =
+    """SELECT o_orderkey, o_totalprice, o_channel FROM (
+      |  SELECT o_orderkey, o_totalprice, 'web' AS o_channel FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + m.mx, o_totalprice,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN 'store' END
+      |  FROM orders CROSS JOIN
+      |    (SELECT max(o_orderkey) + 1 AS mx FROM orders) m
+      |  WHERE o_orderkey % 17 = 0)
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
   /** L33: persistent SQL views ([[graft.sql.GraftViewRule]] over the
     * ViewCatalog side of [[graft.sql.GraftCatalog]]) — `CREATE OR
     * REPLACE VIEW cat.ns.v (cols) AS SELECT …` persisted in the
@@ -1111,6 +1191,8 @@ object Lakehouse extends QueryModule {
     "l36_tag_read" -> l36TagRead,
     "l37_cdc_write" -> l37CdcWrite,
     "l38_merge_evolve" -> l38MergeEvolve,
+    "l39_row_ids" -> l39RowIds,
+    "l40_default_evolve" -> l40DefaultEvolve,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
@@ -1133,6 +1215,8 @@ object Lakehouse extends QueryModule {
     "l36_tag_read" -> l36Oracle,
     "l37_cdc_write" -> l37Oracle,
     "l38_merge_evolve" -> l38Oracle,
+    "l39_row_ids" -> l39Oracle,
+    "l40_default_evolve" -> l40Oracle,
     "l15_dv_roundtrip" -> l15Oracle,
     "l6_exact_dedup" -> l6Oracle)
 }

@@ -99,4 +99,48 @@ object GraftNames {
       }
     }
   }
+
+  /** Expand a SWEEP address — `cat.ns.*` (every table the catalog
+    * lists in the namespace) or a path glob ending in `"/" + "*"`
+    * (every manifest-table child directory) — to name-ordered table
+    * roots; a non-glob address resolves to its single root. The
+    * multi-table maintenance surface
+    * (`CALL graft.maintenance_plan('lake.silver.*')`) rides on this so
+    * the advisor covers the lake, not one root at a time.
+    */
+  def resolveRoots(spark: SparkSession, address: String): Seq[String] = {
+    if (isPath(address) && address.endsWith("/*")) {
+      val parent = new org.apache.hadoop.fs.Path(address.dropRight(2))
+      val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+      require(fs.exists(parent), s"no directory $parent to sweep")
+      fs.listStatus(parent).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(p => fs.exists(
+          new org.apache.hadoop.fs.Path(p, "_graft_log")))
+        .map(_.toString).sorted
+    } else if (!isPath(address) && address.endsWith(".*")) {
+      val parts = address.split("\\.", -1)
+      require(parts.length >= 2 && parts.forall(_.nonEmpty),
+        s"malformed sweep address '$address': expected cat.ns….*")
+      val cat = try {
+        spark.sessionState.catalogManager.catalog(parts.head)
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"sweep address '$address' names no registered catalog " +
+            s"'${parts.head}'", e)
+      }
+      cat match {
+        case g: GraftCatalog =>
+          g.listTables(parts.tail.init).toSeq.sortBy(_.name).map { id =>
+            g.loadTable(id) match {
+              case t: GraftSqlTable => t.root
+              case other => throw new IllegalArgumentException(
+                s"'$address' listed unexpected table ${other.getClass}")
+            }
+          }
+        case other => throw new IllegalArgumentException(
+          s"catalog '${parts.head}' (${other.getClass.getName}) is not " +
+            "a graft.sql.GraftCatalog — only graft catalogs can sweep")
+      }
+    } else Seq(resolveRoot(spark, address))
+  }
 }

@@ -234,7 +234,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       attr("version", IntegerType), attr("bound_pieces", IntegerType))
     case "maintenance_plan" => Seq(
       attr("priority", IntegerType), attr("action", StringType),
-      attr("reason", StringType), attr("command", StringType))
+      attr("reason", StringType), attr("command", StringType),
+      attr("table", StringType))
     case _ => Seq(attr("version", IntegerType))
   }
 
@@ -346,10 +347,17 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         table.disableCdc()
         versionRow(table.latestVersion.getOrElse(-1))
       case "maintenance_plan" =>
-        // maintenance_plan(root [, small_file_bytes]) — ordered layout
-        // recommendations, read-only (the operator runs the commands)
-        table.maintenancePlan(optNum(1, 32L << 20))
-          .map { case (p, a, r, c) => Row(p, a, r, c) }
+        // maintenance_plan(root-or-sweep [, small_file_bytes]) —
+        // ordered layout recommendations, read-only (the operator runs
+        // the commands). A `cat.ns.*` / `/path/*` address sweeps every
+        // table in the namespace: one plan for the lake, priority-
+        // ordered across tables, each row naming its table
+        GraftNames.resolveRoots(session, str(0)).flatMap { r =>
+          ManifestTable.forRoot(session, r)
+            .maintenancePlan(optNum(1, 32L << 20))
+            .map { case (p, a, re, c) => (p, a, re, c, r) }
+        }.sortBy(t => (t._1, t._5))
+          .map { case (p, a, re, c, r) => Row(p, a, re, c, r) }
       case "describe_history" =>
         table.history().collect().toSeq
       case "describe_detail" =>
@@ -385,9 +393,18 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       case "add_columns" =>
         // add_columns(root, 'c1 TYPE, c2 TYPE') — ALTER-style add:
         // metadata-only, columns surface on the next read (the
-        // UPDATE_IN_DATABASE side of the schema-change policy)
+        // UPDATE_IN_DATABASE side of the schema-change policy).
+        // add_columns(root, 'c TYPE', '<default sql>') — single-column
+        // form with an L40 DEFAULT: rows predating the column read the
+        // default instead of NULL
         val t = table
-        t.addColumns(str(1))
+        if (args.length > 2) {
+          val one = org.apache.spark.sql.types.StructType.fromDDL(str(1))
+          require(one.length == 1, "graft.add_columns with a DEFAULT " +
+            "takes exactly one column")
+          t.addColumnWithDefault(one.head.name,
+            one.head.dataType.sql, str(2))
+        } else t.addColumns(str(1))
         versionRow(t.latestVersion.getOrElse(-1))
       case "deprecate_columns" =>
         // deprecate_columns(root, 'c1,c2') — soft delete: data kept,

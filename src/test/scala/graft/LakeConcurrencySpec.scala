@@ -152,6 +152,45 @@ class LakeConcurrencySpec extends SparkTestBase {
     else assert(ids === Set(1, 2, 3, 4), s"rows lost: $ids")
   }
 
+  test("cross-process ref lock: a foreign refs.lock makes a tagger " +
+      "WAIT (not race); a stale one is broken; the lock releases") {
+    val root = scratch("conc_reflock")
+    val mt = new ManifestTable(spark, root)
+    mt.write(baseDf, "overwrite")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new org.apache.hadoop.fs.Path(root, "_graft_log")
+    val lock = new org.apache.hadoop.fs.Path(logDir, "refs.lock")
+    // simulate ANOTHER PROCESS holding the lock: the file exists but
+    // the in-JVM monitor is free — pre-fix, createTag would sail
+    // through and could dangle over a foreign vacuum's deletes
+    val out = fs.create(lock, false)
+    out.write("foreign@0".getBytes("UTF-8")); out.close()
+    fs.setTimes(lock, System.currentTimeMillis(), -1) // fresh holder
+    @volatile var done = false
+    val t = new Thread(() => { mt.createTag("waited"); done = true })
+    t.start()
+    Thread.sleep(1500)
+    assert(!done, "the tagger must WAIT for the foreign lock")
+    fs.delete(lock, false) // the foreign process finishes
+    t.join(30000)
+    assert(done, "tagger never acquired after the foreign release")
+    assert(mt.tagRef("waited").contains(0))
+    assert(!fs.exists(lock), "lock file must release after the op")
+    // a STALE lock (crashed holder: mtime past the TTL, no heartbeat)
+    // is broken and the mutation proceeds
+    val out2 = fs.create(lock, false); out2.close()
+    fs.setTimes(lock,
+      System.currentTimeMillis() - ManifestTable.RefLockStaleMs - 60000, -1)
+    mt.createTag("broken_through")
+    assert(mt.tagRef("broken_through").contains(0))
+    assert(!fs.exists(lock))
+    // vacuum takes the same lock: run one to prove the shared path
+    // still completes and releases under the file lock
+    mt.vacuum(retain = 1, minAgeMs = 0)
+    assert(!fs.exists(lock))
+  }
+
   test("DV delete racing a disjoint append: both commit") {
     val mt = new ManifestTable(spark, scratch("conc_dv_append"))
     mt.write(baseDf.repartition(2), "overwrite") // v0

@@ -89,3 +89,77 @@ class SchemaRegistrySpec extends SparkTestBase {
     assert(!reg.isDeprecated(f), "retyped revival must shed the deprecation flag")
   }
 }
+
+/** L40: DEFAULT values on evolved columns — declared-only reads, the
+  * existence-default slot for files predating the column, explicit
+  * NULLs surviving, and the constant-only refusal.
+  */
+class DefaultColumnSpec extends SparkTestBase {
+  quiet()
+  import spark.implicits._
+  import graft.lake.ManifestTable
+  import org.apache.spark.sql.functions._
+
+  private def scratch(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_dflt_${name}_${System.nanoTime()}"
+
+  test("declared-only DEFAULT surfaces instead of NULL; files predating " +
+      "the column read it; newer explicit NULLs stay NULL") {
+    val mt = new ManifestTable(spark, scratch("mixed"))
+    mt.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "overwrite")
+    mt.addColumnWithDefault("chan", "STRING", "'web'")
+    // declared-only (no file holds it yet): every row reads the default
+    assert(mt.read().select("chan").as[String].collect().toSeq ===
+      Seq("web", "web"))
+    // materialize the column in a NEW file, with one explicit NULL
+    mt.write(Seq((3L, "c", "store"), (4L, "d", null))
+      .toDF("id", "s", "chan"), "append")
+    val out = mt.read().select("id", "chan").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out(1L) === Some("web") && out(2L) === Some("web"),
+      "pre-column files must read the default")
+    assert(out(3L) === Some("store"))
+    assert(out(4L) === None,
+      "an explicit NULL in a newer file must stay NULL — the " +
+        "default is an existence default, not a coalesce")
+  }
+
+  test("typed + expression defaults are evaluated once and stored as " +
+      "literals; column references refuse") {
+    val mt = new ManifestTable(spark, scratch("typed"))
+    mt.write(Seq((1L, 5.0)).toDF("id", "x"), "overwrite")
+    mt.addColumnWithDefault("since", "DATE", "DATE'2024-01-02'")
+    mt.addColumnWithDefault("score", "DOUBLE", "1 + 2 * 3")
+    val r = mt.read().select("since", "score").first()
+    assert(r.getDate(0).toString === "2024-01-02")
+    assert(r.getDouble(1) === 7.0)
+    val e = intercept[IllegalArgumentException] {
+      mt.addColumnWithDefault("bad", "DOUBLE", "x * 2")
+    }
+    assert(e.getMessage.contains("constant"))
+  }
+
+  test("DML over a defaulted column: an update copy materializes the " +
+      "default it read") {
+    val mt = new ManifestTable(spark, scratch("dml"))
+    mt.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "overwrite")
+    mt.addColumnWithDefault("chan", "STRING", "'web'")
+    mt.updateWhere(col("id") === 1L, Map("s" -> lit("a!")))
+    assert(mt.read().filter(col("id") === 1L)
+      .select("chan").as[String].first() === "web")
+    assert(mt.read().filter(col("s") === "a!").count() === 1)
+  }
+
+  test("SQL surface: CALL graft.add_columns(root, 'c TYPE', default)") {
+    val ss = extensionsSession("graft-default-sql")
+    val root = scratch("sql")
+    new ManifestTable(ss, root)
+      .write(ss.range(3).toDF("id"), "overwrite")
+    ss.sql(s"CALL graft.add_columns('$root', 'tier STRING', '''bronze''')")
+    assert(ss.sql(s"CALL graft.describe_schema('$root')")
+      .collect().exists(_.getString(0) == "tier"))
+    val vals = ManifestTable.forRoot(ss, root).read()
+      .select("tier").distinct().collect().map(_.getString(0)).toSeq
+    assert(vals === Seq("bronze"))
+  }
+}

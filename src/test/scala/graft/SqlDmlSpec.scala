@@ -114,12 +114,16 @@ class SqlDmlSpec extends SparkTestBase {
       assert(a.exceptAll(b).count() === 0, s"v$v")
       assert(b.exceptAll(a).count() === 0, s"v$v")
     }
-    // disable stops capture: the next DML has no sidecar and the
-    // keyless read refuses with the fix named
+    // disable stops capture: the next DML has no sidecar — but T16
+    // row tracking keeps the keyless read answering, equal to the
+    // keyed diff (the sidecar is an optimization, not the only truth)
     sqlSpark.sql(s"CALL graft.disable_cdc('$root')")
     sqlSpark.sql(s"CALL graft.delete('$root', 'o_orderkey % 13 = 0')") // v3
-    val e = intercept[IllegalArgumentException] { mt.changesAt(3, None) }
-    assert(e.getMessage.contains("pass keys"))
+    val v3k = mt.changesAt(3, None)
+    val v3keyed = mt.changesBetween(2, 3, Seq("o_orderkey"))
+      .select(v3k.columns.map(col): _*)
+    assert(v3k.exceptAll(v3keyed).count() === 0)
+    assert(v3keyed.exceptAll(v3k).count() === 0)
   }
 
   test("maintenance_plan recommends compact_small + reorg on a messy table, nothing on a clean one") {
@@ -150,6 +154,38 @@ class SqlDmlSpec extends SparkTestBase {
     val clean = sqlSpark.sql(
       s"CALL graft.maintenance_plan('$root', 1)").collect()
     assert(clean.isEmpty, s"clean table plan: ${clean.toSeq}")
+  }
+
+  test("maintenance_plan sweeps a namespace: two tables with different " +
+      "needs, one priority-ordered plan, each row naming its table") {
+    import graft.lake.ManifestTable
+    val lake = scratch("advisor_ns")
+    val orders = Q.t(sqlSpark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // table A: small-file mess only
+    val a = new ManifestTable(sqlSpark, s"$lake/db/frag")
+    a.write(orders.repartition(8), "overwrite")
+    // table B: DV load only (one packed file, >2% masked)
+    val b = new ManifestTable(sqlSpark, s"$lake/db/masked")
+    b.write(orders.repartition(1), "overwrite")
+    b.delete(col("o_orderkey") % 3 === 0)
+    sqlSpark.conf.set("spark.sql.catalog.adv_ns", "graft.sql.GraftCatalog")
+    sqlSpark.conf.set("spark.sql.catalog.adv_ns.root", lake)
+    val plan = sqlSpark.sql(s"CALL graft.maintenance_plan('adv_ns.db.*')")
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(3), r.getString(4)))
+    assert(plan.exists(p => p._2 == "compact_small" && p._4.endsWith("frag")),
+      s"plan was ${plan.toSeq}")
+    assert(plan.exists(p => p._2 == "reorg_purge" && p._4.endsWith("masked")),
+      s"plan was ${plan.toSeq}")
+    assert(!plan.exists(p => p._2 == "reorg_purge" && p._4.endsWith("frag")))
+    assert(plan.map(_._1).toSeq === plan.map(_._1).toSeq.sorted,
+      "sweep output must stay priority-ordered across tables")
+    assert(plan.forall(_._3.startsWith("CALL graft.")))
+    // the path-glob form sweeps the same tables
+    val byPath = sqlSpark.sql(s"CALL graft.maintenance_plan('$lake/db/*')")
+      .collect()
+    assert(byPath.length === plan.length)
   }
 
   test("zorder procedure clusters and describe reflects it") {

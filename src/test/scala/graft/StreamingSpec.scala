@@ -751,25 +751,32 @@ class StreamingSpec extends SparkTestBase {
     assert(late.exceptAll(v3).count() === 0)
     assert(v3.exceptAll(late).count() === 0)
 
-    // T15: a KEYLESS change feed is legal at load time — but this
-    // table's DML predates enableCdc, so the read refuses at replay
-    // with the fix named (pass keys, or enable CDC)
+    // T16: a KEYLESS change feed over this never-CDC table now replays
+    // via row tracking (the pre-row-id refusal case, flipped): every
+    // in-place commit diffs by the stable `_row_id`, so the keyless
+    // stream equals the keyed replay version for version — merge
+    // rewrites and DV deletes included
     val outK = scratch("t13_outk")
     val ckptK = scratch("t13_ckptk")
-    val e = intercept[Exception] {
-      spark.readStream
-        .format(classOf[GraftTableSourceProvider].getName)
-        .option("root", root)
-        .option("readChangeFeed", "true")
-        .load()
-        .writeStream
-        .format("parquet")
-        .option("path", outK)
-        .option("checkpointLocation", ckptK)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
-    }
-    assert(messageChain(e).contains("pass keys"))
+    spark.readStream
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", outK)
+      .option("checkpointLocation", ckptK)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val keyless = spark.read.parquet(outK)
+    val replayK = (0 to 3).map { v =>
+      (if (v == 0) mt.read(Some(0)).withColumn("_change_type", lit("insert"))
+       else mt.changesAt(v, Seq("o_orderkey")))
+        .withColumn("_commit_version", lit(v.toLong))
+    }.reduce(_.unionByName(_)).select(keyless.columns.map(col): _*)
+    assert(keyless.exceptAll(replayK).count() === 0)
+    assert(replayK.exceptAll(keyless).count() === 0)
 
     // a numeric startingVersion beyond the next commit refuses up
     // front — silently committing the offset at the current latest
@@ -860,11 +867,15 @@ class StreamingSpec extends SparkTestBase {
       reader("startingVersion" -> "2", "endingVersion" -> "1").collect()
     }
     assert(messageChain(inverted).contains("not a valid committed range"))
-    val noKeys = intercept[IllegalArgumentException] {
-      spark.read.format(classOf[GraftTableSourceProvider].getName)
-        .option("root", root).option("readChangeFeed", "true").load()
-    }
-    assert(messageChain(noKeys).contains("keys"))
+    // T16: the keyless batch read replays via row tracking even
+    // though this table never enabled CDC — equal to the keyed read
+    val noKeys = spark.read
+      .format(classOf[GraftTableSourceProvider].getName)
+      .option("root", root).option("readChangeFeed", "true").load()
+    assert(noKeys.exceptAll(full.select(noKeys.columns.map(col): _*))
+      .count() === 0)
+    assert(full.select(noKeys.columns.map(col): _*).exceptAll(noKeys)
+      .count() === 0)
     val mixed = intercept[IllegalArgumentException] {
       reader("versionAsOf" -> "1").collect()
     }
@@ -1152,12 +1163,14 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(mt.changesAt(4, None).count() === 0)
 
-    // v1 predates enablement: keyless refuses with the fix named;
-    // explicit keys still fall back to the per-commit diff
-    val pre = intercept[IllegalArgumentException] { mt.changesAt(1, None) }
-    assert(pre.getMessage.contains("pass keys"))
-    assert(mt.changesAt(1, Some(Seq("o_orderkey")))
-      .filter(col("_change_type") === "delete").count() > 0)
+    // v1 predates CDC enablement — T16 row tracking replays it
+    // keylessly anyway, equal to the keyed per-commit diff
+    val preKeyless = mt.changesAt(1, None)
+    val preKeyed = mt.changesAt(1, Some(Seq("o_orderkey")))
+      .select(preKeyless.columns.map(col): _*)
+    assert(preKeyless.exceptAll(preKeyed).count() === 0)
+    assert(preKeyed.exceptAll(preKeyless).count() === 0)
+    assert(preKeyless.filter(col("_change_type") === "delete").count() > 0)
 
     // keyless STREAM anchored at v2 drains the sidecar versions and
     // equals the keyed replay
@@ -1236,14 +1249,19 @@ class StreamingSpec extends SparkTestBase {
     effectHolds(3)
 
     // a restore straddling a DV re-point can NOT be derived at file
-    // granularity: no stamp, keyless refuses, keys fall back
+    // granularity — T16 row tracking closes the old refusal: the
+    // shared-but-re-pointed files resolve the same row ids on both
+    // sides, so the keyless diff resurrects exactly the un-deleted
+    // rows, equal to the keyed diff
     mt.delete(col("o_orderkey") % 5 === 0) // v4 (exact sidecar)
     mt.restore(3) // v5: shares v3's rels but v4 re-pointed them
-    val pre5 = intercept[IllegalArgumentException] { mt.changesAt(5, None) }
-    assert(pre5.getMessage.contains("pass keys"))
-    assert(mt.changesBetween(4, 5, Seq("o_orderkey"))
-      .filter(col("_change_type") === "insert").count() > 0,
-      "the keyed diff resurrects the un-deleted rows")
+    val pre5 = mt.changesAt(5, None)
+    val keyed5 = mt.changesBetween(4, 5, Seq("o_orderkey"))
+      .select(pre5.columns.map(col): _*)
+    assert(pre5.exceptAll(keyed5).count() === 0)
+    assert(keyed5.exceptAll(pre5).count() === 0)
+    assert(pre5.filter(col("_change_type") === "insert").count() > 0,
+      "the keyless diff resurrects the un-deleted rows")
 
     // a VIOLATED file-diff stamp (out-of-band tag write) must not
     // brick the version: keys fall through to the keyed diff; only
