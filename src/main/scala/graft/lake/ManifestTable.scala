@@ -3069,7 +3069,7 @@ class ManifestTable(spark: SparkSession, root: String,
       matcher: DataFrame => DataFrame): Int = {
     if (candidates.isEmpty) return v0
     if (!cdcEnabled) {
-      val hits = matcher(liveWithPos(candidates))
+      val hits = matcher(liveWithPos(candidates, withRid = false))
         .select(col(DvFileCol), col(DvPosCol))
       return commitDv(v0, all, hits, Seq.empty)
     }
@@ -3077,7 +3077,8 @@ class ManifestTable(spark: SparkSession, root: String,
     // the hit set exactly once so the DV marks and the recorded
     // deletes cannot diverge under a nondeterministic predicate —
     // the same discipline updateWhere applies.
-    val hits = matcher(liveWithPos(candidates)).localCheckpoint(true)
+    val hits = matcher(liveWithPos(candidates, withRid = false))
+      .localCheckpoint(true)
     try {
       val dataCols = hits.columns
         .filterNot(Set(DvFileCol, DvPosCol, ManifestTable.RowIdCol)).toSeq
@@ -3094,7 +3095,8 @@ class ManifestTable(spark: SparkSession, root: String,
     * and updates/merges must never resurrect one. The shared preamble
     * of every row-level mutation (delete / update / merge).
     */
-  private def liveWithPos(entries: Seq[Entry]): DataFrame = {
+  private def liveWithPos(entries: Seq[Entry],
+      withRid: Boolean = true): DataFrame = {
     val files = entries.map(e => new Path(root, e.rel).toString)
     // withDeclared on the file read: row-level DML (UPDATE/MERGE/
     // DELETE) matches and assigns against the LOGICAL schema — a
@@ -3103,10 +3105,18 @@ class ManifestTable(spark: SparkSession, root: String,
     // it too or `SET note = 'x'` dies here on a column the analyzer
     // accepted (the read() branch already includes it)
     val withPos =
-      if (files.isEmpty) read()
-        .withColumn(DvFileCol, lit(null).cast("string"))
-        .withColumn(DvPosCol, lit(null).cast("long"))
-        .withColumn(ManifestTable.RowIdCol, lit(null).cast("long"))
+      if (files.isEmpty) {
+        val base = read()
+          .withColumn(DvFileCol, lit(null).cast("string"))
+          .withColumn(DvPosCol, lit(null).cast("long"))
+        if (withRid)
+          base.withColumn(ManifestTable.RowIdCol, lit(null).cast("long"))
+        else base
+      } else if (!withRid)
+        // deletes only MARK positions — no copy is written, so the
+        // row-id resolution (bases broadcast + coalesce) is pure
+        // per-commit overhead there and is skipped
+        withDeclared(toLogicalRename(readFiles(files, withPos = true)))
       else {
         // stable row id rides the mutation read so update/merge COPIES
         // can materialize it ([[ManifestTable.RidPhysCol]]) — an
@@ -3892,10 +3902,15 @@ class ManifestTable(spark: SparkSession, root: String,
         // under the null-safe join would cross-match unrelated rows.
         val preR = withDeclared(readEntriesRid(preChanged))
         val postR = withDeclared(readEntriesRid(postChanged))
+        // a #rid-stamped file can never yield a NULL id (base + index
+        // is total), so the probe jobs run only for files PREDATING
+        // row tracking, whose physical column may or may not cover
+        val allStamped = (preChanged ++ postChanged)
+          .forall(_.stats.contains(ManifestTable.RidKey))
         def hasNullIds(df: DataFrame): Boolean =
           df.filter(col(ManifestTable.RowIdCol).isNull).limit(1)
             .count() > 0
-        if (hasNullIds(preR) || hasNullIds(postR))
+        if (!allStamped && (hasNullIds(preR) || hasNullIds(postR)))
           throw new IllegalArgumentException(
             s"version $v at $root changed rows in place, carries no " +
               "change-data sidecar (CDC was not enabled when it " +
