@@ -855,17 +855,21 @@ class ManifestTable(spark: SparkSession, root: String,
         else new Path(f).getName
       (bp, ManifestTable.layoutColsOf(rel).mkString("/"))
     }
+    // ONE declared/ mapping sidecar read per readFiles call, hoisted
+    // out of the per-group (and the bucketed path's per-bucket) loop
+    val defaults = declaredDefaults
     groups.toSeq.sortBy(_._1).map { case ((bp, _), paths) =>
       // a pinned schema (from one inference pass over the full file
       // set) skips the per-call mergeSchema footer scan — the
       // bucketed read path calls this once PER BUCKET
       val df = pinnedSchema match {
         case Some(s) => spark.read.option("basePath", bp)
-          .schema(withExistenceDefaults(s).getOrElse(s)).parquet(paths: _*)
+          .schema(withExistenceDefaults(s, defaults).getOrElse(s))
+          .parquet(paths: _*)
         case None =>
           val inferred = spark.read.option("basePath", bp)
             .option("mergeSchema", "true").parquet(paths: _*)
-          withExistenceDefaults(inferred.schema) match {
+          withExistenceDefaults(inferred.schema, defaults) match {
             case None => inferred
             // L40: re-read under the default-carrying schema so files
             // PREDATING a defaulted column fill it with the default
@@ -1088,8 +1092,13 @@ class ManifestTable(spark: SparkSession, root: String,
         n <- e.stats.get(ManifestTable.CountKey).flatMap(_.mn.toLongOption)
       } yield b + n
     }.maxOption.getOrElse(0L)
-    var off = math.max(v.toLong << 40, hwm)
-    added.map { e =>
+    // the live snapshot alone cannot remember an allotment whose files
+    // were dropped and whose range ran ABOVE its version band (a
+    // clone-then-overwrite-then-restore rewind): such spills persist
+    // to a tiny monotonic watermark file, read back here — so a
+    // dropped-but-time-travelable file's id range is never re-allotted
+    var off = math.max(math.max(v.toLong << 40, hwm), persistedRidHwm)
+    val out = added.map { e =>
       if (e.stats.contains(ManifestTable.RidKey)) e
       else e.stats.get(ManifestTable.CountKey)
         .flatMap(_.mn.toLongOption) match {
@@ -1101,6 +1110,44 @@ class ManifestTable(spark: SparkSession, root: String,
         case None => e
       }
     }
+    // only spills above the NEXT version band need remembering: a
+    // normal commit's range sits inside [v<<40, (v+1)<<40) and every
+    // future version starts at or above (v+1)<<40 anyway — so the
+    // watermark file is written only on clone-carried (or >2^40-row)
+    // allotments, not per commit
+    if (off > ((v.toLong + 1) << 40)) persistRidHwm(off)
+    out
+  }
+
+  /** T16: `_graft_rid` / `_row_id` are engine-reserved — a user frame
+    * carrying them would be silently hidden from every read and
+    * MISREAD as physical row ids (colliding with allotted bases and
+    * cross-matching unrelated rows in the keyless change feed), so the
+    * public write surfaces refuse them up front.
+    */
+  private def requireNoReservedCols(df: DataFrame, what: String): Unit = {
+    val hit = df.columns.find(c =>
+      c == ManifestTable.RidPhysCol || c == ManifestTable.RowIdCol)
+    require(hit.isEmpty, s"$what: column ${hit.getOrElse("")} is " +
+      "reserved by row tracking — rename it before writing")
+  }
+
+  /** Monotonic row-id watermark sidecar (see [[stampRowIdBases]]). */
+  private val ridHwmPath = new Path(logDir, "rid_hwm")
+
+  private def persistedRidHwm: Long =
+    if (!fs.exists(ridHwmPath)) 0L
+    else readLogLines(ridHwmPath).headOption
+      .flatMap(_.trim.toLongOption).getOrElse(0L)
+
+  private def persistRidHwm(v: Long): Unit = {
+    if (v <= persistedRidHwm) return
+    val tmp = new Path(logDir, s".tmp-ridhwm-${UUID.randomUUID()}")
+    fs.mkdirs(logDir)
+    val out = fs.create(tmp, false)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(ridHwmPath, false)
+    if (!fs.rename(tmp, ridHwmPath)) fs.delete(tmp, false): Unit
   }
 
   /** Single-shot full-snapshot commit (overwrite/restore/clone — ops
@@ -1108,17 +1155,23 @@ class ManifestTable(spark: SparkSession, root: String,
     * nothing to rebase). Loses a version-number race only in a tight
     * window; retries the next number a few times before giving up.
     */
-  private def commit(entries: Seq[Entry]): Int = {
+  private def commit(entries: Seq[Entry], stampNew: Boolean = true): Int = {
     var attempt = 0
     while (attempt < 5) {
       val prev = latestVersion
       val v = prev.getOrElse(-1) + 1
       // row-id stamping per attempt: the final version number is part
       // of the base, and a lost race re-stamps on the next number.
-      // Restore/clone entries keep their carried stamps (identity
-      // survives); only genuinely new files draw bases.
-      val stamped = stampRowIdBases(v, entries,
-        prev.map(entriesOf).getOrElse(Seq.empty))
+      // stampNew = false for CARRIED snapshots (restore, clone): their
+      // entries keep exactly the identity they had — stamping a
+      // pre-row-tracking entry there would make the committed entry
+      // differ from the source version's, invalidating restore's
+      // file-diff stamp decision (and a clone should mirror its
+      // source, stamps and gaps alike).
+      val stamped =
+        if (stampNew) stampRowIdBases(v, entries,
+          prev.map(entriesOf).getOrElse(Seq.empty))
+        else entries
       if (tryCommit(v, stamped)) return v
       attempt += 1
     }
@@ -1757,6 +1810,7 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   private[graft] def write(df: DataFrame, mode: String,
       fileTag: Option[String]): Int = {
+    requireNoReservedCols(df, "write")
     val newFiles = newEntries(writeDataFiles(enforced(df), fileTag))
     mode match {
       case "append" =>
@@ -1834,6 +1888,7 @@ class ManifestTable(spark: SparkSession, root: String,
     * vacuum-protected until their branch is dropped or published.
     */
   def stageBranch(name: String, df: DataFrame): Unit = {
+    requireNoReservedCols(df, "stageBranch")
     val bp = branchFile(name)
     require(!fs.exists(bp), s"branch $name already staged at $root")
     val entries = newEntries(writeDataFiles(enforced(df)))
@@ -2014,6 +2069,7 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def merge(updates0: DataFrame, keys: Seq[String],
       deleteCol: Option[String] = None): Int = {
+    requireNoReservedCols(updates0, "merge")
     // pin the snapshot: every read below (base rows, touched scan,
     // carried entries) must see ONE version, and the commit is a delta
     // against exactly that version so concurrent disjoint writers rebase
@@ -2151,9 +2207,19 @@ class ManifestTable(spark: SparkSession, root: String,
   private def attachRowIds(merged: DataFrame, idEntries: Seq[Entry],
       keys: Seq[String]): DataFrame = {
     if (idEntries.isEmpty) return merged
+    // ONE id per key, and only for keys the target held EXACTLY once:
+    // nothing guarantees target-key uniqueness (keptTargets tolerates
+    // duplicates), and an un-deduplicated projection would MULTIPLY
+    // result rows through the join — silent row duplication — while a
+    // duplicate key's identity is genuinely ambiguous, so those rows
+    // draw fresh ids instead (honest degradation, cardinality intact)
     val proj = withDeclared(readEntriesRid(idEntries))
-      .select(keys.map(c => col(c).as(s"__graft_idk_$c")) :+
-        col(ManifestTable.RowIdCol).as(ManifestTable.RidPhysCol): _*)
+      .groupBy(keys.map(c => col(c).as(s"__graft_idk_$c")): _*)
+      .agg(min(col(ManifestTable.RowIdCol)).as("__graft_idv"),
+        count(lit(1)).as("__graft_idn"))
+      .select(keys.map(c => col(s"__graft_idk_$c")) :+
+        when(col("__graft_idn") === 1, col("__graft_idv"))
+          .as(ManifestTable.RidPhysCol): _*)
     val cond = keys.map(k => col(k) <=> col(s"__graft_idk_$k")).reduce(_ && _)
     merged.join(proj, cond, "left")
       .drop(keys.map("__graft_idk_" + _): _*)
@@ -2546,9 +2612,18 @@ class ManifestTable(spark: SparkSession, root: String,
   /** Declared columns carrying a DEFAULT, keyed by PHYSICAL name (the
     * name parquet files would hold) → the stored literal SQL.
     */
-  private def declaredDefaults: Map[String, String] =
-    declaredColumns.fields.flatMap(f =>
-      ManifestTable.defaultOf(f).map(toPhysical(f.name) -> _)).toMap
+  private def declaredDefaults: Map[String, String] = {
+    val defaulted = declaredColumns.fields
+      .filter(_.metadata.contains(ManifestTable.DefaultKey))
+    if (defaulted.isEmpty) Map.empty
+    else {
+      val m = columnMapping // ONE sidecar read, not one per field
+      def phys(l: String): String =
+        m.collectFirst { case (pn, ln) if ln == l => pn }.getOrElse(l)
+      defaulted.map(f =>
+        phys(f.name) -> f.metadata.getString(ManifestTable.DefaultKey)).toMap
+    }
+  }
 
   /** Amend a read schema so columns with a declared DEFAULT carry
     * Spark's EXISTS_DEFAULT metadata — the parquet readers then fill
@@ -2556,9 +2631,8 @@ class ManifestTable(spark: SparkSession, root: String,
     * files holding it keep their stored values, explicit NULLs
     * included. None when no declared default touches the schema.
     */
-  private def withExistenceDefaults(
-      st: StructType): Option[StructType] = {
-    val defaults = declaredDefaults
+  private def withExistenceDefaults(st: StructType,
+      defaults: Map[String, String]): Option[StructType] = {
     if (defaults.isEmpty) return None
     var changed = false
     val fields = st.fields.map { f =>
@@ -3266,7 +3340,11 @@ class ManifestTable(spark: SparkSession, root: String,
     require(matched.nonEmpty || notMatched.nonEmpty ||
       notMatchedBySource.nonEmpty, "MERGE needs at least one clause")
     val entries = entriesOf(v0)
-    val live = liveWithPos(entries)
+    // ids are consumed only by UPDATE-arm copies; a delete/insert-only
+    // merge (the common CDC-apply shape) skips the resolution
+    val needRid = (matched ++ notMatchedBySource)
+      .exists(_.isInstanceOf[MergeUpdateClause])
+    val live = liveWithPos(entries, withRid = needRid)
     val targetCols = live.columns
       .filterNot(Set(DvFileCol, DvPosCol, ManifestTable.RowIdCol)).toSeq
     val armCol = "_graft_merge_arm"
@@ -4000,7 +4078,7 @@ class ManifestTable(spark: SparkSession, root: String,
   def restore(version: Int): Int = {
     require(versions.contains(version), s"no version $version at $root")
     val target = entriesOf(version)
-    val v = commit(target)
+    val v = commit(target, stampNew = false)
     // T15: a restore's changes derive keylessly from its file delta —
     // UNLESS a shared file's entry changed across it (a DV re-point
     // straddling the restore window: the dead-row set can't be
@@ -4111,6 +4189,7 @@ class ManifestTable(spark: SparkSession, root: String,
       fs.makeQualified(logDir).toString + "#refs").synchronized {
       fs.mkdirs(logDir)
       val lockPath = new Path(logDir, "refs.lock")
+      val token = UUID.randomUUID().toString
       val deadline = System.currentTimeMillis() +
         ManifestTable.RefLockAcquireMs
       var held = false
@@ -4118,8 +4197,7 @@ class ManifestTable(spark: SparkSession, root: String,
         try {
           val out = fs.create(lockPath, false) // atomic-exclusive
           try out.write(
-            s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}"
-              .getBytes("UTF-8"))
+            s"$token ${ProcessHandle.current().pid()}".getBytes("UTF-8"))
           finally out.close()
           held = true
         } catch {
@@ -4131,11 +4209,24 @@ class ManifestTable(spark: SparkSession, root: String,
               case Some(s) if System.currentTimeMillis() -
                   s.getModificationTime > ManifestTable.RefLockStaleMs =>
                 // presumed-dead holder: break by atomic rename — only
-                // one breaker wins; either way re-enter the create race
+                // one breaker wins. FENCED: rename preserves mtime, so
+                // the tombstone's mtime proves WHICH file was renamed;
+                // a breaker that raced another breaker's fresh lock
+                // (observed stale → someone else broke it → a new
+                // holder created → we renamed THAT) sees a fresher
+                // tombstone and restores it instead of deleting — two
+                // processes can never both believe they broke through
                 val tomb = new Path(logDir,
                   s".tmp-broken-lock-${UUID.randomUUID()}")
-                try { if (fs.rename(lockPath, tomb)) fs.delete(tomb, false): Unit }
-                catch { case _: java.io.IOException => () }
+                try {
+                  if (fs.rename(lockPath, tomb)) {
+                    val t = fs.getFileStatus(tomb)
+                    if (t.getModificationTime == s.getModificationTime)
+                      fs.delete(tomb, false): Unit // the stale one: gone
+                    else if (!fs.rename(tomb, lockPath))
+                      fs.delete(tomb, false): Unit // lost the restore race
+                  }
+                } catch { case _: java.io.IOException => () }
               case _ =>
                 if (System.currentTimeMillis() > deadline)
                   throw new IllegalStateException(
@@ -4164,7 +4255,13 @@ class ManifestTable(spark: SparkSession, root: String,
       try body finally {
         stop = true
         beat.join()
-        fs.delete(lockPath, false): Unit
+        // release only OUR lock: a holder paused past the TTL may have
+        // been broken and replaced — deleting unconditionally would
+        // kill the NEW holder's lock (the unfenced-lease flaw)
+        val mine =
+          try readLogLines(lockPath).headOption.exists(_.startsWith(token))
+          catch { case _: java.io.IOException => false }
+        if (mine) fs.delete(lockPath, false): Unit
       }
     }
 
@@ -4288,7 +4385,7 @@ class ManifestTable(spark: SparkSession, root: String,
       es: Seq[(String, Seq[(String, String, String, String)])]): Int =
     commit(es.map { case (rel, stats) =>
       Entry(rel, stats.map { case (c, mn, mx, k) => c -> ColStats(mn, mx, k) }.toMap)
-    })
+    }, stampNew = false)
 
   /** L4: VACUUM — delete data files unreferenced by the `retain` most
     * recent versions, and drop manifests older than those. Returns

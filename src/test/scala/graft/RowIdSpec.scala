@@ -129,6 +129,91 @@ class RowIdSpec extends SparkTestBase {
       "clone append collided with carried ids")
   }
 
+  test("keyed merge with DUPLICATE target keys: no row multiplication, " +
+      "no shared ids (review finding: un-deduplicated id projection)") {
+    val mt = new ManifestTable(spark, scratch("dupkeys"))
+    // two rows per key — nothing enforces target-key uniqueness
+    mt.write(Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "s"),
+      "overwrite")
+    mt.merge(Seq((2L, "c2"), (9L, "new")).toDF("id", "s"), Seq("id"))
+    val rows = mt.read().as[(Long, String)].collect().sorted.toSeq
+    assert(rows === Seq((1L, "a"), (1L, "b"), (2L, "c2"), (9L, "new")),
+      "duplicate-key targets must round-trip without multiplication")
+    val allIds = mt.readWithRowId()
+      .select(col(ManifestTable.RowIdCol)).as[Long].collect()
+    assert(allIds.length === allIds.toSet.size,
+      "ambiguous keys must draw fresh ids, never share one")
+  }
+
+  test("restore of a pre-row-tracking snapshot does not invalidate its " +
+      "file-diff replay (review finding: stamping carried entries)") {
+    val root = scratch("legacy_restore")
+    val mt = new ManifestTable(spark, root)
+    mt.write(spark.range(10).toDF("id"), "overwrite") // v0
+    // simulate a legacy table: strip #rid from the v0 manifest
+    val logDir = new org.apache.hadoop.fs.Path(s"$root/_graft_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".manifest")).head
+    val lines = {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val stripped = lines.map(_.split('\t')
+      .filterNot(_.startsWith("%23rid=")).mkString("\t"))
+    fs.delete(m, false)
+    val out = fs.create(m, true)
+    try out.write((stripped.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    mt.write(spark.range(10, 15).toDF("id"), "append") // v1
+    mt.restore(0) // v2: carried entries must commit UNCHANGED
+    val ch = mt.changesAt(2, None) // file-diff replay, not a refusal
+    assert(ch.filter(col("_change_type") === "delete").count() === 5)
+    assert(ch.filter(col("_change_type") === "insert").count() === 0)
+  }
+
+  test("the physical rid column name is reserved at the write surfaces") {
+    val mt = new ManifestTable(spark, scratch("reserved"))
+    val e = intercept[IllegalArgumentException] {
+      mt.write(spark.range(3).toDF("id")
+        .withColumn("_graft_rid", col("id")), "overwrite")
+    }
+    assert(e.getMessage.contains("reserved"))
+    mt.write(spark.range(3).toDF("id"), "overwrite")
+    val e2 = intercept[IllegalArgumentException] {
+      mt.merge(spark.range(1).toDF("id")
+        .withColumn("_row_id", lit(1L)), Seq("id"))
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+
+  test("clone → overwrite → restore → append never re-allots a dropped " +
+      "range (review finding: persisted watermark)") {
+    val src = freshTable("wm_src")
+    // push the source's version (and so its bases) well above the
+    // clone's own version numbers
+    (1 to 3).foreach(i => src.write(spark.range(100L * i, 100L * i + 5)
+      .select(col("id"), (col("id") % 7).as("k"),
+        concat(lit("v"), col("id")).as("s")), "append"))
+    val clone = src.shallowClone(scratch("wm_clone"))
+    val v0Ids = ids(clone).values.toSet
+    clone.write(spark.range(1000, 1010)
+      .select(col("id"), (col("id") % 7).as("k"),
+        concat(lit("v"), col("id")).as("s")), "overwrite") // v1: hwm spill
+    val v1Ids = clone.readWithRowId()
+      .select(col(ManifestTable.RowIdCol)).as[Long].collect().toSet
+    clone.restore(0) // v2: rewind
+    clone.write(spark.range(2000, 2010)
+      .select(col("id"), (col("id") % 7).as("k"),
+        concat(lit("v"), col("id")).as("s")), "append") // v3
+    val v3New = clone.readWithRowId()
+      .select(col(ManifestTable.RowIdCol)).as[Long].collect().toSet -- v0Ids
+    assert(v3New.intersect(v1Ids).isEmpty,
+      "the rewound append re-used v1's (dropped but time-travelable) " +
+        "id range")
+  }
+
   test("keyless change feed on a never-CDC table: update replays " +
       "exactly (the pre-CDC refusal case, flipped)") {
     val mt = freshTable("keyless")
