@@ -47,6 +47,16 @@ object ManifestTable {
   private def lockFor(key: String): Object =
     locks.computeIfAbsent(key, _ => new Object)
 
+  /** Ref-lock keys (qualified logDir + "#refs") the current THREAD
+    * already holds — makes [[ManifestTable.withRefLock]] reentrant:
+    * the JVM monitor reenters on its own, but the refs.lock FILE
+    * would self-deadlock (our heartbeat keeps it fresh, so a nested
+    * create waits the full acquire budget and throws).
+    */
+  private val refLocksHeldByThread =
+    ThreadLocal.withInitial[java.util.HashSet[String]](() =>
+      new java.util.HashSet[String]())
+
   /** Salt for the bloom's second hash — part of the on-disk format. */
   private[lake] val BloomSalt = "graft_bloom"
 
@@ -106,6 +116,19 @@ object ManifestTable {
     if (f.metadata.contains(DefaultKey))
       Some(f.metadata.getString(DefaultKey))
     else None
+
+  /** In-commit-timestamp header line prefix. Every manifest/delta file
+    * published since this format revision opens with `#ict\t<epochMs>`
+    * — the commit's wall-clock stamped INSIDE the log entry (Delta's
+    * in-commit-timestamp design), so `TIMESTAMP AS OF`, CDF timestamp
+    * anchors and `history()` survive a directory copy/rsync/migration
+    * that perturbs file mtimes. Stamps are made strictly monotonic at
+    * commit time (`max(now, prev + 1)`); legacy files without the
+    * header fall back to publication mtime, exactly the old behavior.
+    * Lines starting with '#' can never be entries: data files are
+    * engine-named (uuid/part-*), so no rel path starts with '#'.
+    */
+  private[lake] val IctPrefix = "#ict\t"
 
   /** Cross-process ref-lock staleness horizon: a `refs.lock` whose
     * mtime is older than this is presumed abandoned (crashed holder)
@@ -478,8 +501,12 @@ class ManifestTable(spark: SparkSession, root: String,
     * — never O(versions).
     */
   private def entriesOf(version: Int): Seq[Entry] = {
+    // '#'-prefixed lines are commit-level metadata (the `#ict` header),
+    // never entries — data files are engine-named, no rel starts '#'
+    def entryLines(p: Path): Seq[String] =
+      readLogLines(p).filterNot(_.startsWith("#"))
     if (fs.exists(manifestPath(version)))
-      return readLogLines(manifestPath(version)).map(Entry.parse(_, statsCol))
+      return entryLines(manifestPath(version)).map(Entry.parse(_, statsCol))
     var s = version - 1
     while (s >= 0 && !fs.exists(manifestPath(s))) s -= 1
     if (s < 0) throw new IllegalStateException(
@@ -488,10 +515,10 @@ class ManifestTable(spark: SparkSession, root: String,
     // is remove+add of the same rel, matching the filterNot ++ added
     // shape full commits use)
     val acc = scala.collection.mutable.LinkedHashMap.from(
-      readLogLines(manifestPath(s)).map(Entry.parse(_, statsCol))
+      entryLines(manifestPath(s)).map(Entry.parse(_, statsCol))
         .map(e => e.rel -> e))
     for (v <- s + 1 to version) {
-      readLogLines(deltaPath(v)).foreach { line =>
+      entryLines(deltaPath(v)).foreach { line =>
         if (line.startsWith("-\t")) acc.remove(line.substring(2)): Unit
         else if (line.startsWith("+\t")) {
           val e = Entry.parse(line.substring(2), statsCol)
@@ -514,7 +541,13 @@ class ManifestTable(spark: SparkSession, root: String,
   def read(version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
-    withDeclared(readEntries(entriesOf(v)))
+    val ids = identityColumns
+    if (ids.isEmpty) withDeclared(readEntries(entriesOf(v)))
+    else
+      // identity columns derive from the stable row id — ride the
+      // rid-resolving read (the identity-free path pays nothing)
+      withIdentityCols(withDeclared(readEntriesRid(entriesOf(v))), ids)
+        .drop(ManifestTable.RowIdCol)
   }
 
   /** T16 row tracking: [[read]] plus the stable [[ManifestTable
@@ -528,7 +561,8 @@ class ManifestTable(spark: SparkSession, root: String,
   def readWithRowId(version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion)
       .getOrElse(throw new IllegalStateException(s"no versions at $root"))
-    withDeclared(readEntriesRid(entriesOf(v)))
+    withIdentityCols(withDeclared(readEntriesRid(entriesOf(v))),
+      identityColumns)
   }
 
   /** Rewrite-side read: the snapshot with row ids under their PHYSICAL
@@ -896,19 +930,38 @@ class ManifestTable(spark: SparkSession, root: String,
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** Commit wall-clock time of a version (epoch millis) — the manifest
-    * file's modification time, stamped by the atomic rename that
-    * published it.
+  /** Commit wall-clock time of a version (epoch millis) — the `#ict`
+    * in-commit stamp written into the manifest/delta header at publish
+    * time (strictly monotonic over versions; survives directory
+    * copies/migrations that perturb mtimes). Legacy pre-ICT log files
+    * fall back to the publication mtime, the old behavior.
     */
-  def commitTimeOf(version: Int): Long =
-    Seq(deltaPath(version), manifestPath(version))
-      .filter(fs.exists)
-      .map(fs.getFileStatus(_).getModificationTime)
-      // min: a vacuum-time checkpoint materialized BESIDE a delta must
-      // not shift the version's original commit time
-      .minOption
-      .getOrElse(throw new IllegalStateException(
-        s"version $version has no manifest or delta under $logDir"))
+  def commitTimeOf(version: Int): Long = {
+    val cands = Seq(deltaPath(version), manifestPath(version)).filter(fs.exists)
+    if (cands.isEmpty) throw new IllegalStateException(
+      s"version $version has no manifest or delta under $logDir")
+    // in-commit stamp preferred (survives copies/rsync that perturb
+    // mtimes); min across both file forms so a vacuum-time checkpoint
+    // materialized BESIDE a delta never shifts the original commit
+    // time. Legacy pre-ICT files fall back to publication mtime.
+    val stamped = cands.flatMap(headerIct)
+    if (stamped.nonEmpty) stamped.min
+    else cands.map(fs.getFileStatus(_).getModificationTime).min
+  }
+
+  /** The `#ict` header stamp of one log file, if present (one bounded
+    * first-line read — never the whole manifest).
+    */
+  private def headerIct(p: Path): Option[Long] = {
+    val in = fs.open(p)
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      Option(r.readLine())
+        .filter(_.startsWith(ManifestTable.IctPrefix))
+        .flatMap(_.substring(ManifestTable.IctPrefix.length).toLongOption)
+    } finally in.close()
+  }
 
   /** Time-travel read by timestamp (the common Delta/Iceberg
     * `timestampAsOf` interface): the newest version committed at or
@@ -1058,9 +1111,17 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   private def tryPublish(v: Int, content: String, asDelta: Boolean): Boolean = {
     fs.mkdirs(logDir)
+    // in-commit timestamp header: strictly monotonic over the version
+    // line (max with predecessor + 1) so versionAtOrBefore's filter is
+    // a prefix even across wall-clock skew between writers. Reading the
+    // predecessor's stamp is O(1) — one small-file header (or a stat).
+    val ict = math.max(System.currentTimeMillis(),
+      if (v <= 0) 0L
+      else (try commitTimeOf(v - 1) catch { case _: Exception => 0L }) + 1)
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(content.getBytes("UTF-8"))
+    try out.write(
+      (ManifestTable.IctPrefix + ict + "\n" + content).getBytes("UTF-8"))
     finally out.close()
     val dest = if (asDelta) deltaPath(v) else manifestPath(v)
     val won = ManifestTable.lockFor(fs.makeQualified(logDir).toString)
@@ -1130,25 +1191,54 @@ class ManifestTable(spark: SparkSession, root: String,
       c == ManifestTable.RidPhysCol || c == ManifestTable.RowIdCol)
     require(hit.isEmpty, s"$what: column ${hit.getOrElse("")} is " +
       "reserved by row tracking — rename it before writing")
+    // GENERATED ALWAYS AS IDENTITY: the engine assigns values (from
+    // the row-id allocator) — an explicit value can neither be honored
+    // nor silently dropped
+    val ids = identityColumns
+    val idHit = df.columns.find(ids.contains)
+    require(idHit.isEmpty, s"$what: column ${idHit.getOrElse("")} is " +
+      "GENERATED ALWAYS AS IDENTITY — drop it from the frame; the " +
+      "engine assigns its values")
   }
 
-  /** Monotonic row-id watermark sidecar (see [[stampRowIdBases]]). */
-  private val ridHwmPath = new Path(logDir, "rid_hwm")
+  /** Monotonic row-id watermark sidecar (see [[stampRowIdBases]]).
+    * Stored as uniquely-named `rid_hwm-<uuid>` files folded by
+    * MAX-ON-READ: concurrent writers (same JVM or a foreign process)
+    * never clobber each other and a reader mid-update can never
+    * observe an absent watermark — the delete-then-rename regression
+    * window of a single mutable file is structurally impossible.
+    * Strictly-smaller predecessors are garbage-collected after a
+    * successful write (any subset retaining the max is equivalent);
+    * the legacy single `rid_hwm` file folds in for old tables.
+    */
+  private def ridHwmValues: Seq[(Path, Long)] =
+    (if (!fs.exists(logDir)) Seq.empty[Path]
+     else fs.listStatus(logDir).toSeq.map(_.getPath)
+       .filter(_.getName.startsWith("rid_hwm")))
+      .flatMap { p =>
+        // a concurrent GC may delete between list and read — skip
+        (try readLogLines(p).headOption.flatMap(_.trim.toLongOption)
+         catch { case _: java.io.IOException => None }).map(p -> _)
+      }
 
   private def persistedRidHwm: Long =
-    if (!fs.exists(ridHwmPath)) 0L
-    else readLogLines(ridHwmPath).headOption
-      .flatMap(_.trim.toLongOption).getOrElse(0L)
+    ridHwmValues.map(_._2).maxOption.getOrElse(0L)
 
-  private def persistRidHwm(v: Long): Unit = {
-    if (v <= persistedRidHwm) return
-    val tmp = new Path(logDir, s".tmp-ridhwm-${UUID.randomUUID()}")
-    fs.mkdirs(logDir)
-    val out = fs.create(tmp, false)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(ridHwmPath, false)
-    if (!fs.rename(tmp, ridHwmPath)) fs.delete(tmp, false): Unit
-  }
+  private def persistRidHwm(v: Long): Unit =
+    // same-JVM writers serialize on the per-root monitor; cross-process
+    // writers are safe by construction (unique names, max-on-read)
+    ManifestTable.lockFor(
+      fs.makeQualified(logDir).toString + "#ridhwm").synchronized {
+      if (v > persistedRidHwm) {
+        val p = new Path(logDir, s"rid_hwm-${UUID.randomUUID()}")
+        fs.mkdirs(logDir)
+        val out = fs.create(p, false)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        ridHwmValues.foreach { case (old, ov) =>
+          if (old.getName != p.getName && ov < v) fs.delete(old, false): Unit
+        }
+      }
+    }
 
   /** Single-shot full-snapshot commit (overwrite/restore/clone — ops
     * whose intent is "the table now IS this file set", so there is
@@ -1762,8 +1852,24 @@ class ManifestTable(spark: SparkSession, root: String,
       // OLD derived value — if the assignment changed the transform
       // source, trusting it would file the row in the wrong partition.
       // Generated columns compute/validate FIRST, on logical names.
+      // Identity columns are DERIVED (start + step * row id): internal
+      // rewrite frames built from read() carry them — shed here, the
+      // preserved row ids recompute the same values on every read
+      // (public surfaces refuse user-supplied values up front).
+      val idCols = identityColumns.keys.toSeq.filter(df.columns.contains)
       val derived = withDerived(
-        toPhysicalRename(withGenerated(df)).drop(transforms.map(_.name): _*))
+        toPhysicalRename(withGenerated(df.drop(idCols: _*)))
+          .drop(transforms.map(_.name): _*))
+      // a column landing on DROPPED physical storage would resurrect
+      // the old values for every pre-drop file — refuse with the
+      // re-add path named (ADD COLUMNS mints a fresh physical id)
+      locally {
+        val dropped = droppedColumns
+        val hit = derived.columns.filter(dropped.contains)
+        require(hit.isEmpty, s"column(s) ${hit.mkString(", ")} collide " +
+          "with dropped columns' physical storage — re-add via ALTER " +
+          "TABLE ADD COLUMNS (fresh physical id) before writing values")
+      }
       val toWrite =
         if (partCols.isEmpty) derived
         else derived.repartition(partCols.map(col): _*)
@@ -2080,7 +2186,11 @@ class ManifestTable(spark: SparkSession, root: String,
     // The tombstone flag (not a table column) rides along untouched:
     // generated expressions only reference table columns.
     val updates = withGenerated(updates0)
+    // identity columns are DERIVED (start + step * row id) and the feed
+    // can never carry them — merge over the identity-free frame; values
+    // re-derive from the preserved row ids (attachRowIds) on read
     val base = withGenerated(read(Some(v0)))
+      .drop(identityColumns.keys.toSeq: _*)
     def resolve(b: DataFrame, u: DataFrame): DataFrame = deleteCol match {
       case Some(d) => Merge.applyCdc(b, u, keys, d)
       case None => Merge.upsert(b, u, keys)
@@ -2280,9 +2390,15 @@ class ManifestTable(spark: SparkSession, root: String,
   }
 
   private def toLogicalRename(df: DataFrame): DataFrame = {
+    // dropped physical storage never surfaces — hidden BEFORE the
+    // rename fold so a dropped column can never shadow a re-added
+    // logical name riding a fresh physical id
+    val dropped = droppedColumns
+    val hit = df.columns.filter(dropped.contains)
+    val d0 = if (hit.isEmpty) df else df.drop(hit.toIndexedSeq: _*)
     val m = columnMapping
-    if (m.isEmpty) df
-    else m.foldLeft(df) { case (d, (p, l)) =>
+    if (m.isEmpty) d0
+    else m.foldLeft(d0) { case (d, (p, l)) =>
       if (p != l && d.columns.contains(p)) d.withColumnRenamed(p, l) else d
     }
   }
@@ -2307,6 +2423,9 @@ class ManifestTable(spark: SparkSession, root: String,
     */
   def renameColumn(oldName: String, newName: String): Unit = {
     require(oldName != newName, "rename to the same name")
+    require(!identityColumns.contains(oldName),
+      s"cannot rename identity column $oldName — it is derived, not " +
+        "stored; drop and re-add under the new name")
     val referencing = constraints.filter { case (_, s) =>
       try spark.sessionState.sqlParser.parseExpression(s)
         .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name }
@@ -2353,17 +2472,137 @@ class ManifestTable(spark: SparkSession, root: String,
       s"column $newName already exists (logically or physically)")
     val physical = toPhysical(oldName)
     mappingLock.synchronized {
-      val updated = columnMapping + (physical -> newName)
-      fs.mkdirs(logDir)
-      val tmp = new Path(logDir, s".tmp-colmap-${UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write(updated.toSeq.sortBy(_._1).map { case (p, l) =>
-        s"${Entry.enc(p)}\t${Entry.enc(l)}"
-      }.mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
-      if (fs.exists(columnMappingPath)) fs.delete(columnMappingPath, false)
-      if (!fs.rename(tmp, columnMappingPath))
-        throw new IllegalStateException("column_mapping update failed")
+      writeMapping(columnMapping + (physical -> newName))
+    }
+  }
+
+  private def writeMapping(updated: Map[String, String]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-colmap-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(updated.toSeq.sortBy(_._1).map { case (p, l) =>
+      s"${Entry.enc(p)}\t${Entry.enc(l)}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(columnMappingPath)) fs.delete(columnMappingPath, false)
+    if (!fs.rename(tmp, columnMappingPath))
+      throw new IllegalStateException("column_mapping update failed")
+  }
+
+  // ---------------------------------------------------------------- //
+  // True DROP COLUMN under column mapping (Delta's column-mapping     //
+  // drop): metadata-only — the physical column stays in existing      //
+  // files but is hidden from every read surface; rewrites (merge,     //
+  // compaction, purge) copy only visible columns, so the data         //
+  // physically ages out with churn. A re-added column of the same     //
+  // logical name gets a FRESH physical id, so old values can never    //
+  // resurrect. This is the hard delete next to deprecateColumns'      //
+  // Glue-policy soft delete.                                          //
+  // ---------------------------------------------------------------- //
+
+  private val droppedPath = new Path(logDir, "dropped_columns")
+
+  /** Dropped PHYSICAL column names → the logical name they carried at
+    * drop time (for messages). Read fresh per use, like the mapping.
+    */
+  def droppedColumns: Map[String, String] = mappingLock.synchronized {
+    if (!fs.exists(droppedPath)) return Map.empty
+    val in = fs.open(droppedPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        Entry.dec(l.substring(0, i)) -> Entry.dec(l.substring(i + 1))
+      }.toMap
+    finally in.close()
+  }
+
+  private def writeDropped(updated: Map[String, String]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-dropped-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(updated.toSeq.sortBy(_._1).map { case (p, l) =>
+      s"${Entry.enc(p)}\t${Entry.enc(l)}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(droppedPath)) fs.delete(droppedPath, false)
+    if (!fs.rename(tmp, droppedPath))
+      throw new IllegalStateException("dropped_columns update failed")
+  }
+
+  /** The physical storage name a logical column resolves to — the
+    * mapping inverse without [[toPhysical]]'s stale-name refusal.
+    */
+  private def physicalNameOf(logical: String): String =
+    columnMapping.collectFirst {
+      case (p, l) if l == logical => p
+    }.getOrElse(logical)
+
+  /** ALTER TABLE DROP COLUMN — metadata-only via column mapping: no
+    * file is touched; the column's physical storage is recorded in the
+    * `dropped_columns` sidecar and every read surface hides it from
+    * now on (ALL versions, like renames — sidecars are table-global,
+    * readers key on paths). Refuses the same lattice as rename
+    * (partition source, CHECK-referenced, generated, configured
+    * stats/bloom columns) plus the last visible column. Like rename,
+    * the drop applies to time-travel reads too, and active streams pin
+    * their pre-drop schema until restarted.
+    */
+  def dropColumn(name: String): Unit = {
+    require(name != ManifestTable.RidPhysCol && name != ManifestTable.RowIdCol,
+      s"$name is engine-reserved")
+    require(!identityColumns.contains(name),
+      s"$name is an identity column (derived, not stored) — " +
+        "dropIdentityColumn instead")
+    val referencing = constraints.filter { case (_, s) =>
+      try spark.sessionState.sqlParser.parseExpression(s)
+        .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name }
+        .contains(name)
+      catch { case _: Exception => s.contains(name) } // conservative
+    }
+    require(referencing.isEmpty,
+      s"cannot drop $name: referenced by CHECK constraint(s) " +
+        s"${referencing.keys.mkString(", ")} — drop them first")
+    val gen = generatedColumns
+    require(!gen.contains(name),
+      s"cannot drop generated column $name — " +
+        "dropGeneratedColumn first")
+    val genReferencing = gen.filter { case (_, s) =>
+      try spark.sessionState.sqlParser.parseExpression(s)
+        .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name }
+        .contains(name)
+      catch { case _: Exception => s.contains(name) } // conservative
+    }
+    require(genReferencing.isEmpty,
+      s"cannot drop $name: referenced by generated column(s) " +
+        s"${genReferencing.keys.mkString(", ")} — drop them first")
+    val physical = physicalNameOf(name)
+    require(!identityPartCols.contains(physical)
+      && !transforms.exists(_.src == physical),
+      s"cannot drop partition column $name (hive paths and derived " +
+        "layouts carry its name)")
+    require(!allStatsCols.contains(physical) && !bloomCol.contains(physical),
+      s"cannot drop $name: it is a configured stats/bloom column — " +
+        "maintenance jobs key on it; reconfigure the table first")
+    declaredLock.synchronized {
+      mappingLock.synchronized {
+        val declared = declaredColumns
+        val isDeclared = declared.fieldNames.contains(name)
+        val visible =
+          if (latestVersion.isDefined) read().columns.toSet
+          else declared.fieldNames.toSet
+        require(visible.contains(name) || isDeclared,
+          s"no column $name (have: ${visible.toSeq.sorted.mkString(", ")})")
+        require((visible - name).nonEmpty,
+          s"cannot drop $name: it is the table's last visible column")
+        // hide the physical storage; forget any rename pointing at it
+        writeDropped(droppedColumns + (physical -> name))
+        if (columnMapping.contains(physical))
+          writeMapping(columnMapping - physical)
+        // a declared entry (including a DEFAULT or deprecation marker)
+        // goes entirely — this is DROP, not DEPRECATE
+        if (isDeclared) writeDeclared(
+          StructType(declared.fields.filterNot(_.name == name)))
+      }
     }
   }
 
@@ -2558,7 +2797,98 @@ class ManifestTable(spark: SparkSession, root: String,
         require(!f.name.startsWith(PartitionTransform.Prefix),
           s"addColumns: ${f.name} collides with the hidden layout prefix")
       }
+      // RE-ADD after DROP: a name whose physical storage was dropped
+      // gets a FRESH physical id (a rename mapping minted up front) —
+      // writes land under the new id, so old files' values can never
+      // resurrect; files predating the re-add read NULL (or the
+      // declared DEFAULT)
+      mappingLock.synchronized {
+        val dropped = droppedColumns
+        val mints = fields.map(_.name).filter(dropped.contains).map { n =>
+          s"${n}_${UUID.randomUUID().toString.take(8)}" -> n
+        }
+        if (mints.nonEmpty) writeMapping(columnMapping ++ mints)
+      }
       writeDeclared(StructType(cur.fields ++ fields))
+    }
+
+  // ---------------------------------------------------------------- //
+  // Identity columns (GENERATED ALWAYS AS IDENTITY): values DERIVE    //
+  // from the T16 stable row id — `start + step * _row_id` — so the    //
+  // collision-free commit-time allocator (version bands + persisted   //
+  // watermark) IS the identity allocator: unique and monotonically    //
+  // advancing across appends, merges, concurrent commits, restore     //
+  // and clone, with zero write-path coordination. Values are sparse   //
+  // (gaps between commits — the Delta identity contract allows gaps); //
+  // they survive rewrites because row ids do (materialized            //
+  // [[ManifestTable.RidPhysCol]] in copies). GENERATED ALWAYS: user   //
+  // frames carrying the column refuse at every public write surface.  //
+  // ---------------------------------------------------------------- //
+
+  private val identityPath = new Path(logDir, "identity_columns")
+  private def identityLock: Object =
+    ManifestTable.lockFor(fs.makeQualified(logDir).toString + "#identity")
+
+  /** Registered identity columns: name → (start, step). Read fresh per
+    * use, like the mapping/constraint sidecars.
+    */
+  def identityColumns: Map[String, (Long, Long)] = identityLock.synchronized {
+    if (!fs.exists(identityPath)) return Map.empty
+    val in = fs.open(identityPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        val Array(n, s, k) = l.split('\t')
+        Entry.dec(n) -> (s.toLong, k.toLong)
+      }.toMap
+    finally in.close()
+  }
+
+  /** Register `name` as GENERATED ALWAYS AS IDENTITY (START WITH
+    * `start` INCREMENT BY `step`). Metadata-only: every read from now
+    * on surfaces the column as `start + step * row_id`. Rows whose
+    * files predate row tracking read NULL — `CALL
+    * graft.backfill_row_ids` (one governed rewrite) adopts them.
+    */
+  def addIdentityColumn(name: String, start: Long = 1L,
+      step: Long = 1L): Unit = {
+    require(step != 0L, "identity step must be non-zero")
+    require(name != ManifestTable.RidPhysCol && name != ManifestTable.RowIdCol,
+      s"$name is engine-reserved")
+    require(!name.startsWith(PartitionTransform.Prefix),
+      s"$name collides with the hidden layout prefix")
+    identityLock.synchronized {
+      val visible =
+        if (latestVersion.isDefined) read().columns.toSet
+        else declaredColumns.fieldNames.toSet
+      require(!visible.contains(name) && !declaredColumns.fieldNames
+        .contains(name) && !identityColumns.contains(name),
+        s"addIdentityColumn: column $name already exists")
+      writeIdentity(identityColumns + (name -> (start, step)))
+    }
+  }
+
+  def dropIdentityColumn(name: String): Unit = identityLock.synchronized {
+    writeIdentity(identityColumns - name)
+  }
+
+  private def writeIdentity(m: Map[String, (Long, Long)]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-identity-${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(m.toSeq.sortBy(_._1).map { case (n, (s, k)) =>
+      s"${Entry.enc(n)}\t$s\t$k"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(identityPath)) fs.delete(identityPath, false)
+    if (!fs.rename(tmp, identityPath))
+      throw new IllegalStateException("identity_columns update failed")
+  }
+
+  /** Surface registered identity columns on a rid-carrying frame. */
+  private def withIdentityCols(df: DataFrame,
+      ids: Map[String, (Long, Long)]): DataFrame =
+    ids.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, (s, k))) =>
+      d.withColumn(n, lit(s) + lit(k) * col(ManifestTable.RowIdCol))
     }
 
   /** DEPRECATE columns — the Glue DeleteBehavior: data is never
@@ -2662,10 +2992,13 @@ class ManifestTable(spark: SparkSession, root: String,
     val scan =
       if (latestVersion.isDefined) read().schema.fields.toSeq else Seq.empty
     val scanNames = scan.map(_.name).toSet
+    val ids = identityColumns
     scan.map { f =>
       byName.get(f.name) match {
         case Some(d) =>
           (f.name, f.dataType.simpleString, "declared", isDeprecatedField(d))
+        case None if ids.contains(f.name) =>
+          (f.name, f.dataType.simpleString, "identity", false)
         case None => (f.name, f.dataType.simpleString, "data", false)
       }
     } ++ declared.fields.toSeq.filterNot(f => scanNames.contains(f.name)).map(f =>
@@ -3252,6 +3585,9 @@ class ManifestTable(spark: SparkSession, root: String,
     val entries = entriesOf(v0)
     if (entries.isEmpty) return v0
     require(set.nonEmpty, "updateWhere needs at least one assignment")
+    set.keys.find(identityColumns.contains).foreach(n =>
+      throw new IllegalArgumentException(s"updateWhere: $n is GENERATED " +
+        "ALWAYS AS IDENTITY — its values cannot be assigned"))
     val live = liveWithPos(entries)
     // materialize the matched row set EXACTLY once (eager checkpoint):
     // the marks and the appended copies must come from the same rows,
@@ -4170,11 +4506,18 @@ class ManifestTable(spark: SparkSession, root: String,
   /** Cross-process ref lock (r16 verdict item 5): every ref mutation —
     * tag create/drop, branch stage/drop, vacuum's snapshot-and-delete
     * window — runs inside BOTH the in-JVM monitor (the fast path, as
-    * before) and a create-exclusive `refs.lock` FILE in the log dir.
-    * `FileSystem.create(path, overwrite = false)` is atomic-exclusive
-    * on every Hadoop FS, so a tagger in another PROCESS now WAITS for
-    * a running vacuum instead of racing its delete phase (the
-    * previously documented single-maintenance-writer caveat).
+    * before) and a create-exclusive `refs.lock` FILE in the log dir,
+    * so a tagger in another PROCESS now WAITS for a running vacuum
+    * instead of racing its delete phase (the previously documented
+    * single-maintenance-writer caveat). `create(overwrite = false)`
+    * is atomic-exclusive on HDFS but only exists-then-open on
+    * LocalFileSystem (and not exclusive on S3A), so acquisition is
+    * READ-BACK FENCED: the winner is whoever's token survives in the
+    * file — at most one process ever believes it holds the lock, and
+    * the heartbeat re-verifies the token every beat, aborting loudly
+    * if the lock was broken and re-taken while held. Reentrant per
+    * thread (nested ref mutations no-op re-enter, see
+    * [[ManifestTable.refLocksHeldByThread]]).
     *
     * Liveness: the holder heartbeats the file's mtime every
     * [[ManifestTable.RefLockStaleMs]]/3; a lock whose mtime ages past
@@ -4184,9 +4527,15 @@ class ManifestTable(spark: SparkSession, root: String,
     * abandoned lock costs one TTL, never a deadlock. Acquisition fails
     * loudly after [[ManifestTable.RefLockAcquireMs]].
     */
-  private def withRefLock[T](body: => T): T =
-    ManifestTable.lockFor(
-      fs.makeQualified(logDir).toString + "#refs").synchronized {
+  private def withRefLock[T](body: => T): T = {
+    val lockKey = fs.makeQualified(logDir).toString + "#refs"
+    // reentrancy: the JVM monitor below reenters fine, but the FILE
+    // lock would then deadlock against our own heartbeat (create fails
+    // forever on a lock we keep fresh) — a nested ref mutation (e.g. a
+    // dropTag from inside a vacuum callback) no-op re-enters instead
+    if (ManifestTable.refLocksHeldByThread.get().contains(lockKey))
+      return body
+    ManifestTable.lockFor(lockKey).synchronized {
       fs.mkdirs(logDir)
       val lockPath = new Path(logDir, "refs.lock")
       val token = UUID.randomUUID().toString
@@ -4195,11 +4544,23 @@ class ManifestTable(spark: SparkSession, root: String,
       var held = false
       while (!held) {
         try {
-          val out = fs.create(lockPath, false) // atomic-exclusive
+          // ATOMICITY NOTE (the tryPublish caveat's lock-file twin):
+          // create(overwrite=false) is atomic-exclusive on HDFS and
+          // most object stores, but LocalFileSystem implements it as
+          // exists-then-open — two FOREIGN processes can both pass in
+          // a narrow window. The read-back fence below closes it:
+          // after writing, re-read the file and only treat the lock
+          // as held if OUR token survived (at most one writer's full
+          // token line is the final content, so at most one holder).
+          val out = fs.create(lockPath, false) // exclusive where the FS can
           try out.write(
             s"$token ${ProcessHandle.current().pid()}".getBytes("UTF-8"))
           finally out.close()
-          held = true
+          val mine =
+            try readLogLines(lockPath).headOption.exists(_.startsWith(token))
+            catch { case _: java.io.IOException => false }
+          if (mine) held = true
+          else Thread.sleep(50) // lost a double-create race: re-queue
         } catch {
           case _: java.io.IOException =>
             val st =
@@ -4239,12 +4600,23 @@ class ManifestTable(spark: SparkSession, root: String,
             }
         }
       }
-      // heartbeat so a LONG vacuum is never mistaken for a dead holder
+      // heartbeat so a LONG vacuum is never mistaken for a dead holder.
+      // NonFatal-proof: an FS whose setTimes throws Unsupported must
+      // not kill the thread silently (frozen mtime → stale-break →
+      // two maintenance writers). Each beat also re-reads the token:
+      // a lock broken and re-taken while we were paused flips `lost`,
+      // and the holder aborts LOUDLY after the body instead of
+      // pretending its mutations ran exclusively.
       @volatile var stop = false
+      @volatile var lost = false
       val beat = new Thread(() => {
-        while (!stop) {
-          try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () }
+        while (!stop && !lost) {
+          try {
+            val stillMine = readLogLines(lockPath).headOption
+              .exists(_.startsWith(token))
+            if (!stillMine) lost = true
+            else fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+          } catch { case scala.util.control.NonFatal(_) => () }
           val napMs = math.max(1000L, ManifestTable.RefLockStaleMs / 3)
           var slept = 0L
           while (!stop && slept < napMs) { Thread.sleep(200); slept += 200 }
@@ -4252,7 +4624,16 @@ class ManifestTable(spark: SparkSession, root: String,
       }, "graft-ref-lock-heartbeat")
       beat.setDaemon(true)
       beat.start()
-      try body finally {
+      ManifestTable.refLocksHeldByThread.get().add(lockKey): Unit
+      try {
+        val r = body
+        if (lost) throw new IllegalStateException(
+          s"ref lock at $lockPath was broken and re-taken while held " +
+            "(heartbeat token mismatch) — this mutation may have " +
+            "overlapped a foreign maintenance writer; inspect the log")
+        r
+      } finally {
+        ManifestTable.refLocksHeldByThread.get().remove(lockKey): Unit
         stop = true
         beat.join()
         // release only OUR lock: a holder paused past the TTL may have
@@ -4264,6 +4645,7 @@ class ManifestTable(spark: SparkSession, root: String,
         if (mine) fs.delete(lockPath, false): Unit
       }
     }
+  }
 
   private def refFile(name: String): Path = {
     require(name.matches("[A-Za-z0-9_\\-]+"), s"bad tag name: $name")
@@ -4564,9 +4946,12 @@ class ManifestTable(spark: SparkSession, root: String,
                 val p = new org.apache.hadoop.fs.Path(pathStr)
                 val tfs = p.getFileSystem(ManifestTable.confFromMap(confMap))
                 val in = tfs.open(p)
+                // drop '#'-metadata lines (the `#ict` commit stamp) —
+                // they are commit-level, not file references
                 val lines =
                   try scala.io.Source.fromInputStream(in, "UTF-8")
-                    .getLines().filter(_.nonEmpty).toList
+                    .getLines()
+                    .filter(l => l.nonEmpty && !l.startsWith("#")).toList
                   finally in.close()
                 // rel + DV ref only — zone-map stats are irrelevant to
                 // reachability, so the parse stays a cheap split
@@ -4696,10 +5081,15 @@ class ManifestTable(spark: SparkSession, root: String,
       keepVs.foreach { kept =>
         if (dropped.contains(kept - 1) && !fs.exists(manifestPath(kept))) {
           val resolved = entriesOf(kept)
+          // stamp the ORIGINAL commit time (read while the delta still
+          // exists) so this late-written checkpoint never shifts
+          // TIMESTAMP AS OF — the header form of the old min() rule
+          val origIct = commitTimeOf(kept)
           val tmp = new Path(logDir, s".tmp-ckpt-${UUID.randomUUID()}")
           val out = fs.create(tmp, false)
           try out.write(
-            (resolved.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
+            (ManifestTable.IctPrefix + origIct + "\n" +
+              resolved.map(_.line).mkString("\n") + "\n").getBytes("UTF-8"))
           finally out.close()
           if (!fs.rename(tmp, manifestPath(kept))) {
             fs.delete(tmp, false)

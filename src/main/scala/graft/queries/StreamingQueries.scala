@@ -165,6 +165,11 @@ object StreamingQueries extends QueryModule {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
     spark.read.parquet(s"$scratch/out")
+      // _commit_timestamp flows too but is wall-clock — project the
+      // deterministic columns for the oracle (its history() equality
+      // lives in StreamingSpec)
+      .select("o_orderkey", "o_totalprice", "_change_type",
+        "_commit_version")
       .orderBy(col("o_orderkey").asc, col("_commit_version").asc,
         col("_change_type").asc)
   }

@@ -227,11 +227,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** ALTER TABLE by name, routed to the declared-schema surface
     * (L26/L23): ADD COLUMNS (metadata-only — typed NULL until data
-    * arrives, then mergeSchema takes over) and RENAME COLUMN (logical
-    * mapping, no file rewrite). DROP COLUMN is refused with guidance:
-    * the engine's policy is the reference's Glue DEPRECATE_IN_DATABASE
-    * — data is never dropped — and silently keeping a "dropped" column
-    * readable would be worse than saying so.
+    * arrives, then mergeSchema takes over), RENAME COLUMN (logical
+    * mapping, no file rewrite), and DROP COLUMN (true metadata-only
+    * drop via column mapping — the physical storage is hidden and a
+    * re-add of the name mints a fresh physical id so old values never
+    * resurrect; `CALL graft.deprecate_columns` remains the reference's
+    * Glue DEPRECATE_IN_DATABASE soft delete).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident.namespace(), ident.name())
@@ -260,11 +261,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "RENAME COLUMN: nested columns are not supported")
         mt.renameColumn(ren.fieldNames().head, ren.newName())
       case del: TableChange.DeleteColumn =>
-        throw new UnsupportedOperationException(
-          s"DROP COLUMN ${del.fieldNames().mkString(".")}: the engine " +
-            "never drops data (Glue DEPRECATE_IN_DATABASE policy) — " +
-            "use CALL graft.deprecate_columns to soft-delete in the " +
-            "declared schema")
+        // true drop via column mapping (metadata-only; a re-add of the
+        // name gets a fresh physical id). CALL graft.deprecate_columns
+        // remains the Glue DEPRECATE_IN_DATABASE soft delete.
+        require(del.fieldNames().length == 1,
+          "DROP COLUMN: nested columns are not supported")
+        mt.dropColumn(del.fieldNames().head)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported by this catalog")
     }

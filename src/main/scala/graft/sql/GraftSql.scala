@@ -445,6 +445,24 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
         val t = table
         t.dropGeneratedColumn(str(1))
         versionRow(t.latestVersion.getOrElse(-1))
+      case "identity_add" =>
+        // identity_add(root, name [, start [, step]]) — GENERATED
+        // ALWAYS AS IDENTITY riding the row-id allocator: unique +
+        // monotonic across appends/merges/concurrent commits; sparse
+        val t = table
+        t.addIdentityColumn(str(1), optNum(2, 1L), optNum(3, 1L))
+        versionRow(t.latestVersion.getOrElse(-1))
+      case "identity_drop" =>
+        val t = table
+        t.dropIdentityColumn(str(1))
+        versionRow(t.latestVersion.getOrElse(-1))
+      case "drop_column" =>
+        // drop_column(root, name) — TRUE drop via column mapping
+        // (metadata-only; re-add mints a fresh physical id);
+        // deprecate_columns remains the Glue-policy soft delete
+        val t = table
+        t.dropColumn(str(1))
+        versionRow(t.latestVersion.getOrElse(-1))
       case "evolve_partition" =>
         // evolve_partition(root, identityColsCsv [, transformSpecsCsv])
         // — rewrite-migrate the layout; '' for no identity columns

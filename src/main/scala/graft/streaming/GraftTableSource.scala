@@ -506,6 +506,8 @@ class GraftTableSource(spark: SparkSession, root: String,
     val parts = (vFrom + 1 to vTo).map { v =>
       mt.changesAt(v, keysOpt)
         .withColumn("_commit_version", lit(v.toLong))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(mt.commitTimeOf(v))))
     }
     if (parts.isEmpty)
       spark.createDataFrame(
@@ -541,14 +543,19 @@ object GraftTableSource {
   }
 
   /** Change-feed output schema: the table's columns plus the Delta-CDF
-    * metadata pair (`_change_type` string, `_commit_version` long).
+    * metadata trio (`_change_type` string, `_commit_version` long,
+    * `_commit_timestamp` timestamp — the commit's in-commit stamp, so
+    * consumers can window changes by wall-clock without joining
+    * `history()` back in).
     */
   def cdfSchema(base: StructType): StructType = StructType(
     base.fields.toSeq :+
       org.apache.spark.sql.types.StructField("_change_type",
         org.apache.spark.sql.types.StringType, nullable = true) :+
       org.apache.spark.sql.types.StructField("_commit_version",
-        org.apache.spark.sql.types.LongType, nullable = true))
+        org.apache.spark.sql.types.LongType, nullable = true) :+
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType, nullable = true))
 
   /** L35: BATCH change-data-feed — the change rows for the inclusive
     * commit range `[fromV, toV]`, each stamped `_change_type` /
@@ -589,6 +596,8 @@ object GraftTableSource {
     (fromV to toV).map { v =>
       val d = mt.changesAt(v, keysOpt)
         .withColumn("_commit_version", lit(v.toLong))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(mt.commitTimeOf(v))))
       // a column present in an old diff but dropped by toV cannot be
       // represented in the range's one output schema — refuse loudly
       // rather than silently dropping its change values

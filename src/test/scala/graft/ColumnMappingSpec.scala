@@ -189,4 +189,139 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(t2.read().columns.sorted.toSeq === Seq("id", "label"))
     assert(t2.columnMapping === Map("tag" -> "label"))
   }
+
+  test("DROP COLUMN: metadata-only, scans hide it, time travel too") {
+    val root = scratch("drop_basic")
+    val t = new ManifestTable(spark, root)
+    t.write((1 to 50).map(i => (i.toLong, s"u$i", i * 2.0))
+      .toDF("id", "uname", "amt"), "overwrite")
+    val filesBefore = t.filesDf().collect().map(_.getString(0)).toSet
+    val vBefore = t.latestVersion
+
+    t.dropColumn("amt")
+
+    // metadata only: same files, same version — no rewrite, no commit
+    assert(t.filesDf().collect().map(_.getString(0)).toSet === filesBefore)
+    assert(t.latestVersion === vBefore)
+    assert(t.read().columns.sorted.toSeq === Seq("id", "uname"))
+    // sidecars are table-global (the rename semantics): time travel
+    // hides it too
+    assert(t.read(Some(0)).columns.sorted.toSeq === Seq("id", "uname"))
+    // DML over the remaining columns is unaffected
+    t.delete(col("id") === 1L)
+    assert(t.read().count() === 49)
+    // a fresh forRoot instance sees the drop
+    assert(ManifestTable.forRoot(spark, root).read().columns.sorted
+      .toSeq === Seq("id", "uname"))
+  }
+
+  test("DROP COLUMN: writes onto dropped storage refuse; ADD COLUMNS " +
+    "re-adds under a fresh physical id — old values never resurrect") {
+    val root = scratch("drop_readd")
+    val t = new ManifestTable(spark, root)
+    t.write((1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "amt"),
+      "overwrite")
+    t.dropColumn("amt")
+
+    // writing a column named like the dropped storage refuses loudly
+    val clash = intercept[IllegalArgumentException] {
+      t.write(Seq((21L, 9.9)).toDF("id", "amt"), "append")
+    }
+    assert(clash.getMessage.contains("dropped columns' physical storage"))
+
+    // re-add mints a fresh physical id: declared NULL for all old rows
+    t.addColumns("amt DOUBLE")
+    assert(t.read().filter(col("amt").isNotNull).count() === 0,
+      "re-added column must read NULL, never the dropped values")
+    // and the mapping records a fresh physical name for it
+    val phys = t.columnMapping.collectFirst {
+      case (p, l) if l == "amt" => p
+    }
+    assert(phys.exists(p => p != "amt" && p.startsWith("amt_")))
+
+    // writes now land under the fresh physical id and read back
+    t.write(Seq((21L, 9.9)).toDF("id", "amt"), "append")
+    assert(t.read().filter(col("amt") === 9.9).count() === 1)
+    assert(t.read().filter(col("amt").isNotNull).count() === 1)
+    // merge through the re-added name too
+    t.merge(Seq((21L, 11.0)).toDF("id", "amt"), Seq("id"))
+    assert(t.read().filter(col("amt") === 11.0).count() === 1)
+  }
+
+  test("DROP COLUMN: a renamed column drops its ORIGINAL physical " +
+    "storage; DEFAULT re-add fills old rows with the default") {
+    val root = scratch("drop_renamed")
+    val t = new ManifestTable(spark, root)
+    t.write((1 to 10).map(i => (i.toLong, s"x$i")).toDF("id", "tag"),
+      "overwrite")
+    t.renameColumn("tag", "label")
+    t.dropColumn("label")
+    assert(t.read().columns.toSeq === Seq("id"))
+    assert(t.droppedColumns === Map("tag" -> "label"))
+    assert(t.columnMapping === Map.empty, "the rename entry goes with it")
+
+    // DEFAULT re-add of the same logical name: old rows read the
+    // default (existence-default), never the dropped 'tag' values
+    t.addColumnWithDefault("label", "STRING", "'unset'")
+    assert(t.read().filter(col("label") === "unset").count() === 10)
+    t.write(Seq((11L, "fresh")).toDF("id", "label"), "append")
+    assert(t.read().filter(col("label") === "fresh").count() === 1)
+    assert(t.read().filter(col("label") === "unset").count() === 10)
+  }
+
+  test("DROP COLUMN: refusal lattice — partition source, constraint, " +
+    "generated, stats column, last column") {
+    val root = scratch("drop_refuse")
+    val t = new ManifestTable(spark, root, partitionCol = Some("day"),
+      statsCol = Some("amt"))
+    t.write(Seq((1L, "2024-01-01", 5.0), (2L, "2024-01-02", 6.0))
+      .toDF("id", "day", "amt"), "overwrite")
+    assert(intercept[IllegalArgumentException](t.dropColumn("day"))
+      .getMessage.contains("partition"))
+    assert(intercept[IllegalArgumentException](t.dropColumn("amt"))
+      .getMessage.contains("stats"))
+    t.addConstraint("id_pos", "id > 0")
+    assert(intercept[IllegalArgumentException](t.dropColumn("id"))
+      .getMessage.contains("CHECK constraint"))
+
+    val root2 = scratch("drop_refuse2")
+    val t2 = new ManifestTable(spark, root2)
+    t2.write(Seq((1L, 2.0)).toDF("id", "v"), "overwrite")
+    t2.addGeneratedColumn("v2", "v * 2")
+    assert(intercept[IllegalArgumentException](t2.dropColumn("v"))
+      .getMessage.contains("generated"))
+    assert(intercept[IllegalArgumentException](t2.dropColumn("v2"))
+      .getMessage.contains("generated"))
+    t2.dropGeneratedColumn("v2")
+    t2.dropColumn("v")
+    assert(intercept[IllegalArgumentException](t2.dropColumn("id"))
+      .getMessage.contains("last visible column"))
+    assert(intercept[IllegalArgumentException](t2.dropColumn("nope"))
+      .getMessage.contains("no column"))
+  }
+
+  test("DROP COLUMN: DV deletes and stats pruning unaffected; rewrites " +
+    "physically shed the dropped column") {
+    val root = scratch("drop_dv")
+    val t = new ManifestTable(spark, root, statsCol = Some("id"))
+    t.write((1 to 100).map(i => (i.toLong, s"u$i", i * 2.0))
+      .toDF("id", "uname", "amt"), "overwrite")
+    t.delete(col("id") % 10 === 0) // DV marks before the drop
+    t.dropColumn("amt")
+    assert(t.read().count() === 90)
+    assert(t.read().filter(col("id") <= 10).count() === 9)
+    // a post-drop DV delete still works (positions key on file+index)
+    t.delete(col("id") === 1L)
+    assert(t.read().count() === 89)
+    // compaction rewrites copy only VISIBLE columns — the dropped
+    // storage is physically gone from the rewritten files
+    t.compact()
+    assert(t.read().columns.sorted.toSeq === Seq("id", "uname"))
+    assert(t.read().count() === 89)
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(t.filesDf().collect() // filesDf paths are table-relative
+        .map(r => s"$root/${r.getString(0)}").toIndexedSeq: _*)
+    assert(!raw.columns.contains("amt"),
+      "post-compaction files must not carry the dropped storage")
+  }
 }

@@ -207,11 +207,21 @@ class GraftCatalogSpec extends SparkTestBase {
       "ALTER TABLE gcat_spec.silver.alt1 RENAME COLUMN amount TO amt")
     assert(spark.sql("SELECT amt FROM gcat_spec.silver.alt1")
       .first().getDouble(0) === 10.0)
-    // DROP refuses with the deprecate guidance — data is never dropped
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE gcat_spec.silver.alt1 DROP COLUMN amt")
+    // true DROP via column mapping: metadata-only, the column vanishes
+    // from scans; a re-add of the name reads NULL, never the old values
+    spark.sql("ALTER TABLE gcat_spec.silver.alt1 DROP COLUMN amt")
+    assert(!spark.sql("SELECT * FROM gcat_spec.silver.alt1").columns
+      .contains("amt"))
+    val noCol = intercept[Exception] {
+      spark.sql("SELECT amt FROM gcat_spec.silver.alt1").collect()
     }
-    assert(messageChain(e).contains("deprecate"), messageChain(e))
+    assert(messageChain(noCol).toLowerCase.contains("amt"))
+    spark.sql(
+      "ALTER TABLE gcat_spec.silver.alt1 ADD COLUMNS (amt DOUBLE)")
+    val readd = spark.sql(
+      "SELECT id, amt FROM gcat_spec.silver.alt1").first()
+    assert(readd.isNullAt(1),
+      "re-added column must read NULL, not the dropped values")
   }
 
   test("TRUNCATE TABLE empties by name; old data stays time-travelable") {

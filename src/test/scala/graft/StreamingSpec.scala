@@ -688,7 +688,7 @@ class StreamingSpec extends SparkTestBase {
     drain()
 
     // streamed feed ≡ batch changesBetween replay, version by version
-    val streamed = spark.read.parquet(outDir)
+    val streamed = spark.read.parquet(outDir).drop("_commit_timestamp")
     val replay = (0 to 2).map { v =>
       (if (v == 0) mt.read(Some(0)).withColumn("_change_type", lit("insert"))
        else mt.changesBetween(v - 1, v, Seq("o_orderkey")))
@@ -745,6 +745,7 @@ class StreamingSpec extends SparkTestBase {
     mt.delete(col("o_orderkey") % 16 === 0) // v3
     drainLatest()
     val late = spark.read.schema(cdfSchema).parquet(out2)
+      .drop("_commit_timestamp")
     val v3 = mt.changesAt(3, Seq("o_orderkey"))
       .withColumn("_commit_version", lit(3L))
       .select(late.columns.map(col): _*)
@@ -769,7 +770,7 @@ class StreamingSpec extends SparkTestBase {
       .option("checkpointLocation", ckptK)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
-    val keyless = spark.read.parquet(outK)
+    val keyless = spark.read.parquet(outK).drop("_commit_timestamp")
     val replayK = (0 to 3).map { v =>
       (if (v == 0) mt.read(Some(0)).withColumn("_change_type", lit("insert"))
        else mt.changesAt(v, Seq("o_orderkey")))
@@ -825,7 +826,7 @@ class StreamingSpec extends SparkTestBase {
 
     // default range [0, latest]: v0 snapshot as inserts + each commit's
     // keyed diff, version-stamped — exactly the changesBetween replay
-    val full = reader()
+    val full = reader().drop("_commit_timestamp")
     val replay = (0 to 2).map { v =>
       (if (v == 0) mt.read(Some(0)).withColumn("_change_type", lit("insert"))
        else mt.changesBetween(v - 1, v, Seq("o_orderkey")))
@@ -836,6 +837,7 @@ class StreamingSpec extends SparkTestBase {
 
     // mid-history sub-range [1, 2] — no snapshot leg
     val sub = reader("startingVersion" -> "1", "endingVersion" -> "2")
+      .drop("_commit_timestamp")
     val subReplay = (1 to 2).map(v =>
       mt.changesBetween(v - 1, v, Seq("o_orderkey"))
         .withColumn("_commit_version", lit(v.toLong)))
@@ -848,12 +850,13 @@ class StreamingSpec extends SparkTestBase {
     val s2 = extensionsSession("graft-l35-tvf")
     val viaTvf = s2.sql(
       s"""SELECT * FROM graft_table_changes('$root', 1, 2, 'o_orderkey')""")
+      .drop("_commit_timestamp")
     assert(viaTvf.exceptAll(sub).count() === 0)
     assert(sub.exceptAll(viaTvf).count() === 0)
 
     // helper-level equality too (what both surfaces call)
     val helper = GraftTableSource.batchChanges(spark, root,
-      Seq("o_orderkey"), 1, 2)
+      Seq("o_orderkey"), 1, 2).drop("_commit_timestamp")
     assert(helper.exceptAll(subReplay).count() === 0)
 
     // refusals: out-of-range end (Delta's contract — never promise
@@ -872,6 +875,7 @@ class StreamingSpec extends SparkTestBase {
     val noKeys = spark.read
       .format(classOf[GraftTableSourceProvider].getName)
       .option("root", root).option("readChangeFeed", "true").load()
+      .drop("_commit_timestamp")
     assert(noKeys.exceptAll(full.select(noKeys.columns.map(col): _*))
       .count() === 0)
     assert(full.select(noKeys.columns.map(col): _*).exceptAll(noKeys)
@@ -936,6 +940,7 @@ class StreamingSpec extends SparkTestBase {
     val out1 = scratch("t14_out1"); val ck1 = scratch("t14_ckpt1")
     drain(out1, ck1, "startingTimestamp" -> mid.toString)
     val got = spark.read.schema(cdfSchema).parquet(out1)
+      .drop("_commit_timestamp")
     assert(got.filter(col("_commit_version") === 0L).count() === 0,
       "history before the timestamp must not replay")
     val v1 = mt.changesAt(1, Seq("o_orderkey"))
@@ -952,6 +957,7 @@ class StreamingSpec extends SparkTestBase {
     mt.delete(col("o_orderkey") % 35 === 0) // v2
     drain(out2, ck2, "startingTimestamp" -> future.toString)
     val late = spark.read.schema(cdfSchema).parquet(out2)
+      .drop("_commit_timestamp")
     val v2 = mt.changesAt(2, Seq("o_orderkey"))
       .withColumn("_commit_version", lit(2L))
       .select(late.columns.map(col): _*)
@@ -1185,7 +1191,7 @@ class StreamingSpec extends SparkTestBase {
       .option("path", out).option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
-    val streamed = spark.read.parquet(out)
+    val streamed = spark.read.parquet(out).drop("_commit_timestamp")
     val replay = (2 to 4).map(v =>
       mt.changesBetween(v - 1, v, Seq("o_orderkey"))
         .withColumn("_commit_version", lit(v.toLong)))
@@ -1197,6 +1203,7 @@ class StreamingSpec extends SparkTestBase {
     val s2 = extensionsSession("graft-t15-tvf")
     val viaTvf = s2.sql(
       s"SELECT * FROM graft_table_changes('$root', 2, 4)")
+      .drop("_commit_timestamp")
     val batchReplay = replay
     assert(viaTvf.exceptAll(batchReplay).count() === 0)
     assert(batchReplay.exceptAll(viaTvf).count() === 0)
