@@ -3993,6 +3993,64 @@ class ManifestTable(spark: SparkSession, root: String,
     }
   }
 
+  /** Entries of a snapshot whose partition tuple satisfies `pred` —
+    * the `OPTIMIZE ... WHERE` scope every partition-scoped maintenance
+    * op shares. The predicate may reference LAYOUT columns only
+    * (identity partition columns by logical name, or transform names
+    * like `days(ts)` compared as strings); anything else refuses — a
+    * scope on a data column would need a data scan to answer, and
+    * maintenance scoping exists precisely to avoid one. Evaluation is
+    * ONE local projection over the distinct carried tuples (O(files)
+    * path parsing, zero data IO). A file carrying NO segment for a
+    * referenced column (a pre-spec-evolution layout) stays in scope:
+    * rewriting more than asked is layout-safe, while skipping a file
+    * the predicate meant would strand it forever.
+    */
+  private def entriesInScope(entries: Seq[Entry], pred: Column): Seq[Entry] = {
+    if (entries.isEmpty) return entries
+    val physCols = entries
+      .flatMap(e => ManifestTable.layoutColsOf(e.rel)).distinct
+    val m = columnMapping // physical path keys surface as logical names
+    val logical = physCols.map(c => m.getOrElse(c, c))
+    def tupleOf(e: Entry): Option[Seq[String]] = {
+      val vs = physCols.map(c => partValueOf(e.rel, c))
+      if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+    }
+    val tuples = entries.flatMap(tupleOf).distinct
+    if (tuples.isEmpty) throw new IllegalArgumentException(
+      "maintenance scope may reference partition columns only; the " +
+        s"table at $root carries no partition layout to scope by")
+    // evaluate the predicate LOCALLY per distinct tuple, typed through
+    // the source column where one resolves (so `col("k") < 2` compares
+    // numerically, not lexically); the ORIGINAL path strings key the
+    // kept set — a cast-and-back could reformat and miss. A predicate
+    // off the layout fails resolution here: a scope on a data column
+    // would need a data scan to answer, which scoping exists to avoid.
+    val idxCol = "__graft_scope_idx"
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val schema = StructType(logical.map(StructField(_, StringType)) :+
+      StructField(idxCol, org.apache.spark.sql.types.IntegerType))
+    val rows = tuples.zipWithIndex.map { case (t, i) =>
+      org.apache.spark.sql.Row.fromSeq(t :+ i)
+    }
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val typed = logical.foldLeft(local)((d, c) =>
+      scala.util.Try(srcType(c)).toOption.filter(_ != StringType)
+        .fold(d)(dt => d.withColumn(c, d(c).cast(dt))))
+    val kept = try {
+      typed.filter(pred).select(idxCol)
+        .collect() // bounded: distinct carried partition tuples
+        .map(r => tuples(r.getInt(0))).toSet
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          "maintenance scope may reference partition columns only " +
+            s"(${logical.sorted.mkString(", ")}): ${e.getMessage}", e)
+    }
+    entries.filter(e => tupleOf(e).forall(kept.contains))
+  }
+
   /** L5: OPTIMIZE — small-file compaction after many appends: rewrite
     * the latest version through `targetFiles` shuffle partitions
     * (hash-by-partition-column when partitioned, so each partition
@@ -4007,6 +4065,29 @@ class ManifestTable(spark: SparkSession, root: String,
     stampCdcNone(rewriteSnapshot(v0, compacted))
   }
 
+  /** Partition-scoped OPTIMIZE (`OPTIMIZE ... WHERE`): rewrite ONLY
+    * the files whose partition tuple satisfies `scope` into
+    * `targetFiles` outputs; every out-of-scope file carries forward by
+    * reference. At 100 TB one compacts yesterday's partition, never
+    * the table — cost is O(scope), and concurrent writers to other
+    * partitions rebase cleanly (the commit is a delta on the scoped
+    * files only).
+    */
+  def compact(targetFiles: Int, scope: Column): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val entries = entriesOf(v0)
+    val chosen = entriesInScope(entries, scope)
+    if (chosen.isEmpty) return v0
+    val df = withDerived(readEntriesRid(chosen) // DV-applying read
+      .withColumnRenamed(ManifestTable.RowIdCol, ManifestTable.RidPhysCol))
+    val compacted =
+      if (partCols.nonEmpty) df.repartition(targetFiles, partCols.map(col): _*)
+      else df.repartition(targetFiles)
+    val newFiles = newEntries(writeDataFiles(compacted))
+    stampCdcNone(commitDelta(entries, chosen.map(_.rel).toSet, newFiles))
+  }
+
   /** L5d: incremental bin-pack OPTIMIZE — the form that survives
     * 100 TB: only files SMALLER than `minFileBytes` (plus any file
     * carrying a deletion vector, whose deletes this materializes) are
@@ -4019,11 +4100,14 @@ class ManifestTable(spark: SparkSession, root: String,
     * conflicts. Returns the new version, or the current one when
     * nothing needs packing.
     */
-  def compactSmall(minFileBytes: Long, targetFileBytes: Long = 128L << 20): Int = {
+  def compactSmall(minFileBytes: Long, targetFileBytes: Long = 128L << 20,
+      scope: Option[Column] = None): Int = {
     val v0 = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
     val entries = entriesOf(v0)
-    val sized = entries.map { e =>
+    // scope narrows the CANDIDATES; the commit delta is still against
+    // the full snapshot, so out-of-scope files carry by reference
+    val sized = scope.fold(entries)(entriesInScope(entries, _)).map { e =>
       e -> fs.getFileStatus(new Path(root, e.rel)).getLen
     }
     val (small, kept) = sized.partition { case (e, len) =>
@@ -4056,11 +4140,13 @@ class ManifestTable(spark: SparkSession, root: String,
     * files DV-applied, and the commit is an O(delta) entry. Untouched
     * files carry forward by reference.
     */
-  def reorgPurge(minDeletedFraction: Double = 0.0): Int = {
+  def reorgPurge(minDeletedFraction: Double = 0.0,
+      scope: Option[Column] = None): Int = {
     val v0 = latestVersion.getOrElse(
       throw new IllegalStateException(s"no versions at $root"))
     val entries = entriesOf(v0)
-    val dvd = entries.filter(_.stats.contains(DvKey))
+    val dvd = scope.fold(entries)(entriesInScope(entries, _))
+      .filter(_.stats.contains(DvKey))
     val chosen =
       if (minDeletedFraction <= 0.0) dvd
       else {
@@ -4092,6 +4178,40 @@ class ManifestTable(spark: SparkSession, root: String,
     // row-preserving for the FEED: dead rows stay dead, live rows move
     // verbatim — the change feed sees nothing
     stampCdcNone(commitDelta(entries, chosen.map(_.rel).toSet, newFiles))
+  }
+
+  /** T16 follow-up: adopt row tracking on a legacy table — one
+    * governed rewrite of EXACTLY the files carrying no `#rid`
+    * allotment (pre-row-tracking writes), so every live row gains a
+    * stable id and the keyless change feed stops refusing. Ids are
+    * FRESH — a legacy file's rows never had any, so there is nothing
+    * to preserve — and later rewrites preserve them like any other.
+    * The rewrite is invisible to the change feed (dead rows stay dead:
+    * the read applies deletion vectors and the commit stamps no CDC),
+    * and costs O(unstamped files); stamped files carry forward by
+    * reference. Returns the new version, or the current one when the
+    * table is already fully tracked.
+    */
+  def backfillRowIds(): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val entries = entriesOf(v0)
+    val unstamped = entries.filterNot(_.stats.contains(ManifestTable.RidKey))
+    if (unstamped.isEmpty) return v0
+    val df = withDerived(readEntries(unstamped)) // DV-applying read
+    val repart =
+      if (partCols.nonEmpty)
+        df.repartition(math.max(1, unstamped.size), partCols.map(col): _*)
+      else df.repartition(math.max(1, unstamped.size))
+    val newFiles = newEntries(writeDataFiles(repart))
+    val v = commitDelta(entries, unstamped.map(_.rel).toSet, newFiles)
+    // stamped UNCONDITIONALLY (not the cdcEnabled-gated stampCdcNone):
+    // live rows move verbatim by construction, and the usual keyless
+    // fallback (row-id diff) is exactly what a pre-tracking file
+    // cannot serve — without the stamp the adoption commit itself
+    // would be the last refusing version
+    putVersionTag(v, ManifestTable.CdcTagKey, ManifestTable.CdcNoChanges)
+    v
   }
 
   /** L5b: cluster-compact — rewrite range-partitioned by `column` so
@@ -4129,6 +4249,29 @@ class ManifestTable(spark: SparkSession, root: String,
       .repartitionByRange(targetFiles, col("_zorder"))
       .sortWithinPartitions("_zorder")
       .drop("_zorder")))
+  }
+
+  /** Partition-scoped ZORDER (`OPTIMIZE ... WHERE ... ZORDER BY`):
+    * Morton-cluster ONLY the files whose partition tuple satisfies
+    * `scope`; the rest of the table carries forward untouched.
+    * Clustering quality is per-scope — exactly the Delta semantics,
+    * and the only affordable form at 100 TB (z-order one day, not the
+    * table).
+    */
+  def optimizeByZ(cols: Seq[String], targetFiles: Int, scope: Column): Int = {
+    val v0 = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no versions at $root"))
+    val entries = entriesOf(v0)
+    val chosen = entriesInScope(entries, scope)
+    if (chosen.isEmpty) return v0
+    val df = withDerived(readEntriesRid(chosen) // DV-applying read
+      .withColumnRenamed(ManifestTable.RowIdCol, ManifestTable.RidPhysCol))
+    val z = graft.operators.ZOrder.zValue(df, cols, bits = 4)
+    val newFiles = newEntries(writeDataFiles(df.withColumn("_zorder", z)
+      .repartitionByRange(targetFiles, col("_zorder"))
+      .sortWithinPartitions("_zorder")
+      .drop("_zorder")))
+    stampCdcNone(commitDelta(entries, chosen.map(_.rel).toSet, newFiles))
   }
 
   /** Auto-OPTIMIZE advisor (the `CALL graft.maintenance_plan` body):

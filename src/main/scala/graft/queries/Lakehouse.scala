@@ -581,6 +581,36 @@ object Lakehouse extends QueryModule {
       |  WHERE o_orderkey % 17 = 0)
       |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
 
+  /** L41: GENERATED ALWAYS AS IDENTITY — identity values DERIVE from
+    * the stable row id (`start + step * rid`), so the assignment is
+    * deterministic for a single sorted write (rid = file base 0 + row
+    * index) and SURVIVES an update rewrite (copies keep their rid, so
+    * their uid). The oracle re-derives the assignment with
+    * row_number() over the same sort and replays the update — a value
+    * that shifted under the rewrite could not match.
+    */
+  def l41Identity(spark: SparkSession, dir: String): DataFrame = {
+    val root = dmlScratch(spark, "orders_l41")
+    val mt = new ManifestTable(spark, root)
+    mt.write(Q.t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .repartition(1).sortWithinPartitions("o_orderkey"), "overwrite")
+    mt.addIdentityColumn("uid", start = 1000L, step = 3L)
+    mt.updateWhere(col("o_orderkey") % 7 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") * 2))) // copies keep uid
+    mt.read().select("o_orderkey", "o_totalprice", "uid")
+      .orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
+  val l41Oracle: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+      |            ELSE o_totalprice END AS o_totalprice,
+      |       1000 + 3 * (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1)
+      |         AS uid
+      |FROM orders
+      |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin
+
   /** L33: persistent SQL views ([[graft.sql.GraftViewRule]] over the
     * ViewCatalog side of [[graft.sql.GraftCatalog]]) — `CREATE OR
     * REPLACE VIEW cat.ns.v (cols) AS SELECT …` persisted in the
@@ -1193,6 +1223,7 @@ object Lakehouse extends QueryModule {
     "l38_merge_evolve" -> l38MergeEvolve,
     "l39_row_ids" -> l39RowIds,
     "l40_default_evolve" -> l40DefaultEvolve,
+    "l41_identity" -> l41Identity,
     "l6_exact_dedup" -> l6ExactDedup)
 
   override def oracles: Map[String, String] = Map(
@@ -1217,6 +1248,7 @@ object Lakehouse extends QueryModule {
     "l38_merge_evolve" -> l38Oracle,
     "l39_row_ids" -> l39Oracle,
     "l40_default_evolve" -> l40Oracle,
+    "l41_identity" -> l41Oracle,
     "l15_dv_roundtrip" -> l15Oracle,
     "l6_exact_dedup" -> l6Oracle)
 }

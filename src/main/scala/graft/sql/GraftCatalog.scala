@@ -139,17 +139,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         try Some(version.toLong).filter(_.isValidInt).map(_.toInt)
         catch { case _: NumberFormatException => None }
       else None
-    val v = asVersion match {
-      case Some(n) => n
+    asVersion match {
+      case Some(n) => new GraftSqlTable(ident, dir, Some(n), None)
       case None => {
         val mt = graft.lake.ManifestTable.forRoot(spark, dir)
-        mt.tagRef(version).getOrElse(throw new IllegalArgumentException(
-          s"graft table version must be an integer or a tag name; " +
-            s"no tag '$version' at $dir " +
-            s"(tags: ${mt.tagRefs.map(_._1).mkString(", ")})"))
+        mt.tagRef(version) match {
+          case Some(v) => new GraftSqlTable(ident, dir, Some(v), None)
+          // the Iceberg ref namespace: tags AND branches resolve by
+          // name — `VERSION AS OF 'audit'` reads the staged WAP
+          // branch's audit view (main ∪ staged), read-only
+          case None if mt.branches.contains(version) =>
+            new GraftSqlTable(ident, dir, None, None, Some(version))
+          case None => throw new IllegalArgumentException(
+            s"graft table version must be an integer, a tag name, or " +
+              s"a staged branch name; no ref '$version' at $dir " +
+              s"(tags: ${mt.tagRefs.map(_._1).mkString(", ")}; " +
+              s"branches: ${mt.branches.mkString(", ")})")
+        }
       }
     }
-    new GraftSqlTable(ident, dir, Some(v), None)
   }
 
   /** `TIMESTAMP AS OF ts` time travel (micros since epoch). */
@@ -616,14 +624,16 @@ object GraftCatalog {
   */
 private[sql] class GraftSqlTable(ident: Identifier,
     private[sql] val root: String, version: Option[Int],
-    asOfMs: Option[Long])
+    asOfMs: Option[Long], branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
-  /** True when this handle is a VERSION/TIMESTAMP AS OF snapshot —
-    * DML (UPDATE/MERGE, like INSERT/DELETE) must refuse it.
+  /** True when this handle is a VERSION/TIMESTAMP AS OF snapshot or a
+    * staged WAP branch's audit view — DML (UPDATE/MERGE, like
+    * INSERT/DELETE) must refuse it.
     */
-  private[sql] def pinned: Boolean = version.nonEmpty || asOfMs.nonEmpty
+  private[sql] def pinned: Boolean =
+    version.nonEmpty || asOfMs.nonEmpty || branch.nonEmpty
 
   private def spark: SparkSession = SparkSession.active
 
@@ -643,11 +653,14 @@ private[sql] class GraftSqlTable(ident: Identifier,
     case _ => mtable.latestVersion
   }
 
-  private[sql] lazy val df: DataFrame = (version, asOfMs) match {
+  private[sql] lazy val df: DataFrame = (branch, version, asOfMs) match {
+    // the WAP audit view: main snapshot ∪ staged rows — what the table
+    // WILL look like after publish
+    case (Some(b), _, _) => mtable.readBranch(b)
     // a timestamp before the first commit: raise readAsOf's standard
     // error (snapshotVersion is None there); read(None) likewise
     // raises the standard no-versions error for an empty root
-    case (_, Some(ms)) if snapshotVersion.isEmpty => mtable.readAsOf(ms)
+    case (_, _, Some(ms)) if snapshotVersion.isEmpty => mtable.readAsOf(ms)
     case _ => mtable.read(snapshotVersion)
   }
 
@@ -766,7 +779,10 @@ private[sql] class GraftSqlTable(ident: Identifier,
     * write-time `#n` count stat.
     */
   private[sql] def metaCount: Option[Long] =
-    snapshotVersion.flatMap(v => mtable.metadataRowCount(Some(v)))
+    // a branch handle's rows = snapshot ∪ staged; the manifest count
+    // alone would undercount — no fast path there
+    if (branch.nonEmpty) None
+    else snapshotVersion.flatMap(v => mtable.metadataRowCount(Some(v)))
 
   /** Manifest zone-map MIN/MAX for this handle's pinned snapshot —
     * logical-to-physical column mapping and the shared exactness
@@ -784,7 +800,8 @@ private[sql] class GraftSqlTable(ident: Identifier,
           s => s.matches("""\d{4}-\d{2}-\d{2}""") && s >= "1583-01-01"
         case _ => _ => true
       }
-    snapshotVersion.flatMap(v => mtable.metadataMinMax(c, Some(v), boundOk))
+    if (branch.nonEmpty) None // staged rows carry no snapshot zone maps
+    else snapshotVersion.flatMap(v => mtable.metadataMinMax(c, Some(v), boundOk))
   }
 
   override def newScanBuilder(

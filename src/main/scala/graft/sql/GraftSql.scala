@@ -291,14 +291,19 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
           .map { case (c, e) => c -> expr(e) }.toMap
         versionRow(table.updateWhere(expr(str(1)), sets))
       case "optimize" =>
-        versionRow(table.compact(optNum(1, 1).toInt))
+        // optimize(root [, targetFiles [, partition_predicate]]) —
+        // with a predicate only the matching partitions' files rewrite
+        if (args.length > 2)
+          versionRow(table.compact(num(1).toInt, expr(str(2))))
+        else versionRow(table.compact(optNum(1, 1).toInt))
       case "optimize_small" =>
-        versionRow(table.compactSmall(num(1),
-          optNum(2, 128L << 20)))
+        versionRow(table.compactSmall(num(1), optNum(2, 128L << 20),
+          if (args.length > 3) Some(expr(str(3))) else None))
       case "reorg" =>
-        // reorg(root [, min_deleted_fraction]) — purge DV'd files
+        // reorg(root [, min_deleted_fraction [, partition_predicate]])
         versionRow(table.reorgPurge(
-          if (args.length > 1) str(1).toDouble else 0.0))
+          if (args.length > 1) str(1).toDouble else 0.0,
+          if (args.length > 2) Some(expr(str(2))) else None))
       case "wap_stage" =>
         // wap_stage(root, sourceView, branch)
         table.stageBranch(str(2), session.table(str(1)))
@@ -311,11 +316,22 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       case "wap_branches" =>
         table.branches.map(Row(_))
       case "zorder" =>
+        // zorder(root, colsCsv [, targetFiles [, partition_predicate]])
         val cols = str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         require(cols.nonEmpty, "graft.zorder: empty column list")
         versionRow(
-          if (cols.size == 1) table.optimizeBy(cols.head, optNum(2, 8).toInt)
+          if (args.length > 3)
+            table.optimizeByZ(cols, num(2).toInt, expr(str(3)))
+          else if (cols.size == 1)
+            table.optimizeBy(cols.head, optNum(2, 8).toInt)
           else table.optimizeByZ(cols, optNum(2, 8).toInt))
+      case "clone" =>
+        // clone(root, destRoot) — shallow clone: dest gets its own log
+        // referencing the source's data files (zero data movement)
+        table.shallowClone(GraftNames.resolveRoot(session, str(1)))
+        versionRow(0)
+      case "backfill_row_ids" =>
+        versionRow(table.backfillRowIds())
       case "vacuum" =>
         table.vacuum(optNum(1, 1).toInt,
           dryRun = false, minAgeMs = optNum(2, ManifestTable.DefaultVacuumMinAgeMs))
@@ -658,7 +674,8 @@ case class GraftProcedureCommand(proc: String, args: Seq[Any])
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure graft.$other; known: write, merge, delete, " +
-            "update, optimize, optimize_small, zorder, vacuum, restore, " +
+            "update, optimize, optimize_small, reorg, zorder, vacuum, " +
+            "restore, clone, backfill_row_ids, " +
             "tag, tags, drop_tag, " +
             "describe_history, describe_detail, describe_files, " +
             "constraint_add, constraint_drop, constraints, analyze, " +

@@ -73,8 +73,34 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql(
         "SELECT * FROM gcat_spec.gold.tagged VERSION AS OF 'nope'").collect()
     }
-    assert(messageChain(e).contains("no tag 'nope'"))
+    assert(messageChain(e).contains("no ref 'nope'"))
     assert(messageChain(e).contains("baseline"))
+  }
+
+  test("VERSION AS OF '<branch>' serves the staged WAP audit view; " +
+      "DML on it refuses") {
+    setup
+    val t = mt(s"$lakeRoot/gold/wapread")
+    t.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt"), "overwrite")
+    t.stageBranch("audit", Seq((3L, 30.0)).toDF("id", "amt"))
+    // main readers never see staged rows; the branch ref reads
+    // main ∪ staged (what the table WILL be after publish)
+    assert(spark.sql("SELECT * FROM gcat_spec.gold.wapread").count() === 2)
+    val branch = spark.sql(
+      "SELECT * FROM gcat_spec.gold.wapread VERSION AS OF 'audit'")
+    assert(branch.count() === 3)
+    val want = t.readBranch("audit")
+    assert(branch.exceptAll(want).isEmpty && want.exceptAll(branch).isEmpty)
+    // aggregates push safely (no stale metadata fast path on a branch)
+    assert(spark.sql("SELECT count(*) AS n FROM gcat_spec.gold.wapread " +
+      "VERSION AS OF 'audit'").first().getLong(0) === 3)
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM gcat_spec.gold.wapread VERSION AS OF 'audit' " +
+        "WHERE id = 1")
+    }
+    assert(e != null) // pinned handles refuse DML (parser or table level)
+    t.publishBranch("audit")
+    assert(spark.sql("SELECT * FROM gcat_spec.gold.wapread").count() === 3)
   }
 
   test("SHOW TABLES round-trips the directory layout") {

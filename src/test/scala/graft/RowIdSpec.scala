@@ -274,4 +274,57 @@ class RowIdSpec extends SparkTestBase {
     assert(messageChain(e).contains("row tracking"))
     assert(messageChain(e).contains("pass keys"))
   }
+
+  test("backfillRowIds adopts tracking on a legacy table: refusal " +
+      "flips, ids are total and unique, the feed sees nothing") {
+    val root = scratch("backfill")
+    val mt = new ManifestTable(spark, root)
+    mt.write(spark.range(20)
+      .select(col("id"), concat(lit("v"), col("id")).as("s")), "overwrite")
+    // simulate legacy: strip #rid from the v0 manifest
+    val logDir = new org.apache.hadoop.fs.Path(s"$root/_graft_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".manifest")).head
+    val lines = {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    fs.delete(m, false)
+    val out = fs.create(m, true)
+    try out.write((lines.map(_.split('\t')
+      .filterNot(_.startsWith("%23rid=")).mkString("\t"))
+      .mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    mt.delete(col("id") === 3L) // a DV on the unstamped file
+    // mixed table: one legacy file (NULL ids) + one stamped append
+    mt.write(spark.range(20, 25)
+      .select(col("id"), concat(lit("v"), col("id")).as("s")), "append")
+    // rows in still-unstamped files read NULL ids (the DV re-point
+    // above re-stamped ITS file, so the exact count varies with the
+    // fixture's file split — some NULLs must remain is the contract)
+    assert(mt.readWithRowId()
+      .filter(col(ManifestTable.RowIdCol).isNull).count() > 0)
+    val vBefore = mt.latestVersion.get
+    val bf = mt.backfillRowIds()
+    assert(bf === vBefore + 1)
+    assert(mt.backfillRowIds() === bf, "fully tracked: no-op")
+    // total + unique ids; the DV'd row stays dead; data unchanged
+    val ids = mt.readWithRowId().select(col(ManifestTable.RowIdCol))
+      .as[Long].collect()
+    assert(ids.length === 24 && ids.toSet.size === 24)
+    assert(mt.read().select("id", "s").collect().toSet ===
+      mt.read(Some(vBefore)).select("id", "s").collect().toSet)
+    // the feed is silent for the backfill commit, and keyless replay
+    // works for every LATER commit (the refusal class is gone)
+    assert(mt.changesAt(bf, None).count() === 0)
+    mt.updateWhere(col("id") === 7L, Map("s" -> lit("upd"))) // post-adopt
+    val v = mt.latestVersion.get
+    val keyless = mt.changesAt(v, None)
+    val keyed = mt.changesAt(v, Seq("id"))
+      .select(keyless.columns.map(col): _*)
+    assert(keyless.exceptAll(keyed).count() === 0)
+    assert(keyed.exceptAll(keyless).count() === 0)
+  }
 }
