@@ -4293,6 +4293,31 @@ class ManifestTable(spark: SparkSession, root: String,
     // 1. small-file load: ≥ 2 files under the threshold bin-pack into
     // fewer (compactSmall itself no-ops below that, so neither should
     // the advice)
+    // scoped-command helper: when the need concentrates in a MINORITY
+    // of leading-partition values (and that column is a plain identity
+    // layout column a SQL predicate can name), recommend the
+    // partition-scoped form — at 100 TB the operator should compact
+    // the hot partitions, never the table. Returns the extra predicate
+    // argument (with leading comma-space) or "" for the unscoped form.
+    def scopeArg(affected: Seq[Entry]): String = {
+      val lead = partCols.headOption
+        .filter(c => !c.contains('(')) // transform names don't parse
+        .getOrElse(return "")
+      def vals(es: Seq[Entry]): Option[Set[String]] = {
+        val vs = es.map(e => partValueOf(e.rel, lead))
+        if (vs.exists(v => v.isEmpty || v.get == null)) None
+        else Some(vs.map(_.get).toSet)
+      }
+      (vals(affected), vals(entries)) match {
+        case (Some(hot), Some(all))
+            if hot.size <= 4 && hot.size * 2 <= all.size =>
+          val in = hot.toSeq.sorted
+            .map(v => "''" + v.replace("'", "''''") + "''")
+            .mkString(", ")
+          s", '$lead IN ($in)'"
+        case _ => ""
+      }
+    }
     val sized = entries.map(e =>
       e -> fs.getFileStatus(new Path(root, e.rel)).getLen)
     val small = sized.filter(_._2 < smallFileBytes)
@@ -4301,7 +4326,8 @@ class ManifestTable(spark: SparkSession, root: String,
         s"${small.size} of ${entries.size} file(s) are under " +
           s"$smallFileBytes bytes (smallest ${small.map(_._2).min}); " +
           "reads pay per-file open/footer cost",
-        s"CALL graft.optimize_small('$root', $smallFileBytes)"))
+        s"CALL graft.optimize_small('$root', $smallFileBytes, " +
+          s"${128L << 20}${scopeArg(small.map(_._1))})"))
     // 2. deletion-vector load: masked rows cost every read an
     // anti-join; past a few percent the rewrite amortizes
     val dvd = entries.filter(_.stats.contains(DvKey))
@@ -4319,7 +4345,7 @@ class ManifestTable(spark: SparkSession, root: String,
         s"${dvd.size} file(s) carry deletion vectors masking $masked " +
           s"row(s)${totalRows.map(t => f" (${100.0 * masked / t}%.1f%% of " +
             "the table)").getOrElse("")}; every read pays the anti-join",
-        s"CALL graft.reorg('$root', 0.02)"))
+        s"CALL graft.reorg('$root', 0.02${scopeArg(dvd)})"))
     // 3. clustering: if the leading zone-map column's per-file
     // [min, max] intervals overlap heavily, range reads cannot prune —
     // a sort/z-order rewrite restores skipping
@@ -4779,13 +4805,24 @@ class ManifestTable(spark: SparkSession, root: String,
         ManifestTable.refLocksHeldByThread.get().remove(lockKey): Unit
         stop = true
         beat.join()
-        // release only OUR lock: a holder paused past the TTL may have
-        // been broken and replaced — deleting unconditionally would
-        // kill the NEW holder's lock (the unfenced-lease flaw)
-        val mine =
-          try readLogLines(lockPath).headOption.exists(_.startsWith(token))
-          catch { case _: java.io.IOException => false }
-        if (mine) fs.delete(lockPath, false): Unit
+        // release only OUR lock — by RENAME-then-verify, not
+        // read-then-delete: a holder paused past the TTL may have been
+        // broken and replaced, and with the heartbeat already joined a
+        // pause between a read and a delete could kill the NEW
+        // holder's lock. Rename is atomic: whatever file we renamed is
+        // frozen under the private name, so the token check can never
+        // race — ours deletes, a foreigner's is restored
+        val tomb = new Path(logDir, s".tmp-release-${UUID.randomUUID()}")
+        try {
+          if (fs.rename(lockPath, tomb)) {
+            val mine =
+              try readLogLines(tomb).headOption.exists(_.startsWith(token))
+              catch { case _: java.io.IOException => false }
+            if (mine) fs.delete(tomb, false): Unit
+            else if (!fs.rename(tomb, lockPath))
+              fs.delete(tomb, false): Unit // lost the restore race
+          }
+        } catch { case _: java.io.IOException => () }
       }
     }
   }

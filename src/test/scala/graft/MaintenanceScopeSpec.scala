@@ -126,6 +126,46 @@ class MaintenanceScopeSpec extends SparkTestBase {
     assert(t.compact(1, col("k") === 99) === v, "empty scope: no commit")
   }
 
+  test("maintenance advisor recommends SCOPED commands when the need " +
+      "concentrates in a minority of partitions — and they run") {
+    val root = scratch("advisor")
+    val t = new ManifestTable(spark, root, partitionCol = Some("k"))
+    // one well-packed (padded past the threshold) file per key 0..7,
+    // then fragment ONLY k=3: the compact_small advice must scope to it
+    t.write(spark.range(800)
+      .select(col("id"), (col("id") % 8).as("k"),
+        // incompressible pad: keeps base files above the threshold
+        sha2(concat(lit("a"), col("id").cast("string")), 512).as("pad"))
+      .repartition(1), "overwrite")
+    (0 until 3).foreach(i => t.write(
+      spark.range(1000L + i, 1001L + i)
+        .select(col("id"), lit(3L).as("k"), lit("y").as("pad")),
+      "append"))
+    val plan = t.maintenancePlan(3000L)
+    val cmd = plan.find(_._2 == "compact_small").map(_._4).getOrElse(
+      fail("advisor must flag the fragmented partition"))
+    assert(cmd.contains("IN (''3'')"), s"expected a k=3 scope in: $cmd")
+    // the recommended command is runnable and touches only k=3
+    val before = files(t)
+    val k3 = before.filter(_.contains("k=3"))
+    val s = extensionsSession("graft-scope-advisor")
+    s.sql(cmd).collect()
+    val after = files(ManifestTable.forRoot(s, root))
+    assert((before -- k3).subsetOf(after), "out-of-scope files must carry")
+    // the three fragment files pack into one; the compliant base file
+    // carries — two k=3 files remain
+    assert(after.filter(_.contains("k=3")).size === 2)
+    // a uniformly fragmented table gets the UNscoped form
+    val root2 = scratch("advisor_uniform")
+    val t2 = new ManifestTable(spark, root2, partitionCol = Some("k"))
+    (0 until 3).foreach(i => t2.write(
+      spark.range(4L * i, 4L * i + 4).select(col("id"), (col("id") % 2).as("k")),
+      if (i == 0) "overwrite" else "append"))
+    val cmd2 = t2.maintenancePlan(32L << 20)
+      .find(_._2 == "compact_small").map(_._4).get
+    assert(!cmd2.contains(" IN ("), s"uniform need must stay unscoped: $cmd2")
+  }
+
   test("SQL surface: CALL graft.optimize/zorder/reorg with a predicate " +
       "scope; clone + backfill_row_ids procedures") {
     val s = extensionsSession("graft-scope-sql")
