@@ -162,6 +162,42 @@ object ManifestTable {
     */
   private[lake] val CheckpointEvery = 10
 
+  /** Hadoop output-committer options for ENGINE-INTERNAL parquet
+    * writes (the staged data-file write, DV/CDC sidecars): algorithm
+    * v2 moves task output straight to its destination (the default
+    * v1 re-renames everything again at job commit — pure churn for
+    * directories only this engine reads), and the _SUCCESS marker is
+    * skipped (visibility comes from the MANIFEST commit, never from
+    * directory state; sidecar dirs are uuid-fresh and referenced only
+    * after their commit, and a crash's debris is exactly the orphan
+    * class vacuum already sweeps).
+    */
+  private[lake] val InternalWriteOptions: Map[String, String] = Map(
+    "mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false")
+
+  /** Read-back schema per IMMUTABLE data file (files are uuid-named
+    * and never modified in place, so path → schema is a pure
+    * function): seeded at write time from one driver-side footer read
+    * of the freshly staged files, consulted by [[readFiles]] so that
+    * reads of engine-written unpartitioned file sets skip the
+    * mergeSchema inference pass — a whole Spark job per read at bench
+    * scale, a footer sweep of every referenced file at any scale.
+    * Bounded; eviction just means paying the inference again.
+    */
+  private val fileSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private[lake] def rememberFileSchema(path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (fileSchemaMemo.size > 4096) fileSchemaMemo.clear()
+    fileSchemaMemo.put(path, schema): Unit
+  }
+
+  private[lake] def recalledFileSchema(
+      path: String): Option[org.apache.spark.sql.types.StructType] =
+    Option(fileSchemaMemo.get(path))
+
   /** Reconstruct a fully-configured instance from a root path alone,
     * using the table_config sidecar the first commit persisted — how
     * the SQL procedure surface addresses tables by path. Falls back to
@@ -403,6 +439,19 @@ class ManifestTable(spark: SparkSession, root: String,
   private val DvPosCol = ManifestTable.DvPosCol
   private def fs: FileSystem =
     logDir.getFileSystem(spark.sessionState.newHadoopConf())
+
+  // Every read here hands Spark an EXPLICIT leaf-file list resolved
+  // from the manifest — there are no directories to discover — yet at
+  // the default parallelPartitionDiscovery threshold (32) any read of
+  // >32 files launches a whole Spark job just to re-stat those known
+  // paths (measured: one such job per read across every DML
+  // lifecycle). Up to this bound the driver's listing pool handles it
+  // in microseconds per path; genuinely huge file sets (>8192) keep
+  // the distributed listing, which is what the threshold is for.
+  locally {
+    val k = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    if (spark.conf.get(k, "32") == "32") spark.conf.set(k, "8192")
+  }
 
   private def manifestPath(v: Int) = new Path(logDir, f"v$v%05d.manifest")
 
@@ -892,11 +941,26 @@ class ManifestTable(spark: SparkSession, root: String,
     // ONE declared/ mapping sidecar read per readFiles call, hoisted
     // out of the per-group (and the bucketed path's per-bucket) loop
     val defaults = declaredDefaults
-    groups.toSeq.sortBy(_._1).map { case ((bp, _), paths) =>
+    groups.toSeq.sortBy(_._1).map { case ((bp, sig), paths) =>
       // a pinned schema (from one inference pass over the full file
       // set) skips the per-call mergeSchema footer scan — the
-      // bucketed read path calls this once PER BUCKET
-      val df = pinnedSchema match {
+      // bucketed read path calls this once PER BUCKET. The same skip
+      // applies when every file of an UNPARTITIONED group carries the
+      // SAME remembered write-time schema (the overwhelmingly common
+      // engine-written set): no hive dirs means the file schema IS
+      // the read schema, so inference could only re-derive it.
+      // Partitioned groups and sets mixing schemas (append evolution)
+      // keep the real mergeSchema pass — dir-type inference and
+      // cross-file type widening stay Spark's.
+      val remembered: Option[org.apache.spark.sql.types.StructType] =
+        if (sig.nonEmpty) None
+        else {
+          val ss = paths.map(ManifestTable.recalledFileSchema)
+          if (ss.contains(None)) None
+          else if (ss.distinct.size == 1) ss.head
+          else None
+        }
+      val df = pinnedSchema.orElse(remembered) match {
         case Some(s) => spark.read.option("basePath", bp)
           .schema(withExistenceDefaults(s, defaults).getOrElse(s))
           .parquet(paths: _*)
@@ -1873,7 +1937,17 @@ class ManifestTable(spark: SparkSession, root: String,
       val toWrite =
         if (partCols.isEmpty) derived
         else derived.repartition(partCols.map(col): _*)
+      // the stage dir is PRIVATE (uuid-named, walked and deleted by
+      // this method alone), so Spark's two-phase output commit buys
+      // nothing here: v2 task commits move files straight to their
+      // final stage location (halving the rename churn of the default
+      // v1's job-commit pass) and the _SUCCESS marker is noise the
+      // walk would skip anyway — atomicity comes from the manifest
+      // commit, never from the stage layout (measured: the committer
+      // dance was the single largest driver-side cost of every DML
+      // commit at bench scale)
       val writer = toWrite.write.mode("overwrite")
+        .options(ManifestTable.InternalWriteOptions)
       (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
         .parquet(stage.toString)
       val moved = scala.collection.mutable.ArrayBuffer[String]()
@@ -1893,6 +1967,16 @@ class ManifestTable(spark: SparkSession, root: String,
         }
       walk(stage, "")
       fs.delete(stage, true)
+      // seed the file-schema memo: every file of this write shares one
+      // parquet schema, read back ONCE driver-side (a single footer)
+      // in exact read semantics — [[readFiles]] then skips the
+      // per-read mergeSchema inference job for engine-written sets
+      if (moved.nonEmpty) try {
+        val st = spark.read
+          .parquet(new Path(root, moved.head).toString).schema
+        moved.foreach(r => ManifestTable.rememberFileSchema(
+          new Path(root, r).toString, st))
+      } catch { case scala.util.control.NonFatal(_) => () } // best-effort
       moved.toSeq
     } catch {
       // a failed write (e.g. a CHECK constraint thrown mid-job) must
@@ -3898,7 +3982,8 @@ class ManifestTable(spark: SparkSession, root: String,
         math.max(1L, math.min(16L, (approxMarks + 3999999L) / 4000000L)).toInt
       val dvRel = s"_graft_dv/${UUID.randomUUID()}.parquet"
       allMarks.coalesce(sidecarFiles)
-        .write.parquet(new Path(root, dvRel).toString)
+        .write.options(ManifestTable.InternalWriteOptions)
+        .parquet(new Path(root, dvRel).toString)
       // totals re-read from the written sidecar: ≤ one row per file
       val totalPerFile = spark.read.parquet(new Path(root, dvRel).toString)
         .groupBy(col(DvFileCol)).count().collect()
@@ -4643,7 +4728,8 @@ class ManifestTable(spark: SparkSession, root: String,
     // small change sets dominate; cap the sidecar's file count like
     // the DV path (the default 32 shuffle partitions would mint 32
     // tiny files per DML commit; coalesce past 16 is a no-op)
-    cdc.coalesce(16).write.parquet(new Path(root, rel).toString)
+    cdc.coalesce(16).write.options(ManifestTable.InternalWriteOptions)
+      .parquet(new Path(root, rel).toString)
     rel
   }
 

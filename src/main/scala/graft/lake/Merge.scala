@@ -119,9 +119,32 @@ object Merge {
     * plus rows differing in any column from their base counterpart.
     * Drives the merge no-op fast path (idempotent re-apply) and
     * touched-partition pruning.
+    *
+    * NOT `updates.exceptAll(base)`: exceptAll plans as a full hash
+    * shuffle of BOTH sides on every column — the one place the merge
+    * still shuffled the 100 TB target. The equivalent two-step form
+    * (`matched` = base rows identical to some feed row, then feed ANTI
+    * `matched`) keeps the FEED on the build side of both joins, so the
+    * planner broadcasts it and the base is scanned once, shuffled
+    * never — the same shape [[keptTargets]] already has. Equivalence:
+    * the feed carries at most one row per key (the merge contract), so
+    * the multiset difference exceptAll computes degenerates to the set
+    * difference the anti join computes; `<=>` per column is exactly
+    * exceptAll's null-safe row equality. A contract-violating feed
+    * (duplicate identical rows) changes only the duplicate's
+    * multiplicity here, and the merge's own semantics are undefined
+    * there anyway.
     */
-  def effectiveChanges(base: DataFrame, updates: DataFrame): DataFrame =
-    updates.exceptAll(base.select(updates.columns.toIndexedSeq.map(col): _*))
+  def effectiveChanges(base: DataFrame, updates: DataFrame): DataFrame = {
+    val cols = updates.columns.toSeq
+    def eq(l: String, r: String) =
+      cols.map(c => col(s"$l.$c") <=> col(s"$r.$c")).reduce(_ && _)
+    val matched = base.select(cols.map(col): _*).as("b")
+      .join(updates.select(cols.map(col): _*).as("u"), eq("b", "u"),
+        "left_semi")
+    updates.as("x")
+      .join(matched.as("m"), eq("x", "m"), "left_anti")
+  }
 
   /** CDC feed compaction: keep only the newest row per key, ordered
     * by `orderCol` (event time / sequence number), ties broken
