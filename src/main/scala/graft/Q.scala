@@ -64,6 +64,24 @@ object Q {
       spark.read.parquet(s"$dir/$name.parquet")
     }
 
+  /** Fan an UNDER-PARALLEL scan out to the session's parallelism for
+    * CPU-heavy per-row pipelines (codec decode, per-shingle md5,
+    * tokenizer encode). A small input (one parquet row group) plans as
+    * ONE scan task, so everything up to the first exchange runs on one
+    * core while the rest idle — the guide §2.5 input-skew case, with
+    * "skew" = a single unsplittable split. The repartition is
+    * SCALE-ADAPTIVE: it fires only when the scan has fewer partitions
+    * than the session's parallelism, so a corpus big enough to fill
+    * the cluster keeps its natural splits and never pays a reshuffle.
+    * Results are partition-invariant for every caller (keyed
+    * aggregates / joins / total-order sorts; no caller derives values
+    * from partition placement).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Exact decimal view of a 2-decimal-digit money double. */
   def money(c: Column): Column = c.cast(Dec)
 

@@ -262,6 +262,17 @@ object ManifestTable {
   private[lake] val DvFileCol = "_graft_dv_file"
   private[lake] val DvPosCol = "_graft_dv_pos"
 
+  /** Static schema of every DV sidecar (engine-written, fixed): reads
+    * pass it explicitly so they skip the per-read parquet footer
+    * schema-inference pass — one driver-side footer open per sidecar
+    * reference at bench scale, a listing+footer sweep at any scale.
+    */
+  private[lake] val DvSidecarSchema: StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    StructType(Seq(StructField(DvFileCol, StringType),
+      StructField(DvPosCol, LongType)))
+  }
+
   /** Change-data-feed metadata column / sidecar constants (T15). */
   private[graft] val ChangeTypeCol = "_change_type"
   private[lake] val CdcTagKey = "cdc"
@@ -904,7 +915,7 @@ class ManifestTable(spark: SparkSession, root: String,
   private def dvOf(entries: Seq[Entry]): Option[DataFrame] = {
     val rels = entries.flatMap(_.stats.get(DvKey).map(_.mn)).distinct
     if (rels.isEmpty) None
-    else Some(spark.read
+    else Some(spark.read.schema(ManifestTable.DvSidecarSchema)
       .parquet(rels.map(r => new Path(root, r).toString): _*)
       .select(col(DvFileCol), col(DvPosCol)))
   }
@@ -1936,7 +1947,21 @@ class ManifestTable(spark: SparkSession, root: String,
       }
       val toWrite =
         if (partCols.isEmpty) derived
-        else derived.repartition(partCols.map(col): _*)
+        else {
+          // EXPLICIT partition count (guide §2.5 input-skew case): a
+          // bare repartition(cols) is AQE-coalescible, and a DML
+          // commit's rewrite set is tiny BY BYTES while wide BY TUPLE
+          // COUNT — AQE folds the shuffle to one task, which then
+          // opens/closes every tuple's parquet writer serially (a
+          // 92-tuple daily append measured 1.7 s in one task vs ~0.2 s
+          // fanned out). The count tracks the session's configured
+          // parallelism, so a cluster-sized session fans out
+          // cluster-wide; each tuple still hashes to exactly one task
+          // → one file per tuple per commit either way.
+          val n = math.max(spark.sparkContext.defaultParallelism,
+            spark.sessionState.conf.numShufflePartitions)
+          derived.repartition(n, partCols.map(col): _*)
+        }
       // the stage dir is PRIVATE (uuid-named, walked and deleted by
       // this method alone), so Spark's two-phase output commit buys
       // nothing here: v2 task commits move files straight to their
@@ -3962,7 +3987,7 @@ class ManifestTable(spark: SparkSession, root: String,
       val oldRels = touched.flatMap(_.stats.get(DvKey).map(_.mn)).distinct
       val oldForTouched =
         if (oldRels.isEmpty) None
-        else Some(spark.read
+        else Some(spark.read.schema(ManifestTable.DvSidecarSchema)
           .parquet(oldRels.map(r => new Path(root, r).toString): _*)
           .select(col(DvFileCol), col(DvPosCol))
           .filter(col(DvFileCol)
@@ -3985,7 +4010,8 @@ class ManifestTable(spark: SparkSession, root: String,
         .write.options(ManifestTable.InternalWriteOptions)
         .parquet(new Path(root, dvRel).toString)
       // totals re-read from the written sidecar: ≤ one row per file
-      val totalPerFile = spark.read.parquet(new Path(root, dvRel).toString)
+      val totalPerFile = spark.read.schema(ManifestTable.DvSidecarSchema)
+        .parquet(new Path(root, dvRel).toString)
         .groupBy(col(DvFileCol)).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val repointed = touched.map { e =>

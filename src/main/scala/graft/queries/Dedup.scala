@@ -189,9 +189,15 @@ object Dedup extends QueryModule {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
-  /** Exploded distinct word-bigram shingles: (doc_id, s). */
+  /** Exploded distinct word-bigram shingles: (doc_id, s). The fan-out
+    * spreads the md5-heavy shingle/minhash map work (16 hashes per
+    * shingle downstream) across the session's cores when the corpus
+    * scan planned fewer splits than that (guide §2.5 input skew — a
+    * one-row-group file is one task; measured 4.2 s single-task for
+    * d3b's signature stage, ~0.3 s fanned out).
+    */
   private def shingleInv(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Q.fanOut(docs).select(col("doc_id"),
       explode(DedupOps.shingles(col("text"))).as("s"))
 
   /** md5-exact MinHash band keys from a shingle inverted list —

@@ -128,7 +128,10 @@ object MultimodalQueries extends QueryModule {
   def mm4PngDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Codecs
-    val media = Q.t(spark, dir, "documents").select("doc_id").as[Long]
+    // fan-out before the PNG encode/decode map (guide §2.5): pure CPU
+    // per row over a one-task scan otherwise
+    val media = Q.fanOut(Q.t(spark, dir, "documents").select("doc_id"))
+      .as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = (5 + id % 7).toInt
@@ -184,7 +187,8 @@ object MultimodalQueries extends QueryModule {
   def mm5Mp4Meta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Codecs
-    Q.t(spark, dir, "documents").select("doc_id").as[Long]
+    // fan-out before the MP4 container build/walk (guide §2.5)
+    Q.fanOut(Q.t(spark, dir, "documents").select("doc_id")).as[Long]
       .mapPartitions { it =>
         val fourccs = Array("avc1", "hvc1", "mp4a")
         it.map { id =>
@@ -237,7 +241,10 @@ object MultimodalQueries extends QueryModule {
   def mm6MjpegFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.multimodal.Codecs
-    Q.t(spark, dir, "documents").select("doc_id").as[Long]
+    // fan the id scan out before the JPEG encode/decode map: the work
+    // is pure CPU per row and a single-row-group scan is one task
+    // (guide §2.5) — measured 3.7 s on one core vs ~0.4 s across 32
+    Q.fanOut(Q.t(spark, dir, "documents").select("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = (16 + (id % 4) * 8).toInt

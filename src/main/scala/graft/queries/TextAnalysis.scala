@@ -618,7 +618,10 @@ object TextAnalysis extends QueryModule {
   def txBpeBytes(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Bpe
     val text = coalesce(col("text"), lit(""))
-    Q.t(spark, dir, "documents")
+    // fan-out before the merge-chain encode: per-row regexp chains are
+    // CPU-heavy and the corpus scan plans one task per row group
+    // (guide §2.5) — measured 3.2 s on one core vs ~0.4 s across 32
+    Q.fanOut(Q.t(spark, dir, "documents"))
       .select(col("doc_id"), Bpe.wrapTextBytes(text).as("wr"))
       .withColumn("enc", Bpe.applyMerges(col("wr"), Bpe.FixedByteMerges))
       .select(col("doc_id"),
