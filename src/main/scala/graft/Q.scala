@@ -53,7 +53,7 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val df = readMemoized(spark, s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case LongType => df.withColumn("ts",
           expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
@@ -61,8 +61,27 @@ object Q {
         case _ => df.withColumn("ts", col("ts").cast(TimestampNTZType))
       }
     } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+      readMemoized(spark, s"$dir/$name.parquet")
     }
+
+  /** Testdata files are immutable, so path → schema is a pure function:
+    * infer once per process, then pass the schema explicitly — every
+    * further read of the table skips the parquet footer inference pass
+    * (one driver-side job per `spark.read.parquet`; a SQL query
+    * registering the whole star paid it ten times per run). Data is
+    * always re-read from the files — only schema METADATA is memoized.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private def readMemoized(spark: SparkSession, path: String): DataFrame = {
+    val known = schemaMemo.get(path)
+    if (known != null) spark.read.schema(known).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaMemo.put(path, df.schema)
+      df
+    }
+  }
 
   /** Fan an UNDER-PARALLEL scan out to the session's parallelism for
     * CPU-heavy per-row pipelines (codec decode, per-shingle md5,

@@ -1992,16 +1992,18 @@ class ManifestTable(spark: SparkSession, root: String,
         }
       walk(stage, "")
       fs.delete(stage, true)
-      // seed the file-schema memo: every file of this write shares one
-      // parquet schema, read back ONCE driver-side (a single footer)
-      // in exact read semantics — [[readFiles]] then skips the
-      // per-read mergeSchema inference job for engine-written sets
-      if (moved.nonEmpty) try {
-        val st = spark.read
-          .parquet(new Path(root, moved.head).toString).schema
+      // seed the file-schema memo from the WRITTEN frame: an
+      // unpartitioned engine write's file schema IS the frame schema
+      // (parquet round-trips every type the engine writes, and file
+      // sources normalize read-schema nullability anyway), so the
+      // old read-back footer open per commit was pure overhead.
+      // Partitioned files never consult the memo — their read path
+      // needs hive-dir discovery — and skip the seeding.
+      if (moved.nonEmpty && partCols.isEmpty) {
+        val st = toWrite.schema
         moved.foreach(r => ManifestTable.rememberFileSchema(
           new Path(root, r).toString, st))
-      } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+      }
       moved.toSeq
     } catch {
       // a failed write (e.g. a CHECK constraint thrown mid-job) must
@@ -3587,7 +3589,7 @@ class ManifestTable(spark: SparkSession, root: String,
     if (!cdcEnabled) {
       val hits = matcher(liveWithPos(candidates, withRid = false))
         .select(col(DvFileCol), col(DvPosCol))
-      return commitDv(v0, all, hits, Seq.empty)
+      return commitDv(v0, all, hits, Seq.empty, marksUnique = true)
     }
     // T15: the matched rows ARE the commit's change rows. Materialize
     // the hit set exactly once so the DV marks and the recorded
@@ -3600,7 +3602,8 @@ class ManifestTable(spark: SparkSession, root: String,
         .filterNot(Set(DvFileCol, DvPosCol, ManifestTable.RowIdCol)).toSeq
       commitDv(v0, all, hits.select(col(DvFileCol), col(DvPosCol)), Seq.empty,
         cdc = Some(hits.select(dataCols.map(col): _*)
-          .withColumn(ManifestTable.ChangeTypeCol, lit("delete"))))
+          .withColumn(ManifestTable.ChangeTypeCol, lit("delete"))),
+        marksUnique = true)
     } finally graft.functions.CheckpointOps.release(hits)
   }
 
@@ -3744,7 +3747,7 @@ class ManifestTable(spark: SparkSession, root: String,
             .unionByName(updated.drop(ManifestTable.RidPhysCol).withColumn(
               ManifestTable.ChangeTypeCol, lit("update_postimage"))))
         commitDv(v0, entries, hits.select(col(DvFileCol), col(DvPosCol)),
-          Seq(enforced(updated)), cdc = cdc)
+          Seq(enforced(updated)), cdc = cdc, marksUnique = true)
       } finally if (cdcOn) graft.functions.CheckpointOps.release(updated)
     } finally graft.functions.CheckpointOps.release(hits) // RDD-level: Dataset.unpersist no-ops on checkpoints
   }
@@ -3941,7 +3944,8 @@ class ManifestTable(spark: SparkSession, root: String,
         .map(_.select(col(DvFileCol), col(DvPosCol)))
         .reduceOption(_ unionAll _)
         .getOrElse(live.limit(0).select(col(DvFileCol), col(DvPosCol)))
-      commitDv(v0, entries, marks, adds, appendWithoutMarks = true, cdc = cdc)
+      commitDv(v0, entries, marks, adds, appendWithoutMarks = true,
+        cdc = cdc, marksUnique = true)
     } finally (allCheckpoints ++ copyCheckpoints)
       .foreach(graft.functions.CheckpointOps.release)
   }
@@ -3960,7 +3964,8 @@ class ManifestTable(spark: SparkSession, root: String,
   private def commitDv(v0: Int, entries: Seq[Entry], marks: DataFrame,
       adds: Seq[DataFrame], conflictsWith: Entry => Boolean = _ => false,
       appendWithoutMarks: Boolean = false,
-      cdc: Option[DataFrame] = None): Int = {
+      cdc: Option[DataFrame] = None,
+      marksUnique: Boolean = false): Int = {
     val cached = marks.cache()
     try {
       // one bounded job: per-file NEW-mark counts (≤ one row per file)
@@ -3992,8 +3997,33 @@ class ManifestTable(spark: SparkSession, root: String,
           .select(col(DvFileCol), col(DvPosCol))
           .filter(col(DvFileCol)
             .isin(touched.map(e => new Path(e.rel).getName): _*)))
-      val allMarks = oldForTouched.fold(cached.distinct())(o =>
-        cached.unionByName(o).distinct())
+      // `marksUnique` fast path: single-hit-set callers (predicate
+      // deletes, UPDATE copies, cardinality-checked MERGE arms) mark
+      // each live position at most once, and live reads anti-join the
+      // existing DV out, so new marks are disjoint from prior ones —
+      // the distinct shuffle is a no-op and the per-file totals are
+      // newPerFile + each entry's prior count (already in its DV stat).
+      // Falls back to distinct + sidecar recount when the caller may
+      // emit overlapping marks (multi-batch key deletes) or a prior
+      // count is unparseable.
+      val priorPerFile: Option[Map[String, Long]] =
+        if (!marksUnique) None
+        else {
+          val parsed = touched.map { e =>
+            e.stats.get(DvKey) match {
+              case None => Some(new Path(e.rel).getName -> 0L)
+              case Some(s) =>
+                s.mx.toLongOption.map(new Path(e.rel).getName -> _)
+            }
+          }
+          if (parsed.contains(None)) None else Some(parsed.flatten.toMap)
+        }
+      val allMarks = priorPerFile match {
+        case Some(_) => oldForTouched.fold(cached: DataFrame)(o =>
+          cached.unionByName(o))
+        case None => oldForTouched.fold(cached.distinct())(o =>
+          cached.unionByName(o).distinct())
+      }
       // size the sidecar from the (driver-known) mark count: the
       // default shuffle parallelism would mint up to 32 files for a
       // typically-tiny position set — sidecar-level small-file bloat
@@ -4009,11 +4039,17 @@ class ManifestTable(spark: SparkSession, root: String,
       allMarks.coalesce(sidecarFiles)
         .write.options(ManifestTable.InternalWriteOptions)
         .parquet(new Path(root, dvRel).toString)
-      // totals re-read from the written sidecar: ≤ one row per file
-      val totalPerFile = spark.read.schema(ManifestTable.DvSidecarSchema)
-        .parquet(new Path(root, dvRel).toString)
-        .groupBy(col(DvFileCol)).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // totals: driver arithmetic on the unique-marks path; otherwise
+      // re-read from the written sidecar (≤ one row per file)
+      val totalPerFile = priorPerFile match {
+        case Some(prior) => newPerFile.map { case (f, n) =>
+          f -> (n + prior.getOrElse(f, 0L))
+        }
+        case None => spark.read.schema(ManifestTable.DvSidecarSchema)
+          .parquet(new Path(root, dvRel).toString)
+          .groupBy(col(DvFileCol)).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
       val repointed = touched.map { e =>
         val n = totalPerFile.getOrElse(new Path(e.rel).getName, 0L)
         e.copy(stats = e.stats + (DvKey -> ColStats(dvRel, n.toString, "D")))
