@@ -823,7 +823,11 @@ object Similarity extends QueryModule {
     * recall vs exact additionally asserted in LlmOpsSpec.
     */
   def s5QuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Q.t(spark, dir, "embeddings")
+    // fanOut (guide §2.5): the broadcast probe join below explodes
+    // each corpus row ×|probes| and runs dequantize+cosine per pair in
+    // the SCAN stage — a one-split embeddings file pins all of it to
+    // one core; per-pair scores are row-local, partition-invariant
+    val emb = Q.fanOut(Q.t(spark, dir, "embeddings"))
     val corpus = emb
       .withColumn("scale", VectorOps.quantScale(col("embedding")))
       .withColumn("codes", VectorOps.quantize(col("embedding"), col("scale")))

@@ -21,7 +21,7 @@ object TextAnalysis extends QueryModule {
 
   /** F8a: token counting — whitespace and BPE-ish regex tokenizers. */
   def txTokenStats(spark: SparkSession, dir: String): DataFrame =
-    Q.t(spark, dir, "documents")
+    Q.fanOut(Q.t(spark, dir, "documents"))
       .select(
         col("doc_id"),
         size(tokens(col("text"))).as("n_tokens"),
@@ -375,7 +375,7 @@ object TextAnalysis extends QueryModule {
       "|\\b(customer|merge)\\b"                         // term blocklist
 
   def txPiiRedact(spark: SparkSession, dir: String): DataFrame =
-    Q.t(spark, dir, "documents")
+    Q.fanOut(Q.t(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"),
         regexp_replace(col("text"), piiPattern, "[REDACTED]").as("clean_text"),
         (size(split(col("text"), piiPattern, -1)) - 1).as("n_redactions"))
