@@ -963,21 +963,25 @@ class ManifestTable(spark: SparkSession, root: String,
       // Partitioned groups and sets mixing schemas (append evolution)
       // keep the real mergeSchema pass — dir-type inference and
       // cross-file type widening stay Spark's.
+      val memos = paths.map(ManifestTable.recalledFileSchema)
+      val allSameMemo = !memos.contains(None) && memos.distinct.size == 1
       val remembered: Option[org.apache.spark.sql.types.StructType] =
         if (sig.nonEmpty) None
-        else {
-          val ss = paths.map(ManifestTable.recalledFileSchema)
-          if (ss.contains(None)) None
-          else if (ss.distinct.size == 1) ss.head
-          else None
-        }
+        else if (allSameMemo) memos.head
+        else None
       val df = pinnedSchema.orElse(remembered) match {
         case Some(s) => spark.read.option("basePath", bp)
           .schema(withExistenceDefaults(s, defaults).getOrElse(s))
           .parquet(paths: _*)
         case None =>
+          // partitioned groups can't take `.schema` (the hive dir
+          // columns' types are Spark's to infer), but when every
+          // file's remembered write-time schema agrees the mergeSchema
+          // footer sweep — one distributed job over EVERY referenced
+          // file per read — is provably a no-op: one footer suffices.
           val inferred = spark.read.option("basePath", bp)
-            .option("mergeSchema", "true").parquet(paths: _*)
+            .option("mergeSchema", (!allSameMemo).toString)
+            .parquet(paths: _*)
           withExistenceDefaults(inferred.schema, defaults) match {
             case None => inferred
             // L40: re-read under the default-carrying schema so files
@@ -1992,15 +1996,18 @@ class ManifestTable(spark: SparkSession, root: String,
         }
       walk(stage, "")
       fs.delete(stage, true)
-      // seed the file-schema memo from the WRITTEN frame: an
-      // unpartitioned engine write's file schema IS the frame schema
-      // (parquet round-trips every type the engine writes, and file
-      // sources normalize read-schema nullability anyway), so the
-      // old read-back footer open per commit was pure overhead.
-      // Partitioned files never consult the memo — their read path
-      // needs hive-dir discovery — and skip the seeding.
-      if (moved.nonEmpty && partCols.isEmpty) {
-        val st = toWrite.schema
+      // seed the file-schema memo from the WRITTEN frame: an engine
+      // write's FILE schema is the frame schema minus the hive
+      // partition columns (parquet round-trips every type the engine
+      // writes, and file sources normalize read-schema nullability
+      // anyway), so the old read-back footer open per commit was pure
+      // overhead. Unpartitioned reads consume the memo as their full
+      // read schema; partitioned reads use memo AGREEMENT to skip the
+      // per-read mergeSchema footer sweep (dir discovery stays
+      // Spark's).
+      if (moved.nonEmpty) {
+        val st = org.apache.spark.sql.types.StructType(
+          toWrite.schema.filterNot(f => partCols.contains(f.name)))
         moved.foreach(r => ManifestTable.rememberFileSchema(
           new Path(root, r).toString, st))
       }
