@@ -420,6 +420,56 @@ class DeletionVectorSpec extends SparkTestBase {
       "compaction must have materialized every DV")
   }
 
+  test("recorded DV totals are exact: stacked unique-mark commits use arithmetic, overlapping key batches the recount") {
+    // r18 optimization regression guard: commitDv's unique-marks fast
+    // path derives each touched entry's new DV count as
+    // newPerFile + prior-count (no sidecar recount job). The RECORDED
+    // totals feed history()/describeDetail and REORG thresholds, so
+    // pin them exactly against independently computed mark counts.
+    val dir = scratch("dv_totals")
+    val mt = new ManifestTable(spark, dir)
+    mt.write(orders.repartition(3), "overwrite") // v0
+    // v1: UPDATE — marks every status-P row (preimages die), appends copies
+    val n1 = orders.filter(col("o_orderstatus") === "P").count()
+    assert(n1 > 0)
+    mt.updateWhere(col("o_orderstatus") === "P",
+      Map("o_totalprice" -> (col("o_totalprice") + 1.0)))
+    def dvRows(v: Int): Long = mt.history()
+      .filter(col("version") === v).head().getAs[Long]("dv_deleted_rows")
+    assert(dvRows(1) === n1, "update must record exactly its mark count")
+    // v2: DELETE over the live state — marks stack on files that
+    // already carry DVs (the absorb + arithmetic path) AND on the
+    // fresh update-copy files (the no-prior path)
+    val marks2 = mt.read().filter(col("o_orderkey") % 7 === 0).count()
+    assert(marks2 > 0)
+    mt.delete(col("o_orderkey") % 7 === 0)
+    assert(dvRows(2) === n1 + marks2,
+      "stacked totals must be prior + new, exactly")
+    // v3: overlapping multi-batch key delete (the one caller whose
+    // marks CAN hit the same row twice) — totals must count the UNION
+    // of the batches' hits, never the sum
+    val live = mt.read()
+    val keyBatch = live.filter(col("o_custkey") % 50 === 0)
+      .select(col("o_orderkey").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val custBatch = live.filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val unionHits = live.filter(
+      col("o_orderkey").cast("string").isin(keyBatch: _*) ||
+        col("o_custkey").cast("string").isin(custBatch: _*)).count()
+    val overlapHits = live.filter(
+      col("o_orderkey").cast("string").isin(keyBatch: _*) &&
+        col("o_custkey").cast("string").isin(custBatch: _*)).count()
+    assert(overlapHits > 0, "test needs genuinely overlapping batches")
+    mt.deleteKeysAndAppend(Seq(
+      "o_orderkey" -> keyBatch, "o_custkey" -> custBatch), Seq.empty)
+    assert(dvRows(3) === n1 + marks2 + unionHits,
+      "overlapping batches must dedup to the union of their hits")
+    // the read path agrees with the recorded bookkeeping end to end
+    assert(mt.read().count() === live.count() - unionHits)
+  }
+
   test("shallow clone of a DV-carrying table reads the source's live rows") {
     val dir = scratch("del_clone_src")
     val cloneDir = scratch("del_clone_dst")
